@@ -1,0 +1,390 @@
+"""Driver-contract queries: every SURVEY §2 operator demonstrated on the
+driver's parquet tables, each paired with an ANSI-SQL oracle that DuckDB
+runs on the same data (FIXTURES.md §6 mapping).
+
+Hash-stability rules applied throughout (the driver compares row count +
+schema + order-insensitive value hash):
+  - every computed column is aliased identically in Spark and SQL;
+  - double aggregates are rounded (floating summation order differs
+    between engines at the ulp level);
+  - DuckDB ``sum(INTEGER)`` is HUGEINT — always CAST to BIGINT to match
+    Spark's LONG;
+  - timestamps are surfaced as epoch seconds (BIGINT, floor) — Spark
+    ``cast(ts AS long)`` truncates, so the oracle uses ``floor(epoch())``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.islands import find_islands
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# O13/O18-adjacent hash aggregation — TPC-H Q1 shape (pricing summary).
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           CAST(count(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O5/O6 — conjunctive scalar screen (binder-screen shape) on orders.
+# --------------------------------------------------------------------------
+@register(
+    "screen_filter",
+    sql="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'O'
+          AND o_orderpriority <> '1-URGENT'
+    """,
+)
+def screen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_totalprice") >= 50000.0)
+        & (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderpriority") != "1-URGENT")
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+
+
+# --------------------------------------------------------------------------
+# O8 — array element predicate (chain_pair_pae_min[i][j] shape).
+# --------------------------------------------------------------------------
+@register(
+    "array_element_screen",
+    sql="""
+    SELECT vec_id, label
+    FROM embeddings
+    WHERE embedding[1] < 0.0 AND label >= 5
+    """,
+)
+def array_element_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(
+        (F.element_at("embedding", 1) < 0.0) & (F.col("label") >= 5)
+    ).select("vec_id", "label")
+
+
+# --------------------------------------------------------------------------
+# O7/O12 — lookup with default (broadcast dim join + coalesce).
+# --------------------------------------------------------------------------
+@register(
+    "lookup_default",
+    sql="""
+    SELECT n_nationkey, n_name, coalesce(r_name, 'UNKNOWN') AS region_name
+    FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def lookup_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left").select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce("r_name", F.lit("UNKNOWN")).alias("region_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O11/O14 — order-sensitive grouped string-agg (sequence assembly shape):
+# collect_list is shuffle-nondeterministic, so sort_array(struct) first
+# (SURVEY §7.2).
+# --------------------------------------------------------------------------
+@register(
+    "ordered_concat",
+    sql="""
+    SELECT o_custkey,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderdate, o_orderkey) AS priority_seq
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+                    )
+                ),
+                lambda s: s.o_orderpriority,
+            ),
+        ).alias("priority_seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# O13 — conditional sum (the AF3 token-length rule shape: +1 for AA,
+# +atom_count otherwise).
+# --------------------------------------------------------------------------
+@register(
+    "conditional_sum",
+    sql="""
+    SELECT l_orderkey,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE l_linenumber END) AS BIGINT)
+               AS token_length
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(F.col("l_linenumber"))
+        ).alias("token_length")
+    )
+
+
+# --------------------------------------------------------------------------
+# O16 — prefix-sum window (chain-offset shape). Global ordered window is
+# fine for the 10-row supplier dim; the AF3 usage partitions by job.
+# --------------------------------------------------------------------------
+@register(
+    "prefix_sum",
+    sql="""
+    SELECT s_suppkey,
+           round(sum(s_acctbal) OVER (ORDER BY s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_acctbal
+    FROM supplier
+    """,
+)
+def prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_suppkey").rowsBetween(Window.unboundedPreceding, 0)
+    return s.select(
+        "s_suppkey", F.round(F.sum("s_acctbal").over(w), 2).alias("running_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# O21 — semi-join (interacting-residue restriction shape).
+# --------------------------------------------------------------------------
+@register(
+    "semi_join",
+    sql="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45.0)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti-join — the "non-binder" complement (SURVEY §2.1 joins).
+# --------------------------------------------------------------------------
+@register(
+    "anti_join",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# O22 — distinct collection per group, sorted for determinism
+# (contact-map shape), surfaced as a joined string for hash stability.
+# --------------------------------------------------------------------------
+@register(
+    "collect_set_sorted",
+    sql="""
+    SELECT l_orderkey,
+           array_to_string(list(DISTINCT l_suppkey ORDER BY l_suppkey), ',') AS suppkeys
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("l_suppkey"))).alias("suppkeys")
+    )
+
+
+# --------------------------------------------------------------------------
+# O25 + ranking — top-k per group (deterministic tiebreak on the key).
+# --------------------------------------------------------------------------
+@register(
+    "topk_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, CAST(rk AS INT) AS rk
+    FROM (SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# O26/O27 — group min/max "min-max" range formatting + 1-based substring.
+# --------------------------------------------------------------------------
+@register(
+    "range_format",
+    sql="""
+    SELECT p_brand,
+           CAST(min(p_size) AS VARCHAR) || '-' || CAST(max(p_size) AS VARCHAR) AS size_range,
+           min(substr(p_name, 1, 8)) AS first_name_prefix
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def range_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.concat_ws("-", F.min("p_size"), F.max("p_size")).alias("size_range"),
+        F.min(F.substring("p_name", 1, 8)).alias("first_name_prefix"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O17/O18 — range join against a broadcast interval dim + count-threshold
+# HAVING (the PAE matrix-slice kernel shape).
+# --------------------------------------------------------------------------
+_INTERVALS = [(i, 50.0 * i, 50.0 * (i + 1)) for i in range(7)]
+
+
+@register(
+    "range_threshold",
+    sql=f"""
+    SELECT i.id AS interval_id,
+           CAST(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM events e
+    JOIN (VALUES {",".join(f"({i}, {lo}, {hi})" for i, lo, hi in _INTERVALS)}) i(id, lo, hi)
+      ON e.value >= i.lo AND e.value < i.hi
+    GROUP BY i.id
+    HAVING sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) >= 3
+    """,
+)
+def range_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    iv = spark.createDataFrame(_INTERVALS, "id INT, lo DOUBLE, hi DOUBLE")
+    joined = e.join(
+        F.broadcast(iv), (e.value >= iv.lo) & (e.value < iv.hi)
+    )
+    return (
+        joined.groupBy(F.col("id").alias("interval_id"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .filter(F.col("n_error") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# O23 — gaps-and-islands sessionization of the events stream table.
+# --------------------------------------------------------------------------
+SESSION_GAP_S = 1800
+SESSION_MIN_EVENTS = 3
+
+
+@register(
+    "sessionize",
+    sql=f"""
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+    d AS (SELECT user_id, t,
+                 CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                           > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, t,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM d)
+    SELECT user_id, min(t) AS session_start,
+           max(t) - min(t) AS duration_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, isl
+    HAVING count(*) >= {SESSION_MIN_EVENTS}
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000000").alias("t")
+    )
+    kept = find_islands(
+        e,
+        ["user_id"],
+        "t",
+        max_gap=SESSION_GAP_S,
+        min_length=SESSION_MIN_EVENTS,
+        island_col="session_id",
+    )
+    return kept.groupBy("user_id", "session_id").agg(
+        F.min("t").alias("session_start"),
+        (F.max("t") - F.min("t")).alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("session_id")

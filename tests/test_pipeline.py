@@ -1,0 +1,98 @@
+"""Differential test: full Spark interaction pipeline vs the pure-Python
+model of the reference semantics, on the deterministic synthetic corpus."""
+
+from __future__ import annotations
+
+from process_alphafold3_outputs_spark.operators.intervals import (
+    chain_intervals,
+    identify_interacting_residues,
+)
+from process_alphafold3_outputs_spark.operators.screen import screen_binders
+from process_alphafold3_outputs_spark.operators.spatial import (
+    contact_pairs_grid,
+    contact_pairs_numpy,
+)
+from process_alphafold3_outputs_spark.params import ScreenParams
+from process_alphafold3_outputs_spark.plans.pipeline import interaction_report
+
+from . import reference_model as model
+
+PARAMS = ScreenParams()
+
+
+def test_screen_matches_model(af3, corpus):
+    got = {r.job for r in screen_binders(af3["predictions"], PARAMS).collect()}
+    want = {p["job"] for p in corpus["predictions"].to_dict("records") if model.screen_job(p)}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_chain_intervals_prefix_sum(af3, corpus):
+    iv = {
+        (r.job, r.chain_id): (r.start, r.end)
+        for r in chain_intervals(af3["chains"]).collect()
+    }
+    ch = corpus["chains"]
+    for job, grp in ch.groupby("job"):
+        grp = grp.sort_values("chain_index")
+        off = 0
+        for _, row in grp.iterrows():
+            assert iv[(job, row.chain_id)] == (off, off + row.token_length)
+            off += row.token_length
+
+
+def test_interacting_residues_match_model(af3, corpus):
+    binders = screen_binders(af3["predictions"], PARAMS)
+    got = {
+        (r.job, r.partner_res)
+        for r in identify_interacting_residues(
+            af3["pae_long"], af3["chains"], PARAMS, jobs=binders
+        ).collect()
+    }
+    want = set()
+    ch, pae_df = corpus["chains"], corpus["pae_long"]
+    for pred in corpus["predictions"].to_dict("records"):
+        if not model.screen_job(pred):
+            continue
+        job = pred["job"]
+        grp = ch[ch.job == job].sort_values("chain_index")
+        jp = pae_df[pae_df.job == job]
+        pae = {
+            (int(r.scored_token), int(r.aligned_token)): float(r.pae)
+            for r in jp.itertuples()
+        }
+        for res in model.interacting_residues(
+            pae, int(jp.aligned_token.max()) + 1, grp.token_length.tolist()
+        ):
+            want.add((job, res))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_grid_join_equals_numpy_join(af3):
+    binders = screen_binders(af3["predictions"], PARAMS)
+    inter = identify_interacting_residues(
+        af3["pae_long"], af3["chains"], PARAMS, jobs=binders
+    )
+    grid = {
+        (r.job, r.partner_res, r.poi_res)
+        for r in contact_pairs_grid(af3["atoms"], inter, PARAMS).collect()
+    }
+    brute = {
+        (r.job, r.partner_res, r.poi_res)
+        for r in contact_pairs_numpy(af3["atoms"], inter, PARAMS).collect()
+    }
+    assert grid == brute
+    assert len(grid) > 0
+
+
+def test_full_report_matches_model(af3, corpus):
+    report = interaction_report(
+        af3["predictions"], af3["chains"], af3["pae_long"], af3["atoms"], PARAMS
+    )
+    cols = PARAMS.report_columns()
+    assert report.columns == cols
+    got = {tuple(r[c] for c in cols) for r in report.collect()}
+    want = set(model.full_pipeline(corpus))
+    assert got == want
+    assert len(want) > 0
