@@ -60,9 +60,7 @@ def make_corpus(n_jobs: int = 20, seed: int = 7) -> dict[str, pd.DataFrame]:
         has_ligand = i % 3 == 0
         n_chains = 3 if has_ligand else 2
 
-        # ----- chains -------------------------------------------------
-        seq_a = "".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), len_a))
-        seq_b = "".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), len_b))
+        # ----- chains (sequence derived from residue names, :156) -----
         res_a = [
             {"residue_id": r + 1, "residue_name": _AA3[rng.randint(20)], "atom_count": 3}
             for r in range(len_a)
@@ -71,6 +69,8 @@ def make_corpus(n_jobs: int = 20, seed: int = 7) -> dict[str, pd.DataFrame]:
             {"residue_id": r + 1, "residue_name": _AA3[rng.randint(20)], "atom_count": 3}
             for r in range(len_b)
         ]
+        seq_a = "".join(AA_3TO1[r["residue_name"]] for r in res_a)
+        seq_b = "".join(AA_3TO1[r["residue_name"]] for r in res_b)
         chain_rows.append(
             dict(job=job, chain_id="A", chain_index=0, token_length=len_a,
                  sequence=seq_a, residues=res_a)
@@ -173,3 +173,75 @@ def write_corpus(out_dir: str, n_jobs: int = 20, seed: int = 7) -> dict[str, str
         df.to_parquet(path, index=False)
         paths[name] = path
     return paths
+
+
+def write_file_corpus(out_dir: str, n_jobs: int = 12, seed: int = 7) -> dict:
+    """Materialise the corpus as an actual AF3 directory tree — one
+    folder per job with ``{job}_summary_confidences_0.json``,
+    ``{job}_full_data_0.json`` and ``{job}_model_{k}.cif`` — plus the
+    malformed-input landmines of SURVEY §2.2 #11: an AppleDouble
+    ``._*`` file, a corrupt-JSON job, and a latin-1-encoded summary.
+
+    Returns the in-memory corpus dict for differential assertions.
+    """
+    import json
+
+    from .operators.structures import atoms_to_cif
+
+    corpus = make_corpus(n_jobs=n_jobs, seed=seed)
+    preds = corpus["predictions"]
+    pae = corpus["pae_long"]
+    atoms = corpus["atoms"]
+
+    for rec in preds.to_dict("records"):
+        job = rec["job"]
+        jdir = os.path.join(out_dir, job)
+        os.makedirs(jdir, exist_ok=True)
+
+        doc = {}
+        if rec["iptm"] is not None and not pd.isna(rec["iptm"]):
+            doc["iptm"] = rec["iptm"]
+        if rec["ptm"] is not None and not pd.isna(rec["ptm"]):
+            doc["ptm"] = rec["ptm"]
+        if rec["chain_pair_pae_min"] is not None:
+            doc["chain_pair_pae_min"] = [list(r) for r in rec["chain_pair_pae_min"]]
+        with open(os.path.join(jdir, f"{job}_summary_confidences_0.json"), "w") as fh:
+            json.dump(doc, fh)
+
+        jp = pae[pae.job == job]
+        n = int(jp.aligned_token.max()) + 1
+        mat = np.zeros((n, n))
+        mat[jp.scored_token.to_numpy(), jp.aligned_token.to_numpy()] = jp.pae.to_numpy()
+        with open(os.path.join(jdir, f"{job}_full_data_0.json"), "w") as fh:
+            json.dump(
+                {
+                    "pae": [[round(float(v), 2) for v in row] for row in mat],
+                    "token_res_ids": list(range(1, n + 1)),
+                },
+                fh,
+            )
+
+        ja = atoms[atoms.job == job]
+        for k in sorted(ja.model_id.unique()):
+            rows = ja[ja.model_id == k].sort_values(
+                ["chain_id", "residue_id", "atom_name"]
+            )
+            with open(os.path.join(jdir, f"{job}_model_{k}.cif"), "w") as fh:
+                fh.write(atoms_to_cif(f"{job}_model_{k}", rows.to_dict("records")))
+
+    # --- landmines ------------------------------------------------------
+    j0 = _job_name(0)
+    with open(os.path.join(out_dir, j0, f"._{j0}_summary_confidences_0.json"), "wb") as fh:
+        fh.write(b"\x00\x05\x16\x07AppleDouble junk")
+    cdir = os.path.join(out_dir, "corrupt_json_job")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, "corrupt_json_job_summary_confidences_0.json"), "w") as fh:
+        fh.write("{this is not json")
+    ldir = os.path.join(out_dir, "latin1_job")
+    os.makedirs(ldir, exist_ok=True)
+    with open(os.path.join(ldir, "latin1_job_summary_confidences_0.json"), "wb") as fh:
+        fh.write(
+            '{"iptm": 0.9, "ptm": 0.8, "note": "caf\xe9", '
+            '"chain_pair_pae_min": [[1.0, 3.0], [4.0, 5.0]]}'.encode("latin-1")
+        )
+    return corpus

@@ -1,0 +1,202 @@
+"""Structure sinks + PyMOL codegen — O30-O33 (process_af3_outputs.py:320-541).
+
+Rows → files is the second (and last) Python boundary: a grouped-map
+``applyInPandas`` per output file, emitting a minimal valid mmCIF
+``_atom_site`` loop. Everything upstream of the writer (residue
+selection, chain relabel, model fan-out) is plain DataFrame algebra.
+
+Naming contract (SURVEY §2.2 #12):
+  - ``{job}_interaction.cif``            (:382)
+  - ``{job}/model_{k}.cif`` overlays     (:423)
+  - ``{job}/align_and_save.pml``         (:533)
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..params import ScreenParams
+
+_CIF_HEADERS = (
+    "group_PDB", "id", "type_symbol", "label_atom_id", "label_comp_id",
+    "label_asym_id", "label_seq_id", "Cartn_x", "Cartn_y", "Cartn_z",
+    "occupancy", "B_iso_or_equiv", "auth_seq_id", "auth_asym_id",
+    "pdbx_PDB_model_num",
+)
+
+
+def atoms_to_cif(name: str, rows: Sequence[dict]) -> str:
+    """Render atom dicts (sorted upstream) as a minimal mmCIF document."""
+    out = [f"data_{name}", "#", "loop_"]
+    out += [f"_atom_site.{h}" for h in _CIF_HEADERS]
+    for i, a in enumerate(rows, start=1):
+        elem = (a["atom_name"] or "C")[0]
+        out.append(
+            f"ATOM {i} {elem} {a['atom_name']} {a['residue_name']} "
+            f"{a['chain_id']} {a['residue_id']} "
+            f"{a['x']:.3f} {a['y']:.3f} {a['z']:.3f} 1.00 0.00 "
+            f"{a['residue_id']} {a['chain_id']} 1"
+        )
+    out.append("#")
+    return "\n".join(out) + "\n"
+
+
+def select_interaction_atoms(
+    atoms: DataFrame, partner_islands: DataFrame, params: ScreenParams
+) -> DataFrame:
+    """O30 residue predicate (ResidueSelect.accept_residue, :326-336):
+    keep residue if chain==poi, OR chain==partner AND residue_id falls in
+    any partner island (the islands' member residues — the reference
+    passes the island tuples, i.e. kept members, :410).
+
+    ``partner_islands``: (job, partner_res) rows of kept island members.
+    """
+    keep_partner = partner_islands.select(
+        "job", F.col("partner_res").alias("residue_id")
+    ).distinct()
+    poi_side = atoms.filter(F.col("chain_id") == params.poi_chain)
+    partner_side = atoms.filter(F.col("chain_id") == params.partner_chain).join(
+        keep_partner, ["job", "residue_id"], "left_semi"
+    )
+    return poi_side.unionByName(partner_side)
+
+
+def relabel_chains(selected: DataFrame, params: ScreenParams) -> DataFrame:
+    """O31 (:399-421): POI chain → label 'A', kept partner residues → 'B'."""
+    return selected.withColumn(
+        "chain_id",
+        F.when(F.col("chain_id") == params.poi_chain, "A").otherwise("B"),
+    )
+
+
+def _write_cif_groups(df: DataFrame, path_col: str) -> DataFrame:
+    """Grouped-map sink: one CIF file per distinct ``path_col`` value.
+    Returns (path, n_atoms) — the sink's observable output."""
+    import pandas as pd
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["chain_id", "residue_id", "atom_name"])
+        path = pdf[path_col].iloc[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        name = os.path.splitext(os.path.basename(path))[0]
+        with open(path, "w") as fh:
+            fh.write(atoms_to_cif(name, pdf.to_dict("records")))
+        return pd.DataFrame({"path": [path], "n_atoms": [len(pdf)]})
+
+    return df.groupBy(path_col).applyInPandas(write_group, "path string, n_atoms long")
+
+
+def write_interaction_cifs(
+    atoms: DataFrame,
+    partner_islands: DataFrame,
+    out_dir: str,
+    params: ScreenParams,
+    model_id: int = 0,
+    jobs: DataFrame | None = None,
+) -> DataFrame:
+    """O30 sink: ``{out_dir}/{job}_interaction.cif`` per job (:382).
+
+    ``jobs`` restricts output to screened binders — the reference writes
+    a CIF for every binder reaching process_full_data_files (:383), even
+    when its island set is empty (POI-only file), but never for
+    non-binders."""
+    base = atoms.filter(F.col("model_id") == model_id)
+    if jobs is not None:
+        base = base.join(jobs.select("job"), "job", "left_semi")
+    selected = select_interaction_atoms(base, partner_islands, params)
+    with_path = selected.withColumn(
+        "_path", F.concat(F.lit(out_dir + "/"), F.col("job"), F.lit("_interaction.cif"))
+    )
+    return _write_cif_groups(with_path, "_path")
+
+
+def write_overlay_models(
+    atoms: DataFrame,
+    partner_islands: DataFrame,
+    out_dir: str,
+    params: ScreenParams,
+    jobs: DataFrame | None = None,
+) -> DataFrame:
+    """O31+O32: per (job, model) relabelled trimmed CIF —
+    ``{out_dir}/{job}/model_{k}.cif`` (:423). Islands computed once from
+    model 0 broadcast to ALL models of the job (:468-469) — in DataFrame
+    form the fan-out is just the join key not including model_id."""
+    base = atoms
+    if jobs is not None:
+        base = base.join(jobs.select("job"), "job", "left_semi")
+    selected = select_interaction_atoms(base, partner_islands, params)
+    relabelled = relabel_chains(selected, params)
+    with_path = relabelled.withColumn(
+        "_path",
+        F.concat(
+            F.lit(out_dir + "/"), F.col("job"), F.lit("/model_"),
+            F.col("model_id"), F.lit(".cif"),
+        ),
+    )
+    return _write_cif_groups(with_path, "_path")
+
+
+def pymol_scripts(model_files: DataFrame, out_dir: str) -> DataFrame:
+    """O33 codegen (:477-541): per job emit a ``.pml`` that loads every
+    model, aligns model_i chain A onto model_0 chain A, colours chains,
+    and saves ``{job}_overlay.pse``. Pure string-agg + format_string —
+    the program text is a query result."""
+    per_model = model_files.select(
+        "job",
+        F.regexp_extract("path", r"model_(\d+)\.cif$", 1).cast("int").alias("k"),
+        "path",
+    )
+    lines = per_model.select(
+        "job",
+        "k",
+        F.format_string("load %s, model_%d", F.col("path"), F.col("k")).alias("load_line"),
+        F.when(
+            F.col("k") > 0,
+            F.format_string(
+                "align model_%d and chain A, model_0 and chain A", F.col("k")
+            ),
+        ).alias("align_line"),
+    )
+    scripts = lines.groupBy("job").agg(
+        F.concat_ws(
+            "\n",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "load_line"))),
+                    lambda s: s.load_line,
+                ),
+            ),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("k", F.col("align_line").alias("al"))
+                        )
+                    ),
+                    lambda s: s.al,
+                ),
+            ),
+            F.lit("util.cbc()"),
+            # the .pse lands in the overlay ROOT, not the job subfolder
+            # (create_pymol_script output_folder arg, :523)
+            F.format_string("save %s/%s_overlay.pse", F.lit(out_dir), F.col("job")),
+        ).alias("script"),
+    )
+
+    import pandas as pd
+
+    def write_script(pdf: pd.DataFrame) -> pd.DataFrame:
+        job = pdf["job"].iloc[0]
+        path = os.path.join(out_dir, job, "align_and_save.pml")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(pdf["script"].iloc[0] + "\n")
+        return pd.DataFrame({"path": [path]})
+
+    return scripts.groupBy("job").applyInPandas(write_script, "path string")

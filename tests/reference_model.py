@@ -30,9 +30,15 @@ def grouped(sorted_vals: list[int], max_gap: int, min_length: int) -> list[list[
     return out
 
 
+def _default0(v) -> float:
+    """Missing key -> 0 (``.get(k, 0)``, :82-83); pandas surfaces the
+    missing value as NaN, which gets the same default."""
+    return 0.0 if v is None or v != v else float(v)
+
+
 def screen_job(pred: dict, min_iptm=0.0, min_ptm=0.0, max_pae=15.0) -> bool:
-    iptm = pred["iptm"] if pred["iptm"] is not None else 0.0
-    ptm = pred["ptm"] if pred["ptm"] is not None else 0.0
+    iptm = _default0(pred["iptm"])
+    ptm = _default0(pred["ptm"])
     if iptm < min_iptm or ptm < min_ptm:
         return False
     mat = pred["chain_pair_pae_min"]
