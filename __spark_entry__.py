@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from process_alphafold3_outputs_spark.plans import driver_queries as _dq  # noqa: E402
+from process_alphafold3_outputs_spark.plans import driver_queries_ext  # noqa: E402,F401  (registers extension queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

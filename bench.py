@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from process_alphafold3_outputs_spark.plans import driver_queries as dq
+from process_alphafold3_outputs_spark.plans import driver_queries_ext  # noqa: F401
 from process_alphafold3_outputs_spark.session import get_spark
 
 HEADLINE = [
@@ -29,6 +30,15 @@ HEADLINE = [
     "topk_per_group",
     "range_threshold",
     "sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "similarity_topk",
+    "text_language_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
 ]
 
 

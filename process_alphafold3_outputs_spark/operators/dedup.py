@@ -1,0 +1,233 @@
+"""Deduplication operators over a ``documents(doc_id, text, ...)`` table.
+
+Four families, all JVM-side (no Python UDFs in any hot path):
+
+- exact:        md5(normalized text) hash-groupBy
+- MinHash+LSH:  shingle → per-seed min-hash → band signature → bucket join
+- SimHash:      token-hash bit voting → 16-bit signature equality
+- n-gram Jaccard: shingle inverted index self-join (exact similarity)
+
+Scale design: every candidate-pair generator works through an inverted
+index (shingle → docs) or a bucket key (band signature / simhash), so
+the shuffle is keyed by shingle/bucket — never an O(N²) cross join.
+Hash functions are md5-based so the DuckDB oracle can reproduce them
+bit-for-bit (min over fixed-length hex strings == min over the numeric
+hash value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared text prep
+# --------------------------------------------------------------------------
+
+
+def normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lowercase, whitespace-collapsed text — the canonical form all
+    dedup families hash."""
+    return docs.withColumn(
+        "_norm",
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+    )
+
+
+def word_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word k-grams of the normalized text.
+    Pure built-ins: split → sequence → transform → array_distinct →
+    explode. Documents shorter than k words contribute their full text
+    as a single shingle (so they can still dedup exactly)."""
+    words = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    grams = words.withColumn(
+        "shingle",
+        F.when(F.size("_w") < k, F.array(F.col("_norm"))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - k),
+                lambda i: F.concat_ws(" ", F.slice("_w", i + 1, k)),
+            )
+        ),
+    )
+    return grams.select("doc_id", F.explode(F.array_distinct("shingle")).alias("shingle"))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: keeper (min doc_id) +
+    duplicate count. Single hash-aggregation — at 100 TB this is the
+    canonical map-side-combine groupBy; no window, no sort."""
+    return (
+        normalized(docs, text_col)
+        .withColumn("text_hash", F.md5("_norm"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_keep(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The kept rows themselves (doc_id == min per hash)."""
+    w = Window.partitionBy(F.md5("_norm"))
+    return (
+        normalized(docs, text_col)
+        .withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_norm", "_keep")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 12, shingle_k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, seed, minhash) — per-seed minimum of md5(seed:shingle).
+
+    min over the fixed-width hex string == min over the 128-bit hash
+    value, and is reproducible in ANSI SQL. The explode is
+    (docs × shingles × seeds) keyed by doc — shuffle-free until the
+    final per-doc aggregation."""
+    sh = word_shingles(docs, k=shingle_k, text_col=text_col)
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return (
+        sh.withColumn("seed", F.explode(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", "seed", "shingle"))).alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs sharing at least one
+    LSH band (band signature = concat of that band's minhashes).
+
+    The pair join is per (band, signature) bucket — the classic
+    banding construction; bucket sizes bound the join fan-out."""
+    n_hashes = n_bands * rows_per_band
+    sig = minhash_signatures(docs, n_hashes, shingle_k, text_col)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s.minhash,
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise similarity via inverted index)
+# --------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
+    threshold. Inverted-index self-join on shingle → per-pair common
+    count → |A∪B| = |A|+|B|-common. Shuffles: one by shingle (join),
+    one by pair (count) — no cross join anywhere."""
+    sh = word_shingles(docs, k=shingle_k, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash over word token hashes.
+
+    Per token, the first 4 hex nibbles of md5 give 16 bits; each bit
+    votes ±1; the signature's bit is 1 when the vote sum is positive.
+    Everything is built-in expressions (explode × 16 bit positions)."""
+    toks = (
+        normalized(docs, text_col)
+        .select("doc_id", F.explode(F.split("_norm", " ")).alias("tok"))
+        .withColumn("h", F.md5("tok"))
+    )
+    bits = toks.withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(15))))
+    # nibble = hex digit at position bit/4; bit-of-nibble = bit%4
+    nib = F.instr(
+        F.lit(_HEX), F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1)
+    ) - 1
+    bitval = F.floor(nib / F.pow(F.lit(2.0), (F.col("bit") % 4))).cast("int") % 2
+    votes = (
+        bits.withColumn("v", F.when(bitval == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+            .otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical 16-bit simhash (candidate near-dups)."""
+    sh = simhash(docs, text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

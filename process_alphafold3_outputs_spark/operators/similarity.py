@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two physical strategies (SURVEY §7.1 M7):
+
+- brute force: query×corpus join with a JVM-side fold dot product
+  (zip_with + aggregate — no Python, no UDF). Correctness baseline;
+  fine when |queries| is small or either side broadcasts.
+- LSH-bucketed: deterministic random-hyperplane signs derived from
+  md5-based pseudo-projections bucket the corpus; candidates only join
+  within a bucket (the 100 TB path: shuffle keyed by bucket, corpus
+  scanned once). Recall < 1 by construction; the baseline measures it.
+
+All math is double-precision with a left-to-right fold so the DuckDB
+oracle (list_cosine_similarity on DOUBLE[]) reproduces ranks exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def topk_bruteforce(
+    embeddings: DataFrame, query_ids: DataFrame | Column, k: int = 5
+) -> DataFrame:
+    """(query_id, neighbor_id, rk, sim) — exact top-k cosine neighbours
+    for each query vector. ``query_ids``: DataFrame with ``vec_id`` or a
+    boolean Column over ``embeddings``. The query side is broadcast; the
+    corpus is scanned once, ranked with a per-query window."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    if isinstance(query_ids, Column):
+        q = emb.filter(query_ids)
+    else:
+        q = emb.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+    q = q.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    pairs = F.broadcast(q).crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"))
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j is
+    ±1 by parity of a hash of (plane, j). Public trick: sign-random
+    projections only need ± signs for cosine LSH."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane}:{j}".encode()).hexdigest()
+        comps.append(1.0 if int(h[:8], 16) % 2 == 0 else -1.0)
+    return comps
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """(vec_id, bucket) — sign signature over ``n_planes`` deterministic
+    hyperplanes; one integer bucket per vector (single pass, no shuffle)."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    dim_row = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = dim_row["d"]
+    bucket: Column = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        sign_bit = (_dot(F.col("vec"), plane) > 0).cast("long")
+        bucket = bucket + sign_bit * F.lit(2**p).cast("long")
+    return emb.select("vec_id", "vec", bucket.alias("bucket"))
+
+
+def topk_lsh(
+    embeddings: DataFrame,
+    query_ids: DataFrame | Column,
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: rank only within the query's LSH bucket.
+    At scale the corpus side is shuffled once by bucket; each query
+    probes exactly one bucket (multi-probe is a k>1 extension)."""
+    b = lsh_buckets(embeddings, n_planes)
+    if isinstance(query_ids, Column):
+        q = b.join(embeddings.filter(query_ids).select("vec_id"), "vec_id", "left_semi")
+    else:
+        q = b.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+    q = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        "bucket",
+    )
+    cand = b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
+    )
+
+
+def recall_vs_bruteforce(
+    embeddings: DataFrame, query_ids: DataFrame | Column, k: int = 5, n_planes: int = 6
+) -> DataFrame:
+    """Measure LSH recall@k against the exact baseline (the 'measure,
+    don't guess' check for the approximate path)."""
+    exact = topk_bruteforce(embeddings, query_ids, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = topk_lsh(embeddings, query_ids, k, n_planes).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .withColumn("recall", F.round(F.col("n_hit") / k, 4))
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, fingerprinting. All pure built-in expressions
+(replace/regexp/length arithmetic) so they run JVM-side and have exact
+ANSI-SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized
+
+#: distinctive stopwords per language for the n-gram/stopword-hit
+#: heuristic (deliberately small + deterministic; ties break
+#: alphabetically by language code)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "die", "nicht", "ist"),
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "et", "les", "des", "est"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "is", "in", "that")
+
+
+def _count_word(norm: Column, word: str) -> Column:
+    """Occurrences of a whole word in space-normalized text via replace
+    arithmetic — identical semantics in Spark and ANSI SQL."""
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    needle = f" {word} "
+    # replacing " w " with " " keeps adjacent occurrences countable
+    return F.floor(
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+        / F.lit(len(needle) - 1)
+    ).cast("long")
+
+
+def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, score_<lang>...) marker-hit counts per language."""
+    d = normalized(docs, text_col)
+    for lang, words in sorted(LANG_MARKERS.items()):
+        score = None
+        for w in words:
+            c = _count_word(F.col("_norm"), w)
+            score = c if score is None else score + c
+        d = d.withColumn(f"score_{lang}", score)
+    return d.select("doc_id", *[f"score_{lang}" for lang in sorted(LANG_MARKERS)])
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — argmax of marker scores, 'und' when all
+    zero; ties break alphabetically (deterministic)."""
+    s = language_scores(docs, text_col)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return s.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_words, avg_word_len, punct_ratio,
+    stopword_ratio) — the standard cheap quality screens for a training
+    corpus; thresholds are the caller's query."""
+    d = normalized(docs, text_col)
+    n_words = F.size(F.split("_norm", " "))
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
+    )
+    sw = None
+    for w in EN_STOPWORDS:
+        c = _count_word(F.col("_norm"), w)
+        sw = c if sw is None else sw + c
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            (F.length("_norm") - n_words + 1) / n_words, 4
+        ).alias("avg_word_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(sw / n_words, 4).alias("stopword_ratio"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_ish_tokens): whitespace tokens plus a
+    BPE-ish segmentation count (letter runs / digit runs / single other
+    chars) — the cheap proxy for LLM token budgeting."""
+    d = normalized(docs, text_col)
+    return d.select(
+        "doc_id",
+        F.size(F.split("_norm", " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("n_bpe_ish_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, exact_fp, rolling_fp): md5 of normalized text plus a
+    content-shift-tolerant fingerprint (min md5 over word 3-shingles —
+    a 1-hash MinHash)."""
+    from .dedup import word_shingles
+
+    exact = normalized(docs, text_col).select(
+        "doc_id", F.md5("_norm").alias("exact_fp")
+    )
+    rolling = (
+        word_shingles(docs, k=3, text_col=text_col)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("rolling_fp"))
+    )
+    return exact.join(rolling, "doc_id")
