@@ -1,0 +1,124 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` content +
+typed metadata struct (the same pattern the engine already uses for
+mmCIF structures — SURVEY §7.1 M7).
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shape,
+UDF signatures — is real and tested. The actual codec step is STUBBED:
+the container ships no image/audio libraries, so ``decode_*`` raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic md5-derived pseudo-decode (stable across runs/engines, so
+tests and oracles can cover the full pipeline shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: canonical multimodal schema: one row per asset
+MEDIA_SCHEMA = (
+    "asset_id long, modality string, content binary, "
+    "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = (
+    "asset_id long, modality string, n_bytes long, content_hash string, "
+    f"features array<float>"
+)
+
+
+def from_documents(docs: DataFrame) -> DataFrame:
+    """Demo adapter: treat each document's utf-8 bytes as an opaque
+    asset (what a real corpus does with image/audio blobs)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/blob").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("raw").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes) -> list[float]:
+    """Deterministic pseudo-decode: FEATURE_DIM floats in [0,1) derived
+    from the md5 of the bytes — a stable stand-in for a real feature
+    extractor with the same batch shape."""
+    import hashlib
+
+    h = hashlib.md5(content).hexdigest()
+    return [int(h[i * 4 : i * 4 + 4], 16) / 65536.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + featurize each asset via ``mapInPandas`` (Arrow batches;
+    one Python worker call per partition batch, never per row).
+
+    Real codecs are not available in this environment: ``fake=False``
+    raises NotImplementedError at execution time, by design.
+    """
+
+    def run(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs not available in this environment; "
+                    "pass fake=True for the deterministic stub decode"
+                )
+            feats, hashes, sizes = [], [], []
+            for content in pdf["content"]:
+                b = bytes(content)
+                sizes.append(len(b))
+                hashes.append(hashlib.md5(b).hexdigest())
+                feats.append(_fake_decode(b))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": sizes,
+                    "content_hash": hashes,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, _FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Stub: real resize needs an image lib. The plumbing (meta update +
+    pass-through content) is the tested part."""
+    raise NotImplementedError(
+        "image resize requires an image codec library not present in this "
+        "environment; the schema contract is meta.width/height updated to "
+        f"({width}, {height}) with re-encoded content"
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
+    """Stub: video frame sampling — same plumbing pattern as
+    extract_features with a LATERAL-style fan-out (one row per frame)."""
+    raise NotImplementedError(
+        "video decode requires a codec library not present in this "
+        "environment; contract: one output row per sampled frame "
+        "(asset_id, frame_ms, content)"
+    )
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Pure-relational metadata summary (no decode): per modality count,
+    total bytes — the query that must NOT touch Python at any scale."""
+    return media.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("content")).alias("total_bytes"),
+    )

@@ -252,3 +252,218 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# multimodal: metadata + deterministic fake decode (features derive from
+# md5, so the first feature IS oracle-expressible: 16-bit hex / 65536)
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    sql="""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           CAST(('0x' || substr(md5(text), 1, 4)) AS INT) / 65536.0 AS f0
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    media = multimodal.from_documents(load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "content_hash",
+        F.element_at("features", 1).cast("double").alias("f0"),
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming kernel in batch mode: session_window aggregation (the same
+# operator the streaming ingest uses, oracle'd via gaps-and-islands SQL
+# with the session_window break rule: new session when diff >= gap)
+# --------------------------------------------------------------------------
+@register(
+    "session_window_batch",
+    sql="""
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+    d AS (SELECT user_id, t,
+                 CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                           >= 1800 THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, t,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM d)
+    SELECT user_id, min(t) AS session_start, max(t) + 1800 AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, isl
+    """,
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000000").cast("timestamp").alias("ts"),
+    )
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("session_start"),
+            F.col("session_window.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O24 — two-level islands with per-group set union, on events: level 1 =
+# value-decile islands per user (gap<=1, len>=3); level 2 = islands over
+# the union of the members' event-id residues (gap<=2, len>=2)
+# --------------------------------------------------------------------------
+@register(
+    "two_level_islands",
+    sql="""
+    WITH v AS (SELECT DISTINCT user_id, CAST(floor(value / 10) AS INT) AS bucket FROM events),
+    d1 AS (SELECT user_id, bucket,
+                  CASE WHEN bucket - lag(bucket) OVER (PARTITION BY user_id ORDER BY bucket) > 1
+                       THEN 1 ELSE 0 END AS brk
+           FROM v),
+    s1 AS (SELECT user_id, bucket,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM d1),
+    k1 AS (SELECT user_id, bucket, min(bucket) OVER (PARTITION BY user_id, isl) AS p_isl,
+                  count(*) OVER (PARTITION BY user_id, isl) AS sz
+           FROM s1),
+    lvl1 AS (SELECT user_id, bucket, p_isl FROM k1 WHERE sz >= 3),
+    uni AS (SELECT DISTINCT l.user_id, l.p_isl, CAST(e.event_id % 25 AS INT) AS res
+            FROM lvl1 l JOIN events e
+              ON e.user_id = l.user_id AND CAST(floor(e.value / 10) AS INT) = l.bucket),
+    d2 AS (SELECT user_id, p_isl, res,
+                  CASE WHEN res - lag(res) OVER (PARTITION BY user_id, p_isl ORDER BY res) > 2
+                       THEN 1 ELSE 0 END AS brk
+           FROM uni),
+    s2 AS (SELECT user_id, p_isl, res,
+                  sum(brk) OVER (PARTITION BY user_id, p_isl ORDER BY res
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM d2),
+    k2 AS (SELECT user_id, p_isl, res,
+                  min(res) OVER (PARTITION BY user_id, p_isl, isl) AS c_isl,
+                  count(*) OVER (PARTITION BY user_id, p_isl, isl) AS sz
+           FROM s2)
+    SELECT user_id, CAST(p_isl AS INT) AS p_isl, CAST(min(res) AS INT) AS c_min,
+           CAST(max(res) AS INT) AS c_max, CAST(count(*) AS BIGINT) AS c_size
+    FROM k2 WHERE sz >= 2
+    GROUP BY user_id, p_isl, c_isl
+    """,
+)
+def two_level_islands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.islands import find_islands
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "user_id", F.expr("CAST(floor(value / 10) AS INT)").alias("bucket")
+    ).distinct()
+    lvl1 = find_islands(v, ["user_id"], "bucket", 1, 3, island_col="p_isl")
+    uni = (
+        lvl1.join(
+            e.withColumn("bucket", F.expr("CAST(floor(value / 10) AS INT)")),
+            ["user_id", "bucket"],
+        )
+        .select("user_id", "p_isl", (F.col("event_id") % 25).cast("int").alias("res"))
+        .distinct()
+    )
+    lvl2 = find_islands(uni, ["user_id", "p_isl"], "res", 2, 2, island_col="c_isl")
+    return lvl2.groupBy("user_id", "p_isl", "c_isl").agg(
+        F.min("res").alias("c_min"),
+        F.max("res").alias("c_max"),
+        F.count(F.lit(1)).alias("c_size"),
+    ).select(
+        "user_id", F.col("p_isl").cast("int"), "c_min", "c_max", "c_size"
+    )
+
+
+# --------------------------------------------------------------------------
+# O28 — intra-row cross product via double explode
+# --------------------------------------------------------------------------
+@register(
+    "double_explode",
+    sql="""
+    WITH g AS (SELECT l_orderkey,
+                      list(DISTINCT l_suppkey) AS sks,
+                      list(DISTINCT l_partkey) AS pks
+               FROM lineitem WHERE l_orderkey % 100 = 0
+               GROUP BY l_orderkey)
+    SELECT DISTINCT l_orderkey, sk AS suppkey, pk AS partkey
+    FROM g, unnest(sks) u1(sk), unnest(pks) u2(pk)
+    """,
+)
+def double_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    g = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("sks"),
+        F.collect_set("l_partkey").alias("pks"),
+    )
+    return (
+        g.select("l_orderkey", F.explode("sks").alias("suppkey"), "pks")
+        .select("l_orderkey", "suppkey", F.explode("pks").alias("partkey"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# O24 set-union via flatten(collect_list(...)) + array_distinct
+# --------------------------------------------------------------------------
+@register(
+    "set_union_flatten",
+    sql="""
+    WITH per_order AS (SELECT l_orderkey, list(DISTINCT l_suppkey) AS sks
+                       FROM lineitem GROUP BY l_orderkey)
+    SELECT o_custkey,
+           array_to_string(list(DISTINCT sk ORDER BY sk), ',') AS all_suppkeys
+    FROM per_order
+    JOIN orders ON o_orderkey = l_orderkey, unnest(sks) u(sk)
+    GROUP BY o_custkey
+    """,
+)
+def set_union_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("sks"))
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.sort_array(F.array_distinct(F.flatten(F.collect_list("sks")))),
+            ).alias("all_suppkeys")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O19 — index rebasing projection arithmetic
+# --------------------------------------------------------------------------
+@register(
+    "index_rebase",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_linenumber - 1 AS line_idx0,
+           l_orderkey * 10 + l_linenumber AS global_pos
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber") - 1).alias("line_idx0"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("global_pos"),
+    )

@@ -1,0 +1,88 @@
+"""Structured Streaming ingest — SURVEY §7.1 M8 (an extension; the
+reference is batch-only).
+
+Two modes:
+
+- ``watch_summaries``: file-source stream over an inbox directory of
+  ``*_summary_confidences_0.json``; each micro-batch runs the SAME
+  batch screen kernel via ``foreachBatch`` (exactly-once append to a
+  parquet results table). Batch/stream share one code path — no
+  reimplementation drift.
+- ``session_stream``: windowed sessionization of an events stream with
+  watermarked late-data handling (``session_window`` — the streaming
+  analogue of the O23 islands kernel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.screen import screen_binders
+from ..params import ScreenParams
+from ..sources.af3_json import SUMMARY_SCHEMA, _JOB_FROM_PATH
+
+
+def watch_summaries(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    params: ScreenParams,
+    max_files_per_trigger: int = 1000,
+):
+    """Start the watch-folder screen. Returns the StreamingQuery.
+
+    The stream stage is only the scan; all query logic is the batch
+    ``screen_binders`` applied per micro-batch, so semantics (including
+    malformed-row dropping) are identical to the batch path.
+    """
+    stream = (
+        spark.readStream.schema(SUMMARY_SCHEMA)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("pathGlobFilter", "*_summary_confidences_0.json")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(inbox_dir)
+        .withColumn("job", F.regexp_extract(F.input_file_name(), _JOB_FROM_PATH, 1))
+        .filter(~F.input_file_name().rlike(r"/\._"))
+        .filter(F.col("_corrupt_record").isNull())
+        .select("job", "iptm", "ptm", "chain_pair_pae_min")
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        screen_binders(batch_df, params).withColumn(
+            "epoch_id", F.lit(epoch_id)
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def session_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization: native ``session_window`` with a
+    watermark for late data. ``events`` must be a streaming DataFrame
+    with (ts TIMESTAMP, user_id, value). Output: one row per closed
+    session (append mode after watermark passes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,118 @@
+"""Multimodal plumbing (stubbed codecs, real Spark shape) and the
+Structured Streaming ingest path."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from process_alphafold3_outputs_spark.operators import multimodal
+from process_alphafold3_outputs_spark.params import ScreenParams
+from process_alphafold3_outputs_spark.streaming.ingest import (
+    session_stream,
+    watch_summaries,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine"), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    return multimodal.from_documents(docs)
+
+
+def test_media_schema_and_summary(media):
+    assert dict(media.dtypes)["content"] == "binary"
+    s = {r.modality: (r.n_assets, r.total_bytes) for r in multimodal.media_summary(media).collect()}
+    assert s["text/blob"][0] == 3 and s["text/blob"][1] > 0
+
+
+def test_fake_decode_is_deterministic(media):
+    rows = {r.asset_id: r for r in multimodal.extract_features(media, fake=True).collect()}
+    assert len(rows[1].features) == multimodal.FEATURE_DIM
+    assert rows[1].features == rows[3].features  # same bytes -> same features
+    assert rows[1].content_hash == rows[3].content_hash
+    assert rows[1].features != rows[2].features
+    assert all(0 <= f < 1 for f in rows[1].features)
+
+
+def test_real_decode_raises(media):
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_resize_and_frames_are_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 224, 224)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(media, 1000)
+
+
+def test_watch_folder_screen(spark, tmp_path):
+    from process_alphafold3_outputs_spark.fixtures import write_file_corpus
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "screened")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = write_file_corpus(inbox, n_jobs=8, seed=5)
+
+    q = watch_summaries(spark, inbox, out, ckpt, ScreenParams())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    jobs = {r.job for r in got.collect()}
+    from . import reference_model as model
+
+    want = {
+        p["job"]
+        for p in corpus["predictions"].to_dict("records")
+        if model.screen_job(p)
+    }
+    # latin-1 landmine is dropped on the streaming path (no fallback
+    # reparse there); every utf-8 binder must be present
+    assert want <= jobs
+
+
+def test_session_window_stream(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 00:10:00", 5.0),
+        (1, "2024-01-01 02:00:00", 1.0),  # new session after 30-min gap
+        (2, "2024-01-01 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    agg = session_stream(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, 2, 15.0) in got  # first session: two events within gap
+    assert (1, 1, 1.0) in got
+    assert (2, 1, 7.0) in got
