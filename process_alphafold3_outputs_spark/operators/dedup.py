@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 # --------------------------------------------------------------------------
 # shared text prep
 # --------------------------------------------------------------------------
@@ -39,7 +41,11 @@ def word_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
     Pure built-ins: split → sequence → transform → array_distinct →
     explode. Documents shorter than k words contribute their full text
     as a single shingle (so they can still dedup exactly)."""
-    words = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    # spread first: the k-gram explode + md5 work downstream is the CPU
+    # hot path and must not inherit a single-partition local scan
+    words = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_w", F.split("_norm", " ")
+    )
     grams = words.withColumn(
         "shingle",
         F.when(F.size("_w") < k, F.array(F.col("_norm"))).otherwise(
@@ -88,21 +94,36 @@ def exact_dedup_keep(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def minhash_sig_array(
+    docs: DataFrame, n_hashes: int = 12, shingle_k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig ARRAY<STRING>) — the MinHash signature as one array,
+    computed with ``n_hashes`` parallel MIN aggregates over the shingle
+    rows (one shuffle keyed by doc, NO seed explode — at 100 TB the
+    seed-explode variant multiplies the shuffle by n_hashes for no
+    reason; n independent partial-min aggregates are map-side combined).
+
+    min over the fixed-width md5 hex string == min over the 128-bit
+    hash value, and is reproducible in ANSI SQL."""
+    sh = word_shingles(docs, k=shingle_k, text_col=text_col)
+    mins = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), "shingle"))).alias(f"_h{s}")
+        for s in range(n_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"_h{s}") for s in range(n_hashes)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 12, shingle_k: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — per-seed minimum of md5(seed:shingle).
-
-    min over the fixed-width hex string == min over the 128-bit hash
-    value, and is reproducible in ANSI SQL. The explode is
-    (docs × shingles × seeds) keyed by doc — shuffle-free until the
-    final per-doc aggregation."""
-    sh = word_shingles(docs, k=shingle_k, text_col=text_col)
-    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    return (
-        sh.withColumn("seed", F.explode(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", "seed", "shingle"))).alias("minhash"))
+    """(doc_id, seed, minhash) — long-form view of minhash_sig_array
+    (kept for oracle parity and per-seed inspection)."""
+    sig = minhash_sig_array(docs, n_hashes, shingle_k, text_col)
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("seed", "minhash")
     )
 
 
@@ -119,20 +140,25 @@ def lsh_candidate_pairs(
     The pair join is per (band, signature) bucket — the classic
     banding construction; bucket sizes bound the join fan-out."""
     n_hashes = n_bands * rows_per_band
-    sig = minhash_signatures(docs, n_hashes, shingle_k, text_col)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s.minhash,
-                ),
-            ).alias("band_sig")
-        )
-    )
+    sig = minhash_sig_array(docs, n_hashes, shingle_k, text_col)
+    # band signatures sliced straight out of the signature array — no
+    # extra shuffle (the seed-explode + re-group variant would add one)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig"))
     a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
     return (
@@ -200,7 +226,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     votes ±1; the signature's bit is 1 when the vote sum is positive.
     Everything is built-in expressions (explode × 16 bit positions)."""
     toks = (
-        normalized(docs, text_col)
+        normalized(spread(docs, "doc_id"), text_col)
         .select("doc_id", F.explode(F.split("_norm", " ")).alias("tok"))
         .withColumn("h", F.md5("tok"))
     )

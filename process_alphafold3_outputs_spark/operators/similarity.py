@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -41,7 +43,7 @@ def topk_bruteforce(
     for each query vector. ``query_ids``: DataFrame with ``vec_id`` or a
     boolean Column over ``embeddings``. The query side is broadcast; the
     corpus is scanned once, ranked with a per-query window."""
-    emb = embeddings.select(
+    emb = spread(embeddings, "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     if isinstance(query_ids, Column):
@@ -79,7 +81,7 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     """(vec_id, bucket) — sign signature over ``n_planes`` deterministic
     hyperplanes; one integer bucket per vector (single pass, no shuffle)."""
-    emb = embeddings.select(
+    emb = spread(embeddings, "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     dim_row = embeddings.select(F.size("embedding").alias("d")).first()
