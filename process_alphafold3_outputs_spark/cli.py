@@ -1,0 +1,148 @@
+"""Drop-in CLI — same flags and output contract as the reference
+(process_af3_outputs.py:581-598):
+
+    python -m process_alphafold3_outputs_spark -id <input_dir> \
+        [-poi A] [-partner B] [-pae 15.0] [-iptm 0.0] [-ptm 0.0] \
+        [-min_residues 5] [-max_dist 8.0]
+
+Outputs (naming contract, SURVEY §2.2 #12), written under --output-dir
+(default: the input dir, like the reference's CWD-relative outputs):
+  - interaction_analysis_PAE_{pae}_max_dist_{d}.csv
+  - Interaction_cif_files_PAE_{pae}_maxdist_{d}/{job}_interaction.cif
+  - Overlays_PAE_{pae}_maxdist_{d}/{job}/model_{k}.cif + align_and_save.pml
+    + a save line for {job}_overlay.pse
+
+One Spark DAG replaces the reference's serial folder loop; a
+``dot_clean`` subprocess is unnecessary (``._*`` files are excluded at
+scan time, O2/O3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .operators.intervals import identify_interacting_residues
+from .operators.islands import find_islands
+from .operators.screen import screen_binders
+from .operators.spatial import contact_pairs_grid
+from .operators.structures import (
+    pymol_scripts,
+    write_interaction_cifs,
+    write_overlay_models,
+)
+from .params import (
+    PARTNER_ISLAND_MAX_GAP,
+    PARTNER_ISLAND_MIN_LENGTH,
+    ScreenParams,
+)
+from .plans.pipeline import interaction_report
+from .session import get_spark
+from .sources.af3_json import read_pae_long, read_summary_confidences
+from .sources.cif import chains_from_atoms, read_atoms
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="process_alphafold3_outputs_spark",
+        description="Screen AlphaFold3 prediction folders for binders and "
+        "emit interaction reports, trimmed CIFs and PyMOL overlays.",
+    )
+    p.add_argument("-id", "--input_dir", required=True)
+    p.add_argument("-poi", "--poi_chain", default="A")
+    p.add_argument("-partner", "--partner_chain", default="B")
+    p.add_argument("-pae", "--max_pae_cutoff", type=float, default=15.0)
+    p.add_argument("-iptm", "--min_iptm_cutoff", type=float, default=0.0)
+    p.add_argument("-ptm", "--min_ptm_cutoff", type=float, default=0.0)
+    p.add_argument("-min_residues", "--min_residues_cutoff", type=int, default=5)
+    p.add_argument("-max_dist", "--max_dist", type=float, default=8.0)
+    p.add_argument("--output-dir", default=None, help="default: input dir")
+    p.add_argument("--skip-structures", action="store_true",
+                   help="report CSV only (no CIF/PyMOL sinks)")
+    return p
+
+
+def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
+    params = ScreenParams(
+        poi_chain=args.poi_chain,
+        partner_chain=args.partner_chain,
+        max_pae_cutoff=args.max_pae_cutoff,
+        min_iptm_cutoff=args.min_iptm_cutoff,
+        min_ptm_cutoff=args.min_ptm_cutoff,
+        min_residues_cutoff=args.min_residues_cutoff,
+        max_dist=args.max_dist,
+    )
+    out_root = args.output_dir or args.input_dir
+    os.makedirs(out_root, exist_ok=True)
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("af3spark-cli")
+
+    preds = read_summary_confidences(spark, args.input_dir)
+    atoms = read_atoms(spark, args.input_dir)
+    chains = chains_from_atoms(atoms)
+    pae = read_pae_long(spark, args.input_dir)
+
+    # shared subplans reused across report + sinks (reference recomputed
+    # them per path — inefficiencies I1/I2)
+    binders = screen_binders(preds, params).cache()
+    interacting = identify_interacting_residues(pae, chains, params, jobs=binders)
+    contacts = contact_pairs_grid(atoms, interacting, params).cache()
+
+    report = interaction_report(preds, chains, pae, atoms, params)
+    csv_path = os.path.join(out_root, params.csv_name())
+    report.toPandas().to_csv(csv_path, index=False)
+
+    result = {"csv": csv_path, "n_binders": binders.count(),
+              "n_report_rows": None, "interaction_cifs": 0, "overlay_files": 0}
+    result["n_report_rows"] = sum(1 for _ in open(csv_path)) - 1
+
+    if not args.skip_structures:
+        partner_islands = find_islands(
+            contacts.select("job", "partner_res").distinct(),
+            ["job"],
+            "partner_res",
+            PARTNER_ISLAND_MAX_GAP,
+            PARTNER_ISLAND_MIN_LENGTH,
+            island_col="p_isl",
+        ).select("job", "partner_res")
+
+        int_dir = os.path.join(out_root, params.interaction_dir())
+        written = write_interaction_cifs(
+            atoms, partner_islands, int_dir, params, jobs=binders
+        ).collect()
+        result["interaction_cifs"] = len(written)
+
+        ov_dir = os.path.join(out_root, params.overlay_dir())
+        # collect the sink result ONCE (the writer is a grouped-map UDF;
+        # re-evaluating the plan would rewrite every file)
+        overlay_rows = write_overlay_models(
+            atoms, partner_islands, ov_dir, params, jobs=binders
+        ).collect()
+        files = spark.createDataFrame(
+            [
+                (os.path.basename(os.path.dirname(r.path)), r.path)
+                for r in overlay_rows
+            ]
+            or [("", "")],
+            "job string, path string",
+        ).filter(F.col("job") != "")
+        scripts = pymol_scripts(files, ov_dir).collect()
+        result["overlay_files"] = len(overlay_rows) + len(scripts)
+
+    if own_session:
+        spark.stop()
+    return result
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    result = run(args)
+    print(
+        f"binders={result['n_binders']} report_rows={result['n_report_rows']} "
+        f"csv={result['csv']} interaction_cifs={result['interaction_cifs']} "
+        f"overlay_files={result['overlay_files']}"
+    )

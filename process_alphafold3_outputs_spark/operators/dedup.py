@@ -257,3 +257,53 @@ def simhash_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) for pairs with cosine >= threshold — the
+    EXACT O(N²) baseline (self-join on id<id). Correctness reference;
+    use :func:`embedding_near_dup_lsh` at scale."""
+    from .similarity import cosine
+
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: candidate pairs only within an LSH sign-bucket
+    (shuffle keyed by bucket, no cross join), then the exact cosine
+    filter. High-similarity pairs land in the same bucket with
+    probability (1 - θ/π)^n_planes — measure recall before trusting."""
+    from .similarity import cosine, lsh_buckets
+
+    b = lsh_buckets(embeddings.withColumnRenamed(id_col, "vec_id"), n_planes)
+    a1 = b.select("bucket", F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b1 = b.select("bucket", F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    pairs = a1.join(b1, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )

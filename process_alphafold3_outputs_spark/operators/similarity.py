@@ -147,3 +147,86 @@ def recall_vs_bruteforce(
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .withColumn("recall", F.round(F.col("n_hit") / k, 4))
     )
+
+
+def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """IVF coarse quantizer with deterministic 'training': the centroids
+    are the first ``n_cells`` corpus vectors by id (a k-means iteration
+    could refine them; determinism matters more here than cell quality,
+    and the recall measurement below quantifies the difference)."""
+    w = Window.orderBy("vec_id")
+    return (
+        spread(embeddings, "vec_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cells)
+        .select(
+            (F.col("_rn") - 1).alias("cell"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (broadcast the
+    tiny centroid table; one pass over the corpus, one window by vec)."""
+    emb = spread(embeddings, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "_s", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_s").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "vec", "cell")
+    )
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    query_ids: DataFrame | Column,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k: queries probe their ``n_probe`` closest cells and rank
+    only those cells' vectors. The inverted lists are the corpus
+    partitioned by ``cell`` — at 100 TB this is the classic
+    write-once/probe-many layout (store `assignments` bucketed by cell)."""
+    cents = ivf_centroids(embeddings, n_cells)
+    assigned = ivf_assign(embeddings, cents)
+    if isinstance(query_ids, Column):
+        q = spread(embeddings, "vec_id").filter(query_ids)
+    else:
+        q = embeddings.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("_s", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    cand = assigned.select("cell", F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec2"))
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
+        .distinct()
+    )

@@ -467,3 +467,81 @@ def index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") - 1).alias("line_idx0"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("global_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (exact baseline; LSH variant is the scale path,
+# equivalence-tested in tests/test_extensions.py)
+# --------------------------------------------------------------------------
+_NEAR_DUP_T = 0.5
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= {_NEAR_DUP_T}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=_NEAR_DUP_T
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF top-k (deterministic coarse quantizer, n_probe cells) — full oracle
+# --------------------------------------------------------------------------
+_IVF_CELLS, _IVF_PROBE, _IVF_K, _IVF_NQ = 16, 2, 5, 8
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "similarity_topk_ivf",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cvec
+              FROM emb ORDER BY vec_id LIMIT {_IVF_CELLS}),
+    assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS.format(a="e.v", b="c.cvec")} DESC, c.cell) AS rn
+            FROM emb e, cents c)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {_IVF_NQ}),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC, c.cell) AS rn
+            FROM q, cents c)
+        WHERE rn <= {_IVF_PROBE}),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_COS.format(a="p.qv", b="a.v")} AS s
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE p.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, round(s, 6) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_IVF_K}
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_ivf(
+        emb, F.col("vec_id") < _IVF_NQ, k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+    )

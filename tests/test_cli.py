@@ -1,0 +1,51 @@
+"""The drop-in CLI: reference flags in, reference output contract out."""
+
+from __future__ import annotations
+
+import os
+
+from process_alphafold3_outputs_spark.cli import build_parser, run
+from process_alphafold3_outputs_spark.fixtures import write_file_corpus
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    write_file_corpus(corpus_dir, n_jobs=6, seed=4)
+
+    args = build_parser().parse_args(
+        ["-id", corpus_dir, "--output-dir", out_dir, "-pae", "15.0"]
+    )
+    result = run(args, spark=spark)
+
+    assert result["n_binders"] > 0
+    csv = os.path.join(out_dir, "interaction_analysis_PAE_15.0_max_dist_8.0.csv")
+    assert os.path.exists(csv)
+    header = open(csv).readline().strip().split(",")
+    assert header == [
+        "Folder_name",
+        "Contact_residues_POI_chain_A",
+        "Contact_sequence",
+        "Interacting_residues_Partner_chain_B",
+        "Interacting_sequence",
+    ]
+    int_dir = os.path.join(out_dir, "Interaction_cif_files_PAE_15.0_maxdist_8.0")
+    assert any(f.endswith("_interaction.cif") for f in os.listdir(int_dir))
+    ov_dir = os.path.join(out_dir, "Overlays_PAE_15.0_maxdist_8.0")
+    jobs = [d for d in os.listdir(ov_dir) if os.path.isdir(os.path.join(ov_dir, d))]
+    assert jobs
+    j0 = os.path.join(ov_dir, jobs[0])
+    assert "align_and_save.pml" in os.listdir(j0)
+    assert "model_0.cif" in os.listdir(j0)
+
+
+def test_cli_report_only(spark, tmp_path):
+    corpus_dir = str(tmp_path / "c2")
+    out_dir = str(tmp_path / "o2")
+    write_file_corpus(corpus_dir, n_jobs=4, seed=3)
+    args = build_parser().parse_args(
+        ["-id", corpus_dir, "--output-dir", out_dir, "--skip-structures"]
+    )
+    result = run(args, spark=spark)
+    assert result["interaction_cifs"] == 0
+    assert os.path.exists(result["csv"])

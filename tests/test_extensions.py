@@ -97,3 +97,37 @@ def test_language_id_and_quality(spark):
 
     fp = {r.doc_id: r for r in text.fingerprints(docs).collect()}
     assert len({fp[i].exact_fp for i in (1, 2, 3, 4)}) == 4
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup(emb, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_lsh(emb, threshold=0.5, n_planes=4).collect()
+    }
+    # LSH candidates are a subset of exact pairs (same final filter)
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) > 0.1  # sane recall on random data
+
+
+def test_topk_ivf_matches_exact_when_probing_all_cells(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in similarity.topk_bruteforce(emb, F.col("vec_id") < 4, k=3).collect()
+    }
+    # probing every cell degrades IVF to exact search
+    full = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in similarity.topk_ivf(
+            emb, F.col("vec_id") < 4, k=3, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact
