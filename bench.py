@@ -42,6 +42,21 @@ HEADLINE = [
 ]
 
 
+def _af3_bench_corpus(sf: float) -> str:
+    """Deterministic AF3 corpus scaled by sf (cached on disk): the
+    flagship pipeline benchmark input."""
+    import glob
+
+    from process_alphafold3_outputs_spark.fixtures import write_corpus
+
+    n_jobs = max(20, int(2000 * sf))
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".cache", f"af3_bench_{n_jobs}")
+    if not glob.glob(os.path.join(d, "atoms.parquet")):
+        write_corpus(d, n_jobs=n_jobs, seed=13)
+    return d
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -51,7 +66,22 @@ def main() -> None:
     # execution, not first-touch session setup
     dq.pricing_summary(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # AF3 flagship: screen → PAE kernel → contacts → islands → report
+    from process_alphafold3_outputs_spark.params import ScreenParams
+    from process_alphafold3_outputs_spark.plans.pipeline import interaction_report
+
+    af3_dir = _af3_bench_corpus(sf)
+    af3 = {
+        n: spark.read.parquet(os.path.join(af3_dir, f"{n}.parquet"))
+        for n in ("predictions", "chains", "pae_long", "atoms")
+    }
     timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    interaction_report(
+        af3["predictions"], af3["chains"], af3["pae_long"], af3["atoms"], ScreenParams()
+    ).write.format("noop").mode("overwrite").save()
+    timings["af3_flagship"] = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
         fn = dq._QUERIES[name]
         t0 = time.perf_counter()

@@ -22,3 +22,26 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
         return df
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
+def two_phase_agg(df, keys: list[str], value_col: str, n_salts: int = 16):
+    """Skew-safe aggregation: salt the grouping key, partially aggregate
+    per (salt, keys), then finalize per keys. Heavy-hitter keys (a few
+    keys carrying most rows) stop bottlenecking one reducer — each hot
+    key's rows split across ``n_salts`` partial groups.
+
+    Partial sums/counts compose exactly; avg is derived at the end.
+    (AQE's skew-join handling covers joins; this covers aggregations.)
+    """
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.sum(value_col).alias("_psum"), F.count(F.lit(1)).alias("_pcnt")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_psum").alias("total"),
+        F.sum("_pcnt").alias("n_rows"),
+    )

@@ -388,3 +388,84 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("t") - F.min("t")).alias("duration_s"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("session_id")
+
+
+# --------------------------------------------------------------------------
+# Skew-safe two-phase (salted) aggregation — identical result to a plain
+# GROUP BY; the physical plan splits each hot key across 16 partial groups.
+# --------------------------------------------------------------------------
+@register(
+    "skew_safe_agg",
+    sql="""
+    SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = two_phase_agg(li, ["l_returnflag"], "l_extendedprice", n_salts=16)
+    return out.select(
+        "l_returnflag", F.round("total", 2).alias("total"), "n_rows"
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP hierarchy aggregation (Spark freebie beyond the reference's
+# surface; SURVEY §2.1 'engine gets them free from Spark')
+# --------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    sql="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# exact + approximate distinct aggregation
+# --------------------------------------------------------------------------
+@register(
+    "distinct_agg",
+    sql="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )

@@ -196,3 +196,26 @@ def write_pae_csv(pae_long: DataFrame, out_dir: str) -> None:
         .option("header", True)
         .csv(out_dir)
     )
+
+
+def read_summary_errors(spark: SparkSession, input_dir: str) -> DataFrame:
+    """O35 observability as data, not logs: one row per summary file the
+    JSON parse rejected — (path, raw_prefix). A distributed engine
+    cannot grep a driver log; the errors ARE a queryable side output
+    (SURVEY §2 O35: 'per-row error tracking as an errors DataFrame')."""
+    df = (
+        spark.read.schema(SUMMARY_SCHEMA)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*_summary_confidences_0.json")
+        .json(input_dir)
+        .withColumn("_path", F.input_file_name())
+        .filter(~F.col("_path").rlike(r"/\._"))
+        .cache()
+    )
+    return df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_path").alias("path"),
+        F.substring("_corrupt_record", 1, 80).alias("raw_prefix"),
+    )

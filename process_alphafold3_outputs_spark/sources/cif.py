@@ -29,7 +29,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..params import AA_3TO1, AA_DEFAULT
+from ..params import AA_3TO1
 
 ATOMS_SCHEMA = (
     "job string, model_id int, chain_id string, residue_id int, "
@@ -154,16 +154,14 @@ def chains_from_atoms(atoms: DataFrame, model_id: int = 0) -> DataFrame:
     Pure built-in aggregation: collect_list is shuffle-nondeterministic,
     so every ordered collect goes through sort_array(struct(...)).
     """
-    aa_map = F.create_map(
-        *[F.lit(x) for kv in AA_3TO1.items() for x in kv]
-    )
+    from ..functions.aa import one_letter, token_weight
+
     residues = (
         atoms.filter(F.col("model_id") == model_id)
         .groupBy("job", "chain_id", "residue_id", "residue_name")
         .agg(F.count(F.lit(1)).alias("atom_count"))
     )
-    residues = residues.withColumn("_letter",
-        F.coalesce(aa_map[F.col("residue_name")], F.lit(AA_DEFAULT)))
+    residues = residues.withColumn("_letter", one_letter("residue_name"))
     per_chain = residues.groupBy("job", "chain_id").agg(
         F.concat_ws(
             "",
@@ -172,11 +170,7 @@ def chains_from_atoms(atoms: DataFrame, model_id: int = 0) -> DataFrame:
                 lambda s: s._letter,
             ),
         ).alias("sequence"),
-        F.sum(
-            F.when(F.col("residue_name").isin(list(AA_3TO1)), 1).otherwise(
-                F.col("atom_count")
-            )
-        ).cast("int").alias("token_length"),
+        F.sum(token_weight("residue_name", "atom_count")).cast("int").alias("token_length"),
         F.array_sort(
             F.collect_list(F.struct("residue_id", "residue_name", "atom_count"))
         ).alias("residues"),

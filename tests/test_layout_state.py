@@ -1,0 +1,104 @@
+"""Physical layout (job-bucketed parquet + partition pruning), the
+error side-output, the salted aggregation, and the stateful streaming
+dedup operator."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from process_alphafold3_outputs_spark.operators.util import two_phase_agg
+from process_alphafold3_outputs_spark.sources.af3_json import read_summary_errors
+from process_alphafold3_outputs_spark.sources.layout import (
+    read_for_jobs,
+    write_job_bucketed,
+)
+
+
+def test_job_bucketed_layout_prunes_partitions(spark, af3, tmp_path):
+    path = str(tmp_path / "pae_bucketed")
+    write_job_bucketed(af3["pae_long"], path, n_buckets=8)
+    assert any(d.startswith("job_bucket=") for d in os.listdir(path))
+
+    jobs = ["fold_poi_partner_0002"]
+    got = read_for_jobs(spark, path, jobs, n_buckets=8)
+    assert {r.job for r in got.select("job").distinct().collect()} == set(jobs)
+    # partition pruning visible in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "job_bucket" in plan
+    src = af3["pae_long"].filter(F.col("job") == jobs[0]).count()
+    assert got.count() == src
+
+
+def test_summary_errors_side_output(spark, tmp_path):
+    from process_alphafold3_outputs_spark.fixtures import write_file_corpus
+
+    d = str(tmp_path / "corpus")
+    write_file_corpus(d, n_jobs=3, seed=1)
+    errs = read_summary_errors(spark, d).collect()
+    assert any("corrupt_json_job" in e.path for e in errs)
+    # the latin-1 file fails the utf-8 JVM parse and is reported too
+    # (the robust reader separately recovers it into the data path)
+    assert all(e.raw_prefix for e in errs)
+
+
+def test_two_phase_agg_equals_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = {
+        (r.l_returnflag): (round(r.total, 2), r.n_rows)
+        for r in two_phase_agg(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    plain = {
+        (r.l_returnflag): (round(r.total, 2), r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    from process_alphafold3_outputs_spark.streaming.state import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    batch1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "unique one"), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    batch1.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    dedup = streaming_exact_dedup(stream)
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.doc_id for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+        # batch 2: a repeat of "hello world" (must be dropped — state
+        # remembers across batches) and one new text
+        spark.createDataFrame(
+            [(10, "hello world"), (11, "brand new")],
+            "doc_id long, text string",
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        second = {
+            r.doc_id for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+    finally:
+        q.stop()
+
+    assert first == {1, 2}  # min doc_id per group in batch 1
+    assert second == {1, 2, 11}  # 10 deduped against state, 11 new
