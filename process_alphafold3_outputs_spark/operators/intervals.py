@@ -43,12 +43,21 @@ def identify_interacting_residues(
     chains: DataFrame,
     params: ScreenParams,
     jobs: DataFrame | None = None,
+    width_source: str = "pae",
 ) -> DataFrame:
     """Partner residues with >= min_residues POI tokens under the PAE
     cutoff (O17-O19, :197-224). Returns (job, partner_res) with
     ``partner_res`` 1-based chain-local (:222).
 
     ``jobs`` optionally restricts to screened binders (semi-join).
+
+    ``width_source``: where the O17 bounds guard gets the matrix width.
+    ``"pae"`` (default) measures the actual matrix via a groupBy over
+    ``pae_long`` — exact reference parity, but ONE EXTRA FULL PASS over
+    the biggest table. ``"chains"`` derives width as Σ token_length —
+    free (the interval table is already built), and equivalent whenever
+    the CIF token count matches the matrix (true for well-formed AF3
+    output); at 100 TB this halves the pae_long I/O.
     """
     iv = chain_intervals(chains)
     poi = iv.filter(F.col("chain_id") == params.poi_chain).select(
@@ -62,9 +71,14 @@ def identify_interacting_residues(
     # Bounds guard (O17, :209-211): the reference checks only the PARTNER
     # slice against the matrix width (start_partner >= width or
     # end_partner > width ⇒ reject); the POI slice is unchecked.
-    width = pae_long.groupBy("job").agg(
-        (F.max("aligned_token") + 1).alias("matrix_width")
-    )
+    if width_source == "chains":
+        width = iv.groupBy("job").agg(
+            F.sum("token_length").alias("matrix_width")
+        )
+    else:
+        width = pae_long.groupBy("job").agg(
+            (F.max("aligned_token") + 1).alias("matrix_width")
+        )
     bounds = (
         poi.join(partner, "job")
         .join(width, "job")

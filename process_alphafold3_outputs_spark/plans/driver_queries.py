@@ -469,3 +469,96 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of (point-in-time) join — union-and-carry window kernel, validated
+# against DuckDB's native ASOF JOIN.
+# --------------------------------------------------------------------------
+@register(
+    "asof_join",
+    sql="""
+    WITH o AS (SELECT CAST(o_custkey % 15 AS BIGINT) AS user_id,
+                      CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t,
+                      max(o_orderkey) AS last_orderkey
+               FROM orders GROUP BY 1, 2),
+    e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)
+    SELECT e.event_id, e.user_id, e.t, o.last_orderkey AS asof_last_orderkey
+    FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import as_of_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 15).alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("t"),
+            "o_orderkey",
+        )
+        .groupBy("user_id", "t")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000000000").alias("t")
+    )
+    return as_of_join(e, o, ["user_id"], "t", "t", ["last_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Unpivot (stack) — wide measures to long form.
+# --------------------------------------------------------------------------
+@register(
+    "unpivot_measures",
+    sql="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, round(p_retailprice, 2) AS value FROM part
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'p_size', CAST(p_size AS DOUBLE), "
+        "'p_retailprice', round(p_retailprice, 2)) AS (metric, value)",
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-shaped multi-join (join-order/broadcast selection demo).
+# --------------------------------------------------------------------------
+@register(
+    "revenue_per_nation",
+    sql="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IS NOT NULL
+    GROUP BY n_name
+    """,
+)
+def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isNotNull())
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -96,3 +96,20 @@ def test_full_report_matches_model(af3, corpus):
     want = set(model.full_pipeline(corpus))
     assert got == want
     assert len(want) > 0
+
+
+def test_width_sources_agree_on_wellformed_corpus(af3):
+    binders = screen_binders(af3["predictions"], PARAMS)
+    from_pae = {
+        (r.job, r.partner_res)
+        for r in identify_interacting_residues(
+            af3["pae_long"], af3["chains"], PARAMS, jobs=binders, width_source="pae"
+        ).collect()
+    }
+    from_chains = {
+        (r.job, r.partner_res)
+        for r in identify_interacting_residues(
+            af3["pae_long"], af3["chains"], PARAMS, jobs=binders, width_source="chains"
+        ).collect()
+    }
+    assert from_pae == from_chains
