@@ -75,18 +75,26 @@ def main() -> None:
         n: spark.read.parquet(os.path.join(af3_dir, f"{n}.parquet"))
         for n in ("predictions", "chains", "pae_long", "atoms")
     }
-    timings: dict[str, float] = {}
-    t0 = time.perf_counter()
-    interaction_report(
-        af3["predictions"], af3["chains"], af3["pae_long"], af3["atoms"], ScreenParams()
-    ).write.format("noop").mode("overwrite").save()
-    timings["af3_flagship"] = round(time.perf_counter() - t0, 3)
+    def timed(build) -> float:
+        """min of 2 runs — the host VM shows up to 3× run-to-run noise;
+        the min is the closest observable to true query cost."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
 
+    timings: dict[str, float] = {}
+    timings["af3_flagship"] = timed(
+        lambda: interaction_report(
+            af3["predictions"], af3["chains"], af3["pae_long"], af3["atoms"],
+            ScreenParams(),
+        )
+    )
     for name in HEADLINE:
         fn = dq._QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda: fn(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
