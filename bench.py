@@ -49,11 +49,13 @@ def _af3_bench_corpus(sf: float) -> str:
 
     from process_alphafold3_outputs_spark.fixtures import write_corpus
 
-    n_jobs = max(20, int(2000 * sf))
+    # scale=6 ⇒ chains of ~70-115 residues, pae ~30-50k rows/job — per-job
+    # compute resembling real AF3 jobs; job count grows with sf
+    n_jobs = max(10, int(1000 * sf))
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".cache", f"af3_bench_{n_jobs}")
+                     ".cache", f"af3_bench_{n_jobs}_s6")
     if not glob.glob(os.path.join(d, "atoms.parquet")):
-        write_corpus(d, n_jobs=n_jobs, seed=13)
+        write_corpus(d, n_jobs=n_jobs, seed=13, scale=6)
     return d
 
 

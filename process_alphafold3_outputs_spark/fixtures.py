@@ -30,7 +30,9 @@ def _job_name(i: int) -> str:
     return f"fold_poi_partner_{i:04d}"
 
 
-def make_corpus(n_jobs: int = 20, seed: int = 7) -> dict[str, pd.DataFrame]:
+def make_corpus(
+    n_jobs: int = 20, seed: int = 7, scale: int = 1
+) -> dict[str, pd.DataFrame]:
     """Build the 4-table corpus. Job ``i`` layout:
 
     - chains: A (POI, 14 + i%6 AA residues), B (partner, 12 + i%5),
@@ -55,8 +57,12 @@ def make_corpus(n_jobs: int = 20, seed: int = 7) -> dict[str, pd.DataFrame]:
 
     for i in range(n_jobs):
         job = _job_name(i)
-        len_a = 14 + i % 6
-        len_b = 12 + i % 5
+        # ``scale`` multiplies chain lengths (pae grows quadratically) —
+        # bench corpora use scale>1 so per-job compute resembles real
+        # AF3 jobs; planted contact/PAE patterns stay at the same
+        # residue positions, so expected outputs are scale-invariant.
+        len_a = (14 + i % 6) * scale
+        len_b = (12 + i % 5) * scale
         has_ligand = i % 3 == 0
         n_chains = 3 if has_ligand else 2
 
@@ -163,10 +169,12 @@ def make_corpus(n_jobs: int = 20, seed: int = 7) -> dict[str, pd.DataFrame]:
     }
 
 
-def write_corpus(out_dir: str, n_jobs: int = 20, seed: int = 7) -> dict[str, str]:
+def write_corpus(
+    out_dir: str, n_jobs: int = 20, seed: int = 7, scale: int = 1
+) -> dict[str, str]:
     """Write the corpus as one parquet file per table; returns paths."""
     os.makedirs(out_dir, exist_ok=True)
-    corpus = make_corpus(n_jobs=n_jobs, seed=seed)
+    corpus = make_corpus(n_jobs=n_jobs, seed=seed, scale=scale)
     paths = {}
     for name, df in corpus.items():
         path = os.path.join(out_dir, f"{name}.parquet")

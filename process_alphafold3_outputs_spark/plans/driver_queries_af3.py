@@ -217,3 +217,24 @@ def af3_interaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interaction_report(
         t["predictions"], t["chains"], t["pae_long"], t["atoms"], PARAMS
     )
+
+
+@register(
+    "af3_screen_sql",
+    sql=f"WITH {_BASE} SELECT job, iptm, ptm, pae_value FROM screen",
+)
+def af3_screen_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same screen through the spark.sql surface (temp views) —
+    proves the SQL API reaches the kernels with identical semantics."""
+    from ..params import CHAIN_TO_INDEX
+    from .sql_views import register_af3_views, screen_binders_sql
+
+    register_af3_views(spark, _tables(spark))
+    return screen_binders_sql(
+        spark,
+        CHAIN_TO_INDEX[PARAMS.poi_chain],
+        CHAIN_TO_INDEX[PARAMS.partner_chain],
+        PARAMS.min_iptm_cutoff,
+        PARAMS.min_ptm_cutoff,
+        PARAMS.max_pae_cutoff,
+    )
