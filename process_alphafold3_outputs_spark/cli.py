@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=None, help="default: input dir")
     p.add_argument("--skip-structures", action="store_true",
                    help="report CSV only (no CIF/PyMOL sinks)")
+    p.add_argument("--watch", action="store_true",
+                   help="streaming mode: watch input_dir for new summary "
+                   "JSONs and append screen verdicts to "
+                   "{output-dir}/screened_stream (runs until interrupted)")
+    p.add_argument("--watch-once", action="store_true",
+                   help="like --watch but process available files and exit")
     return p
 
 
@@ -80,6 +86,29 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
     own_session = spark is None
     if own_session:
         spark = get_spark("af3spark-cli")
+
+    if args.watch or args.watch_once:
+        from .streaming.ingest import watch_summaries
+
+        out_path = os.path.join(out_root, "screened_stream")
+        q = watch_summaries(
+            spark,
+            args.input_dir,
+            out_path,
+            os.path.join(out_root, "screened_stream_ckpt"),
+            params,
+        )
+        if args.watch_once:
+            q.processAllAvailable()
+            q.stop()
+        else:
+            q.awaitTermination()
+        n = spark.read.parquet(out_path).count() if os.path.exists(out_path) else 0
+        if own_session:
+            spark.stop()
+        return {"csv": None, "n_binders": n, "n_report_rows": None,
+                "interaction_cifs": 0, "overlay_files": 0,
+                "stream_out": out_path}
 
     preds = read_summary_confidences(spark, args.input_dir)
     atoms = read_atoms(spark, args.input_dir)

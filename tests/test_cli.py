@@ -49,3 +49,15 @@ def test_cli_report_only(spark, tmp_path):
     result = run(args, spark=spark)
     assert result["interaction_cifs"] == 0
     assert os.path.exists(result["csv"])
+
+
+def test_cli_watch_once(spark, tmp_path):
+    corpus_dir = str(tmp_path / "c3")
+    out_dir = str(tmp_path / "o3")
+    write_file_corpus(corpus_dir, n_jobs=4, seed=8)
+    args = build_parser().parse_args(
+        ["-id", corpus_dir, "--output-dir", out_dir, "--watch-once"]
+    )
+    result = run(args, spark=spark)
+    assert result["n_binders"] > 0
+    assert os.path.exists(result["stream_out"])
