@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "{output-dir}/screened_stream (runs until interrupted)")
     p.add_argument("--watch-once", action="store_true",
                    help="like --watch but process available files and exit")
+    p.add_argument("--ingest", metavar="TABLE_ROOT",
+                   help="parse the file tree ONCE into partitioned parquet "
+                   "tables under TABLE_ROOT, then exit")
+    p.add_argument("--from-tables", metavar="TABLE_ROOT",
+                   help="run the screen from tables previously written by "
+                   "--ingest instead of parsing raw files")
     return p
 
 
@@ -110,10 +116,27 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
                 "interaction_cifs": 0, "overlay_files": 0,
                 "stream_out": out_path}
 
-    preds = read_summary_confidences(spark, args.input_dir)
-    atoms = read_atoms(spark, args.input_dir)
-    chains = chains_from_atoms(atoms)
-    pae = read_pae_long(spark, args.input_dir)
+    if args.ingest:
+        from .plans.ingest import ingest_corpus
+
+        paths = ingest_corpus(spark, args.input_dir, args.ingest)
+        if own_session:
+            spark.stop()
+        return {"csv": None, "n_binders": None, "n_report_rows": None,
+                "interaction_cifs": 0, "overlay_files": 0, "tables": paths}
+
+    if args.from_tables:
+        from .plans.ingest import load_ingested
+
+        t = load_ingested(spark, args.from_tables)
+        preds, chains, pae, atoms = (
+            t["predictions"], t["chains"], t["pae_long"], t["atoms"]
+        )
+    else:
+        preds = read_summary_confidences(spark, args.input_dir)
+        atoms = read_atoms(spark, args.input_dir)
+        chains = chains_from_atoms(atoms)
+        pae = read_pae_long(spark, args.input_dir)
 
     # shared subplans reused across report + sinks (reference recomputed
     # them per path — inefficiencies I1/I2)

@@ -283,8 +283,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # streaming kernel in batch mode: session_window aggregation (the same
-# operator the streaming ingest uses, oracle'd via gaps-and-islands SQL
-# with the session_window break rule: new session when diff >= gap)
+# operator the streaming ingest uses, oracle'd via gaps-and-islands SQL.
+# Spark's merge boundary is INCLUSIVE: an event exactly `gap` after the
+# previous one EXTENDS the session (observed at sf0.1), so the break
+# rule is diff > gap — not >=)
 # --------------------------------------------------------------------------
 @register(
     "session_window_batch",
@@ -292,7 +294,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
     d AS (SELECT user_id, t,
                  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-                           >= 1800 THEN 1 ELSE 0 END AS brk
+                           > 1800 THEN 1 ELSE 0 END AS brk
           FROM e),
     s AS (SELECT user_id, t,
                  sum(brk) OVER (PARTITION BY user_id ORDER BY t

@@ -61,3 +61,38 @@ def test_cli_watch_once(spark, tmp_path):
     result = run(args, spark=spark)
     assert result["n_binders"] > 0
     assert os.path.exists(result["stream_out"])
+
+
+def test_ingest_then_query_from_tables(spark, tmp_path):
+    corpus_dir = str(tmp_path / "c4")
+    tables = str(tmp_path / "tables")
+    out1 = str(tmp_path / "o4a")
+    out2 = str(tmp_path / "o4b")
+    write_file_corpus(corpus_dir, n_jobs=6, seed=12)
+
+    r_ing = run(
+        build_parser().parse_args(["-id", corpus_dir, "--ingest", tables]),
+        spark=spark,
+    )
+    assert set(r_ing["tables"]) == {"predictions", "chains", "pae_long", "atoms"}
+    assert any(
+        d.startswith("job_bucket=") for d in os.listdir(os.path.join(tables, "pae_long"))
+    )
+
+    # same report whether from raw files or from ingested tables
+    r_files = run(
+        build_parser().parse_args(
+            ["-id", corpus_dir, "--output-dir", out1, "--skip-structures"]
+        ),
+        spark=spark,
+    )
+    r_tables = run(
+        build_parser().parse_args(
+            ["-id", corpus_dir, "--from-tables", tables, "--output-dir", out2,
+             "--skip-structures"]
+        ),
+        spark=spark,
+    )
+    rows1 = sorted(open(r_files["csv"]).read().splitlines())
+    rows2 = sorted(open(r_tables["csv"]).read().splitlines())
+    assert rows1 == rows2 and len(rows1) > 1
