@@ -562,3 +562,50 @@ def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+# --------------------------------------------------------------------------
+# exact interpolated median per group (percentile vs quantile_cont).
+# --------------------------------------------------------------------------
+@register(
+    "median_price",
+    sql="""
+    SELECT p_brand, round(quantile_cont(p_retailprice, 0.5), 2) AS median_price,
+           round(quantile_cont(p_retailprice, 0.9), 2) AS p90_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(p_retailprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(p_retailprice, 0.9)"), 2).alias("p90_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame window: events per user in the trailing hour (value-range
+# frame over epoch seconds, not row counts).
+# --------------------------------------------------------------------------
+@register(
+    "range_frame_window",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+               FROM events)
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY t
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_last_hour
+    FROM e
+    """,
+)
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000000000").alias("t")
+    )
+    w = W.partitionBy("user_id").orderBy("t").rangeBetween(-3600, 0)
+    return e.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )

@@ -238,3 +238,62 @@ def af3_screen_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARAMS.min_ptm_cutoff,
         PARAMS.max_pae_cutoff,
     )
+
+
+# ---------------------------------------------------------------------------
+# parameter sweep: 6 cutoff combinations in one corpus pass
+# ---------------------------------------------------------------------------
+_SWEEP_PAES = [8.0, 12.0, 15.0]
+_SWEEP_MINRES = [3, 5]
+
+_SWEEP_COUNTS = f"""
+    iv2 AS (
+        SELECT job, chain_id, token_length,
+               CAST(coalesce(sum(token_length) OVER (
+                   PARTITION BY job ORDER BY chain_index
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start
+        FROM chains
+    ),
+    b2 AS (
+        SELECT p.job, p.start AS ps, p.start + p.token_length AS pe,
+               q.start AS qs, q.start + q.token_length AS qe
+        FROM (SELECT * FROM iv2 WHERE chain_id = 'A') p
+        JOIN (SELECT * FROM iv2 WHERE chain_id = 'B') q ON p.job = q.job
+        JOIN (SELECT job, max(aligned_token) + 1 AS w FROM pae GROUP BY job) w
+          ON w.job = p.job
+        WHERE q.start < w AND q.start + q.token_length <= w
+    ),
+    counts AS (
+        SELECT l.job, CAST(l.aligned_token - b2.qs + 1 AS BIGINT) AS partner_res,
+               {", ".join(f"sum(CASE WHEN l.pae < {pae} THEN 1 ELSE 0 END) AS n_{int(pae)}" for pae in _SWEEP_PAES)}
+        FROM pae l JOIN b2 ON l.job = b2.job
+        WHERE l.pae < {max(_SWEEP_PAES)}
+          AND l.scored_token BETWEEN b2.ps AND b2.pe - 1
+          AND l.aligned_token BETWEEN b2.qs AND b2.qe - 1
+        GROUP BY l.job, l.aligned_token, b2.qs
+    )
+"""
+
+_SWEEP_SELECTS = " UNION ALL ".join(
+    f"SELECT {i} AS param_id, job, partner_res FROM counts WHERE n_{int(pae)} >= {mr}"
+    for i, (pae, mr) in enumerate((p, m) for p in _SWEEP_PAES for m in _SWEEP_MINRES)
+)
+
+
+@register(
+    "af3_param_sweep",
+    sql=f"""
+    WITH preds AS (SELECT * FROM '{_P}/predictions.parquet'),
+    chains AS (SELECT * FROM '{_P}/chains.parquet'),
+    pae AS (SELECT * FROM '{_P}/pae_long.parquet'),
+    {_SWEEP_COUNTS}
+    {_SWEEP_SELECTS}
+    """,
+)
+def af3_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sweep import sweep_grid, sweep_interacting_residues
+
+    t = _tables(spark)
+    grid = sweep_grid(_SWEEP_PAES, _SWEEP_MINRES)
+    return sweep_interacting_residues(t["pae_long"], t["chains"], grid)
