@@ -119,6 +119,12 @@ def make_corpus(
         if len_b >= 16:
             t0, t1 = len_a + 13, len_a + 16
             m[0:4, t0:t1] = 2.0
+        # mid-range block (U[9,14.5]): partner res 11..13 — passes a 15
+        # cutoff but fails an 8 cutoff, so parameter sweeps over the pae
+        # axis differentiate
+        if len_b >= 13:
+            m0, m1 = len_a + 10, len_a + 13
+            m[0:len_a, m0:m1] = (rng.rand(len_a, m1 - m0) * 5.5 + 9).round(2)
         si, ai = np.meshgrid(np.arange(n_tokens), np.arange(n_tokens), indexing="ij")
         pae_rows.append(
             pd.DataFrame(

@@ -609,3 +609,39 @@ def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
     )
+
+
+# --------------------------------------------------------------------------
+# Tumbling time window (F.window) — epoch-aligned 6-hour buckets.
+# --------------------------------------------------------------------------
+@register(
+    "tumbling_window",
+    sql="""
+    WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      value FROM events)
+    SELECT event_type,
+           (t // 21600) * 21600 AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY event_type, (t // 21600) * 21600
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 1000000000").cast("timestamp").alias("ts_t"),
+        "value",
+    )
+    return (
+        e.groupBy(F.window("ts_t", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").cast("long").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
