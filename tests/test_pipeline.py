@@ -113,3 +113,41 @@ def test_width_sources_agree_on_wellformed_corpus(af3):
         ).collect()
     }
     assert from_pae == from_chains
+
+
+def test_pipeline_with_skewed_job_sizes(spark, tmp_path):
+    """One scale-12 job (~160k pae rows) among scale-1 jobs: the
+    job-keyed partitioning must handle heavy-hitter jobs without
+    failures or wrong results (AQE skew handling + per-job kernels)."""
+    import pandas as pd
+
+    from process_alphafold3_outputs_spark.fixtures import make_corpus
+
+    small = make_corpus(n_jobs=4, seed=31, scale=1)
+    big = make_corpus(n_jobs=1, seed=32, scale=12)
+    # rename the big job so keys don't collide
+    for name in small:
+        big[name] = big[name].copy()
+        big[name]["job"] = big[name]["job"].str.replace("0000", "9999")
+    corpus = {
+        name: pd.concat([small[name], big[name]], ignore_index=True)
+        for name in small
+    }
+    d = str(tmp_path / "skewed")
+    import os
+
+    os.makedirs(d)
+    tabs = {}
+    for name, df in corpus.items():
+        df.to_parquet(f"{d}/{name}.parquet", index=False)
+        tabs[name] = spark.read.parquet(f"{d}/{name}.parquet")
+
+    report = interaction_report(
+        tabs["predictions"], tabs["chains"], tabs["pae_long"], tabs["atoms"], PARAMS
+    )
+    cols = PARAMS.report_columns()
+    got = {tuple(r[c] for c in cols) for r in report.collect()}
+    want = set(model.full_pipeline(corpus))
+    assert got == want
+    # the giant job must appear in the output (it is a binder by construction)
+    assert any("9999" in r[0] for r in got)
