@@ -101,6 +101,11 @@ def make_corpus(
             mat[0][1] = round(2 + 10 * rng.rand(), 2)
         if i % 8 == 6:
             mat[0][1] = 15.0  # boundary: >= cutoff ⇒ reject (:102)
+        if i % 5 == 1:
+            # reversed-direction binder (poi=B, partner=A): PAE is
+            # asymmetric, so mat[1][0] and the transposed matrix slice
+            # must be exercised independently of mat[0][1]
+            mat[1][0] = round(2 + 8 * rng.rand(), 2)
         pae_min: list[list[float]] | None = [list(map(float, row)) for row in mat]
         if i % 17 == 0 and i > 0:
             pae_min = [pae_min[0][:1]]  # ragged ⇒ OOB ⇒ reject (:96-100)
@@ -125,6 +130,13 @@ def make_corpus(
         if len_b >= 13:
             m0, m1 = len_a + 10, len_a + 13
             m[0:len_a, m0:m1] = (rng.rand(len_a, m1 - m0) * 5.5 + 9).round(2)
+        # reversed-direction block (B rows × A cols) for the i%5==1
+        # reversed binders: A tokens 3..9 get low PAE scored by B tokens
+        if i % 5 == 1:
+            r0, r1 = len_a, len_a + len_b
+            m[r0:r1, 2 : min(10, len_a)] = (
+                rng.rand(r1 - r0, min(10, len_a) - 2) * 4 + 1
+            ).round(2)
         si, ai = np.meshgrid(np.arange(n_tokens), np.arange(n_tokens), indexing="ij")
         pae_rows.append(
             pd.DataFrame(

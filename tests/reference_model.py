@@ -36,13 +36,14 @@ def _default0(v) -> float:
     return 0.0 if v is None or v != v else float(v)
 
 
-def screen_job(pred: dict, min_iptm=0.0, min_ptm=0.0, max_pae=15.0) -> bool:
+def screen_job(pred: dict, min_iptm=0.0, min_ptm=0.0, max_pae=15.0,
+               poi=POI, partner=PARTNER) -> bool:
     iptm = _default0(pred["iptm"])
     ptm = _default0(pred["ptm"])
     if iptm < min_iptm or ptm < min_ptm:
         return False
     mat = pred["chain_pair_pae_min"]
-    pi, qi = CHAIN_INDEX[POI], CHAIN_INDEX[PARTNER]
+    pi, qi = CHAIN_INDEX[poi], CHAIN_INDEX[partner]
     if mat is None or pi >= len(mat) or qi >= len(mat[pi]):
         return False
     return mat[pi][qi] < max_pae
@@ -54,8 +55,10 @@ def interacting_residues(
     chain_lengths: list[int],
     max_pae=15.0,
     min_residues=5,
+    poi=POI,
+    partner=PARTNER,
 ) -> list[int]:
-    pi, qi = CHAIN_INDEX[POI], CHAIN_INDEX[PARTNER]
+    pi, qi = CHAIN_INDEX[poi], CHAIN_INDEX[partner]
     if pi >= len(chain_lengths) or qi >= len(chain_lengths):
         return []
     sp = sum(chain_lengths[:pi])
@@ -73,14 +76,14 @@ def interacting_residues(
 
 
 def contact_map(
-    atoms: list[dict], interacting: list[int], max_dist=8.0
+    atoms: list[dict], interacting: list[int], max_dist=8.0, poi=POI, partner=PARTNER
 ) -> dict[int, set[int]]:
-    poi_atoms = [a for a in atoms if a["chain_id"] == POI and a["is_aa"] and a["model_id"] == 0]
+    poi_atoms = [a for a in atoms if a["chain_id"] == poi and a["is_aa"] and a["model_id"] == 0]
     cmap: dict[int, set[int]] = {}
     for a in atoms:
         if (
             a["model_id"] != 0
-            or a["chain_id"] != PARTNER
+            or a["chain_id"] != partner
             or not a["is_aa"]
             or a["residue_id"] not in interacting
         ):
@@ -111,7 +114,7 @@ def report_rows(job, cmap, poi_seq, partner_seq) -> list[tuple]:
     return rows
 
 
-def full_pipeline(corpus: dict) -> list[tuple]:
+def full_pipeline(corpus: dict, poi=POI, partner=PARTNER) -> list[tuple]:
     """Expected report rows for a fixtures.make_corpus() dict."""
     preds = corpus["predictions"].to_dict("records")
     chains = corpus["chains"]
@@ -120,7 +123,7 @@ def full_pipeline(corpus: dict) -> list[tuple]:
     rows: list[tuple] = []
     for pred in preds:
         job = pred["job"]
-        if not screen_job(pred):
+        if not screen_job(pred, poi=poi, partner=partner):
             continue
         ch = chains[chains.job == job].sort_values("chain_index")
         chain_lengths = ch.token_length.tolist()
@@ -130,10 +133,12 @@ def full_pipeline(corpus: dict) -> list[tuple]:
             (int(r.scored_token), int(r.aligned_token)): float(r.pae)
             for r in jp.itertuples()
         }
-        inter = interacting_residues(pae, n_tokens, chain_lengths)
+        inter = interacting_residues(
+            pae, n_tokens, chain_lengths, poi=poi, partner=partner
+        )
         atoms = atoms_df[atoms_df.job == job].to_dict("records")
-        cmap = contact_map(atoms, inter)
-        poi_seq = ch[ch.chain_id == POI].sequence.iloc[0]
-        partner_seq = ch[ch.chain_id == PARTNER].sequence.iloc[0]
+        cmap = contact_map(atoms, inter, poi=poi, partner=partner)
+        poi_seq = ch[ch.chain_id == poi].sequence.iloc[0]
+        partner_seq = ch[ch.chain_id == partner].sequence.iloc[0]
         rows.extend(report_rows(job, cmap, poi_seq, partner_seq))
     return rows

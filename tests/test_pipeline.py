@@ -151,3 +151,39 @@ def test_pipeline_with_skewed_job_sizes(spark, tmp_path):
     assert got == want
     # the giant job must appear in the output (it is a binder by construction)
     assert any("9999" in r[0] for r in got)
+
+
+def test_reversed_chain_direction(af3, corpus):
+    """poi=B, partner=A exercises PAE asymmetry (SURVEY §2.2 #4):
+    chain_pair_pae_min[1][0] and the transposed matrix slice must be
+    used — a direction bug would still pass the default-direction tests."""
+    params = ScreenParams(poi_chain="B", partner_chain="A")
+    report = interaction_report(
+        af3["predictions"], af3["chains"], af3["pae_long"], af3["atoms"], params
+    )
+    cols = params.report_columns()
+    assert cols[1] == "Contact_residues_POI_chain_B"
+    got = {tuple(r[c] for c in cols) for r in report.collect()}
+    want = set(model.full_pipeline(corpus, poi="B", partner="A"))
+    assert got == want  # typically sparse/empty — must agree exactly either way
+
+
+def test_iptm_boundary_equality_passes(af3, corpus):
+    """iptm == cutoff must PASS (reference rejects only strictly-less,
+    :86). Use a real job's iptm value as the cutoff."""
+    import pandas as pd
+
+    preds = corpus["predictions"]
+    vals = preds[~preds.iptm.isna()].iptm
+    cutoff = float(vals.iloc[0])
+    boundary_jobs = set(preds[preds.iptm == cutoff].job)
+    params = ScreenParams(min_iptm_cutoff=cutoff)
+    passed = {r.job for r in screen_binders(af3["predictions"], params).collect()}
+    # every job at exactly the cutoff that meets the other criteria passes
+    for rec in preds.to_dict("records"):
+        expected = model.screen_job(rec, min_iptm=cutoff)
+        assert (rec["job"] in passed) == expected, rec["job"]
+    assert any(j in passed for j in boundary_jobs) or not any(
+        model.screen_job(r, min_iptm=cutoff)
+        for r in preds[preds.iptm == cutoff].to_dict("records")
+    )
