@@ -138,13 +138,13 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
         chains = chains_from_atoms(atoms)
         pae = read_pae_long(spark, args.input_dir)
 
-    # shared subplans reused across report + sinks (reference recomputed
-    # them per path — inefficiencies I1/I2)
+    # shared subplans computed ONCE, reused across report + sinks
+    # (reference recomputed them per output path — inefficiencies I1/I2)
     binders = screen_binders(preds, params).cache()
     interacting = identify_interacting_residues(pae, chains, params, jobs=binders)
     contacts = contact_pairs_grid(atoms, interacting, params).cache()
 
-    report = interaction_report(preds, chains, pae, atoms, params)
+    report = interaction_report(preds, chains, pae, atoms, params, contacts=contacts)
     csv_path = os.path.join(out_root, params.csv_name())
     report.toPandas().to_csv(csv_path, index=False)
 

@@ -74,20 +74,39 @@ def two_level_islands(contacts: DataFrame) -> DataFrame:
     )
 
 
-def interaction_report(
+def compute_contacts(
     predictions: DataFrame,
     chains: DataFrame,
     pae_long: DataFrame,
     atoms: DataFrame,
     params: ScreenParams,
 ) -> DataFrame:
+    """Shared subplan: screen → PAE threshold → contact pairs. Callers
+    that need both the report AND the structure sinks compute (and
+    cache) this ONCE — the reference recomputed the whole chain per
+    output path (inefficiencies I1/I2)."""
+    binders = screen_binders(predictions, params)
+    interacting = identify_interacting_residues(pae_long, chains, params, jobs=binders)
+    return contact_pairs_grid(atoms, interacting, params)
+
+
+def interaction_report(
+    predictions: DataFrame,
+    chains: DataFrame,
+    pae_long: DataFrame,
+    atoms: DataFrame,
+    params: ScreenParams,
+    contacts: DataFrame | None = None,
+) -> DataFrame:
     """The flagship: screen → PAE threshold → contacts → islands →
     report rows with the reference's exact CSV schema
     (column names embed chain params, :306-312; ranges ``min-max``,
-    sequences sliced 1-based inclusive, :372-380)."""
-    binders = screen_binders(predictions, params)
-    interacting = identify_interacting_residues(pae_long, chains, params, jobs=binders)
-    contacts = contact_pairs_grid(atoms, interacting, params)
+    sequences sliced 1-based inclusive, :372-380).
+
+    ``contacts``: optionally a precomputed (cached) compute_contacts
+    result, reused across report + sinks."""
+    if contacts is None:
+        contacts = compute_contacts(predictions, chains, pae_long, atoms, params)
     pairs = two_level_islands(contacts)
 
     poi_seq = chains.filter(F.col("chain_id") == params.poi_chain).select(
