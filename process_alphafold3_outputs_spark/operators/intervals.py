@@ -8,9 +8,17 @@ keeps partner tokens with count >= min_residues.
 
 Spark shape (SURVEY §2 O18): long-form ``pae_long`` is filtered by
 ``pae < cutoff`` FIRST (predicate pushdown into the parquet scan at
-scale), then range-joined against the tiny per-job interval table
-(broadcast — KBs even at 10^8 jobs per partition batch), then a single
-hash aggregation keyed (job, aligned_token). One shuffle total.
+scale), then range-joined against the per-job interval table, then a
+single hash aggregation keyed (job, aligned_token).
+
+Scale note on the interval join: ``bounds`` has ONE ROW PER JOB, so it
+grows linearly with the corpus (10^8 jobs × ~50 B ≈ 5 GB) — far past
+any sane broadcast threshold. The join therefore carries NO broadcast
+hint: both sides are keyed by ``job``, so AQE picks a shuffle hash
+join (skew-safe) at scale and still auto-broadcasts when the screened
+job list is genuinely small (the common case after a selective
+screen). Forcing the broadcast was a driver-OOM at 100× — see
+VERDICT r1 "What's wrong #1".
 """
 
 from __future__ import annotations
@@ -43,7 +51,7 @@ def identify_interacting_residues(
     chains: DataFrame,
     params: ScreenParams,
     jobs: DataFrame | None = None,
-    width_source: str = "pae",
+    width_source: str = "chains",
 ) -> DataFrame:
     """Partner residues with >= min_residues POI tokens under the PAE
     cutoff (O17-O19, :197-224). Returns (job, partner_res) with
@@ -52,12 +60,20 @@ def identify_interacting_residues(
     ``jobs`` optionally restricts to screened binders (semi-join).
 
     ``width_source``: where the O17 bounds guard gets the matrix width.
-    ``"pae"`` (default) measures the actual matrix via a groupBy over
-    ``pae_long`` — exact reference parity, but ONE EXTRA FULL PASS over
-    the biggest table. ``"chains"`` derives width as Σ token_length —
-    free (the interval table is already built), and equivalent whenever
-    the CIF token count matches the matrix (true for well-formed AF3
-    output); at 100 TB this halves the pae_long I/O.
+    ``"chains"`` (default) derives width as Σ token_length — free (the
+    interval table is already built), and equivalent whenever the CIF
+    token count matches the matrix (true for well-formed AF3 output);
+    at 100 TB this halves the pae_long I/O. ``"pae"`` measures the
+    actual matrix via a groupBy over ``pae_long`` — exact reference
+    parity even for truncated/malformed matrices, at the cost of ONE
+    EXTRA FULL PASS over the biggest table (kept for the malformed-
+    width parity test; see tests/test_pipeline.py).
+
+    ``min_residues_cutoff <= 0`` short-circuits to "every in-range
+    partner token": the reference computes ``sum(slice < cutoff, axis=0)
+    >= min_residues``, which is vacuously true for every partner column
+    when min_residues <= 0 — a hit-based groupBy would wrongly drop
+    columns with zero sub-cutoff entries.
     """
     iv = chain_intervals(chains)
     poi = iv.filter(F.col("chain_id") == params.poi_chain).select(
@@ -91,9 +107,28 @@ def identify_interacting_residues(
     if jobs is not None:
         bounds = bounds.join(jobs.select("job"), "job", "left_semi")
 
+    if int(params.min_residues_cutoff) <= 0:
+        # Reference parity: sum(pae_slice < cutoff, axis=0) >= min_res
+        # is always true when min_res <= 0 — every in-range partner
+        # token survives, regardless of PAE content.
+        # (sequence(1, 0) would DESCEND in Spark — filter empty chains)
+        return (
+            bounds.filter(F.col("partner_end") > F.col("partner_start"))
+            .select(
+                "job",
+                F.explode(
+                    F.sequence(
+                        F.lit(1), F.col("partner_end") - F.col("partner_start")
+                    )
+                ).alias("partner_res"),
+            )
+        )
+
+    # No broadcast hint: bounds is one-row-per-job (linear in corpus
+    # size) — AQE broadcasts it only when actually small.
     hits = (
         pae_long.filter(F.col("pae") < F.lit(float(params.max_pae_cutoff)))
-        .join(F.broadcast(bounds), "job")
+        .join(bounds, "job")
         .filter(
             F.col("scored_token").between(F.col("poi_start"), F.col("poi_end") - 1)
             & F.col("aligned_token").between(

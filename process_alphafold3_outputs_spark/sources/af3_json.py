@@ -129,13 +129,32 @@ def _fallback_parse(spark: SparkSession, paths: list[str]) -> DataFrame:
                 m = _re.match(_JOB_FROM_PATH, path)
                 if not m:
                     continue
+
+                # Defensive coercion: files routed here are exactly the
+                # malformed ones, so type-mismatched values (string
+                # iptm, mixed-type matrices) must degrade to NULL — an
+                # Arrow schema error would abort the WHOLE query,
+                # violating the "malformed inputs drop rows, never
+                # queries" contract (SURVEY §2.2 #11).
+                def _num(v):
+                    try:
+                        return float(v) if not isinstance(v, bool) else None
+                    except (TypeError, ValueError):
+                        return None
+
                 cpp = doc.get("chain_pair_pae_min")
+                if isinstance(cpp, list) and all(
+                    isinstance(r, list) for r in cpp
+                ):
+                    cpp = [[_num(v) for v in r] for r in cpp]
+                else:
+                    cpp = None
                 rows.append(
                     {
                         "job": m.group(1),
-                        "iptm": doc.get("iptm"),
-                        "ptm": doc.get("ptm"),
-                        "chain_pair_pae_min": cpp if isinstance(cpp, list) else None,
+                        "iptm": _num(doc.get("iptm")),
+                        "ptm": _num(doc.get("ptm")),
+                        "chain_pair_pae_min": cpp,
                     }
                 )
             yield pd.DataFrame(

@@ -12,6 +12,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: embeddings.embedding dimensionality (TESTDATA.md table contract —
+#: fixed-width array<float>; operators take ``dim`` as a parameter so
+#: no Spark job ever fires at plan-build time to probe it)
+EMBEDDING_DIM = 64
+
 TABLE_NAMES = (
     "region",
     "nation",

@@ -90,7 +90,7 @@ def contact_map(
             continue
         for p in poi_atoms:
             d = math.dist((a["x"], a["y"], a["z"]), (p["x"], p["y"], p["z"]))
-            if d < max_dist:
+            if d <= max_dist:  # NeighborSearch radius is inclusive
                 cmap.setdefault(a["residue_id"], set()).add(p["residue_id"])
     return cmap
 

@@ -131,3 +131,32 @@ def test_topk_ivf_matches_exact_when_probing_all_cells(spark, sf_dir):
         ).collect()
     }
     assert full == exact
+
+
+def test_lsh_bucket_plan_build_fires_no_spark_job(spark, sf_dir):
+    """Plan construction must be fully lazy: the old implementation ran
+    a ``.first()`` dim probe (one Spark job per call) at build time."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-plan-build", "lazy-probe")
+    df = similarity.lsh_buckets(emb, n_planes=4)
+    ids = sc.statusTracker().getJobIdsForGroup("lsh-plan-build")
+    sc.setJobGroup("lsh-plan-build-done", "done")
+    assert list(ids) == []
+    # and the plan still executes correctly afterwards
+    assert df.limit(5).count() == 5
+
+
+def test_ivf_centroids_plan_has_no_global_window_exchange(spark, sf_dir):
+    """Centroid selection compiles to TakeOrderedAndProject (parallel
+    partial top-k), not a single-partition global row_number window
+    over the whole corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_cells=8)
+    jvm = spark._jvm
+    plan = cents._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    rows = cents.collect()
+    assert [r.cell for r in sorted(rows, key=lambda r: r.cell)] == list(range(8))

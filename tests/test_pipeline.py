@@ -187,3 +187,81 @@ def test_iptm_boundary_equality_passes(af3, corpus):
         model.screen_job(r, min_iptm=cutoff)
         for r in preds[preds.iptm == cutoff].to_dict("records")
     )
+
+
+def test_min_residues_zero_keeps_all_in_range_tokens(af3, corpus):
+    """Reference parity for min_residues <= 0: sum(slice < cutoff) >= 0
+    is vacuously true, so EVERY in-range partner token qualifies — even
+    ones with zero sub-cutoff PAE entries (the hit-based groupBy alone
+    would drop those)."""
+    params = ScreenParams(min_residues_cutoff=0)
+    got = {
+        (r.job, r.partner_res)
+        for r in identify_interacting_residues(
+            af3["pae_long"], af3["chains"], params
+        ).collect()
+    }
+    ch = corpus["chains"]
+    want = set()
+    for job, grp in ch.groupby("job"):
+        grp = grp.sort_values("chain_index")
+        widths = dict(zip(grp.chain_id, grp.token_length))
+        offs, off = {}, 0
+        for _, row in grp.iterrows():
+            offs[row.chain_id] = off
+            off += row.token_length
+        # O17 bounds guard still applies (partner interval within width)
+        if offs["B"] < off and offs["B"] + widths["B"] <= off:
+            want |= {(job, r) for r in range(1, widths["B"] + 1)}
+    assert got == want and len(want) > 0
+
+
+def test_sweep_min_residues_zero_matches_kernel(af3):
+    """A min_residues=0 sweep point must agree with the single-param
+    kernel's short-circuit (every in-range token, zero-hit ones too)."""
+    from process_alphafold3_outputs_spark.plans.sweep import (
+        sweep_grid,
+        sweep_interacting_residues,
+    )
+
+    grid = sweep_grid([15.0], [0, 5])
+    sw = sweep_interacting_residues(af3["pae_long"], af3["chains"], grid)
+    by_param = {}
+    for r in sw.collect():
+        by_param.setdefault(r.param_id, set()).add((r.job, r.partner_res))
+    for pid, mr in ((0, 0), (1, 5)):
+        params = ScreenParams(max_pae_cutoff=15.0, min_residues_cutoff=mr)
+        want = {
+            (r.job, r.partner_res)
+            for r in identify_interacting_residues(
+                af3["pae_long"], af3["chains"], params
+            ).collect()
+        }
+        assert by_param.get(pid, set()) == want, pid
+
+
+def test_contact_distance_is_radius_inclusive(spark):
+    """Biopython NeighborSearch.search is radius-inclusive: an atom pair
+    at EXACTLY max_dist is a contact. Planted 8.0 Å pair (max_dist=8)."""
+    atoms = spark.createDataFrame(
+        [
+            # poi residue 1 at origin; partner residue 2 exactly 8.0 away
+            ("j", 0, "A", 1, "GLY", True, "CA", 0.0, 0.0, 0.0),
+            ("j", 0, "B", 2, "ALA", True, "CA", 8.0, 0.0, 0.0),
+            # and one clearly outside
+            ("j", 0, "B", 3, "ALA", True, "CA", 8.001, 0.0, 0.0),
+        ],
+        "job string, model_id int, chain_id string, residue_id int, "
+        "residue_name string, is_aa boolean, atom_name string, "
+        "x double, y double, z double",
+    )
+    inter = spark.createDataFrame([("j", 2), ("j", 3)], "job string, partner_res int")
+    grid = {
+        (r.partner_res, r.poi_res)
+        for r in contact_pairs_grid(atoms, inter, PARAMS).collect()
+    }
+    brute = {
+        (r.partner_res, r.poi_res)
+        for r in contact_pairs_numpy(atoms, inter, PARAMS).collect()
+    }
+    assert grid == brute == {(2, 1)}

@@ -32,9 +32,51 @@ def test_pae_cutoff_pushed_into_scan(spark, af3):
     ir = identify_interacting_residues(af3["pae_long"], af3["chains"], ScreenParams())
     plan = formatted_plan(ir)
     assert "LessThan(pae,15.0)" in plan  # I7: filter BEFORE the N² table leaves disk
-    # every join in the kernel broadcasts its tiny side; no sort-merge
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+
+
+def test_bounds_join_carries_no_broadcast_hint(spark, af3):
+    """``bounds`` is one-row-per-job — linear in corpus size — so the
+    kernel must NOT force-broadcast it (driver OOM at 10^8 jobs). Join
+    strategy is AQE's call: broadcast when small, shuffle join when not
+    (VERDICT r1 #1)."""
+    ir = identify_interacting_residues(af3["pae_long"], af3["chains"], ScreenParams())
+    analyzed = ir._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+    from process_alphafold3_outputs_spark.plans.sweep import (
+        sweep_grid,
+        sweep_interacting_residues,
+    )
+
+    sw = sweep_interacting_residues(
+        af3["pae_long"], af3["chains"], sweep_grid([8.0, 15.0], [3, 5])
+    )
+    analyzed_sw = sw._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed_sw and "UnresolvedHint" not in analyzed_sw
+
+
+def test_default_width_source_scans_pae_once(spark, af3):
+    """width_source="chains" (the default) must not add a second full
+    pass over pae_long — the chains-derived width saves one scan of the
+    biggest table (VERDICT r1 #5)."""
+    p = ScreenParams()
+    chains_plan = formatted_plan(
+        identify_interacting_residues(
+            af3["pae_long"], af3["chains"], p, width_source="chains"
+        )
+    )
+    pae_plan = formatted_plan(
+        identify_interacting_residues(
+            af3["pae_long"], af3["chains"], p, width_source="pae"
+        )
+    )
+    default_plan = formatted_plan(
+        identify_interacting_residues(af3["pae_long"], af3["chains"], p)
+    )
+    # each scan node prints its Location exactly once in the details
+    assert chains_plan.count("pae_long.parquet") == 1
+    assert pae_plan.count("pae_long.parquet") == 2
+    assert default_plan.count("pae_long.parquet") == 1
 
 
 def test_dim_joins_broadcast(spark, sf_dir):

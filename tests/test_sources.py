@@ -191,3 +191,38 @@ def test_structure_sinks_and_pymol(spark, file_corpus, tmp_path):
         text = fh.read()
     assert "load " in text and "align model_1 and chain A, model_0 and chain A" in text
     assert "util.cbc()" in text and "_overlay.pse" in text
+
+
+def test_fallback_parse_coerces_bad_types_instead_of_aborting(spark, tmp_path):
+    """Type-mismatched summary files (string iptm, mixed-type pae
+    matrix) route to the Python fallback — which must coerce them to
+    NULLs, not crash the whole query with an Arrow schema error
+    ('malformed inputs drop rows, never queries')."""
+    import json
+
+    d = str(tmp_path / "badtypes")
+    jdir = os.path.join(d, "stringy_job")
+    os.makedirs(jdir)
+    with open(os.path.join(jdir, "stringy_job_summary_confidences_0.json"), "w") as fh:
+        json.dump(
+            {
+                "iptm": "very high",
+                "ptm": 0.5,
+                "chain_pair_pae_min": [[1.0, "oops"], [2.0, 3.0]],
+            },
+            fh,
+        )
+    gdir = os.path.join(d, "good_job")
+    os.makedirs(gdir)
+    with open(os.path.join(gdir, "good_job_summary_confidences_0.json"), "w") as fh:
+        json.dump(
+            {"iptm": 0.7, "ptm": 0.6, "chain_pair_pae_min": [[1.0, 2.0], [3.0, 4.0]]},
+            fh,
+        )
+    rows = {r.job: r for r in read_summary_confidences(spark, d).collect()}
+    assert rows["good_job"].iptm == 0.7
+    assert "stringy_job" in rows  # recovered, not aborted
+    assert rows["stringy_job"].iptm is None  # coerced
+    assert rows["stringy_job"].ptm == 0.5
+    m = rows["stringy_job"].chain_pair_pae_min
+    assert m[0][0] == 1.0 and m[0][1] is None and m[1][1] == 3.0
