@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from process_alphafold3_outputs_spark.plans import driver_queries as _dq  # noqa: E402
 from process_alphafold3_outputs_spark.plans import driver_queries_ext  # noqa: E402,F401  (registers extension queries)
 from process_alphafold3_outputs_spark.plans import driver_queries_af3  # noqa: E402,F401  (registers AF3 pipeline queries)
+from process_alphafold3_outputs_spark.plans import driver_queries_files  # noqa: E402,F401  (registers file-boundary source/sink queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -271,3 +271,59 @@ def write_file_corpus(out_dir: str, n_jobs: int = 12, seed: int = 7) -> dict:
             '"chain_pair_pae_min": [[1.0, 3.0], [4.0, 5.0]]}'.encode("latin-1")
         )
     return corpus
+
+
+def write_expected_parsed(out_dir: str, corpus: dict) -> dict[str, str]:
+    """Expected-content tables for the FILE-BOUNDARY oracle queries
+    (driver_queries_files): what a correct parse of the file tree
+    written by :func:`write_file_corpus` must yield, derived from the
+    same in-memory corpus (plus the landmine files' known content) —
+    NOT from the engine's own readers.
+
+    DuckDB reads these parquet files as the oracle side; the Spark side
+    reads the actual file tree through the real sources/sinks.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+
+    preds = corpus["predictions"][["job", "iptm", "ptm", "chain_pair_pae_min"]].copy()
+    # the latin-1 landmine is valid JSON in disguise — the encoding
+    # fallback must recover exactly this row (write_file_corpus bytes)
+    latin1 = pd.DataFrame(
+        [
+            {
+                "job": "latin1_job",
+                "iptm": 0.9,
+                "ptm": 0.8,
+                "chain_pair_pae_min": [[1.0, 3.0], [4.0, 5.0]],
+            }
+        ]
+    )
+    preds = pd.concat([preds, latin1], ignore_index=True)
+
+    # summary files the JSON scan must REJECT (O35 errors table): the
+    # corrupt-JSON landmine and the latin-1 file (invalid utf-8 for the
+    # JVM parser; recovered later by the Python fallback)
+    errors = pd.DataFrame(
+        {
+            "fname": [
+                "corrupt_json_job_summary_confidences_0.json",
+                "latin1_job_summary_confidences_0.json",
+            ]
+        }
+    )
+
+    tables = {
+        "predictions_expected": preds,
+        "pae_long_expected": corpus["pae_long"],
+        "atoms_expected": corpus["atoms"],
+        "chains_expected": corpus["chains"][
+            ["job", "chain_id", "chain_index", "token_length", "sequence"]
+        ],
+        "errors_expected": errors,
+    }
+    for name, df in tables.items():
+        p = os.path.join(out_dir, f"{name}.parquet")
+        df.to_parquet(p, index=False)
+        paths[name] = p
+    return paths

@@ -53,11 +53,20 @@ _ensure_corpus()
 # ---------------------------------------------------------------------------
 
 _P = CORPUS_DIR
-_BASE = f"""
-    preds AS (SELECT * FROM '{_P}/predictions.parquet'),
-    chains AS (SELECT * FROM '{_P}/chains.parquet'),
-    pae AS (SELECT * FROM '{_P}/pae_long.parquet'),
-    atoms AS (SELECT * FROM '{_P}/atoms.parquet'),
+
+
+def base_cte(
+    preds_path: str, chains_path: str, pae_path: str, atoms_path: str
+) -> str:
+    """The full reference pipeline (screen → intervals → PAE threshold →
+    contacts) as DuckDB CTEs over four parquet tables — shared by the
+    AF3 corpus oracles here and the file-boundary sink oracles in
+    driver_queries_files."""
+    return f"""
+    preds AS (SELECT * FROM '{preds_path}'),
+    chains AS (SELECT * FROM '{chains_path}'),
+    pae AS (SELECT * FROM '{pae_path}'),
+    atoms AS (SELECT * FROM '{atoms_path}'),
     screen AS (
         SELECT job,
                round(coalesce(iptm, 0), 6) AS iptm,
@@ -107,6 +116,14 @@ _BASE = f"""
               + (pa.z - po.z) * (pa.z - po.z) <= {float(PARAMS.max_dist) ** 2}
     )
 """
+
+
+_BASE = base_cte(
+    f"{_P}/predictions.parquet",
+    f"{_P}/chains.parquet",
+    f"{_P}/pae_long.parquet",
+    f"{_P}/atoms.parquet",
+)
 
 _ISLANDS = """
     ck AS (SELECT DISTINCT job, partner_res FROM contacts),
@@ -190,11 +207,9 @@ def af3_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "af3_interaction_report",
-    sql=f"""
-    WITH {_BASE},
-    {_ISLANDS}
+#: the report projection over the base+islands CTEs — shared with the
+#: CSV-sink readback oracle in driver_queries_files
+REPORT_SELECT = """
     SELECT c.job AS "Folder_name",
            CAST(c.c_min AS VARCHAR) || '-' || CAST(c.c_max AS VARCHAR)
                AS "Contact_residues_POI_chain_A",
@@ -208,6 +223,15 @@ def af3_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN pranges p ON p.job = c.job AND p.p_isl = c.p_isl
     JOIN chains sa ON sa.job = c.job AND sa.chain_id = 'A'
     JOIN chains sb ON sb.job = c.job AND sb.chain_id = 'B'
+"""
+
+
+@register(
+    "af3_interaction_report",
+    sql=f"""
+    WITH {_BASE},
+    {_ISLANDS}
+    {REPORT_SELECT}
     """,
 )
 def af3_interaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:

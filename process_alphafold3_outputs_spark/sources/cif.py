@@ -102,13 +102,23 @@ def _decode(content: bytes) -> str | None:
 
 
 _JOB_RE = re.compile(r"^.*/([^/]+)/[^/]+$")
-_MODEL_RE = re.compile(r"_model_(\d+)\.cif$")
+#: AF3 names models ``{job}_model_{k}.cif``; overlay sinks write
+#: ``{job}/model_{k}.cif`` — accept either separator before "model_".
+_MODEL_RE = re.compile(r"(?:^|[_/])model_(\d+)\.cif$")
 
 
 def read_atoms(
-    spark: SparkSession, input_dir: str, glob: str = "*_model_*.cif"
+    spark: SparkSession,
+    input_dir: str,
+    glob: str = "*_model_*.cif",
+    job_from_filename: str | None = None,
 ) -> DataFrame:
-    """``atoms`` table from all model CIFs under ``input_dir``."""
+    """``atoms`` table from all model CIFs under ``input_dir``.
+
+    ``job_from_filename``: optional regex with one capture group applied
+    to the file BASENAME to extract the job key (for flat sink layouts
+    like ``{job}_interaction.cif``); default takes the parent directory
+    name (the AF3 input layout, :348)."""
     files = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
@@ -118,13 +128,20 @@ def read_atoms(
         .select("path", "content")
     )
 
+    job_re = re.compile(job_from_filename) if job_from_filename else None
+
     def parse_partition(batches) -> Iterator:
+        import os as _os
+
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                m_job = _JOB_RE.match(path)
+                if job_re is not None:
+                    m_job = job_re.match(_os.path.basename(path))
+                else:
+                    m_job = _JOB_RE.match(path)
                 m_model = _MODEL_RE.search(path)
                 text = _decode(bytes(content))
                 if not m_job or text is None:
