@@ -5,12 +5,21 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes fully via the noop sink (no driver collect, no
 result materialisation cost — measures the plan, not the pickle).
+
+Rigor: every query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and
+reports the per-query MEDIAN (host VM noise reaches 3× run-to-run; the
+median is robust where a single run is a coin flip). The JSON also
+carries per-query min/max spread and a ``vs_prev`` regression ratio
+against the newest BENCH_r*.json anchor in the repo root.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -30,16 +39,40 @@ HEADLINE = [
     "topk_per_group",
     "range_threshold",
     "sessionize",
+    "session_window_batch",
+    "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "dedup_simhash",
+    "dedup_simhash64",
     "similarity_topk",
+    "similarity_topk_ivf",
     "text_language_id",
     "text_quality",
     "text_token_count",
     "text_fingerprint",
 ]
+
+
+def _prev_bench() -> tuple[str | None, dict]:
+    """Newest BENCH_r{N}.json in the repo root — the regression anchor."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_path = -1, None
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is None:
+        return None, {}
+    try:
+        with open(best_path) as fh:
+            doc = json.load(fh)
+        # the driver wraps the bench line as {"parsed": {...}, "rc": ...}
+        inner = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else doc
+        return os.path.basename(best_path), (inner or {}).get("queries", {})
+    except (OSError, ValueError):
+        return None, {}
 
 
 def _af3_bench_corpus(sf: float) -> str:
@@ -77,27 +110,49 @@ def main() -> None:
         n: spark.read.parquet(os.path.join(af3_dir, f"{n}.parquet"))
         for n in ("predictions", "chains", "pae_long", "atoms")
     }
-    def timed(build) -> float:
-        """min of 2 runs — the host VM shows up to 3× run-to-run noise;
-        the min is the closest observable to true query cost."""
-        best = float("inf")
-        for _ in range(2):
+    n_runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    def timed(build) -> tuple[float, float, float]:
+        """median of n_runs (plus min/max spread) — robust to the host
+        VM's up-to-3× run-to-run noise."""
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        return (
+            round(statistics.median(runs), 3),
+            round(min(runs), 3),
+            round(max(runs), 3),
+        )
 
     timings: dict[str, float] = {}
-    timings["af3_flagship"] = timed(
+    spread: dict[str, list[float]] = {}
+
+    def record(name: str, build) -> None:
+        med, lo, hi = timed(build)
+        timings[name] = med
+        spread[name] = [lo, hi]
+
+    record(
+        "af3_flagship",
         lambda: interaction_report(
             af3["predictions"], af3["chains"], af3["pae_long"], af3["atoms"],
             ScreenParams(),
-        )
+        ),
     )
     for name in HEADLINE:
+        if name not in dq._QUERIES:
+            continue
         fn = dq._QUERIES[name]
-        timings[name] = timed(lambda: fn(spark, sf_dir))
+        record(name, lambda fn=fn: fn(spark, sf_dir))
 
+    anchor, prev = _prev_bench()
+    vs_prev = {
+        q: round(timings[q] / prev[q], 3)
+        for q in timings
+        if q in prev and prev[q] > 0
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -107,6 +162,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": n_runs,
+                "stat": "median",
+                "spread": spread,
+                "vs_prev": vs_prev,
+                "prev_anchor": anchor,
             }
         )
     )

@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=None, help="default: input dir")
     p.add_argument("--skip-structures", action="store_true",
                    help="report CSV only (no CIF/PyMOL sinks)")
+    p.add_argument("--emit-pae-csv", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="write the per-job {job}_full_data_0_pae.csv matrix "
+                   "side output (reference writes it unconditionally, "
+                   ":115-116; --no-emit-pae-csv skips the extra I/O)")
     p.add_argument("--watch", action="store_true",
                    help="streaming mode: watch input_dir for new summary "
                    "JSONs and append screen verdicts to "
@@ -149,7 +154,13 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
     report.toPandas().to_csv(csv_path, index=False)
 
     result = {"csv": csv_path, "n_binders": binders.count(),
-              "n_report_rows": None, "interaction_cifs": 0, "overlay_files": 0}
+              "n_report_rows": None, "interaction_cifs": 0, "overlay_files": 0,
+              "pae_csvs": 0}
+
+    if getattr(args, "emit_pae_csv", True):
+        from .sources.af3_json import write_pae_matrix_csvs
+
+        result["pae_csvs"] = write_pae_matrix_csvs(pae, out_root).count()
     result["n_report_rows"] = sum(1 for _ in open(csv_path)) - 1
 
     if not args.skip_structures:

@@ -174,26 +174,103 @@ def lsh_candidate_pairs(
 # --------------------------------------------------------------------------
 
 
-def jaccard_pairs(
+def _shingle_hash(col) -> "F.Column":
+    """60-bit int64 shingle key from the md5 hex prefix (15 nibbles —
+    fits a signed long, reproducible in ANSI SQL via CAST('0x…')).
+    Joining/shuffling 8-byte longs instead of multi-word strings shrinks
+    the inverted-index shuffle severalfold at corpus scale; collision
+    probability at 10^9 distinct shingles is ~4e-4 (birthday, 2^60)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hashed_shingles(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sh) — distinct word k-grams as int64 hashes."""
+    return word_shingles(docs, k=k, text_col=text_col).select(
+        "doc_id", _shingle_hash("shingle").alias("sh")
+    )
+
+
+def jaccard_candidates(
     docs: DataFrame,
     threshold: float = 0.8,
     shingle_k: int = 3,
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
-    threshold. Inverted-index self-join on shingle → per-pair common
-    count → |A∪B| = |A|+|B|-common. Shuffles: one by shingle (join),
-    one by pair (count) — no cross join anywhere."""
-    sh = word_shingles(docs, k=shingle_k, text_col=text_col)
+    """(doc_a, doc_b) candidate pairs from a PPJoin-style PREFIX index —
+    provably lossless for Jaccard >= threshold.
+
+    Global shingle order = (document frequency ASC, hash ASC); each
+    doc indexes only its first ``n - ceil(t·n) + 1`` shingles. Lemma:
+    if J(A,B) >= t, the order-smallest element of A∩B lies inside BOTH
+    prefixes (else the prefix elements it follows are all outside the
+    intersection, capping |A∩B| at ceil(t·|A|) - 1 < t·|A| <= |A∩B|).
+    So the prefix-prefix self-join finds every qualifying pair — while
+    a corpus-wide hot shingle (df ≈ N) sorts LAST in every doc and
+    stays OUT of the index, killing the m² candidate blowup that a
+    full inverted index suffers on skewed shingle frequencies."""
+    sh = hashed_shingles(docs, k=shingle_k, text_col=text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        sh.join(dfreq, "sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("_rk")
+            <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "sh")
     )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
+    threshold — exact result either way:
+
+    - ``prefix_filter=True`` (default, the 100 TB path): PPJoin prefix
+      index generates candidates (lossless, see jaccard_candidates),
+      then an exact verification join counts |A∩B| per candidate.
+    - ``prefix_filter=False``: full inverted-index self-join — the
+      simple shape, quadratic on hot shingles; kept as the differential
+      baseline for the equivalence test."""
+    sh = hashed_shingles(docs, k=shingle_k, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if prefix_filter:
+        cand = jaccard_candidates(docs, threshold, shingle_k, text_col)
+        a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+        common = (
+            cand.join(a_sh, "doc_a")
+            .join(b_sh, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -219,34 +296,111 @@ def jaccard_pairs(
 _HEX = "0123456789abcdef"
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — 16-bit SimHash over word token hashes.
-
-    Per token, the first 4 hex nibbles of md5 give 16 bits; each bit
-    votes ±1; the signature's bit is 1 when the vote sum is positive.
-    Everything is built-in expressions (explode × 16 bit positions)."""
+def _bit_votes(docs: DataFrame, n_bits: int, text_col: str) -> DataFrame:
+    """(doc_id, v0..v{n_bits-1}) — per-bit ±1 vote sums over the md5
+    hashes of every token occurrence. ONE shuffle keyed by doc_id with
+    ``n_bits`` parallel conditional sums (map-side combined) — no
+    token × bit explode, so widening 16 → 64 bits costs plan width,
+    not shuffle volume (same construction trick as the MinHash aggs)."""
     toks = (
         normalized(spread(docs, "doc_id"), text_col)
         .select("doc_id", F.explode(F.split("_norm", " ")).alias("tok"))
         .withColumn("h", F.md5("tok"))
     )
-    bits = toks.withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(15))))
-    # nibble = hex digit at position bit/4; bit-of-nibble = bit%4
-    nib = F.instr(
-        F.lit(_HEX), F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1)
-    ) - 1
-    bitval = F.floor(nib / F.pow(F.lit(2.0), (F.col("bit") % 4))).cast("int") % 2
-    votes = (
-        bits.withColumn("v", F.when(bitval == 1, 1).otherwise(-1))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("vote"))
+
+    def bitval(b: int):
+        # nibble = hex digit at position b//4; bit-of-nibble = b%4
+        nib = F.instr(F.lit(_HEX), F.substring(F.col("h"), b // 4 + 1, 1)) - 1
+        return F.floor(nib / F.pow(F.lit(2.0), F.lit(b % 4))).cast("int") % 2
+
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bitval(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-            .otherwise(0)
-        ).alias("simhash")
+
+
+def _sig_from_votes(lo_bit: int, hi_bit: int):
+    """Signature word = Σ [vote_b > 0]·2^(b - lo_bit) over [lo, hi)."""
+    out = F.lit(0).cast("long")
+    for b in range(lo_bit, hi_bit):
+        out = out + F.when(F.col(f"v{b}") > 0, F.lit(2 ** (b - lo_bit))).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash over word token hashes.
+
+    Per token, the first 4 hex nibbles of md5 give 16 bits; each bit
+    votes ±1; the signature's bit is 1 when the vote sum is positive.
+    16-bit equality buckets are demo-scale (birthday collisions at
+    ~10³ docs) — use :func:`simhash64` + band buckets at corpus scale."""
+    return _bit_votes(docs, 16, text_col).select(
+        "doc_id", _sig_from_votes(0, 16).alias("simhash")
     )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sim_hi, sim_lo) — 64-bit SimHash as two 32-bit words
+    (bits 32-63 / 0-31; a single signed long cannot carry bit 63).
+    Collision-safe at 10^4+ docs where the 16-bit variant saturates."""
+    return _bit_votes(docs, 64, text_col).select(
+        "doc_id",
+        _sig_from_votes(32, 64).alias("sim_hi"),
+        _sig_from_votes(0, 32).alias("sim_lo"),
+    )
+
+
+def simhash64_near_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — candidate near-dup pairs sharing at
+    least one of four 16-bit SimHash bands, with their exact Hamming
+    distance. Pigeonhole: any pair with Hamming <= 3 agrees on >= 1 of
+    the 4 bands, so recall is 1.0 for ``max_hamming <= 3``; the band
+    join keys the shuffle by (band, value) — never an O(N²) cross join.
+    """
+    sig = simhash64(docs, text_col)
+    banded = sig.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("sim_lo") % 65536).alias("val")),
+                F.struct(F.lit(1).alias("band"), F.floor(F.col("sim_lo") / 65536).cast("long").alias("val")),
+                F.struct(F.lit(2).alias("band"), (F.col("sim_hi") % 65536).alias("val")),
+                F.struct(F.lit(3).alias("band"), F.floor(F.col("sim_hi") / 65536).cast("long").alias("val")),
+            )
+        ).alias("_b"),
+    ).select("doc_id", "sim_hi", "sim_lo", F.col("_b.band").alias("band"), F.col("_b.val").alias("val"))
+    a = banded.select(
+        "band", "val", F.col("doc_id").alias("doc_a"),
+        F.col("sim_hi").alias("hi_a"), F.col("sim_lo").alias("lo_a"),
+    )
+    b = banded.select(
+        "band", "val", F.col("doc_id").alias("doc_b"),
+        F.col("sim_hi").alias("hi_b"), F.col("sim_lo").alias("lo_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
 
 
 def simhash_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:

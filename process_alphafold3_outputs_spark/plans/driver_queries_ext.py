@@ -128,6 +128,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 64-bit SimHash (two 32-bit words; a signed long can't carry bit 63)
+# + band-sliced Hamming candidate pairs
+# --------------------------------------------------------------------------
+def _sql_bitval(b: int) -> str:
+    return (
+        f"CAST(floor((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+        f" / {2 ** (b % 4)}) AS INT) % 2"
+    )
+
+
+_SIMHASH64_VOTES = ", ".join(
+    f"sum(CASE WHEN {_sql_bitval(b)} = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+
+
+def _sql_sig(lo: int, hi: int) -> str:
+    return " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2 ** (b - lo)} AS BIGINT) ELSE 0 END"
+        for b in range(lo, hi)
+    )
+
+
+_SIMHASH64_SIG = f"""
+    norm AS ({_NORM}),
+    toks AS (SELECT doc_id, md5(unnest(string_split(t, ' '))) AS h FROM norm),
+    votes AS (SELECT doc_id, {_SIMHASH64_VOTES} FROM toks GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+                   CAST({_sql_sig(32, 64)} AS BIGINT) AS sim_hi,
+                   CAST({_sql_sig(0, 32)} AS BIGINT) AS sim_lo
+            FROM votes)
+"""
+
+
+@register(
+    "dedup_simhash64",
+    sql=f"WITH {_SIMHASH64_SIG} SELECT doc_id, sim_hi, sim_lo FROM sig",
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash64_near",
+    sql=f"""
+    WITH {_SIMHASH64_SIG},
+    banded AS (
+        SELECT doc_id, sim_hi, sim_lo, b.band,
+               CASE b.band
+                    WHEN 0 THEN sim_lo % 65536
+                    WHEN 1 THEN sim_lo // 65536
+                    WHEN 2 THEN sim_hi % 65536
+                    ELSE sim_hi // 65536 END AS val
+        FROM sig, unnest(generate_series(0, 3)) b(band))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_simhash64_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = dedup.simhash64_near_pairs(load_table(spark, sf_dir, "documents"))
+    return p.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --------------------------------------------------------------------------
 # exact cosine top-k (brute force baseline)
 # --------------------------------------------------------------------------
 _TOPK_K = 5

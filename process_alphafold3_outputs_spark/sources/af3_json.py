@@ -16,6 +16,8 @@ parser, removing reference inefficiency I4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -214,6 +216,32 @@ def write_pae_csv(pae_long: DataFrame, out_dir: str) -> None:
         .partitionBy("job")
         .option("header", True)
         .csv(out_dir)
+    )
+
+
+def write_pae_matrix_csvs(pae_long: DataFrame, out_root: str) -> DataFrame:
+    """Reference-exact O15 side-sink (:115-116): per job, the N×N PAE
+    matrix as ``{out_root}/{job}/{job}_full_data_0_pae.csv`` — the same
+    name ``pd.DataFrame(pae).to_csv(splitext(json)[0] + '_pae.csv')``
+    produces next to the input JSON, so a drop-in user diffing output
+    trees sees identical files. Grouped-map sink keyed by job (one file
+    per group, embarrassingly parallel). Returns (job, path, n_rows)."""
+    import pandas as pd
+
+    def write_job(pdf: pd.DataFrame) -> pd.DataFrame:
+        job = pdf["job"].iloc[0]
+        mat = pdf.pivot_table(
+            index="scored_token", columns="aligned_token", values="pae"
+        ).sort_index()
+        mat = mat[sorted(mat.columns)]
+        mat.columns = [str(c) for c in mat.columns]
+        path = os.path.join(out_root, job, f"{job}_full_data_0_pae.csv")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        mat.to_csv(path, index=False)
+        return pd.DataFrame({"job": [job], "path": [path], "n_rows": [len(mat)]})
+
+    return pae_long.groupBy("job").applyInPandas(
+        write_job, "job string, path string, n_rows long"
     )
 
 

@@ -96,3 +96,47 @@ def test_ingest_then_query_from_tables(spark, tmp_path):
     rows1 = sorted(open(r_files["csv"]).read().splitlines())
     rows2 = sorted(open(r_tables["csv"]).read().splitlines())
     assert rows1 == rows2 and len(rows1) > 1
+
+
+def test_cli_emits_reference_named_pae_csvs(spark, tmp_path):
+    """Reference parity (:115-116): every job with a full-data JSON gets
+    {out}/{job}/{job}_full_data_0_pae.csv holding the N×N matrix with
+    pandas-style 0..N-1 headers; --no-emit-pae-csv skips the sink."""
+    import pandas as pd
+
+    corpus_dir = str(tmp_path / "c5")
+    out_dir = str(tmp_path / "o5")
+    corpus = write_file_corpus(corpus_dir, n_jobs=4, seed=9)
+    args = build_parser().parse_args(
+        ["-id", corpus_dir, "--output-dir", out_dir, "--skip-structures"]
+    )
+    result = run(args, spark=spark)
+    assert result["pae_csvs"] == 4
+
+    job = "fold_poi_partner_0001"
+    path = os.path.join(out_dir, job, f"{job}_full_data_0_pae.csv")
+    got = pd.read_csv(path)
+    jp = corpus["pae_long"]
+    jp = jp[jp.job == job]
+    n = int(jp.aligned_token.max()) + 1
+    assert list(got.columns) == [str(i) for i in range(n)]
+    want = (
+        jp.pivot_table(index="scored_token", columns="aligned_token", values="pae")
+        .sort_index()
+        .to_numpy()
+    )
+    import numpy as np
+
+    assert got.shape == (n, n)
+    assert np.allclose(got.to_numpy(), want, atol=1e-4)
+
+    out2 = str(tmp_path / "o5b")
+    r2 = run(
+        build_parser().parse_args(
+            ["-id", corpus_dir, "--output-dir", out2, "--skip-structures",
+             "--no-emit-pae-csv"]
+        ),
+        spark=spark,
+    )
+    assert r2["pae_csvs"] == 0
+    assert not os.path.exists(os.path.join(out2, job, f"{job}_full_data_0_pae.csv"))

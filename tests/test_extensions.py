@@ -160,3 +160,86 @@ def test_ivf_centroids_plan_has_no_global_window_exchange(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     rows = cents.collect()
     assert [r.cell for r in sorted(rows, key=lambda r: r.cell)] == list(range(8))
+
+
+def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
+    """PPJoin prefix candidates must reproduce the full inverted-index
+    result exactly (the filter is provably lossless for J >= t)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.5, 0.8):
+        fast = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.jaccard_pairs(docs, threshold=t).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.jaccard_pairs(docs, threshold=t, prefix_filter=False).collect()
+        }
+        assert fast == full
+
+
+def test_jaccard_hot_shingle_candidates_bounded(spark):
+    """A corpus-wide hot shingle (df = N) must NOT generate the m²
+    candidate pairs a plain inverted index emits: it sorts last in the
+    document-frequency order and stays out of every prefix."""
+    n = 300
+    rows = [(i, f"alpha beta gamma u{i} v{i} w{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc shares the 'alpha beta gamma' shingle -> the full index
+    # would emit n*(n-1)/2 = 44850 candidates from that shingle alone
+    cands = dedup.jaccard_candidates(docs, threshold=0.8).count()
+    assert cands == 0  # prefixes index only the rare (df=1) shingles
+    # and the exact result agrees: no pair reaches jaccard >= 0.8
+    assert dedup.jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_simhash64_survives_collision_scale(spark):
+    """At 10^4 docs the 16-bit signature saturates (<= 65536 buckets ⇒
+    birthday collisions); the 64-bit signature must keep distinct docs
+    distinct."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(1000)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, 12))) for i in range(10_000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n16 = dedup.simhash(docs).select("simhash").distinct().count()
+    n64 = (
+        dedup.simhash64(docs).select("sim_hi", "sim_lo").distinct().count()
+    )
+    assert n16 < 10_000  # 16-bit: collisions by pigeonhole/birthday
+    assert n64 > n16
+    assert n64 >= 9_990  # 64 bits: essentially collision-free here
+
+
+def test_simhash64_band_recall_for_small_hamming(spark):
+    """Pigeonhole contract: every pair within Hamming distance 3 shares
+    >= 1 of the 4 bands, so band candidates find it (recall 1.0)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy cat again and again"),
+        (4, "completely different words about spark shuffles and parquet"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: (r.sim_hi, r.sim_lo) for r in dedup.simhash64(docs).collect()}
+
+    def ham(a, b):
+        return bin(sig[a][0] ^ sig[b][0]).count("1") + bin(
+            sig[a][1] ^ sig[b][1]
+        ).count("1")
+
+    close = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and ham(a, b) <= 3
+    }
+    assert (1, 2) in close  # identical docs: hamming 0
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash64_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert close <= found
