@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the per-job {job}_full_data_0_pae.csv matrix "
                    "side output (reference writes it unconditionally, "
                    ":115-116; --no-emit-pae-csv skips the extra I/O)")
+    p.add_argument("--write-log", action="store_true",
+                   help="materialise the summary-read errors table to "
+                   "{output-dir}/process_af3_outputs.log (the reference's "
+                   "log-file observability, :16-21, as a batch sink; the "
+                   "errors are always queryable via read_summary_errors)")
     p.add_argument("--watch", action="store_true",
                    help="streaming mode: watch input_dir for new summary "
                    "JSONs and append screen verdicts to "
@@ -161,6 +166,15 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
         from .sources.af3_json import write_pae_matrix_csvs
 
         result["pae_csvs"] = write_pae_matrix_csvs(pae, out_root).count()
+
+    if getattr(args, "write_log", False) and not args.from_tables:
+        from .sources.af3_json import read_summary_errors
+
+        log_path = os.path.join(out_root, "process_af3_outputs.log")
+        with open(log_path, "w") as fh:
+            for r in read_summary_errors(spark, args.input_dir).collect():
+                fh.write(f"ERROR - Invalid JSON: {r.path}: {r.raw_prefix}\n")
+        result["log"] = log_path
     result["n_report_rows"] = sum(1 for _ in open(csv_path)) - 1
 
     if not args.skip_structures:

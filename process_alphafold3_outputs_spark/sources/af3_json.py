@@ -51,6 +51,13 @@ def _with_job(df: DataFrame) -> DataFrame:
     )
 
 
+#: hard cap on the driver-side corrupt-path collect (robust fallback).
+#: Corrupt files are rare by construction; if a pathological corpus
+#: exceeds this, the excess files simply stay dropped (the per-row
+#: contract) instead of ballooning driver memory.
+MAX_FALLBACK_FILES = 10_000
+
+
 def read_summary_confidences(
     spark: SparkSession, input_dir: str, robust: bool = True
 ) -> DataFrame:
@@ -96,6 +103,7 @@ def read_summary_confidences(
         for r in df.filter(F.col("_corrupt_record").isNotNull())
         .select("_path")
         .distinct()
+        .limit(MAX_FALLBACK_FILES)
         .collect()
     ]
     if not bad_paths:

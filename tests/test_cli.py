@@ -140,3 +140,17 @@ def test_cli_emits_reference_named_pae_csvs(spark, tmp_path):
     )
     assert r2["pae_csvs"] == 0
     assert not os.path.exists(os.path.join(out2, job, f"{job}_full_data_0_pae.csv"))
+
+
+def test_cli_write_log_materialises_errors(spark, tmp_path):
+    corpus_dir = str(tmp_path / "c6")
+    out_dir = str(tmp_path / "o6")
+    write_file_corpus(corpus_dir, n_jobs=4, seed=5)
+    args = build_parser().parse_args(
+        ["-id", corpus_dir, "--output-dir", out_dir, "--skip-structures",
+         "--no-emit-pae-csv", "--write-log"]
+    )
+    result = run(args, spark=spark)
+    text = open(result["log"]).read()
+    assert "corrupt_json_job_summary_confidences_0.json" in text
+    assert "ERROR - Invalid JSON" in text
