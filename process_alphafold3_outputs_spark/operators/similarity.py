@@ -183,6 +183,44 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
+def ivf_refine(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd (k-means) iteration: assign every vector to its
+    max-cosine centroid, then recentre each cell on the element-wise
+    MEAN of its members. Produces measurably better-balanced inverted
+    lists than the pick-first-n 'training' while staying fully
+    deterministic: the per-component sum folds in vec_id order
+    (sort_array before aggregate), so the DuckDB oracle
+    (``sum(val ORDER BY vec_id)``) reproduces every double bit-for-bit
+    — no rounding needed, no flaky ulp drift from shuffle order.
+
+    Shuffle shape: one (cell, pos)-keyed aggregation over the exploded
+    components + one tiny (cell)-keyed rebuild; at 100 TB you train on
+    a deterministic sample (filter vec_id % s == 0) first — the
+    construction is sample-agnostic."""
+    assigned = ivf_assign(embeddings, centroids)
+    comps = assigned.select(
+        "cell", "vec_id", F.posexplode("vec").alias("pos", "val")
+    )
+    means = comps.groupBy("cell", "pos").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                    lambda s: s["val"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its max-cosine centroid (broadcast the
     tiny centroid table; one pass over the corpus, one window by vec)."""
@@ -206,12 +244,18 @@ def topk_ivf(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 2,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF top-k: queries probe their ``n_probe`` closest cells and rank
     only those cells' vectors. The inverted lists are the corpus
     partitioned by ``cell`` — at 100 TB this is the classic
-    write-once/probe-many layout (store `assignments` bucketed by cell)."""
+    write-once/probe-many layout (store `assignments` bucketed by cell).
+
+    ``refine_iters`` Lloyd iterations improve the quantizer (see
+    :func:`ivf_refine`); 0 keeps the deterministic pick-first seed."""
     cents = ivf_centroids(embeddings, n_cells)
+    for _ in range(refine_iters):
+        cents = ivf_refine(embeddings, cents)
     assigned = ivf_assign(embeddings, cents)
     if isinstance(query_ids, Column):
         q = spread(embeddings, "vec_id").filter(query_ids)

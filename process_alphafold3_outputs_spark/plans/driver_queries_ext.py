@@ -614,3 +614,66 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(
         emb, F.col("vec_id") < _IVF_NQ, k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
     )
+
+
+# --------------------------------------------------------------------------
+# IVF with ONE Lloyd (k-means) refinement iteration — the centroid means
+# fold in vec_id order on both engines, so every double matches exactly
+# --------------------------------------------------------------------------
+@register(
+    "similarity_topk_ivf_refined",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cvec
+               FROM emb ORDER BY vec_id LIMIT {_IVF_CELLS}),
+    assigned0 AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS.format(a="e.v", b="c.cvec")} DESC, c.cell) AS rn
+            FROM emb e, cents0 c)
+        WHERE rn = 1),
+    comps AS (
+        SELECT a.cell, a.vec_id, s.pos, a.v[s.pos] AS val
+        FROM assigned0 a, unnest(generate_series(1, len(a.v))) s(pos)),
+    means AS (
+        SELECT cell, pos, sum(val ORDER BY vec_id) / count(*) AS m
+        FROM comps GROUP BY cell, pos),
+    cents1 AS (SELECT cell, list(m ORDER BY pos) AS cvec FROM means GROUP BY cell),
+    assigned1 AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS.format(a="e.v", b="c.cvec")} DESC, c.cell) AS rn
+            FROM emb e, cents1 c)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {_IVF_NQ}),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC, c.cell) AS rn
+            FROM q, cents1 c)
+        WHERE rn <= {_IVF_PROBE}),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_COS.format(a="p.qv", b="a.v")} AS s
+        FROM probes p JOIN assigned1 a ON a.cell = p.cell
+        WHERE p.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, round(s, 6) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_IVF_K}
+    """,
+)
+def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_ivf(
+        emb,
+        F.col("vec_id") < _IVF_NQ,
+        k=_IVF_K,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        refine_iters=1,
+    )

@@ -243,3 +243,29 @@ def test_simhash64_band_recall_for_small_hamming(spark):
         for r in dedup.simhash64_near_pairs(docs, max_hamming=3).collect()
     }
     assert close <= found
+
+
+def test_ivf_refinement_is_exact_when_probing_all_cells(spark, sf_dir):
+    """One Lloyd iteration changes the quantizer but NOT correctness:
+    probing every refined cell still degrades to exact search."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in similarity.topk_bruteforce(emb, F.col("vec_id") < 4, k=3).collect()
+    }
+    refined_full = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in similarity.topk_ivf(
+            emb, F.col("vec_id") < 4, k=3, n_cells=8, n_probe=8, refine_iters=1
+        ).collect()
+    }
+    assert refined_full == exact
+    # and the refinement actually moves the centroids
+    c0 = {tuple(r.cvec) for r in similarity.ivf_centroids(emb, 8).collect()}
+    c1 = {
+        tuple(r.cvec)
+        for r in similarity.ivf_refine(emb, similarity.ivf_centroids(emb, 8)).collect()
+    }
+    assert c0 != c1
