@@ -617,6 +617,56 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LSH-bucketed approximate top-k — the md5-parity hyperplanes are
+# reproduced in SQL, so even the approximate path is hash-checked
+# --------------------------------------------------------------------------
+_LSH_PLANES = 6
+
+
+@register(
+    "similarity_topk_lsh",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pl AS (
+        SELECT t.p,
+               list(CASE WHEN CAST(('0x' || substr(md5(CAST(t.p AS VARCHAR)
+                        || ':' || CAST(s.j AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 2 = 0
+                    THEN 1.0 ELSE -1.0 END ORDER BY s.j) AS plane
+        FROM unnest(generate_series(0, {_LSH_PLANES - 1})) t(p),
+             unnest(generate_series(0, 63)) s(j)
+        GROUP BY t.p),
+    b AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                        THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM emb e, pl GROUP BY e.vec_id),
+    q AS (SELECT b.vec_id AS query_id, e.v AS qv, b.bucket
+          FROM b JOIN emb e ON e.vec_id = b.vec_id
+          WHERE b.vec_id < {_N_QUERIES}),
+    c AS (SELECT b.vec_id AS neighbor_id, e.v AS cv, b.bucket
+          FROM b JOIN emb e ON e.vec_id = b.vec_id),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               {_COS.format(a="q.qv", b="c.cv")} AS s
+        FROM q JOIN c ON q.bucket = c.bucket
+        WHERE q.query_id <> c.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, round(s, 6) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_TOPK_K}
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_lsh(
+        emb, F.col("vec_id") < _N_QUERIES, k=_TOPK_K, n_planes=_LSH_PLANES
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF with ONE Lloyd (k-means) refinement iteration — the centroid means
 # fold in vec_id order on both engines, so every double matches exactly
 # --------------------------------------------------------------------------

@@ -116,3 +116,56 @@ def test_session_window_stream(spark, tmp_path):
     assert (1, 2, 15.0) in got  # first session: two events within gap
     assert (1, 1, 1.0) in got
     assert (2, 1, 7.0) in got
+
+
+def test_session_stream_drops_late_data_past_watermark(spark, tmp_path):
+    """True watermark semantics in append mode: an event arriving AFTER
+    the watermark has passed its session is dropped — the finalized
+    session keeps its original count. Three micro-batches: (1) the
+    session, (2) a fresh event far ahead that advances the watermark,
+    (3) a late straggler inside the now-closed session."""
+    import os
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    write_batch("b1", [(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:05:00", 1.0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = session_stream(stream, gap="30 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event-time max jumps to 12:00 -> watermark 11:30 on
+        # the NEXT batch, far past the first session's 10:35 end
+        write_batch("b2", [(1, "2024-01-01 12:00:00", 1.0)])
+        q.processAllAvailable()
+        # batch 3: straggler at 10:06 (< watermark 11:30) must be DROPPED
+        write_batch("b3", [(1, "2024-01-01 10:06:00", 99.0)])
+        q.processAllAvailable()
+        # batch 4: advance far enough to also close the 12:00 session
+        write_batch("b4", [(1, "2024-01-01 14:00:00", 1.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM late_sessions").collect()
+    finally:
+        q.stop()
+    closed = {(r.session_start.strftime("%H:%M"), r.n_events, r.total_value) for r in rows}
+    # first session finalized with its ORIGINAL two events, not the straggler
+    assert ("10:00", 2, 2.0) in closed
+    assert not any(v == 99.0 or v == 101.0 for _, _, v in closed)
