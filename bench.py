@@ -52,6 +52,7 @@ HEADLINE = [
     "text_quality",
     "text_token_count",
     "text_fingerprint",
+    "pipeline_corpus_clean",
 ]
 
 

@@ -48,19 +48,33 @@ def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return d.select("doc_id", *[f"score_{lang}" for lang in sorted(LANG_MARKERS)])
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang) — argmax of marker scores, 'und' when all
-    zero; ties break alphabetically (deterministic)."""
-    s = language_scores(docs, text_col)
+def language_id_col(norm: Column) -> Column:
+    """``pred_lang`` as a pure Column over space-normalized text —
+    composable into wider projections without a per-stage join
+    (argmax of marker scores, 'und' when all zero; ties break
+    alphabetically, deterministic)."""
     langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    scores = {}
+    for lang in langs:
+        score = None
+        for w in LANG_MARKERS[lang]:
+            c = _count_word(norm, w)
+            score = c if score is None else score + c
+        scores[lang] = score
+    best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.lit("und")
     # reverse order so earlier languages win ties
     for lang in reversed(langs):
-        pred = F.when(
-            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
-        ).otherwise(pred)
-    return s.select("doc_id", pred.alias("pred_lang"))
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — see :func:`language_id_col`."""
+    d = normalized(docs, text_col)
+    return d.select("doc_id", language_id_col(F.col("_norm")).alias("pred_lang"))
 
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,74 @@
+"""Composed training-data pipeline: quality gate → language gate →
+exact dedup → near-dup removal, as ONE declarative DAG over the
+``documents`` table.
+
+This is the shape a 100 TB pre-training corpus actually runs: every
+stage is a filter or keyed aggregation (no cross join anywhere), the
+near-dup stage rides the PPJoin-filtered Jaccard kernel, and the whole
+composition stays inside Catalyst — one plan, not four scripted passes
+re-reading the corpus (stages after the first operate on the already-
+filtered survivors, so each later stage touches less data).
+
+Drop rule determinism: exact dedup keeps the min doc_id per normalized
+text; near-dup removal drops the HIGHER id of every qualifying pair
+(greedy by id, not transitive clustering — the standard cheap rule;
+clustering would need connected components, a different operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+
+
+def clean_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_words: int = 5,
+    max_words: int = 10_000,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Surviving documents after the four gates, with the stats the
+    gates used: (doc_id, pred_lang, n_words).
+
+    Stages:
+      1. quality: whitespace token count in [min_words, max_words]
+      2. language: n-gram-marker language ID == ``lang``
+      3. exact dedup: keep min doc_id per normalized text
+      4. near-dup: drop the higher id of every pair with shingle-set
+         Jaccard >= threshold among the remaining docs (PPJoin prefix
+         index — no hot-shingle blowup)
+    """
+    # stats are pure projections — compute them as COLUMNS in one pass,
+    # not per-stat joins (each join would shuffle the full corpus by
+    # doc_id for data the row already holds)
+    base = (
+        dedup.normalized(docs, text_col)
+        .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
+        .withColumn("pred_lang", text.language_id_col(F.col("_norm")))
+        .filter(
+            (F.col("n_ws_tokens") >= min_words)
+            & (F.col("n_ws_tokens") <= max_words)
+            & (F.col("pred_lang") == lang)
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("_norm")))
+    exact_kept = (
+        base.withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_norm", "_keep")
+    )
+    near_pairs = dedup.jaccard_pairs(
+        exact_kept, threshold=jaccard_threshold, text_col=text_col
+    )
+    survivors = exact_kept.join(
+        near_pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    return survivors.select(
+        "doc_id", "pred_lang", F.col("n_ws_tokens").alias("n_words")
+    )

@@ -269,3 +269,21 @@ def test_ivf_refinement_is_exact_when_probing_all_cells(spark, sf_dir):
         for r in similarity.ivf_refine(emb, similarity.ivf_centroids(emb, 8)).collect()
     }
     assert c0 != c1
+
+
+def test_corpus_clean_gates_compose(spark):
+    """Each gate observable: short doc out, non-English out, exact dup
+    keeps min id, near-dup drops the higher id."""
+    from process_alphafold3_outputs_spark.plans.corpus import clean_corpus
+
+    rows = [
+        (1, "the cat and the dog of the house is to be found near the door"),
+        (2, "the cat and the dog of the house is to be found near the door"),  # exact dup of 1
+        (3, "the cat and the dog of the house is to be found near the gate"),  # near dup of 1
+        (4, "too short"),                                                      # quality gate
+        (5, "el perro y la casa de que es grande la vida aqui"),               # language gate
+        (6, "a completely different english document about the spark engine and the parquet files"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in clean_corpus(docs, jaccard_threshold=0.5).collect()}
+    assert kept == {1, 6}
