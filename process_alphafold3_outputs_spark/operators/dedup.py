@@ -169,6 +169,47 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_dup_buckets(
+    docs: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(band, band_sig, keeper_doc_id, n_docs) — the GROUP form of the
+    LSH banding output: one row per multi-member bucket instead of the
+    pairwise expansion. For a duplicate cluster of m documents the
+    pairwise form inherently emits m(m-1)/2 rows; at corpus scale a
+    dedup planner wants the bucket summary (keeper + member count), a
+    single hash aggregation whose output is linear in bucket count."""
+    n_hashes = n_bands * rows_per_band
+    sig = minhash_sig_array(docs, n_hashes, shingle_k, text_col)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig"))
+    return (
+        bands.groupBy("band", "band_sig")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise similarity via inverted index)
 # --------------------------------------------------------------------------

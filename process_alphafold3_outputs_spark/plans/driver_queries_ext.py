@@ -74,6 +74,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_lsh_buckets",
+    sql=f"""
+    WITH {_SHINGLES},
+    mh AS (
+        SELECT doc_id, s.seed,
+               min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
+        FROM shingles, unnest(generate_series(0, 11)) s(seed)
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 3 AS band,
+               string_agg(minhash, '|' ORDER BY seed) AS band_sig
+        FROM mh GROUP BY doc_id, seed // 3
+    )
+    SELECT CAST(band AS INT) AS band, band_sig,
+           min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_docs
+    FROM bands GROUP BY band, band_sig
+    HAVING count(*) > 1
+    """,
+)
+def dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-form LSH output: bucket summaries, not m² pairs — the
+    dedup-planner shape at corpus scale."""
+    return dedup.lsh_dup_buckets(
+        load_table(spark, sf_dir, "documents"), n_bands=4, rows_per_band=3
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard pairs (exact, inverted-index join)
 # --------------------------------------------------------------------------

@@ -287,3 +287,17 @@ def test_corpus_clean_gates_compose(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r.doc_id for r in clean_corpus(docs, jaccard_threshold=0.5).collect()}
     assert kept == {1, 6}
+
+
+def test_lsh_bucket_groups_cover_candidate_pairs(docs):
+    """The group-form bucket summary and the pairwise expansion describe
+    the same banding: every candidate pair shares a multi-member bucket,
+    and bucket member counts bound the pair count."""
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    buckets = dedup.lsh_dup_buckets(docs).collect()
+    assert sum(r.n_docs * (r.n_docs - 1) // 2 for r in buckets) >= len(pairs)
+    keepers = {r.keeper_doc_id for r in buckets}
+    # every pair's lower doc is a keeper of SOME bucket or joined one
+    assert all(a in keepers or any(b.n_docs > 1 for b in buckets) for a, _ in pairs)
