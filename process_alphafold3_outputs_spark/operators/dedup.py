@@ -238,6 +238,7 @@ def jaccard_candidates(
     threshold: float = 0.8,
     shingle_k: int = 3,
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from a PPJoin-style PREFIX index —
     provably lossless for Jaccard >= threshold.
@@ -250,8 +251,17 @@ def jaccard_candidates(
     So the prefix-prefix self-join finds every qualifying pair — while
     a corpus-wide hot shingle (df ≈ N) sorts LAST in every doc and
     stays OUT of the index, killing the m² candidate blowup that a
-    full inverted index suffers on skewed shingle frequencies."""
-    sh = hashed_shingles(docs, k=shingle_k, text_col=text_col)
+    full inverted index suffers on skewed shingle frequencies.
+
+    ``shingles``: optional precomputed :func:`hashed_shingles` table —
+    pass a persisted one when composing into a larger plan (the shingle
+    set feeds 4+ branches; without sharing, Catalyst re-derives it from
+    the raw text per branch)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, k=shingle_k, text_col=text_col)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
@@ -281,6 +291,7 @@ def jaccard_pairs(
     shingle_k: int = 3,
     text_col: str = "text",
     prefix_filter: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
     threshold — exact result either way:
@@ -290,11 +301,17 @@ def jaccard_pairs(
       then an exact verification join counts |A∩B| per candidate.
     - ``prefix_filter=False``: full inverted-index self-join — the
       simple shape, quadratic on hot shingles; kept as the differential
-      baseline for the equivalence test."""
-    sh = hashed_shingles(docs, k=shingle_k, text_col=text_col)
+      baseline for the equivalence test.
+
+    ``shingles``: see :func:`jaccard_candidates`."""
+    sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, k=shingle_k, text_col=text_col)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefix_filter:
-        cand = jaccard_candidates(docs, threshold, shingle_k, text_col)
+        cand = jaccard_candidates(docs, threshold, shingle_k, text_col, shingles=sh)
         a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
         b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
         common = (

@@ -30,6 +30,7 @@ def clean_corpus(
     max_words: int = 10_000,
     jaccard_threshold: float = 0.8,
     text_col: str = "text",
+    stage: bool = True,
 ) -> DataFrame:
     """Surviving documents after the four gates, with the stats the
     gates used: (doc_id, pred_lang, n_words).
@@ -41,6 +42,15 @@ def clean_corpus(
       4. near-dup: drop the higher id of every pair with shingle-set
          Jaccard >= threshold among the remaining docs (PPJoin prefix
          index — no hot-shingle blowup)
+
+    ``stage=True`` persists the two fan-out points — the post-gate
+    survivor set (feeds the near-dup kernel AND the final anti-join)
+    and its shingle table (feeds 4+ branches of the PPJoin) — because
+    Catalyst does not share non-identical subplans: unstaged, the raw
+    corpus is scanned 11× with the normalize+language projection
+    recomputed each time. At production scale the same effect comes
+    from writing survivors to a staging table (the ingest-once
+    pattern); persist() is the single-session form.
     """
     # stats are pure projections — compute them as COLUMNS in one pass,
     # not per-stat joins (each join would shuffle the full corpus by
@@ -61,8 +71,15 @@ def clean_corpus(
         .filter(F.col("doc_id") == F.col("_keep"))
         .drop("_norm", "_keep")
     )
+    shingles = dedup.hashed_shingles(exact_kept, text_col=text_col)
+    if stage:
+        exact_kept = exact_kept.persist()
+        shingles = shingles.persist()
     near_pairs = dedup.jaccard_pairs(
-        exact_kept, threshold=jaccard_threshold, text_col=text_col
+        exact_kept,
+        threshold=jaccard_threshold,
+        text_col=text_col,
+        shingles=shingles,
     )
     survivors = exact_kept.join(
         near_pairs.select(F.col("doc_b").alias("doc_id")).distinct(),

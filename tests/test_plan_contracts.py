@@ -93,3 +93,23 @@ def test_screen_is_scan_plus_filter_only(spark, af3):
 
     plan = formatted_plan(screen_binders(af3["predictions"], ScreenParams()))
     assert "Exchange" not in plan  # the screen must not shuffle
+
+
+def test_corpus_clean_staged_scans_corpus_once(spark, sf_dir):
+    """The composed cleaning pipeline fans out into 4+ branches (sizes,
+    prefix index, candidate join, verification, final anti-join);
+    Catalyst does not share non-identical subplans, so unstaged the raw
+    corpus is scanned 11x. stage=True persists the two fan-out points —
+    the parquet must be scanned exactly once."""
+    from process_alphafold3_outputs_spark.plans.corpus import clean_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # clear first, and probe unstaged BEFORE staged: once anything (this
+    # test or an earlier oracle run) persists these subplans, Spark's
+    # CacheManager substitutes them into later logically-EQUAL plans
+    spark.catalog.clearCache()
+    unstaged = formatted_plan(clean_corpus(docs, stage=False))
+    assert unstaged.count("documents.parquet") > 1
+    staged = formatted_plan(clean_corpus(docs, stage=True))
+    assert staged.count("documents.parquet") == 1
+    spark.catalog.clearCache()
