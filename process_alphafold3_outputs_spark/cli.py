@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the per-job {job}_full_data_0_pae.csv matrix "
                    "side output (reference writes it unconditionally, "
                    ":115-116; --no-emit-pae-csv skips the extra I/O)")
+    p.add_argument("--distributed-csv", action="store_true",
+                   help="write the report via the distributed CSV sink "
+                   "(a directory of part files) instead of a single "
+                   "driver-assembled file — use when the report itself "
+                   "is too large to collect")
     p.add_argument("--write-log", action="store_true",
                    help="materialise the summary-read errors table to "
                    "{output-dir}/process_af3_outputs.log (the reference's "
@@ -155,12 +160,23 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
     contacts = contact_pairs_grid(atoms, interacting, params).cache()
 
     report = interaction_report(preds, chains, pae, atoms, params, contacts=contacts)
-    csv_path = os.path.join(out_root, params.csv_name())
-    report.toPandas().to_csv(csv_path, index=False)
+    if getattr(args, "distributed_csv", False):
+        from .plans.pipeline import write_report
+
+        csv_path = write_report(report, out_root, params)
+        n_rows = spark.read.option("header", True).csv(csv_path).count()
+    else:
+        # reference parity: ONE file with the exact reference name; the
+        # report is one row per binder island pair — small relative to
+        # the corpus. --distributed-csv switches to the parallel sink.
+        csv_path = os.path.join(out_root, params.csv_name())
+        pdf = report.toPandas()
+        pdf.to_csv(csv_path, index=False)
+        n_rows = len(pdf)
 
     result = {"csv": csv_path, "n_binders": binders.count(),
-              "n_report_rows": None, "interaction_cifs": 0, "overlay_files": 0,
-              "pae_csvs": 0}
+              "n_report_rows": n_rows, "interaction_cifs": 0,
+              "overlay_files": 0, "pae_csvs": 0}
 
     if getattr(args, "emit_pae_csv", True):
         from .sources.af3_json import write_pae_matrix_csvs
@@ -175,7 +191,6 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
             for r in read_summary_errors(spark, args.input_dir).collect():
                 fh.write(f"ERROR - Invalid JSON: {r.path}: {r.raw_prefix}\n")
         result["log"] = log_path
-    result["n_report_rows"] = sum(1 for _ in open(csv_path)) - 1
 
     if not args.skip_structures:
         partner_islands = find_islands(

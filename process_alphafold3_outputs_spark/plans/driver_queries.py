@@ -196,6 +196,11 @@ def conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running total over the small supplier DIM table — the
+    demo shape for O16. The production kernel (chain_intervals) always
+    partitions its window by ``job``; a corpus-sized global window
+    would be the single-partition scale-killer the plan contracts
+    forbid elsewhere."""
     s = load_table(spark, sf_dir, "supplier")
     w = Window.orderBy("s_suppkey").rowsBetween(Window.unboundedPreceding, 0)
     return s.select(
