@@ -283,3 +283,32 @@ def test_grid_cell_schemes_agree(af3):
         for r in contact_pairs_grid(af3["atoms"], inter, PARAMS, cell_scheme="27").collect()
     }
     assert g8 == g27 and len(g8) > 0
+
+
+def test_full_report_matches_model_alternate_seed(spark, tmp_path):
+    """Same end-to-end differential on a DIFFERENT corpus seed and size
+    — guards against expectations that only hold for the module fixture
+    (seed 7, 20 jobs)."""
+    import os
+
+    from process_alphafold3_outputs_spark.fixtures import write_corpus
+
+    d = str(tmp_path / "alt")
+    write_corpus(d, n_jobs=30, seed=21)
+    tabs = {
+        n: spark.read.parquet(os.path.join(d, f"{n}.parquet"))
+        for n in ("predictions", "chains", "pae_long", "atoms")
+    }
+    import pandas as pd
+
+    corpus = {
+        n: pd.read_parquet(os.path.join(d, f"{n}.parquet"))
+        for n in ("predictions", "chains", "pae_long", "atoms")
+    }
+    report = interaction_report(
+        tabs["predictions"], tabs["chains"], tabs["pae_long"], tabs["atoms"], PARAMS
+    )
+    cols = PARAMS.report_columns()
+    got = {tuple(r[c] for c in cols) for r in report.collect()}
+    want = set(model.full_pipeline(corpus))
+    assert got == want and len(want) > 0
