@@ -95,24 +95,90 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(run, _FEATURES_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Stub: real resize needs an image lib. The plumbing (meta update +
-    pass-through content) is the tested part."""
-    raise NotImplementedError(
-        "image resize requires an image codec library not present in this "
-        "environment; the schema contract is meta.width/height updated to "
-        f"({width}, {height}) with re-encoded content"
-    )
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize every image asset via ``mapInPandas``. The Spark plumbing
+    — Arrow batch shape, meta-struct update, content pass-through — is
+    real and tested; the pixel transform itself is the codec boundary:
+    ``fake=False`` raises NotImplementedError at execution (no image
+    libs in this container), ``fake=True`` substitutes a deterministic
+    re-encode (md5(content ‖ w×h) bytes) with the correct meta."""
+
+    def run(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires a codec library not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "stub transform"
+                )
+            out_content = [
+                hashlib.md5(bytes(c) + f":{width}x{height}".encode()).digest()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "content": out_content,
+                    "meta": [
+                        {
+                            "width": width,
+                            "height": height,
+                            "duration_ms": (m or {}).get("duration_ms"),
+                            "codec": "fake-resized",
+                        }
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
-    """Stub: video frame sampling — same plumbing pattern as
-    extract_features with a LATERAL-style fan-out (one row per frame)."""
-    raise NotImplementedError(
-        "video decode requires a codec library not present in this "
-        "environment; contract: one output row per sampled frame "
-        "(asset_id, frame_ms, content)"
-    )
+def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFrame:
+    """Video frame sampling: LATERAL-style fan-out — one output row per
+    sampled frame (asset_id, frame_ms, content). Frame count derives
+    from ``meta.duration_ms`` (relational, no decode needed); the frame
+    EXTRACTION is the codec boundary: ``fake=False`` raises at
+    execution, ``fake=True`` emits deterministic md5-derived frame
+    bytes so the fan-out shape and partitioning are fully testable."""
+
+    def run(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires a codec library not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "stub frames"
+                )
+            rows = []
+            for asset_id, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                duration = (meta or {}).get("duration_ms") or 0
+                for t in range(0, int(duration), int(every_ms)):
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_ms": t,
+                            "content": hashlib.md5(
+                                bytes(content) + f"@{t}".encode()
+                            ).digest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_ms", "content"]
+            )
+
+    return media.mapInPandas(run, "asset_id long, frame_ms int, content binary")
 
 
 def media_summary(media: DataFrame) -> DataFrame:

@@ -49,11 +49,51 @@ def test_real_decode_raises(media):
     )
 
 
-def test_resize_and_frames_are_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, 224, 224)
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(media, 1000)
+def test_resize_and_frames_codec_boundary_raises(media):
+    """Without fake=True the codec boundary raises AT EXECUTION (plans
+    build fine — only the Python worker step is stubbed)."""
+    with pytest.raises(Exception) as e1:
+        multimodal.resize_images(media, 224, 224).collect()
+    assert "NotImplementedError" in str(e1.value) or isinstance(
+        e1.value, NotImplementedError
+    )
+    with pytest.raises(Exception) as e2:
+        multimodal.sample_frames(media, 1000).collect()
+    assert "NotImplementedError" in str(e2.value) or isinstance(
+        e2.value, NotImplementedError
+    )
+
+
+def test_resize_plumbing_with_fake_codec(media):
+    out = {r.asset_id: r for r in multimodal.resize_images(media, 224, 224, fake=True).collect()}
+    assert len(out) == 3
+    assert out[1].meta.width == 224 and out[1].meta.height == 224
+    assert out[1].meta.codec == "fake-resized"
+    # deterministic: same input bytes -> same fake-resized bytes
+    assert bytes(out[1].content) == bytes(out[3].content)
+    assert bytes(out[1].content) != bytes(out[2].content)
+
+
+def test_sample_frames_fanout_with_fake_codec(spark):
+    """Frame fan-out derives from meta.duration_ms: one row per step."""
+    media = spark.createDataFrame(
+        [
+            (10, "video/mp4", b"blob-a", (640, 480, 3500, "h264")),
+            (11, "video/mp4", b"blob-b", (640, 480, 900, "h264")),
+            (12, "video/mp4", b"blob-c", (None, None, None, "h264")),  # no duration
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_frames(media, 1000, fake=True).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert sorted(r.frame_ms for r in by_asset[10]) == [0, 1000, 2000, 3000]
+    assert sorted(r.frame_ms for r in by_asset[11]) == [0]
+    assert 12 not in by_asset  # no duration -> no frames, no error
+    # deterministic per (content, t)
+    f0 = [bytes(r.content) for r in sorted(by_asset[10], key=lambda r: r.frame_ms)]
+    assert len(set(f0)) == 4
 
 
 def test_watch_folder_screen(spark, tmp_path):
