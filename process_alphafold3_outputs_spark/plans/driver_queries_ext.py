@@ -378,6 +378,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# multimodal frame fan-out: one row per sampled frame, frame count from
+# meta.duration_ms (relational — no decode), fake codec emits
+# md5-derived frame bytes both engines can restate
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    sql="""
+    WITH media AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(least(octet_length(encode(text)), 4000) AS INT) AS duration_ms
+        FROM documents),
+    frames AS (
+        SELECT asset_id, text, CAST(t.t AS INT) AS frame_ms
+        FROM media, unnest(generate_series(0, duration_ms - 1, 250)) t(t)
+        WHERE duration_ms > 0)
+    SELECT asset_id, frame_ms,
+           md5(text || '@' || CAST(frame_ms AS VARCHAR)) AS frame_hash
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video/fake").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.least(F.octet_length(F.encode("text", "utf-8")), F.lit(4000))
+            .cast("int")
+            .alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    frames = multimodal.sample_frames(media, 250, fake=True)
+    # frame content IS md5(raw ‖ @t).digest(); its lowercase hex equals
+    # the oracle's md5 hex string over the same utf-8 bytes
+    return frames.select(
+        "asset_id", "frame_ms", F.lower(F.hex("content")).alias("frame_hash")
+    )
+
+
+# --------------------------------------------------------------------------
 # streaming kernel in batch mode: session_window aggregation (the same
 # operator the streaming ingest uses, oracle'd via gaps-and-islands SQL.
 # Spark's merge boundary is INCLUSIVE: an event exactly `gap` after the
