@@ -71,7 +71,14 @@ def _prev_bench() -> tuple[str | None, dict]:
             doc = json.load(fh)
         # the driver wraps the bench line as {"parsed": {...}, "rc": ...}
         inner = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else doc
-        return os.path.basename(best_path), (inner or {}).get("queries", {})
+        inner = inner or {}
+        # like-for-like comparison: the r1 anchor recorded min-of-2, not
+        # medians — compare our MIN against a min-based anchor
+        stat = inner.get("stat", "min")
+        return os.path.basename(best_path), {
+            "queries": inner.get("queries", {}),
+            "stat": stat,
+        }
     except (OSError, ValueError):
         return None, {}
 
@@ -149,10 +156,17 @@ def main() -> None:
         record(name, lambda fn=fn: fn(spark, sf_dir))
 
     anchor, prev = _prev_bench()
+    prev_q = prev.get("queries", {}) if prev else {}
+    # like-for-like: median vs a median anchor, min vs a min anchor
+    ours = (
+        timings
+        if prev.get("stat") == "median"
+        else {q: spread[q][0] for q in timings}
+    )
     vs_prev = {
-        q: round(timings[q] / prev[q], 3)
+        q: round(ours[q] / prev_q[q], 3)
         for q in timings
-        if q in prev and prev[q] > 0
+        if q in prev_q and prev_q[q] > 0
     }
     total = round(sum(timings.values()), 3)
     print(
@@ -167,6 +181,7 @@ def main() -> None:
                 "stat": "median",
                 "spread": spread,
                 "vs_prev": vs_prev,
+                "vs_prev_stat": (prev.get("stat", "min") if prev else None),
                 "prev_anchor": anchor,
             }
         )
