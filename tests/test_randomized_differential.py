@@ -1,0 +1,96 @@
+"""Seeded randomized differentials for the round-2 kernels: adversarial
+inputs the fixture corpus can't produce — atom coordinates landing
+exactly on cell borders and the max_dist sphere, document sets with
+duplicates, tiny docs and corpus-wide hot shingles."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from process_alphafold3_outputs_spark.operators import dedup
+from process_alphafold3_outputs_spark.operators.spatial import (
+    contact_pairs_grid,
+    contact_pairs_numpy,
+)
+from process_alphafold3_outputs_spark.params import ScreenParams
+
+PARAMS = ScreenParams()  # max_dist = 8.0
+
+
+def _random_atoms(seed: int, n_per_chain: int = 60):
+    """Coordinates snapped to multiples of d/2 = 4.0 — every pair
+    distance is a multiple-of-16 sum of squares, maximising exact
+    cell-border and radius-boundary hits (the half-cell proof's edge
+    cases)."""
+    rng = random.Random(seed)
+    rows = []
+    for chain, n in (("A", n_per_chain), ("B", n_per_chain)):
+        for r in range(1, n + 1):
+            x, y, z = (rng.randint(0, 8) * 4.0 for _ in range(3))
+            rows.append(("j", 0, chain, r, "GLY", True, "CA", x, y, z))
+    return rows
+
+
+def test_grid_schemes_match_numpy_on_boundary_heavy_clouds(spark):
+    schema = (
+        "job string, model_id int, chain_id string, residue_id int, "
+        "residue_name string, is_aa boolean, atom_name string, "
+        "x double, y double, z double"
+    )
+    for seed in (3, 17, 92):
+        atoms = spark.createDataFrame(_random_atoms(seed), schema)
+        inter = spark.createDataFrame(
+            [("j", r) for r in range(1, 61)], "job string, partner_res int"
+        )
+        sets = {}
+        for scheme in ("8", "27"):
+            sets[scheme] = {
+                (r.partner_res, r.poi_res)
+                for r in contact_pairs_grid(
+                    atoms, inter, PARAMS, cell_scheme=scheme
+                ).collect()
+            }
+        brute = {
+            (r.partner_res, r.poi_res)
+            for r in contact_pairs_numpy(atoms, inter, PARAMS).collect()
+        }
+        assert sets["8"] == sets["27"] == brute, seed
+        assert len(brute) > 0, seed  # snapped coords guarantee contacts
+
+
+def _random_docs(seed: int, n: int = 40):
+    """Duplicates, tiny docs, and a hot phrase shared by half the corpus."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(n):
+        k = rng.choice([1, 2, 4, 8, 12])
+        words = [rng.choice(vocab) for _ in range(k)]
+        if i % 2 == 0:
+            words = ["hot", "shared", "phrase"] + words
+        if i % 7 == 0 and i > 0:
+            rows.append((i, rows[i - 1][1]))  # exact duplicate
+        else:
+            rows.append((i, " ".join(words)))
+    return rows
+
+
+def test_jaccard_prefix_filter_lossless_on_adversarial_docs(spark):
+    for seed, threshold in itertools.product((5, 23), (0.4, 0.7, 0.95)):
+        docs = spark.createDataFrame(
+            _random_docs(seed), "doc_id long, text string"
+        )
+        fast = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.jaccard_pairs(docs, threshold=threshold).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.jaccard_pairs(
+                docs, threshold=threshold, prefix_filter=False
+            ).collect()
+        }
+        assert fast == full, (seed, threshold)
+        if threshold <= 0.4:
+            assert len(full) > 0, (seed, threshold)
