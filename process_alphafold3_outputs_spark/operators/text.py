@@ -132,3 +132,73 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.min(F.md5("shingle")).alias("rolling_fp"))
     )
     return exact.join(rolling, "doc_id")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_tokens) — fixed-size token
+    windows with overlap, the standard pre-training chunker. Pure
+    built-ins: split → sequence of window starts (stride =
+    chunk_tokens − overlap) → slice → concat_ws; one narrow projection,
+    no shuffle, embarrassingly parallel at any corpus size.
+
+    Every document emits at least one chunk (short docs yield
+    themselves); the final window is the tail remainder (shorter than
+    chunk_tokens, never empty)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    n = F.size("_w")
+    # window starts: 0, stride, 2·stride … while start < n_words; the
+    # last start is the largest multiple of stride below n_words
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int"),
+            F.lit(0),
+        )
+        * F.lit(stride),
+        F.lit(stride),
+    )
+    chunks = d.select(
+        "doc_id",
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+        F.col("_w"),
+    )
+    piece = F.slice(F.col("_w"), F.col("_start") + 1, chunk_tokens)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    val_pct: int = 10,
+    seed: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, split) — deterministic hash-based train/validation
+    assignment: md5(seed ‖ id) mod 100 < val_pct ⇒ 'val'. Stable across
+    runs/engines/re-partitioning (never use rand() — a retried task
+    would re-roll its rows), and changing ``seed`` re-draws the split
+    without touching the data."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    return docs.select(
+        id_col,
+        F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )

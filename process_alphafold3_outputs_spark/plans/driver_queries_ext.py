@@ -351,6 +351,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pre-training chunker: fixed token windows with overlap
+# --------------------------------------------------------------------------
+_CHUNK, _OVERLAP = 32, 8
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@register(
+    "text_chunk_documents",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w, len(string_split(t, ' ')) AS n
+              FROM norm),
+    starts AS (
+        SELECT doc_id, w, n, CAST(s.s AS INT) AS start
+        FROM words,
+             unnest(generate_series(
+                 0,
+                 greatest(CAST(ceil((n - {_CHUNK}) / {_STRIDE}.0) AS INT), 0) * {_STRIDE},
+                 {_STRIDE})) s(s))
+    SELECT doc_id, CAST(start // {_STRIDE} AS INT) AS chunk_id,
+           array_to_string(w[start + 1 : start + {_CHUNK}], ' ') AS chunk_text,
+           CAST(least({_CHUNK}, n - start) AS BIGINT) AS n_tokens
+    FROM starts
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=_CHUNK, overlap=_OVERLAP
+    )
+    return ch.select(
+        "doc_id", "chunk_id", "chunk_text", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic hash-based train/val split
+# --------------------------------------------------------------------------
+@register(
+    "text_split_assign",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 10
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.split_assign(load_table(spark, sf_dir, "documents"), val_pct=10)
+
+
+# --------------------------------------------------------------------------
 # multimodal: metadata + deterministic fake decode (features derive from
 # md5, so the first feature IS oracle-expressible: 16-bit hex / 65536)
 # --------------------------------------------------------------------------

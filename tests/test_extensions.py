@@ -301,3 +301,37 @@ def test_lsh_bucket_groups_cover_candidate_pairs(docs):
     keepers = {r.keeper_doc_id for r in buckets}
     # every pair's lower doc is a keeper of SOME bucket or joined one
     assert all(a in keepers or any(b.n_docs > 1 for b in buckets) for a, _ in pairs)
+
+
+def test_chunk_documents_window_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # exactly 2 windows at 6/2
+            (2, "short doc"),                            # single tail chunk
+            (3, " ".join(f"u{i}" for i in range(6))),    # exactly one full chunk
+        ],
+        "doc_id long, text string",
+    )
+    ch = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in text.chunk_documents(docs, chunk_tokens=6, overlap=2).collect()
+    }
+    # doc 1: stride 4 -> starts 0, 4 -> windows t0..t5, t4..t9
+    assert ch[(1, 0)] == ("t0 t1 t2 t3 t4 t5", 6)
+    assert ch[(1, 1)] == ("t4 t5 t6 t7 t8 t9", 6)
+    assert (1, 2) not in ch
+    # overlap: last 2 tokens of chunk 0 == first 2 of chunk 1
+    assert ch[(1, 0)][0].split()[-2:] == ch[(1, 1)][0].split()[:2]
+    assert ch[(2, 0)] == ("short doc", 2)
+    assert ch[(3, 0)] == ("u0 u1 u2 u3 u4 u5", 6) and (3, 1) not in ch
+
+
+def test_split_assign_deterministic_and_seeded(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {r.doc_id: r.split for r in text.split_assign(docs, val_pct=10).collect()}
+    b = {r.doc_id: r.split for r in text.split_assign(docs, val_pct=10).collect()}
+    assert a == b  # stable across runs
+    n_val = sum(1 for v in a.values() if v == "val")
+    assert 60 <= n_val <= 140  # ~10% of 1000
+    c = {r.doc_id: r.split for r in text.split_assign(docs, val_pct=10, seed="v2").collect()}
+    assert c != a  # different seed redraws
