@@ -13,8 +13,10 @@ import pytest
 import __spark_entry__ as entrymod
 from process_alphafold3_outputs_spark.sources.tables import TABLE_NAMES
 
-QUERIES = entrymod.queries()
-ORACLE = entrymod.oracle_sql()
+# Full registry (driver-visible + deferred): the local mirror keeps
+# covering shape queries the driver window can no longer see.
+QUERIES = entrymod.all_queries()
+ORACLE = entrymod.all_oracle_sql()
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
