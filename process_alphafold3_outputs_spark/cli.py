@@ -65,8 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--emit-pae-csv", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="write the per-job {job}_full_data_0_pae.csv matrix "
-                   "side output (reference writes it unconditionally, "
-                   ":115-116; --no-emit-pae-csv skips the extra I/O)")
+                   "side output for jobs passing the binder screen (the "
+                   "reference's extract_pae_data runs inside the is_binder "
+                   "branch, :567-575; --no-emit-pae-csv skips the extra I/O)")
     p.add_argument("--distributed-csv", action="store_true",
                    help="write the report via the distributed CSV sink "
                    "(a directory of part files) instead of a single "
@@ -181,7 +182,12 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
     if getattr(args, "emit_pae_csv", True):
         from .sources.af3_json import write_pae_matrix_csvs
 
-        result["pae_csvs"] = write_pae_matrix_csvs(pae, out_root).count()
+        # Reference parity: _pae.csv is written only for jobs that pass
+        # the binder screen (extract_pae_data runs inside the is_binder
+        # branch of process_full_data_files, reference :567-575) — a
+        # drop-in user diffing output trees must not see extra files.
+        pae_binders = pae.join(binders.select("job"), "job", "left_semi")
+        result["pae_csvs"] = write_pae_matrix_csvs(pae_binders, out_root).count()
 
     if getattr(args, "write_log", False) and not args.from_tables:
         from .sources.af3_json import read_summary_errors

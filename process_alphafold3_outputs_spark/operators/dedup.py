@@ -262,13 +262,17 @@ def jaccard_candidates(
         if shingles is not None
         else hashed_shingles(docs, k=shingle_k, text_col=text_col)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # Both the rank and the doc size come out of ONE doc_id-keyed window
+    # pass (same partitioning ⇒ one Exchange) — a separate groupBy-sizes
+    # aggregation plus its join was a second doc-keyed shuffle for a
+    # value the window already has in hand (r2 perf punch-item #3).
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    w_all = Window.partitionBy("doc_id")
     prefix = (
         sh.join(dfreq, "sh")
         .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_all))
         .filter(
             F.col("_rk")
             <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
@@ -285,23 +289,57 @@ def jaccard_candidates(
     )
 
 
+def has_hot_shingle(
+    sh: DataFrame, sample_mod: int = 20, hot_frac: float = 0.05
+) -> bool:
+    """Skew probe: does any shingle's document frequency reach
+    ``hot_frac`` of the corpus? Measured on a hash-deterministic DOC
+    sample (all shingle rows of ~1/``sample_mod`` docs — sampling docs,
+    not shingle keys, so a corpus-wide hot shingle is present in every
+    sampled doc and cannot be missed). Two tiny jobs over ~5% of the
+    shingle table; deterministic, so re-runs plan identically.
+
+    This is an adaptive-planning action in the AQE spirit (runtime stats
+    → physical strategy), NOT a per-call data dependency: callers who
+    already know their corpus pass ``prefix_filter`` explicitly and no
+    job fires at plan-build time."""
+    s = sh.filter(F.abs(F.xxhash64("doc_id")) % sample_mod == 0)
+    n_docs = s.select("doc_id").distinct().count()
+    if n_docs == 0:
+        return False
+    max_df = (
+        s.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("m"))
+        .collect()[0]["m"]
+    )
+    return max_df >= max(4.0, hot_frac * n_docs)
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     shingle_k: int = 3,
     text_col: str = "text",
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
-    threshold — exact result either way:
+    threshold — exact result on every path:
 
-    - ``prefix_filter=True`` (default, the 100 TB path): PPJoin prefix
+    - ``prefix_filter=True`` (the skew-insurance path): PPJoin prefix
       index generates candidates (lossless, see jaccard_candidates),
       then an exact verification join counts |A∩B| per candidate.
     - ``prefix_filter=False``: full inverted-index self-join — the
-      simple shape, quadratic on hot shingles; kept as the differential
-      baseline for the equivalence test.
+      simple shape, quadratic on hot shingles; differential-tested
+      equal to the prefix path.
+    - ``prefix_filter=None`` (default): probe the corpus for hot
+      shingles (:func:`has_hot_shingle`) and pick — the prefix index's
+      extra keyed shuffles only pay for themselves when a hot shingle
+      would otherwise blow up the inverted join (r2 perf punch-item
+      #3: the insurance cost 3.5× on an un-skewed corpus). At
+      known-skewed 100 TB scale, pass ``True`` explicitly and no probe
+      job fires.
 
     ``shingles``: see :func:`jaccard_candidates`."""
     sh = (
@@ -310,6 +348,8 @@ def jaccard_pairs(
         else hashed_shingles(docs, k=shingle_k, text_col=text_col)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if prefix_filter is None:
+        prefix_filter = has_hot_shingle(sh)
     if prefix_filter:
         cand = jaccard_candidates(docs, threshold, shingle_k, text_col, shingles=sh)
         a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -331,19 +371,28 @@ def jaccard_pairs(
         )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # Threshold on the UNROUNDED ratio: the PPJoin prefix is lossless
+    # exactly for true J >= t, so a pair with J in [t-5e-7, t) must NOT
+    # round up into the result (it would pass the inverted-index path
+    # but can legitimately miss the prefix index — the two paths are
+    # differential-tested equal). round() is display-only.
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
+        .filter(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= threshold
+        )
+        .select(
+            "doc_a",
+            "doc_b",
             F.round(
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
-            ),
+            ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -110,8 +110,15 @@ def identify_interacting_residues(
     if int(params.min_residues_cutoff) <= 0:
         # Reference parity: sum(pae_slice < cutoff, axis=0) >= min_res
         # is always true when min_res <= 0 — every in-range partner
-        # token survives, regardless of PAE content.
-        # (sequence(1, 0) would DESCEND in Spark — filter empty chains)
+        # token survives, regardless of PAE content. But a job whose PAE
+        # matrix is missing/unparseable is still SKIPPED by the reference
+        # (extract_pae_data failure drops the job before the slice), and
+        # width_source="chains" never consults pae_long — so guard with a
+        # cheap aggregated semi-join on the jobs that do have a matrix.
+        if width_source == "chains":
+            bounds = bounds.join(
+                pae_long.select("job").distinct(), "job", "left_semi"
+            )
         return (
             bounds.filter(F.col("partner_end") > F.col("partner_start"))
             .select(

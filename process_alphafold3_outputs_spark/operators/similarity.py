@@ -80,8 +80,27 @@ def lsh_buckets(
 
     if dim is None:
         dim = EMBEDDING_DIM
+    # Length guard INSIDE the vec projection: a mismatched embedding
+    # would null-pad zip_with, zero every sign, and silently collapse
+    # all vectors into bucket 0. raise_error lives in the data path (a
+    # standalone assert column would be pruned as unused) and costs one
+    # size() compare per row.
     emb = spread(embeddings, "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        "vec_id",
+        F.when(
+            F.size("embedding") == F.lit(dim),
+            F.col("embedding").cast("array<double>"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "lsh_buckets: embedding length %s != declared dim "
+                    + str(dim),
+                    F.size("embedding"),
+                )
+            )
+        )
+        .alias("vec"),
     )
     planes_df = embeddings.sparkSession.createDataFrame(
         [([_hyperplane(dim, p) for p in range(n_planes)],)],

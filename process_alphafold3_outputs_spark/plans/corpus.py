@@ -75,10 +75,15 @@ def clean_corpus(
     if stage:
         exact_kept = exact_kept.persist()
         shingles = shingles.persist()
+    # prefix_filter=True explicitly: the corpus-scale pipeline always
+    # carries the PPJoin skew insurance AND keeps plan construction
+    # fully lazy (prefix_filter=None would fire the skew-probe jobs at
+    # build time — fine for ad-hoc calls, wrong inside a composed plan).
     near_pairs = dedup.jaccard_pairs(
         exact_kept,
         threshold=jaccard_threshold,
         text_col=text_col,
+        prefix_filter=True,
         shingles=shingles,
     )
     survivors = exact_kept.join(

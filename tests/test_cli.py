@@ -99,9 +99,11 @@ def test_ingest_then_query_from_tables(spark, tmp_path):
 
 
 def test_cli_emits_reference_named_pae_csvs(spark, tmp_path):
-    """Reference parity (:115-116): every job with a full-data JSON gets
+    """Reference parity (:567-575): jobs PASSING the binder screen get
     {out}/{job}/{job}_full_data_0_pae.csv holding the N×N matrix with
-    pandas-style 0..N-1 headers; --no-emit-pae-csv skips the sink."""
+    pandas-style 0..N-1 headers (extract_pae_data runs inside the
+    is_binder branch — non-binders get NO file); --no-emit-pae-csv
+    skips the sink."""
     import pandas as pd
 
     corpus_dir = str(tmp_path / "c5")
@@ -111,9 +113,18 @@ def test_cli_emits_reference_named_pae_csvs(spark, tmp_path):
         ["-id", corpus_dir, "--output-dir", out_dir, "--skip-structures"]
     )
     result = run(args, spark=spark)
-    assert result["pae_csvs"] == 4
+    # seed 9: jobs 0000/0002 pass the default screen (pae_min < 15),
+    # 0001 (18.41) and 0003 (24.9) do not; the latin-1 landmine job also
+    # screens as a binder but ships no full-data JSON — so 3 binders,
+    # only the 2 with a PAE matrix get a CSV.
+    assert result["n_binders"] == 3
+    assert result["pae_csvs"] == 2
+    non_binder = "fold_poi_partner_0001"
+    assert not os.path.exists(
+        os.path.join(out_dir, non_binder, f"{non_binder}_full_data_0_pae.csv")
+    )
 
-    job = "fold_poi_partner_0001"
+    job = "fold_poi_partner_0002"
     path = os.path.join(out_dir, job, f"{job}_full_data_0_pae.csv")
     got = pd.read_csv(path)
     jp = corpus["pae_long"]

@@ -169,7 +169,7 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
     for t in (0.5, 0.8):
         fast = {
             (r.doc_a, r.doc_b, r.jaccard)
-            for r in dedup.jaccard_pairs(docs, threshold=t).collect()
+            for r in dedup.jaccard_pairs(docs, threshold=t, prefix_filter=True).collect()
         }
         full = {
             (r.doc_a, r.doc_b, r.jaccard)
@@ -191,6 +191,16 @@ def test_jaccard_hot_shingle_candidates_bounded(spark):
     assert cands == 0  # prefixes index only the rare (df=1) shingles
     # and the exact result agrees: no pair reaches jaccard >= 0.8
     assert dedup.jaccard_pairs(docs, threshold=0.8).count() == 0
+    # the auto-gate's skew probe must SEE this corpus as hot (and pick
+    # the prefix path), while the benign sf-corpus reads as un-skewed
+    sh = dedup.hashed_shingles(docs)
+    assert dedup.has_hot_shingle(sh) is True
+
+
+def test_jaccard_auto_gate_picks_inverted_on_benign_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.hashed_shingles(docs)
+    assert dedup.has_hot_shingle(sh) is False
 
 
 def test_simhash64_survives_collision_scale(spark):

@@ -83,7 +83,9 @@ def test_jaccard_prefix_filter_lossless_on_adversarial_docs(spark):
         )
         fast = {
             (r.doc_a, r.doc_b, r.jaccard)
-            for r in dedup.jaccard_pairs(docs, threshold=threshold).collect()
+            for r in dedup.jaccard_pairs(
+                docs, threshold=threshold, prefix_filter=True
+            ).collect()
         }
         full = {
             (r.doc_a, r.doc_b, r.jaccard)
