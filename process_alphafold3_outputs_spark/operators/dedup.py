@@ -397,6 +397,73 @@ def jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# near-dup clustering (connected components)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) — transitive duplicate CLUSTERS over the
+    candidate-pair graph; cluster_id is the min doc id reachable from
+    each node.
+
+    The greedy per-pair drop rule (higher id of each pair) is NOT
+    transitive: on a chain a—b, b—c with no a—c pair, greedy keeps a
+    and c as 'distinct' although both duplicate b. A corpus-scale dedup
+    planner needs the component structure to pick one keeper per
+    cluster.
+
+    Algorithm: iterative min-label propagation — per round, every node
+    takes the min of its own label and its neighbours' labels; fixpoint
+    after O(graph diameter) rounds. Each round is ONE edge-keyed join +
+    ONE node-keyed min-aggregation (no cross joins, no global
+    structures), so the 100 TB shape is a handful of keyed shuffles
+    over the pair table. ``localCheckpoint`` truncates the plan lineage
+    per round (iterative plans otherwise grow exponentially); on a real
+    cluster use ``spark.sparkContext.setCheckpointDir`` + reliable
+    checkpointing for fault tolerance instead.
+
+    The convergence test (one tiny count per round) is a driver action
+    — inherent to any fixpoint algorithm; ``max_iters`` bounds the
+    worst case (a path graph of length > max_iters would stop early —
+    raise it for adversarially-chained corpora).
+    """
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "lbl")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = new_labels.join(labels, ["node", "lbl"], "left_anti").count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -130,6 +130,50 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# near-dup clusters (connected components over the Jaccard pair graph)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters — min-id label propagation over the
+    exact-Jaccard pair graph (the cluster structure a dedup planner
+    needs; the greedy higher-id drop rule is not transitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
 # SimHash signatures
 # --------------------------------------------------------------------------
 @register(

@@ -41,6 +41,45 @@ def test_jaccard_finds_planted_near_dup(docs):
     assert not any({a, b} == {0, 4} for a, b in pairs)
 
 
+def test_connected_components_chain_vs_greedy(spark):
+    """Chain a—b, b—c, plus isolated pair d—e: transitive clustering
+    must put {a,b,c} in ONE cluster labelled min(a,b,c), where the
+    greedy higher-id drop rule would keep both a and c ('distinct'
+    despite both duplicating b)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    # greedy drops the higher id of each pair -> keeps {1, 3}: docs 1
+    # and 3 survive as 'distinct' although both duplicate 2
+    dropped = {b for _, b in [(1, 2), (2, 3), (7, 9)]}
+    greedy_kept = {1, 2, 3, 7, 9} - dropped
+    assert greedy_kept == {1, 7}  # 3 was dropped only via the 2—3 pair
+    # transitive keepers = one min-id representative per cluster
+    cluster_keepers = set(got.values())
+    assert cluster_keepers == {1, 7}
+    # but on the OPEN chain 1—2, 3—4 ... where greedy disagrees:
+    pairs2 = spark.createDataFrame([(1, 2), (2, 4), (4, 8)], "doc_a long, doc_b long")
+    got2 = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs2).collect()}
+    assert set(got2.values()) == {1}  # one 4-node component, keeper 1
+    # greedy keeps 1 AND nothing else is re-examined transitively —
+    # it never links 1 to 8 (no direct pair), components do
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 40-node path needs ~log-diameter-ish rounds under min-label
+    propagation; the fixpoint must still be exact."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
 def test_lsh_candidates_cover_exact_dups(docs):
     cand = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
     assert (0, 1) in cand and (0, 2) in cand and (1, 2) in cand
