@@ -182,6 +182,21 @@ def chunk_documents(
     )
 
 
+def split_col(
+    val_pct: int = 10, seed: str = "split-v1", id_col: str = "doc_id"
+) -> "F.Column":
+    """The train/val assignment as a pure COLUMN expression — composable
+    into any projection with zero extra shuffle (a join against a
+    (doc_id, split) table would re-shuffle by doc_id for a value the
+    row can compute in place)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    return F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train"))
+
+
 def split_assign(
     docs: DataFrame,
     val_pct: int = 10,
@@ -193,12 +208,6 @@ def split_assign(
     runs/engines/re-partitioning (never use rand() — a retried task
     would re-roll its rows), and changing ``seed`` re-draws the split
     without touching the data."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long") % 100
     return docs.select(
-        id_col,
-        F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+        id_col, split_col(val_pct, seed, id_col).alias("split")
     )

@@ -17,6 +17,8 @@ clustering would need connected components, a different operator).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,9 +33,13 @@ def clean_corpus(
     jaccard_threshold: float = 0.8,
     text_col: str = "text",
     stage: bool = True,
+    full_rows: bool = False,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Surviving documents after the four gates, with the stats the
-    gates used: (doc_id, pred_lang, n_words).
+    gates used: (doc_id, pred_lang, n_words). ``full_rows=True`` keeps
+    every document column too (the downstream chunk/split stages need
+    the text — see :func:`corpus_to_training`).
 
     Stages:
       1. quality: whitespace token count in [min_words, max_words]
@@ -51,6 +57,12 @@ def clean_corpus(
     recomputed each time. At production scale the same effect comes
     from writing survivors to a staging table (the ingest-once
     pattern); persist() is the single-session form.
+
+    Persist lifecycle is CALLER-OWNED: the staged blocks stay pinned
+    until the caller releases them — pass ``handles`` (a list that
+    receives each persisted DataFrame) and unpersist after the output
+    materialises, or use :func:`staged_clean_corpus` /
+    :func:`staged_corpus_to_training`, which do it on context exit.
     """
     # stats are pure projections — compute them as COLUMNS in one pass,
     # not per-stat joins (each join would shuffle the full corpus by
@@ -75,6 +87,8 @@ def clean_corpus(
     if stage:
         exact_kept = exact_kept.persist()
         shingles = shingles.persist()
+        if handles is not None:
+            handles.extend([exact_kept, shingles])
     # prefix_filter=True explicitly: the corpus-scale pipeline always
     # carries the PPJoin skew insurance AND keeps plan construction
     # fully lazy (prefix_filter=None would fire the skew-probe jobs at
@@ -91,6 +105,77 @@ def clean_corpus(
         "doc_id",
         "left_anti",
     )
+    if full_rows:
+        return survivors.withColumn("n_words", F.col("n_ws_tokens"))
     return survivors.select(
         "doc_id", "pred_lang", F.col("n_ws_tokens").alias("n_words")
     )
+
+
+def corpus_to_training(
+    docs: DataFrame,
+    lang: str = "en",
+    min_words: int = 5,
+    max_words: int = 10_000,
+    jaccard_threshold: float = 0.8,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    val_pct: int = 10,
+    text_col: str = "text",
+    stage: bool = True,
+    handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The full clean → chunk → split DAG a training-data pipeline
+    ships: (doc_id, chunk_id, chunk_text, n_tokens, split).
+
+    Composition notes:
+    - chunking runs on the SURVIVORS of :func:`clean_corpus` (post
+      anti-join), which derive from the staged fan-out points — the raw
+      corpus is still scanned exactly once (plan-pinned).
+    - the split is assigned per DOCUMENT, not per chunk (chunks of one
+      doc must never straddle train/val — leakage), and is computed as
+      a pure column expression on the chunk rows: no (doc_id, split)
+      join, no extra shuffle. The chunker itself is a narrow projection.
+    """
+    surv = clean_corpus(
+        docs,
+        lang=lang,
+        min_words=min_words,
+        max_words=max_words,
+        jaccard_threshold=jaccard_threshold,
+        text_col=text_col,
+        stage=stage,
+        full_rows=True,
+        handles=handles,
+    )
+    chunks = text.chunk_documents(
+        surv, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col
+    )
+    return chunks.withColumn("split", text.split_col(val_pct))
+
+
+@contextmanager
+def staged_clean_corpus(docs: DataFrame, **kwargs):
+    """Context-managed :func:`clean_corpus(stage=True)`: yields the
+    survivors DataFrame and unpersists the staged fan-out points on
+    exit — no pinned storage outlives the consumer (session hygiene at
+    scale; a leaked multi-GB persist per pipeline run eventually evicts
+    useful blocks)."""
+    handles: list[DataFrame] = []
+    try:
+        yield clean_corpus(docs, stage=True, handles=handles, **kwargs)
+    finally:
+        for df in handles:
+            df.unpersist()
+
+
+@contextmanager
+def staged_corpus_to_training(docs: DataFrame, **kwargs):
+    """Context-managed :func:`corpus_to_training`: unpersists the staged
+    fan-out points on exit."""
+    handles: list[DataFrame] = []
+    try:
+        yield corpus_to_training(docs, stage=True, handles=handles, **kwargs)
+    finally:
+        for df in handles:
+            df.unpersist()

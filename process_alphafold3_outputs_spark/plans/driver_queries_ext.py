@@ -832,7 +832,7 @@ _CC_MIN, _CC_MAX, _CC_T = 5, 10_000, 0.8
         FROM common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {_CC_T})
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {_CC_T})
     SELECT e.doc_id, e.pred_lang, e.n_words
     FROM exact e LEFT JOIN drops d ON d.doc_id = e.doc_id
     WHERE d.doc_id IS NULL
@@ -847,6 +847,105 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_words=_CC_MIN,
         max_words=_CC_MAX,
         jaccard_threshold=_CC_T,
+    )
+
+
+# --------------------------------------------------------------------------
+# clean → chunk → split: the full corpus-to-training-set DAG
+# --------------------------------------------------------------------------
+_T2_CHUNK, _T2_OVERLAP, _T2_VAL = 32, 8, 10
+_T2_STRIDE = _T2_CHUNK - _T2_OVERLAP
+
+# the survivor CTEs are pipeline_corpus_clean's, verbatim
+_SURVIVOR_CTES = f"""
+    norm0 AS (SELECT doc_id, text,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+    stats AS (SELECT doc_id, t,
+                     CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+                     {{lang_scores}}
+              FROM norm0),
+    langed AS (SELECT doc_id, t, n_words,
+                      CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                           {{lang_cases}}
+                           ELSE 'und' END AS pred_lang
+               FROM stats),
+    base AS (SELECT * FROM langed
+             WHERE n_words BETWEEN {_CC_MIN} AND {_CC_MAX} AND pred_lang = 'en'),
+    exact AS (SELECT doc_id, t, pred_lang, n_words FROM (
+                  SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS keep
+                  FROM base)
+              WHERE doc_id = keep),
+    words AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM exact),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) < 3 THEN t
+                    ELSE array_to_string(w[i:i+2], ' ') END AS shingle
+        FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) s(i)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    drops AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {_CC_T})
+"""
+
+
+@register(
+    "pipeline_corpus_to_training",
+    sql=f"""
+    WITH {_SURVIVOR_CTES.format(
+        lang_scores=", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS)),
+        lang_cases="".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS)),
+    )},
+    surv AS (
+        SELECT e.doc_id, e.t
+        FROM exact e LEFT JOIN drops d ON d.doc_id = e.doc_id
+        WHERE d.doc_id IS NULL),
+    words2 AS (SELECT doc_id, string_split(t, ' ') AS w,
+                      len(string_split(t, ' ')) AS n
+               FROM surv),
+    starts AS (
+        SELECT doc_id, w, n, CAST(s.s AS INT) AS start
+        FROM words2,
+             unnest(generate_series(
+                 0,
+                 greatest(CAST(ceil((n - {_T2_CHUNK}) / {_T2_STRIDE}.0) AS INT), 0) * {_T2_STRIDE},
+                 {_T2_STRIDE})) s(s))
+    SELECT doc_id, CAST(start // {_T2_STRIDE} AS INT) AS chunk_id,
+           array_to_string(w[start + 1 : start + {_T2_CHUNK}], ' ') AS chunk_text,
+           CAST(least({_T2_CHUNK}, n - start) AS BIGINT) AS n_tokens,
+           CASE WHEN CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < {_T2_VAL}
+                THEN 'val' ELSE 'train' END AS split
+    FROM starts
+    """,
+)
+def pipeline_corpus_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean → chunk → split as one DAG: the training-set materialiser.
+    Chunking runs on the cleaned survivors; the split is a per-document
+    hash column on the chunk rows (no join, no extra corpus scan)."""
+    from .corpus import corpus_to_training
+
+    out = corpus_to_training(
+        load_table(spark, sf_dir, "documents"),
+        lang="en",
+        min_words=_CC_MIN,
+        max_words=_CC_MAX,
+        jaccard_threshold=_CC_T,
+        chunk_tokens=_T2_CHUNK,
+        overlap=_T2_OVERLAP,
+        val_pct=_T2_VAL,
+    )
+    return out.select(
+        "doc_id", "chunk_id", "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"), "split",
     )
 
 

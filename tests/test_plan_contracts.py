@@ -113,3 +113,31 @@ def test_corpus_clean_staged_scans_corpus_once(spark, sf_dir):
     staged = formatted_plan(clean_corpus(docs, stage=True))
     assert staged.count("documents.parquet") == 1
     spark.catalog.clearCache()
+
+
+def test_staged_clean_corpus_releases_storage(spark, sf_dir):
+    """The context-managed form must leave NO pinned blocks after exit
+    (VERDICT r2 minor: clean_corpus(stage=True) persisted two DataFrames
+    and never unpersisted)."""
+    from process_alphafold3_outputs_spark.plans.corpus import staged_clean_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark.catalog.clearCache()
+    with staged_clean_corpus(docs) as surv:
+        assert surv.count() > 0  # materialise => the stages ARE persisted
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_corpus_to_training_no_extra_corpus_scan(spark, sf_dir):
+    """clean → chunk → split composes onto the SURVIVORS of the staged
+    clean plan: the chunker is a narrow projection and the split a pure
+    column, so the raw corpus scan count must not grow vs clean_corpus
+    (still exactly one parquet scan)."""
+    from process_alphafold3_outputs_spark.plans.corpus import corpus_to_training
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark.catalog.clearCache()
+    plan = formatted_plan(corpus_to_training(docs, stage=True))
+    assert plan.count("documents.parquet") == 1
+    spark.catalog.clearCache()
