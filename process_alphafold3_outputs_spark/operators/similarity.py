@@ -65,26 +65,25 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-def lsh_buckets(
-    embeddings: DataFrame, n_planes: int = 8, dim: int | None = None
+def _with_plane_dots(
+    embeddings: DataFrame, n_planes: int, dim: int | None = None
 ) -> DataFrame:
-    """(vec_id, bucket) — sign signature over ``n_planes`` deterministic
-    hyperplanes; one integer bucket per vector (single pass, no shuffle).
+    """(vec_id, vec, dots) — per-vector dot products against the
+    ``n_planes`` deterministic hyperplanes. Shared kernel of the
+    single- and multi-probe LSH paths: one pass, no shuffle, planes as
+    a one-row broadcast table (not ``dim × n_planes`` plan literals).
 
     ``dim`` is part of the table contract (EMBEDDING_DIM default) —
     plan construction is fully lazy: NO Spark job fires here (the old
-    ``.first()`` dim probe ran a job per call), and the hyperplanes
-    travel as a one-row broadcast table, not as ``dim × n_planes`` plan
-    literals (which bloat the plan at dim=1024+)."""
+    ``.first()`` dim probe ran a job per call). The length guard lives
+    INSIDE the vec projection: a mismatched embedding would null-pad
+    zip_with, zero every sign, and silently collapse all vectors into
+    bucket 0; raise_error in the data path (a standalone assert column
+    would be pruned as unused) costs one size() compare per row."""
     from ..sources.tables import EMBEDDING_DIM
 
     if dim is None:
         dim = EMBEDDING_DIM
-    # Length guard INSIDE the vec projection: a mismatched embedding
-    # would null-pad zip_with, zero every sign, and silently collapse
-    # all vectors into bucket 0. raise_error lives in the data path (a
-    # standalone assert column would be pruned as unused) and costs one
-    # size() compare per row.
     emb = spread(embeddings, "vec_id").select(
         "vec_id",
         F.when(
@@ -106,18 +105,33 @@ def lsh_buckets(
         [([_hyperplane(dim, p) for p in range(n_planes)],)],
         "planes array<array<double>>",
     )
-    # bucket = Σ_i [dot(vec, planes[i]) > 0] · 2^i — nested higher-order
-    # functions, all JVM-side; the single-row planes table broadcasts.
+    dots = F.transform(F.col("planes"), lambda pl: _dot(F.col("vec"), pl))
+    return emb.crossJoin(F.broadcast(planes_df)).select(
+        "vec_id", "vec", dots.alias("dots")
+    )
+
+
+def _bucket_col() -> Column:
+    """bucket = Σ_i [dots[i] > 0] · 2^i over the ``dots`` column —
+    nested higher-order functions, all JVM-side."""
     signed = F.transform(
-        F.col("planes"),
-        lambda pl, i: F.when(
-            _dot(F.col("vec"), pl) > 0, F.pow(F.lit(2.0), i.cast("double"))
+        F.col("dots"),
+        lambda d, i: F.when(
+            d > 0, F.pow(F.lit(2.0), i.cast("double"))
         ).otherwise(F.lit(0.0)),
     )
-    bucket = F.aggregate(signed, F.lit(0.0), lambda a, x: a + x).cast("long")
-    return (
-        emb.crossJoin(F.broadcast(planes_df))
-        .select("vec_id", "vec", bucket.alias("bucket"))
+    return F.aggregate(signed, F.lit(0.0), lambda a, x: a + x).cast("long")
+
+
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = 8, dim: int | None = None
+) -> DataFrame:
+    """(vec_id, bucket) — sign signature over ``n_planes`` deterministic
+    hyperplanes; one integer bucket per vector (single pass, no
+    shuffle). See :func:`_with_plane_dots` for laziness + dim-guard
+    notes."""
+    return _with_plane_dots(embeddings, n_planes, dim).select(
+        "vec_id", "vec", _bucket_col().alias("bucket")
     )
 
 
@@ -157,21 +171,106 @@ def topk_lsh(
     )
 
 
+def topk_lsh_multiprobe(
+    embeddings: DataFrame,
+    query_ids: DataFrame | Column,
+    k: int = 5,
+    n_planes: int = 6,
+    n_probe: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its OWN bucket plus the
+    ``n_probe − 1`` buckets reached by flipping its lowest-|margin|
+    plane bits (the planes the vector sits closest to — where a true
+    neighbour most likely landed on the other side). Classic
+    multi-probe LSH (Lv et al., VLDB'07 — public technique): recall
+    climbs toward brute force with n_probe while the corpus is still
+    bucketed ONCE; only the tiny query side fans out ×n_probe.
+
+    Every corpus vector has exactly one bucket and the probe buckets
+    are pairwise distinct (XOR with distinct powers of two), so no
+    (query, neighbor) pair is scored twice — no dedup stage needed."""
+    base = _with_plane_dots(embeddings, n_planes, dim).withColumn(
+        "bucket", _bucket_col()
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"), "bucket"
+    )
+    if isinstance(query_ids, Column):
+        q = base.join(
+            embeddings.filter(query_ids).select("vec_id"), "vec_id", "left_semi"
+        )
+    else:
+        q = base.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+    # plane indices ordered by |margin| asc (ties by index) — JVM-side
+    # struct sort on the already-computed dots, no extra pass
+    order = F.transform(
+        F.array_sort(
+            F.transform(
+                "dots", lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("i"))
+            )
+        ),
+        lambda s: s["i"],
+    )
+    flips = F.transform(
+        F.slice(order, 1, n_probe - 1),
+        lambda i: F.col("bucket").bitwiseXOR(
+            F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        ),
+    )
+    probes = F.concat(F.array(F.col("bucket")), flips)
+    q = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.explode(probes).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
+    )
+
+
 def recall_vs_bruteforce(
-    embeddings: DataFrame, query_ids: DataFrame | Column, k: int = 5, n_planes: int = 6
+    embeddings: DataFrame,
+    query_ids: DataFrame | Column,
+    k: int = 5,
+    n_planes: int = 6,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Measure LSH recall@k against the exact baseline (the 'measure,
-    don't guess' check for the approximate path)."""
+    don't guess' check for the approximate path). ``n_probe > 1``
+    measures the multi-probe variant."""
     exact = topk_bruteforce(embeddings, query_ids, k).select(
         "query_id", "neighbor_id"
     )
-    approx = topk_lsh(embeddings, query_ids, k, n_planes).select(
-        "query_id", "neighbor_id"
-    )
+    if n_probe > 1:
+        approx = topk_lsh_multiprobe(
+            embeddings, query_ids, k, n_planes, n_probe
+        ).select("query_id", "neighbor_id")
+    else:
+        approx = topk_lsh(embeddings, query_ids, k, n_planes).select(
+            "query_id", "neighbor_id"
+        )
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    # zero-hit queries MUST appear as recall 0 — dropping them made the
+    # mean conditional on "found something" and overstated recall
     return (
-        hits.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        exact.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
         .withColumn("recall", F.round(F.col("n_hit") / k, 4))
     )
 

@@ -1000,6 +1000,74 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# multi-probe LSH: flip the lowest-|margin| plane bits — recall climbs
+# toward brute force; the margin ordering is restated in SQL so even
+# the probe-selection logic is hash-checked
+# --------------------------------------------------------------------------
+_LSH_NPROBE = 3
+
+
+@register(
+    "similarity_topk_lsh_multiprobe",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pl AS (
+        SELECT t.p,
+               list(CASE WHEN CAST(('0x' || substr(md5(CAST(t.p AS VARCHAR)
+                        || ':' || CAST(s.j AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 2 = 0
+                    THEN 1.0 ELSE -1.0 END ORDER BY s.j) AS plane
+        FROM unnest(generate_series(0, {_LSH_PLANES - 1})) t(p),
+             unnest(generate_series(0, 63)) s(j)
+        GROUP BY t.p),
+    d AS (
+        SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.plane) AS dot
+        FROM emb e, pl),
+    b AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot > 0
+                        THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM d GROUP BY vec_id),
+    q AS (SELECT b.vec_id AS query_id, e.v AS qv, b.bucket
+          FROM b JOIN emb e ON e.vec_id = b.vec_id
+          WHERE b.vec_id < {_N_QUERIES}),
+    flips AS (
+        SELECT vec_id AS query_id, p FROM (
+            SELECT vec_id, p,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY abs(dot), p) AS rn
+            FROM d WHERE vec_id < {_N_QUERIES})
+        WHERE rn <= {_LSH_NPROBE - 1}),
+    probes AS (
+        SELECT query_id, qv, bucket FROM q
+        UNION ALL
+        SELECT q.query_id, q.qv,
+               xor(q.bucket, CAST(power(2, f.p) AS BIGINT)) AS bucket
+        FROM q JOIN flips f ON f.query_id = q.query_id),
+    c AS (SELECT b.vec_id AS neighbor_id, e.v AS cv, b.bucket
+          FROM b JOIN emb e ON e.vec_id = b.vec_id),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               {{cos}} AS s
+        FROM probes p JOIN c ON p.bucket = c.bucket
+        WHERE p.query_id <> c.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, round(s, 6) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_TOPK_K}
+    """.format(cos=_COS.format(a="p.qv", b="c.cv")),
+)
+def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_lsh_multiprobe(
+        emb, F.col("vec_id") < _N_QUERIES, k=_TOPK_K,
+        n_planes=_LSH_PLANES, n_probe=_LSH_NPROBE,
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF with ONE Lloyd (k-means) refinement iteration — the centroid means
 # fold in vec_id order on both engines, so every double matches exactly
 # --------------------------------------------------------------------------

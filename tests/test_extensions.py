@@ -111,8 +111,38 @@ def test_topk_bruteforce_and_lsh_recall(spark, sf_dir):
     rec = similarity.recall_vs_bruteforce(emb, F.col("vec_id") < 5, k=3, n_planes=4)
     vals = {r.query_id: r.recall for r in rec.collect()}
     # recall is measured, not asserted high (random hyperplanes on random
-    # vectors); it must at least be a valid fraction when present
+    # vectors); every query must report (zero-hit queries as recall 0)
+    assert len(vals) == 5
     assert all(0 <= v <= 1 for v in vals.values())
+
+
+def test_multiprobe_lsh_recall_improves(spark, sf_dir):
+    """Multi-probe recall dominates single-probe PER QUERY (candidate
+    sets are nested: probing more buckets can only surface more of the
+    true top-k, since ranking is by exact cosine), and must clear a
+    measured floor at the pinned parameters (deterministic planes +
+    fixed corpus ⇒ stable numbers)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.col("vec_id") < 20
+    single = {
+        r.query_id: r.recall
+        for r in similarity.recall_vs_bruteforce(
+            emb, q, k=5, n_planes=6, n_probe=1
+        ).collect()
+    }
+    multi = {
+        r.query_id: r.recall
+        for r in similarity.recall_vs_bruteforce(
+            emb, q, k=5, n_planes=6, n_probe=4
+        ).collect()
+    }
+    assert set(single) == set(multi) and len(multi) == 20
+    assert all(multi[qid] >= single[qid] for qid in single)
+    mean_single = sum(single.values()) / len(single)
+    mean_multi = sum(multi.values()) / len(multi)
+    # measured at these params: 0.02 single vs 0.16 multi (sf0.001)
+    assert mean_multi > mean_single
+    assert mean_multi >= 0.1
 
 
 def test_language_id_and_quality(spark):
