@@ -55,6 +55,9 @@ HEADLINE = [
     "text_token_count",
     "text_fingerprint",
     "pipeline_corpus_clean",
+    "pipeline_corpus_to_training",
+    "dedup_clusters",
+    "similarity_topk_lsh_multiprobe",
 ]
 
 
