@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     # -- round-3 additions (registered early: new evidence > old shapes)
     "dedup_clusters",
     "pipeline_corpus_to_training",
+    "pipeline_corpus_clean_clustered",
     "similarity_topk_lsh_multiprobe",
 ]
 

@@ -10,9 +10,12 @@ re-reading the corpus (stages after the first operate on the already-
 filtered survivors, so each later stage touches less data).
 
 Drop rule determinism: exact dedup keeps the min doc_id per normalized
-text; near-dup removal drops the HIGHER id of every qualifying pair
-(greedy by id, not transitive clustering — the standard cheap rule;
-clustering would need connected components, a different operator).
+text; near-dup removal is selectable — ``near_dedup="greedy"`` drops
+the HIGHER id of every qualifying pair (the standard cheap rule, one
+anti-join, fully lazy) while ``near_dedup="clusters"`` runs transitive
+connected components and keeps exactly ONE min-id representative per
+duplicate cluster (greedy can keep several docs of one cluster when no
+direct pair links them, e.g. edges 2—3 and 1—3 keep both 1 and 2).
 """
 
 from __future__ import annotations
@@ -35,11 +38,20 @@ def clean_corpus(
     stage: bool = True,
     full_rows: bool = False,
     handles: list[DataFrame] | None = None,
+    near_dedup: str = "greedy",
 ) -> DataFrame:
     """Surviving documents after the four gates, with the stats the
     gates used: (doc_id, pred_lang, n_words). ``full_rows=True`` keeps
     every document column too (the downstream chunk/split stages need
     the text — see :func:`corpus_to_training`).
+
+    ``near_dedup``: ``"greedy"`` (default) drops the higher id of each
+    qualifying pair — one lazy anti-join; ``"clusters"`` drops every
+    non-minimum member of each TRANSITIVE duplicate cluster
+    (:func:`..operators.dedup.connected_components`) — exactly one
+    representative survives per cluster, at the cost of an EAGER
+    iterative fixpoint during plan construction (inherent to connected
+    components; use greedy inside fully-lazy compositions).
 
     Stages:
       1. quality: whitespace token count in [min_words, max_words]
@@ -100,11 +112,16 @@ def clean_corpus(
         prefix_filter=True,
         shingles=shingles,
     )
-    survivors = exact_kept.join(
-        near_pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
-    )
+    if near_dedup == "clusters":
+        comp = dedup.connected_components(near_pairs)
+        drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        )
+    elif near_dedup == "greedy":
+        drop = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    else:
+        raise ValueError(f"near_dedup must be greedy|clusters, got {near_dedup!r}")
+    survivors = exact_kept.join(drop, "doc_id", "left_anti")
     if full_rows:
         return survivors.withColumn("n_words", F.col("n_ws_tokens"))
     return survivors.select(

@@ -851,6 +851,81 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus clean with TRANSITIVE cluster dedup (one representative per
+# duplicate cluster; greedy can keep several when no direct pair links
+# them) — recursive-CTE oracle over the same pair graph
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_corpus_clean_clustered",
+    sql=f"""
+    WITH RECURSIVE norm0 AS (SELECT doc_id, text,
+                          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                   FROM documents),
+    stats AS (SELECT doc_id, t,
+                     CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+                     {", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS))}
+              FROM norm0),
+    langed AS (SELECT doc_id, t, n_words,
+                      CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                           {"".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS))}
+                           ELSE 'und' END AS pred_lang
+               FROM stats),
+    base AS (SELECT * FROM langed
+             WHERE n_words BETWEEN {_CC_MIN} AND {_CC_MAX} AND pred_lang = 'en'),
+    exact AS (SELECT doc_id, t, pred_lang, n_words FROM (
+                  SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS keep
+                  FROM base)
+              WHERE doc_id = keep),
+    words AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM exact),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) < 3 THEN t
+                    ELSE array_to_string(w[i:i+2], ' ') END AS shingle
+        FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) s(i)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {_CC_T}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(node, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY node),
+    drop2 AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    SELECT e.doc_id, e.pred_lang, e.n_words
+    FROM exact e LEFT JOIN drop2 d ON d.doc_id = e.doc_id
+    WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_corpus_clean_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_corpus with the transitive cluster drop rule: exactly one
+    min-id representative survives per duplicate cluster."""
+    from .corpus import clean_corpus
+
+    return clean_corpus(
+        load_table(spark, sf_dir, "documents"),
+        lang="en",
+        min_words=_CC_MIN,
+        max_words=_CC_MAX,
+        jaccard_threshold=_CC_T,
+        near_dedup="clusters",
+    )
+
+
+# --------------------------------------------------------------------------
 # clean → chunk → split: the full corpus-to-training-set DAG
 # --------------------------------------------------------------------------
 _T2_CHUNK, _T2_OVERLAP, _T2_VAL = 32, 8, 10

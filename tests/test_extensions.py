@@ -70,6 +70,42 @@ def test_connected_components_chain_vs_greedy(spark):
     # it never links 1 to 8 (no direct pair), components do
 
 
+def test_clean_corpus_cluster_vs_greedy_drop_rule(spark):
+    """Pair graph (a,c),(b,c) with no direct a—b pair: greedy drops only
+    c (it is the higher id of both pairs) and keeps TWO members of one
+    duplicate cluster; cluster mode keeps exactly the min-id
+    representative."""
+    from process_alphafold3_outputs_spark.plans.corpus import clean_corpus
+
+    a_words = ("the cat and the dog walk to the old stone bridge today "
+               "with a small red kite")
+    b_words = ("some birds fly over green hills while children sing songs "
+               "near the quiet river bank")
+    # c = first 12 words of a + first 12 words of b — overlaps each
+    # enough for jaccard >= 0.3, while a and b share no trigram
+    c_words = " ".join(a_words.split()[:12] + b_words.split()[:12])
+    docs = spark.createDataFrame(
+        [(1, a_words), (2, b_words), (3, c_words)],
+        "doc_id long, text string",
+    )
+    greedy = {
+        r.doc_id
+        for r in clean_corpus(
+            docs, jaccard_threshold=0.3, min_words=5, max_words=100,
+            stage=False,
+        ).collect()
+    }
+    clustered = {
+        r.doc_id
+        for r in clean_corpus(
+            docs, jaccard_threshold=0.3, min_words=5, max_words=100,
+            stage=False, near_dedup="clusters",
+        ).collect()
+    }
+    assert greedy == {1, 2}      # two survivors from ONE cluster
+    assert clustered == {1}      # exactly one representative
+
+
 def test_connected_components_long_path_converges(spark):
     """A 40-node path needs ~log-diameter-ish rounds under min-label
     propagation; the fixpoint must still be exact."""
