@@ -406,6 +406,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) — transitive duplicate CLUSTERS over the
     candidate-pair graph; cluster_id is the min doc id reachable from
@@ -417,47 +418,81 @@ def connected_components(
     planner needs the component structure to pick one keeper per
     cluster.
 
-    Algorithm: iterative min-label propagation — per round, every node
-    takes the min of its own label and its neighbours' labels; fixpoint
-    after O(graph diameter) rounds. Each round is ONE edge-keyed join +
-    ONE node-keyed min-aggregation (no cross joins, no global
-    structures), so the 100 TB shape is a handful of keyed shuffles
-    over the pair table. ``localCheckpoint`` truncates the plan lineage
-    per round (iterative plans otherwise grow exponentially); on a real
-    cluster use ``spark.sparkContext.setCheckpointDir`` + reliable
-    checkpointing for fault tolerance instead.
+    Algorithm: min-label propagation with POINTER DOUBLING — per round
+    every node takes (1) the min of its own and its neighbours' labels
+    (one edge-keyed join + one node-keyed min-agg), then (2) jumps to
+    its label's own label (one label-keyed self-join — the union-find
+    path-halving trick). Step (1) alone needs O(diameter) rounds (a
+    chain of pathological near-dups can be long); the shortcut halves
+    every label chain per round, so the fixpoint lands in O(log n)
+    rounds of keyed shuffles — the 100 TB shape. ``localCheckpoint``
+    truncates the plan lineage per round (iterative plans otherwise
+    grow exponentially); on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + reliable checkpointing
+    for fault tolerance instead.
 
     The convergence test (one tiny count per round) is a driver action
     — inherent to any fixpoint algorithm; ``max_iters`` bounds the
-    worst case (a path graph of length > max_iters would stop early —
-    raise it for adversarially-chained corpora).
+    worst case. ``stats``, if given, receives {"rounds": n} for
+    convergence instrumentation.
     """
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = und.select("u").distinct()
+    # SELF-LOOPS folded into the edge set: each node then receives its
+    # own label through the propagation join itself, so the loop body
+    # needs NO labels∪neighbour-labels union. (Besides being one fewer
+    # operator, a union of a checkpointed LogicalRDD with a join derived
+    # from the same LogicalRDD trips Catalyst's Union constraint
+    # rewrite in Spark 4.1 — key-not-found during localCheckpoint.)
     edges = (
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        und.union(nodes.withColumn("v", F.col("u")))
         .distinct()
         .localCheckpoint()
     )
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
+        nodes.select(F.col("u").alias("node"))
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iters):
-        nbr = edges.join(
-            labels.withColumnRenamed("node", "u"), "u"
-        ).select(F.col("v").alias("node"), "lbl")
-        new_labels = (
-            labels.union(nbr)
+        rounds += 1
+        # one edge-keyed join + one node-keyed min-agg (self-loops carry
+        # each node's own label); checkpoint before the self-join below
+        hop = (
+            edges.join(labels.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), "lbl")
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
+        # pointer doubling: lbl(u) ← min(lbl(u), lbl(lbl(u))). The label
+        # of u is always a node in u's component, so the jump stays in
+        # the component and the component min is the unique fixpoint.
+        jump = (
+            hop.alias("a")
+            .join(
+                hop.select(
+                    F.col("node").alias("_ln"), F.col("lbl").alias("_ll")
+                ),
+                F.col("a.lbl") == F.col("_ln"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.lbl"), F.coalesce(F.col("_ll"), F.col("a.lbl"))
+                ).alias("lbl"),
+            )
+        )
+        new_labels = jump.localCheckpoint()
         changed = new_labels.join(labels, ["node", "lbl"], "left_anti").count()
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -107,13 +107,19 @@ def test_clean_corpus_cluster_vs_greedy_drop_rule(spark):
 
 
 def test_connected_components_long_path_converges(spark):
-    """A 40-node path needs ~log-diameter-ish rounds under min-label
-    propagation; the fixpoint must still be exact."""
+    """A 40-node path: pointer doubling must reach the fixpoint in
+    O(log n) rounds (one-hop propagation alone would take 40) and the
+    result must still be exact."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
     )
-    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    stats: dict = {}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, stats=stats).collect()
+    }
     assert got == {i: 0 for i in range(41)}
+    assert stats["rounds"] <= 10, stats  # log-ish, not diameter
 
 
 def test_lsh_candidates_cover_exact_dups(docs):
