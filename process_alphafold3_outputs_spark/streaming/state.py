@@ -37,6 +37,119 @@ def _dedup_fn(key, pdfs: Iterable, state: GroupState):
     return iter([pd.DataFrame({"doc_id": [best], "text_hash": [key[0]]})])
 
 
+BAND_OUTPUT_SCHEMA = "doc_id long, keeper_doc_id long, band int"
+BAND_STATE_SCHEMA = "keeper long"
+
+
+def _lsh_fn(key, pdfs: Iterable, state: GroupState):
+    import pandas as pd
+
+    ids: set[int] = set()
+    for pdf in pdfs:
+        ids.update(int(x) for x in pdf["doc_id"])
+    if not ids:
+        return iter(())
+    if state.exists:
+        keeper = int(state.get[0])
+    else:
+        keeper = min(ids)
+        state.update((keeper,))
+    dups = sorted(ids - {keeper})
+    if not dups:
+        return iter(())
+    return iter(
+        [
+            pd.DataFrame(
+                {
+                    "doc_id": dups,
+                    "keeper_doc_id": [keeper] * len(dups),
+                    "band": [int(key[0])] * len(dups),
+                }
+            )
+        ]
+    )
+
+
+def streaming_lsh_near_dedup(
+    docs_stream: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-batch NEAR-dup detection — the streaming face of
+    ``operators.dedup.lsh_dup_buckets``.
+
+    The MinHash band signature is computed as a PURE PROJECTION
+    (higher-order functions over the per-row shingle array — identical
+    md5 arithmetic to the batch ``minhash_sig_array``, min over the hex
+    string), because a streaming query cannot shuffle-aggregate before
+    its stateful operator. Each document then fans out to its
+    ``n_bands`` (band, band_sig) keys; ``applyInPandasWithState`` keeps
+    one keeper (first-seen min doc id) per bucket in the checkpoint and
+    emits a (doc_id, keeper_doc_id, band) DUPLICATE EDGE for every
+    later arrival that shares a bucket — across micro-batches and
+    restarts.
+
+    One stateful operator only: the per-doc "any band matched" verdict
+    would be a second stateful aggregation in the same query (restricted
+    in Structured Streaming); consumers take
+    ``edges.select('doc_id').distinct()`` per sink batch, or feed the
+    accumulated edges to ``dedup.connected_components`` for transitive
+    clusters."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w = F.split(norm, " ")
+    shingles = F.array_distinct(
+        F.when(F.size(w) < shingle_k, F.array(norm)).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - shingle_k),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, shingle_k)),
+            )
+        )
+    )
+    n_hashes = n_bands * rows_per_band
+    sig = docs_stream.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, seed=seed: F.md5(
+                        F.concat_ws(":", F.lit(str(seed)), s)
+                    ),
+                )
+            ).alias(f"_h{seed}")
+            for seed in range(n_hashes)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"_h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig"))
+    return bands.groupBy("band", "band_sig").applyInPandasWithState(
+        _lsh_fn,
+        outputStructType=BAND_OUTPUT_SCHEMA,
+        stateStructType=BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
     """``docs_stream``: streaming DataFrame with (doc_id, text).
     Emits one (doc_id, text_hash) per never-seen-before normalized

@@ -102,3 +102,57 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
 
     assert first == {1, 2}  # min doc_id per group in batch 1
     assert second == {1, 2, 11}  # 10 deduped against state, 11 new
+
+
+def test_streaming_lsh_near_dedup_across_batches(spark, tmp_path):
+    """Band-bucket state must flag near-dups within a batch AND against
+    earlier batches; the emitted edges carry the bucket keeper. The
+    streaming per-row signature must agree with the batch kernel (same
+    md5 band arithmetic), so identical text ⇒ all bands match."""
+    from process_alphafold3_outputs_spark.streaming.state import (
+        streaming_lsh_near_dedup,
+    )
+
+    src = str(tmp_path / "lsh_src")
+    ckpt = str(tmp_path / "lsh_ckpt")
+    os.makedirs(src)
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a slow tune for the silent crowd tonight")
+    other = "completely different text about distributed query engines"
+    spark.createDataFrame(
+        [(1, base), (2, other), (3, base)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    edges = streaming_lsh_near_dedup(stream, n_bands=4, rows_per_band=3)
+    q = (
+        edges.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_edges")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = [
+            (r.doc_id, r.keeper_doc_id)
+            for r in spark.sql("SELECT * FROM lsh_edges").collect()
+        ]
+        # same-batch duplicate: doc 3 == doc 1 ⇒ all 4 bands emit (3→1)
+        assert set(first) == {(3, 1)} and len(first) == 4
+        # batch 2: another copy arrives much later ⇒ deduped vs STATE
+        spark.createDataFrame(
+            [(10, base), (11, "yet more unrelated words entirely")],
+            "doc_id long, text string",
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        second = [
+            (r.doc_id, r.keeper_doc_id)
+            for r in spark.sql("SELECT * FROM lsh_edges").collect()
+        ]
+    finally:
+        q.stop()
+    assert set(second) == {(3, 1), (10, 1)}
+    assert len([e for e in second if e == (10, 1)]) == 4  # one per band
+    assert not any(d in (2, 11) for d, _ in second)  # uniques untouched
