@@ -347,18 +347,47 @@ def jaccard_pairs(
         if shingles is not None
         else hashed_shingles(docs, k=shingle_k, text_col=text_col)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefix_filter is None:
         prefix_filter = has_hot_shingle(sh)
     if prefix_filter:
         cand = jaccard_candidates(docs, threshold, shingle_k, text_col, shingles=sh)
-        a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-        b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-        common = (
-            cand.join(a_sh, "doc_a")
-            .join(b_sh, ["doc_b", "sh"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        # Verification via per-doc shingle ARRAYS + JVM array_intersect:
+        # the long-form alternative (join candidates back to the (doc,
+        # sh) table on both sides, then a pair-keyed count) shuffles
+        # n_sh rows per doc TWICE plus the pair groupBy; the array form
+        # shuffles ONE row per doc and intersects in-memory per
+        # candidate pair (O(|A|+|B|) hash intersect, all codegen).
+        sets = sh.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("sh")).alias("shs")
+        )
+        sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("_sa"))
+        sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("_sb"))
+        pairs_n = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+                F.size("_sa").alias("n_a"),
+                F.size("_sb").alias("n_b"),
+            )
+        )
+        return (
+            pairs_n.filter(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                >= threshold
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    6,
+                ).alias("jaccard"),
+            )
         )
     else:
         a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -369,6 +398,7 @@ def jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     # Threshold on the UNROUNDED ratio: the PPJoin prefix is lossless
