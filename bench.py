@@ -156,6 +156,10 @@ def main() -> None:
         med, lo, hi = timed(build, warmup=warmup)
         timings[name] = med
         spread[name] = [lo, hi]
+        # staged queries (corpus pipelines) persist fan-out points per
+        # call; release them so pinned blocks from one query don't
+        # pressure executor memory for the rest of the suite
+        spark.catalog.clearCache()
 
     record(
         "af3_flagship",

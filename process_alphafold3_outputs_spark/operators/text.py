@@ -24,27 +24,33 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "is", "in", "that")
 
 
-def _count_word(norm: Column, word: str) -> Column:
-    """Occurrences of a whole word in space-normalized text via replace
-    arithmetic — identical semantics in Spark and ANSI SQL."""
-    padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    needle = f" {word} "
-    # replacing " w " with " " keeps adjacent occurrences countable
-    return F.floor(
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
-        / F.lit(len(needle) - 1)
-    ).cast("long")
+def _count_tokens_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    """Number of entries of a token ARRAY that belong to ``words`` — one
+    ``filter`` over the array (a single compact codegen expression; the
+    earlier per-word replace-length arithmetic expanded to ~10 string
+    traversals per word, blew whole-stage codegen past the JVM's 64 KB
+    method limit in wide projections, and undercounted *immediately
+    adjacent* repeated markers). Counts multiplicity; identical
+    `list_filter` restatement exists in ANSI SQL/DuckDB. Callers split
+    the text ONCE and pass the array — re-splitting per language costs
+    a full text traversal each."""
+    wlist = list(words)
+    return F.size(F.filter(tokens, lambda x: x.isin(wlist))).cast("long")
+
+
+def _count_words_in(norm: Column, words: tuple[str, ...]) -> Column:
+    """Convenience form over space-normalized TEXT (splits internally —
+    prefer :func:`_count_tokens_in` inside multi-language projections)."""
+    return _count_tokens_in(F.split(norm, " "), words)
 
 
 def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, score_<lang>...) marker-hit counts per language."""
-    d = normalized(docs, text_col)
+    d = normalized(docs, text_col).withColumn("_toks", F.split("_norm", " "))
     for lang, words in sorted(LANG_MARKERS.items()):
-        score = None
-        for w in words:
-            c = _count_word(F.col("_norm"), w)
-            score = c if score is None else score + c
-        d = d.withColumn(f"score_{lang}", score)
+        d = d.withColumn(
+            f"score_{lang}", _count_tokens_in(F.col("_toks"), words)
+        )
     return d.select("doc_id", *[f"score_{lang}" for lang in sorted(LANG_MARKERS)])
 
 
@@ -52,15 +58,13 @@ def language_id_col(norm: Column) -> Column:
     """``pred_lang`` as a pure Column over space-normalized text —
     composable into wider projections without a per-stage join
     (argmax of marker scores, 'und' when all zero; ties break
-    alphabetically, deterministic)."""
+    alphabetically, deterministic). The text is split ONCE; every score
+    filters the same token array."""
     langs = sorted(LANG_MARKERS)
-    scores = {}
-    for lang in langs:
-        score = None
-        for w in LANG_MARKERS[lang]:
-            c = _count_word(norm, w)
-            score = c if score is None else score + c
-        scores[lang] = score
+    toks = F.split(norm, " ")
+    scores = {
+        lang: _count_tokens_in(toks, LANG_MARKERS[lang]) for lang in langs
+    }
     best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.lit("und")
     # reverse order so earlier languages win ties
@@ -87,10 +91,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
     )
-    sw = None
-    for w in EN_STOPWORDS:
-        c = _count_word(F.col("_norm"), w)
-        sw = c if sw is None else sw + c
+    sw = _count_words_in(F.col("_norm"), EN_STOPWORDS)
     return d.select(
         "doc_id",
         n_chars.alias("n_chars"),

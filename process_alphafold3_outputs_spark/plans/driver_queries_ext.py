@@ -301,17 +301,18 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # language ID
 # --------------------------------------------------------------------------
-def _sql_count_word(word: str) -> str:
-    pad = f"(' ' || t || ' ')"
-    needle = f"' {word} '"
+def _sql_count_words_in(words: tuple[str, ...]) -> str:
+    """Token-membership count over the split of the normalized text
+    ``t`` — the list_filter restatement of text._count_words_in."""
+    wlist = ", ".join(f"'{w}'" for w in words)
     return (
-        f"CAST(floor((length({pad}) - length(replace({pad}, {needle}, ' ')))"
-        f" / {len(word) + 1}) AS BIGINT)"
+        f"CAST(len(list_filter(string_split(t, ' '), "
+        f"w -> w IN ({wlist}))) AS BIGINT)"
     )
 
 
 def _sql_lang_score(lang: str) -> str:
-    return " + ".join(_sql_count_word(w) for w in text.LANG_MARKERS[lang])
+    return _sql_count_words_in(text.LANG_MARKERS[lang])
 
 
 @register(
@@ -348,7 +349,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(string_split(t, ' ')), 4) AS avg_word_len,
            round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
                  / greatest(length(text), 1), 4) AS punct_ratio,
-           round(({" + ".join(_sql_count_word(w) for w in text.EN_STOPWORDS)})
+           round({_sql_count_words_in(text.EN_STOPWORDS)}
                  / len(string_split(t, ' ')), 4) AS stopword_ratio
     FROM norm
     """,
