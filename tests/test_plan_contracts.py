@@ -115,6 +115,29 @@ def test_corpus_clean_staged_scans_corpus_once(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_multiprobe_lsh_broadcasts_queries_not_corpus(spark, sf_dir):
+    """Multi-probe LSH must broadcast the (tiny, ×n_probe-fanned) query
+    side and stream the corpus through a BroadcastHashJoin — the corpus
+    must NOT shuffle by bucket before the join (at 100 TB that exchange
+    is the whole cost; only the final per-query rank window may
+    exchange the few candidate rows)."""
+    from process_alphafold3_outputs_spark.operators.similarity import (
+        topk_lsh_multiprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = formatted_plan(
+        topk_lsh_multiprobe(emb, F.col("vec_id") < 5, k=3, n_planes=6, n_probe=3)
+    )
+    assert "BroadcastHashJoin" in plan
+    # the corpus must never be hash-shuffled by bucket; the only
+    # required exchange is the rank window over scored candidates
+    # (keyed by query_id). spread()'s REPARTITION_BY_NUM exchanges are
+    # local-mode parallelism only and don't exist on a real cluster.
+    assert "hashpartitioning(bucket" not in plan
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+
+
 def test_staged_clean_corpus_releases_storage(spark, sf_dir):
     """The context-managed form must leave NO pinned blocks after exit
     (VERDICT r2 minor: clean_corpus(stage=True) persisted two DataFrames
