@@ -76,6 +76,44 @@ def _random_docs(seed: int, n: int = 40):
     return rows
 
 
+def _union_find_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference model: path-compressed union-find, min id per root."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_match_union_find_on_random_graphs(spark):
+    """Pointer-doubling label propagation must agree with a sequential
+    union-find on random graphs across densities — sparse forests,
+    chains and dense multi-component mixes."""
+    for seed, n_nodes, n_edges in ((5, 60, 20), (23, 60, 60), (41, 40, 120)):
+        rng = random.Random(seed)
+        pairs = [
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(n_edges)
+        ]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "doc_a long, doc_b long"
+        )
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup.connected_components(df).collect()
+        }
+        assert got == _union_find_components(pairs), (seed, n_nodes, n_edges)
+
+
 def test_jaccard_prefix_filter_lossless_on_adversarial_docs(spark):
     for seed, threshold in itertools.product((5, 23), (0.4, 0.7, 0.95)):
         docs = spark.createDataFrame(
