@@ -301,7 +301,9 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
-def ivf_refine(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_refine(
+    embeddings: DataFrame, centroids: DataFrame, train_sample_mod: int = 1
+) -> DataFrame:
     """One Lloyd (k-means) iteration: assign every vector to its
     max-cosine centroid, then recentre each cell on the element-wise
     MEAN of its members. Produces measurably better-balanced inverted
@@ -312,9 +314,15 @@ def ivf_refine(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     — no rounding needed, no flaky ulp drift from shuffle order.
 
     Shuffle shape: one (cell, pos)-keyed aggregation over the exploded
-    components + one tiny (cell)-keyed rebuild; at 100 TB you train on
-    a deterministic sample (filter vec_id % s == 0) first — the
-    construction is sample-agnostic."""
+    components + one tiny (cell)-keyed rebuild. ``train_sample_mod > 1``
+    trains on the deterministic ``vec_id % mod == 0`` sample — the 100 TB
+    path (quantizer quality needs a representative sample, not the full
+    corpus; assignment of ALL vectors still happens downstream in
+    :func:`topk_ivf`)."""
+    if train_sample_mod > 1:
+        embeddings = embeddings.filter(
+            F.col("vec_id") % train_sample_mod == 0
+        )
     assigned = ivf_assign(embeddings, centroids)
     comps = assigned.select(
         "cell", "vec_id", F.posexplode("vec").alias("pos", "val")
@@ -363,6 +371,7 @@ def topk_ivf(
     n_cells: int = 16,
     n_probe: int = 2,
     refine_iters: int = 0,
+    train_sample_mod: int = 1,
 ) -> DataFrame:
     """IVF top-k: queries probe their ``n_probe`` closest cells and rank
     only those cells' vectors. The inverted lists are the corpus
@@ -370,10 +379,12 @@ def topk_ivf(
     write-once/probe-many layout (store `assignments` bucketed by cell).
 
     ``refine_iters`` Lloyd iterations improve the quantizer (see
-    :func:`ivf_refine`); 0 keeps the deterministic pick-first seed."""
+    :func:`ivf_refine`); 0 keeps the deterministic pick-first seed.
+    ``train_sample_mod`` trains the refinement on the deterministic
+    ``vec_id % mod == 0`` sample (full-corpus assignment is unchanged)."""
     cents = ivf_centroids(embeddings, n_cells)
     for _ in range(refine_iters):
-        cents = ivf_refine(embeddings, cents)
+        cents = ivf_refine(embeddings, cents, train_sample_mod=train_sample_mod)
     assigned = ivf_assign(embeddings, cents)
     if isinstance(query_ids, Column):
         q = spread(embeddings, "vec_id").filter(query_ids)

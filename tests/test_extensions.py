@@ -390,6 +390,23 @@ def test_ivf_refinement_is_exact_when_probing_all_cells(spark, sf_dir):
         for r in similarity.ivf_refine(emb, similarity.ivf_centroids(emb, 8)).collect()
     }
     assert c0 != c1
+    # sampled training (the 100 TB path): a quantizer trained on the
+    # vec_id % 3 == 0 sample differs from the full-corpus one but stays
+    # exact when probing all cells, and is deterministic across calls
+    sampled = {
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in similarity.topk_ivf(
+            emb, F.col("vec_id") < 4, k=3, n_cells=8, n_probe=8,
+            refine_iters=1, train_sample_mod=3,
+        ).collect()
+    }
+    assert sampled == exact
+    cs = similarity.ivf_refine(
+        emb, similarity.ivf_centroids(emb, 8), train_sample_mod=3
+    )
+    assert {tuple(r.cvec) for r in cs.collect()} == {
+        tuple(r.cvec) for r in cs.collect()
+    }
 
 
 def test_corpus_clean_gates_compose(spark):
