@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "dedup_clusters",
     "pipeline_corpus_to_training",
     "pipeline_corpus_clean_clustered",
+    "pipeline_pack_sequences",
     "similarity_topk_lsh_multiprobe",
 ]
 
@@ -81,6 +82,7 @@ _DEFERRED: set[str] = {
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
+    "topk_per_group",
     "rollup_revenue",
     "median_price",
     "range_frame_window",

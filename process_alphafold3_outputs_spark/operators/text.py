@@ -6,7 +6,7 @@ ANSI-SQL oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized
@@ -180,6 +180,58 @@ def chunk_documents(
         F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start")).alias(
             "n_tokens"
         ),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_tokens: int = 2048,
+    n_shards: int = 8,
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """Assign chunker output to fixed-token packed training SEQUENCES —
+    the concat-and-pack step an LLM data pipeline runs after chunking:
+    chunks are laid head-to-tail in a deterministic order and cut into
+    ``seq_tokens``-sized sequences (a chunk belongs to the sequence its
+    START offset falls in; straddling is the standard packed-attention
+    case and is the consumer's masking concern).
+
+    Input needs (doc_id, chunk_id, n_tokens, split); output adds
+    (shard, seq_id, seq_offset).
+
+    Scale shape: packing needs a sequential order, and a GLOBAL order
+    is a single-partition sort at corpus scale — so packing is
+    SHARD-LOCAL: docs hash (md5-deterministic, oracle-reproducible —
+    never rand()) into ``n_shards`` per split, each (split, shard)
+    partition packs independently under one window prefix-sum, and
+    sequence ids are unique per (split, shard). Raise n_shards with
+    corpus size; determinism is unaffected."""
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    out = chunks.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "split",
+        "shard",
+        F.floor(start / F.lit(seq_tokens)).cast("long").alias("seq_id"),
+        (start % F.lit(seq_tokens)).alias("seq_offset"),
     )
 
 

@@ -409,6 +409,42 @@ def test_ivf_refinement_is_exact_when_probing_all_cells(spark, sf_dir):
     }
 
 
+def test_pack_sequences_semantics(spark):
+    """Within each (split, shard) partition the chunks must lay
+    head-to-tail in (doc_id, chunk_id) order: start offsets are the
+    running token sum, seq_id = start // seq_tokens, offset the
+    remainder — verified against a sequential Python packer."""
+    import hashlib
+
+    rows = [
+        (d, c, 30, "train") for d in range(1, 8) for c in range(3)
+    ] + [(9, 0, 100, "val")]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id int, n_tokens long, split string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.split, r.shard, r.seq_id, r.seq_offset)
+        for r in text.pack_sequences(chunks, seq_tokens=64, n_shards=2).collect()
+    }
+
+    def shard_of(doc_id: int) -> int:
+        h = hashlib.md5(f"pack-v1:{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % 2
+
+    expected = {}
+    for split in ("train", "val"):
+        for shard in (0, 1):
+            pos = 0
+            for d, c, n, s in sorted(rows):
+                if s != split or shard_of(d) != shard:
+                    continue
+                expected[(d, c)] = (split, shard, pos // 64, pos % 64)
+                pos += n
+    assert got == expected
+    # both shards actually used (md5 spread over 7 docs)
+    assert {v[1] for v in got.values()} == {0, 1}
+
+
 def test_corpus_clean_gates_compose(spark):
     """Each gate observable: short doc out, non-English out, exact dup
     keeps min id, near-dup drops the higher id."""
