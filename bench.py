@@ -56,6 +56,7 @@ HEADLINE = [
     "text_fingerprint",
     "pipeline_corpus_clean",
     "pipeline_corpus_to_training",
+    "pipeline_pack_sequences",
     "dedup_clusters",
     "similarity_topk_lsh_multiprobe",
 ]
