@@ -62,6 +62,10 @@ _PRIORITY: list[str] = [
     "pipeline_corpus_clean_clustered",
     "pipeline_pack_sequences",
     "similarity_topk_lsh_multiprobe",
+    "dedup_decontaminate",
+    "text_repetition",
+    "text_sample_domains",
+    "text_redact_pii",
 ]
 
 # Shape queries whose SURVEY §2 operator is already evidenced end-to-end
@@ -77,6 +81,10 @@ _DEFERRED: set[str] = {
     "anti_join",             # O21 — semi_join row + pipeline_corpus_clean anti-join
     "conditional_sum",       # O13 — file_chains_from_cifs token rule
     "dedup_simhash",         # superseded by dedup_simhash64
+    "screen_filter",         # O6 — af3_screen applies the same conjunctive filter
+    "array_element_screen",  # O8 — af3_screen reads the same 2-D array element
+    "lookup_default",        # O12 — file_chains_from_cifs runs the 3→1 lookup end-to-end
+    "similarity_topk_lsh",   # superseded by similarity_topk_lsh_multiprobe (n_probe=1 is its special case)
     "dedup_simhash64_near",  # banding recall pinned in pytest; simhash64 row stays
     "dedup_lsh_buckets",     # group form of dedup_minhash_lsh (pair form stays)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined

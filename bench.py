@@ -59,6 +59,10 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "dedup_clusters",
     "similarity_topk_lsh_multiprobe",
+    "dedup_decontaminate",
+    "text_repetition",
+    "text_sample_domains",
+    "text_redact_pii",
 ]
 
 

@@ -427,6 +427,64 @@ def jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_hits, contaminated) — per-document overlap
+    against a benchmark/eval set's word ``k``-grams: the train-test
+    decontamination screen every published pre-training pipeline runs
+    (n-gram collision against held-out benchmarks; public practice).
+
+    Scale shape: the benchmark side is eval-set sized (MBs — tiny next
+    to a 100 TB corpus), so its distinct shingle set is BROADCAST and
+    the corpus is never shuffled by shingle; the only corpus shuffle is
+    the doc-keyed count aggregation, which map-side combines. At true
+    scale, persist the benchmark shingle set once and reuse it across
+    corpus shards. ``contaminated`` is an INT flag (0/1) so the oracle
+    hash is engine-stable."""
+    train = word_shingles(docs, k, text_col)
+    bench = (
+        word_shingles(benchmark, k, text_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .withColumn("contaminated", (F.col("n_hits") > 0).cast("int"))
+    )
+
+
+def decontaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The surviving rows of ``docs`` — anti-join on the contaminated
+    doc ids (the aggregated flag table is small relative to the corpus;
+    the anti-join is doc_id-keyed and AQE-broadcastable)."""
+    flagged = (
+        decontaminate(docs, benchmark, k, text_col)
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    return docs.join(flagged, "doc_id", "left_anti")
+
+
+# --------------------------------------------------------------------------
 # near-dup clustering (connected components)
 # --------------------------------------------------------------------------
 

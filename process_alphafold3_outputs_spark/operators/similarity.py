@@ -244,14 +244,29 @@ def recall_vs_bruteforce(
     k: int = 5,
     n_planes: int = 6,
     n_probe: int = 1,
+    method: str = "lsh",
+    n_cells: int = 16,
+    refine_iters: int = 0,
 ) -> DataFrame:
-    """Measure LSH recall@k against the exact baseline (the 'measure,
-    don't guess' check for the approximate path). ``n_probe > 1``
-    measures the multi-probe variant."""
+    """Measure ANN recall@k against the exact baseline (the 'measure,
+    don't guess' check for every approximate path). ``method='lsh'``
+    with ``n_probe > 1`` measures multi-probe LSH; ``method='ivf'``
+    measures the IVF index probing its ``n_probe`` closest cells
+    (``n_planes`` is ignored there; ``n_cells``/``refine_iters``
+    parameterise the quantizer)."""
     exact = topk_bruteforce(embeddings, query_ids, k).select(
         "query_id", "neighbor_id"
     )
-    if n_probe > 1:
+    if method == "ivf":
+        approx = topk_ivf(
+            embeddings,
+            query_ids,
+            k,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            refine_iters=refine_iters,
+        ).select("query_id", "neighbor_id")
+    elif n_probe > 1:
         approx = topk_lsh_multiprobe(
             embeddings, query_ids, k, n_planes, n_probe
         ).select("query_id", "neighbor_id")

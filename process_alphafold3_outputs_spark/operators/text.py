@@ -104,6 +104,123 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_grams_2, n_dup_2, dup_frac_2, n_grams_3, n_dup_3,
+    dup_frac_3) — duplicate word n-gram fractions, the standard
+    repetition screens a training corpus runs to drop boilerplate /
+    looping generations (Gopher-style "rep" signals; public heuristic).
+
+    Scale shape: a pure NARROW projection — the gram lists are built
+    with transform/slice over the split-once token array and the dup
+    count is ``size − size(array_distinct)``, all JVM-side; no explode,
+    no shuffle, embarrassingly parallel at any corpus size. Documents
+    shorter than k words count as one gram (their full text), mirroring
+    the :func:`~..operators.dedup.word_shingles` convention."""
+    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    sel: list[Column] = [F.col("doc_id")]
+
+    # NB: closure via factory, NOT a default arg — PySpark reads a
+    # two-parameter lambda as an (element, index) higher-order function,
+    # silently binding the "constant" to the element index.
+    def gram(kk: int):
+        return lambda i: F.concat_ws(" ", F.slice("_w", i + 1, kk))
+
+    for k in (2, 3):
+        grams = F.when(F.size("_w") < k, F.array(F.col("_norm"))).otherwise(
+            F.transform(F.sequence(F.lit(0), F.size("_w") - k), gram(k))
+        )
+        d = d.withColumn(f"_g{k}", grams)
+        n = F.size(f"_g{k}").cast("long")
+        ndup = (F.size(f"_g{k}") - F.size(F.array_distinct(f"_g{k}"))).cast(
+            "long"
+        )
+        sel += [
+            n.alias(f"n_grams_{k}"),
+            ndup.alias(f"n_dup_{k}"),
+            F.round(ndup / n, 4).alias(f"dup_frac_{k}"),
+        ]
+    return d.select(*sel)
+
+
+def domain_keep_col(
+    rates: dict[str, int],
+    default_pct: int = 100,
+    domain_col: str = "source",
+    seed: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> Column:
+    """Deterministic stratified-sampling predicate: keep a row iff
+    ``md5(seed‖id) mod 100 < rate(domain)``. Same retry-safe hash-gate
+    as :func:`split_col` (never rand() — a retried task would re-roll),
+    so the SAME doc keeps/drops under any partitioning, engine, or
+    re-run, and the oracle can restate it exactly."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate: Column = F.lit(default_pct)
+    for dom in sorted(rates):
+        rate = F.when(F.col(domain_col) == dom, F.lit(rates[dom])).otherwise(rate)
+    return bucket < rate
+
+
+def sample_by_domain(
+    docs: DataFrame,
+    rates: dict[str, int],
+    default_pct: int = 100,
+    domain_col: str = "source",
+    seed: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, <domain_col>) — the kept rows under per-domain sampling
+    rates (percent), the mixture-reweighting step of a training-data
+    pipeline ("keep 100% of wiki, 10% of crawl"). A pure filter over
+    the scan — no shuffle, no join, no per-domain pass; rates ride as a
+    chained CASE on the domain column."""
+    return docs.filter(
+        domain_keep_col(rates, default_pct, domain_col, seed, id_col)
+    ).select(id_col, domain_col)
+
+
+#: PII patterns chosen to parse identically under Java regex (Spark)
+#: and RE2 (DuckDB): character classes, bounded repeats, \b only.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_ips, n_phones) — regex PII
+    scrubbing (emails → <EMAIL>, IPv4 → <IP>, phone-shaped numbers →
+    <PHONE>), the pre-release hygiene pass every public training corpus
+    runs. All JVM-side regexp_count/regexp_replace — no Python in the
+    row path. Replacements apply in a fixed order (email, ip, phone) on
+    the progressively-redacted text so counts can't double-count text
+    consumed by an earlier rule."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
+    after_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IP_RE)).cast("long")
+    after_ip = F.regexp_replace(after_email, PII_IP_RE, "<IP>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("long")
+    clean = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_ws_tokens, n_bpe_ish_tokens): whitespace tokens plus a
     BPE-ish segmentation count (letter runs / digit runs / single other

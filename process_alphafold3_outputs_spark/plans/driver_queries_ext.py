@@ -1279,3 +1279,136 @@ def similarity_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_IVF_PROBE,
         refine_iters=1,
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap vs a held-out eval set
+# (benchmark = the deterministic doc_id % 19 == 0 slice of the corpus —
+# self-contained so the oracle runs on the same tables)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_decontaminate",
+    sql=f"""
+    WITH {_SHINGLES},
+    bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 19 = 0)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(b.shingle) AS BIGINT) AS n_hits,
+           CAST(count(b.shingle) > 0 AS INT) AS contaminated
+    FROM shingles s LEFT JOIN bench b USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    return dedup.decontaminate(docs, bench, k=3)
+
+
+# --------------------------------------------------------------------------
+# repetition screens: duplicate word n-gram fractions (narrow projection)
+# --------------------------------------------------------------------------
+def _sql_rep(k: int) -> str:
+    return f"""
+    g{k} AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < {k} THEN t
+                    ELSE array_to_string(w[i:i+{k - 1}], ' ') END AS g
+        FROM words, unnest(generate_series(1, greatest(len(w) - {k - 1}, 1))) s(i)),
+    a{k} AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams_{k},
+               CAST(count(*) - count(DISTINCT g) AS BIGINT) AS n_dup_{k}
+        FROM g{k} GROUP BY doc_id)"""
+
+
+@register(
+    "text_repetition",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    words AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+    {_sql_rep(2)},
+    {_sql_rep(3)}
+    SELECT a2.doc_id,
+           n_grams_2, n_dup_2, round(n_dup_2 / n_grams_2, 4) AS dup_frac_2,
+           n_grams_3, n_dup_3, round(n_dup_3 / n_grams_3, 4) AS dup_frac_3
+    FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# domain-weighted deterministic sampling (mixture reweighting)
+# --------------------------------------------------------------------------
+_SAMPLE_RATES = {"src0": 100, "src1": 50, "src2": 25, "src3": 10, "src4": 0}
+_SAMPLE_DEFAULT = 75
+
+
+@register(
+    "text_sample_domains",
+    sql=f"""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100
+          < CASE source
+              {" ".join(f"WHEN '{d}' THEN {p}" for d, p in sorted(_SAMPLE_RATES.items()))}
+              ELSE {_SAMPLE_DEFAULT} END
+    """,
+)
+def text_sample_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sample_by_domain(
+        load_table(spark, sf_dir, "documents"),
+        _SAMPLE_RATES,
+        default_pct=_SAMPLE_DEFAULT,
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — deterministic PII is injected from doc_id so the regex
+# rules demonstrably FIRE on every row (the synthetic corpus carries no
+# natural PII); the oracle restates injection + the same RE2/Java-common
+# patterns, so the redacted text itself is value-hashed
+# --------------------------------------------------------------------------
+@register(
+    "text_redact_pii",
+    sql=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-0199' AS t
+        FROM documents),
+    e AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '{text.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                 regexp_replace(t, '{text.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+          FROM injected),
+    i AS (SELECT doc_id, n_emails,
+                 CAST(len(regexp_extract_all(t1, '{text.PII_IP_RE}')) AS BIGINT) AS n_ips,
+                 regexp_replace(t1, '{text.PII_IP_RE}', '<IP>', 'g') AS t2
+          FROM e)
+    SELECT doc_id,
+           regexp_replace(t2, '{text.PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+           n_emails, n_ips,
+           CAST(len(regexp_extract_all(t2, '{text.PII_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM i
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ).alias("text"),
+    )
+    return text.redact_pii(injected)

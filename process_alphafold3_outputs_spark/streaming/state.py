@@ -96,6 +96,28 @@ def streaming_lsh_near_dedup(
     ``edges.select('doc_id').distinct()`` per sink batch, or feed the
     accumulated edges to ``dedup.connected_components`` for transitive
     clusters."""
+    bands = minhash_band_projection(
+        docs_stream, n_bands, rows_per_band, shingle_k
+    )
+    return bands.groupBy("band", "band_sig").applyInPandasWithState(
+        _lsh_fn,
+        outputStructType=BAND_OUTPUT_SCHEMA,
+        stateStructType=BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def minhash_band_projection(
+    docs_stream: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, band_sig) as a PURE per-row projection — no
+    shuffle, no aggregation — so it is legal upstream of a stateful
+    streaming operator AND directly comparable (pytest-pinned) to the
+    batch ``dedup.minhash_sig_array`` band signatures."""
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     w = F.split(norm, " ")
     shingles = F.array_distinct(
@@ -107,17 +129,19 @@ def streaming_lsh_near_dedup(
         )
     )
     n_hashes = n_bands * rows_per_band
+
+    # Closure via factory, NOT a lambda default arg: PySpark reads a
+    # two-parameter lambda as an (element, index) higher-order function
+    # and would bind the "seed" to the element index column (turning
+    # every seed prefix into the same str(Column) garbage — all bands
+    # identical, the batch-parity contract silently broken).
+    def seed_hash(seed: int):
+        return lambda s: F.md5(F.concat_ws(":", F.lit(str(seed)), s))
+
     sig = docs_stream.select(
         "doc_id",
         *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, seed=seed: F.md5(
-                        F.concat_ws(":", F.lit(str(seed)), s)
-                    ),
-                )
-            ).alias(f"_h{seed}")
+            F.array_min(F.transform(shingles, seed_hash(seed))).alias(f"_h{seed}")
             for seed in range(n_hashes)
         ],
     )
@@ -141,13 +165,7 @@ def streaming_lsh_near_dedup(
             )
         ).alias("_b"),
     ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig"))
-    return bands.groupBy("band", "band_sig").applyInPandasWithState(
-        _lsh_fn,
-        outputStructType=BAND_OUTPUT_SCHEMA,
-        stateStructType=BAND_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return bands
 
 
 def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:

@@ -187,6 +187,28 @@ def test_multiprobe_lsh_recall_improves(spark, sf_dir):
     assert mean_multi >= 0.1
 
 
+def test_ivf_multiprobe_recall_improves(spark, sf_dir):
+    """IVF recall dominates per query as n_probe grows (same centroids
+    ⇒ the probed cell set is nested, ranking is exact cosine within the
+    candidates), and probing ALL cells recovers brute force exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.col("vec_id") < 15
+    by_probe = {}
+    for n_probe in (1, 3, 8):
+        by_probe[n_probe] = {
+            r.query_id: r.recall
+            for r in similarity.recall_vs_bruteforce(
+                emb, q, k=5, n_probe=n_probe, method="ivf", n_cells=8
+            ).collect()
+        }
+    assert set(by_probe[1]) == set(by_probe[8]) and len(by_probe[8]) == 15
+    for qid in by_probe[1]:
+        assert by_probe[3][qid] >= by_probe[1][qid]
+        assert by_probe[8][qid] >= by_probe[3][qid]
+    # n_probe == n_cells probes every inverted list ⇒ exact top-k
+    assert all(v == 1.0 for v in by_probe[8].values())
+
+
 def test_language_id_and_quality(spark):
     rows = [
         (1, "the cat and the dog of the house is to be found"),

@@ -1,0 +1,215 @@
+"""Unit tests for the round-3 training-pipeline text/dedup additions:
+decontamination, repetition screens, domain sampling, PII redaction,
+and the streaming↔batch MinHash band-signature parity pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from process_alphafold3_outputs_spark.operators import dedup, text
+from process_alphafold3_outputs_spark.streaming.state import (
+    minhash_band_projection,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),   # shares "alpha beta gamma"
+            (2, "epsilon zeta eta theta"),   # disjoint
+            (3, "iota kappa lambda"),        # exactly the benchmark doc
+        ],
+    )
+    bench = _docs(
+        spark,
+        [(100, "alpha beta gamma"), (101, "iota kappa lambda")],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.decontaminate(docs, bench, k=3).collect()
+    }
+    assert got[1]["contaminated"] == 1 and got[1]["n_hits"] == 1
+    assert got[1]["n_shingles"] == 2  # "alpha beta gamma", "beta gamma delta"
+    assert got[2]["contaminated"] == 0 and got[2]["n_hits"] == 0
+    assert got[3]["contaminated"] == 1 and got[3]["n_hits"] == 1
+
+    survivors = dedup.decontaminated_docs(docs, bench, k=3)
+    assert [r["doc_id"] for r in survivors.collect()] == [2]
+
+
+def test_decontaminate_short_doc_single_shingle(spark):
+    # < k words: the whole text is the single shingle (word_shingles
+    # convention), so an exact short match is still caught
+    docs = _docs(spark, [(1, "tiny doc"), (2, "other text")])
+    bench = _docs(spark, [(9, "tiny doc")])
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in dedup.decontaminate(docs, bench, k=5).collect()
+    }
+    assert got == {1: 1, 2: 0}
+
+
+# --------------------------------------------------------------------------
+# repetition screens
+# --------------------------------------------------------------------------
+
+
+def test_repetition_scores_known_fractions(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b c"),     # 2-grams: ab ba ab bc -> 1 dup of 4
+            (2, "x y z"),         # no repetition
+            (3, "w w w w"),       # 2-grams: ww ww ww -> 2 dup of 3
+            (4, "solo"),          # < k words: single gram, zero dup
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.repetition_scores(docs).collect()
+    }
+    assert got[1]["n_grams_2"] == 4 and got[1]["n_dup_2"] == 1
+    assert got[1]["dup_frac_2"] == 0.25
+    # 3-grams of doc1: "a b a", "b a b", "a b c" -> distinct
+    assert got[1]["n_dup_3"] == 0
+    assert got[2]["n_dup_2"] == 0 and got[2]["n_dup_3"] == 0
+    assert got[3]["n_grams_2"] == 3 and got[3]["n_dup_2"] == 2
+    assert got[3]["n_grams_3"] == 2 and got[3]["n_dup_3"] == 1
+    assert got[4]["n_grams_2"] == 1 and got[4]["n_dup_2"] == 0
+
+
+def test_repetition_is_narrow_plan(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    plan = text.repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: no shuffle at any scale
+
+
+# --------------------------------------------------------------------------
+# domain sampling
+# --------------------------------------------------------------------------
+
+
+def test_sample_by_domain_rate_extremes_and_determinism(spark):
+    rows = [(i, f"t{i}", "keepall" if i % 3 == 0 else ("dropall" if i % 3 == 1 else "other")) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = text.sample_by_domain(
+        docs, {"keepall": 100, "dropall": 0}, default_pct=50
+    )
+    pdf = kept.toPandas()
+    by_src = pdf.groupby("source")["doc_id"].count().to_dict()
+    assert by_src.get("keepall") == 40          # rate 100 keeps every row
+    assert "dropall" not in by_src              # rate 0 keeps none
+    assert 0 < by_src.get("other", 0) < 40      # default rate is partial
+    # determinism: identical output on re-run (hash gate, not rand())
+    pdf2 = text.sample_by_domain(
+        docs, {"keepall": 100, "dropall": 0}, default_pct=50
+    ).toPandas()
+    assert sorted(pdf.doc_id) == sorted(pdf2.doc_id)
+
+
+def test_sample_by_domain_consistent_with_split_hash(spark):
+    # same md5 bucket arithmetic as split_col: a domain at rate 10 keeps
+    # exactly the docs split_assign(val_pct=10, seed=...) calls 'val'
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "d") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    kept = set(
+        r["doc_id"]
+        for r in text.sample_by_domain(docs, {"d": 10}, seed="s9").collect()
+    )
+    val = set(
+        r["doc_id"]
+        for r in text.split_assign(docs, val_pct=10, seed="s9")
+        .filter(F.col("split") == "val")
+        .collect()
+    )
+    assert kept == val
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+
+def test_redact_pii_patterns(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail a.user+tag@sub.example.org now"),
+            (2, "host 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call 555-867-5309 today"),
+            (4, "plain text no pii"),
+            (5, "x@y.io 1.2.3.4 111-222-3333"),  # all three in one row
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in text.redact_pii(docs).collect()}
+    assert got[1]["clean_text"] == "mail <EMAIL> now"
+    assert got[1]["n_emails"] == 1 and got[1]["n_ips"] == 0
+    assert got[2]["clean_text"] == "host <IP> and <IP> up"
+    assert got[2]["n_ips"] == 2
+    assert got[3]["clean_text"] == "call <PHONE> today"
+    assert got[3]["n_phones"] == 1
+    assert got[4]["clean_text"] == "plain text no pii"
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (0, 0, 0)
+    assert got[5]["clean_text"] == "<EMAIL> <IP> <PHONE>"
+
+
+def test_redact_pii_order_no_double_count(spark):
+    # the email's domain contains dots but must NOT later count as an IP;
+    # digits inside an already-redacted span must not count as a phone
+    docs = _docs(spark, [(1, "u1@h1.co 555-123-4567")])
+    row = text.redact_pii(docs).collect()[0]
+    assert row["clean_text"] == "<EMAIL> <PHONE>"
+    assert row["n_emails"] == 1 and row["n_ips"] == 0 and row["n_phones"] == 1
+
+
+# --------------------------------------------------------------------------
+# streaming ↔ batch MinHash parity
+# --------------------------------------------------------------------------
+
+
+def test_streaming_band_projection_matches_batch_minhash(spark):
+    """The streaming per-row band signature must equal the batch
+    minhash_sig_array-derived band signature — this pins the md5 seed
+    arithmetic (a two-parameter lambda regression silently turned every
+    seed into the same str(Column) garbage)."""
+    n_bands, rows_per_band = 4, 3
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words here entirely"),
+        ],
+    )
+    stream_bands = {
+        (r["doc_id"], r["band"]): r["band_sig"]
+        for r in minhash_band_projection(
+            docs, n_bands, rows_per_band
+        ).collect()
+    }
+    sig = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.minhash_sig_array(
+            docs, n_hashes=n_bands * rows_per_band
+        ).collect()
+    }
+    batch_bands = {
+        (doc, b): "|".join(s[b * rows_per_band : (b + 1) * rows_per_band])
+        for doc, s in sig.items()
+        for b in range(n_bands)
+    }
+    assert stream_bands == batch_bands
+    # and the signature is NOT degenerate: some doc has distinct band sigs
+    assert len({v for (d, _), v in stream_bands.items() if d == 1}) > 1
