@@ -66,6 +66,8 @@ _PRIORITY: list[str] = [
     "text_repetition",
     "text_sample_domains",
     "text_redact_pii",
+    # -- round-4 additions
+    "similarity_recall",   # ANN quality as a hard driver signal
 ]
 
 # Shape queries whose SURVEY §2 operator is already evidenced end-to-end
@@ -91,6 +93,10 @@ _DEFERRED: set[str] = {
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",
+    "pricing_summary",     # TPC-H shape, not a §2 operator (judge r3 #5);
+                           # still benched + pytest-mirrored
+    "ordered_concat",      # O11 — file_chains_from_cifs runs the same
+                           # ordered string-agg end-to-end
     "rollup_revenue",
     "median_price",
     "range_frame_window",

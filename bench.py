@@ -119,17 +119,25 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so timings measure query
     # execution, not first-touch session setup
-    dq.pricing_summary(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        dq.pricing_summary(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+    except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+        print(f"bench: warmup failed: {exc}", file=sys.stderr)
 
     # AF3 flagship: screen → PAE kernel → contacts → islands → report
     from process_alphafold3_outputs_spark.params import ScreenParams
     from process_alphafold3_outputs_spark.plans.pipeline import interaction_report
 
-    af3_dir = _af3_bench_corpus(sf)
-    af3 = {
-        n: spark.read.parquet(os.path.join(af3_dir, f"{n}.parquet"))
-        for n in ("predictions", "chains", "pae_long", "atoms")
-    }
+    try:
+        af3_dir = _af3_bench_corpus(sf)
+        af3 = {
+            n: spark.read.parquet(os.path.join(af3_dir, f"{n}.parquet"))
+            for n in ("predictions", "chains", "pae_long", "atoms")
+        }
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: af3 corpus setup failed: {exc}", file=sys.stderr)
+        af3 = None
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     if n_runs < 1:
         print(f"bench: SPARK_GRAFT_BENCH_RUNS={n_runs} < 1, using 1",
@@ -156,24 +164,39 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
 
     def record(name: str, build, warmup: bool = False) -> None:
-        med, lo, hi = timed(build, warmup=warmup)
-        timings[name] = med
-        spread[name] = [lo, hi]
-        # staged queries (corpus pipelines) persist fan-out points per
-        # call; release them so pinned blocks from one query don't
-        # pressure executor memory for the rest of the suite
-        spark.catalog.clearCache()
+        # Per-query failure isolation: one query crashing (plan-time or
+        # run-time) must not take down the suite — r3 lost its entire
+        # bench artifact to a single AnalysisException. The error lands
+        # in BENCH_DETAIL.json; the final JSON line prints regardless.
+        try:
+            med, lo, hi = timed(build, warmup=warmup)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"
+            print(f"bench: {name} FAILED: {errors[name][:200]}",
+                  file=sys.stderr)
+        else:
+            timings[name] = med
+            spread[name] = [lo, hi]
+        finally:
+            # staged queries (corpus pipelines) persist fan-out points per
+            # call; release them so pinned blocks from one query don't
+            # pressure executor memory for the rest of the suite
+            spark.catalog.clearCache()
 
-    record(
-        "af3_flagship",
-        lambda: interaction_report(
-            af3["predictions"], af3["chains"], af3["pae_long"], af3["atoms"],
-            ScreenParams(),
-        ),
-        warmup=True,
-    )
+    if af3 is not None:
+        record(
+            "af3_flagship",
+            lambda: interaction_report(
+                af3["predictions"], af3["chains"], af3["pae_long"],
+                af3["atoms"], ScreenParams(),
+            ),
+            warmup=True,
+        )
+    else:
+        errors["af3_flagship"] = "corpus setup failed (see stderr)"
     skipped = [n for n in HEADLINE if n not in dq._QUERIES]
     if skipped:
         print(f"bench: skipping unregistered headline queries: {skipped}",
@@ -200,18 +223,23 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "spread": spread,
-                "vs_prev": vs_prev,
-                "vs_prev_stat": (prev.get("stat", "min") if prev else None),
-                "prev_anchor": anchor,
-                "skipped_headline": skipped,
-            },
-            fh,
-            indent=1,
-        )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {
+                    "spread": spread,
+                    "vs_prev": vs_prev,
+                    "vs_prev_stat": (prev.get("stat", "min") if prev else None),
+                    "prev_anchor": anchor,
+                    "skipped_headline": skipped,
+                    "errors": errors,
+                },
+                fh,
+                indent=1,
+            )
+    except OSError as exc:
+        print(f"bench: BENCH_DETAIL.json write failed: {exc}",
+              file=sys.stderr)
     # The compact driver-parseable line, printed LAST so tail capture
     # always sees a complete JSON object.
     print(
@@ -224,6 +252,7 @@ def main() -> None:
                 "sf": sf,
                 "runs": n_runs,
                 "stat": "median",
+                "failed": sorted(errors),
             }
         )
     )

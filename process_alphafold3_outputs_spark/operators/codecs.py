@@ -1,0 +1,174 @@
+"""Pure-Python image codecs for the multimodal pipeline: uncompressed
+24-bit BMP (BITMAPINFOHEADER, BI_RGB) and binary PPM (P6).
+
+These two formats need no external library — both are fixed headers over
+raw RGB samples — so they give ``operators.multimodal`` one REAL decode
+path in this container. Every other format stays behind the documented
+``NotImplementedError`` codec boundary.
+
+Format layouts are public knowledge (BMP: Windows BITMAPFILEHEADER +
+BITMAPINFOHEADER; PPM: the netpbm P6 spec). Decoded output is a numpy
+``(height, width, 3)`` uint8 array in RGB order, top-down.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def sniff(content: bytes) -> str | None:
+    """'bmp' | 'ppm' | None for the first bytes of an asset."""
+    if content[:2] == b"BM":
+        return "bmp"
+    if content[:2] == b"P6":
+        return "ppm"
+    return None
+
+
+# --------------------------------------------------------------------------
+# BMP — uncompressed 24bpp, BITMAPINFOHEADER
+# --------------------------------------------------------------------------
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    pixel_offset = struct.unpack_from("<I", content, 10)[0]
+    header_size = struct.unpack_from("<I", content, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported DIB header size {header_size}")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24bpp BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundary
+    need = pixel_offset + row_stride * height
+    if len(content) < need:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(
+        content, dtype=np.uint8, count=row_stride * height, offset=pixel_offset
+    ).reshape(height, row_stride)
+    bgr = raw[:, : width * 3].reshape(height, width, 3)
+    rgb = bgr[:, :, ::-1]
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    h, w, c = rgb.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    row_stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pixels = rows.tobytes()
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+                      2835, 2835, 0, 0)
+    return file_header + dib + pixels
+
+
+# --------------------------------------------------------------------------
+# PPM — binary P6, maxval <= 255
+# --------------------------------------------------------------------------
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM stream")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment through end-of-line
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(content) and content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(content[start:pos])
+    pos += 1  # single whitespace byte after maxval, then raster
+    width, height, maxval = (int(t) for t in tokens)
+    if width <= 0 or height <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"bad PPM header {width}x{height} maxval={maxval}")
+    need = width * height * 3
+    if len(content) - pos < need:
+        raise ValueError("truncated PPM raster")
+    return (
+        np.frombuffer(content, dtype=np.uint8, count=need, offset=pos)
+        .reshape(height, width, 3)
+        .copy()
+    )
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    h, w, c = rgb.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+
+# --------------------------------------------------------------------------
+# shared entry points used by operators.multimodal
+# --------------------------------------------------------------------------
+
+def decode_image(content: bytes) -> tuple[str, np.ndarray]:
+    """(format, rgb array) for a supported stream; ValueError otherwise."""
+    fmt = sniff(content)
+    if fmt == "bmp":
+        return fmt, decode_bmp(content)
+    if fmt == "ppm":
+        return fmt, decode_ppm(content)
+    raise ValueError("unsupported image format")
+
+
+def encode_image(fmt: str, rgb: np.ndarray) -> bytes:
+    if fmt == "bmp":
+        return encode_bmp(rgb)
+    if fmt == "ppm":
+        return encode_ppm(rgb)
+    raise ValueError(f"unsupported image format {fmt!r}")
+
+
+def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resample — deterministic integer index math."""
+    h, w = rgb.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return np.ascontiguousarray(rgb[rows][:, cols])
+
+
+def image_features(rgb: np.ndarray, dim: int) -> list[float]:
+    """``dim`` deterministic floats in [0, 1]: normalized dimensions,
+    per-channel means, and luminance spread — a real (if simple)
+    feature vector computed from decoded pixels."""
+    flat = rgb.reshape(-1, 3).astype(np.float64) / 255.0
+    luma = flat @ np.array([0.2126, 0.7152, 0.0722])
+    h, w = rgb.shape[:2]
+    feats = [
+        min(w / 4096.0, 1.0),
+        min(h / 4096.0, 1.0),
+        float(flat[:, 0].mean()),
+        float(flat[:, 1].mean()),
+        float(flat[:, 2].mean()),
+        float(luma.std()),
+        float(luma.min()),
+        float(luma.max()),
+    ]
+    return [float(round(v, 6)) for v in feats[:dim]]

@@ -495,6 +495,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iters: int = 50,
     stats: dict | None = None,
+    check_every: int = 1,
 ) -> DataFrame:
     """(doc_id, cluster_id) — transitive duplicate CLUSTERS over the
     candidate-pair graph; cluster_id is the min doc id reachable from
@@ -521,9 +522,15 @@ def connected_components(
 
     The convergence test (one tiny count per round) is a driver action
     — inherent to any fixpoint algorithm; ``max_iters`` bounds the
-    worst case. ``stats``, if given, receives {"rounds": n} for
+    worst case. ``check_every`` amortizes that action at scale: with
+    ``check_every=k`` the anti-join count runs only every k-th round
+    (extra rounds past the fixpoint are no-ops on already-converged
+    labels, so the result is identical — only the stopping rule
+    coarsens). ``stats``, if given, receives {"rounds": n} for
     convergence instrumentation.
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nodes = und.select("u").distinct()
@@ -575,10 +582,15 @@ def connected_components(
             )
         )
         new_labels = jump.localCheckpoint()
-        changed = new_labels.join(labels, ["node", "lbl"], "left_anti").count()
-        labels = new_labels
-        if changed == 0:
-            break
+        if rounds % check_every == 0 or rounds == max_iters:
+            changed = (
+                new_labels.join(labels, ["node", "lbl"], "left_anti").count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select(

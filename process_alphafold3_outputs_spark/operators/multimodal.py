@@ -3,11 +3,14 @@ typed metadata struct (the same pattern the engine already uses for
 mmCIF structures — SURVEY §7.1 M7).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape,
-UDF signatures — is real and tested. The actual codec step is STUBBED:
-the container ships no image/audio libraries, so ``decode_*`` raise
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic md5-derived pseudo-decode (stable across runs/engines, so
-tests and oracles can cover the full pipeline shape).
+UDF signatures — is real and tested. The codec step has one REAL path:
+uncompressed 24-bit BMP and binary PPM (P6) decode/encode/resize via the
+pure-Python ``operators.codecs`` module (no external libraries needed).
+Formats that genuinely require codec libraries absent from this
+container (JPEG/PNG/audio/video) stay behind ``NotImplementedError``
+unless ``fake=True``, which substitutes a deterministic md5-derived
+pseudo-decode (stable across runs/engines, so tests and oracles can
+cover the full pipeline shape).
 """
 
 from __future__ import annotations
@@ -61,8 +64,12 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize each asset via ``mapInPandas`` (Arrow batches;
     one Python worker call per partition batch, never per row).
 
-    Real codecs are not available in this environment: ``fake=False``
-    raises NotImplementedError at execution time, by design.
+    ``fake=False`` REALLY decodes BMP/PPM assets (pure-Python
+    ``operators.codecs``) and computes pixel-derived features; any other
+    format raises NotImplementedError at execution time — that is the
+    honest codec boundary for libraries this container doesn't ship.
+    ``fake=True`` substitutes the deterministic md5 pseudo-decode for
+    every asset regardless of format.
     """
 
     def run(batches) -> Iterator:
@@ -70,18 +77,25 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
         import pandas as pd
 
+        from . import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs not available in this environment; "
-                    "pass fake=True for the deterministic stub decode"
-                )
             feats, hashes, sizes = [], [], []
             for content in pdf["content"]:
                 b = bytes(content)
                 sizes.append(len(b))
                 hashes.append(hashlib.md5(b).hexdigest())
-                feats.append(_fake_decode(b))
+                if fake:
+                    feats.append(_fake_decode(b))
+                    continue
+                if codecs.sniff(b) is None:
+                    raise NotImplementedError(
+                        "only BMP/PPM decode ships in this environment; "
+                        "pass fake=True for the deterministic stub decode "
+                        "of other formats"
+                    )
+                _, rgb = codecs.decode_image(b)
+                feats.append(codecs.image_features(rgb, FEATURE_DIM))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -98,27 +112,42 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize every image asset via ``mapInPandas``. The Spark plumbing
     — Arrow batch shape, meta-struct update, content pass-through — is
-    real and tested; the pixel transform itself is the codec boundary:
-    ``fake=False`` raises NotImplementedError at execution (no image
-    libs in this container), ``fake=True`` substitutes a deterministic
-    re-encode (md5(content ‖ w×h) bytes) with the correct meta."""
+    real and tested. ``fake=False`` REALLY resizes BMP/PPM assets
+    (nearest-neighbour, pure-Python ``operators.codecs``) and re-encodes
+    in the same format; other formats raise NotImplementedError at
+    execution (the codec boundary). ``fake=True`` substitutes a
+    deterministic re-encode (md5(content ‖ w×h) bytes) with the correct
+    meta."""
 
     def run(batches) -> Iterator:
         import hashlib
 
         import pandas as pd
 
+        from . import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires a codec library not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "stub transform"
+            out_content, out_codec = [], []
+            for c in pdf["content"]:
+                b = bytes(c)
+                if fake:
+                    out_content.append(
+                        hashlib.md5(b + f":{width}x{height}".encode()).digest()
+                    )
+                    out_codec.append("fake-resized")
+                    continue
+                if codecs.sniff(b) is None:
+                    raise NotImplementedError(
+                        "only BMP/PPM resize ships in this environment; "
+                        "pass fake=True for the deterministic stub transform"
+                    )
+                fmt, rgb = codecs.decode_image(b)
+                out_content.append(
+                    codecs.encode_image(
+                        fmt, codecs.resize_nearest(rgb, width, height)
+                    )
                 )
-            out_content = [
-                hashlib.md5(bytes(c) + f":{width}x{height}".encode()).digest()
-                for c in pdf["content"]
-            ]
+                out_codec.append(fmt)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -129,9 +158,9 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                             "width": width,
                             "height": height,
                             "duration_ms": (m or {}).get("duration_ms"),
-                            "codec": "fake-resized",
+                            "codec": codec,
                         }
-                        for m in pdf["meta"]
+                        for m, codec in zip(pdf["meta"], out_codec)
                     ],
                 }
             )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.islands import find_islands
-from ..sources.tables import load_table
+from ..sources.tables import event_seconds, load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -377,9 +377,8 @@ SESSION_MIN_EVENTS = 3
     """,
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000000000").alias("t")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", event_seconds(ev).alias("t"))
     kept = find_islands(
         e,
         ["user_id"],
@@ -505,9 +504,8 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "t")
         .agg(F.max("o_orderkey").alias("last_orderkey"))
     )
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts div 1000000000").alias("t")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", event_seconds(ev).alias("t"))
     return as_of_join(e, o, ["user_id"], "t", "t", ["last_orderkey"])
 
 
@@ -607,9 +605,8 @@ def median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts div 1000000000").alias("t")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", event_seconds(ev).alias("t"))
     w = W.partitionBy("user_id").orderBy("t").rangeBetween(-3600, 0)
     return e.select(
         "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
@@ -632,9 +629,10 @@ def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
         "event_type",
-        F.expr("ts div 1000000000").cast("timestamp").alias("ts_t"),
+        event_seconds(ev).cast("timestamp").alias("ts_t"),
         "value",
     )
     return (

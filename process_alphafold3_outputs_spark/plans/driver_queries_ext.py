@@ -10,8 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
-from ..sources.tables import load_table
-from .driver_queries import register
+from ..sources.tables import event_seconds, load_table
+from .driver_queries import _ORACLE, register
 
 # shared SQL fragments -------------------------------------------------------
 
@@ -545,9 +545,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
         "user_id",
-        F.expr("ts div 1000000000").cast("timestamp").alias("ts"),
+        event_seconds(ev).cast("timestamp").alias("ts"),
     )
     return (
         e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -1216,6 +1217,41 @@ def similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
         emb, F.col("vec_id") < _N_QUERIES, k=_TOPK_K,
         n_planes=_LSH_PLANES, n_probe=_LSH_NPROBE,
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall@k as a hard driver signal — exact top-k LEFT JOIN the
+# multi-probe LSH top-k, per-query hit count with zero-fill (a zero-hit
+# query must surface as recall 0, not vanish). The oracle reuses the two
+# already-green oracle texts verbatim as derived tables, so any drift in
+# either path breaks this row too.
+# --------------------------------------------------------------------------
+def _register_similarity_recall() -> None:
+    exact_sql = _ORACLE["similarity_topk"]
+    approx_sql = _ORACLE["similarity_topk_lsh_multiprobe"]
+    register(
+        "similarity_recall",
+        sql=f"""
+        SELECT e.query_id,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               round(count(a.neighbor_id) / {_TOPK_K}, 4) AS recall
+        FROM ({exact_sql}) e
+        LEFT JOIN ({approx_sql}) a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        """,
+    )(_similarity_recall)
+
+
+def _similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.recall_vs_bruteforce(
+        emb, F.col("vec_id") < _N_QUERIES, k=_TOPK_K,
+        n_planes=_LSH_PLANES, n_probe=_LSH_NPROBE, method="lsh",
+    )
+
+
+_register_similarity_recall()
 
 
 # --------------------------------------------------------------------------

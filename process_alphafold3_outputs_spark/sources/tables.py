@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: embeddings.embedding dimensionality (TESTDATA.md table contract —
 #: fixed-width array<float>; operators take ``dim`` as a parameter so
@@ -33,12 +34,35 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
-        # parquet reader rejects; read the raw nanos as LONG. Queries
-        # convert with ``ts div 1e9`` (exact integer math — double
-        # division would lose sub-second precision at 1.7e18 nanos).
+        # The driver has shipped events.ts under two encodings across
+        # regenerations: INT64 TIMESTAMP(NANOS) (Spark's parquet reader
+        # rejects it; read raw nanos as LONG) and plain TIMESTAMP
+        # (surfaces as TIMESTAMP_NTZ). Support both: keep nanosAsLong
+        # for the former, and pin the session timezone to UTC so the
+        # NTZ -> epoch-seconds cast in event_seconds() matches DuckDB's
+        # epoch() (which treats naive timestamps as UTC) regardless of
+        # the host timezone of the session we were handed.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def event_seconds(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-seconds (BIGINT) expression for the events ``ts`` column.
+
+    Sniffs the bound dtype so queries survive the driver regenerating
+    the test parquet with either encoding:
+
+    - ``timestamp`` / ``timestamp_ntz``  -> ``cast(timestamp) cast(long)``
+      (floor to whole seconds; session tz is UTC per ``load_table``)
+    - ``bigint`` (epoch nanos)           -> ``col div 1e9`` (exact
+      integer math — double division loses sub-second precision at
+      1.7e18 nanos)
+    """
+    dtype = dict(df.dtypes).get(col, "bigint")
+    if dtype.startswith("timestamp"):
+        return F.col(col).cast("timestamp").cast("long")
+    return F.expr(f"{col} div 1000000000")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

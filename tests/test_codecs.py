@@ -1,0 +1,110 @@
+"""Real (non-fake) multimodal codec path: pure-Python BMP/PPM decode,
+feature extraction from actual pixels, and nearest-neighbour resize —
+the one executable codec boundary this container supports.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from process_alphafold3_outputs_spark.operators import codecs, multimodal
+
+
+def _rgb(h: int, w: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (5, 4), (17, 9)])
+def test_bmp_roundtrip_including_row_padding(w, h):
+    img = _rgb(h, w, seed=w * 100 + h)
+    out = codecs.decode_bmp(codecs.encode_bmp(img))
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 3), (16, 2)])
+def test_ppm_roundtrip(w, h):
+    img = _rgb(h, w, seed=w + h)
+    out = codecs.decode_ppm(codecs.encode_ppm(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_ppm_header_comments_and_whitespace():
+    img = _rgb(2, 3)
+    raw = codecs.encode_ppm(img)
+    assert raw.startswith(b"P6\n3 2\n255\n")
+    commented = b"P6\n# a comment\n 3\t2 # trailing\n255\n" + raw[11:]
+    np.testing.assert_array_equal(codecs.decode_ppm(commented), img)
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"BM" + b"\x00" * 10)  # truncated
+    img = codecs.encode_bmp(_rgb(2, 2))
+    # flip compression field to BI_RLE8
+    bad = bytearray(img)
+    bad[30] = 1
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(bytes(bad))
+
+
+def test_resize_nearest_dims_and_determinism():
+    img = _rgb(8, 6, seed=5)
+    small = codecs.resize_nearest(img, 3, 4)
+    assert small.shape == (4, 3, 3)
+    np.testing.assert_array_equal(small, codecs.resize_nearest(img, 3, 4))
+    # identity resize is a no-op
+    np.testing.assert_array_equal(codecs.resize_nearest(img, 6, 8), img)
+
+
+def _media_df(spark, assets):
+    return spark.createDataFrame(
+        [
+            (i, mod, bytearray(content),
+             {"width": None, "height": None, "duration_ms": None,
+              "codec": fmt})
+            for i, (mod, fmt, content) in enumerate(assets)
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+
+
+def test_extract_features_real_decode(spark):
+    bmp_img, ppm_img = _rgb(4, 5, seed=1), _rgb(3, 3, seed=2)
+    media = _media_df(spark, [
+        ("image/bmp", "bmp", codecs.encode_bmp(bmp_img)),
+        ("image/ppm", "ppm", codecs.encode_ppm(ppm_img)),
+    ])
+    rows = {r.asset_id: r for r in
+            multimodal.extract_features(media, fake=False).collect()}
+    for aid, img in ((0, bmp_img), (1, ppm_img)):
+        want = codecs.image_features(img, multimodal.FEATURE_DIM)
+        got = [round(float(v), 6) for v in rows[aid].features]
+        assert got == pytest.approx(want, abs=1e-5), aid
+    # channel means are real pixel statistics, not hash noise
+    assert rows[0].features[2] == pytest.approx(
+        bmp_img[:, :, 0].mean() / 255.0, abs=1e-5)
+
+
+def test_extract_features_real_boundary_still_raises(spark):
+    media = _media_df(spark, [("text/blob", "raw", b"not an image")])
+    with pytest.raises(Exception, match="NotImplementedError|BMP/PPM"):
+        multimodal.extract_features(media, fake=False).collect()
+
+
+def test_resize_images_real_roundtrip(spark):
+    img = _rgb(10, 8, seed=3)
+    media = _media_df(spark, [
+        ("image/bmp", "bmp", codecs.encode_bmp(img)),
+        ("image/ppm", "ppm", codecs.encode_ppm(img)),
+    ])
+    out = {r.asset_id: r for r in
+           multimodal.resize_images(media, 4, 5, fake=False).collect()}
+    for aid, fmt in ((0, "bmp"), (1, "ppm")):
+        row = out[aid]
+        assert row.meta.width == 4 and row.meta.height == 5
+        assert row.meta.codec == fmt
+        got_fmt, rgb = codecs.decode_image(bytes(row.content))
+        assert got_fmt == fmt
+        np.testing.assert_array_equal(rgb, codecs.resize_nearest(img, 4, 5))

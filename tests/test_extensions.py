@@ -122,6 +122,31 @@ def test_connected_components_long_path_converges(spark):
     assert stats["rounds"] <= 10, stats  # log-ish, not diameter
 
 
+def test_connected_components_check_every_identical(spark):
+    """``check_every=2`` amortizes the driver-side convergence count at
+    scale; the labels must be bit-identical to the per-round check (the
+    extra rounds past the fixpoint are no-ops)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)] + [(100, 101), (101, 102)],
+        "doc_a long, doc_b long",
+    )
+    base = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    stats: dict = {}
+    amortized = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            pairs, stats=stats, check_every=2
+        ).collect()
+    }
+    assert amortized == base
+    assert stats["rounds"] % 2 == 0 or stats["rounds"] == 50
+    with pytest.raises(ValueError):
+        dedup.connected_components(pairs, check_every=0)
+
+
 def test_lsh_candidates_cover_exact_dups(docs):
     cand = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
     assert (0, 1) in cand and (0, 2) in cand and (1, 2) in cand
