@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_simhash64",
     "similarity_topk",
     "similarity_topk_ivf",
+    "similarity_recall",
     "text_language_id",
     "text_quality",
     "text_token_count",
