@@ -64,6 +64,8 @@ HEADLINE = [
     "text_repetition",
     "text_sample_domains",
     "text_redact_pii",
+    "multimodal_features",
+    "multimodal_frame_sample",
 ]
 
 

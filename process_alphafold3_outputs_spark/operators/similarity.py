@@ -274,18 +274,18 @@ def recall_vs_bruteforce(
         approx = topk_lsh(embeddings, query_ids, k, n_planes).select(
             "query_id", "neighbor_id"
         )
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
-    # zero-hit queries MUST appear as recall 0 — dropping them made the
-    # mean conditional on "found something" and overstated recall
+    # ONE left join from exact onto approx, then a per-query sum: the
+    # exact subtree appears once in the plan (a semi-join + separate
+    # distinct-query-list referenced the brute-force top-k twice, and
+    # Spark re-evaluated it — 2x the dominant cost). Zero-hit queries
+    # MUST appear as recall 0 — dropping them made the mean conditional
+    # on "found something" and overstated recall; they survive here
+    # because every query keeps its k exact rows through the left join.
+    marked = approx.withColumn("_hit", F.lit(1))
     return (
-        exact.select("query_id")
-        .distinct()
-        .join(per_q, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        )
+        exact.join(marked, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"))
         .withColumn("recall", F.round(F.col("n_hit") / k, 4))
     )
 

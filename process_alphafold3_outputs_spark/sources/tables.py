@@ -33,17 +33,18 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Every date/timestamp -> epoch cast in the query suite assumes UTC
+    # (DuckDB oracles treat naive temporals as UTC); pin the session
+    # timezone so results match regardless of the host timezone of the
+    # session we were handed.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The driver has shipped events.ts under two encodings across
         # regenerations: INT64 TIMESTAMP(NANOS) (Spark's parquet reader
-        # rejects it; read raw nanos as LONG) and plain TIMESTAMP
-        # (surfaces as TIMESTAMP_NTZ). Support both: keep nanosAsLong
-        # for the former, and pin the session timezone to UTC so the
-        # NTZ -> epoch-seconds cast in event_seconds() matches DuckDB's
-        # epoch() (which treats naive timestamps as UTC) regardless of
-        # the host timezone of the session we were handed.
+        # rejects it; read raw nanos as LONG — event_seconds() then
+        # divides by 1e9) and plain TIMESTAMP (surfaces as
+        # TIMESTAMP_NTZ; event_seconds() casts via the UTC session tz).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
