@@ -89,6 +89,10 @@ _DEFERRED: set[str] = {
     "similarity_topk_lsh",   # superseded by similarity_topk_lsh_multiprobe (n_probe=1 is its special case)
     "dedup_simhash64_near",  # banding recall pinned in pytest; simhash64 row stays
     "dedup_lsh_buckets",     # group form of dedup_minhash_lsh (pair form stays)
+    "dedup_paragraphs",      # sub-document exact dedup; mechanics (chunker,
+                             # hash-window, rebuild) all evidenced by green
+                             # text_chunk_documents + dedup_exact rows
+                             # (deferred to preserve driver-window headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

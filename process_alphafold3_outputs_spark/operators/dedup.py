@@ -89,6 +89,53 @@ def exact_dedup_keep(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def segment_dedup(
+    docs: DataFrame, seg_words: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_segments, n_kept, dedup_text) — sub-document exact
+    dedup at segment granularity (the "line/paragraph dedup" pass of
+    published pre-training pipelines, e.g. RefinedWeb/Dolma, expressed
+    at word-window granularity since this corpus has no newline
+    structure): split every document into non-overlapping
+    ``seg_words``-word segments, keep only the globally FIRST occurrence
+    of each distinct segment (first = smallest ``(doc_id, chunk_id)``),
+    and reassemble the survivors per document in original order.
+    Documents whose every segment appeared earlier vanish entirely
+    (they were pure concatenations of already-seen content).
+
+    Scale shape: the segmenter is shuffle-free (narrow projection via
+    :func:`~..operators.text.chunk_documents`); first-occurrence is ONE
+    shuffle keyed by the segment hash — high cardinality, near-uniform
+    (md5), so no skew; reassembly is ONE doc_id-keyed aggregation.
+    No inverted index, no candidate pairs: exact equality only."""
+    # local import: text.py imports `normalized` from this module, so the
+    # dependency must point this way only at call time
+    from .text import chunk_documents
+
+    segs = chunk_documents(
+        docs, chunk_tokens=seg_words, overlap=0, text_col=text_col
+    )
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_id")
+    ranked = segs.withColumn("_rn", F.row_number().over(w))
+    # one pass: count ALL segments, keep only rank-1 ones in the rebuild
+    # (collect_list drops the NULLs the `when` leaves for losers); a doc
+    # whose every segment lost keeps a row with n_kept=0, dedup_text=''
+    kept_seg = F.when(
+        F.col("_rn") == 1, F.struct("chunk_id", "chunk_text")
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(kept_seg)),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("dedup_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -1451,3 +1451,47 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.redact_pii(injected)
+
+
+# --------------------------------------------------------------------------
+# sub-document (segment/paragraph-level) exact dedup — RefinedWeb/Dolma
+# "line dedup" pass at word-window granularity (corpus has no newlines)
+# --------------------------------------------------------------------------
+_SEG = 8  # words per segment
+
+
+@register(
+    "dedup_paragraphs",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w, len(string_split(t, ' ')) AS n
+              FROM norm),
+    starts AS (
+        SELECT doc_id, w, n, CAST(s.s AS INT) AS start
+        FROM words,
+             unnest(generate_series(
+                 0,
+                 greatest(CAST(ceil((n - {_SEG}) / {_SEG}.0) AS INT), 0) * {_SEG},
+                 {_SEG})) s(s)),
+    segs AS (
+        SELECT doc_id, CAST(start // {_SEG} AS INT) AS chunk_id,
+               array_to_string(w[start + 1 : start + {_SEG}], ' ') AS chunk_text
+        FROM starts),
+    ranked AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               row_number() OVER (PARTITION BY md5(chunk_text)
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM segs)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                               ORDER BY chunk_id), '') AS dedup_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.segment_dedup(
+        load_table(spark, sf_dir, "documents"), seg_words=_SEG
+    )

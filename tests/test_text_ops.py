@@ -213,3 +213,53 @@ def test_streaming_band_projection_matches_batch_minhash(spark):
     assert stream_bands == batch_bands
     # and the signature is NOT degenerate: some doc has distinct band sigs
     assert len({v for (d, _), v in stream_bands.items() if d == 1}) > 1
+
+
+# --------------------------------------------------------------------------
+# segment-level (paragraph) dedup
+# --------------------------------------------------------------------------
+
+
+def test_segment_dedup_drops_repeated_segments(spark):
+    # seg_words=2 → doc 1: [a b][c d]; doc 2: [a b][x y] (loses [a b]);
+    # doc 3: [c d][a b] (loses both → empty survivor)
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "c d a b"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(docs, seg_words=2).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == "a b c d"
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == "x y"
+    # fully-duplicate doc keeps its row with an empty rebuild
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+
+
+def test_segment_dedup_first_occurrence_is_global_order(spark):
+    # the SAME segment in two docs: the smaller (doc_id, chunk_id) wins
+    docs = _docs(spark, [(5, "p q r s"), (2, "r s p q")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(docs, seg_words=2).collect()
+    }
+    # doc 2 registered both segments first (lower doc_id)
+    assert out[2]["n_kept"] == 2
+    assert out[5]["n_kept"] == 0
+
+
+def test_segment_dedup_short_doc_survives_whole(spark):
+    # shorter than one segment → single tail segment, kept
+    docs = _docs(spark, [(1, "solo"), (2, "solo")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(docs, seg_words=8).collect()
+    }
+    assert out[1]["n_kept"] == 1 and out[1]["dedup_text"] == "solo"
+    assert out[2]["n_kept"] == 0
