@@ -93,6 +93,9 @@ _DEFERRED: set[str] = {
                              # hash-window, rebuild) all evidenced by green
                              # text_chunk_documents + dedup_exact rows
                              # (deferred to preserve driver-window headroom)
+    "text_gopher_quality",   # Gopher rule bundle; signal mechanics evidenced
+                             # by green text_quality/text_repetition rows
+                             # (deferred to preserve driver-window headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -104,6 +104,92 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: the "required words" of the published Gopher document-quality rules
+#: (Rae et al. 2021, table A1 — public heuristic): a document must
+#: contain at least 2 of these to pass the stopword rule.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Per-document signals + pass/fail for the published Gopher quality
+    rules (Rae et al. 2021; the standard pre-training heuristic filter):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ellipsis), bullet-start / ellipsis-end line fractions,
+    fraction of words containing an alphabetic character, and a
+    required-stopword floor. Returns every signal (so thresholds can be
+    re-tuned by query) plus the composite ``keep`` flag (0/1 INT for
+    engine-stable hashing).
+
+    Scale shape: one narrow projection over a split-once token array and
+    a split-once line array — no shuffle, no UDF, embarrassingly
+    parallel; the filter itself is a downstream WHERE on ``keep``."""
+    d = normalized(docs, text_col).withColumn("_toks", F.split("_norm", " "))
+    toks = F.col("_toks")
+    n_words = F.size(toks).cast("long")
+    mean_wl = (F.length("_norm") - n_words + 1) / n_words
+    raw = F.col(text_col)
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / 3 + (F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit(""))))
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).rlike(r"^[-*•]"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"),
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words
+    req = list(GOPHER_REQUIRED_WORDS)
+    required_hits = F.size(F.filter(toks, lambda t: t.isin(req))).cast("long")
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (required_hits >= min_required_hits)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        required_hits.alias("n_required_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_grams_2, n_dup_2, dup_frac_2, n_grams_3, n_dup_3,
     dup_frac_3) — duplicate word n-gram fractions, the standard

@@ -1495,3 +1495,54 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.segment_dedup(
         load_table(spark, sf_dir, "documents"), seg_words=_SEG
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021 — public heuristic):
+# all signals + composite keep flag, thresholds at the published values
+# --------------------------------------------------------------------------
+@register(
+    "text_gopher_quality",
+    sql=f"""
+    WITH norm AS (SELECT doc_id, text,
+                         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+               (length(t) - len(string_split(t, ' ')) + 1)
+                   / len(string_split(t, ' ')) AS mean_wl,
+               ((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3
+                + (length(text) - length(replace(text, '…', ''))))
+                   / len(string_split(t, ' ')) AS symbol_r,
+               len(list_filter(string_split(text, chr(10)),
+                               ln -> regexp_matches(trim(ln), '^[-*•]')))
+                   / len(string_split(text, chr(10))) AS bullet_f,
+               len(list_filter(string_split(text, chr(10)),
+                               ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+                   / len(string_split(text, chr(10))) AS ellipsis_f,
+               len(list_filter(string_split(t, ' '),
+                               w -> regexp_matches(w, '[a-z]')))
+                   / len(string_split(t, ' ')) AS alpha_f,
+               {_sql_count_words_in(text.GOPHER_REQUIRED_WORDS)} AS req_hits
+        FROM norm)
+    SELECT doc_id, n_words,
+           round(mean_wl, 4)   AS mean_word_len,
+           round(symbol_r, 4)  AS symbol_ratio,
+           round(bullet_f, 4)  AS bullet_line_frac,
+           round(ellipsis_f, 4) AS ellipsis_line_frac,
+           round(alpha_f, 4)   AS alpha_word_frac,
+           req_hits            AS n_required_hits,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_wl BETWEEN 3.0 AND 10.0
+                AND symbol_r <= 0.1
+                AND bullet_f <= 0.9
+                AND ellipsis_f <= 0.3
+                AND alpha_f >= 0.8
+                AND req_hits >= 2 AS INT) AS keep
+    FROM sig
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_quality(load_table(spark, sf_dir, "documents"))

@@ -263,3 +263,46 @@ def test_segment_dedup_short_doc_survives_whole(spark):
     }
     assert out[1]["n_kept"] == 1 and out[1]["dedup_text"] == "solo"
     assert out[2]["n_kept"] == 0
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules
+# --------------------------------------------------------------------------
+
+
+def test_gopher_quality_rule_branches(spark):
+    filler = " ".join(["the quick brown fox and that dog have fun with it"] * 6)  # 60 words, stopword-rich
+    docs = _docs(
+        spark,
+        [
+            (1, filler),                                   # passes everything
+            (2, "too short to pass"),                      # word-count floor
+            (3, " ".join(["zz#x##"] * 60)),                # symbol ratio + no stopwords
+            (4, "\n".join(["- bullet line"] * 30) + "\n" + filler),  # bullets
+            (5, "\n".join([f"{w} trailing..." for w in ["line"] * 20]) + "\n" + filler),  # ellipsis ends
+            (6, " ".join(["12345 67890"] * 30)),           # alpha fraction
+        ],
+    )
+    out = {r["doc_id"]: r for r in text.gopher_quality(docs).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["n_words"] == 4
+    assert out[3]["keep"] == 0 and out[3]["symbol_ratio"] > 0.1
+    assert out[4]["keep"] == 0 and out[4]["bullet_line_frac"] > 0.9
+    assert out[5]["keep"] == 0 and out[5]["ellipsis_line_frac"] > 0.3
+    assert out[6]["keep"] == 0 and out[6]["alpha_word_frac"] < 0.8
+    assert out[3]["n_required_hits"] == 0
+
+
+def test_gopher_quality_thresholds_are_parameters(spark):
+    docs = _docs(spark, [(1, "five words is too few")])
+    # default floor (50 words) rejects; word-count relaxed alone still
+    # fails the required-words rule ("too" is not "to"); relaxing both
+    # flips the doc to keep=1
+    assert text.gopher_quality(docs).collect()[0]["keep"] == 0
+    relaxed = text.gopher_quality(docs, min_words=3).collect()[0]
+    assert relaxed["keep"] == 0 and relaxed["n_required_hits"] == 0
+    assert (
+        text.gopher_quality(docs, min_words=3, min_required_hits=0)
+        .collect()[0]["keep"]
+        == 1
+    )
