@@ -96,6 +96,9 @@ _DEFERRED: set[str] = {
     "text_gopher_quality",   # Gopher rule bundle; signal mechanics evidenced
                              # by green text_quality/text_repetition rows
                              # (deferred to preserve driver-window headroom)
+    "dedup_decontaminate_bloom",  # Bloom scale path; superset-of-exact pinned
+                             # in pytest, broadcast-join mechanics evidenced by
+                             # green dedup_decontaminate row (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

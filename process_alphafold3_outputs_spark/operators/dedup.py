@@ -531,6 +531,105 @@ def decontaminated_docs(
     return docs.join(flagged, "doc_id", "left_anti")
 
 
+def _bloom_pos(col, j: int, m_bits: int):
+    """Bit position j for a shingle: 60 md5 bits → [0, m_bits). md5-based
+    so the DuckDB oracle reproduces it bit-for-bit."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bloom-{j}:"), col)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_bitmap(
+    benchmark: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> list[int]:
+    """Driver-side Bloom bitmap (``m_bits`` bits packed into
+    ``m_bits/64`` signed longs) over the benchmark's distinct word
+    ``shingle_k``-grams. The distinct POSITIONS are what is collected —
+    bounded by ``m_bits/8`` bytes regardless of benchmark size — so this
+    stays driver-safe even for a large eval suite; the corpus side never
+    moves."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    sh = (
+        word_shingles(benchmark, shingle_k, text_col)
+        .select("shingle")
+        .distinct()
+    )
+    pos = sh.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("shingle"), j, m_bits) for j in range(k_hashes)]
+            )
+        ).alias("p")
+    ).distinct()
+    words = [0] * (m_bits // 64)
+    for row in pos.collect():
+        p = row["p"]
+        words[p >> 6] |= 1 << (p & 63)
+    # pack as SIGNED 64-bit for an array<long> column
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bitmap_words: list[int],
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_maybe_hits, contaminated) — Bloom-filter
+    decontamination screen: a corpus shingle is a MAYBE-hit iff all
+    ``k_hashes`` of its bits are set in the benchmark bitmap. No false
+    negatives (every true overlap is flagged — the guarantee a
+    decontamination pass must keep); false positives at the standard
+    Bloom rate (≈``(1-e^{-kn/m})^k``), acceptable because flagged docs
+    are dropped conservatively.
+
+    Scale shape vs :func:`decontaminate`: the broadcast payload is the
+    FIXED-SIZE bitmap (``m_bits/8`` bytes, e.g. 128 KiB at 2^20), not
+    the benchmark's distinct shingle strings — the path to take when
+    the eval suite's shingle set outgrows a comfortable broadcast. The
+    bitmap rides a one-row broadcast join (never a plan literal, which
+    would bloat and re-serialize the plan per stage); the membership
+    test is shiftrightunsigned/AND arithmetic, fully JVM-side; the only
+    corpus shuffle is the doc-keyed count aggregation."""
+    spark = docs.sparkSession
+    bmp_df = spark.createDataFrame([(bitmap_words,)], "bmp array<bigint>")
+    train = word_shingles(docs, shingle_k, text_col)
+    d = train.crossJoin(F.broadcast(bmp_df))
+    for j in range(k_hashes):
+        d = d.withColumn(f"_p{j}", _bloom_pos(F.col("shingle"), j, m_bits))
+    tests = [
+        F.expr(
+            f"(shiftrightunsigned(element_at(bmp, cast(_p{j} div 64 as int) + 1),"
+            f" cast(_p{j} % 64 as int)) & 1) = 1"
+        )
+        for j in range(k_hashes)
+    ]
+    hit = tests[0]
+    for t in tests[1:]:
+        hit = hit & t
+    return (
+        d.withColumn("_hit", hit.cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("_hit").alias("n_maybe_hits"),
+        )
+        .withColumn("contaminated", (F.col("n_maybe_hits") > 0).cast("int"))
+    )
+
+
 # --------------------------------------------------------------------------
 # near-dup clustering (connected components)
 # --------------------------------------------------------------------------

@@ -1546,3 +1546,50 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination — the scale path of dedup_decontaminate:
+# fixed-size bitmap broadcast instead of the benchmark shingle strings.
+# The oracle restates the bitmap as position-set membership (a bit is
+# set iff SOME benchmark shingle hashes to it — identical semantics).
+# --------------------------------------------------------------------------
+_BLOOM_M, _BLOOM_K = 1 << 20, 4
+
+
+@register(
+    "dedup_decontaminate_bloom",
+    sql=f"""
+    WITH {_SHINGLES},
+    bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 19 = 0),
+    seeds AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j),
+    bpos AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5('bloom-' || CAST(j AS VARCHAR) || ':' || shingle), 1, 15))
+                    AS BIGINT) % {_BLOOM_M} AS p
+        FROM bench, seeds),
+    cpos AS (
+        SELECT doc_id, shingle, j,
+               CAST(('0x' || substr(md5('bloom-' || CAST(j AS VARCHAR) || ':' || shingle), 1, 15))
+                    AS BIGINT) % {_BLOOM_M} AS p
+        FROM shingles, seeds),
+    per_sh AS (
+        SELECT doc_id, shingle,
+               CAST(count(bp.p) = {_BLOOM_K} AS INT) AS maybe
+        FROM cpos LEFT JOIN bpos bp USING (p)
+        GROUP BY doc_id, shingle)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(maybe) AS BIGINT) AS n_maybe_hits,
+           CAST(sum(maybe) > 0 AS INT) AS contaminated
+    FROM per_sh
+    GROUP BY doc_id
+    """,
+)
+def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    bmp = dedup.bloom_bitmap(bench, m_bits=_BLOOM_M, k_hashes=_BLOOM_K, shingle_k=3)
+    return dedup.decontaminate_bloom(
+        docs, bmp, m_bits=_BLOOM_M, k_hashes=_BLOOM_K, shingle_k=3
+    )

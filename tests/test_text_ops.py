@@ -306,3 +306,55 @@ def test_gopher_quality_thresholds_are_parameters(spark):
         .collect()[0]["keep"]
         == 1
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination
+# --------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Every doc the exact screen flags, the Bloom screen must flag
+    (the guarantee a decontamination pass cannot lose); maybe-hit
+    counts dominate exact hit counts per doc."""
+    docs = _docs(
+        spark,
+        [(i, f"alpha beta gamma doc{i} filler words here and there") for i in range(12)]
+        + [(100, "totally disjoint benchmark content row")],
+    )
+    bench = docs.filter(F.col("doc_id").isin([0, 100]))
+    exact = {
+        r["doc_id"]: r for r in dedup.decontaminate(docs, bench, k=3).collect()
+    }
+    bmp = dedup.bloom_bitmap(bench, m_bits=1 << 16, k_hashes=4, shingle_k=3)
+    bloom = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate_bloom(
+            docs, bmp, m_bits=1 << 16, k_hashes=4, shingle_k=3
+        ).collect()
+    }
+    assert set(bloom) == set(exact)
+    for did, ex in exact.items():
+        bl = bloom[did]
+        assert bl["n_shingles"] == ex["n_shingles"]
+        assert bl["n_maybe_hits"] >= ex["n_hits"], did
+        if ex["contaminated"]:
+            assert bl["contaminated"] == 1, did
+    # benchmark members flag themselves (all their shingles are in the set)
+    assert bloom[0]["n_maybe_hits"] == bloom[0]["n_shingles"]
+    assert bloom[100]["contaminated"] == 1
+
+
+def test_bloom_bitmap_signed_packing_roundtrip(spark):
+    """Positions landing on bit 63 of a word must survive the
+    signed-long packing (array<bigint> cannot hold 2^63 unsigned)."""
+    bench = _docs(spark, [(1, "aa bb cc dd ee ff gg hh ii jj kk ll")])
+    m = 1 << 12
+    words = dedup.bloom_bitmap(bench, m_bits=m, k_hashes=6, shingle_k=2)
+    assert len(words) == m // 64
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
+    # the benchmark screens clean against itself: every shingle maybe-hits
+    out = dedup.decontaminate_bloom(
+        bench, words, m_bits=m, k_hashes=6, shingle_k=2
+    ).collect()[0]
+    assert out["n_maybe_hits"] == out["n_shingles"]
