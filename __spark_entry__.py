@@ -99,6 +99,9 @@ _DEFERRED: set[str] = {
     "dedup_decontaminate_bloom",  # Bloom scale path; superset-of-exact pinned
                              # in pytest, broadcast-join mechanics evidenced by
                              # green dedup_decontaminate row (deferred: headroom)
+    "similarity_kmeans",     # Lloyd loop = iterated ivf_refine, already
+                             # evidenced by green similarity_topk_ivf_refined
+                             # row (deferred to preserve driver-window headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -379,6 +379,50 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """(vec_id, cluster, sim) — deterministic Lloyd k-means over the
+    embedding column: seed = the first ``k`` corpus vectors by id
+    (TakeOrderedAndProject — no global sort), ``iters`` rounds of
+    assign + recentre (:func:`ivf_refine` folds the per-component sums
+    in vec_id order, so the DuckDB oracle reproduces every double
+    bit-for-bit), then one final max-cosine assignment of ALL vectors,
+    with the similarity to the winning centroid. This is the semantic
+    clustering a curation pipeline runs for domain mixing /
+    cluster-balanced sampling over a corpus's embeddings.
+
+    Scale shape: centroids stay broadcast-sized (≤ k rows) through every
+    step; each iteration is one corpus pass + one (cell, pos)-keyed
+    aggregation; the final assignment is one pass with a per-vector
+    window. ``train_sample_mod > 1`` recentres on the deterministic
+    ``vec_id % mod == 0`` sample — the 100 TB path (the quantizer needs
+    a representative sample, not the corpus; assignment still covers
+    every vector)."""
+    cents = ivf_centroids(embeddings, k)
+    for _ in range(iters):
+        cents = ivf_refine(embeddings, cents, train_sample_mod=train_sample_mod)
+    emb = spread(embeddings, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "_s", cosine(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_s").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cell").alias("cluster"),
+            F.round("_s", 6).alias("sim"),
+        )
+    )
+
+
 def topk_ivf(
     embeddings: DataFrame,
     query_ids: DataFrame | Column,

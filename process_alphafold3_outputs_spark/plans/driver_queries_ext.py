@@ -1593,3 +1593,52 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate_bloom(
         docs, bmp, m_bits=_BLOOM_M, k_hashes=_BLOOM_K, shingle_k=3
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic Lloyd k-means over embeddings (cluster-balanced curation)
+# — the oracle unrolls each assign+recentre iteration as CTE pairs
+# --------------------------------------------------------------------------
+_KM_K, _KM_ITERS = 8, 2
+
+
+def _kmeans_iter_sql(i: int) -> str:
+    """CTE block: assign to cents{i}, recentre into cents{i+1}."""
+    return f"""
+    assigned{i} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS.format(a="e.v", b="c.cvec")} DESC, c.cell) AS rn
+            FROM emb e, cents{i} c)
+        WHERE rn = 1),
+    comps{i} AS (
+        SELECT a.cell, a.vec_id, s.pos, a.v[s.pos] AS val
+        FROM assigned{i} a, unnest(generate_series(1, len(a.v))) s(pos)),
+    means{i} AS (
+        SELECT cell, pos, sum(val ORDER BY vec_id) / count(*) AS m
+        FROM comps{i} GROUP BY cell, pos),
+    cents{i + 1} AS (SELECT cell, list(m ORDER BY pos) AS cvec
+                     FROM means{i} GROUP BY cell)"""
+
+
+@register(
+    "similarity_kmeans",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cvec
+               FROM emb ORDER BY vec_id LIMIT {_KM_K}),
+    {",".join(_kmeans_iter_sql(i) for i in range(_KM_ITERS))}
+    SELECT vec_id, cluster, round(s, 6) AS sim FROM (
+        SELECT e.vec_id, c.cell AS cluster,
+               {_COS.format(a="e.v", b="c.cvec")} AS s,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_COS.format(a="e.v", b="c.cvec")} DESC, c.cell) AS rn
+        FROM emb e, cents{_KM_ITERS} c)
+    WHERE rn = 1
+    """,
+)
+def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
+    )

@@ -134,3 +134,58 @@ def test_jaccard_prefix_filter_lossless_on_adversarial_docs(spark):
         assert fast == full, (seed, threshold)
         if threshold <= 0.4:
             assert len(full) > 0, (seed, threshold)
+
+
+# --------------------------------------------------------------------------
+# k-means vs a sequential numpy Lloyd reference
+# --------------------------------------------------------------------------
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Same seeding (first k by vec_id), same iteration count, same
+    max-cosine/lowest-cell tie-break: the distributed Lloyd loop must
+    land on the same assignment as a sequential numpy implementation."""
+    import numpy as np
+
+    from process_alphafold3_outputs_spark.operators import similarity
+
+    rng = random.Random(77)
+    n, dim, k, iters = 60, 6, 4, 2
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cents = {c: list(vecs[c]) for c in range(k)}
+    for _ in range(iters):
+        assign = {}
+        for i, v in enumerate(vecs):
+            best = max(cents, key=lambda c: (cos(v, cents[c]), -c))
+            assign[i] = best
+        new = {}
+        for c in set(assign.values()):
+            members = sorted(i for i in assign if assign[i] == c)
+            new[c] = [
+                sum(vecs[i][p] for i in members) / len(members)
+                for p in range(dim)
+            ]
+        cents = new
+    expect = {
+        i: max(cents, key=lambda c: (cos(v, cents[c]), -c))
+        for i, v in enumerate(vecs)
+    }
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.kmeans(emb, k=k, iters=iters).collect()
+    }
+    assert got == expect
+    # every cluster is non-trivial on this data
+    assert len(set(got.values())) > 1
