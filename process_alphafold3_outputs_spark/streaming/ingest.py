@@ -64,6 +64,41 @@ def watch_summaries(
     )
 
 
+def windowed_stream(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked windowed aggregation of an events stream — tumbling
+    by default, sliding when ``slide`` < ``window`` (each event then
+    lands in ``window/slide`` overlapping windows). The aggregation is
+    the SAME count/sum shape as the batch ``tumbling_window`` query, so
+    a finalized streaming window equals the batch row computed over the
+    same data — pinned by the stream↔batch parity test. ``events`` must
+    be a streaming DataFrame with (ts TIMESTAMP, event_type, value).
+
+    In append mode a window emits exactly once, after the watermark
+    passes its end — the exactly-once contract downstream sinks want;
+    late events inside a finalized window are dropped by the watermark."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

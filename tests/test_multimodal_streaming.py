@@ -209,3 +209,153 @@ def test_session_stream_drops_late_data_past_watermark(spark, tmp_path):
     # first session finalized with its ORIGINAL two events, not the straggler
     assert ("10:00", 2, 2.0) in closed
     assert not any(v == 99.0 or v == 101.0 for _, _, v in closed)
+
+
+def test_windowed_stream_matches_batch_tumbling(spark, tmp_path):
+    """Stream↔batch parity: the finalized tumbling windows of the
+    streaming aggregation equal the batch groupBy(window) over the same
+    static data — one code shape, no drift."""
+    from process_alphafold3_outputs_spark.streaming.ingest import windowed_stream
+
+    src = str(tmp_path / "win_src")
+    rows = [
+        ("click", "2024-01-01 00:10:00", 1.0),
+        ("click", "2024-01-01 05:59:59", 2.5),   # same 6h window
+        ("click", "2024-01-01 06:00:00", 4.0),   # next window boundary
+        ("view", "2024-01-01 01:00:00", 10.0),
+        ("view", "2024-01-02 01:00:00", 0.25),   # next day
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        windowed_stream(stream, window="6 hours", watermark="0 seconds")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.window_start, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.event_type, r.window_start, r.n_events, r.total_value)
+        for r in (
+            df.groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "event_type",
+                F.col("window.start").cast("long").alias("window_start"),
+                "n_events",
+                "total_value",
+            )
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) == 4  # two click windows, two view windows
+
+
+def test_windowed_stream_sliding_multi_membership(spark, tmp_path):
+    """slide < window: one event must appear in window/slide windows."""
+    from process_alphafold3_outputs_spark.streaming.ingest import windowed_stream
+
+    src = str(tmp_path / "slide_src")
+    df = spark.createDataFrame(
+        [("click", "2024-01-01 03:30:00", 1.0)],
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        windowed_stream(stream, window="2 hours", slide="1 hour", watermark="0 seconds")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.window_start, r.window_end)
+            for r in spark.sql("SELECT * FROM slide_out").collect()
+        )
+    finally:
+        q.stop()
+    # 03:30 falls into [02:00,04:00) and [03:00,05:00)
+    assert len(got) == 2
+    assert all(we - ws == 7200 for ws, we in got)
+    assert got[1][0] - got[0][0] == 3600
+
+
+def test_windowed_stream_append_emits_once_after_watermark(spark, tmp_path):
+    """Append mode: a window row appears only after the watermark passes
+    its end, and late events into that window are dropped."""
+    import os
+
+    from process_alphafold3_outputs_spark.streaming.ingest import windowed_stream
+
+    src = str(tmp_path / "append_src")
+    os.makedirs(src)
+    schema = "event_type string, ts timestamp, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_type string, ts_s string, value double"
+        ).select(
+            "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).write.mode("append").parquet(src)
+
+    write_batch("b1", [("click", "2024-01-01 00:10:00", 1.0)])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        windowed_stream(stream, window="1 hour", watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("append_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # window [00:00,01:00) not yet finalized — nothing emitted
+        assert spark.sql("SELECT * FROM append_out").count() == 0
+        # far-future event advances the watermark past the window end
+        write_batch("b2", [("click", "2024-01-01 09:00:00", 2.0)])
+        q.processAllAvailable()
+        rows = {
+            (r.window_start, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM append_out").collect()
+        }
+        assert (1704067200, 1, 1.0) in rows  # 2024-01-01 00:00 UTC epoch
+        # a straggler into the finalized window is dropped
+        write_batch("b3", [("click", "2024-01-01 00:20:00", 100.0)])
+        q.processAllAvailable()
+        write_batch("b4", [("click", "2024-01-01 23:00:00", 3.0)])
+        q.processAllAvailable()
+        final = {
+            (r.window_start, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM append_out").collect()
+        }
+    finally:
+        q.stop()
+    # the 00:00 window still shows exactly the pre-straggler aggregate
+    assert (1704067200, 1, 1.0) in final
+    assert not any(n == 2 and ws == 1704067200 for ws, n, _ in final)
