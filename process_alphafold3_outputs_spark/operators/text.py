@@ -228,6 +228,55 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return d.select(*sel)
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf, rk) — the ``k`` highest-tf-idf
+    terms per document (the classic keyword/topic signal a curation
+    pipeline uses for domain tagging and near-topic sampling).
+    ``tfidf = tf · ln((N+1)/(df+1))`` (smoothed idf, always ≥ 0); ties
+    break alphabetically by term so ranks are deterministic.
+
+    Scale shape: one explode of the split-once token array; term counts
+    aggregate doc-keyed (map-side combine), document frequencies
+    aggregate term-keyed; the idf table is vocabulary-sized —
+    broadcast-joined back (a vocabulary is ≪ corpus even at 100 TB:
+    Heaps' law). The final top-k is a per-doc window over ≤ |doc| rows.
+    N (corpus size) rides a scalar subquery-like broadcast via
+    cross-join of a 1-row count — not a driver collect."""
+    d = normalized(docs, text_col).withColumn("_toks", F.split("_norm", " "))
+    terms = d.select("doc_id", F.explode("_toks").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
 def domain_keep_col(
     rates: dict[str, int],
     default_pct: int = 100,

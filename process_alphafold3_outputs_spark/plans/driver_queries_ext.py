@@ -1642,3 +1642,36 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans(
         load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
     )
+
+
+# --------------------------------------------------------------------------
+# tf-idf keyword extraction: top-k terms per document (smoothed idf)
+# --------------------------------------------------------------------------
+_TFIDF_K = 3
+
+
+@register(
+    "text_tfidf_topterms",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    terms AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM terms GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM terms GROUP BY term),
+    n AS (SELECT count(*) AS nn FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df,
+               round(tf * ln((nn + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfq USING (term), n)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= {_TFIDF_K}
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), k=_TFIDF_K
+    )

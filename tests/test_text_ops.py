@@ -358,3 +358,44 @@ def test_bloom_bitmap_signed_packing_roundtrip(spark):
         bench, words, m_bits=m, k_hashes=6, shingle_k=2
     ).collect()[0]
     assert out["n_maybe_hits"] == out["n_shingles"]
+
+
+# --------------------------------------------------------------------------
+# tf-idf top terms
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_rare_term_outranks_ubiquitous(spark):
+    import math
+
+    docs = _docs(
+        spark,
+        [
+            (1, "shared shared zebra"),   # zebra only here
+            (2, "shared other words"),
+            (3, "shared more words"),
+        ],
+    )
+    got = {
+        (r["doc_id"], r["rk"]): r
+        for r in text.tfidf_top_terms(docs, k=2).collect()
+    }
+    top1 = got[(1, 1)]
+    # 'shared' has tf=2 in doc 1 but df=3 -> idf ln(4/4)=0; 'zebra' wins
+    assert top1["term"] == "zebra" and top1["df"] == 1
+    assert abs(top1["tfidf"] - round(1 * math.log(4 / 2), 6)) < 1e-9
+    # ubiquitous term scores exactly zero
+    shared_rows = [r for r in got.values() if r["term"] == "shared"]
+    assert shared_rows and all(r["tfidf"] == 0.0 for r in shared_rows)
+
+
+def test_tfidf_ties_break_alphabetically(spark):
+    docs = _docs(spark, [(1, "bb aa"), (2, "cc dd")])
+    got = [
+        r["term"]
+        for r in text.tfidf_top_terms(docs, k=2)
+        .filter(F.col("doc_id") == 1)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert got == ["aa", "bb"]  # equal tfidf -> alphabetical
