@@ -105,6 +105,9 @@ _DEFERRED: set[str] = {
     "text_tfidf_topterms",   # tf-idf keyword top-k; explode/agg/window
                              # mechanics evidenced by green text_* rows
                              # (deferred to preserve driver-window headroom)
+    "text_corpus_stats",     # per-source profile agg; hash-agg mechanics
+                             # evidenced by green text_quality row
+                             # (deferred to preserve driver-window headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -277,6 +277,30 @@ def tfidf_top_terms(
     )
 
 
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, n_docs, total_tokens, mean_tokens, median_tokens,
+    p90_tokens, n_langs) — the per-source corpus profile a curation
+    run reports before/after each filter stage (mixture weights, token
+    budgets, length drift). One source-keyed aggregation; count/sum/avg
+    combine map-side. The percentiles are EXACT (``F.percentile`` —
+    linear interpolation, which DuckDB's ``quantile_cont`` reproduces
+    bit-for-bit); at 100 TB swap in ``approx_percentile`` with a pinned
+    accuracy — exact percentile buffers each group's values, the only
+    non-streaming aggregate here (the source-level group count is tiny,
+    so the buffers, not the groups, are the scale concern)."""
+    d = normalized(docs, text_col).withColumn(
+        "_nw", F.size(F.split("_norm", " ")).cast("long")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nw").alias("total_tokens"),
+        F.round(F.avg("_nw"), 4).alias("mean_tokens"),
+        F.round(F.percentile("_nw", F.lit(0.5)), 4).alias("median_tokens"),
+        F.round(F.percentile("_nw", F.lit(0.9)), 4).alias("p90_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
 def domain_keep_col(
     rates: dict[str, int],
     default_pct: int = 100,

@@ -1675,3 +1675,28 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(
         load_table(spark, sf_dir, "documents"), k=_TFIDF_K
     )
+
+
+# --------------------------------------------------------------------------
+# per-source corpus profile (docs, tokens, exact length percentiles)
+# --------------------------------------------------------------------------
+@register(
+    "text_corpus_stats",
+    sql=r"""
+    WITH counts AS (
+        SELECT source, lang,
+               len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS nw
+        FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS total_tokens,
+           round(avg(nw), 4) AS mean_tokens,
+           round(quantile_cont(nw, 0.5), 4) AS median_tokens,
+           round(quantile_cont(nw, 0.9), 4) AS p90_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM counts
+    GROUP BY source
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_stats(load_table(spark, sf_dir, "documents"))

@@ -399,3 +399,26 @@ def test_tfidf_ties_break_alphabetically(spark):
         .collect()
     ]
     assert got == ["aa", "bb"]  # equal tfidf -> alphabetical
+
+
+# --------------------------------------------------------------------------
+# corpus stats
+# --------------------------------------------------------------------------
+
+
+def test_corpus_stats_exact_percentiles(spark):
+    rows = [
+        (i, " ".join(["w"] * n), "en", "web")
+        for i, n in enumerate([1, 2, 3, 10])
+    ] + [(9, "a b", "de", "books")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["source"]: r for r in text.corpus_stats(docs).collect()}
+    web = got["web"]
+    assert web["n_docs"] == 4 and web["total_tokens"] == 16
+    assert web["mean_tokens"] == 4.0
+    assert web["median_tokens"] == 2.5       # interpolated between 2 and 3
+    assert web["p90_tokens"] == 7.9          # 3 + 0.7*(10-3)
+    assert web["n_langs"] == 1
+    assert got["books"]["n_docs"] == 1 and got["books"]["total_tokens"] == 2
