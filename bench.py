@@ -66,6 +66,12 @@ HEADLINE = [
     "text_redact_pii",
     "multimodal_features",
     "multimodal_frame_sample",
+    "dedup_paragraphs",
+    "text_gopher_quality",
+    "dedup_decontaminate_bloom",
+    "similarity_kmeans",
+    "text_tfidf_topterms",
+    "text_corpus_stats",
 ]
 
 

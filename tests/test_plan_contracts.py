@@ -164,3 +164,46 @@ def test_corpus_to_training_no_extra_corpus_scan(spark, sf_dir):
     plan = formatted_plan(corpus_to_training(docs, stage=True))
     assert plan.count("documents.parquet") == 1
     spark.catalog.clearCache()
+
+
+def test_gopher_quality_is_narrow_plan(spark, sf_dir):
+    """The Gopher rule bundle is a pure projection — no shuffle at any
+    corpus size."""
+    from process_alphafold3_outputs_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(text.gopher_quality(docs))
+    assert "Exchange" not in plan
+
+
+def test_tfidf_broadcasts_vocab_and_corpus_count(spark, sf_dir):
+    """tf-idf joins must broadcast the vocabulary-sized df table and the
+    one-row corpus count back onto the doc-keyed term counts — never
+    shuffle the counts by term for the join."""
+    from process_alphafold3_outputs_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(text.tfidf_top_terms(docs))
+    assert plan.count("BroadcastExchange") >= 2
+    # the top-k window partitions by doc_id — never a global
+    # single-partition window
+    assert "windowspecdefinition(doc_id" in plan
+
+
+def test_bloom_decontaminate_single_corpus_shuffle(spark, sf_dir):
+    """The Bloom screen's only corpus shuffle is the doc-keyed count
+    aggregation; the bitmap rides a broadcast, and no shingle-keyed
+    exchange of the corpus exists (that is the exact path's shape)."""
+    from process_alphafold3_outputs_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    bmp = dedup.bloom_bitmap(bench, m_bits=1 << 16, k_hashes=2, shingle_k=3)
+    plan = formatted_plan(
+        dedup.decontaminate_bloom(docs, bmp, m_bits=1 << 16, k_hashes=2)
+    )
+    assert "BroadcastExchange" in plan
+    # one hashpartitioning exchange: the doc_id aggregation (plus AQE
+    # shuffle reads); no exchange keyed by shingle
+    assert "hashpartitioning(shingle" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 2
