@@ -1,0 +1,198 @@
+"""Corpus-curation CLI — the training-data side of the engine, driveable
+end-to-end like the AF3 screen CLI (``__main__``/``cli.py``):
+
+    python -m process_alphafold3_outputs_spark.corpus_cli <command> ...
+
+Commands (each reads parquet, writes parquet, prints ONE JSON summary
+line to stdout):
+
+  stats          per-source corpus profile (text.corpus_stats)
+  quality        Gopher rule signals + keep flag (text.gopher_quality)
+  clean          the four-gate cleaning pipeline (plans.corpus.clean_corpus)
+  training       full clean → chunk → split DAG (corpus_to_training)
+  pack           clean → chunk → split → fixed-token packing
+  dedup          exact | paragraphs | minhash | simhash | clusters
+  decontaminate  n-gram screen vs a benchmark set (--bloom for the
+                 fixed-size-bitmap scale path)
+  kmeans         deterministic Lloyd clustering of an embeddings table
+
+Every command is a thin shell over the library operators — no query
+logic lives here, so CLI behavior cannot drift from the tested kernels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup, similarity, text
+from .plans import corpus as corpus_plans
+from .session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="process_alphafold3_outputs_spark.corpus_cli",
+        description="Large-scale corpus curation: profiling, quality "
+        "gating, dedup, decontamination, chunk/pack, clustering.",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, embeddings: bool = False):
+        sp.add_argument(
+            "--embeddings" if embeddings else "--documents",
+            required=True,
+            help="input parquet path",
+        )
+        sp.add_argument("--out", required=True, help="output parquet path")
+
+    common(sub.add_parser("stats"))
+    common(sub.add_parser("quality"))
+
+    sp = sub.add_parser("clean")
+    common(sp)
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--min-words", type=int, default=5)
+    sp.add_argument("--max-words", type=int, default=10_000)
+    sp.add_argument("--jaccard-threshold", type=float, default=0.8)
+    sp.add_argument(
+        "--near-dedup", choices=["greedy", "clusters"], default="greedy"
+    )
+
+    sp = sub.add_parser("training")
+    common(sp)
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--chunk-tokens", type=int, default=128)
+    sp.add_argument("--overlap", type=int, default=16)
+    sp.add_argument("--val-pct", type=int, default=10)
+
+    sp = sub.add_parser("pack")
+    common(sp)
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--chunk-tokens", type=int, default=128)
+    sp.add_argument("--overlap", type=int, default=16)
+    sp.add_argument("--val-pct", type=int, default=10)
+    sp.add_argument("--seq-tokens", type=int, default=2048)
+
+    sp = sub.add_parser("dedup")
+    common(sp)
+    sp.add_argument(
+        "--mode",
+        choices=["exact", "paragraphs", "minhash", "simhash", "clusters"],
+        default="exact",
+    )
+    sp.add_argument("--seg-words", type=int, default=20)
+    sp.add_argument("--jaccard-threshold", type=float, default=0.5)
+
+    sp = sub.add_parser("decontaminate")
+    common(sp)
+    sp.add_argument("--benchmark", required=True, help="benchmark parquet path")
+    sp.add_argument("--bloom", action="store_true")
+    sp.add_argument("--m-bits", type=int, default=1 << 20)
+    sp.add_argument("--k-hashes", type=int, default=4)
+    sp.add_argument("--shingle-k", type=int, default=3)
+
+    sp = sub.add_parser("kmeans")
+    common(sp, embeddings=True)
+    sp.add_argument("-k", "--clusters", type=int, default=8)
+    sp.add_argument("--iters", type=int, default=2)
+    sp.add_argument("--train-sample-mod", type=int, default=1)
+
+    return p
+
+
+def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
+    if args.command == "kmeans":
+        emb = spark.read.parquet(args.embeddings)
+        return similarity.kmeans(
+            emb,
+            k=args.clusters,
+            iters=args.iters,
+            train_sample_mod=args.train_sample_mod,
+        )
+
+    docs = spark.read.parquet(args.documents)
+    if args.command == "stats":
+        return text.corpus_stats(docs)
+    if args.command == "quality":
+        return text.gopher_quality(docs)
+    if args.command == "clean":
+        return corpus_plans.clean_corpus(
+            docs,
+            lang=args.lang,
+            min_words=args.min_words,
+            max_words=args.max_words,
+            jaccard_threshold=args.jaccard_threshold,
+            near_dedup=args.near_dedup,
+        )
+    if args.command == "training":
+        return corpus_plans.corpus_to_training(
+            docs,
+            lang=args.lang,
+            chunk_tokens=args.chunk_tokens,
+            overlap=args.overlap,
+            val_pct=args.val_pct,
+        )
+    if args.command == "pack":
+        chunks = corpus_plans.corpus_to_training(
+            docs,
+            lang=args.lang,
+            chunk_tokens=args.chunk_tokens,
+            overlap=args.overlap,
+            val_pct=args.val_pct,
+        )
+        return text.pack_sequences(chunks, seq_tokens=args.seq_tokens)
+    if args.command == "dedup":
+        if args.mode == "exact":
+            return dedup.exact_dedup_keep(docs)
+        if args.mode == "paragraphs":
+            return dedup.segment_dedup(docs, seg_words=args.seg_words)
+        if args.mode == "minhash":
+            return dedup.lsh_candidate_pairs(docs)
+        if args.mode == "simhash":
+            return dedup.simhash64(docs)
+        # clusters: transitive components over the Jaccard pair graph
+        pairs = dedup.jaccard_pairs(docs, threshold=args.jaccard_threshold)
+        return dedup.connected_components(pairs, check_every=2)
+    if args.command == "decontaminate":
+        bench = spark.read.parquet(args.benchmark)
+        if args.bloom:
+            bmp = dedup.bloom_bitmap(
+                bench,
+                m_bits=args.m_bits,
+                k_hashes=args.k_hashes,
+                shingle_k=args.shingle_k,
+            )
+            return dedup.decontaminate_bloom(
+                docs,
+                bmp,
+                m_bits=args.m_bits,
+                k_hashes=args.k_hashes,
+                shingle_k=args.shingle_k,
+            )
+        return dedup.decontaminate(docs, bench, k=args.shingle_k)
+    raise ValueError(f"unknown command {args.command!r}")
+
+
+def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
+    owns = spark is None
+    spark = spark or get_spark("corpus-cli")
+    try:
+        out = _result(args, spark)
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        return {"command": args.command, "rows": n, "out": args.out}
+    finally:
+        if owns:
+            spark.stop()
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    print(json.dumps(run(args)))
+
+
+if __name__ == "__main__":
+    main()

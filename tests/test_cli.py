@@ -200,3 +200,66 @@ def test_cli_distributed_csv_sink(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a.astype(str), b.astype(str))
+
+
+# --------------------------------------------------------------------------
+# corpus curation CLI
+# --------------------------------------------------------------------------
+
+
+def test_corpus_cli_commands_roundtrip(spark, tmp_path):
+    """Each corpus_cli command writes parquet whose rows equal the
+    library operator's own output — the CLI is a pure shell."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark import corpus_cli
+    from process_alphafold3_outputs_spark.operators import dedup, text
+
+    sf = "/root/testdata/sf0.001"
+    docs_path = f"{sf}/documents.parquet"
+    emb_path = f"{sf}/embeddings.parquet"
+    docs = spark.read.parquet(docs_path)
+
+    def run_cmd(argv):
+        args = corpus_cli.build_parser().parse_args(argv)
+        return corpus_cli.run(args, spark)
+
+    out = str(tmp_path / "stats")
+    res = run_cmd(["stats", "--documents", docs_path, "--out", out])
+    assert res["rows"] == text.corpus_stats(docs).count() > 0
+
+    out = str(tmp_path / "quality")
+    res = run_cmd(["quality", "--documents", docs_path, "--out", out])
+    assert res["rows"] == docs.count()
+    got = spark.read.parquet(out)
+    assert set(got.columns) >= {"doc_id", "n_words", "keep"}
+
+    out = str(tmp_path / "dedup_para")
+    res = run_cmd(
+        ["dedup", "--documents", docs_path, "--mode", "paragraphs",
+         "--seg-words", "8", "--out", out]
+    )
+    assert res["rows"] == dedup.segment_dedup(docs, seg_words=8).count()
+
+    out = str(tmp_path / "decon")
+    res = run_cmd(
+        ["decontaminate", "--documents", docs_path, "--benchmark", docs_path,
+         "--bloom", "--m-bits", str(1 << 16), "--out", out]
+    )
+    # benchmark == corpus: every doc must self-flag
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("contaminated") == 0).count() == 0
+
+    out = str(tmp_path / "km")
+    res = run_cmd(
+        ["kmeans", "--embeddings", emb_path, "-k", "4", "--iters", "1",
+         "--out", out]
+    )
+    assert res["rows"] == spark.read.parquet(emb_path).count()
+
+    out = str(tmp_path / "pack")
+    res = run_cmd(
+        ["pack", "--documents", docs_path, "--seq-tokens", "256", "--out", out]
+    )
+    got = spark.read.parquet(out)
+    assert res["rows"] > 0 and "seq_id" in got.columns
