@@ -122,6 +122,8 @@ _DEFERRED: set[str] = {
     "unpivot_measures",
     "distinct_agg",
     "tumbling_window",
+    "sliding_window_batch",  # sliding F.window; tumbling row + streaming
+                             # parity tests cover the mechanics
     "revenue_per_nation",
 }
 

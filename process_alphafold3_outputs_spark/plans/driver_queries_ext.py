@@ -1700,3 +1700,52 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Sliding time window (F.window with slide < width): each event lands in
+# width/slide overlapping epoch-aligned windows. Oracle enumerates the
+# valid window starts per event with generate_series.
+# --------------------------------------------------------------------------
+_SLIDE_W, _SLIDE_S = 21600, 10800  # 6-hour windows every 3 hours
+
+
+@register(
+    "sliding_window_batch",
+    sql=f"""
+    WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      value FROM events),
+    wins AS (
+        SELECT event_type, value, CAST(s.s AS BIGINT) AS ws
+        FROM e,
+             unnest(generate_series(
+                 (t - {_SLIDE_W}) // {_SLIDE_S} * {_SLIDE_S} + {_SLIDE_S},
+                 t // {_SLIDE_S} * {_SLIDE_S},
+                 {_SLIDE_S})) s(s))
+    SELECT event_type, ws AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM wins
+    GROUP BY event_type, ws
+    """,
+)
+def sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        event_seconds(ev).cast("timestamp").alias("ts_t"),
+        "value",
+    )
+    return (
+        e.groupBy(F.window("ts_t", "6 hours", "3 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").cast("long").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
