@@ -364,18 +364,30 @@ def ivf_refine(
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its max-cosine centroid (broadcast the
-    tiny centroid table; one pass over the corpus, one window by vec)."""
+    tiny centroid table; one pass over the corpus).
+
+    The argmax is ``max_by`` over the composite ordering
+    ``(score, -cell)`` — identical to the window tie-break
+    (highest score, then LOWEST cell; ``-cell`` is unique per vector so
+    the ordering struct never ties and max_by stays deterministic).
+    A hash aggregation with map-side combine: the k scored copies of a
+    vector collapse to one row BEFORE the shuffle, where the old
+    row_number window shuffled and sorted all k — k× less shuffle IO on
+    the corpus-sized side."""
     emb = spread(embeddings, "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "_s", cosine(F.col("vec"), F.col("cvec"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_s").desc(), F.col("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "vec", "cell")
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cell", "vec"),
+            F.struct(F.col("_s"), (-F.col("cell")).alias("_nc")),
+        ).alias("_b")
+    )
+    return best.select(
+        "vec_id", F.col("_b.vec").alias("vec"), F.col("_b.cell").alias("cell")
     )
 
 
@@ -411,15 +423,18 @@ def kmeans(
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
         "_s", cosine(F.col("vec"), F.col("cvec"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_s").desc(), F.col("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "vec_id",
-            F.col("cell").alias("cluster"),
-            F.round("_s", 6).alias("sim"),
-        )
+    # max_by argmax with the (score, -cell) composite ordering — same
+    # shuffle-halving shape as ivf_assign, scores kept for the output
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("cell"), F.col("_s")),
+            F.struct(F.col("_s"), (-F.col("cell")).alias("_nc")),
+        ).alias("_b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("_b.cell").alias("cluster"),
+        F.round("_b._s", 6).alias("sim"),
     )
 
 
