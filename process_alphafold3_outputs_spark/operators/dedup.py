@@ -79,13 +79,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup_keep(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The kept rows themselves (doc_id == min per hash)."""
-    w = Window.partitionBy(F.md5("_norm"))
+    """The kept rows themselves (doc_id == min per hash) — ``min_by``
+    hash aggregation, NOT a window: map-side combine collapses a
+    duplicate-heavy partition to one candidate row per hash before the
+    shuffle, where the window shape shuffled every duplicate (doc_id is
+    unique, so min_by never ties)."""
+    d = normalized(docs, text_col)
+    cols = [c for c in d.columns if c != "_norm"]
     return (
-        normalized(docs, text_col)
-        .withColumn("_keep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_keep"))
-        .drop("_norm", "_keep")
+        d.groupBy(F.md5("_norm").alias("_h"))
+        .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
     )
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup, text
@@ -89,11 +89,13 @@ def clean_corpus(
             & (F.col("pred_lang") == lang)
         )
     )
-    w = Window.partitionBy(F.md5(F.col("_norm")))
+    # min_by hash agg, not a window: duplicates collapse map-side before
+    # the hash-keyed shuffle (doc_id unique -> deterministic winner)
+    _kept_cols = [c for c in base.columns if c != "_norm"]
     exact_kept = (
-        base.withColumn("_keep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_keep"))
-        .drop("_norm", "_keep")
+        base.groupBy(F.md5(F.col("_norm")).alias("_h"))
+        .agg(F.min_by(F.struct(*_kept_cols), F.col("doc_id")).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in _kept_cols])
     )
     shingles = dedup.hashed_shingles(exact_kept, text_col=text_col)
     if stage:
