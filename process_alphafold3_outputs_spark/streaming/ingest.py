@@ -1,16 +1,19 @@
 """Structured Streaming ingest — SURVEY §7.1 M8 (an extension; the
 reference is batch-only).
 
-Two modes:
+Four modes, all reusing batch kernels so stream and batch cannot drift:
 
 - ``watch_summaries``: file-source stream over an inbox directory of
   ``*_summary_confidences_0.json``; each micro-batch runs the SAME
   batch screen kernel via ``foreachBatch`` (exactly-once append to a
-  parquet results table). Batch/stream share one code path — no
-  reimplementation drift.
+  parquet results table).
+- ``watch_documents``: the corpus-intake twin — parquet document drops
+  flow through the batch Gopher quality kernel per micro-batch.
 - ``session_stream``: windowed sessionization of an events stream with
   watermarked late-data handling (``session_window`` — the streaming
   analogue of the O23 islands kernel).
+- ``windowed_stream``: watermarked tumbling/sliding aggregation, the
+  streaming twin of the batch tumbling/sliding window queries.
 """
 
 from __future__ import annotations
@@ -120,4 +123,45 @@ def session_stream(
             "n_events",
             "total_value",
         )
+    )
+
+
+def watch_documents(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    min_required_hits: int = 2,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming corpus intake: parquet drops under ``inbox_dir`` flow
+    through the SAME batch Gopher quality kernel per micro-batch
+    (``foreachBatch`` — batch/stream share one code path, no drift) and
+    land as a parquet table of per-document signals + keep flag,
+    exactly-once per epoch. The streaming stage is only the scan;
+    downstream curation (dedup, decontamination) runs on the keeper
+    table in batch, where corpus-wide state is cheap.
+
+    Returns the StreamingQuery."""
+    from ..operators.text import gopher_quality
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        gopher_quality(
+            batch_df, min_required_hits=min_required_hits
+        ).withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )

@@ -359,3 +359,49 @@ def test_windowed_stream_append_emits_once_after_watermark(spark, tmp_path):
     # the 00:00 window still shows exactly the pre-straggler aggregate
     assert (1704067200, 1, 1.0) in final
     assert not any(n == 2 and ws == 1704067200 for ws, n, _ in final)
+
+
+def test_watch_documents_streams_quality_signals(spark, tmp_path):
+    """Two parquet drops into the inbox: each micro-batch must produce
+    the same signals the batch Gopher kernel computes, tagged by epoch,
+    with no row processed twice."""
+    import os
+
+    from process_alphafold3_outputs_spark.operators.text import gopher_quality
+    from process_alphafold3_outputs_spark.streaming.ingest import watch_documents
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "quality_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(inbox)
+
+    good = "the quick brown fox and that dog have fun with it " * 6
+    drop([(1, good, "en", "web", len(good)), (2, "too short", "en", "web", 9)])
+    q = watch_documents(spark, inbox, out, ckpt)
+    try:
+        q.processAllAvailable()
+        drop([(3, good + "extra", "en", "books", len(good) + 5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # each doc exactly once across epochs
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert by_id[1]["keep"] == 1 and by_id[2]["keep"] == 0 and by_id[3]["keep"] == 1
+    # signal parity with the direct batch kernel
+    batch = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            spark.read.parquet(inbox)
+        ).collect()
+    }
+    for did, row in by_id.items():
+        for c in ("n_words", "mean_word_len", "alpha_word_frac", "keep"):
+            assert row[c] == batch[did][c], (did, c)
+    # the two drops arrived in different epochs
+    assert len({r["epoch_id"] for r in got.collect()}) == 2
