@@ -145,6 +145,29 @@ def segment_dedup(
 # --------------------------------------------------------------------------
 
 
+#: modulus of the MinHash permutation family (Mersenne prime 2^31-1:
+#: products of a < 2^31 coefficient and a reduced base stay inside
+#: signed-64 in BOTH engines — identical arithmetic, no overflow UB)
+MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_base(col) -> "F.Column":
+    """One md5 per shingle → 60-bit int → reduced mod P. Every seed's
+    hash derives from THIS value with a linear permutation — the
+    textbook universal-hash MinHash construction; the md5-per-seed
+    variant paid n_hashes string hashes per shingle row for nothing
+    (measured 3× slower at sf0.1)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+
+
+def _minhash_perm(seed: int, v) -> "F.Column":
+    """h_seed(v) = ((2·seed+1)·v + seed²+7) mod P — odd multiplier,
+    deterministic, reproducible in ANSI SQL."""
+    return (F.lit(2 * seed + 1) * v + F.lit(seed * seed + 7)) % MINHASH_P
+
+
 def minhash_sig_array(
     docs: DataFrame, n_hashes: int = 12, shingle_k: int = 3, text_col: str = "text"
 ) -> DataFrame:
@@ -153,17 +176,22 @@ def minhash_sig_array(
     rows (one shuffle keyed by doc, NO seed explode — at 100 TB the
     seed-explode variant multiplies the shuffle by n_hashes for no
     reason; n independent partial-min aggregates are map-side combined).
-
-    min over the fixed-width md5 hex string == min over the 128-bit
-    hash value, and is reproducible in ANSI SQL."""
-    sh = word_shingles(docs, k=shingle_k, text_col=text_col)
+    Each hash is a linear permutation of ONE md5-derived base value
+    (:func:`_minhash_base`); entries are the decimal string of the
+    numeric min so band signatures stay plain string concat."""
+    sh = word_shingles(docs, k=shingle_k, text_col=text_col).withColumn(
+        "_v", _minhash_base(F.col("shingle"))
+    )
     mins = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), "shingle"))).alias(f"_h{s}")
+        F.min(_minhash_perm(s, F.col("_v"))).alias(f"_h{s}")
         for s in range(n_hashes)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
-        "doc_id", F.array(*[F.col(f"_h{s}") for s in range(n_hashes)]).alias("sig")
+        "doc_id",
+        F.array(
+            *[F.col(f"_h{s}").cast("string") for s in range(n_hashes)]
+        ).alias("sig"),
     )
 
 

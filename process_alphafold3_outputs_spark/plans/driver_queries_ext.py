@@ -54,13 +54,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES},
     mh AS (
         SELECT doc_id, s.seed,
-               min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
+               min(((2 * s.seed + 1)
+                    * (CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)
+                    + (s.seed * s.seed + 7)) % 2147483647) AS minhash
         FROM shingles, unnest(generate_series(0, 11)) s(seed)
         GROUP BY doc_id, s.seed
     ),
     bands AS (
         SELECT doc_id, seed // 3 AS band,
-               string_agg(minhash, '|' ORDER BY seed) AS band_sig
+               string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
         FROM mh GROUP BY doc_id, seed // 3
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -80,13 +82,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES},
     mh AS (
         SELECT doc_id, s.seed,
-               min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
+               min(((2 * s.seed + 1)
+                    * (CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)
+                    + (s.seed * s.seed + 7)) % 2147483647) AS minhash
         FROM shingles, unnest(generate_series(0, 11)) s(seed)
         GROUP BY doc_id, s.seed
     ),
     bands AS (
         SELECT doc_id, seed // 3 AS band,
-               string_agg(minhash, '|' ORDER BY seed) AS band_sig
+               string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
         FROM mh GROUP BY doc_id, seed // 3
     )
     SELECT CAST(band AS INT) AS band, band_sig,

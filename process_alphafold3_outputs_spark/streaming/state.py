@@ -130,18 +130,31 @@ def minhash_band_projection(
     )
     n_hashes = n_bands * rows_per_band
 
+    from ..operators.dedup import MINHASH_P
+
+    # ONE md5 per shingle (the base-value array), then each seed's
+    # min is a linear permutation over that array — mirrors the batch
+    # _minhash_base/_minhash_perm arithmetic exactly (pytest-pinned).
     # Closure via factory, NOT a lambda default arg: PySpark reads a
     # two-parameter lambda as an (element, index) higher-order function
     # and would bind the "seed" to the element index column (turning
-    # every seed prefix into the same str(Column) garbage — all bands
-    # identical, the batch-parity contract silently broken).
-    def seed_hash(seed: int):
-        return lambda s: F.md5(F.concat_ws(":", F.lit(str(seed)), s))
+    # every permutation into index arithmetic — all bands identical,
+    # the batch-parity contract silently broken).
+    bases = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+
+    def seed_perm(seed: int):
+        return lambda v: (F.lit(2 * seed + 1) * v + F.lit(seed * seed + 7)) % MINHASH_P
 
     sig = docs_stream.select(
         "doc_id",
         *[
-            F.array_min(F.transform(shingles, seed_hash(seed))).alias(f"_h{seed}")
+            F.array_min(F.transform(bases, seed_perm(seed)))
+            .cast("string")
+            .alias(f"_h{seed}")
             for seed in range(n_hashes)
         ],
     )
