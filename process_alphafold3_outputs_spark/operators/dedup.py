@@ -792,25 +792,30 @@ def connected_components(
 # SimHash
 # --------------------------------------------------------------------------
 
-_HEX = "0123456789abcdef"
-
-
 def _bit_votes(docs: DataFrame, n_bits: int, text_col: str) -> DataFrame:
     """(doc_id, v0..v{n_bits-1}) — per-bit ±1 vote sums over the md5
     hashes of every token occurrence. ONE shuffle keyed by doc_id with
     ``n_bits`` parallel conditional sums (map-side combined) — no
     token × bit explode, so widening 16 → 64 bits costs plan width,
-    not shuffle volume (same construction trick as the MinHash aggs)."""
+    not shuffle volume (same construction trick as the MinHash aggs).
+
+    Bit b = ``(word[b/32] >> b%32) & 1`` over 32-bit words parsed from
+    the md5 hex with ONE conv per word — integer shift arithmetic, not
+    the per-bit hex-digit strpos/floor/pow chain (which re-walked the
+    hex string per bit and was measured ~6× slower at 64 bits)."""
     toks = (
         normalized(spread(docs, "doc_id"), text_col)
         .select("doc_id", F.explode(F.split("_norm", " ")).alias("tok"))
         .withColumn("h", F.md5("tok"))
     )
+    for wi in range((n_bits + 31) // 32):
+        toks = toks.withColumn(
+            f"_w{wi}",
+            F.conv(F.substring("h", 8 * wi + 1, 8), 16, 10).cast("long"),
+        )
 
     def bitval(b: int):
-        # nibble = hex digit at position b//4; bit-of-nibble = b%4
-        nib = F.instr(F.lit(_HEX), F.substring(F.col("h"), b // 4 + 1, 1)) - 1
-        return F.floor(nib / F.pow(F.lit(2.0), F.lit(b % 4))).cast("int") % 2
+        return F.shiftright(F.col(f"_w{b // 32}"), b % 32).bitwiseAND(F.lit(1))
 
     return toks.groupBy("doc_id").agg(
         *[

@@ -187,14 +187,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     sql=f"""
     WITH norm AS ({_NORM}),
-    toks AS (SELECT doc_id, md5(unnest(string_split(t, ' '))) AS h FROM norm),
-    bits AS (SELECT doc_id, h, b.bit FROM toks, unnest(generate_series(0, 15)) b(bit)),
+    toks AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(unnest(string_split(t, ' '))), 1, 8))
+                         AS BIGINT) AS w0
+             FROM norm),
+    bits AS (SELECT doc_id, w0, b.bit FROM toks, unnest(generate_series(0, 15)) b(bit)),
     votes AS (
         SELECT doc_id, bit,
-               sum(CASE WHEN CAST(floor(
-                     (strpos('0123456789abcdef', substr(h, (bit // 4) + 1, 1)) - 1)
-                     / power(2, bit % 4)) AS INT) % 2 = 1
-                   THEN 1 ELSE -1 END) AS vote
+               sum(CASE WHEN ((w0 >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
         FROM bits GROUP BY doc_id, bit
     )
     SELECT doc_id,
@@ -212,10 +212,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + band-sliced Hamming candidate pairs
 # --------------------------------------------------------------------------
 def _sql_bitval(b: int) -> str:
-    return (
-        f"CAST(floor((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
-        f" / {2 ** (b % 4)}) AS INT) % 2"
-    )
+    return f"((w{b // 32} >> {b % 32}) & 1)"
 
 
 _SIMHASH64_VOTES = ", ".join(
@@ -233,7 +230,12 @@ def _sql_sig(lo: int, hi: int) -> str:
 
 _SIMHASH64_SIG = f"""
     norm AS ({_NORM}),
-    toks AS (SELECT doc_id, md5(unnest(string_split(t, ' '))) AS h FROM norm),
+    toks AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(unnest(string_split(t, ' '))), 1, 8))
+                         AS BIGINT) AS w0,
+                    CAST(('0x' || substr(md5(unnest(string_split(t, ' '))), 9, 8))
+                         AS BIGINT) AS w1
+             FROM norm),
     votes AS (SELECT doc_id, {_SIMHASH64_VOTES} FROM toks GROUP BY doc_id),
     sig AS (SELECT doc_id,
                    CAST({_sql_sig(32, 64)} AS BIGINT) AS sim_hi,
