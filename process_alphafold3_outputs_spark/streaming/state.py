@@ -199,3 +199,85 @@ def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SEG_OUTPUT_SCHEMA = "doc_id long, chunk_id int, chunk_text string, seg_hash string"
+SEG_STATE_SCHEMA = "seen boolean"
+
+
+def _segment_fn(key, pdfs: Iterable, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        for _ in pdfs:
+            pass
+        return iter(())
+    best = None
+    for pdf in pdfs:
+        for doc_id, chunk_id, chunk_text in zip(
+            pdf["doc_id"], pdf["chunk_id"], pdf["chunk_text"]
+        ):
+            cand = (int(doc_id), int(chunk_id), str(chunk_text))
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+    state.update((True,))
+    if best is None:
+        return iter(())
+    return iter(
+        [
+            pd.DataFrame(
+                {
+                    "doc_id": [best[0]],
+                    "chunk_id": [best[1]],
+                    "chunk_text": [best[2]],
+                    "seg_hash": [key[0]],
+                }
+            )
+        ]
+    )
+
+
+def streaming_segment_dedup(
+    docs_stream: DataFrame, seg_words: int = 20
+) -> DataFrame:
+    """Streaming face of :func:`~..operators.dedup.segment_dedup`:
+    documents are segmented per row (pure projection — legal upstream
+    of the stateful operator), and each distinct segment is emitted
+    exactly ONCE across the whole stream, first-batch-wins with the
+    batch kernel's (doc_id, chunk_id) tie-break inside a batch. Output
+    is the kept (doc_id, chunk_id, chunk_text) rows in append mode —
+    per-document reassembly is a batch concern downstream (a second
+    stateful stage in the same query would hit Spark's multi-stateful
+    restrictions).
+
+    State per distinct segment hash is one boolean — the same
+    keeper-state shape as :func:`streaming_exact_dedup`."""
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    w = F.split(norm, " ")
+    n = F.size(w)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((n - F.lit(seg_words)) / F.lit(seg_words)).cast("int"),
+            F.lit(0),
+        )
+        * F.lit(seg_words),
+        F.lit(seg_words),
+    )
+    segs = docs_stream.select(
+        "doc_id", F.posexplode(starts).alias("chunk_id", "_start"), w.alias("_w")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            " ", F.slice(F.col("_w"), F.col("_start") + 1, seg_words)
+        ).alias("chunk_text"),
+    )
+    segs = segs.withColumn("seg_hash", F.md5("chunk_text"))
+    return segs.groupBy("seg_hash").applyInPandasWithState(
+        _segment_fn,
+        outputStructType=SEG_OUTPUT_SCHEMA,
+        stateStructType=SEG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

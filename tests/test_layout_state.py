@@ -156,3 +156,59 @@ def test_streaming_lsh_near_dedup_across_batches(spark, tmp_path):
     assert set(second) == {(3, 1), (10, 1)}
     assert len([e for e in second if e == (10, 1)]) == 4  # one per band
     assert not any(d in (2, 11) for d, _ in second)  # uniques untouched
+
+
+def test_streaming_segment_dedup_cross_batch(spark, tmp_path):
+    """A segment emitted in batch 1 must suppress its re-appearance in
+    batch 2; within a batch the (doc_id, chunk_id) minimum wins — the
+    batch kernel's first-occurrence rule, cross-batch."""
+    import os
+
+    from process_alphafold3_outputs_spark.streaming.state import (
+        streaming_segment_dedup,
+    )
+
+    src = str(tmp_path / "segsrc")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    drop("b1", [(1, "a b c d"), (2, "a b x y")])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_segment_dedup(stream, seg_words=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("seg_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.doc_id, r.chunk_id, r.chunk_text)
+            for r in spark.sql("SELECT * FROM seg_dedup_out").collect()
+        }
+        # batch 2: doc 3 repeats "a b" and "c d"; only "z z" is new
+        drop("b2", [(3, "a b c d z z")])
+        q.processAllAvailable()
+        final = {
+            (r.doc_id, r.chunk_id, r.chunk_text)
+            for r in spark.sql("SELECT * FROM seg_dedup_out").collect()
+        }
+    finally:
+        q.stop()
+
+    assert (1, 0, "a b") in first and (1, 1, "c d") in first
+    assert (2, 1, "x y") in first
+    # doc 2 lost its "a b" to doc 1 (lower doc_id, same batch)
+    assert not any(d == 2 and t == "a b" for d, _, t in first)
+    new = final - first
+    assert new == {(3, 2, "z z")}
