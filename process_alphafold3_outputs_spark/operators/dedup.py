@@ -29,10 +29,17 @@ from .util import spread
 
 def normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Lowercase, whitespace-collapsed text — the canonical form all
-    dedup families hash."""
+    dedup families hash. NULL text is treated as the empty string (one
+    defined contract at the single choke point, instead of each
+    downstream operator meeting NULL with its own undefined arithmetic —
+    null-and-empty documents dedup into the same group)."""
     return docs.withColumn(
         "_norm",
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+        F.lower(
+            F.regexp_replace(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+            )
+        ),
     )
 
 

@@ -87,10 +87,10 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     corpus; thresholds are the caller's query."""
     d = normalized(docs, text_col)
     n_words = F.size(F.split("_norm", " "))
-    n_chars = F.length(F.col(text_col))
-    n_punct = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
-    )
+    # NULL text ≡ empty for the raw-text signals (normalized() contract)
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(raw)
+    n_punct = F.length(raw) - F.length(F.regexp_replace(raw, r"[.,!?;:]", ""))
     sw = _count_words_in(F.col("_norm"), EN_STOPWORDS)
     return d.select(
         "doc_id",
@@ -139,7 +139,9 @@ def gopher_quality(
     toks = F.col("_toks")
     n_words = F.size(toks).cast("long")
     mean_wl = (F.length("_norm") - n_words + 1) / n_words
-    raw = F.col(text_col)
+    # NULL text ≡ empty (the normalized() contract) for the raw-text
+    # signals too — otherwise every ratio on a NULL row would be NULL
+    raw = F.coalesce(F.col(text_col), F.lit(""))
     n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
     n_ellipsis = (
         F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))

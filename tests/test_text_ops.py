@@ -422,3 +422,31 @@ def test_corpus_stats_exact_percentiles(spark):
     assert web["p90_tokens"] == 7.9          # 3 + 0.7*(10-3)
     assert web["n_langs"] == 1
     assert got["books"]["n_docs"] == 1 and got["books"]["total_tokens"] == 2
+
+
+# --------------------------------------------------------------------------
+# NULL-text contract: null ≡ empty string at the normalized() choke point
+# --------------------------------------------------------------------------
+
+
+def test_null_text_behaves_as_empty(spark):
+    paired = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    # dedup: null and empty land in the SAME group (one keeper)
+    groups = dedup.exact_dedup(paired).collect()
+    assert len(groups) == 1 and groups[0]["n_copies"] == 2
+
+    # gopher: identical signals for the null row and the empty row
+    rows = {r["doc_id"]: r.asDict() for r in text.gopher_quality(paired).collect()}
+    a, b = rows[1], rows[2]
+    a.pop("doc_id"), b.pop("doc_id")
+    assert a == b
+    assert a["keep"] == 0 and a["symbol_ratio"] is not None
+
+    # quality scores stay defined (no NULL arithmetic leaking through)
+    q = {r["doc_id"]: r.asDict() for r in text.quality_scores(paired).collect()}
+    a, b = q[1], q[2]
+    a.pop("doc_id"), b.pop("doc_id")
+    assert a == b
+    assert a["n_chars"] == 0 and a["n_words"] == 1
