@@ -108,6 +108,9 @@ _DEFERRED: set[str] = {
     "text_corpus_stats",     # per-source profile agg; hash-agg mechanics
                              # evidenced by green text_quality row
                              # (deferred to preserve driver-window headroom)
+    "pipeline_pack_stats",   # fill-ratio agg over the packer (packing
+                             # itself evidenced by green pipeline_pack_sequences
+                             # row; deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

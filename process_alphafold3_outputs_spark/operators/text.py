@@ -466,6 +466,7 @@ def pack_sequences(
     seq_tokens: int = 2048,
     n_shards: int = 8,
     seed: str = "pack-v1",
+    keep_tokens: bool = False,
 ) -> DataFrame:
     """Assign chunker output to fixed-token packed training SEQUENCES —
     the concat-and-pack step an LLM data pipeline runs after chunking:
@@ -503,13 +504,43 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
-    return out.select(
-        "doc_id",
-        "chunk_id",
-        "split",
-        "shard",
+    cols = [
+        F.col("doc_id"),
+        F.col("chunk_id"),
+        F.col("split"),
+        F.col("shard"),
         F.floor(start / F.lit(seq_tokens)).cast("long").alias("seq_id"),
         (start % F.lit(seq_tokens)).alias("seq_offset"),
+    ]
+    if keep_tokens:
+        cols.append(F.col("n_tokens").cast("long").alias("n_tokens"))
+    return out.select(*cols)
+
+
+def pack_stats(
+    chunks: DataFrame,
+    seq_tokens: int = 2048,
+    n_shards: int = 8,
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """(split, n_chunks, total_tokens, n_sequences, fill_ratio) — the
+    packing-efficiency report a training-data team watches per shipment:
+    how many fixed-token sequences the packed corpus yields and what
+    fraction of their token budget is actually filled
+    (``total_tokens / (n_sequences · seq_tokens)``; the shortfall is
+    per-shard tail waste). One split-keyed aggregation over the packer
+    output — no extra corpus pass beyond the packing itself."""
+    packed = pack_sequences(
+        chunks, seq_tokens, n_shards, seed, keep_tokens=True
+    )
+    n_seq = F.count_distinct(F.struct("shard", "seq_id"))
+    return packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+        n_seq.alias("n_sequences"),
+        F.round(F.sum("n_tokens") / (n_seq * seq_tokens), 4).alias(
+            "fill_ratio"
+        ),
     )
 
 

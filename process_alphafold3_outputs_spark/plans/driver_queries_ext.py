@@ -1755,3 +1755,75 @@ def sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# packing-efficiency report over the packed corpus (fill ratio per split)
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_pack_stats",
+    sql=f"""
+    WITH {_SURVIVOR_CTES.format(
+        lang_scores=", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS)),
+        lang_cases="".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS)),
+    )},
+    surv AS (
+        SELECT e.doc_id, e.t
+        FROM exact e LEFT JOIN drops d ON d.doc_id = e.doc_id
+        WHERE d.doc_id IS NULL),
+    words2 AS (SELECT doc_id, string_split(t, ' ') AS w,
+                      len(string_split(t, ' ')) AS n
+               FROM surv),
+    starts AS (
+        SELECT doc_id, w, n, CAST(s.s AS INT) AS start
+        FROM words2,
+             unnest(generate_series(
+                 0,
+                 greatest(CAST(ceil((n - {_T2_CHUNK}) / {_T2_STRIDE}.0) AS INT), 0) * {_T2_STRIDE},
+                 {_T2_STRIDE})) s(s)),
+    chunks AS (
+        SELECT doc_id, CAST(start // {_T2_STRIDE} AS INT) AS chunk_id,
+               CAST(least({_T2_CHUNK}, n - start) AS BIGINT) AS n_tokens,
+               CASE WHEN CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < {_T2_VAL}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM starts),
+    sharded AS (
+        SELECT *,
+               CAST(('0x' || substr(md5('pack-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_PK_SHARDS} AS shard
+        FROM chunks),
+    packed AS (
+        SELECT split, shard, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY split, shard
+                                               ORDER BY doc_id, chunk_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) - n_tokens)
+                          / {_PK_SEQ}.0) AS BIGINT) AS seq_id
+        FROM sharded)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT (shard, seq_id)) AS BIGINT) AS n_sequences,
+           round(sum(n_tokens) / (count(DISTINCT (shard, seq_id)) * {_PK_SEQ}), 4)
+               AS fill_ratio
+    FROM packed
+    GROUP BY split
+    """,
+)
+def pipeline_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency per split over the full clean→chunk→split→pack
+    chain — same parameters as pipeline_pack_sequences."""
+    from .corpus import corpus_to_training
+
+    chunks = corpus_to_training(
+        load_table(spark, sf_dir, "documents"),
+        lang="en",
+        min_words=_CC_MIN,
+        max_words=_CC_MAX,
+        jaccard_threshold=_CC_T,
+        chunk_tokens=_T2_CHUNK,
+        overlap=_T2_OVERLAP,
+        val_pct=_T2_VAL,
+    )
+    return text.pack_stats(chunks, seq_tokens=_PK_SEQ, n_shards=_PK_SHARDS)
