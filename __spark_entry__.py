@@ -111,6 +111,9 @@ _DEFERRED: set[str] = {
     "pipeline_pack_stats",   # fill-ratio agg over the packer (packing
                              # itself evidenced by green pipeline_pack_sequences
                              # row; deferred: headroom)
+    "text_sample_exact_k",   # budgeted stratified sample; hash-gate
+                             # mechanics evidenced by green text_sample_domains
+                             # row (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

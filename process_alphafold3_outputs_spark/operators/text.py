@@ -303,6 +303,35 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def sample_exact_k(
+    docs: DataFrame,
+    k: int,
+    domain_col: str = "source",
+    seed: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``min(k, |domain|)`` rows per domain — the budgeted
+    counterpart of rate-based :func:`sample_by_domain` ("give me 10 000
+    docs per source"), selected by ranking each domain on the SAME
+    deterministic md5 hash the rate gate uses (never rand(): retry- and
+    partitioning-stable, oracle-restatable; ties broken by id). The
+    hash rank makes the choice a uniform random sample in expectation
+    while every re-run picks the identical rows.
+
+    Scale shape: one domain-keyed window. Domains are the partition
+    key, so per-domain data must fit a task's spill budget — for a
+    corpus whose largest domain outgrows that, pre-filter with the rate
+    gate to ~k·10 candidates (cheap, shuffle-free) and rank only the
+    survivors."""
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def domain_keep_col(
     rates: dict[str, int],
     default_pct: int = 100,

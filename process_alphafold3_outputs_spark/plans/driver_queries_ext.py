@@ -1827,3 +1827,27 @@ def pipeline_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_pct=_T2_VAL,
     )
     return text.pack_stats(chunks, seq_tokens=_PK_SEQ, n_shards=_PK_SHARDS)
+
+
+# --------------------------------------------------------------------------
+# exact-k stratified sampling (budget per domain, hash-ranked)
+# --------------------------------------------------------------------------
+_SAMPLE_K = 7
+
+
+@register(
+    "text_sample_exact_k",
+    sql=f"""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('sample-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents)
+    WHERE rk <= {_SAMPLE_K}
+    """,
+)
+def text_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sample_exact_k(load_table(spark, sf_dir, "documents"), k=_SAMPLE_K)

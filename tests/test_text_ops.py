@@ -450,3 +450,28 @@ def test_null_text_behaves_as_empty(spark):
     a.pop("doc_id"), b.pop("doc_id")
     assert a == b
     assert a["n_chars"] == 0 and a["n_words"] == 1
+
+
+# --------------------------------------------------------------------------
+# exact-k stratified sampling
+# --------------------------------------------------------------------------
+
+
+def test_sample_exact_k_budget_and_determinism(spark):
+    rows = [
+        (i, f"t{i}", "big" if i < 40 else "small") for i in range(45)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = text.sample_exact_k(docs, k=5).toPandas()
+    by_src = got.groupby("source")["doc_id"].count().to_dict()
+    assert by_src == {"big": 5, "small": 5}
+    # small domain (5 members) survives whole
+    assert set(got[got.source == "small"].doc_id) == set(range(40, 45))
+    # deterministic across re-runs
+    again = text.sample_exact_k(docs, k=5).toPandas()
+    assert sorted(got.doc_id) == sorted(again.doc_id)
+    # different seed -> (almost surely) different big-domain picks
+    other = text.sample_exact_k(docs, k=5, seed="sample-v2").toPandas()
+    assert sorted(other[other.source == "big"].doc_id) != sorted(
+        got[got.source == "big"].doc_id
+    )
