@@ -436,15 +436,45 @@ def jaccard_pairs(
     if prefix_filter is None:
         prefix_filter = has_hot_shingle(sh)
     if prefix_filter:
-        cand = jaccard_candidates(docs, threshold, shingle_k, text_col, shingles=sh)
+        # ONE doc-keyed aggregation feeds BOTH the prefix index and the
+        # verification arrays: collect each doc's (df, sh) pairs sorted
+        # by the PPJoin global order (document frequency ASC, hash ASC).
+        # The prefix is then an array slice (position in the sorted
+        # array == the old row_number rank, same tie behavior) and the
+        # verification set a transform — this removes a second full
+        # doc-keyed shuffle of every shingle row plus the per-doc window
+        # sort that the separate rank pass paid; both references share
+        # the aggregation exchange (ReuseExchange).
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        doc_arr = (
+            sh.join(dfreq, "sh")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("_ord"))
+        )
+        n_sh = F.size("_ord")
+        plen = (
+            n_sh - F.ceil(F.lit(float(threshold)) * n_sh) + 1
+        ).cast("int")
+        prefix = doc_arr.select(
+            "doc_id", F.explode(F.slice("_ord", F.lit(1), plen)).alias("_e")
+        ).select("doc_id", F.col("_e.sh").alias("sh"))
+        pa = prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+        pb = prefix.select(F.col("doc_id").alias("doc_b"), "sh")
+        cand = (
+            pa.join(pb, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
         # Verification via per-doc shingle ARRAYS + JVM array_intersect:
         # the long-form alternative (join candidates back to the (doc,
         # sh) table on both sides, then a pair-keyed count) shuffles
         # n_sh rows per doc TWICE plus the pair groupBy; the array form
         # shuffles ONE row per doc and intersects in-memory per
         # candidate pair (O(|A|+|B|) hash intersect, all codegen).
-        sets = sh.groupBy("doc_id").agg(
-            F.sort_array(F.collect_list("sh")).alias("shs")
+        sets = doc_arr.select(
+            "doc_id",
+            F.transform("_ord", lambda x: x["sh"]).alias("shs"),
         )
         sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("_sa"))
         sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("_sb"))
