@@ -114,6 +114,8 @@ _DEFERRED: set[str] = {
     "text_sample_exact_k",   # budgeted stratified sample; hash-gate
                              # mechanics evidenced by green text_sample_domains
                              # row (deferred: headroom)
+    "pipeline_cluster_sample",  # kmeans × exact-k composition; both kernels
+                             # separately oracle-green (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

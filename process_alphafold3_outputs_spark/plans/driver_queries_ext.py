@@ -1851,3 +1851,52 @@ _SAMPLE_K = 7
 )
 def text_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.sample_exact_k(load_table(spark, sf_dir, "documents"), k=_SAMPLE_K)
+
+
+# --------------------------------------------------------------------------
+# cluster-balanced sampling: k-means over embeddings, then an exact
+# hash-ranked budget per cluster — the semantic-diversity sampler
+# (composes two oracle-green kernels; the oracle composes their SQL)
+# --------------------------------------------------------------------------
+_CB_K, _CB_BUDGET = 8, 9
+
+
+@register(
+    "pipeline_cluster_sample",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cvec
+               FROM emb ORDER BY vec_id LIMIT {_CB_K}),
+    {",".join(_kmeans_iter_sql(i) for i in range(2))},
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cell AS cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS.format(a="e.v", b="c.cvec")} DESC, c.cell) AS rn
+            FROM emb e, cents2 c)
+        WHERE rn = 1)
+    SELECT vec_id, cluster
+    FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (
+                   PARTITION BY cluster
+                   ORDER BY md5('cluster-sample-v1:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rk
+        FROM assign)
+    WHERE rk <= {_CB_BUDGET}
+    """,
+)
+def pipeline_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min(budget, |cluster|) vectors per semantic cluster: k-means
+    assignment, then the deterministic hash-ranked exact-k sampler
+    keyed by cluster instead of source."""
+    assign = similarity.kmeans(
+        load_table(spark, sf_dir, "embeddings"), k=_CB_K, iters=2
+    ).select("vec_id", "cluster")
+    return text.sample_exact_k(
+        assign,
+        k=_CB_BUDGET,
+        domain_col="cluster",
+        seed="cluster-sample-v1",
+        id_col="vec_id",
+    )
