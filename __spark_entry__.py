@@ -116,6 +116,10 @@ _DEFERRED: set[str] = {
                              # row (deferred: headroom)
     "pipeline_cluster_sample",  # kmeans × exact-k composition; both kernels
                              # separately oracle-green (deferred: headroom)
+    "text_classifier_score",  # hashing-trick linear quality gate; narrow
+                             # projection mechanics evidenced by green
+                             # text_quality/text_fingerprint rows
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

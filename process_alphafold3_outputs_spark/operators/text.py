@@ -602,3 +602,71 @@ def split_assign(
     return docs.select(
         id_col, split_col(val_pct, seed, id_col).alias("split")
     )
+
+
+def default_classifier_weights(dim: int = 64, seed: str = "qclf-v1") -> list[float]:
+    """A deterministic demo weight table for :func:`classifier_score` —
+    md5-derived values in [-0.5, 0.5), reproducible engine-side and in
+    the SQL oracle (division by 2³² and the 0.5 shift are exact in
+    binary floating point, so the oracle's restatement produces the
+    bit-identical double). Production replaces this with trained
+    weights (e.g. exported from a fastText / logistic quality
+    classifier)."""
+    out = []
+    import hashlib
+
+    for b in range(dim):
+        h = hashlib.md5(f"{seed}:{b}".encode()).hexdigest()
+        out.append(int(h[:8], 16) / float(1 << 32) - 0.5)
+    return out
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    seed: str = "qclf-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clf_score, keep) — hashing-trick linear classifier over
+    token unigrams (the fastText-style quality gate every LLM corpus
+    pipeline runs: score each document with a small trained model and
+    keep the high-scoring tail).
+
+    score = sigmoid(bias + Σ_tokens w[md5(seed‖token) mod D]) where D =
+    len(weights). The weight table rides along as a LITERAL ARRAY (it
+    is model-sized — thousands of floats — never data-sized), the
+    per-token bucket→weight lookup is ``element_at`` inside a
+    ``transform`` over the split-once token array, and the feature sum
+    is one ``aggregate`` — a pure narrow projection: no explode, no
+    join, no shuffle, scans each document exactly once. At 100 TB this
+    is the ideal shape: embarrassingly parallel, whole-stage-codegen
+    friendly, zero exchanges.
+
+    Exactly restated in ANSI SQL (`text_classifier_score` oracle), so
+    the hash arithmetic is hash-checked end to end.
+    """
+    dim = len(weights)
+    if dim < 1:
+        raise ValueError("weights must be non-empty")
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    d = normalized(docs, text_col).withColumn("_toks", F.split("_norm", " "))
+    bucket = lambda tok: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), tok)), 1, 8), 16, 10
+        ).cast("long")
+        % dim
+    )
+    feat_sum = F.aggregate(
+        F.transform(F.col("_toks"), lambda t: F.element_at(warr, (bucket(t) + 1).cast("int"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    z = F.lit(float(bias)) + feat_sum
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("clf_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )

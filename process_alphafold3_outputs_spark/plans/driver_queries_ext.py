@@ -1900,3 +1900,43 @@ def pipeline_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="cluster-sample-v1",
         id_col="vec_id",
     )
+
+
+# --------------------------------------------------------------------------
+# hashing-trick linear quality classifier (fastText-style scoring gate)
+# --------------------------------------------------------------------------
+_CLF_DIM, _CLF_SEED = 64, "qclf-v1"
+
+
+@register(
+    "text_classifier_score",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    scored AS (
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-(0.0 + list_reduce(
+                   list_prepend(0.0, list_transform(w, tok ->
+                       CAST(('0x' || substr(md5('{_CLF_SEED}:'
+                               || CAST(CAST(('0x' || substr(md5('{_CLF_SEED}:' || tok), 1, 8)) AS BIGINT)
+                                       % {_CLF_DIM} AS VARCHAR)), 1, 8)) AS BIGINT)
+                           / 4294967296.0 - 0.5)),
+                   (acc, x) -> acc + x)))) AS s
+        FROM toks)
+    SELECT doc_id, round(s, 6) AS clf_score, s >= 0.5 AS keep
+    FROM scored
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashing-trick quality gate: md5 token buckets →
+    literal weight array lookup → one ``aggregate`` fold → sigmoid.
+    Pure narrow projection (no explode, no join, no shuffle); the demo
+    weight table is md5-derived so the oracle recomputes each weight
+    inline instead of enumerating 64 literals."""
+    return text.classifier_score(
+        load_table(spark, sf_dir, "documents"),
+        weights=text.default_classifier_weights(_CLF_DIM, _CLF_SEED),
+        bias=0.0,
+        threshold=0.5,
+        seed=_CLF_SEED,
+    )

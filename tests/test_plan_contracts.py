@@ -146,10 +146,16 @@ def test_staged_clean_corpus_releases_storage(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spark.catalog.clearCache()
+    # Baseline-relative: earlier tests in the shared session may have
+    # localCheckpoint()ed RDDs (connected components) whose pins survive
+    # clearCache(); only pins created INSIDE the context must be gone.
+    baseline = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     with staged_clean_corpus(docs) as surv:
         assert surv.count() > 0  # materialise => the stages ARE persisted
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        inside = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        assert inside - baseline
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - baseline == set()
 
 
 def test_corpus_to_training_no_extra_corpus_scan(spark, sf_dir):

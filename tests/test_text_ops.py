@@ -475,3 +475,55 @@ def test_sample_exact_k_budget_and_determinism(spark):
     assert sorted(other[other.source == "big"].doc_id) != sorted(
         got[got.source == "big"].doc_id
     )
+
+
+# --------------------------------------------------------------------------
+# hashing-trick linear classifier
+# --------------------------------------------------------------------------
+
+
+def test_classifier_score_known_weights(spark):
+    import math
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha"), (3, None)],
+        "doc_id long, text string",
+    )
+    dim, seed = 8, "t-v1"
+    weights = [float(i) / 10 for i in range(dim)]
+
+    def bucket(tok):
+        return int(hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:8], 16) % dim
+
+    def expect(toks):
+        z = sum(weights[bucket(t)] for t in toks)
+        return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    got = {
+        r["doc_id"]: (r["clf_score"], r["keep"])
+        for r in text.classifier_score(docs, weights, seed=seed).collect()
+    }
+    assert got[1][0] == expect(["alpha", "beta"])
+    assert got[2][0] == expect(["alpha"])
+    # NULL text ≡ empty ⇒ one empty token (normalized() contract)
+    assert got[3][0] == expect([""])
+    # keep flag thresholds the UNROUNDED score at 0.5
+    assert all(keep == (score >= 0.5) for score, keep in got.values())
+
+
+def test_classifier_default_weights_deterministic_and_bounded(spark):
+    w1 = text.default_classifier_weights(64)
+    w2 = text.default_classifier_weights(64)
+    assert w1 == w2 and len(w1) == 64
+    assert all(-0.5 <= w < 0.5 for w in w1)
+    # a different seed re-draws the table
+    assert text.default_classifier_weights(64, "other") != w1
+
+
+def test_classifier_plan_is_narrow(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = text.classifier_score(
+        docs, text.default_classifier_weights(16)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection — no shuffle at any scale
