@@ -546,6 +546,97 @@ def pack_sequences(
     return out.select(*cols)
 
 
+def pack_sequences_bfd(
+    chunks: DataFrame,
+    seq_tokens: int = 2048,
+    n_shards: int = 8,
+    seed: str = "pack-v1",
+) -> DataFrame:
+    """Best-fit-decreasing NO-STRADDLE packing — the other standard
+    packing policy: every chunk lands whole inside one sequence
+    (``seq_offset + n_tokens <= seq_tokens``; no cross-sequence
+    attention masking needed), at the cost of per-sequence tail waste
+    that BFD minimizes. Chunks sort by (n_tokens DESC, doc_id,
+    chunk_id) and each takes the open sequence with the TIGHTEST
+    remaining capacity that fits (ties: lowest seq_id), else opens a
+    new one; over-long chunks (> seq_tokens) get a dedicated sequence
+    at offset 0 (truncation is the consumer's concern).
+
+    Scale shape: bin packing is inherently sequential, so — like
+    :func:`pack_sequences` — it runs SHARD-LOCAL: docs hash into
+    ``n_shards`` per split and each (split, shard) group packs
+    independently inside one ``applyInPandas`` (a justified Python
+    island: the loop carries the open-bin state, which no window
+    function can express; Arrow-batched, O(n log n) per shard via a
+    sorted open-bin list). Raise ``n_shards`` with corpus size.
+
+    Output matches :func:`pack_sequences`'s shape plus ``n_tokens``:
+    (doc_id, chunk_id, split, shard, seq_id, seq_offset, n_tokens).
+    Deterministic across re-runs and re-partitioning (pytest-pinned;
+    differential vs a sequential reference packer).
+    """
+    import bisect
+
+    import pandas as pd
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    out = chunks.select(
+        "doc_id", "chunk_id", "split", shard.alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id", "chunk_id"], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        open_bins: list[tuple[int, int]] = []  # sorted (remaining, seq_id)
+        next_id = 0
+        seq_ids, offsets = [], []
+        for nt in pdf["n_tokens"].astype("int64"):
+            nt = int(nt)
+            if nt >= seq_tokens:
+                sid, off = next_id, 0
+                next_id += 1  # exactly-full or over-long: closed at once
+            else:
+                i = bisect.bisect_left(open_bins, (nt, -1))
+                if i < len(open_bins):
+                    rem, sid = open_bins.pop(i)
+                    off = seq_tokens - rem
+                    rem -= nt
+                else:
+                    sid, off = next_id, 0
+                    next_id += 1
+                    rem = seq_tokens - nt
+                if rem > 0:
+                    bisect.insort(open_bins, (rem, sid))
+            seq_ids.append(sid)
+            offsets.append(off)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf[
+            ["doc_id", "chunk_id", "split", "shard", "seq_id", "seq_offset", "n_tokens"]
+        ]
+
+    return out.groupBy("split", "shard").applyInPandas(
+        pack,
+        schema=(
+            "doc_id long, chunk_id long, split string, shard long, "
+            "seq_id long, seq_offset long, n_tokens long"
+        ),
+    )
+
+
 def pack_stats(
     chunks: DataFrame,
     seq_tokens: int = 2048,

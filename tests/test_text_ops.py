@@ -527,3 +527,96 @@ def test_classifier_plan_is_narrow(spark):
         docs, text.default_classifier_weights(16)
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection — no shuffle at any scale
+
+
+# --------------------------------------------------------------------------
+# best-fit-decreasing no-straddle packing
+# --------------------------------------------------------------------------
+
+
+def _bfd_reference(lengths, seq_tokens):
+    """Sequential reference: (index -> (seq_id, offset)) for pre-sorted
+    (n_tokens DESC, tiebreak by position) items, linear best-fit scan."""
+    bins = []  # seq_id -> remaining
+    out = []
+    for nt in lengths:
+        if nt >= seq_tokens:
+            out.append((len(bins), 0))
+            bins.append(0)
+            continue
+        best = None
+        for sid, rem in enumerate(bins):
+            if rem >= nt and (best is None or rem < bins[best]):
+                best = sid
+        if best is None:
+            out.append((len(bins), 0))
+            bins.append(seq_tokens - nt)
+        else:
+            out.append((best, seq_tokens - bins[best]))
+            bins[best] -= nt
+    return out
+
+
+def test_pack_bfd_matches_sequential_reference(spark):
+    rows = [
+        (i, 0, "train", ln)
+        for i, ln in enumerate([900, 700, 700, 500, 400, 300, 200, 128, 64, 2048, 3000])
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, split string, n_tokens long"
+    )
+    got = (
+        text.pack_sequences_bfd(chunks, seq_tokens=1024, n_shards=1)
+        .toPandas()
+        .sort_values(["n_tokens", "doc_id", "chunk_id"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    exp = _bfd_reference(got["n_tokens"].tolist(), 1024)
+    assert list(zip(got["seq_id"], got["seq_offset"])) == exp
+
+
+def test_pack_bfd_never_straddles_and_beats_headtail_waste(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    lens = rng.choice([64, 128, 256, 300, 511, 700, 1000], size=400)
+    rows = [(int(i), 0, "train", int(ln)) for i, ln in enumerate(lens)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, split string, n_tokens long"
+    )
+    seq_tokens = 1024
+    got = text.pack_sequences_bfd(chunks, seq_tokens=seq_tokens, n_shards=4).toPandas()
+    # invariant: every chunk fits whole inside its sequence
+    assert ((got.seq_offset + got.n_tokens) <= seq_tokens).all()
+    # every (shard, seq) stays within budget
+    used = got.groupby(["shard", "seq_id"]).n_tokens.sum()
+    assert (used <= seq_tokens).all()
+    # BFD bin count per shard <= arrival-order first-fit-no-sort bin count
+    for shard, g in got.groupby("shard"):
+        arrival = g.sort_values(["doc_id", "chunk_id"]).n_tokens.tolist()
+        ff_bins, rems = 0, []
+        for nt in arrival:
+            placed = False
+            for j, r in enumerate(rems):
+                if r >= nt:
+                    rems[j] -= nt
+                    placed = True
+                    break
+            if not placed:
+                rems.append(seq_tokens - nt)
+                ff_bins += 1
+        assert g.seq_id.nunique() <= ff_bins
+
+
+def test_pack_bfd_deterministic_across_partitioning(spark):
+    rows = [(i, j, "train" if i % 3 else "val", 100 + 37 * ((i * 7 + j) % 20))
+            for i in range(60) for j in range(3)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, split string, n_tokens long"
+    )
+    a = text.pack_sequences_bfd(chunks, seq_tokens=512).toPandas()
+    b = text.pack_sequences_bfd(chunks.repartition(13), seq_tokens=512).toPandas()
+    key = ["doc_id", "chunk_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
