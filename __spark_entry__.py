@@ -120,6 +120,10 @@ _DEFERRED: set[str] = {
                              # projection mechanics evidenced by green
                              # text_quality/text_fingerprint rows
                              # (deferred: headroom)
+    "layout_zorder_key",     # Morton clustering key; shift/AND kernel
+                             # oracle-green in the pytest mirror, file-stat
+                             # skipping pinned by layout pytest
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

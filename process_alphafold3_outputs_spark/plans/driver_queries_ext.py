@@ -1940,3 +1940,55 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         seed=_CLF_SEED,
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering key — multi-dimensional layout for file
+# skipping (the OPTIMIZE ZORDER BY kernel)
+# --------------------------------------------------------------------------
+_Z_BITS = 16
+_Z_A_LO, _Z_A_HI = 0, 10000       # o_custkey domain (table metadata)
+_Z_B_LO, _Z_B_HI = 0, 600000      # floor(o_totalprice) domain
+
+
+def _z_sql_scaled(col: str, lo: int, hi: int) -> str:
+    span = max(hi - lo, 1)
+    m = (1 << _Z_BITS) - 1
+    return (
+        f"CAST(floor((least(greatest(CAST({col} AS BIGINT), {lo}), {hi})"
+        f" - {lo}) * {m} * 1.0 / {span}) AS BIGINT)"
+    )
+
+
+@register(
+    "layout_zorder_key",
+    sql=f"""
+    WITH s AS (
+        SELECT o_orderkey,
+               {_z_sql_scaled("o_custkey", _Z_A_LO, _Z_A_HI)} AS sa,
+               {_z_sql_scaled("floor(o_totalprice)", _Z_B_LO, _Z_B_HI)} AS sb
+        FROM orders)
+    SELECT o_orderkey,
+           {" + ".join(
+               f"((((sa >> {i}) & 1) << {2 * i + 1}) + (((sb >> {i}) & 1) << {2 * i}))"
+               for i in range(_Z_BITS)
+           )} AS z
+    FROM s
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton interleave that write_zordered clusters by, exposed
+    as a checkable projection over orders (o_custkey × o_totalprice):
+    the exact key Delta/Iceberg OPTIMIZE ZORDER BY computes, as pure
+    shift/AND whole-stage-codegen arithmetic."""
+    from ..sources import layout
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        layout.zorder_key(
+            F.col("o_custkey"),
+            F.floor("o_totalprice"),
+            _Z_A_LO, _Z_A_HI, _Z_B_LO, _Z_B_HI, _Z_BITS,
+        ).alias("z"),
+    )

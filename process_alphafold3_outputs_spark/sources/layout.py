@@ -47,3 +47,70 @@ def read_for_jobs(
     ).select(F.pmod(F.xxhash64("job"), F.lit(n_buckets)).cast("int").alias("b"))
     buckets = [r.b for r in bucket_of.distinct().collect()]
     return df.filter(F.col("job_bucket").isin(buckets) & F.col("job").isin(jobs))
+
+
+def zorder_key(
+    a, b, a_min: int, a_max: int, b_min: int, b_max: int, bits: int = 16
+):
+    """Morton (Z-order) interleave of two integer columns as a pure
+    Column — the multi-dimensional clustering key behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``: sorting by it clusters rows so that BOTH
+    columns' per-file min/max ranges stay narrow, and point/range
+    predicates on EITHER column row-group-skip after the rewrite (a
+    single-column sort only ever helps that one column).
+
+    Each value is min-max scaled into ``bits`` bits against a
+    caller-known [min, max] domain (domains are table metadata at
+    100 TB — deriving them here would cost a full scan), then bit i of
+    a/b lands at position 2i+1 / 2i. Pure shift/AND arithmetic —
+    whole-stage codegen, no UDF; exactly restatable in ANSI SQL
+    (``floor`` of the scale division on both sides — Spark's
+    cast-to-long truncates where DuckDB's rounds, so neither cast is
+    used; exact while (hi-lo)·(2^bits − 1) < 2^53).
+    """
+    def scaled(col, lo, hi):
+        span = max(hi - lo, 1)
+        c = F.least(F.greatest(col.cast("long"), F.lit(lo)), F.lit(hi))
+        return F.floor((c - F.lit(lo)) * F.lit((1 << bits) - 1) / F.lit(span))
+
+    sa, sb = scaled(a, a_min, a_max), scaled(b, b_min, b_max)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(sa, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftrightunsigned(sb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    a: str,
+    b: str,
+    a_min: int,
+    a_max: int,
+    b_min: int,
+    b_max: int,
+    bits: int = 16,
+    n_files: int = 32,
+    codec: str = "zstd",
+) -> None:
+    """Rewrite ``df`` clustered on the Z-curve of (a, b):
+    range-partition by the Morton key (``repartitionByRange`` samples
+    the key — no global single-partition sort) and sort within each
+    partition, so every output file covers one compact Z-range and its
+    parquet footer min/max stats stay tight on BOTH columns."""
+    key = zorder_key(
+        F.col(a), F.col(b), a_min, a_max, b_min, b_max, bits
+    ).alias("_z")
+    (
+        df.withColumn("_z", key)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("compression", codec)
+        .parquet(path)
+    )

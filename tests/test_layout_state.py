@@ -212,3 +212,69 @@ def test_streaming_segment_dedup_cross_batch(spark, tmp_path):
     assert not any(d == 2 and t == "a b" for d, _, t in first)
     new = final - first
     assert new == {(3, 2, "z z")}
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering
+# --------------------------------------------------------------------------
+
+
+def test_zorder_key_interleaves_known_bits(spark):
+    from process_alphafold3_outputs_spark.sources.layout import zorder_key
+
+    # identity domains [0, 2^bits - 1] => scaled value == input value
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (15, 15)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b"), 0, 15, 0, 15, 4).alias("z")
+        ).collect()
+    }
+
+    def morton(a, b, bits=4):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1) | ((b >> i) & 1) << (2 * i)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b, z)
+
+
+def test_write_zordered_tightens_file_stats_on_both_columns(spark, tmp_path):
+    """The point of the Z-rewrite: a point/range predicate on EITHER
+    column should be able to skip most files via footer min/max. Write
+    the same table unsorted and z-ordered and compare how many files a
+    mid-domain point predicate intersects."""
+    import pyarrow.parquet as pq
+
+    from process_alphafold3_outputs_spark.sources.layout import write_zordered
+
+    n, side = 4096, 64  # a 64x64 grid, shuffled arrival order
+    rows = [((i * 2654435761) % n,) for i in range(n)]
+    df = (
+        spark.createDataFrame(rows, "k long")
+        .select((F.col("k") % side).alias("x"), (F.col("k") / side).cast("long").alias("y"))
+    )
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zord")
+    df.repartition(16).write.parquet(plain)
+    write_zordered(df, zpath, "x", "y", 0, side - 1, 0, side - 1, bits=6, n_files=16)
+
+    def hit_fraction(path, col, val):
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+        hits = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            hits += lo <= val <= hi
+        return hits / len(files)
+
+    for col in ("x", "y"):
+        assert hit_fraction(plain, col, side // 2) == 1.0  # shuffled: no skipping
+        assert hit_fraction(zpath, col, side // 2) <= 0.5  # z-clustered: most files skip
