@@ -165,3 +165,48 @@ def watch_documents(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    join_key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL join — the event-attribution shape (join
+    each ``clicks`` event to the ``views`` events of the same key that
+    happened at most ``within`` BEFORE it). Works identically on two
+    streaming DataFrames and on two batch DataFrames (the parity test
+    pins it): Structured Streaming requires watermarks on both sides
+    plus a time-range join condition so each side's buffered state is
+    bounded — an event older than ``watermark`` + ``within`` can never
+    join a future row and its state is evicted.
+
+    Inputs need (ts TIMESTAMP, ``join_key``, event_type, value); the
+    left/right roles are distinguished by the ``c_``/``v_`` prefixes in
+    the output. Equality on ``join_key`` keeps the state store
+    hash-partitioned by key at any scale; the time bound is evaluated
+    inside each key's state, never as a cross product.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col(join_key).alias("k"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_type").alias("c_type"),
+        F.col("value").alias("c_value"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col(join_key).alias("k"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_type").alias("v_type"),
+        F.col("value").alias("v_value"),
+    )
+    cond = (
+        (c["k"] == v["k"])
+        & (v["v_ts"] <= c["c_ts"])
+        & (v["v_ts"] >= c["c_ts"] - F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(v, cond, "inner").select(
+        c["k"].alias(join_key),
+        "c_ts", "c_type", "c_value", "v_ts", "v_type", "v_value",
+    )

@@ -405,3 +405,67 @@ def test_watch_documents_streams_quality_signals(spark, tmp_path):
             assert row[c] == batch[did][c], (did, c)
     # the two drops arrived in different epochs
     assert len({r["epoch_id"] for r in got.collect()}) == 2
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join parity: the SAME interval_join code
+    over two file-source streams emits exactly the rows the batch run
+    produces over the same static data (attribution: each click joins
+    the views of its user within the 10 minutes before it)."""
+    from process_alphafold3_outputs_spark.streaming.ingest import interval_join
+
+    csrc, vsrc = str(tmp_path / "clicks"), str(tmp_path / "views")
+    clicks = [
+        (1, "2024-01-01 00:10:00", "click", 1.0),
+        (1, "2024-01-01 00:30:00", "click", 2.0),
+        (2, "2024-01-01 00:10:00", "click", 3.0),
+    ]
+    views = [
+        (1, "2024-01-01 00:05:00", "view", 0.5),   # joins click@00:10 only
+        (1, "2024-01-01 00:22:00", "view", 0.7),   # joins click@00:30 only
+        (1, "2024-01-01 00:31:00", "view", 0.9),   # after both clicks: no join
+        (2, "2024-01-01 00:09:59", "view", 0.1),   # joins click@00:10
+        (3, "2024-01-01 00:10:00", "view", 0.2),   # key with no clicks
+    ]
+    schema = "user_id long, ts_s string, event_type string, value double"
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, schema).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        )
+
+    mkdf(clicks).write.parquet(csrc)
+    mkdf(views).write.parquet(vsrc)
+    stream_schema = "user_id long, ts timestamp, event_type string, value double"
+    cs = spark.readStream.schema(stream_schema).parquet(csrc)
+    vs = spark.readStream.schema(stream_schema).parquet(vsrc)
+
+    q = (
+        interval_join(cs, vs, within="10 minutes", watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, str(r.c_ts), str(r.v_ts))
+            for r in spark.sql("SELECT * FROM ij_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.user_id, str(r.c_ts), str(r.v_ts))
+        for r in interval_join(
+            mkdf(clicks), mkdf(views), within="10 minutes"
+        ).collect()
+    }
+    assert got == batch
+    assert got == {
+        (1, "2024-01-01 00:10:00", "2024-01-01 00:05:00"),
+        (1, "2024-01-01 00:30:00", "2024-01-01 00:22:00"),
+        (2, "2024-01-01 00:10:00", "2024-01-01 00:09:59"),
+    }
