@@ -556,3 +556,64 @@ def test_split_assign_deterministic_and_seeded(spark):
     assert 60 <= n_val <= 140  # ~10% of 1000
     c = {r.doc_id: r.split for r in text.split_assign(docs, val_pct=10, seed="v2").collect()}
     assert c != a  # different seed redraws
+
+
+# --------------------------------------------------------------------------
+# mergeable sketches
+# --------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    from process_alphafold3_outputs_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/../sf0.01/events.parquet")
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.approx_distinct_by(ev, "event_type", "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+
+
+def test_hll_sketches_merge_to_global_estimate(spark, sf_dir):
+    """Mergeability — the 100 TB contract: per-source sketches union to
+    the SAME estimate a single whole-corpus sketch produces (identical
+    deterministic sketch state, not merely a close value)."""
+    from process_alphafold3_outputs_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/../sf0.01/events.parquet")
+    per_source = sketches.distinct_sketches(ev, "event_type", "user_id")
+    merged = sketches.merge_sketches(per_source).collect()[0]["approx_distinct"]
+    whole = (
+        ev.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+        ).collect()[0][0]
+    )
+    assert merged == whole
+
+
+def test_approx_percentiles_bounded_rank_error(spark, sf_dir):
+    from process_alphafold3_outputs_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/../sf0.01/events.parquet")
+    got = sketches.approx_percentiles_by(ev, "event_type", "value").collect()
+    exact = {
+        r["event_type"]: r["ps"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("ps"))
+        .collect()
+    }
+    for r in got:
+        lo, hi = min(exact[r["event_type"]]), max(exact[r["event_type"]])
+        span = max(hi - lo, 1e-9)
+        for approx_v, exact_v in zip(
+            (r["p_50"], r["p_90"], r["p_99"]), exact[r["event_type"]]
+        ):
+            assert abs(approx_v - exact_v) <= 0.05 * span + 1e-6
