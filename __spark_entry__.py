@@ -124,6 +124,12 @@ _DEFERRED: set[str] = {
                              # oracle-green in the pytest mirror, file-stat
                              # skipping pinned by layout pytest
                              # (deferred: headroom)
+    "dedup_incremental",     # shipment-over-history anti-join; hash-agg +
+                             # min_by mechanics evidenced by green
+                             # dedup_exact row (deferred: headroom)
+    "interval_join_batch",   # batch twin of streaming interval_join;
+                             # stream parity pytest-pinned on the same
+                             # code path (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -1002,3 +1002,44 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b", "cos_sim")
         .distinct()
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame, seen_hashes: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Survivors of a NEW shipment deduped against the corpus HISTORY —
+    the operational form of exact dedup once a corpus grows by drops:
+    rows whose normalized-text hash already exists in ``seen_hashes``
+    (a (text_hash) table — e.g. prior :func:`exact_dedup` output, or
+    :func:`incremental_hashes` rolled forward) are dropped, then the
+    shipment dedups internally (min_by keep, same as
+    :func:`exact_dedup_keep`).
+
+    Scale shape: history participates ONLY as its hash column — a
+    hash-keyed left-anti join (md5 keys are uniform, no skew) — so each
+    shipment costs one scan of the shipment plus a join against the
+    hash table; historical TEXT is never rescanned. Emits the shipment
+    survivors with their original columns.
+    """
+    d = normalized(new_docs, text_col).withColumn("_h", F.md5("_norm"))
+    fresh = d.join(
+        seen_hashes.select(F.col("text_hash").alias("_h")).distinct(),
+        "_h",
+        "left_anti",
+    )
+    cols = list(new_docs.columns)
+    return (
+        fresh.groupBy("_h")
+        .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
+    )
+
+
+def incremental_hashes(
+    seen_hashes: DataFrame, new_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The rolled-forward (text_hash) table after a shipment — union of
+    history and the shipment's hashes, distinct. Persist this between
+    shipments; it is the only state incremental dedup carries."""
+    new_h = normalized(new_docs, text_col).select(F.md5("_norm").alias("text_hash"))
+    return seen_hashes.select("text_hash").union(new_h).distinct()

@@ -1992,3 +1992,83 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             _Z_A_LO, _Z_A_HI, _Z_B_LO, _Z_B_HI, _Z_BITS,
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental (shipment-over-history) exact dedup
+# --------------------------------------------------------------------------
+_INC_SPLIT = 250  # doc_id < split = history shipment, >= split = new shipment
+
+
+@register(
+    "dedup_incremental",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    hist AS (SELECT DISTINCT md5(t) AS h FROM norm WHERE doc_id < {_INC_SPLIT}),
+    new_docs AS (SELECT n.doc_id, md5(n.t) AS h FROM norm n WHERE doc_id >= {_INC_SPLIT}),
+    fresh AS (SELECT * FROM new_docs WHERE h NOT IN (SELECT h FROM hist))
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY h) k
+    JOIN documents d USING (doc_id)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of a new shipment against corpus history: documents
+    with doc_id < 250 play the already-ingested history (only their
+    hash table is kept), the rest arrive as the new shipment. History
+    text is never rescanned — the history side is a hash-keyed
+    left-anti join."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < _INC_SPLIT)
+    shipment = docs.filter(F.col("doc_id") >= _INC_SPLIT)
+    seen = dedup.exact_dedup(history).select("text_hash")
+    return dedup.incremental_exact_dedup(shipment, seen).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# batch twin of the streaming interval join (attribution shape)
+# --------------------------------------------------------------------------
+@register(
+    "interval_join_batch",
+    sql="""
+    WITH e AS (SELECT user_id, ts, event_type, value FROM events)
+    SELECT c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS c_t,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS v_t,
+           c.event_type AS c_type, v.event_type AS v_type,
+           round(c.value, 2) AS c_value, round(v.value, 2) AS v_value
+    FROM e c JOIN e v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 4 HOUR
+    """,
+)
+def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming interval_join's batch twin on the events table:
+    click←view attribution within 4 hours. Driver-checking this row
+    hash-pins the exact join semantics the streaming operator runs
+    (stream↔batch parity is pytest-pinned on the same code path)."""
+    from ..streaming.ingest import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", event_seconds(ev).cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    out = interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "view"),
+        within="4 hours",
+        watermark="30 minutes",
+    )
+    return out.select(
+        "user_id",
+        F.col("c_ts").cast("long").alias("c_t"),
+        F.col("v_ts").cast("long").alias("v_t"),
+        F.col("c_type").alias("c_type"),
+        F.col("v_type").alias("v_type"),
+        F.round("c_value", 2).alias("c_value"),
+        F.round("v_value", 2).alias("v_value"),
+    )

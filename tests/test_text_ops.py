@@ -620,3 +620,54 @@ def test_pack_bfd_deterministic_across_partitioning(spark):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+# --------------------------------------------------------------------------
+# incremental (shipment-over-history) dedup
+# --------------------------------------------------------------------------
+
+
+def test_incremental_dedup_drops_history_and_intra_batch(spark):
+    history = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    shipment = spark.createDataFrame(
+        [
+            (10, "Seen   BEFORE"),   # normalizes to a history hash -> dropped
+            (11, "brand new"),
+            (12, "brand new"),       # intra-shipment dup -> min doc_id kept
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    seen = dedup.exact_dedup(history).select("text_hash")
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_exact_dedup(shipment, seen).collect()
+    )
+    assert got == [11, 13]
+
+
+def test_incremental_hashes_roll_forward(spark):
+    history = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    shipment = spark.createDataFrame(
+        [(2, "a"), (3, "b")], "doc_id long, text string"
+    )
+    seen0 = dedup.exact_dedup(history).select("text_hash")
+    seen1 = dedup.incremental_hashes(seen0, shipment)
+    assert seen1.count() == 2  # {'a','b'} — union-distinct
+    # a second identical shipment now fully dedups away
+    assert dedup.incremental_exact_dedup(shipment, seen1).count() == 0
+
+
+def test_incremental_equals_batch_dedup_composition(spark):
+    """History + shipment incrementally == the full-batch keeper set
+    restricted to shipment rows whose text is NOT in history."""
+    rows = [(i, f"text {i % 7}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    history = docs.filter(F.col("doc_id") < 10)
+    shipment = docs.filter(F.col("doc_id") >= 10)
+    seen = dedup.exact_dedup(history).select("text_hash")
+    inc = {r["doc_id"] for r in dedup.incremental_exact_dedup(shipment, seen).collect()}
+    # every text 0..6 already appears in history (doc_ids 0..9 cover i%7)
+    assert inc == set()
