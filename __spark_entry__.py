@@ -130,6 +130,10 @@ _DEFERRED: set[str] = {
     "interval_join_batch",   # batch twin of streaming interval_join;
                              # stream parity pytest-pinned on the same
                              # code path (deferred: headroom)
+    "text_mix_budget",       # per-source token-budget mixture draw;
+                             # hash-rank window mechanics evidenced by
+                             # green text_sample_domains row
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -332,6 +332,56 @@ def sample_exact_k(
     )
 
 
+def mix_by_budget(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "source",
+    seed: str = "mix-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixture sampling: draw documents per domain until each
+    domain's TOKEN budget is filled — the "mix 30% web, 20% code, ..."
+    step that turns per-source weights into an actual training corpus.
+    Documents are taken in deterministic md5-hash order (a uniform
+    random draw in expectation, identical on every re-run/retry —
+    never rand()) and the kept set is the PREFIX of that order whose
+    cumulative token count fits the budget (no partial documents; the
+    cut is monotone, so a re-run with a bigger budget is a strict
+    superset). Domains absent from ``budgets`` are dropped.
+
+    Output: (id, domain, n_tokens, cum_tokens) for the selected docs.
+
+    Scale shape: one domain-keyed window (hash order + prefix sum),
+    same contract as :func:`sample_exact_k` — a domain must fit a
+    task's spill budget; pre-thin giant domains with the rate gate
+    first. Whitespace token counts, matching :func:`token_counts`.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    d = normalized(docs, text_col).withColumn(
+        "n_tokens", F.size(F.split("_norm", " ")).cast("long")
+    )
+    budget = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in (kv[0], int(kv[1]))]
+        ),
+        F.col(domain_col),
+    )
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.filter(F.col(domain_col).isin(list(budgets)))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, domain_col, "n_tokens", "cum_tokens")
+    )
+
+
 def domain_keep_col(
     rates: dict[str, int],
     default_pct: int = 100,

@@ -2072,3 +2072,39 @@ def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_value", 2).alias("c_value"),
         F.round("v_value", 2).alias("v_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# data-mixture sampling: fill per-source token budgets
+# --------------------------------------------------------------------------
+_MIX_BUDGETS = {"src0": 4000, "src1": 2500, "src2": 1000}
+
+
+@register(
+    "text_mix_budget",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    tok AS (
+        SELECT n.doc_id, d.source,
+               CAST(len(string_split(n.t, ' ')) AS BIGINT) AS n_tokens,
+               md5('mix-v1:' || CAST(n.doc_id AS VARCHAR)) AS h
+        FROM norm n JOIN documents d USING (doc_id)),
+    budgets(source, budget) AS (VALUES {", ".join(f"('{s}', {b})" for s, b in sorted(_MIX_BUDGETS.items()))}),
+    cum AS (
+        SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+               sum(t.n_tokens) OVER (
+                   PARTITION BY t.source ORDER BY t.h, t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM tok t JOIN budgets b USING (source))
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= budget
+    """,
+)
+def text_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture draw over documents: the
+    deterministic hash-ordered prefix of each source whose cumulative
+    whitespace-token count fits that source's budget."""
+    return text.mix_by_budget(
+        load_table(spark, sf_dir, "documents"), budgets=_MIX_BUDGETS
+    )

@@ -671,3 +671,34 @@ def test_incremental_equals_batch_dedup_composition(spark):
     inc = {r["doc_id"] for r in dedup.incremental_exact_dedup(shipment, seen).collect()}
     # every text 0..6 already appears in history (doc_ids 0..9 cover i%7)
     assert inc == set()
+
+
+# --------------------------------------------------------------------------
+# token-budget mixture sampling
+# --------------------------------------------------------------------------
+
+
+def test_mix_by_budget_prefix_cut_and_monotonicity(spark):
+    rows = [(i, "w " * (10 * (i % 3 + 1)), "a" if i < 30 else "b") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    small = text.mix_by_budget(docs, {"a": 100, "b": 50}).toPandas()
+    # budget respected per domain
+    totals = small.groupby("source").n_tokens.sum().to_dict()
+    assert totals.get("a", 0) <= 100 and totals.get("b", 0) <= 50
+    # bigger budget => strict superset (monotone prefix cut)
+    big = text.mix_by_budget(docs, {"a": 300, "b": 200}).toPandas()
+    assert set(small.doc_id) <= set(big.doc_id)
+    # deterministic across re-runs
+    again = text.mix_by_budget(docs, {"a": 100, "b": 50}).toPandas()
+    assert sorted(again.doc_id) == sorted(small.doc_id)
+    # domains without a budget vanish
+    assert set(small.source) <= {"a", "b"}
+
+
+def test_mix_by_budget_drops_unbudgeted_domains(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z", "keep"), (2, "x y z", "drop")],
+        "doc_id long, text string, source string",
+    )
+    got = text.mix_by_budget(docs, {"keep": 100}).toPandas()
+    assert got.source.tolist() == ["keep"]
