@@ -72,6 +72,11 @@ HEADLINE = [
     "similarity_kmeans",
     "text_tfidf_topterms",
     "text_corpus_stats",
+    "text_classifier_score",
+    "text_mix_budget",
+    "dedup_incremental",
+    "interval_join_batch",
+    "layout_zorder_key",
 ]
 
 
