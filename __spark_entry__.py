@@ -134,6 +134,10 @@ _DEFERRED: set[str] = {
                              # hash-rank window mechanics evidenced by
                              # green text_sample_domains row
                              # (deferred: headroom)
+    "similarity_recall_ivf", # IVF quality signal; LSH twin
+                             # (similarity_recall) is driver-visible,
+                             # both paths' oracle texts composed
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

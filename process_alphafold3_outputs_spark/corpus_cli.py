@@ -15,6 +15,10 @@ line to stdout):
   decontaminate  n-gram screen vs a benchmark set (--bloom for the
                  fixed-size-bitmap scale path)
   kmeans         deterministic Lloyd clustering of an embeddings table
+  classify       hashing-trick linear quality scoring (text.classifier_score)
+  mix            per-source token-budget mixture draw (text.mix_by_budget)
+  dedup-incremental  shipment-over-history exact dedup (needs --hashes; also
+                 writes the rolled-forward hash table to <out>_hashes)
 
 Every command is a thin shell over the library operators — no query
 logic lives here, so CLI behavior cannot drift from the tested kernels.
@@ -100,6 +104,33 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--iters", type=int, default=2)
     sp.add_argument("--train-sample-mod", type=int, default=1)
 
+    sp = sub.add_parser("classify")
+    common(sp)
+    sp.add_argument("--dim", type=int, default=64)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument(
+        "--weights", help="optional parquet of (bucket, weight) trained "
+        "weights; md5-derived demo table when omitted"
+    )
+
+    sp = sub.add_parser("mix")
+    common(sp)
+    sp.add_argument(
+        "--budget",
+        action="append",
+        required=True,
+        metavar="SOURCE=TOKENS",
+        help="repeatable per-source token budget, e.g. --budget web=4000000",
+    )
+
+    sp = sub.add_parser("dedup-incremental")
+    common(sp)
+    sp.add_argument(
+        "--hashes", required=True,
+        help="parquet of (text_hash) corpus-history hashes; survivors are "
+        "written to --out and the rolled-forward table to <out>_hashes",
+    )
+
     return p
 
 
@@ -114,6 +145,26 @@ def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         )
 
     docs = spark.read.parquet(args.documents)
+    if args.command == "classify":
+        if args.weights:
+            w = spark.read.parquet(args.weights).orderBy("bucket").collect()
+            weights = [r["weight"] for r in w]
+        else:
+            weights = text.default_classifier_weights(args.dim)
+        return text.classifier_score(docs, weights, threshold=args.threshold)
+    if args.command == "mix":
+        budgets = {}
+        for spec in args.budget:
+            src, _, tok = spec.partition("=")
+            budgets[src] = int(tok)
+        return text.mix_by_budget(docs, budgets)
+    if args.command == "dedup-incremental":
+        seen = spark.read.parquet(args.hashes)
+        kept = dedup.incremental_exact_dedup(docs, seen)
+        dedup.incremental_hashes(seen, docs).write.mode("overwrite").parquet(
+            args.out + "_hashes"
+        )
+        return kept
     if args.command == "stats":
         return text.corpus_stats(docs)
     if args.command == "quality":

@@ -2108,3 +2108,38 @@ def text_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.mix_by_budget(
         load_table(spark, sf_dir, "documents"), budgets=_MIX_BUDGETS
     )
+
+
+# --------------------------------------------------------------------------
+# IVF recall@k — quality signal for the second approximate path (the
+# LSH multi-probe path already has similarity_recall)
+# --------------------------------------------------------------------------
+def _register_similarity_recall_ivf() -> None:
+    exact_sql = _ORACLE["similarity_topk"]
+    approx_sql = _ORACLE["similarity_topk_ivf_refined"]
+    register(
+        "similarity_recall_ivf",
+        sql=f"""
+        SELECT e.query_id,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               round(count(a.neighbor_id) / {_TOPK_K}, 4) AS recall
+        FROM ({exact_sql}) e
+        LEFT JOIN ({approx_sql}) a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        """,
+    )(_similarity_recall_ivf)
+
+
+def _similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the Lloyd-refined IVF index vs the exact top-k —
+    both subqueries are the very oracle texts of their own green rows,
+    so drift in either path breaks this row too."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.recall_vs_bruteforce(
+        emb, F.col("vec_id") < _IVF_NQ, k=_IVF_K, method="ivf",
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, refine_iters=1,
+    )
+
+
+_register_similarity_recall_ivf()

@@ -263,3 +263,45 @@ def test_corpus_cli_commands_roundtrip(spark, tmp_path):
     )
     got = spark.read.parquet(out)
     assert res["rows"] > 0 and "seq_id" in got.columns
+
+
+def test_corpus_cli_new_commands_roundtrip(spark, tmp_path):
+    """classify / mix / dedup-incremental are pure shells over the
+    tested operators, like the original eight commands."""
+    from process_alphafold3_outputs_spark import corpus_cli
+    from process_alphafold3_outputs_spark.operators import dedup, text
+
+    sf = "/root/testdata/sf0.001"
+    docs_path = f"{sf}/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+
+    def run_cmd(argv):
+        args = corpus_cli.build_parser().parse_args(argv)
+        return corpus_cli.run(args, spark)
+
+    out = str(tmp_path / "clf")
+    res = run_cmd(["classify", "--documents", docs_path, "--out", out])
+    assert res["rows"] == docs.count()
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "clf_score", "keep"}
+
+    out = str(tmp_path / "mix")
+    res = run_cmd(
+        ["mix", "--documents", docs_path, "--budget", "src0=500",
+         "--budget", "src1=300", "--out", out]
+    )
+    lib = text.mix_by_budget(docs, {"src0": 500, "src1": 300})
+    assert res["rows"] == lib.count()
+
+    # incremental: history = the corpus itself => zero survivors
+    hashes = str(tmp_path / "hist_hashes")
+    dedup.exact_dedup(docs).select("text_hash").write.parquet(hashes)
+    out = str(tmp_path / "inc")
+    res = run_cmd(
+        ["dedup-incremental", "--documents", docs_path, "--hashes", hashes,
+         "--out", out]
+    )
+    assert res["rows"] == 0
+    # rolled-forward hash table written beside the survivors
+    rolled = spark.read.parquet(out + "_hashes")
+    assert rolled.count() == dedup.exact_dedup(docs).count()
