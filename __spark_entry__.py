@@ -138,6 +138,9 @@ _DEFERRED: set[str] = {
                              # (similarity_recall) is driver-visible,
                              # both paths' oracle texts composed
                              # (deferred: headroom)
+    "dedup_cluster_representatives",  # best-quality keep policy per
+                             # cluster; CC kernel evidenced by green
+                             # dedup_clusters row (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -1043,3 +1043,40 @@ def incremental_hashes(
     shipments; it is the only state incremental dedup carries."""
     new_h = normalized(new_docs, text_col).select(F.md5("_norm").alias("text_hash"))
     return seen_hashes.select("text_hash").union(new_h).distinct()
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster_id, rep_doc_id, rep_score, n_members) — pick ONE
+    representative per near-duplicate cluster by QUALITY instead of the
+    min-id default: the member with the highest ``score_col`` (ties
+    break to the smallest id — ``max_by`` over a (score, -id) struct,
+    so selection is total and deterministic). Production pipelines keep
+    the best-quality duplicate, not an arbitrary one; pair any score —
+    n_chars, a Gopher signal, :func:`~.text.classifier_score` output.
+
+    Scale shape: one membership-keyed broadcast-or-shuffle join from
+    the (small) cluster table to the docs' (id, score) projection, then
+    ONE cluster-keyed max_by aggregation with map-side combine — no
+    window, no sort.
+    """
+    members = clusters.join(
+        docs.select(F.col(id_col), F.col(score_col).alias("_s")), id_col
+    )
+    pick = F.max_by(
+        F.struct(F.col(id_col).alias("id"), F.col("_s").alias("s")),
+        F.struct(F.col("_s").alias("s"), (-F.col(id_col)).alias("nid")),
+    )
+    return members.groupBy("cluster_id").agg(
+        pick.alias("_r"),
+        F.count(F.lit(1)).alias("n_members"),
+    ).select(
+        "cluster_id",
+        F.col("_r.id").alias("rep_doc_id"),
+        F.col("_r.s").alias("rep_score"),
+        "n_members",
+    )

@@ -2143,3 +2143,38 @@ def _similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_similarity_recall_ivf()
+
+
+# --------------------------------------------------------------------------
+# quality-based cluster representatives (keep the BEST duplicate)
+# --------------------------------------------------------------------------
+def _register_cluster_representatives() -> None:
+    clusters_sql = _ORACLE["dedup_clusters"]
+    register(
+        "dedup_cluster_representatives",
+        sql=f"""
+        WITH members AS (
+            SELECT c.cluster_id, c.doc_id, d.n_chars
+            FROM ({clusters_sql}) c JOIN documents d USING (doc_id))
+        SELECT cluster_id,
+               -- scalar composite of (n_chars DESC, doc_id ASC): ids are
+               -- far below 1e7 at oracle scale, so the key is collision-free
+               arg_max(doc_id, n_chars * 10000000 - doc_id) AS rep_doc_id,
+               arg_max(n_chars, n_chars * 10000000 - doc_id) AS rep_score,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM members GROUP BY cluster_id
+        """,
+    )(_dedup_cluster_representatives)
+
+
+def _dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality representative per transitive duplicate cluster
+    (score = n_chars, ties to smallest id) — the keep-policy a real
+    dedup planner applies instead of min-id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.connected_components(pairs, check_every=2)
+    return dedup.cluster_representatives(clusters, docs)
+
+
+_register_cluster_representatives()

@@ -702,3 +702,27 @@ def test_mix_by_budget_drops_unbudgeted_domains(spark):
     )
     got = text.mix_by_budget(docs, {"keep": 100}).toPandas()
     assert got.source.tolist() == ["keep"]
+
+
+# --------------------------------------------------------------------------
+# quality-based cluster representatives
+# --------------------------------------------------------------------------
+
+
+def test_cluster_representatives_max_score_min_id_ties(spark):
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (5, 50)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        r["cluster_id"]: (r["rep_doc_id"], r["rep_score"], r["n_members"])
+        for r in dedup.cluster_representatives(clusters, docs).collect()
+    }
+    # cluster 10: 2 and 3 tie on score 300 -> smallest id (2) wins
+    assert got[10] == (2, 300, 3)
+    # cluster 40: 4 and 5 tie on 50 -> 4
+    assert got[40] == (4, 50, 2)
