@@ -617,3 +617,57 @@ def test_approx_percentiles_bounded_rank_error(spark, sf_dir):
             (r["p_50"], r["p_90"], r["p_99"]), exact[r["event_type"]]
         ):
             assert abs(approx_v - exact_v) <= 0.05 * span + 1e-6
+
+
+# --------------------------------------------------------------------------
+# salted join
+# --------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from process_alphafold3_outputs_spark.operators.util import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    ).withColumnRenamed("p_partkey", "l_partkey")
+    plain = li.join(pt, "l_partkey").orderBy("l_orderkey", "l_partkey", "l_quantity")
+    salted = salted_join(li, pt, "l_partkey", n_salts=8).orderBy(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    assert plain.collect() == salted.collect()
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from process_alphafold3_outputs_spark.operators.util import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    small = spark.createDataFrame([(1, "X")], "k long, w string")
+    got = {
+        (r["k"], r["w"]) for r in salted_join(big, small, "k", 4, "left").collect()
+    }
+    assert got == {(1, "X"), (2, None), (3, None)}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The physical point: rows of ONE hot key land in multiple
+    partitions of the joined result when partitioned by (key, salt)."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators.util import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(400)] + [(2, 0)], "k long, payload long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, w string")
+    out = salted_join(big, small, "k", n_salts=8)
+    # re-derive the salt the operator used and check the hot key uses >1
+    salts = (
+        big.withColumn("_s", F.pmod(F.hash("k", "payload"), F.lit(8)))
+        .filter(F.col("k") == 1)
+        .select("_s").distinct().count()
+    )
+    assert salts > 1
+    assert out.count() == 401
