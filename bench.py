@@ -165,11 +165,17 @@ def main() -> None:
         run 1 and dominates the spread)."""
         if warmup:
             build().write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            # each call re-persists the staged fan-out points afresh;
+            # clear the PREVIOUS run's now-dead blocks so pinned storage
+            # doesn't compound across runs (measured: a staged pipeline
+            # query drifting 3.2s -> 6.9s -> 18.4s over three runs)
+            spark.catalog.clearCache()
         return (
             round(statistics.median(runs), 3),
             round(min(runs), 3),

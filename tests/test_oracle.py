@@ -37,7 +37,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(name, spark, sf_dir):
-    got = normalize(QUERIES[name](spark, sf_dir).toPandas())
+    try:
+        got = normalize(QUERIES[name](spark, sf_dir).toPandas())
+    finally:
+        # staged pipeline queries persist fan-out points per call and the
+        # mirror runs ~90 queries in ONE session — release each query's
+        # blocks so pinned storage doesn't compound across the suite
+        spark.catalog.clearCache()
     want = normalize(duck_con(sf_dir).execute(ORACLE[name]).fetchdf())
     assert list(got.columns) == list(want.columns), name
     assert len(got) == len(want), name
