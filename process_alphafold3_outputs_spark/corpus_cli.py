@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--overlap", type=int, default=16)
     sp.add_argument("--val-pct", type=int, default=10)
     sp.add_argument("--seq-tokens", type=int, default=2048)
+    sp.add_argument(
+        "--policy", choices=["headtail", "bfd"], default="headtail",
+        help="headtail: chunks straddle sequence boundaries (100%% fill); "
+        "bfd: best-fit-decreasing, no straddling (masking-free)",
+    )
 
     sp = sub.add_parser("dedup")
     common(sp)
@@ -194,6 +199,8 @@ def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             overlap=args.overlap,
             val_pct=args.val_pct,
         )
+        if args.policy == "bfd":
+            return text.pack_sequences_bfd(chunks, seq_tokens=args.seq_tokens)
         return text.pack_sequences(chunks, seq_tokens=args.seq_tokens)
     if args.command == "dedup":
         if args.mode == "exact":

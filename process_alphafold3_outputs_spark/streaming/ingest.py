@@ -1,7 +1,7 @@
 """Structured Streaming ingest — SURVEY §7.1 M8 (an extension; the
 reference is batch-only).
 
-Four modes, all reusing batch kernels so stream and batch cannot drift:
+Six modes, all reusing batch kernels so stream and batch cannot drift:
 
 - ``watch_summaries``: file-source stream over an inbox directory of
   ``*_summary_confidences_0.json``; each micro-batch runs the SAME
@@ -9,11 +9,16 @@ Four modes, all reusing batch kernels so stream and batch cannot drift:
   parquet results table).
 - ``watch_documents``: the corpus-intake twin — parquet document drops
   flow through the batch Gopher quality kernel per micro-batch.
+- ``watch_documents_dedup``: intake with cross-epoch exact dedup — the
+  batch incremental-dedup kernel per micro-batch against a rolling
+  parquet hash table (restart-safe state on disk).
 - ``session_stream``: windowed sessionization of an events stream with
   watermarked late-data handling (``session_window`` — the streaming
   analogue of the O23 islands kernel).
 - ``windowed_stream``: watermarked tumbling/sliding aggregation, the
   streaming twin of the batch tumbling/sliding window queries.
+- ``interval_join``: watermarked stream-stream time-range join (event
+  attribution), one code path for batch and streaming inputs.
 """
 
 from __future__ import annotations
@@ -209,4 +214,61 @@ def interval_join(
     return c.join(v, cond, "inner").select(
         c["k"].alias(join_key),
         "c_ts", "c_type", "c_value", "v_ts", "v_type", "v_value",
+    )
+
+
+def watch_documents_dedup(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    hashes_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming corpus intake WITH cross-epoch exact dedup: each
+    micro-batch of document drops runs the batch
+    ``incremental_exact_dedup`` kernel against the rolling
+    ``hashes_path`` table, appends only never-seen documents to
+    ``out_path``, and rolls the hash table forward — so the keeper
+    table stays exactly-deduped across epochs AND restarts (the state
+    is the parquet hash table itself, not executor memory; contrast
+    ``state.streaming_exact_dedup``, which keeps per-key state in the
+    state store and suits lower-latency pipelines).
+
+    The stream stage is only the scan; dedup semantics are the SAME
+    tested batch kernel via ``foreachBatch`` — no drift. Returns the
+    StreamingQuery."""
+    import os
+
+    from ..operators.dedup import incremental_exact_dedup, incremental_hashes
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.isdir(hashes_path):
+            seen = batch_df.sparkSession.read.parquet(hashes_path)
+        else:
+            seen = batch_df.sparkSession.createDataFrame([], "text_hash string")
+        kept = incremental_exact_dedup(batch_df, seen)
+        kept.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
+            out_path
+        )
+        # rewrite the rolled-forward table via a temp dir: the new plan
+        # reads the CURRENT table, so an in-place overwrite would read
+        # and clobber the same files
+        tmp = hashes_path + "_next"
+        incremental_hashes(seen, batch_df).write.mode("overwrite").parquet(tmp)
+        fs_df = batch_df.sparkSession.read.parquet(tmp)
+        fs_df.write.mode("overwrite").parquet(hashes_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )

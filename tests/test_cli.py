@@ -305,3 +305,23 @@ def test_corpus_cli_new_commands_roundtrip(spark, tmp_path):
     # rolled-forward hash table written beside the survivors
     rolled = spark.read.parquet(out + "_hashes")
     assert rolled.count() == dedup.exact_dedup(docs).count()
+
+
+def test_corpus_cli_pack_bfd_policy(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "packed_bfd")
+    args = corpus_cli.build_parser().parse_args(
+        ["pack", "--documents", f"{sf}/documents.parquet", "--chunk-tokens",
+         "32", "--overlap", "8", "--seq-tokens", "64", "--policy", "bfd",
+         "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() > 0
+    # the BFD invariant the policy buys: nothing straddles (chunks of
+    # 32 tokens always fit the 64-token sequences)
+    assert got.filter(F.col("seq_offset") + F.col("n_tokens") > 64).count() == 0

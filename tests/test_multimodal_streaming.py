@@ -469,3 +469,42 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         (1, "2024-01-01 00:30:00", "2024-01-01 00:22:00"),
         (2, "2024-01-01 00:10:00", "2024-01-01 00:09:59"),
     }
+
+
+def test_watch_documents_dedup_across_epochs(spark, tmp_path):
+    """Cross-epoch exact dedup with restart-safe parquet state: a doc
+    re-dropped in a later epoch (or duplicated within one) must not
+    reach the keeper table twice."""
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_documents_dedup,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "kept")
+    hashes = str(tmp_path / "hashes")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    drop([(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4),
+          (3, "alpha", "en", "s", 5)])  # intra-batch dup of 1
+    q = watch_documents_dedup(spark, inbox, out, hashes, ckpt)
+    try:
+        q.processAllAvailable()
+        got0 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got0 == {1, 2}
+
+        # epoch 1: one repeat ("alpha") + one new
+        drop([(4, "alpha", "en", "s", 5), (5, "gamma", "en", "s", 5)])
+        q.processAllAvailable()
+        got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got1 == {1, 2, 5}
+    finally:
+        q.stop()
+
+    # the rolled-forward hash table holds all three distinct texts
+    assert spark.read.parquet(hashes).count() == 3
