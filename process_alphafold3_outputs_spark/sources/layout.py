@@ -114,3 +114,43 @@ def write_zordered(
         .option("compression", codec)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 512,
+    sort_within_by: list[str] | None = None,
+    codec: str = "zstd",
+) -> int:
+    """Compact a small-files parquet directory into ~``target_mb``
+    output files — the operational fix for the classic small-files
+    problem (a streaming sink or over-parallel writer leaves thousands
+    of KB-sized files; every later scan then pays one task + one footer
+    read per file, and the NameNode/listing cost grows unbounded).
+
+    File count = ceil(current_bytes / target_mb) from the SOURCE
+    LISTING (no data scan to size the job; local-filesystem walk here —
+    an object-store deployment swaps in its listing API, the rewrite
+    plan is unchanged); the rewrite itself is one pass — a coalesce
+    when shrinking (no shuffle; compaction is always a shrink) plus an
+    optional ``sortWithinPartitions`` to restore row-group stat
+    clustering. Returns the number of output files requested. Content
+    equality and file-count collapse are pytest-pinned.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    out = df.coalesce(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").option("compression", codec).parquet(dst)
+    return n_files

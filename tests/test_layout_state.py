@@ -278,3 +278,23 @@ def test_write_zordered_tightens_file_stats_on_both_columns(spark, tmp_path):
     for col in ("x", "y"):
         assert hit_fraction(plain, col, side // 2) == 1.0  # shuffled: no skipping
         assert hit_fraction(zpath, col, side // 2) <= 0.5  # z-clustered: most files skip
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    from process_alphafold3_outputs_spark.sources.layout import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 64
+
+    n_req = compact_parquet(spark, src, dst, target_mb=512, sort_within_by=["k"])
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_req == n_dst == 1  # a few hundred KB -> one 512 MB-target file
+
+    # content identical
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10_000))
