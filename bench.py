@@ -253,6 +253,11 @@ def main() -> None:
                     "prev_anchor": anchor,
                     "skipped_headline": skipped,
                     "errors": errors,
+                    # host contention context: this VM shares CPU with
+                    # other tenants and loadavg >> own usage has been
+                    # observed to inflate medians up to 4x — interpret
+                    # regressions against this number
+                    "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
                 },
                 fh,
                 indent=1,
