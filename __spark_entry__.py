@@ -141,6 +141,12 @@ _DEFERRED: set[str] = {
     "dedup_cluster_representatives",  # best-quality keep policy per
                              # cluster; CC kernel evidenced by green
                              # dedup_clusters row (deferred: headroom)
+    "text_winnow_fingerprints",  # MOSS winnowing; windowed-min array
+                             # kernel, guarantee + density pytests
+                             # (deferred: headroom)
+    "dedup_winnow_pairs",    # sparse overlap pairs over the winnowed
+                             # index; same join shape as dedup_jaccard
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

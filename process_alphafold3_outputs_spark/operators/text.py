@@ -492,6 +492,73 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return exact.join(rolling, "doc_id")
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp) — winnowing fingerprints (Schleimer et al., the
+    MOSS algorithm): hash every word k-gram, slide a ``window`` over
+    the hash sequence, keep each window's MINIMUM. Guarantees: any
+    shared run of ≥ window+k-1 words between two documents shares at
+    least one fingerprint (detection is certain, not probabilistic —
+    unlike MinHash), while the kept density is ~2/(window+1) of the
+    grams — the index a plagiarism/overlap detector builds is an order
+    of magnitude sparser than a full shingle index.
+
+    Pure built-ins: split-once token array → gram array → hash array →
+    windowed ``array_min`` selection → ``array_distinct`` → explode.
+    One narrow projection per document; the only shuffle is whatever
+    the CONSUMER does with the (doc_id, fp) pairs. Documents shorter
+    than k words contribute their whole text as the single gram
+    (matching :func:`~.dedup.word_shingles`).
+    """
+    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    grams = F.when(F.size("_w") < k, F.array(F.col("_norm"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_w") - k),
+            lambda i: F.concat_ws(" ", F.slice("_w", i + 1, k)),
+        )
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    d = d.withColumn("_h", hashes)
+    nwin = F.greatest(F.size("_h") - F.lit(window) + 1, F.lit(1))
+    sel = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.array_min(F.slice(F.col("_h"), i, window)),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(sel)).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — document pairs sharing at least
+    ``min_shared`` winnowing fingerprints: the sparse-index overlap
+    detector. Same inverted-index join shape as the shingle kernels but
+    over the ~2/(window+1)-density fingerprint set, so the index build
+    and the fp-keyed shuffle move an order of magnitude fewer rows —
+    the winnowing guarantee (shared ≥ window+k-1-word runs ARE caught)
+    bounds what the sparsity can miss."""
+    fps = winnow_fingerprints(docs, k, window, text_col)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

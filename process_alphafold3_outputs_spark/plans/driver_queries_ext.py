@@ -2178,3 +2178,70 @@ def _dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 _register_cluster_representatives()
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (MOSS) + sparse overlap pairs
+# --------------------------------------------------------------------------
+_WIN_K, _WIN_W, _WIN_SHARED = 4, 4, 2
+
+_WINNOW_FPS = f"""
+    norm AS ({_NORM}),
+    words AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < {_WIN_K} THEN [t]
+                    ELSE list_transform(generate_series(1, len(w) - {_WIN_K} + 1),
+                                        i -> array_to_string(w[i:i+{_WIN_K}-1], ' '))
+               END AS g
+        FROM words),
+    hashes AS (
+        SELECT doc_id,
+               list_transform(g, x ->
+                   CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
+        FROM grams),
+    winnowed AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(h) - {_WIN_W} + 1, 1)),
+                   i -> list_min(h[i:i+{_WIN_W}-1]))) AS fps
+        FROM hashes)
+"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    sql=f"""
+    WITH {_WINNOW_FPS}
+    SELECT doc_id, u.fp FROM winnowed, unnest(fps) u(fp)
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: windowed-min selection over the
+    k-gram hash sequence — ~2/(window+1) density with a guaranteed-
+    detection floor for shared runs >= window+k-1 words."""
+    return text.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=_WIN_K, window=_WIN_W
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    sql=f"""
+    WITH {_WINNOW_FPS},
+    fps AS (SELECT doc_id, u.fp FROM winnowed, unnest(fps) u(fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_WIN_SHARED}
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap candidate pairs over the sparse winnowed index — the
+    same inverted-index join as the shingle kernels moving an order of
+    magnitude fewer rows."""
+    return text.winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents"),
+        min_shared=_WIN_SHARED, k=_WIN_K, window=_WIN_W,
+    )

@@ -726,3 +726,46 @@ def test_cluster_representatives_max_score_min_id_ties(spark):
     assert got[10] == (2, 300, 3)
     # cluster 40: 4 and 5 tie on 50 -> 4
     assert got[40] == (4, 50, 2)
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints
+# --------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem: two docs sharing a run of
+    >= window+k-1 words MUST share at least one fingerprint."""
+    k, w = 4, 4
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w+k-1 words
+    docs = _docs(
+        spark,
+        [
+            (1, f"unrelated prefix words here {shared} and a suffix"),
+            (2, f"{shared} totally different continuation text follows now"),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in text.winnow_overlap_pairs(docs, min_shared=1, k=k, window=w).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_density_is_sparser_than_full_shingles(spark):
+    rows = [(i, " ".join(f"w{(i * 31 + j * 7) % 97}" for j in range(120)))
+            for i in range(20)]
+    docs = _docs(spark, rows)
+    n_fps = text.winnow_fingerprints(docs, k=4, window=4).count()
+    n_grams = 20 * (120 - 4 + 1)
+    # expected density ~2/(w+1) = 0.4; allow generous slack
+    assert n_fps < 0.6 * n_grams
+    assert n_fps > 0.1 * n_grams
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    docs = _docs(spark, [(1, "tiny doc"), (2, None)])
+    got = text.winnow_fingerprints(docs, k=4, window=4).groupBy("doc_id").count()
+    assert {r["doc_id"]: r["count"] for r in got.collect()} == {1: 1, 2: 1}
