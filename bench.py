@@ -77,6 +77,10 @@ HEADLINE = [
     "dedup_incremental",
     "interval_join_batch",
     "layout_zorder_key",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "dedup_cluster_representatives",
+    "similarity_recall_ivf",
 ]
 
 
