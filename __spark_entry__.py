@@ -147,6 +147,9 @@ _DEFERRED: set[str] = {
     "dedup_winnow_pairs",    # sparse overlap pairs over the winnowed
                              # index; same join shape as dedup_jaccard
                              # (deferred: headroom)
+    "text_keep_top_fraction",  # percentile-threshold gate; percentile
+                             # semantics evidenced by green
+                             # text_corpus_stats row (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -382,6 +382,38 @@ def mix_by_budget(
     )
 
 
+def keep_top_fraction(
+    scored: DataFrame,
+    frac: float,
+    score_col: str = "clf_score",
+) -> DataFrame:
+    """Keep the rows whose ``score_col`` is at or above the corpus's
+    (1−frac) interpolating percentile — the "keep the best 20% by
+    classifier score" gate, where the threshold is a PROPERTY OF THE
+    SHIPMENT rather than a magic constant (a fixed cut drifts as the
+    corpus mix changes; a percentile cut self-calibrates).
+
+    Scale shape: ONE exact interpolating-percentile aggregation (a
+    single-row result regardless of corpus size) broadcast back onto
+    the corpus as a filter — the corpus is scanned twice (once to rank,
+    once to cut) but never shuffled by row. Exact ``percentile`` keeps
+    the DuckDB oracle bit-reproducible (quantile_cont semantics, the
+    same pairing corpus_stats pins); swap in ``percentile_approx`` at
+    scales where the exact sort-based percentile's per-group memory
+    matters.
+    """
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    cut = scored.agg(
+        F.expr(f"percentile({score_col}, {1.0 - frac})").alias("_cut")
+    )
+    return (
+        scored.join(F.broadcast(cut))
+        .filter(F.col(score_col) >= F.col("_cut"))
+        .drop("_cut")
+    )
+
+
 def domain_keep_col(
     rates: dict[str, int],
     default_pct: int = 100,

@@ -2245,3 +2245,41 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         min_shared=_WIN_SHARED, k=_WIN_K, window=_WIN_W,
     )
+
+
+# --------------------------------------------------------------------------
+# percentile-threshold quality gate: keep the top fraction by score
+# --------------------------------------------------------------------------
+_TOPFRAC = 0.2
+
+
+@register(
+    "text_keep_top_fraction",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    scored AS (
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-(0.0 + list_reduce(
+                   list_prepend(0.0, list_transform(w, tok ->
+                       CAST(('0x' || substr(md5('{_CLF_SEED}:'
+                               || CAST(CAST(('0x' || substr(md5('{_CLF_SEED}:' || tok), 1, 8)) AS BIGINT)
+                                       % {_CLF_DIM} AS VARCHAR)), 1, 8)) AS BIGINT)
+                           / 4294967296.0 - 0.5)),
+                   (acc, x) -> acc + x)))) AS s
+        FROM toks),
+    cut AS (SELECT quantile_cont(s, {1.0 - _TOPFRAC}) AS c FROM scored)
+    SELECT doc_id, round(s, 6) AS clf_score
+    FROM scored, cut WHERE s >= c
+    """,
+)
+def text_keep_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-calibrating quality gate: classifier-score the corpus, then
+    keep the top 20% by the exact interpolating percentile (one-row
+    aggregate broadcast back as the filter)."""
+    scored = text.classifier_score(
+        load_table(spark, sf_dir, "documents"),
+        weights=text.default_classifier_weights(_CLF_DIM, _CLF_SEED),
+        seed=_CLF_SEED,
+    ).select("doc_id", "clf_score")
+    return text.keep_top_fraction(scored, _TOPFRAC, "clf_score")

@@ -769,3 +769,23 @@ def test_winnow_short_doc_single_fingerprint(spark):
     docs = _docs(spark, [(1, "tiny doc"), (2, None)])
     got = text.winnow_fingerprints(docs, k=4, window=4).groupBy("doc_id").count()
     assert {r["doc_id"]: r["count"] for r in got.collect()} == {1: 1, 2: 1}
+
+
+# --------------------------------------------------------------------------
+# percentile-threshold gate
+# --------------------------------------------------------------------------
+
+
+def test_keep_top_fraction_counts_and_ordering(spark):
+    import pytest as _pytest
+
+    rows = [(i, float(i)) for i in range(100)]
+    scored = spark.createDataFrame(rows, "doc_id long, clf_score double")
+    top = text.keep_top_fraction(scored, 0.2)
+    got = sorted(r["doc_id"] for r in top.collect())
+    # exact percentile at 0.8 of 0..99 = 79.2 -> keep scores >= 79.2
+    assert got == list(range(80, 100))
+    # frac=1.0 keeps everything
+    assert text.keep_top_fraction(scored, 1.0).count() == 100
+    with _pytest.raises(ValueError):
+        text.keep_top_fraction(scored, 0.0)
