@@ -1080,3 +1080,100 @@ def cluster_representatives(
         F.col("_r.s").alias("rep_score"),
         "n_members",
     )
+
+
+def connected_components_stars(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id) — the alternating LARGE-STAR / SMALL-STAR
+    connected-components algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): an alternative engine to
+    :func:`connected_components` with identical output (differential-
+    pinned), preferred when components are GIANT.
+
+    Why it exists: pointer doubling's ``lbl(lbl(u))`` self-join keys by
+    the label value, and as a component converges every one of its
+    nodes carries the same min label — a billion-node component sends
+    a billion rows to ONE reducer key (AQE skew-split mitigates but
+    the skew is structural). Large/small-star never joins by label:
+    each round re-keys by NODE id (near-uniform), and the star
+    transforms provably shrink the edge set toward one star per
+    component in O(log² n) rounds with per-round work proportional to
+    the current edge count.
+
+    Per round: large-star hangs every strictly-larger neighbour of u
+    under min(Γ(u) ∪ u); small-star re-hangs the not-larger
+    neighbourhood under its minimum. Both are one node-keyed min-agg +
+    one edge-keyed join — no label-keyed operation anywhere.
+    Convergence = the edge set reaches a fixpoint (star edges only);
+    labels then read off as min(Γ(u) ∪ u).
+    """
+    all_nodes = (
+        pairs.select(F.col(src).alias("n"))
+        .union(pairs.select(F.col(dst).alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        pairs.select(
+            F.least(src, dst).alias("lo"), F.greatest(src, dst).alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # ---- large-star: ∀v∈Γ(u) with v>u → edge (m, v), m = min(Γ(u)∪u)
+        und = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        m = und.groupBy("u").agg(F.min("v").alias("_mv"))
+        m = m.select("u", F.least("_mv", "u").alias("m"))
+        e1 = (
+            und.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+        # ---- small-star: m = min of the ≤u neighbourhood (∪ u);
+        # re-hang each smaller neighbour and u itself under m
+        und1 = e1.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e1.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        le = und1.filter(F.col("v") < F.col("u"))
+        m2 = le.groupBy("u").agg(F.min("v").alias("m"))
+        rehang = (
+            le.join(m2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+        )
+        anchor = m2.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+        e2 = rehang.union(anchor).distinct().localCheckpoint()
+        changed = (
+            e2.join(e, ["lo", "hi"], "left_anti").count()
+            + e.join(e2, ["lo", "hi"], "left_anti").count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    und = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    labels = und.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("cluster_id")
+    )
+    # nodes whose every pair was a self-pair have no edges: own cluster
+    return all_nodes.join(
+        labels.withColumnRenamed("u", "n"), "n", "left"
+    ).select(
+        F.col("n").alias("doc_id"),
+        F.coalesce("cluster_id", "n").alias("cluster_id"),
+    )

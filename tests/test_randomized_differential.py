@@ -189,3 +189,38 @@ def test_kmeans_matches_numpy_lloyd(spark):
     assert got == expect
     # every cluster is non-trivial on this data
     assert len(set(got.values())) > 1
+
+
+def test_stars_cc_matches_pointer_doubling_random_graphs(spark):
+    """large/small-star CC must produce the identical (node, min-label)
+    map as the pointer-doubling engine on random graphs of three
+    densities, plus the structured worst cases (chain, star, two
+    components)."""
+    import random
+
+    from process_alphafold3_outputs_spark.operators import dedup
+
+    cases = []
+    rng = random.Random(17)
+    for n, m in [(30, 15), (40, 60), (25, 120)]:
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        cases.append(edges)
+    cases.append([(i, i + 1) for i in range(25)])          # path
+    cases.append([(0, i) for i in range(1, 20)])           # star
+    cases.append([(1, 2), (2, 3), (10, 11), (12, 12)])     # 2 comps + self
+
+    for edges in cases:
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        a = {
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+        b = {
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.connected_components_stars(pairs).collect()
+        }
+        assert a == b, f"mismatch on edges={edges[:8]}..."
