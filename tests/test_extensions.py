@@ -671,3 +671,60 @@ def test_salted_join_spreads_hot_key(spark):
     )
     assert salts > 1
     assert out.count() == 401
+
+
+# --------------------------------------------------------------------------
+# empty-input robustness
+# --------------------------------------------------------------------------
+
+
+def test_operators_handle_empty_corpus(spark):
+    """A 0-row shipment is routine at 100 TB (an empty partition of a
+    date-partitioned drop): every corpus operator must plan and return
+    0 rows, not raise."""
+    from process_alphafold3_outputs_spark.operators import dedup, text
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    ops = [
+        lambda: dedup.exact_dedup(empty),
+        lambda: dedup.exact_dedup_keep(empty),
+        lambda: dedup.lsh_candidate_pairs(empty),
+        lambda: dedup.jaccard_pairs(empty, threshold=0.5),
+        lambda: dedup.simhash64(empty),
+        lambda: dedup.segment_dedup(empty),
+        lambda: dedup.connected_components(
+            spark.createDataFrame([], "doc_a long, doc_b long")
+        ),
+        lambda: dedup.connected_components_stars(
+            spark.createDataFrame([], "doc_a long, doc_b long")
+        ),
+        lambda: dedup.incremental_exact_dedup(
+            empty, spark.createDataFrame([], "text_hash string")
+        ),
+        lambda: text.gopher_quality(empty),
+        lambda: text.quality_scores(empty),
+        lambda: text.classifier_score(empty, text.default_classifier_weights(8)),
+        lambda: text.winnow_fingerprints(empty),
+        lambda: text.mix_by_budget(empty, {"src0": 100}),
+        lambda: text.chunk_documents(empty),
+        lambda: text.sample_exact_k(empty, k=3),
+        lambda: text.keep_top_fraction(
+            spark.createDataFrame([], "doc_id long, clf_score double"), 0.2
+        ),
+    ]
+    for i, op in enumerate(ops):
+        assert op().count() == 0, f"op #{i} returned rows on empty input"
+
+
+def test_empty_embeddings_similarity(spark):
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators import similarity
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert similarity.topk_bruteforce(empty, F.col("vec_id") < 5, k=3).count() == 0
+    assert similarity.topk_lsh_multiprobe(empty, F.col("vec_id") < 5, k=3).count() == 0
