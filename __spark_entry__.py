@@ -150,6 +150,13 @@ _DEFERRED: set[str] = {
     "text_keep_top_fraction",  # percentile-threshold gate; percentile
                              # semantics evidenced by green
                              # text_corpus_stats row (deferred: headroom)
+    "dedup_semantic",        # SemDeDup composition: kmeans kernel green
+                             # via similarity_topk_ivf_refined, pairwise
+                             # stage green via dedup_embedding_cosine
+                             # (deferred: headroom)
+    "text_perplexity_bigram",  # bigram-LM fluency score; explode/join/
+                             # ordered-fold mechanics evidenced by green
+                             # text_* rows (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

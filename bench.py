@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "dedup_cluster_representatives",
     "similarity_recall_ivf",
+    "dedup_semantic",
+    "text_perplexity_bigram",
 ]
 
 

@@ -1004,6 +1004,68 @@ def embedding_near_dup_lsh(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    eps: float = 0.7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cluster, sim, kept) — SemDeDup-style semantic
+    deduplication (Abbas et al. 2023, "SemDeDup" — public technique):
+    deterministic Lloyd k-means partitions the corpus embeddings, then
+    near-duplicate candidate pairs are generated ONLY within a cluster
+    and a pair with cosine >= ``eps`` drops its higher id.
+
+    Scale shape: the pairwise stage is keyed by ``cluster`` — a
+    cluster-keyed shuffle with per-cluster quadratic work bounded by
+    the cluster size, never a global O(N²) cross join (that bound is
+    the entire point of clustering first; raise ``k`` as the corpus
+    grows so clusters stay executor-sized). Centroids stay broadcast
+    through every stage (see :func:`..operators.similarity.kmeans`).
+
+    Keep policy: greedy min-id per pair — the same deterministic rule
+    as the other dedup families here. (SemDeDup proper keeps the
+    member with the LOWEST centroid similarity; the policy is
+    orthogonal to the pair generation — compose
+    :func:`cluster_representatives` over the pair graph for a
+    quality-based keep.) The cosine is rounded to 6 dp BEFORE the
+    threshold so both engines agree exactly at the boundary.
+
+    Output: every vector with its cluster, centroid cosine (6 dp) and
+    ``kept`` flag (1 = survives)."""
+    from .similarity import cosine, kmeans
+
+    emb = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    assigned = kmeans(
+        embeddings.withColumnRenamed(id_col, "vec_id"), k=k, iters=iters
+    )
+    av = assigned.join(emb, "vec_id")
+    a1 = av.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b1 = av.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    drops = (
+        a1.join(b1, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= eps)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return av.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "sim",
+        F.when(F.col("_drop").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame, seen_hashes: DataFrame, text_col: str = "text"
 ) -> DataFrame:

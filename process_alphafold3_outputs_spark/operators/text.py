@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized
+from .util import spread
 
 #: distinctive stopwords per language for the n-gram/stopword-hit
 #: heuristic (deliberately small + deterministic; ties break
@@ -276,6 +277,86 @@ def tfidf_top_terms(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, alpha: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll, ppl) — per-document average
+    negative log-likelihood (natural log) and perplexity under an
+    add-alpha-smoothed bigram language model trained on the corpus
+    ITSELF — the KenLM-style fluency signal curation pipelines use to
+    rank documents (high perplexity ⇒ ungrammatical / boilerplate /
+    wrong-language text). ``p(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V)``
+    with V = distinct continuation vocabulary.
+
+    Scale shape: ONE corpus-sized explode into (doc, pos, w1, w2)
+    occurrence rows; the model tables (bigram counts, context counts)
+    are vocabulary-sized aggregates of that same explode — Heaps' law
+    keeps them ≪ corpus — and context counts derive from bigram counts
+    (model-sized input, never a second corpus pass). The only
+    corpus-sized join is occurrences ⨝ model on (w1, w2) — a far
+    better-distributed key than w1 alone (hot contexts like 'the'
+    spread across their continuations); AQE handles residual skew. At
+    100 TB prune the model to top-M bigrams with a backoff floor so it
+    broadcasts. The per-doc mean folds in position order
+    (sort_array(struct(pos, nll))), so the DuckDB oracle
+    (``sum(nll ORDER BY i)``) reproduces every double bit-for-bit.
+    Documents with < 2 tokens carry n_bigrams = 0 and NULL scores."""
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
+    n = F.size("_toks")
+    bg = (
+        d.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.zip_with(
+                    F.slice("_toks", 1, n - 1),
+                    F.slice("_toks", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("i", "_p"),
+        )
+        .select("doc_id", "i", "_p.w1", "_p.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = bg.agg(F.count_distinct("w2").alias("_v"))
+    model = c2.join(c1, "w1")
+    scored = (
+        bg.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("n12") + F.lit(alpha))
+                / (F.col("n1") + F.lit(alpha) * F.col("_v"))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "nll"))),
+                lambda s: s["nll"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.round(F.col("_sum") / F.col("n_bigrams"), 6).alias("avg_nll"),
+            F.round(F.exp(F.col("_sum") / F.col("n_bigrams")), 4).alias("ppl"),
+        )
     )
 
 

@@ -2283,3 +2283,87 @@ def text_keep_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_CLF_SEED,
     ).select("doc_id", "clf_score")
     return text.keep_top_fraction(scored, _TOPFRAC, "clf_score")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: k-means bounds the pair search to
+# within-cluster, never a global O(N^2) cross join (Abbas et al. 2023).
+# Oracle composes the unrolled-Lloyd CTEs with the pair/drop stages.
+# --------------------------------------------------------------------------
+_SEM_EPS = 0.5
+
+
+@register(
+    "dedup_semantic",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cvec
+               FROM emb ORDER BY vec_id LIMIT {_KM_K}),
+    {",".join(_kmeans_iter_sql(i) for i in range(_KM_ITERS))},
+    final AS (
+        SELECT vec_id, v, cluster, round(s, 6) AS sim FROM (
+            SELECT e.vec_id, e.v, c.cell AS cluster,
+                   {_COS.format(a="e.v", b="c.cvec")} AS s,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS.format(a="e.v", b="c.cvec")} DESC, c.cell) AS rn
+            FROM emb e, cents{_KM_ITERS} c)
+        WHERE rn = 1),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM final a JOIN final b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round({_COS.format(a="a.v", b="b.v")}, 6) >= {_SEM_EPS})
+    SELECT f.vec_id, f.cluster, f.sim,
+           CAST(d.vec_id IS NULL AS INT) AS kept
+    FROM final f LEFT JOIN drops d USING (vec_id)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embedding column: cluster first (k-means,
+    broadcast centroids), pair-compare only within clusters, greedy
+    min-id keep at cosine >= eps."""
+    return dedup.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_KM_K,
+        iters=_KM_ITERS,
+        eps=_SEM_EPS,
+    )
+
+
+# --------------------------------------------------------------------------
+# bigram-LM fluency scoring (KenLM-style): corpus-trained add-alpha
+# smoothed bigram model, per-doc mean NLL + perplexity. The per-doc sum
+# folds in position order so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+_LM_ALPHA = 0.5
+
+
+@register(
+    "text_perplexity_bigram",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2),
+    bg AS (SELECT doc_id, i, w[i] AS w1, w[i+1] AS w2 FROM idx),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS vv FROM bg),
+    scored AS (
+        SELECT bg.doc_id, bg.i,
+               -ln((c2.n12 + {_LM_ALPHA}) / (c1.n1 + {_LM_ALPHA} * v.vv)) AS nll
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   sum(nll ORDER BY i) AS s
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round(a.s / a.n_bigrams, 6) AS avg_nll,
+           round(exp(a.s / a.n_bigrams), 4) AS ppl
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM fluency score per document."""
+    return text.bigram_lm_scores(
+        load_table(spark, sf_dir, "documents"), alpha=_LM_ALPHA
+    )

@@ -789,3 +789,78 @@ def test_keep_top_fraction_counts_and_ordering(spark):
     assert text.keep_top_fraction(scored, 1.0).count() == 100
     with _pytest.raises(ValueError):
         text.keep_top_fraction(scored, 0.0)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster-bounded pair search)
+# --------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_higher_id_within_cluster(spark):
+    # two tight groups along orthogonal axes: near-identical vectors in a
+    # group must land in one cluster and dedup down to the min id; the
+    # cross-group cosine is 0 so nothing dedups across groups.
+    # ids 1 and 2 are in DIFFERENT groups on purpose: the deterministic
+    # quantizer seeds on the first k ids, so the seeds start one per group
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+            (4, [0.0, 0.01, 0.999, 0.0]),   # near-dup of 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in dedup.semantic_dedup(emb, k=2, iters=1, eps=0.95).collect()
+    }
+    assert got[1]["kept"] == 1 and got[3]["kept"] == 0
+    assert got[2]["kept"] == 1 and got[4]["kept"] == 0
+    assert got[1]["cluster"] == got[3]["cluster"]
+    assert got[2]["cluster"] == got[4]["cluster"]
+    assert got[1]["cluster"] != got[2]["cluster"]
+
+
+def test_semantic_dedup_no_pairs_below_eps(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = dedup.semantic_dedup(emb, k=2, iters=1, eps=0.9).collect()
+    assert all(r["kept"] == 1 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# bigram LM fluency scoring
+# --------------------------------------------------------------------------
+
+
+def test_bigram_lm_repeated_pattern_scores_lower_nll(spark):
+    # a document made of one repeated bigram is maximally predictable
+    # under the corpus model; a document of all-unique bigrams is not.
+    docs = _docs(
+        spark,
+        [
+            (1, "ab ab ab ab ab ab ab ab"),
+            (2, "one two three four five six seven eight"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.bigram_lm_scores(docs).collect()
+    }
+    assert got[1]["n_bigrams"] == 7 and got[2]["n_bigrams"] == 7
+    assert got[1]["avg_nll"] < got[2]["avg_nll"]
+    assert got[1]["ppl"] < got[2]["ppl"]
+
+
+def test_bigram_lm_short_and_null_docs_carry_zero(spark):
+    docs = _docs(spark, [(1, "solo"), (2, None), (3, "a b a b")])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.bigram_lm_scores(docs).collect()
+    }
+    assert got[1]["n_bigrams"] == 0 and got[1]["avg_nll"] is None
+    assert got[2]["n_bigrams"] == 0 and got[2]["ppl"] is None
+    assert got[3]["n_bigrams"] == 3 and got[3]["avg_nll"] is not None
