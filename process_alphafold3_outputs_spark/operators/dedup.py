@@ -1043,7 +1043,14 @@ def semantic_dedup(
     assigned = kmeans(
         embeddings.withColumnRenamed(id_col, "vec_id"), k=k, iters=iters
     )
-    av = assigned.join(emb, "vec_id")
+    # Persist the assignment: the pair stage references it twice (both
+    # self-join sides) and the final keep-flag join a third time —
+    # unpersisted, Spark re-runs the full Lloyd iteration subtree for
+    # every reference (measured ~2.5x on this operator). persist() is
+    # lazy (plan construction stays job-free for the analysis-only
+    # schema/plan-lint tests, unlike localCheckpoint) and the blocks
+    # are caller-owned, same contract as the staged corpus pipelines.
+    av = assigned.join(emb, "vec_id").persist()
     a1 = av.select(
         "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )
