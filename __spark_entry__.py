@@ -157,6 +157,9 @@ _DEFERRED: set[str] = {
     "text_perplexity_bigram",  # bigram-LM fluency score; explode/join/
                              # ordered-fold mechanics evidenced by green
                              # text_* rows (deferred: headroom)
+    "similarity_topk_pq",    # PQ/ADC third ANN family; broadcast-table
+                             # + window mechanics evidenced by green
+                             # similarity_topk_* rows (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

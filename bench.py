@@ -83,6 +83,7 @@ HEADLINE = [
     "similarity_recall_ivf",
     "dedup_semantic",
     "text_perplexity_bigram",
+    "similarity_topk_pq",
 ]
 
 

@@ -257,7 +257,11 @@ def recall_vs_bruteforce(
     exact = topk_bruteforce(embeddings, query_ids, k).select(
         "query_id", "neighbor_id"
     )
-    if method == "ivf":
+    if method == "pq":
+        approx = topk_pq(embeddings, query_ids, k).select(
+            "query_id", "neighbor_id"
+        )
+    elif method == "ivf":
         approx = topk_ivf(
             embeddings,
             query_ids,
@@ -493,4 +497,182 @@ def topk_ivf(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
         .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Product Quantization (PQ) — compressed-domain ANN (Jégou et al. 2011)
+# --------------------------------------------------------------------------
+
+
+def _normalized_vec(col) -> Column:
+    """Unit-normalize an array<double> column (dot == cosine after this);
+    componentwise division so the DuckDB restatement
+    (list_transform(v, x -> x / sqrt(list_dot_product(v, v)))) is
+    arithmetic-identical."""
+    return F.transform(col, lambda x: x / F.sqrt(_dot(col, col)))
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = 8, kc: int = 16, dim: int | None = None
+) -> DataFrame:
+    """(sub, code, cvec) — per-subspace codebooks for product
+    quantization: the embedding space is split into ``m`` contiguous
+    subspaces of dim/m components; each subspace's ``kc`` centroids are
+    the sub-vectors of the first ``kc`` corpus vectors by id (the same
+    deterministic 'training' policy as ivf_centroids — recall is
+    measured, not assumed). Vectors are unit-normalized FIRST so
+    inner-product scores equal cosine downstream.
+
+    Scale: codebooks are m·kc rows — broadcast-sized by construction
+    (that is the entire point of PQ: the corpus is stored as m small
+    codes per vector; only codebooks and query tables travel)."""
+    from ..sources.tables import EMBEDDING_DIM
+
+    if dim is None:
+        dim = EMBEDDING_DIM
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    top = (
+        spread(embeddings, "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .limit(kc)
+    )
+    w = Window.orderBy("vec_id")
+    coded = top.withColumn("code", F.row_number().over(w) - 1).select(
+        "code", _normalized_vec(F.col("v")).alias("nv")
+    )
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice("nv", s * dsub + 1, dsub),
+    )
+    return coded.select(
+        "code", F.posexplode(subs).alias("sub", "cvec")
+    ).select("sub", "code", "cvec")
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, sub, code) — each vector's per-subspace code: the
+    max-inner-product centroid of that subspace (ties break on the
+    LOWER code via the (score, -code) max_by composite — the same
+    deterministic argmax shape as ivf_assign). One corpus pass against
+    the broadcast codebooks; map-side combine collapses the kc scored
+    copies per (vector, subspace) before the shuffle."""
+    from ..sources.tables import EMBEDDING_DIM
+
+    if dim is None:
+        dim = EMBEDDING_DIM
+    dsub = dim // m
+    emb = spread(embeddings, "vec_id").select(
+        "vec_id",
+        _normalized_vec(
+            F.col("embedding").cast("array<double>")
+        ).alias("nv"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(codebooks))
+        .withColumn(
+            "_s",
+            _dot(F.slice("nv", F.col("sub") * dsub + 1, dsub), F.col("cvec")),
+        )
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(
+            F.max_by(
+                F.col("code"),
+                F.struct(F.col("_s"), (-F.col("code")).alias("_nc")),
+            ).alias("code")
+        )
+    )
+
+
+def topk_pq(
+    embeddings: DataFrame,
+    query_ids: DataFrame | Column,
+    k: int = 5,
+    m: int = 8,
+    kc: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rk, sim) — approximate top-k cosine via
+    asymmetric distance computation (ADC): the corpus is represented
+    ONLY by its m per-subspace codes; each query precomputes an m×kc
+    inner-product table against the codebooks, and a candidate's score
+    is the table-lookup sum over its codes — no full-vector arithmetic
+    on the corpus side at query time.
+
+    100 TB shape: corpus encode is a one-time pass producing m small
+    integers per vector (store that, not the floats — the memory
+    compression is why PQ exists); the query ADC tables and codebooks
+    are broadcast; the scan side touches codes only. The per-subspace
+    sum folds in subspace order so the DuckDB oracle
+    (``sum(d ORDER BY sub)``) reproduces every double bit-for-bit."""
+    cb = pq_codebooks(embeddings, m, kc, dim)
+    codes = pq_encode(embeddings, cb, m, dim).groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    from ..sources.tables import EMBEDDING_DIM
+
+    d = dim if dim is not None else EMBEDDING_DIM
+    dsub = d // m
+    if isinstance(query_ids, Column):
+        q = spread(embeddings, "vec_id").filter(query_ids)
+    else:
+        q = embeddings.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        _normalized_vec(F.col("embedding").cast("array<double>")).alias("qnv"),
+    )
+    qtab = (
+        qv.crossJoin(F.broadcast(cb))
+        .withColumn(
+            "d",
+            _dot(F.slice("qnv", F.col("sub") * dsub + 1, dsub), F.col("cvec")),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code", "d"))),
+                lambda s: s["d"],
+            ).alias("tab")
+        )
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qtab))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "sim",
+            F.aggregate(
+                F.transform(
+                    "codes",
+                    lambda c, s: F.element_at("tab", s * kc + c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rk",
+            F.round("sim", 6).alias("sim"),
+        )
     )

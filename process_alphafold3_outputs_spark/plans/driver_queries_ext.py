@@ -2367,3 +2367,64 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_scores(
         load_table(spark, sf_dir, "documents"), alpha=_LM_ALPHA
     )
+
+
+# --------------------------------------------------------------------------
+# Product-Quantization ANN (ADC over per-subspace codebooks) — the
+# compressed-domain third ANN family next to LSH and IVF. The oracle
+# restates codebook training, encoding and the ADC table-lookup sum.
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_KC, _PQ_DSUB = 8, 16, 8  # 64-dim embeddings -> 8 subspaces of 8
+
+
+@register(
+    "similarity_topk_pq",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nrm AS (SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+            FROM emb),
+    top AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, nv
+            FROM nrm ORDER BY vec_id LIMIT {_PQ_KC}),
+    subs AS (SELECT CAST(unnest(generate_series(0, {_PQ_M - 1})) AS INT) AS sub),
+    cb AS (SELECT s.sub, t.code,
+                  t.nv[s.sub * {_PQ_DSUB} + 1 : s.sub * {_PQ_DSUB} + {_PQ_DSUB}] AS cvec
+           FROM top t, subs s),
+    cvs AS (SELECT n.vec_id, s.sub,
+                   n.nv[s.sub * {_PQ_DSUB} + 1 : s.sub * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+            FROM nrm n, subs s),
+    codes AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT c.vec_id, c.sub, b.code,
+                   row_number() OVER (PARTITION BY c.vec_id, c.sub
+                       ORDER BY list_dot_product(c.sv, b.cvec) DESC, b.code) AS rn
+            FROM cvs c JOIN cb b USING (sub))
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, nv FROM nrm WHERE vec_id < {_IVF_NQ}),
+    qtab AS (SELECT q.query_id, b.sub, b.code,
+                    list_dot_product(
+                        q.nv[b.sub * {_PQ_DSUB} + 1 : b.sub * {_PQ_DSUB} + {_PQ_DSUB}],
+                        b.cvec) AS d
+             FROM q, cb b),
+    scored AS (
+        SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.d ORDER BY t.sub) AS sim
+        FROM codes c JOIN qtab t USING (sub, code)
+        WHERE t.query_id <> c.vec_id
+        GROUP BY t.query_id, c.vec_id)
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, round(sim, 6) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_IVF_K}
+    """,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: corpus carried as m per-subspace codes; queries carry
+    broadcast lookup tables."""
+    return similarity.topk_pq(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < _IVF_NQ,
+        k=_IVF_K,
+        m=_PQ_M,
+        kc=_PQ_KC,
+    )

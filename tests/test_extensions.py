@@ -728,3 +728,58 @@ def test_empty_embeddings_similarity(spark):
     )
     assert similarity.topk_bruteforce(empty, F.col("vec_id") < 5, k=3).count() == 0
     assert similarity.topk_lsh_multiprobe(empty, F.col("vec_id") < 5, k=3).count() == 0
+
+
+# --------------------------------------------------------------------------
+# product quantization (ADC)
+# --------------------------------------------------------------------------
+
+
+def test_pq_codebooks_and_codes_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = similarity.pq_codebooks(emb, m=8, kc=16)
+    rows = cb.collect()
+    assert len(rows) == 8 * 16
+    assert all(len(r.cvec) == 8 for r in rows)  # 64/8 components
+    codes = similarity.pq_encode(emb, cb, m=8).collect()
+    n_vec = emb.count()
+    assert len(codes) == n_vec * 8
+    assert all(0 <= r.code < 16 for r in codes)
+    assert all(0 <= r.sub < 8 for r in codes)
+
+
+def test_pq_identical_vectors_score_identically(spark):
+    # two identical vectors must get identical codes, hence identical
+    # ADC scores against any query; and the query's own duplicate must
+    # be its top neighbour with sim == the query's self-score.
+    base = [float(i % 5 + 1) for i in range(8)]
+    other = [float((i * 3) % 7 + 1) for i in range(8)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, base), (2, other), (3, [x + 2.0 for x in other])],
+        "vec_id long, embedding array<double>",
+    )
+    cb = similarity.pq_codebooks(emb, m=4, kc=4, dim=8)
+    codes = {
+        (r.vec_id, r.sub): r.code
+        for r in similarity.pq_encode(emb, cb, m=4, dim=8).collect()
+    }
+    assert all(codes[(0, s)] == codes[(1, s)] for s in range(4))
+    out = similarity.topk_pq(
+        emb, F.col("vec_id") == 0, k=3, m=4, kc=4, dim=8
+    ).collect()
+    top = min(out, key=lambda r: r.rk)
+    # identical codes => the duplicate shares the query's own (maximal)
+    # ADC score; the <= tie-break on vec_id puts it first
+    assert top.neighbor_id == 1
+
+
+def test_pq_recall_measured_and_bounded(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vals = {
+        r.query_id: r.recall
+        for r in similarity.recall_vs_bruteforce(
+            emb, F.col("vec_id") < 5, k=3, method="pq"
+        ).collect()
+    }
+    assert len(vals) == 5
+    assert all(0 <= v <= 1 for v in vals.values())
