@@ -15,6 +15,10 @@ line to stdout):
   decontaminate  n-gram screen vs a benchmark set (--bloom for the
                  fixed-size-bitmap scale path)
   kmeans         deterministic Lloyd clustering of an embeddings table
+  semdedup       SemDeDup semantic dedup over embeddings (cluster-bounded
+                 cosine pruning)
+  perplexity     corpus-self-trained bigram-LM fluency scores
+                 (text.bigram_lm_scores)
   classify       hashing-trick linear quality scoring (text.classifier_score)
   mix            per-source token-budget mixture draw (text.mix_by_budget)
   dedup-incremental  shipment-over-history exact dedup (needs --hashes; also
@@ -109,6 +113,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--iters", type=int, default=2)
     sp.add_argument("--train-sample-mod", type=int, default=1)
 
+    sp = sub.add_parser("semdedup")
+    common(sp, embeddings=True)
+    sp.add_argument("-k", "--clusters", type=int, default=8)
+    sp.add_argument("--iters", type=int, default=2)
+    sp.add_argument("--eps", type=float, default=0.7)
+
+    sp = sub.add_parser("perplexity")
+    common(sp)
+    sp.add_argument("--alpha", type=float, default=0.5)
+
     sp = sub.add_parser("classify")
     common(sp)
     sp.add_argument("--dim", type=int, default=64)
@@ -149,6 +163,12 @@ def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             train_sample_mod=args.train_sample_mod,
         )
 
+    if args.command == "semdedup":
+        emb = spark.read.parquet(args.embeddings)
+        return dedup.semantic_dedup(
+            emb, k=args.clusters, iters=args.iters, eps=args.eps
+        )
+
     docs = spark.read.parquet(args.documents)
     if args.command == "classify":
         if args.weights:
@@ -170,6 +190,8 @@ def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             args.out + "_hashes"
         )
         return kept
+    if args.command == "perplexity":
+        return text.bigram_lm_scores(docs, alpha=args.alpha)
     if args.command == "stats":
         return text.corpus_stats(docs)
     if args.command == "quality":

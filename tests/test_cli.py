@@ -325,3 +325,32 @@ def test_corpus_cli_pack_bfd_policy(spark, tmp_path):
     # the BFD invariant the policy buys: nothing straddles (chunks of
     # 32 tokens always fit the 64-token sequences)
     assert got.filter(F.col("seq_offset") + F.col("n_tokens") > 64).count() == 0
+
+
+def test_corpus_cli_semdedup_and_perplexity(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    sf = "/root/testdata/sf0.001"
+    docs_path = f"{sf}/documents.parquet"
+    emb_path = f"{sf}/embeddings.parquet"
+
+    def run_cmd(argv):
+        args = corpus_cli.build_parser().parse_args(argv)
+        return corpus_cli.run(args, spark)
+
+    out = str(tmp_path / "semdedup")
+    res = run_cmd(
+        ["semdedup", "--embeddings", emb_path, "--out", out,
+         "-k", "4", "--eps", "0.5"]
+    )
+    got = spark.read.parquet(out)
+    assert res["rows"] == spark.read.parquet(emb_path).count()
+    assert set(got.columns) == {"vec_id", "cluster", "sim", "kept"}
+
+    out = str(tmp_path / "ppl")
+    res = run_cmd(
+        ["perplexity", "--documents", docs_path, "--out", out]
+    )
+    got = spark.read.parquet(out)
+    assert res["rows"] == spark.read.parquet(docs_path).count()
+    assert set(got.columns) == {"doc_id", "n_bigrams", "avg_nll", "ppl"}
