@@ -160,6 +160,10 @@ _DEFERRED: set[str] = {
     "similarity_topk_pq",    # PQ/ADC third ANN family; broadcast-table
                              # + window mechanics evidenced by green
                              # similarity_topk_* rows (deferred: headroom)
+    "dedup_boilerplate",     # frequency-form segment dedup; chunker +
+                             # hash-agg mechanics evidenced by green
+                             # text_chunk_documents + dedup_exact rows
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_semantic",
     "text_perplexity_bigram",
     "similarity_topk_pq",
+    "dedup_boilerplate",
 ]
 
 

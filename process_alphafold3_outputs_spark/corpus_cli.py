@@ -93,7 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument(
         "--mode",
-        choices=["exact", "paragraphs", "minhash", "simhash", "clusters"],
+        choices=["exact", "paragraphs", "boilerplate", "minhash", "simhash",
+                 "clusters"],
         default="exact",
     )
     sp.add_argument("--seg-words", type=int, default=20)
@@ -229,6 +230,8 @@ def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             return dedup.exact_dedup_keep(docs)
         if args.mode == "paragraphs":
             return dedup.segment_dedup(docs, seg_words=args.seg_words)
+        if args.mode == "boilerplate":
+            return dedup.drop_boilerplate(docs, seg_words=args.seg_words)
         if args.mode == "minhash":
             return dedup.lsh_candidate_pairs(docs)
         if args.mode == "simhash":

@@ -147,6 +147,59 @@ def segment_dedup(
     )
 
 
+def drop_boilerplate(
+    docs: DataFrame,
+    seg_words: int = 20,
+    min_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_segments, n_kept, clean_text) — remove BOILERPLATE
+    segments: any ``seg_words``-word segment occurring in at least
+    ``min_df`` DISTINCT documents is dropped from EVERY document —
+    including the first (headers, footers, navigation chrome, license
+    blurbs). This is the frequency form of published line-dedup
+    (RefinedWeb/CCNet); :func:`segment_dedup` is the first-occurrence
+    form (keeps one copy somewhere). Documents reassemble from their
+    surviving segments in original order; a document that was pure
+    boilerplate keeps a row with n_kept = 0 and empty text.
+
+    Scale shape: the segmenter is a shuffle-free narrow projection; the
+    document-frequency table is one aggregation over distinct
+    (segment-hash, doc) — md5 keys, near-uniform, no skew — and joins
+    back keyed by the same hash; reassembly is one doc-keyed
+    aggregation. At 100 TB the df table is segment-vocabulary-sized;
+    the frequent tail that matters (df >= min_df) is a small fraction
+    of it, so an optional pre-filtered broadcast of only the
+    boilerplate hashes (left-anti join) is the obvious refinement —
+    kept as a plain join here so AQE chooses."""
+    from .text import chunk_documents
+
+    segs = chunk_documents(
+        docs, chunk_tokens=seg_words, overlap=0, text_col=text_col
+    ).withColumn("_h", F.md5("chunk_text"))
+    df_tab = (
+        segs.select("_h", "doc_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    joined = segs.join(df_tab, "_h")
+    kept = F.when(
+        F.col("_df") < min_df, F.struct("chunk_id", "chunk_text")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum((F.col("_df") < min_df).cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(kept)),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -2428,3 +2428,46 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         kc=_PQ_KC,
     )
+
+
+# --------------------------------------------------------------------------
+# boilerplate removal: segments repeating across >= min_df DISTINCT
+# documents are dropped from EVERY document (frequency form of
+# line-dedup; segment_dedup above is the first-occurrence form)
+# --------------------------------------------------------------------------
+_BP_MIN_DF = 2
+
+
+@register(
+    "dedup_boilerplate",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w, len(string_split(t, ' ')) AS n
+              FROM norm),
+    starts AS (
+        SELECT doc_id, w, n, CAST(s.s AS INT) AS start
+        FROM words,
+             unnest(generate_series(
+                 0,
+                 greatest(CAST(ceil((n - {_SEG}) / {_SEG}.0) AS INT), 0) * {_SEG},
+                 {_SEG})) s(s)),
+    segs AS (
+        SELECT doc_id, CAST(start // {_SEG} AS INT) AS chunk_id,
+               array_to_string(w[start + 1 : start + {_SEG}], ' ') AS chunk_text
+        FROM starts),
+    dfq AS (
+        SELECT md5(chunk_text) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM segs GROUP BY md5(chunk_text))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN df < {_BP_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN df < {_BP_MIN_DF} THEN chunk_text END, ' '
+                               ORDER BY chunk_id), '') AS clean_text
+    FROM segs JOIN dfq ON md5(chunk_text) = h
+    GROUP BY doc_id
+    """,
+)
+def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.drop_boilerplate(
+        load_table(spark, sf_dir, "documents"), seg_words=_SEG, min_df=_BP_MIN_DF
+    )

@@ -864,3 +864,45 @@ def test_bigram_lm_short_and_null_docs_carry_zero(spark):
     assert got[1]["n_bigrams"] == 0 and got[1]["avg_nll"] is None
     assert got[2]["n_bigrams"] == 0 and got[2]["ppl"] is None
     assert got[3]["n_bigrams"] == 3 and got[3]["avg_nll"] is not None
+
+
+# --------------------------------------------------------------------------
+# boilerplate removal (frequency-form segment dedup)
+# --------------------------------------------------------------------------
+
+
+def test_drop_boilerplate_removes_from_every_doc(spark):
+    # "one two three four" appears in docs 1 AND 2 -> boilerplate,
+    # dropped from BOTH (unlike segment_dedup, which keeps the first)
+    docs = _docs(
+        spark,
+        [
+            (1, "one two three four alpha beta gamma delta"),
+            (2, "one two three four epsilon zeta eta theta"),
+            (3, "iota kappa lambda mu nu xi omicron pi"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.drop_boilerplate(docs, seg_words=4, min_df=2).collect()
+    }
+    assert got[1]["clean_text"] == "alpha beta gamma delta"
+    assert got[2]["clean_text"] == "epsilon zeta eta theta"
+    assert got[3]["clean_text"] == "iota kappa lambda mu nu xi omicron pi"
+    assert got[1]["n_segments"] == 2 and got[1]["n_kept"] == 1
+
+
+def test_drop_boilerplate_pure_boilerplate_doc_survives_empty(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "same old header line"),
+            (2, "same old header line"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.drop_boilerplate(docs, seg_words=4, min_df=2).collect()
+    }
+    assert len(got) == 2
+    assert all(v["n_kept"] == 0 and v["clean_text"] == "" for v in got.values())
