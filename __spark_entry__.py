@@ -164,6 +164,10 @@ _DEFERRED: set[str] = {
                              # hash-agg mechanics evidenced by green
                              # text_chunk_documents + dedup_exact rows
                              # (deferred: headroom)
+    "text_interleave_sources",  # mixture-order scheduling; pure md5
+                             # projection evidenced by green
+                             # text_split_assign/text_mix_budget rows
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -85,6 +85,7 @@ HEADLINE = [
     "text_perplexity_bigram",
     "similarity_topk_pq",
     "dedup_boilerplate",
+    "text_interleave_sources",
 ]
 
 

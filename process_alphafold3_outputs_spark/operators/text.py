@@ -894,6 +894,60 @@ def pack_stats(
     )
 
 
+def interleave_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    seed: str = "interleave-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, source, order_key) — a deterministic GLOBAL training
+    order that interleaves sources proportionally to ``weights``
+    (the mixture-scheduling step after :func:`mix_by_budget` picks the
+    documents: a weight-2 source appears twice as often as a weight-1
+    source at every prefix of the order). Probabilistic stride
+    scheduling: each doc draws a uniform u from the seeded md5 hash and
+    sorts by ``u / weight`` — in expectation source s occupies a
+    weight_s-proportional share of every order prefix.
+
+    Scale: a PURE PROJECTION — no window, no shuffle here (the exact
+    stride form, rank-within-source / weight, needs a per-source
+    row_number: one reducer per source — a scale bug for web-sized
+    sources; the hash-uniform form is distribution-identical and free).
+    The consumer sorts/range-partitions by order_key when writing the
+    training shards. Sources absent from ``weights`` get weight 1.
+    order_key is rounded to 9 dp for cross-engine hash stability (md5
+    collisions aside, keys stay unique: 32 hex bits / weight)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = None
+    for src, wt in sorted(weights.items()):
+        cond = F.col(domain_col) == src
+        w = F.when(cond, F.lit(float(wt))) if w is None else w.when(
+            cond, F.lit(float(wt))
+        )
+    wcol = w.otherwise(F.lit(1.0)) if w is not None else F.lit(1.0)
+    return docs.select(
+        id_col,
+        F.col(domain_col).alias("source"),
+        F.round(u / wcol, 9).alias("order_key"),
+    )
+
+
 def split_col(
     val_pct: int = 10, seed: str = "split-v1", id_col: str = "doc_id"
 ) -> "F.Column":

@@ -2471,3 +2471,30 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.drop_boilerplate(
         load_table(spark, sf_dir, "documents"), seg_words=_SEG, min_df=_BP_MIN_DF
     )
+
+
+# --------------------------------------------------------------------------
+# mixture interleaving: deterministic global training order with
+# weight-proportional source shares at every prefix (probabilistic
+# stride scheduling — pure projection, no per-source window)
+# --------------------------------------------------------------------------
+_IL_SEED = "interleave-v1"
+_IL_WEIGHTS = {"src0": 4.0, "src1": 2.0}
+
+
+@register(
+    "text_interleave_sources",
+    sql=f"""
+    SELECT doc_id, source,
+           round((CAST(('0x' || substr(md5('{_IL_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0)
+                 / (CASE WHEN source = 'src0' THEN 4.0
+                         WHEN source = 'src1' THEN 2.0
+                         ELSE 1.0 END), 9) AS order_key
+    FROM documents
+    """,
+)
+def text_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.interleave_sources(
+        load_table(spark, sf_dir, "documents"), _IL_WEIGHTS, seed=_IL_SEED
+    )

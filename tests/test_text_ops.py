@@ -906,3 +906,37 @@ def test_drop_boilerplate_pure_boilerplate_doc_survives_empty(spark):
     }
     assert len(got) == 2
     assert all(v["n_kept"] == 0 and v["clean_text"] == "" for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# mixture interleaving (stride-scheduled training order)
+# --------------------------------------------------------------------------
+
+
+def test_interleave_sources_proportional_prefix(spark):
+    rows = [
+        (i, f"t{i}", "heavy" if i % 2 == 0 else "light") for i in range(400)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = text.interleave_sources(docs, {"heavy": 4.0, "light": 1.0})
+    pdf = out.toPandas().sort_values("order_key").reset_index(drop=True)
+    head = pdf.head(100)
+    frac_heavy = (head.source == "heavy").mean()
+    # weight 4:1 over equal-size pools => ~80% of the early order is the
+    # heavy source (hash-uniform draw; wide tolerance, deterministic)
+    assert frac_heavy > 0.6
+    # deterministic: identical on re-run
+    pdf2 = out.toPandas().sort_values("order_key").reset_index(drop=True)
+    assert list(pdf.doc_id) == list(pdf2.doc_id)
+
+
+def test_interleave_sources_unknown_source_weight_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "doc_id long, text string, source string"
+    )
+    out = {r.doc_id: r.order_key for r in
+           text.interleave_sources(docs, {"x": 2.0}).collect()}
+    assert 0 <= out[2] <= 1.0         # unknown source: plain uniform
+    assert 0 <= out[1] <= 0.5         # weight 2 halves the key range
