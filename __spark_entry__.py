@@ -168,6 +168,10 @@ _DEFERRED: set[str] = {
                              # projection evidenced by green
                              # text_split_assign/text_mix_budget rows
                              # (deferred: headroom)
+    "text_dedup_within_doc", # intra-doc repetition fold; segment +
+                             # array mechanics evidenced by green
+                             # text_chunk_documents/text_repetition rows
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

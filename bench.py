@@ -86,6 +86,7 @@ HEADLINE = [
     "similarity_topk_pq",
     "dedup_boilerplate",
     "text_interleave_sources",
+    "text_dedup_within_doc",
 ]
 
 

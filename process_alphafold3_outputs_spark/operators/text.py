@@ -894,6 +894,46 @@ def pack_stats(
     )
 
 
+def dedup_within_doc(
+    docs: DataFrame, seg_words: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_segments, n_kept, clean_text) — remove INTRA-document
+    repetition: non-overlapping ``seg_words``-word segments of one
+    document dedup against each other, keeping the FIRST occurrence in
+    order (the "page glued together its own paragraphs twice" cleanup;
+    cross-document frequency is :func:`~.dedup.drop_boilerplate`'s
+    job, global first-occurrence :func:`~.dedup.segment_dedup`'s).
+
+    Scale shape: a PURE PROJECTION — the whole dedup is one array fold
+    per row (ordered-distinct accumulator), no explode, no shuffle, no
+    state beyond the row. Segment boundaries match the segment_dedup /
+    chunker convention (last partial window included)."""
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
+    n = F.size("_toks")
+    nseg = F.ceil(n / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1),
+        lambda i: F.array_join(
+            F.slice("_toks", i * seg_words + 1, seg_words), " "
+        ),
+    )
+    kept = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(F.array_contains(acc, s), acc).otherwise(
+            F.concat(acc, F.array(s))
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size(segs).cast("long").alias("n_segments"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def interleave_sources(
     docs: DataFrame,
     weights: dict[str, float],

@@ -2498,3 +2498,44 @@ def text_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.interleave_sources(
         load_table(spark, sf_dir, "documents"), _IL_WEIGHTS, seed=_IL_SEED
     )
+
+
+# --------------------------------------------------------------------------
+# intra-document repetition removal (ordered-distinct array fold; the
+# within-doc complement of dedup_paragraphs / dedup_boilerplate)
+# --------------------------------------------------------------------------
+@register(
+    "text_dedup_within_doc",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w, len(string_split(t, ' ')) AS n
+              FROM norm),
+    starts AS (
+        SELECT doc_id, w, n, CAST(s.s AS INT) AS start
+        FROM words,
+             unnest(generate_series(
+                 0,
+                 greatest(CAST(ceil((n - {_SEG}) / {_SEG}.0) AS INT), 0) * {_SEG},
+                 {_SEG})) s(s)),
+    segs AS (
+        SELECT doc_id, CAST(start // {_SEG} AS INT) AS chunk_id,
+               array_to_string(w[start + 1 : start + {_SEG}], ' ') AS chunk_text
+        FROM starts),
+    ranked AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               row_number() OVER (PARTITION BY doc_id, chunk_text
+                                  ORDER BY chunk_id) AS rn
+        FROM segs)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                               ORDER BY chunk_id), '') AS clean_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def text_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dedup_within_doc(
+        load_table(spark, sf_dir, "documents"), seg_words=_SEG
+    )

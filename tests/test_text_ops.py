@@ -940,3 +940,39 @@ def test_interleave_sources_unknown_source_weight_one(spark):
            text.interleave_sources(docs, {"x": 2.0}).collect()}
     assert 0 <= out[2] <= 1.0         # unknown source: plain uniform
     assert 0 <= out[1] <= 0.5         # weight 2 halves the key range
+
+
+# --------------------------------------------------------------------------
+# intra-document repetition removal (pure array fold)
+# --------------------------------------------------------------------------
+
+
+def test_dedup_within_doc_keeps_first_occurrence(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb cc dd aa bb cc dd ee ff gg hh"),  # seg repeated
+            (2, "one two three four five six seven eight"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.dedup_within_doc(docs, seg_words=4).collect()
+    }
+    assert got[1]["n_segments"] == 3 and got[1]["n_kept"] == 2
+    assert got[1]["clean_text"] == "aa bb cc dd ee ff gg hh"
+    assert got[2]["n_kept"] == 2
+    assert got[2]["clean_text"] == "one two three four five six seven eight"
+
+
+def test_dedup_within_doc_is_narrow_plan(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    plan = (
+        text.dedup_within_doc(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # spread() repartitions once in local mode (REPARTITION_BY_NUM);
+    # the dedup itself must add NO further Exchange — the fold is a
+    # pure projection
+    assert plan.count("Exchange") <= 1
+    assert "REPARTITION_BY_NUM" in plan or "Exchange" not in plan
