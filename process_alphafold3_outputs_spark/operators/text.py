@@ -280,35 +280,14 @@ def tfidf_top_terms(
     )
 
 
-def bigram_lm_scores(
-    docs: DataFrame, alpha: float = 0.5, text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, n_bigrams, avg_nll, ppl) — per-document average
-    negative log-likelihood (natural log) and perplexity under an
-    add-alpha-smoothed bigram language model trained on the corpus
-    ITSELF — the KenLM-style fluency signal curation pipelines use to
-    rank documents (high perplexity ⇒ ungrammatical / boilerplate /
-    wrong-language text). ``p(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V)``
-    with V = distinct continuation vocabulary.
-
-    Scale shape: ONE corpus-sized explode into (doc, pos, w1, w2)
-    occurrence rows; the model tables (bigram counts, context counts)
-    are vocabulary-sized aggregates of that same explode — Heaps' law
-    keeps them ≪ corpus — and context counts derive from bigram counts
-    (model-sized input, never a second corpus pass). The only
-    corpus-sized join is occurrences ⨝ model on (w1, w2) — a far
-    better-distributed key than w1 alone (hot contexts like 'the'
-    spread across their continuations); AQE handles residual skew. At
-    100 TB prune the model to top-M bigrams with a backoff floor so it
-    broadcasts. The per-doc mean folds in position order
-    (sort_array(struct(pos, nll))), so the DuckDB oracle
-    (``sum(nll ORDER BY i)``) reproduces every double bit-for-bit.
-    Documents with < 2 tokens carry n_bigrams = 0 and NULL scores."""
+def _doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, i, w1, w2) — positional bigram occurrences of the
+    normalized text (docs with < 2 tokens contribute no rows)."""
     d = normalized(spread(docs, "doc_id"), text_col).withColumn(
         "_toks", F.split("_norm", " ")
     )
     n = F.size("_toks")
-    bg = (
+    return (
         d.filter(n >= 2)
         .select(
             "doc_id",
@@ -322,18 +301,56 @@ def bigram_lm_scores(
         )
         .select("doc_id", "i", "_p.w1", "_p.w2")
     )
+
+
+def bigram_lm_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, n12, n1, vv) — the trained bigram model: bigram counts,
+    context counts (DERIVED from the bigram counts — model-sized input,
+    never a second corpus pass) and the continuation-vocabulary size on
+    every row. Vocabulary-sized by Heaps' law; persist it as a parquet
+    table and score later shipments/streams against it
+    (:func:`score_with_bigram_model`, `streaming.watch_documents_scored`).
+    At 100 TB prune to top-M bigrams with a backoff floor so it
+    broadcasts."""
+    bg = _doc_bigrams(docs, text_col)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    vocab = bg.agg(F.count_distinct("w2").alias("_v"))
-    model = c2.join(c1, "w1")
+    vocab = bg.agg(F.count_distinct("w2").alias("vv"))
+    return c2.join(c1, "w1").crossJoin(F.broadcast(vocab)).select(
+        "w1", "w2", "n12", "n1", "vv"
+    )
+
+
+def score_with_bigram_model(
+    docs: DataFrame,
+    model: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll, ppl) — score documents against a
+    (possibly previously-trained) bigram model.
+    ``p(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V)``; bigrams absent from the
+    model take the α-floor (c=0 ⇒ p = 1/V — the left join + coalesce;
+    a no-op when the model was trained on these very docs). The only
+    corpus-sized join keys on (w1, w2) — far better distributed than
+    w1 alone (hot contexts spread across their continuations). The
+    per-doc mean folds in position order
+    (sort_array(struct(pos, nll))) so the DuckDB oracle
+    (``sum(nll ORDER BY i)``) reproduces every double bit-for-bit.
+    Documents with < 2 tokens carry n_bigrams = 0 and NULL scores."""
+    bg = _doc_bigrams(docs, text_col)
+    vocab = model.agg(F.max("vv").alias("_v"))
     scored = (
-        bg.join(model, ["w1", "w2"])
+        bg.join(model.select("w1", "w2", "n12", "n1"), ["w1", "w2"], "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "nll",
             -F.log(
-                (F.col("n12") + F.lit(alpha))
-                / (F.col("n1") + F.lit(alpha) * F.col("_v"))
+                (F.coalesce("n12", F.lit(0).cast("long")) + F.lit(alpha))
+                / (
+                    F.coalesce("n1", F.lit(0).cast("long"))
+                    + F.lit(alpha) * F.col("_v")
+                )
             ),
         )
     )
@@ -357,6 +374,23 @@ def bigram_lm_scores(
             F.round(F.col("_sum") / F.col("n_bigrams"), 6).alias("avg_nll"),
             F.round(F.exp(F.col("_sum") / F.col("n_bigrams")), 4).alias("ppl"),
         )
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, alpha: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll, ppl) — per-document average
+    negative log-likelihood (natural log) and perplexity under an
+    add-alpha-smoothed bigram model trained on the corpus ITSELF — the
+    KenLM-style fluency signal curation pipelines use to rank
+    documents (high perplexity ⇒ ungrammatical / boilerplate /
+    wrong-language text). Composition of :func:`bigram_lm_model` and
+    :func:`score_with_bigram_model` on the same corpus: ONE
+    corpus-sized explode feeds both the vocabulary-sized model tables
+    and the scoring join."""
+    return score_with_bigram_model(
+        docs, bigram_lm_model(docs, text_col), alpha, text_col
     )
 
 

@@ -272,3 +272,49 @@ def watch_documents_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_documents_scored(
+    spark: SparkSession,
+    inbox_dir: str,
+    model_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    alpha: float = 0.5,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming fluency scoring: score each micro-batch of incoming
+    documents against a BATCH-TRAINED bigram model
+    (``text.bigram_lm_model`` written to ``model_path``) and append
+    (doc_id, n_bigrams, avg_nll, ppl, epoch_id) to ``out_path``.
+
+    Train-batch / score-stream is the operational shape: the model is a
+    static vocabulary-sized table (read once per micro-batch, broadcast
+    into the scoring join); scoring is per-document with no cross-doc
+    state, so a stream scored in N micro-batches equals the batch
+    scoring of the union — pinned by the parity test. Bigrams unseen by
+    the model take the alpha-floor (p = 1/V), which is exactly where a
+    drifted shipment shows up as rising perplexity. Returns the
+    StreamingQuery."""
+    from ..operators.text import score_with_bigram_model
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        model = batch_df.sparkSession.read.parquet(model_path)
+        scored = score_with_bigram_model(batch_df, model, alpha=alpha)
+        scored.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -508,3 +508,60 @@ def test_watch_documents_dedup_across_epochs(spark, tmp_path):
 
     # the rolled-forward hash table holds all three distinct texts
     assert spark.read.parquet(hashes).count() == 3
+
+
+def test_watch_documents_scored_matches_batch(spark, tmp_path):
+    """Stream-scored fluency equals batch scoring with the same
+    pretrained model (scoring is per-doc with a static model — no
+    cross-doc state), and unseen bigrams take the alpha-floor rather
+    than being dropped."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        bigram_lm_model,
+        score_with_bigram_model,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_documents_scored,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    train = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat", "en", "s", 22),
+            (101, "the dog sat on the rug", "en", "s", 22),
+        ],
+        schema,
+    )
+    model_path = str(tmp_path / "model")
+    bigram_lm_model(train).write.parquet(model_path)
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt")
+    rows0 = [(1, "the cat sat on the rug", "en", "s", 22)]
+    rows1 = [(2, "quantum flux capacitors hum loudly", "en", "s", 34),
+             (3, "solo", "en", "s", 4)]
+    spark.createDataFrame(rows0, schema).coalesce(1).write.mode("append").parquet(inbox)
+    q = watch_documents_scored(spark, inbox, model_path, out, ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in spark.read.parquet(out).collect()
+    }
+    model = spark.read.parquet(model_path)
+    batch = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in score_with_bigram_model(
+            spark.createDataFrame(rows0 + rows1, schema), model
+        ).collect()
+    }
+    assert streamed == batch
+    # unseen-heavy doc 2 scores strictly worse (alpha-floor) than the
+    # in-distribution doc 1; short doc 3 carries the 0/NULL contract
+    assert streamed[2][1] > streamed[1][1]
+    assert streamed[3] == (0, None, None)
