@@ -172,6 +172,10 @@ _DEFERRED: set[str] = {
                              # array mechanics evidenced by green
                              # text_chunk_documents/text_repetition rows
                              # (deferred: headroom)
+    "file_sink_documents_jsonl",  # JSONL write+read round trip;
+                             # file-boundary mechanics evidenced by the
+                             # five green file_sink_* rows (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

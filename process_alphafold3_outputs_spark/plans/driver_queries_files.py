@@ -451,3 +451,28 @@ def file_sink_pae_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("aligned_token").cast("int").alias("aligned_token"),
         F.round(F.col("pae").cast("double"), 2).alias("pae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus interchange: documents written as JSON-lines shards and
+# re-read through an explicit schema — the lingua-franca drop format of
+# public corpora (Dolma/RedPajama/C4 all ship JSONL). The oracle is the
+# identity over the parquet source, so any write- or read-side mangling
+# (escaping, encoding, type coercion, dropped nulls) breaks the hash.
+# ---------------------------------------------------------------------------
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@register(
+    "file_sink_documents_jsonl",
+    sql="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def file_sink_documents_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = os.path.join(
+        OUT_DIR, "documents_jsonl", os.path.basename(os.path.normpath(sf_dir))
+    )
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(_DOCS_SCHEMA).json(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
