@@ -176,6 +176,10 @@ _DEFERRED: set[str] = {
                              # file-boundary mechanics evidenced by the
                              # five green file_sink_* rows (deferred:
                              # headroom)
+    "sketch_cms_term_counts",  # table-form CMS heavy hitters; hash-agg
+                             # + broadcast mechanics evidenced by green
+                             # dedup_decontaminate_bloom row (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

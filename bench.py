@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_boilerplate",
     "text_interleave_sources",
     "text_dedup_within_doc",
+    "sketch_cms_term_counts",
 ]
 
 

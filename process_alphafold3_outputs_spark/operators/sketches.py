@@ -76,3 +76,102 @@ def approx_percentiles_by(
         for p in percentiles
     ]
     return df.groupBy(group_col).agg(*cols)
+
+
+# --------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005) — hand-rolled as a
+# (d × w) count table so it IS a DataFrame: mergeable by cell-wise sum,
+# md5-derived row hashes reproducible in ANSI SQL (unlike the opaque
+# binary sketches above, this family carries a full DuckDB oracle).
+# --------------------------------------------------------------------------
+
+
+def _cms_bucket(j, value, w: int, seed: str):
+    """Row-j bucket of ``value``: top-60-bit md5 of 'seed-j:value' mod w
+    — the same hash shape as the Bloom bitmap (bit-reproducible in
+    DuckDB)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + "-"),
+                        j.cast("string"),
+                        F.lit(":"),
+                        value,
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    w: int = 256,
+    d: int = 4,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """(j, bucket, cnt) — a count-min sketch of ``value_col`` as a
+    table of at most d·w cells (fixed size regardless of corpus or
+    vocabulary). Each occurrence increments one bucket per hash row;
+    estimates read the MIN across rows (always an OVERestimate —
+    collisions only add).
+
+    Scale shape: the explode multiplies rows ×d, but the aggregation
+    keys on (j, bucket) with ≤ d·w groups — map-side combine collapses
+    each partition to sketch size before the shuffle, so shuffle bytes
+    are O(partitions · d·w), independent of data volume. Sketches from
+    different shipments MERGE by cell-wise sum (:func:`merge_cms`) —
+    profile rollups never rescan history."""
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+        F.col(value_col).cast("string").alias("_v"),
+    )
+    return (
+        rows.select(
+            "j", _cms_bucket(F.col("j"), F.col("_v"), w, seed).alias("bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_cms(*tables: DataFrame) -> DataFrame:
+    """Cell-wise sum of CMS tables built with the SAME (w, d, seed) —
+    exactly the sketch of the concatenated inputs (pinned by pytest)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    w: int = 256,
+    d: int = 4,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """(item, est_cnt) — CMS frequency estimate for each row of
+    ``items``: min over the d hash rows of the item's cell (absent
+    cells count 0). The sketch side is at most d·w rows — broadcast;
+    the probe side explodes ×d only."""
+    probes = items.select(
+        F.col(value_col).cast("string").alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+    ).withColumn(
+        "bucket", _cms_bucket(F.col("j"), F.col("item"), w, seed)
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0).cast("long"))).alias("est_cnt"))
+    )

@@ -2539,3 +2539,58 @@ def text_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dedup_within_doc(
         load_table(spark, sf_dir, "documents"), seg_words=_SEG
     )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch heavy hitters: estimate the exact top-10 terms'
+# frequencies from a fixed d x w count table; min-over-rows estimate is
+# a guaranteed overestimate. Unlike the HLL/KLL binary sketches (no
+# cross-engine oracle), this table-form CMS is fully SQL-restatable.
+# --------------------------------------------------------------------------
+_CMS_W, _CMS_D, _CMS_SEED, _CMS_TOPK = 256, 4, "cms-v1", 10
+
+
+@register(
+    "sketch_cms_term_counts",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT unnest(string_split(t, ' ')) AS term FROM norm),
+    truec AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM toks GROUP BY term),
+    top AS (SELECT term, true_cnt FROM (
+                SELECT *, row_number() OVER (ORDER BY true_cnt DESC, term) AS rk
+                FROM truec)
+            WHERE rk <= {_CMS_TOPK}),
+    seeds AS (SELECT CAST(unnest(generate_series(0, {_CMS_D - 1})) AS INT) AS j),
+    cms AS (SELECT j,
+                   CAST(('0x' || substr(md5('{_CMS_SEED}-' || CAST(j AS VARCHAR) || ':' || term), 1, 15))
+                        AS BIGINT) % {_CMS_W} AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM toks, seeds GROUP BY 1, 2),
+    probes AS (SELECT t.term, t.true_cnt, s.j,
+                      CAST(('0x' || substr(md5('{_CMS_SEED}-' || CAST(s.j AS VARCHAR) || ':' || t.term), 1, 15))
+                           AS BIGINT) % {_CMS_W} AS bucket
+               FROM top t, seeds s)
+    SELECT p.term AS item, p.true_cnt,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+    FROM probes p LEFT JOIN cms c USING (j, bucket)
+    GROUP BY p.term, p.true_cnt
+    """,
+)
+def sketch_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+    from ..operators.dedup import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = normalized(docs).select(
+        F.explode(F.split("_norm", " ")).alias("term")
+    )
+    truec = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = truec.orderBy(F.col("true_cnt").desc(), "term").limit(_CMS_TOPK)
+    cms = sketches.cms_table(toks, "term", w=_CMS_W, d=_CMS_D, seed=_CMS_SEED)
+    est = sketches.cms_estimate(
+        cms, top.select("term"), "term", w=_CMS_W, d=_CMS_D, seed=_CMS_SEED
+    )
+    return est.join(F.broadcast(top), est.item == top.term).select(
+        "item", "true_cnt", "est_cnt"
+    )

@@ -783,3 +783,41 @@ def test_pq_recall_measured_and_bounded(spark, sf_dir):
     }
     assert len(vals) == 5
     assert all(0 <= v <= 1 for v in vals.values())
+
+
+# --------------------------------------------------------------------------
+# count-min sketch (table form)
+# --------------------------------------------------------------------------
+
+
+def test_cms_overestimates_and_merges_exactly(spark):
+    from process_alphafold3_outputs_spark.operators import sketches
+
+    rows = [(i, ["apple", "banana", "cherry", "apple", "apple"][i % 5])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, term string")
+    w, d, seed = 64, 3, "t-cms"
+    cms = sketches.cms_table(df, "term", w=w, d=d, seed=seed)
+    true = {r.term: r.cnt for r in
+            df.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    items = df.select("term").distinct()
+    est = {r.item: r.est_cnt for r in
+           sketches.cms_estimate(cms, items, "term", w=w, d=d, seed=seed).collect()}
+    assert set(est) == set(true)
+    assert all(est[t] >= c for t, c in true.items())  # never underestimates
+
+    # mergeability: sketch(first half) (+) sketch(second half) == sketch(all)
+    a = df.filter(F.col("id") < 100)
+    b = df.filter(F.col("id") >= 100)
+    merged = sketches.merge_cms(
+        sketches.cms_table(a, "term", w=w, d=d, seed=seed),
+        sketches.cms_table(b, "term", w=w, d=d, seed=seed),
+    )
+    whole = {(r.j, r.bucket): r.cnt for r in cms.collect()}
+    got = {(r.j, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
+
+    # an item never inserted estimates 0 unless every row collides
+    absent = spark.createDataFrame([("zzz-not-there",)], "term string")
+    e = sketches.cms_estimate(cms, absent, "term", w=w, d=d, seed=seed).collect()[0]
+    assert e.est_cnt <= max(true.values())  # bounded by a real cell
