@@ -713,6 +713,11 @@ def test_operators_handle_empty_corpus(spark):
         lambda: text.keep_top_fraction(
             spark.createDataFrame([], "doc_id long, clf_score double"), 0.2
         ),
+        lambda: dedup.drop_boilerplate(empty),
+        lambda: text.dedup_within_doc(empty),
+        lambda: text.interleave_sources(empty, {"src0": 2.0}),
+        lambda: text.bigram_lm_scores(empty),
+        lambda: text.bigram_lm_model(empty),
     ]
     for i, op in enumerate(ops):
         assert op().count() == 0, f"op #{i} returned rows on empty input"
@@ -728,6 +733,8 @@ def test_empty_embeddings_similarity(spark):
     )
     assert similarity.topk_bruteforce(empty, F.col("vec_id") < 5, k=3).count() == 0
     assert similarity.topk_lsh_multiprobe(empty, F.col("vec_id") < 5, k=3).count() == 0
+    assert similarity.topk_pq(empty, F.col("vec_id") < 5, k=3).count() == 0
+    assert dedup.semantic_dedup(empty, k=2, iters=1).count() == 0
 
 
 # --------------------------------------------------------------------------
