@@ -180,6 +180,9 @@ _DEFERRED: set[str] = {
                              # + broadcast mechanics evidenced by green
                              # dedup_decontaminate_bloom row (deferred:
                              # headroom)
+    "similarity_recall_pq",  # PQ quality signal; LSH twin
+                             # (similarity_recall) is driver-visible
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -88,6 +88,7 @@ HEADLINE = [
     "text_interleave_sources",
     "text_dedup_within_doc",
     "sketch_cms_term_counts",
+    "similarity_recall_pq",
 ]
 
 

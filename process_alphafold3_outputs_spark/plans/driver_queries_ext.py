@@ -2594,3 +2594,36 @@ def sketch_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(top), est.item == top.term).select(
         "item", "true_cnt", "est_cnt"
     )
+
+
+# --------------------------------------------------------------------------
+# PQ recall row — every approximate family carries a quality signal
+# (LSH: similarity_recall, IVF: similarity_recall_ivf, PQ: here); both
+# subqueries are the oracle texts of their own green rows.
+# --------------------------------------------------------------------------
+def _register_similarity_recall_pq() -> None:
+    exact_sql = _ORACLE["similarity_topk"]
+    approx_sql = _ORACLE["similarity_topk_pq"]
+    register(
+        "similarity_recall_pq",
+        sql=f"""
+        SELECT e.query_id,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               round(count(a.neighbor_id) / {_TOPK_K}, 4) AS recall
+        FROM ({exact_sql}) e
+        LEFT JOIN ({approx_sql}) a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        """,
+    )(_similarity_recall_pq)
+
+
+def _similarity_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the PQ/ADC path vs the exact top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.recall_vs_bruteforce(
+        emb, F.col("vec_id") < _N_QUERIES, k=_TOPK_K, method="pq"
+    )
+
+
+_register_similarity_recall_pq()
