@@ -183,6 +183,9 @@ _DEFERRED: set[str] = {
     "similarity_recall_pq",  # PQ quality signal; LSH twin
                              # (similarity_recall) is driver-visible
                              # (deferred: headroom)
+    "pipeline_split_leakage",  # eval-hygiene composition of green
+                             # dedup_jaccard + text_split_assign rows
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

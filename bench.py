@@ -89,6 +89,7 @@ HEADLINE = [
     "text_dedup_within_doc",
     "sketch_cms_term_counts",
     "similarity_recall_pq",
+    "pipeline_split_leakage",
 ]
 
 

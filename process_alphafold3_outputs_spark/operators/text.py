@@ -1119,3 +1119,37 @@ def classifier_score(
         F.round(score, 6).alias("clf_score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    val_pct: int = 10,
+    seed: str = "split-v1",
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard, split_a, split_b, leaks) — eval-hygiene
+    check: near-duplicate pairs whose members land on OPPOSITE sides of
+    the train/val split (``leaks`` = 1) silently inflate validation
+    scores — the val doc is a paraphrase of something trained on. Run
+    this after any split; a nonzero leak count means dedup must run
+    BEFORE splitting (or the split must move to cluster granularity).
+
+    Scale shape: the split is a PURE COLUMN over each pair endpoint
+    (the same md5 arithmetic as :func:`split_assign` applied to doc_a /
+    doc_b in place) — no join against a (doc_id, split) table, so this
+    costs exactly one :func:`~.dedup.jaccard_pairs` run plus a
+    projection."""
+    from .dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(docs, threshold=jaccard_threshold, text_col=text_col)
+    sa = split_col(val_pct, seed, "doc_a")
+    sb = split_col(val_pct, seed, "doc_b")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        sa.alias("split_a"),
+        sb.alias("split_b"),
+        (sa != sb).cast("int").alias("leaks"),
+    )

@@ -2627,3 +2627,42 @@ def _similarity_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_similarity_recall_pq()
+
+
+# --------------------------------------------------------------------------
+# split-leakage report: near-dup pairs straddling the train/val split
+# (eval hygiene — a val doc that paraphrases a train doc inflates
+# validation scores). Composes the dedup_jaccard oracle with the
+# split-hash CASE applied to each pair endpoint.
+# --------------------------------------------------------------------------
+def _register_split_leakage() -> None:
+    pairs_sql = _ORACLE["dedup_jaccard"]
+    split_case = (
+        "CASE WHEN CAST(('0x' || substr(md5('split-v1:' || CAST({c} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 100 < 10 THEN 'val' ELSE 'train' END"
+    )
+    register(
+        "pipeline_split_leakage",
+        sql=f"""
+        SELECT doc_a, doc_b, jaccard,
+               {split_case.format(c="doc_a")} AS split_a,
+               {split_case.format(c="doc_b")} AS split_b,
+               CAST({split_case.format(c="doc_a")}
+                    <> {split_case.format(c="doc_b")} AS INT) AS leaks
+        FROM ({pairs_sql})
+        """,
+    )(_pipeline_split_leakage)
+
+
+def _pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs crossing the train/val boundary; the split is a
+    pure column over each endpoint — no (doc_id, split) join."""
+    return text.split_leakage_report(
+        load_table(spark, sf_dir, "documents"),
+        val_pct=10,
+        seed="split-v1",
+        jaccard_threshold=0.5,
+    )
+
+
+_register_split_leakage()

@@ -976,3 +976,25 @@ def test_dedup_within_doc_is_narrow_plan(spark):
     # pure projection
     assert plan.count("Exchange") <= 1
     assert "REPARTITION_BY_NUM" in plan or "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# split-leakage report (eval hygiene)
+# --------------------------------------------------------------------------
+
+
+def test_split_leakage_flags_cross_split_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a slow tune and the crowd watches in silence")
+    near = base.replace("slow", "fast")
+    rows = [(i, base if i % 2 == 0 else near) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = text.split_leakage_report(docs, val_pct=30, jaccard_threshold=0.5)
+    pdf = rep.toPandas()
+    assert len(pdf) > 0
+    # every pair's leak flag equals the endpoint-split comparison
+    assert ((pdf.split_a != pdf.split_b) == (pdf.leaks == 1)).all()
+    # with 40 heavy near-dups and a 30% split, some pair must straddle
+    assert pdf.leaks.sum() > 0
+    # and the split columns carry only the two legal values
+    assert set(pdf.split_a) | set(pdf.split_b) <= {"train", "val"}
