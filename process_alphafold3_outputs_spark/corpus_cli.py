@@ -19,6 +19,8 @@ line to stdout):
                  cosine pruning)
   perplexity     corpus-self-trained bigram-LM fluency scores
                  (text.bigram_lm_scores)
+  interleave     weight-proportional training order written as ordered
+                 shards (text.interleave_sources + layout.write_ordered_shards)
   classify       hashing-trick linear quality scoring (text.classifier_score)
   mix            per-source token-budget mixture draw (text.mix_by_budget)
   dedup-incremental  shipment-over-history exact dedup (needs --hashes; also
@@ -124,6 +126,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--alpha", type=float, default=0.5)
 
+    sp = sub.add_parser("interleave")
+    common(sp)
+    sp.add_argument(
+        "--weight", action="append", default=[], metavar="SOURCE=W",
+        help="repeatable per-source weight, e.g. --weight web=4 (default 1)",
+    )
+    sp.add_argument("--shards", type=int, default=32)
+
     sp = sub.add_parser("classify")
     common(sp)
     sp.add_argument("--dim", type=int, default=64)
@@ -193,6 +203,12 @@ def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         return kept
     if args.command == "perplexity":
         return text.bigram_lm_scores(docs, alpha=args.alpha)
+    if args.command == "interleave":
+        weights = {}
+        for spec in args.weight:
+            src, _, wt = spec.partition("=")
+            weights[src] = float(wt)
+        return text.interleave_sources(docs, weights)
     if args.command == "stats":
         return text.corpus_stats(docs)
     if args.command == "quality":
@@ -264,7 +280,16 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
     spark = spark or get_spark("corpus-cli")
     try:
         out = _result(args, spark)
-        out.write.mode("overwrite").parquet(args.out)
+        if args.command == "interleave":
+            # ordered-shard write: range partitioning + within-shard sort
+            # (a plain write would lose the curriculum order)
+            from .sources.layout import write_ordered_shards
+
+            write_ordered_shards(
+                out, args.out, "order_key", n_shards=args.shards
+            )
+        else:
+            out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         return {"command": args.command, "rows": n, "out": args.out}
     finally:

@@ -154,3 +154,30 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").option("compression", codec).parquet(dst)
     return n_files
+
+
+def write_ordered_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    n_shards: int = 32,
+    codec: str = "zstd",
+) -> None:
+    """Write ``df`` as training shards that, read in file order, stream
+    rows in ``order_col`` order — the materialization step after a
+    mixture-interleave (:func:`~..operators.text.interleave_sources`
+    emits the order key; this writes the curriculum).
+
+    ``repartitionByRange`` SAMPLES the key to pick shard boundaries —
+    no global single-partition sort ever happens (the classic scale
+    trap of ``orderBy().write``); ``sortWithinPartitions`` then orders
+    each shard locally. Global order holds across shard boundaries
+    because range partitions are disjoint and monotone by partition id
+    (pinned by the layout pytest reading the files back)."""
+    (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .option("compression", codec)
+        .parquet(path)
+    )

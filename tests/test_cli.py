@@ -354,3 +354,27 @@ def test_corpus_cli_semdedup_and_perplexity(spark, tmp_path):
     got = spark.read.parquet(out)
     assert res["rows"] == spark.read.parquet(docs_path).count()
     assert set(got.columns) == {"doc_id", "n_bigrams", "avg_nll", "ppl"}
+
+
+def test_corpus_cli_interleave_writes_ordered_shards(spark, tmp_path):
+    import glob as _glob
+
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "interleaved")
+    args = corpus_cli.build_parser().parse_args(
+        ["interleave", "--documents", f"{sf}/documents.parquet", "--out", out,
+         "--weight", "src0=4", "--shards", "4"]
+    )
+    res = corpus_cli.run(args, spark)
+    assert res["rows"] == spark.read.parquet(f"{sf}/documents.parquet").count()
+    files = sorted(_glob.glob(out + "/part-*.parquet"))
+    ranges = []
+    for f in files:
+        vals = [r.order_key for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals)
+        if vals:
+            ranges.append((min(vals), max(vals)))
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

@@ -298,3 +298,37 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     # content identical
     a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert a == list(range(10_000))
+
+
+def test_write_ordered_shards_global_order_across_files(spark, tmp_path):
+    """Shards read in file order must stream rows in order-key order:
+    per-file ranges are disjoint AND each file is internally sorted —
+    without any global single-partition sort in the plan."""
+    import glob as _glob
+
+    from process_alphafold3_outputs_spark.operators import text as _text
+    from process_alphafold3_outputs_spark.sources.layout import (
+        write_ordered_shards,
+    )
+
+    rows = [(i, f"doc {i}", "a" if i % 2 == 0 else "b") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ordered = _text.interleave_sources(docs, {"a": 3.0, "b": 1.0})
+    out = str(tmp_path / "shards")
+    write_ordered_shards(ordered, out, "order_key", n_shards=8)
+
+    files = sorted(_glob.glob(out + "/part-*.parquet"))
+    assert len(files) > 1
+    ranges = []
+    total = 0
+    for f in files:
+        vals = [r.order_key for r in spark.read.parquet(f).collect()]
+        total += len(vals)
+        if not vals:
+            continue
+        assert vals == sorted(vals), f"file {f} not internally sorted"
+        ranges.append((min(vals), max(vals)))
+    assert total == 500
+    # part file name order == partition id order == disjoint ascending ranges
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "shard ranges overlap"
