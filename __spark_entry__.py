@@ -186,6 +186,9 @@ _DEFERRED: set[str] = {
     "pipeline_split_leakage",  # eval-hygiene composition of green
                              # dedup_jaccard + text_split_assign rows
                              # (deferred: headroom)
+    "text_vocab_drift",      # snapshot KL/JS drift; explode/agg/fold
+                             # mechanics evidenced by green text_* rows
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -90,6 +90,7 @@ HEADLINE = [
     "sketch_cms_term_counts",
     "similarity_recall_pq",
     "pipeline_split_leakage",
+    "text_vocab_drift",
 ]
 
 

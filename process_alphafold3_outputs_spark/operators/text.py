@@ -1153,3 +1153,76 @@ def split_leakage_report(
         sb.alias("split_b"),
         (sa != sb).cast("int").alias("leaks"),
     )
+
+
+def vocab_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row: (n_tokens_a, n_tokens_b, n_terms_union, kl_ab, js) —
+    unigram-distribution drift between two corpus snapshots (the
+    shipment-QA gate: a jump in JS divergence between last month's and
+    this month's drop means the source changed under you — scraper
+    broke, language mix shifted, spam flood). Add-alpha smoothing over
+    the UNION vocabulary keeps both KL terms finite;
+    ``js = 0.5·KL(P‖M) + 0.5·KL(Q‖M)`` with M the midpoint — symmetric
+    and bounded by ln 2.
+
+    Scale shape: each side is one corpus-sized explode collapsing to a
+    vocabulary-sized count table (map-side combine); the outer join and
+    final fold are vocabulary-sized — ≪ corpus by Heaps' law. The
+    per-term contributions fold in TERM order (one vocabulary-sized
+    ordered reduction — the price of a bit-exact cross-engine result)."""
+    def counts(d: DataFrame) -> DataFrame:
+        return (
+            normalized(spread(d, "doc_id"), text_col)
+            .select(F.explode(F.split("_norm", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ca = counts(docs_a).withColumnRenamed("cnt", "ca")
+    cb = counts(docs_b).withColumnRenamed("cnt", "cb")
+    j = ca.join(cb, "term", "outer").select(
+        "term",
+        F.coalesce("ca", F.lit(0).cast("long")).alias("ca"),
+        F.coalesce("cb", F.lit(0).cast("long")).alias("cb"),
+    )
+    tot = j.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    terms = j.crossJoin(F.broadcast(tot))
+    p = (F.col("ca") + F.lit(alpha)) / (F.col("ta") + F.lit(alpha) * F.col("v"))
+    q = (F.col("cb") + F.lit(alpha)) / (F.col("tb") + F.lit(alpha) * F.col("v"))
+    m = (p + q) / 2
+    contrib = terms.select(
+        "term",
+        "ta",
+        "tb",
+        "v",
+        (p * F.log(p / q)).alias("kl_t"),
+        (p / 2 * F.log(p / m) + q / 2 * F.log(q / m)).alias("js_t"),
+    )
+    def ordered_sum(col: str):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", F.col(col)))),
+                lambda s: s[col],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return contrib.groupBy("ta", "tb", "v").agg(
+        ordered_sum("kl_t").alias("_kl"), ordered_sum("js_t").alias("_js")
+    ).select(
+        F.col("ta").alias("n_tokens_a"),
+        F.col("tb").alias("n_tokens_b"),
+        F.col("v").alias("n_terms_union"),
+        F.round("_kl", 6).alias("kl_ab"),
+        F.round("_js", 6).alias("js"),
+    )

@@ -2666,3 +2666,45 @@ def _pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_split_leakage()
+
+
+# --------------------------------------------------------------------------
+# vocabulary drift between two corpus snapshots (KL + Jensen-Shannon
+# over add-alpha-smoothed unigram distributions; snapshot split =
+# doc_id parity). One vocabulary-sized term-ordered reduction.
+# --------------------------------------------------------------------------
+_VD_A = 0.5
+
+
+@register(
+    "text_vocab_drift",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    ca AS (SELECT term, CAST(count(*) AS BIGINT) AS ca FROM (
+               SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm)
+           WHERE doc_id % 2 = 0 GROUP BY term),
+    cb AS (SELECT term, CAST(count(*) AS BIGINT) AS cb FROM (
+               SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm)
+           WHERE doc_id % 2 = 1 GROUP BY term),
+    j AS (SELECT term, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb USING (term)),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+                   CAST(count(*) AS BIGINT) AS v FROM j),
+    pq AS (SELECT term, ta, tb, v,
+                  (ca + {_VD_A}) / (ta + {_VD_A} * v) AS p,
+                  (cb + {_VD_A}) / (tb + {_VD_A} * v) AS q
+           FROM j, tot),
+    c AS (SELECT term, ta, tb, v, p, q, (p + q) / 2 AS m FROM pq)
+    SELECT ta AS n_tokens_a, tb AS n_tokens_b, v AS n_terms_union,
+           round(sum(p * ln(p / q) ORDER BY term), 6) AS kl_ab,
+           round(sum(p / 2 * ln(p / m) + q / 2 * ln(q / m) ORDER BY term), 6) AS js
+    FROM c GROUP BY ta, tb, v
+    """,
+)
+def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        alpha=_VD_A,
+    )

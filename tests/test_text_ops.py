@@ -998,3 +998,23 @@ def test_split_leakage_flags_cross_split_near_dups(spark):
     assert pdf.leaks.sum() > 0
     # and the split columns carry only the two legal values
     assert set(pdf.split_a) | set(pdf.split_b) <= {"train", "val"}
+
+
+# --------------------------------------------------------------------------
+# vocabulary drift (snapshot QA)
+# --------------------------------------------------------------------------
+
+
+def test_vocab_drift_zero_for_identical_and_positive_for_disjoint(spark):
+    a = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta delta")])
+    same = _docs(spark, [(3, "alpha beta gamma"), (4, "alpha beta delta")])
+    other = _docs(spark, [(5, "omega psi chi"), (6, "omega psi phi")])
+    r_same = text.vocab_drift(a, same).collect()[0]
+    assert r_same.kl_ab == 0.0 and r_same.js == 0.0
+    r_diff = text.vocab_drift(a, other).collect()[0]
+    assert r_diff.kl_ab > 0 and r_diff.js > 0
+    # JS is symmetric and bounded by ln 2
+    r_rev = text.vocab_drift(other, a).collect()[0]
+    assert abs(r_rev.js - r_diff.js) < 1e-9
+    import math
+    assert r_diff.js <= math.log(2) + 1e-9
