@@ -224,3 +224,117 @@ def test_stars_cc_matches_pointer_doubling_random_graphs(spark):
             for r in dedup.connected_components_stars(pairs).collect()
         }
         assert a == b, f"mismatch on edges={edges[:8]}..."
+
+
+# --------------------------------------------------------------------------
+# round-4 session kernels vs pure-Python references on random corpora
+# --------------------------------------------------------------------------
+
+
+def _random_docs(seed: int, n_docs: int = 30, vocab: int = 12, max_words: int = 40):
+    """Small vocabulary forces segment collisions within and across
+    docs — the cases the segment-dedup family must get exactly right."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        n = rng.randint(0, max_words)
+        rows.append((i, " ".join(f"w{rng.randint(0, vocab)}" for _ in range(n))))
+    return rows
+
+
+def _segments(words: list[str], seg: int) -> list[str]:
+    if not words:
+        words = [""]
+    out = []
+    for s in range(0, max(len(words), 1), seg):
+        out.append(" ".join(words[s:s + seg]))
+    return out
+
+
+def test_dedup_within_doc_matches_python_reference(spark):
+    from process_alphafold3_outputs_spark.operators import text
+
+    seg = 3
+    for seed in (11, 23, 47):
+        rows = _random_docs(seed)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
+            for r in text.dedup_within_doc(docs, seg_words=seg).collect()
+        }
+        for doc_id, txt in rows:
+            words = " ".join((txt or "").lower().split()).split(" ")
+            segs = _segments(words, seg)
+            kept, seen = [], set()
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            assert got[doc_id] == (len(segs), len(kept), " ".join(kept)), (
+                seed, doc_id, txt,
+            )
+
+
+def test_drop_boilerplate_matches_python_reference(spark):
+    from process_alphafold3_outputs_spark.operators import dedup as _dedup
+
+    seg, min_df = 3, 2
+    for seed in (5, 19):
+        rows = _random_docs(seed)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
+            for r in _dedup.drop_boilerplate(
+                docs, seg_words=seg, min_df=min_df
+            ).collect()
+        }
+        per_doc = {}
+        df_count: dict = {}
+        for doc_id, txt in rows:
+            words = " ".join((txt or "").lower().split()).split(" ")
+            per_doc[doc_id] = _segments(words, seg)
+        for doc_id, segs in per_doc.items():
+            for s in set(segs):
+                df_count[s] = df_count.get(s, 0) + 1
+        for doc_id, segs in per_doc.items():
+            kept = [s for s in segs if df_count[s] < min_df]
+            assert got[doc_id] == (len(segs), len(kept), " ".join(kept)), (
+                seed, doc_id,
+            )
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    import math
+
+    from process_alphafold3_outputs_spark.operators import text
+
+    alpha = 0.5
+    for seed in (7,):
+        rows = _random_docs(seed, n_docs=20)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_nll)
+            for r in text.bigram_lm_scores(docs, alpha=alpha).collect()
+        }
+        c2: dict = {}
+        c1: dict = {}
+        vocab = set()
+        toks = {}
+        for doc_id, txt in rows:
+            words = " ".join((txt or "").lower().split()).split(" ")
+            toks[doc_id] = words
+            for a, b in zip(words, words[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+                c1[a] = c1.get(a, 0) + 1
+                vocab.add(b)
+        v = len(vocab)
+        for doc_id, words in toks.items():
+            bgs = list(zip(words, words[1:]))
+            if not bgs:
+                assert got[doc_id] == (0, None)
+                continue
+            s = 0.0
+            for a, b in bgs:
+                s += -math.log((c2[(a, b)] + alpha) / (c1[a] + alpha * v))
+            assert got[doc_id][0] == len(bgs)
+            assert abs(got[doc_id][1] - s / len(bgs)) < 1e-6, (seed, doc_id)
