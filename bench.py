@@ -91,6 +91,7 @@ HEADLINE = [
     "similarity_recall_pq",
     "pipeline_split_leakage",
     "text_vocab_drift",
+    "text_weighted_sample",
 ]
 
 

@@ -1226,3 +1226,51 @@ def vocab_drift(
         F.round("_kl", 6).alias("kl_ab"),
         F.round("_js", 6).alias("js"),
     )
+
+
+def weighted_sample_k(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    seed: str = "wsample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k documents sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` (Efraimidis-Spirakis A-ES, public
+    algorithm: priority = ln(u)/w with u uniform from the seeded md5 —
+    the k HIGHEST priorities are exactly a weighted sample). The
+    quality-weighted subsampling primitive: pass a classifier score as
+    the weight and the sample skews toward high-quality docs while
+    every positive-weight doc keeps a chance.
+
+    Deterministic and retry-stable (hash, not rand()); non-positive
+    weights are excluded (they have no defined inclusion odds).
+    ``priority`` is rounded to 9 dp BEFORE ranking on BOTH engines
+    (ln/div of libm doubles can differ in the last ulp across engines;
+    ranking on the rounded value with an id tie-break keeps the sample
+    bit-stable), ties break by id.
+
+    Scale: priority is a pure projection; the top-k compiles to
+    TakeOrderedAndProject — per-partition partial top-k, no global
+    sort."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)  # u in (0, 1] — ln(0) guarded by the +1 shift
+    pri = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
+    )

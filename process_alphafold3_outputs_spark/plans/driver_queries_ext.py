@@ -2708,3 +2708,33 @@ def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1),
         alpha=_VD_A,
     )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+# k docs with probability proportional to n_chars; priority rounded to
+# 9 dp before ranking so libm last-ulp drift can't flip the order.
+# --------------------------------------------------------------------------
+_WS_K, _WS_SEED = 25, "wsample-v1"
+
+
+@register(
+    "text_weighted_sample",
+    sql=f"""
+    SELECT doc_id, n_chars, priority FROM (
+        SELECT doc_id, n_chars,
+               round(ln((CAST(('0x' || substr(md5('{_WS_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 1.0) / 4294967297.0) / n_chars, 9) AS priority,
+               row_number() OVER (
+                   ORDER BY round(ln((CAST(('0x' || substr(md5('{_WS_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                          AS BIGINT) + 1.0) / 4294967297.0) / n_chars, 9) DESC,
+                            doc_id) AS rk
+        FROM documents WHERE n_chars > 0)
+    WHERE rk <= {_WS_K}
+    """,
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.weighted_sample_k(
+        load_table(spark, sf_dir, "documents"), k=_WS_K,
+        weight_col="n_chars", seed=_WS_SEED,
+    ).select("doc_id", "n_chars", "priority")

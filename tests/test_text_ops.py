@@ -1018,3 +1018,42 @@ def test_vocab_drift_zero_for_identical_and_positive_for_disjoint(spark):
     assert abs(r_rev.js - r_diff.js) < 1e-9
     import math
     assert r_diff.js <= math.log(2) + 1e-9
+
+
+# --------------------------------------------------------------------------
+# weighted sampling (A-ES priorities)
+# --------------------------------------------------------------------------
+
+
+def test_weighted_sample_skews_toward_heavy_weights(spark):
+    rows = [(i, f"t{i}", 100.0 if i < 50 else 1.0) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, w double")
+    got = [r.doc_id for r in text.weighted_sample_k(docs, 50, "w").collect()]
+    assert len(got) == 50
+    heavy = sum(1 for d in got if d < 50)
+    # 50 heavy docs at weight 100 vs 450 light at weight 1: the sample
+    # must be dominated by heavy docs (deterministic given the seed)
+    assert heavy > 30
+    # deterministic re-run
+    again = [r.doc_id for r in text.weighted_sample_k(docs, 50, "w").collect()]
+    assert got == again
+
+
+def test_weighted_sample_excludes_nonpositive_and_caps_k(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "b", -1.0), (3, "c", 2.0), (4, "d", 1.0)],
+        "doc_id long, text string, w double",
+    )
+    got = {r.doc_id for r in text.weighted_sample_k(docs, 10, "w").collect()}
+    assert got == {3, 4}
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", 1.0) for i in range(10)], "doc_id long, text string, w double"
+    )
+    plan = (
+        text.weighted_sample_k(docs, 3, "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # no global sort
