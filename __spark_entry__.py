@@ -192,6 +192,9 @@ _DEFERRED: set[str] = {
     "text_weighted_sample",  # A-ES weighted sampling; hash-gate +
                              # top-k mechanics evidenced by green
                              # text_sample_* rows (deferred: headroom)
+    "text_quality_profile",  # fusion of four green standalone rows
+                             # (oracle composes their texts; deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

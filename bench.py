@@ -92,6 +92,7 @@ HEADLINE = [
     "pipeline_split_leakage",
     "text_vocab_drift",
     "text_weighted_sample",
+    "text_quality_profile",
 ]
 
 

@@ -1274,3 +1274,54 @@ def weighted_sample_k(
         .orderBy(F.col("priority").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quality_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The fused per-document quality profile: length/punctuation/
+    stopword signals, predicted language, 2-gram repetition and the
+    BPE-ish token count — logically the 4-way join of
+    :func:`quality_scores` ⨝ :func:`language_id` ⨝
+    :func:`repetition_scores` ⨝ :func:`token_counts`, physically ONE
+    narrow projection over the split-once token array: no join, no
+    Exchange, the corpus scanned exactly once (plan-test-pinned).
+
+    This is the operator-fusion shape a 100 TB profiling pass needs —
+    each signal alone is cheap, but four separate passes pay four
+    scans; the fusion pays one. Signal arithmetic is identical to the
+    standalone operators (the oracle composes THEIR oracle texts by
+    join, so any drift between fused and standalone breaks the row)."""
+    d = normalized(docs, text_col).withColumn("_toks", F.split("_norm", " "))
+    n_words = F.size("_toks")
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(raw)
+    n_punct = F.length(raw) - F.length(F.regexp_replace(raw, r"[.,!?;:]", ""))
+    sw = _count_tokens_in(F.col("_toks"), EN_STOPWORDS)
+    g2 = F.when(F.size("_toks") < 2, F.array(F.col("_norm"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, 2)),
+        )
+    )
+    n_g2 = F.size(g2).cast("long")
+    n_dup2 = (F.size(g2) - F.size(F.array_distinct(g2))).cast("long")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round((F.length("_norm") - n_words + 1) / n_words, 4).alias(
+            "avg_word_len"
+        ),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(sw / n_words, 4).alias("stopword_ratio"),
+        language_id_col(F.col("_norm")).alias("pred_lang"),
+        n_g2.alias("n_grams_2"),
+        n_dup2.alias("n_dup_2"),
+        F.round(n_dup2 / n_g2, 4).alias("dup_frac_2"),
+        F.regexp_count(
+            F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        )
+        .cast("long")
+        .alias("n_bpe_ish_tokens"),
+    )

@@ -2738,3 +2738,36 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), k=_WS_K,
         weight_col="n_chars", seed=_WS_SEED,
     ).select("doc_id", "n_chars", "priority")
+
+
+# --------------------------------------------------------------------------
+# fused quality profile: logically quality ⨝ language ⨝ repetition ⨝
+# token-count, physically ONE projection (no join, no Exchange, one
+# scan — plan-test-pinned). The oracle composes the four standalone
+# rows' own oracle texts by join, so fused-vs-standalone drift breaks
+# the hash.
+# --------------------------------------------------------------------------
+def _register_quality_profile() -> None:
+    q = _ORACLE["text_quality"]
+    lang = _ORACLE["text_language_id"]
+    rep = _ORACLE["text_repetition"]
+    tok = _ORACLE["text_token_count"]
+    register(
+        "text_quality_profile",
+        sql=f"""
+        SELECT q.doc_id, q.n_chars, q.n_words, q.avg_word_len,
+               q.punct_ratio, q.stopword_ratio, l.pred_lang,
+               r.n_grams_2, r.n_dup_2, r.dup_frac_2, t.n_bpe_ish_tokens
+        FROM ({q}) q
+        JOIN ({lang}) l USING (doc_id)
+        JOIN ({rep}) r USING (doc_id)
+        JOIN ({tok}) t USING (doc_id)
+        """,
+    )(_text_quality_profile)
+
+
+def _text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_profile(load_table(spark, sf_dir, "documents"))
+
+
+_register_quality_profile()

@@ -1057,3 +1057,43 @@ def test_weighted_sample_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+# --------------------------------------------------------------------------
+# fused quality profile (operator fusion: 4 signals, one scan)
+# --------------------------------------------------------------------------
+
+
+def test_quality_profile_single_scan_no_exchange(spark, tmp_path):
+    p = str(tmp_path / "docs")
+    _docs(spark, [(1, "the quick brown fox"), (2, "le chat et le chien")]
+          ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = (
+        text.quality_profile(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_quality_profile_matches_standalone_operators(spark):
+    docs = _docs(
+        spark,
+        [(1, "the quick brown fox jumps... over, the lazy dog the end"),
+         (2, "der hund und die katze und der hund"),
+         (3, "solo")],
+    )
+    prof = {r.doc_id: r.asDict() for r in text.quality_profile(docs).collect()}
+    q = {r.doc_id: r.asDict() for r in text.quality_scores(docs).collect()}
+    lang = {r.doc_id: r.pred_lang for r in text.language_id(docs).collect()}
+    rep = {r.doc_id: r.asDict() for r in text.repetition_scores(docs).collect()}
+    tok = {r.doc_id: r.n_bpe_ish_tokens for r in text.token_counts(docs).collect()}
+    for d in (1, 2, 3):
+        for c in ("n_chars", "n_words", "avg_word_len", "punct_ratio",
+                  "stopword_ratio"):
+            assert prof[d][c] == q[d][c], (d, c)
+        assert prof[d]["pred_lang"] == lang[d]
+        for c in ("n_grams_2", "n_dup_2", "dup_frac_2"):
+            assert prof[d][c] == rep[d][c], (d, c)
+        assert prof[d]["n_bpe_ish_tokens"] == tok[d]
