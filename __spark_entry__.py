@@ -195,6 +195,10 @@ _DEFERRED: set[str] = {
     "text_quality_profile",  # fusion of four green standalone rows
                              # (oracle composes their texts; deferred:
                              # headroom)
+    "text_pmi_pairs",        # PMI collocations; explode/join/top-k
+                             # mechanics evidenced by green
+                             # text_tfidf_topterms row (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

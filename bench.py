@@ -93,6 +93,7 @@ HEADLINE = [
     "text_vocab_drift",
     "text_weighted_sample",
     "text_quality_profile",
+    "text_pmi_pairs",
 ]
 
 

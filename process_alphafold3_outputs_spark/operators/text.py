@@ -1325,3 +1325,77 @@ def quality_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("n_bpe_ish_tokens"),
     )
+
+
+def pmi_top_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n12, pmi, rk) — the k adjacent word pairs with the
+    highest pointwise mutual information, ``pmi = ln(p(w1,w2) /
+    (p(w1)·p(w2)))`` over the corpus bigram/unigram distributions —
+    the classic collocation miner ("new york", "machine learning")
+    curation teams run to build phrase vocabularies and spot template
+    spam (a few sky-high-PMI pairs dominating a source = boilerplate).
+    ``min_count`` suppresses the unstable low-frequency tail.
+
+    Scale shape: one corpus explode for unigrams and one for bigrams,
+    both collapsing map-side to vocabulary-sized tables; the PMI join
+    keys the bigram table on w1/w2 against the unigram table twice —
+    vocabulary-sized joins only, the corpus is never rejoined. PMI is
+    rounded to 9 dp BEFORE ranking (ln last-ulp drift), ties break on
+    (w1, w2); the global top-k is TakeOrderedAndProject."""
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
+    uni = (
+        d.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.size("_toks")
+    bg = (
+        d.filter(n >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_toks", 1, n - 1),
+                    F.slice("_toks", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("_p")
+        )
+        .select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= min_count)
+    )
+    tot_uni = uni.agg(F.sum("cnt").alias("nu"))
+    tot_bg = bg.agg(F.sum("n12").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cnt").alias("c2"))
+    scored = (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot_uni))
+        .crossJoin(F.broadcast(tot_bg))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n12") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        scored.orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+        .withColumn("rk", F.row_number().over(w))
+        .select("w1", "w2", "n12", "pmi", "rk")
+    )

@@ -2771,3 +2771,45 @@ def _text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_quality_profile()
+
+
+# --------------------------------------------------------------------------
+# PMI collocations: top-k adjacent pairs by pointwise mutual
+# information (phrase mining / template-spam detection). PMI rounded
+# to 9 dp before ranking; ties break (w1, w2).
+# --------------------------------------------------------------------------
+_PMI_K, _PMI_MIN = 15, 3
+
+
+@register(
+    "text_pmi_pairs",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(w) AS term FROM toks) GROUP BY term),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2),
+    bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM (
+               SELECT w[i] AS w1, w[i+1] AS w2 FROM idx)
+           GROUP BY w1, w2 HAVING count(*) >= {_PMI_MIN}),
+    nu AS (SELECT CAST(sum(cnt) AS BIGINT) AS nu FROM uni),
+    nb AS (SELECT CAST(sum(n12) AS BIGINT) AS nb FROM bg),
+    scored AS (
+        SELECT bg.w1, bg.w2, bg.n12,
+               round(ln((bg.n12 / CAST(nb.nb AS DOUBLE))
+                        / ((u1.cnt / CAST(nu.nu AS DOUBLE))
+                           * (u2.cnt / CAST(nu.nu AS DOUBLE)))), 9) AS pmi
+        FROM bg
+        JOIN uni u1 ON u1.term = bg.w1
+        JOIN uni u2 ON u2.term = bg.w2, nu, nb)
+    SELECT w1, w2, n12, pmi, CAST(rk AS INT) AS rk FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+        FROM scored)
+    WHERE rk <= {_PMI_K}
+    """,
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pmi_top_pairs(
+        load_table(spark, sf_dir, "documents"), k=_PMI_K, min_count=_PMI_MIN
+    )

@@ -1097,3 +1097,30 @@ def test_quality_profile_matches_standalone_operators(spark):
         for c in ("n_grams_2", "n_dup_2", "dup_frac_2"):
             assert prof[d][c] == rep[d][c], (d, c)
         assert prof[d]["n_bpe_ish_tokens"] == tok[d]
+
+
+# --------------------------------------------------------------------------
+# PMI collocations
+# --------------------------------------------------------------------------
+
+
+def test_pmi_finds_planted_collocation(spark):
+    # "san francisco" always adjacent and exclusive; "the" is everywhere
+    rows = []
+    for i in range(30):
+        rows.append((i, "the city of san francisco by the bay the fog"))
+    for i in range(30, 60):
+        rows.append((i, "the dog ate the food near the door the end"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.pmi_top_pairs(docs, k=10, min_count=5).collect()
+    pairs = [(r.w1, r.w2) for r in got]
+    # every exclusive low-frequency pair ties at the max PMI; the
+    # planted one must be among them and must beat every pair touching
+    # the ubiquitous 'the'
+    assert ("san", "francisco") in pairs
+    pmis = {(r.w1, r.w2): r.pmi for r in got}
+    for p in pairs:
+        if "the" in p:
+            assert pmis[("san", "francisco")] > pmis[p]
+    ranks = {(r.w1, r.w2): r.rk for r in got}
+    assert sorted(ranks.values()) == list(range(1, len(got) + 1))
