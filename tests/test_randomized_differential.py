@@ -231,7 +231,7 @@ def test_stars_cc_matches_pointer_doubling_random_graphs(spark):
 # --------------------------------------------------------------------------
 
 
-def _random_docs(seed: int, n_docs: int = 30, vocab: int = 12, max_words: int = 40):
+def _random_small_vocab_docs(seed: int, n_docs: int = 30, vocab: int = 12, max_words: int = 40):
     """Small vocabulary forces segment collisions within and across
     docs — the cases the segment-dedup family must get exactly right."""
     rng = random.Random(seed)
@@ -256,7 +256,7 @@ def test_dedup_within_doc_matches_python_reference(spark):
 
     seg = 3
     for seed in (11, 23, 47):
-        rows = _random_docs(seed)
+        rows = _random_small_vocab_docs(seed)
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         got = {
             r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
@@ -280,7 +280,7 @@ def test_drop_boilerplate_matches_python_reference(spark):
 
     seg, min_df = 3, 2
     for seed in (5, 19):
-        rows = _random_docs(seed)
+        rows = _random_small_vocab_docs(seed)
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         got = {
             r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
@@ -310,7 +310,7 @@ def test_bigram_lm_matches_python_reference(spark):
 
     alpha = 0.5
     for seed in (7,):
-        rows = _random_docs(seed, n_docs=20)
+        rows = _random_small_vocab_docs(seed, n_docs=20)
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         got = {
             r.doc_id: (r.n_bigrams, r.avg_nll)
