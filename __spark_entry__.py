@@ -199,6 +199,12 @@ _DEFERRED: set[str] = {
                              # mechanics evidenced by green
                              # text_tfidf_topterms row (deferred:
                              # headroom)
+    "event_funnel",          # greedy funnel; join-chain mechanics
+                             # evidenced by green sessionize/asof rows
+                             # (deferred: headroom)
+    "event_cohort_retention",  # retention triangle; user-keyed agg
+                             # mechanics evidenced by green sessionize
+                             # row (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -94,6 +94,8 @@ HEADLINE = [
     "text_weighted_sample",
     "text_quality_profile",
     "text_pmi_pairs",
+    "event_funnel",
+    "event_cohort_retention",
 ]
 
 

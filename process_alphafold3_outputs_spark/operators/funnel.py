@@ -1,0 +1,105 @@
+"""Event-funnel analytics over the ``events`` stream table.
+
+Greedy earliest-completion semantics (the standard product-analytics
+funnel): a user completes stage i+1 at the FIRST event of that type
+strictly after their stage-i completion time. Expressed as a chain of
+user-keyed left joins + min aggregations — every stage is one
+hash-keyed shuffle on ``user_id``, no window over a user's full
+history, no per-user state; stages that never happen stay NULL and all
+later stages inherit the NULL through the join condition (monotone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    t: Column | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, t_1..t_n, stage_reached) — one row per user who
+    performed the first step; ``t_i`` is the greedy completion time of
+    stage i (NULL = funnel abandoned before that stage),
+    ``stage_reached`` counts completed stages.
+
+    ``t`` defaults to ``event_seconds`` over the bound events frame
+    (surviving both parquet ts encodings the driver has shipped)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if t is None:
+        from ..sources.tables import event_seconds
+
+        t = event_seconds(events)
+    e = events.select(
+        F.col(user_col).alias("_u"), t.alias("_t"), F.col(type_col).alias("_ty")
+    )
+    cur = (
+        e.filter(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_t").alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = e.filter(F.col("_ty") == step).select(
+            F.col("_u").alias("_u2"), F.col("_t").alias("_t2")
+        )
+        prev = f"t_{i - 1}"
+        keys = [c for c in cur.columns]
+        cur = (
+            cur.join(
+                nxt,
+                (cur["_u"] == nxt["_u2"]) & (nxt["_t2"] > cur[prev]),
+                "left",
+            )
+            .groupBy(*keys)
+            .agg(F.min("_t2").alias(f"t_{i}"))
+        )
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.col(f"t_{i}").isNotNull().cast("int")
+    return cur.select(
+        F.col("_u").alias(user_col),
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+        reached.alias("stage_reached"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    t: Column | None = None,
+    user_col: str = "user_id",
+    bucket_s: int = 604_800,
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users) — classic cohort retention:
+    users bucketed by their FIRST-seen week; for each cohort, how many
+    distinct users were active k weeks later. The churn/retention
+    triangle every event warehouse reports.
+
+    Scale shape: first-seen is one user-keyed min; activity dedups to
+    (user, week) with a map-side-combinable distinct; one user-keyed
+    join ties them; the final count is (cohort, offset)-keyed — group
+    count bounded by weeks², tiny. No windows over user history."""
+    if t is None:
+        from ..sources.tables import event_seconds
+
+        t = event_seconds(events)
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        (t / F.lit(bucket_s)).cast("long").alias("_wk"),
+    )
+    first = e.groupBy("_u").agg(F.min("_wk").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(first, "_u")
+        .select(
+            "cohort_week",
+            (F.col("_wk") - F.col("cohort_week")).alias("week_offset"),
+            "_u",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("_u").alias("n_users"))
+    )

@@ -648,3 +648,59 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# event funnel (view -> click -> purchase), greedy earliest-completion
+# --------------------------------------------------------------------------
+@register(
+    "event_funnel",
+    sql="""
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      event_type FROM events),
+    s1 AS (SELECT user_id, min(t) AS t_1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT s1.user_id, s1.t_1, min(e.t) AS t_2
+           FROM s1 LEFT JOIN e
+             ON e.user_id = s1.user_id AND e.event_type = 'click'
+            AND e.t > s1.t_1
+           GROUP BY s1.user_id, s1.t_1),
+    s3 AS (SELECT s2.user_id, s2.t_1, s2.t_2, min(e.t) AS t_3
+           FROM s2 LEFT JOIN e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+            AND e.t > s2.t_2
+           GROUP BY s2.user_id, s2.t_1, s2.t_2)
+    SELECT user_id, t_1, t_2, t_3,
+           CAST(1 + CAST(t_2 IS NOT NULL AS INT)
+                  + CAST(t_3 IS NOT NULL AS INT) AS INT) AS stage_reached
+    FROM s3
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+# --------------------------------------------------------------------------
+# cohort retention triangle (first-seen week x activity-week offset)
+# --------------------------------------------------------------------------
+@register(
+    "event_cohort_retention",
+    sql="""
+    WITH e AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+               FROM events),
+    first AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id)
+    SELECT cohort_week, wk - cohort_week AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e JOIN first USING (user_id)
+    GROUP BY cohort_week, wk - cohort_week
+    """,
+)
+def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)

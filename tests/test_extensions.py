@@ -828,3 +828,50 @@ def test_cms_overestimates_and_merges_exactly(spark):
     absent = spark.createDataFrame([("zzz-not-there",)], "term string")
     e = sketches.cms_estimate(cms, absent, "term", w=w, d=d, seed=seed).collect()[0]
     assert e.est_cnt <= max(true.values())  # bounded by a real cell
+
+
+# --------------------------------------------------------------------------
+# event funnel + cohort retention
+# --------------------------------------------------------------------------
+
+
+def test_funnel_greedy_earliest_completion(spark):
+    from process_alphafold3_outputs_spark.operators.funnel import funnel
+
+    rows = [
+        # u1 completes all three, greedily: view@10, click@20, buy@30
+        (1, 10, "view"), (1, 5, "click"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2 clicks BEFORE viewing only -> stops at stage 1
+        (2, 50, "view"), (2, 40, "click"),
+        # u3 never views -> absent from the funnel
+        (3, 10, "click"), (3, 20, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, t long, event_type string")
+    got = {
+        r.user_id: (r.t_1, r.t_2, r.t_3, r.stage_reached)
+        for r in funnel(ev, ["view", "click", "purchase"], t=F.col("t")).collect()
+    }
+    assert got[1] == (10, 20, 30, 3)
+    assert got[2] == (50, None, None, 1)
+    assert 3 not in got
+
+
+def test_cohort_retention_counts(spark):
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    wk = 604_800
+    rows = [
+        (1, 0 * wk + 5), (1, 1 * wk + 5),                # cohort 0, weeks 0,1
+        (2, 0 * wk + 9), (2, 2 * wk + 1),                # cohort 0, weeks 0,2
+        (3, 1 * wk + 3),                                 # cohort 1, week 0
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, t long")
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in cohort_retention(ev, t=F.col("t")).collect()
+    }
+    assert got[(0, 0)] == 2 and got[(0, 1)] == 1 and got[(0, 2)] == 1
+    assert got[(1, 0)] == 1
+    assert (1, 1) not in got
