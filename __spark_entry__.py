@@ -205,6 +205,9 @@ _DEFERRED: set[str] = {
     "event_cohort_retention",  # retention triangle; user-keyed agg
                              # mechanics evidenced by green sessionize
                              # row (deferred: headroom)
+    "pivot_event_values",    # Spark-freebie PIVOT (inverse of
+                             # unpivot_measures; deferred: not a §2
+                             # operator)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -96,6 +96,7 @@ HEADLINE = [
     "text_pmi_pairs",
     "event_funnel",
     "event_cohort_retention",
+    "pivot_event_values",
 ]
 
 

@@ -704,3 +704,38 @@ def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cohort_retention(ev)
+
+
+# --------------------------------------------------------------------------
+# PIVOT — wide conditional aggregation (the inverse of unpivot_measures;
+# Spark's groupBy().pivot() with an explicit value list so the plan
+# needs no distinct-scan of the pivot column)
+# --------------------------------------------------------------------------
+@register(
+    "pivot_event_values",
+    sql="""
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase,
+           round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS view
+    FROM events
+    WHERE event_type IN ('click', 'purchase', 'view')
+    GROUP BY user_id
+    """,
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase", "view")
+    )
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum("value"))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.round(F.coalesce(c, F.lit(0.0)), 2).alias(c)
+            for c in ("click", "purchase", "view")
+        ],
+    )
