@@ -19,11 +19,13 @@ import numpy as np
 
 
 def sniff(content: bytes) -> str | None:
-    """'bmp' | 'ppm' | None for the first bytes of an asset."""
+    """'bmp' | 'ppm' | 'wav' | None for the first bytes of an asset."""
     if content[:2] == b"BM":
         return "bmp"
     if content[:2] == b"P6":
         return "ppm"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
     return None
 
 
@@ -171,4 +173,70 @@ def image_features(rgb: np.ndarray, dim: int) -> list[float]:
         float(luma.min()),
         float(luma.max()),
     ]
+    return [float(round(v, 6)) for v in feats[:dim]]
+
+
+# --------------------------------------------------------------------------
+# WAV — PCM audio via the stdlib ``wave`` module (no external codec
+# libraries needed): 8/16-bit mono or multichannel
+# --------------------------------------------------------------------------
+
+
+def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, samples float64 in [-1, 1], channels averaged) for
+    a PCM WAV container. Raises on compressed/float WAV (honest codec
+    boundary, same policy as the image side)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return rate, samples
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """16-bit mono PCM WAV from float samples in [-1, 1]."""
+    import io
+    import wave
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    ints = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def audio_features(rate: int, samples: np.ndarray, dim: int) -> list[float]:
+    """``dim`` deterministic floats in [0, 1] from decoded PCM:
+    normalized duration, RMS level, peak, zero-crossing rate, and a
+    4-bin coarse energy envelope."""
+    n = max(len(samples), 1)
+    dur = n / float(rate) if rate else 0.0
+    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+    peak = float(np.max(np.abs(samples))) if len(samples) else 0.0
+    zc = (
+        float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+        if len(samples) > 1
+        else 0.0
+    )
+    feats = [min(dur / 3600.0, 1.0), min(rms, 1.0), min(peak, 1.0), zc]
+    for q in np.array_split(samples, 4):
+        feats.append(float(np.sqrt(np.mean(q**2))) if len(q) else 0.0)
     return [float(round(v, 6)) for v in feats[:dim]]

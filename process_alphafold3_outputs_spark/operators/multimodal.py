@@ -88,14 +88,21 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 if fake:
                     feats.append(_fake_decode(b))
                     continue
-                if codecs.sniff(b) is None:
+                fmt = codecs.sniff(b)
+                if fmt is None:
                     raise NotImplementedError(
-                        "only BMP/PPM decode ships in this environment; "
-                        "pass fake=True for the deterministic stub decode "
-                        "of other formats"
+                        "only BMP/PPM image and PCM WAV audio decode ship "
+                        "in this environment; pass fake=True for the "
+                        "deterministic stub decode of other formats"
                     )
-                _, rgb = codecs.decode_image(b)
-                feats.append(codecs.image_features(rgb, FEATURE_DIM))
+                if fmt == "wav":
+                    rate, samples = codecs.decode_wav(b)
+                    feats.append(
+                        codecs.audio_features(rate, samples, FEATURE_DIM)
+                    )
+                else:
+                    _, rgb = codecs.decode_image(b)
+                    feats.append(codecs.image_features(rgb, FEATURE_DIM))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

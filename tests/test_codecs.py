@@ -108,3 +108,57 @@ def test_resize_images_real_roundtrip(spark):
         got_fmt, rgb = codecs.decode_image(bytes(row.content))
         assert got_fmt == fmt
         np.testing.assert_array_equal(rgb, codecs.resize_nearest(img, 4, 5))
+
+
+# --------------------------------------------------------------------------
+# WAV (PCM audio via stdlib wave)
+# --------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_features():
+    rate = 8000
+    t = np.arange(rate) / rate               # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)  # 440 Hz half-amplitude
+    blob = codecs.encode_wav(rate, sine)
+    assert codecs.sniff(blob) == "wav"
+    got_rate, samples = codecs.decode_wav(blob)
+    assert got_rate == rate and len(samples) == rate
+    np.testing.assert_allclose(samples, sine, atol=1e-3)  # 16-bit quantization
+    feats = codecs.audio_features(got_rate, samples, 8)
+    assert len(feats) == 8
+    assert feats[0] == pytest.approx(1.0 / 3600.0, abs=1e-6)   # duration
+    assert feats[1] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)  # sine RMS
+    assert feats[2] == pytest.approx(0.5, abs=1e-3)            # peak
+    # 440 Hz crosses zero ~880 times/sec over 8000 samples
+    assert feats[3] == pytest.approx(880.0 / 8000.0, abs=0.01)
+
+
+def test_extract_features_decodes_wav_assets(spark):
+    rate = 4000
+    sine = 0.25 * np.sin(2 * np.pi * 100 * np.arange(rate) / rate)
+    media = _media_df(spark, [
+        ("audio/wav", "wav", codecs.encode_wav(rate, sine)),
+        ("image/bmp", "bmp", codecs.encode_bmp(_rgb(4, 4, seed=9))),
+    ])
+    rows = {r.asset_id: r for r in
+            multimodal.extract_features(media, fake=False).collect()}
+    got_rate, samples = codecs.decode_wav(
+        codecs.encode_wav(rate, sine))
+    want = codecs.audio_features(got_rate, samples, multimodal.FEATURE_DIM)
+    got = [round(float(v), 6) for v in rows[0].features]
+    assert got == pytest.approx(want, abs=1e-6)
+    assert len(rows[1].features) == multimodal.FEATURE_DIM  # image path intact
+
+
+def test_wav_rejects_unsupported_width():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)  # 32-bit PCM not supported
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_wav(buf.getvalue())
