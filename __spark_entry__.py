@@ -208,6 +208,10 @@ _DEFERRED: set[str] = {
     "pivot_event_values",    # Spark-freebie PIVOT (inverse of
                              # unpivot_measures; deferred: not a §2
                              # operator)
+    "multimodal_features_real",  # REAL BMP decode evidence (oracle
+                             # recomputes features from the pixel
+                             # arithmetic); fake-path rows stay
+                             # driver-visible (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -97,6 +97,7 @@ HEADLINE = [
     "event_funnel",
     "event_cohort_retention",
     "pivot_event_values",
+    "multimodal_features_real",
 ]
 
 

@@ -2813,3 +2813,100 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pmi_top_pairs(
         load_table(spark, sf_dir, "documents"), k=_PMI_K, min_count=_PMI_MIN
     )
+
+
+# --------------------------------------------------------------------------
+# REAL-codec multimodal row: deterministic 4x4 pixel grids derived from
+# doc_id are encoded to actual BMP bytes, decoded by the real
+# pure-Python codec, and featurized from the decoded pixels; the oracle
+# recomputes every feature from the same pixel arithmetic — so a decode
+# bug (channel order, row padding, top-down flip) breaks the hash.
+# (The fake=True rows pin the Arrow plumbing; this row pins the codec.)
+# --------------------------------------------------------------------------
+_MMR_N = 64
+
+
+@register(
+    "multimodal_features_real",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_MMR_N}),
+    px AS (SELECT doc_id,
+                  ((doc_id * 31 + x.x * 7 + y.y * 13) % 256) / 255.0 AS r,
+                  ((doc_id * 31 + x.x * 7 + y.y * 13 + 5) % 256) / 255.0 AS g,
+                  ((doc_id * 31 + x.x * 7 + y.y * 13 + 10) % 256) / 255.0 AS b
+           FROM ids,
+                unnest(generate_series(0, 3)) x(x),
+                unnest(generate_series(0, 3)) y(y)),
+    lum AS (SELECT doc_id, r, g, b,
+                   0.2126 * r + 0.7152 * g + 0.0722 * b AS l
+            FROM px),
+    m AS (SELECT doc_id, avg(r) AS ar, avg(g) AS ag, avg(b) AS ab,
+                 avg(l) AS ml, min(l) AS lmin, max(l) AS lmax
+          FROM lum GROUP BY doc_id),
+    sd AS (SELECT lum.doc_id,
+                  sqrt(avg((lum.l - m.ml) * (lum.l - m.ml))) AS lstd
+           FROM lum JOIN m USING (doc_id) GROUP BY lum.doc_id)
+    SELECT m.doc_id AS asset_id,
+           concat_ws(',',
+               CAST(round(round(4 / 4096.0, 6) * 1000000) AS BIGINT),
+               CAST(round(round(4 / 4096.0, 6) * 1000000) AS BIGINT),
+               CAST(round(round(ar, 6) * 1000000) AS BIGINT),
+               CAST(round(round(ag, 6) * 1000000) AS BIGINT),
+               CAST(round(round(ab, 6) * 1000000) AS BIGINT),
+               CAST(round(round(lstd, 6) * 1000000) AS BIGINT),
+               CAST(round(round(lmin, 6) * 1000000) AS BIGINT),
+               CAST(round(round(lmax, 6) * 1000000) AS BIGINT)) AS features_ppm
+    FROM m JOIN sd ON sd.doc_id = m.doc_id
+    """,
+)
+def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-decode evidence row: pixels -> encode_bmp -> decode_bmp ->
+    image_features, all on the executors."""
+    from collections.abc import Iterator
+
+    from ..operators import multimodal
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _MMR_N
+    )
+
+    def gen(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import codecs
+
+        for pdf in batches:
+            contents, metas = [], []
+            for did in pdf["doc_id"]:
+                arr = np.zeros((4, 4, 3), dtype=np.uint8)
+                for y in range(4):
+                    for x in range(4):
+                        base = int(did) * 31 + x * 7 + y * 13
+                        arr[y, x] = [base % 256, (base + 5) % 256, (base + 10) % 256]
+                contents.append(bytearray(codecs.encode_bmp(arr)))
+                metas.append(
+                    {"width": 4, "height": 4, "duration_ms": None, "codec": "bmp"}
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": "image/bmp",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    media = ids.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+    # features quantized to micro-units and string-joined: the compare
+    # harness sorts rows by every column, which array columns can't do
+    return multimodal.extract_features(media, fake=False).select(
+        "asset_id",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda v: F.round(v * 1e6).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("features_ppm"),
+    )
