@@ -212,6 +212,9 @@ _DEFERRED: set[str] = {
                              # recomputes features from the pixel
                              # arithmetic); fake-path rows stay
                              # driver-visible (deferred: headroom)
+    "multimodal_phash_real", # REAL perceptual hash (fixed-point aHash
+                             # recomputed by the oracle; deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

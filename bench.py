@@ -98,6 +98,7 @@ HEADLINE = [
     "event_cohort_retention",
     "pivot_event_values",
     "multimodal_features_real",
+    "multimodal_phash_real",
 ]
 
 

@@ -240,3 +240,30 @@ def audio_features(rate: int, samples: np.ndarray, dim: int) -> list[float]:
     for q in np.array_split(samples, 4):
         feats.append(float(np.sqrt(np.mean(q**2))) if len(q) else 0.0)
     return [float(round(v, 6)) for v in feats[:dim]]
+
+
+# --------------------------------------------------------------------------
+# perceptual hash (aHash): 8x8 nearest-resize -> luma -> mean threshold
+# --------------------------------------------------------------------------
+
+
+def average_hash(rgb: np.ndarray) -> tuple[int, int]:
+    """(hi, lo) 32-bit words of the 64-bit average hash: nearest-resize
+    to 8x8, FIXED-POINT ITU-R 709 luma (2126·R + 7152·G + 722·B — all
+    integer, so the mean threshold ``luma·64 > Σluma`` is exact on
+    every engine; float luma puts cells exactly AT the mean one ulp
+    from flipping between engines), bit i (row-major y*8+x) set iff
+    strictly above the mean. Two words keep every value inside
+    signed-64 (same packing policy as simhash64)."""
+    small = resize_nearest(rgb, 8, 8)
+    luma = small.astype(np.int64) @ np.array([2126, 7152, 722], dtype=np.int64)
+    total = int(luma.sum())
+    bits = (luma.reshape(-1) * 64 > total).astype(np.int64)  # row-major
+    hi = int(sum(int(bits[i]) << i for i in range(32)))
+    lo = int(sum(int(bits[32 + i]) << i for i in range(32)))
+    return hi, lo
+
+
+def hamming64(a: tuple[int, int], b: tuple[int, int]) -> int:
+    """Hamming distance between two (hi, lo) average hashes."""
+    return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")

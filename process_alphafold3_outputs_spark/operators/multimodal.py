@@ -224,3 +224,55 @@ def media_summary(media: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.length("content")).alias("total_bytes"),
     )
+
+
+_PHASH_SCHEMA = (
+    "asset_id long, modality string, h_hi long, h_lo long"
+)
+
+
+def image_hashes(media: DataFrame, fake: bool = False) -> DataFrame:
+    """(asset_id, modality, h_hi, h_lo) — 64-bit perceptual average
+    hash per image asset (two 32-bit words; near-duplicate images land
+    within small Hamming distance — join these through the simhash64
+    band machinery for candidate pairs). ``fake=True`` hashes the md5
+    pseudo-decode instead (plumbing-only path for formats without a
+    real codec here)."""
+
+    def run(batches) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from . import codecs
+
+        for pdf in batches:
+            his, los = [], []
+            for content in pdf["content"]:
+                b = bytes(content)
+                if fake:
+                    h = hashlib.md5(b).digest()
+                    his.append(int.from_bytes(h[:4], "little"))
+                    los.append(int.from_bytes(h[4:8], "little"))
+                    continue
+                fmt = codecs.sniff(b)
+                if fmt is None or fmt == "wav":
+                    raise NotImplementedError(
+                        "image_hashes needs a decodable image (BMP/PPM); "
+                        "pass fake=True for the stub path"
+                    )
+                _, rgb = codecs.decode_image(b)
+                hi, lo = codecs.average_hash(rgb)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "h_hi": his,
+                    "h_lo": los,
+                }
+            )
+
+    return media.mapInPandas(run, _PHASH_SCHEMA)

@@ -2910,3 +2910,74 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("features_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL perceptual-hash row: deterministic 8x8 pixel grids -> actual BMP
+# bytes -> real decode -> fixed-point average hash. The oracle
+# recomputes the hash from the pixel arithmetic (all integer: the luma
+# threshold is exact on both engines by construction).
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_phash_real",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_MMR_N}),
+    px AS (SELECT doc_id, x.x AS x, y.y AS y,
+                  2126 * ((doc_id * 31 + x.x * 7 + y.y * 13) % 256)
+                + 7152 * ((doc_id * 31 + x.x * 7 + y.y * 13 + 5) % 256)
+                +  722 * ((doc_id * 31 + x.x * 7 + y.y * 13 + 10) % 256) AS l
+           FROM ids,
+                unnest(generate_series(0, 7)) x(x),
+                unnest(generate_series(0, 7)) y(y)),
+    tot AS (SELECT doc_id, sum(l) AS tl FROM px GROUP BY doc_id),
+    bits AS (SELECT px.doc_id, (px.y * 8 + px.x) AS i,
+                    CAST(px.l * 64 > tot.tl AS INT) AS b
+             FROM px JOIN tot USING (doc_id))
+    SELECT doc_id AS asset_id,
+           CAST(sum(CASE WHEN i < 32 THEN b * power(2, i) ELSE 0 END) AS BIGINT) AS h_hi,
+           CAST(sum(CASE WHEN i >= 32 THEN b * power(2, i - 32) ELSE 0 END) AS BIGINT) AS h_lo
+    FROM bits GROUP BY doc_id
+    """,
+)
+def multimodal_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-decode perceptual hashing: pixels -> encode_bmp ->
+    decode_bmp -> fixed-point aHash, all on the executors."""
+    from collections.abc import Iterator
+
+    from ..operators import multimodal
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _MMR_N
+    )
+
+    def gen(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import codecs
+
+        for pdf in batches:
+            contents, metas = [], []
+            for did in pdf["doc_id"]:
+                arr = np.zeros((8, 8, 3), dtype=np.uint8)
+                for y in range(8):
+                    for x in range(8):
+                        base = int(did) * 31 + x * 7 + y * 13
+                        arr[y, x] = [base % 256, (base + 5) % 256, (base + 10) % 256]
+                contents.append(bytearray(codecs.encode_bmp(arr)))
+                metas.append(
+                    {"width": 8, "height": 8, "duration_ms": None, "codec": "bmp"}
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": "image/bmp",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    media = ids.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+    return multimodal.image_hashes(media, fake=False).select(
+        "asset_id", "h_hi", "h_lo"
+    )

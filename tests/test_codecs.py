@@ -162,3 +162,37 @@ def test_wav_rejects_unsupported_width():
         w.writeframes(b"\x00" * 32)
     with pytest.raises(NotImplementedError):
         codecs.decode_wav(buf.getvalue())
+
+
+# --------------------------------------------------------------------------
+# perceptual average hash
+# --------------------------------------------------------------------------
+
+
+def test_average_hash_identical_and_near_images():
+    img = _rgb(16, 12, seed=4)
+    h1 = codecs.average_hash(img)
+    h2 = codecs.average_hash(img.copy())
+    assert h1 == h2
+    # tiny noise on ONE pixel: hash moves by at most a few bits
+    noisy = img.copy()
+    noisy[0, 0] = (noisy[0, 0].astype(int) + 3).clip(0, 255).astype("uint8")
+    assert codecs.hamming64(h1, codecs.average_hash(noisy)) <= 4
+    # inverted image is maximally different in structure
+    inv = (255 - img.astype(int)).astype("uint8")
+    assert codecs.hamming64(h1, codecs.average_hash(inv)) >= 32
+    # words stay inside unsigned-32
+    for w in (*h1, *codecs.average_hash(inv)):
+        assert 0 <= w < (1 << 32)
+
+
+def test_image_hashes_real_path_matches_direct(spark):
+    imgs = [_rgb(8, 8, seed=7), _rgb(10, 6, seed=8)]
+    media = _media_df(spark, [
+        ("image/bmp", "bmp", codecs.encode_bmp(imgs[0])),
+        ("image/ppm", "ppm", codecs.encode_ppm(imgs[1])),
+    ])
+    rows = {r.asset_id: (r.h_hi, r.h_lo) for r in
+            multimodal.image_hashes(media, fake=False).collect()}
+    for aid, img in enumerate(imgs):
+        assert rows[aid] == codecs.average_hash(img), aid

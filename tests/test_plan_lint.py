@@ -42,6 +42,7 @@ ARROW_PYTHON_OK = {
     "file_sink_pymol_scripts",     # .pml file writer (sink executor)
     "multimodal_features",         # codec boundary
     "multimodal_features_real",    # asset synthesis + real decode
+    "multimodal_phash_real",       # asset synthesis + real decode
     "multimodal_frame_sample",     # codec boundary
 }
 
