@@ -215,6 +215,9 @@ _DEFERRED: set[str] = {
     "multimodal_phash_real", # REAL perceptual hash (fixed-point aHash
                              # recomputed by the oracle; deferred:
                              # headroom)
+    "multimodal_near_dup_real",  # banded phash pair join; oracle
+                             # composes the phash row's text (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -99,6 +99,7 @@ HEADLINE = [
     "pivot_event_values",
     "multimodal_features_real",
     "multimodal_phash_real",
+    "multimodal_near_dup_real",
 ]
 
 

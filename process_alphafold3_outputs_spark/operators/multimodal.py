@@ -276,3 +276,60 @@ def image_hashes(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(run, _PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 8, fake: bool = False
+) -> DataFrame:
+    """(id_a, id_b, hamming) — near-duplicate image candidate pairs by
+    perceptual hash: each asset's 64-bit aHash splits into four 16-bit
+    bands; assets sharing ANY band become candidates (pigeonhole: two
+    hashes within Hamming distance 3 of each other share at least one
+    band — same guarantee as the simhash64 banding), then the exact
+    Hamming distance filters to ``max_hamming``.
+
+    Scale shape: the self-join keys on (band index, band value) — an
+    inverted-index join, never an all-pairs cross; Hamming is JVM-side
+    ``bit_count`` over the xor of the two words."""
+    h = image_hashes(media, fake=fake)
+    bands = h.select(
+        "asset_id",
+        "h_hi",
+        "h_lo",
+        F.posexplode(
+            F.array(
+                F.col("h_hi") % 65536,
+                (F.col("h_hi") / 65536).cast("long"),
+                F.col("h_lo") % 65536,
+                (F.col("h_lo") / 65536).cast("long"),
+            )
+        ).alias("band", "bval"),
+    )
+    a = bands.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("h_hi").alias("a_hi"),
+        F.col("h_lo").alias("a_lo"),
+        "band",
+        "bval",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("h_hi").alias("b_hi"),
+        F.col("h_lo").alias("b_lo"),
+        "band",
+        "bval",
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+                + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

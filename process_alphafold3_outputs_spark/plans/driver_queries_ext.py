@@ -2981,3 +2981,83 @@ def multimodal_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_hashes(media, fake=False).select(
         "asset_id", "h_hi", "h_lo"
     )
+
+
+# --------------------------------------------------------------------------
+# image near-dup pairs over the real perceptual hashes: banded
+# candidate join + exact Hamming filter; oracle composes the phash
+# row's own oracle text.
+# --------------------------------------------------------------------------
+_PH_MAXH = 4
+
+
+def _register_multimodal_near_dup() -> None:
+    phash_sql = _ORACLE["multimodal_phash_real"]
+    register(
+        "multimodal_near_dup_real",
+        sql=f"""
+        WITH h AS ({phash_sql}),
+        bands AS (
+            SELECT asset_id, h_hi, h_lo, b.band,
+                   CASE b.band
+                        WHEN 0 THEN h_hi % 65536
+                        WHEN 1 THEN h_hi // 65536
+                        WHEN 2 THEN h_lo % 65536
+                        ELSE h_lo // 65536 END AS bval
+            FROM h, (SELECT unnest(generate_series(0, 3)) AS band) b)
+        SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+               CAST(bit_count(xor(a.h_hi, b.h_hi))
+                    + bit_count(xor(a.h_lo, b.h_lo)) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.asset_id < b.asset_id
+        WHERE bit_count(xor(a.h_hi, b.h_hi))
+              + bit_count(xor(a.h_lo, b.h_lo)) <= {_PH_MAXH}
+        """,
+    )(_multimodal_near_dup_real)
+
+
+def _multimodal_near_dup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image pairs over the deterministic real-decode assets
+    (the same media frame the phash row builds)."""
+    from collections.abc import Iterator
+
+    from ..operators import multimodal
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _MMR_N
+    )
+
+    def gen(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import codecs
+
+        for pdf in batches:
+            contents, metas = [], []
+            for did in pdf["doc_id"]:
+                arr = np.zeros((8, 8, 3), dtype=np.uint8)
+                for y in range(8):
+                    for x in range(8):
+                        base = int(did) * 31 + x * 7 + y * 13
+                        arr[y, x] = [base % 256, (base + 5) % 256, (base + 10) % 256]
+                contents.append(bytearray(codecs.encode_bmp(arr)))
+                metas.append(
+                    {"width": 8, "height": 8, "duration_ms": None, "codec": "bmp"}
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": "image/bmp",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    media = ids.mapInPandas(gen, multimodal.MEDIA_SCHEMA)
+    return multimodal.image_near_dup_pairs(
+        media, max_hamming=_PH_MAXH, fake=False
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_register_multimodal_near_dup()

@@ -196,3 +196,22 @@ def test_image_hashes_real_path_matches_direct(spark):
             multimodal.image_hashes(media, fake=False).collect()}
     for aid, img in enumerate(imgs):
         assert rows[aid] == codecs.average_hash(img), aid
+
+
+def test_image_near_dup_pairs_banded(spark):
+    base = _rgb(16, 16, seed=11)
+    near = base.copy()
+    near[0, 0] = (near[0, 0].astype(int) + 2).clip(0, 255).astype("uint8")
+    inverted = (255 - base.astype(int)).astype("uint8")
+    media = _media_df(spark, [
+        ("image/bmp", "bmp", codecs.encode_bmp(base)),
+        ("image/bmp", "bmp", codecs.encode_bmp(near)),
+        ("image/bmp", "bmp", codecs.encode_bmp(inverted)),
+    ])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_near_dup_pairs(media, max_hamming=8,
+                                                 fake=False).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 4
+    assert not any(2 in p for p in pairs)  # inverted image never pairs

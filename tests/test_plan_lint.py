@@ -43,6 +43,7 @@ ARROW_PYTHON_OK = {
     "multimodal_features",         # codec boundary
     "multimodal_features_real",    # asset synthesis + real decode
     "multimodal_phash_real",       # asset synthesis + real decode
+    "multimodal_near_dup_real",    # asset synthesis + real decode
     "multimodal_frame_sample",     # codec boundary
 }
 
