@@ -218,6 +218,10 @@ _DEFERRED: set[str] = {
     "multimodal_near_dup_real",  # banded phash pair join; oracle
                              # composes the phash row's text (deferred:
                              # headroom)
+    "dedup_minhash_estimate",  # MinHash estimator-quality row; sig +
+                             # pair mechanics evidenced by green
+                             # dedup_minhash_lsh/dedup_jaccard rows
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

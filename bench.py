@@ -100,6 +100,7 @@ HEADLINE = [
     "multimodal_features_real",
     "multimodal_phash_real",
     "multimodal_near_dup_real",
+    "dedup_minhash_estimate",
 ]
 
 

@@ -1299,3 +1299,52 @@ def connected_components_stars(
         F.col("n").alias("doc_id"),
         F.coalesce("cluster_id", "n").alias("cluster_id"),
     )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard, exact_jaccard) — "measure the
+    estimator" for the MinHash family (the same policy as the ANN
+    recall rows): for every LSH candidate pair, the signature-agreement
+    estimate ``|{i : sig_a[i]=sig_b[i]}| / n`` next to the exact
+    shingle-set Jaccard. E[est] = J by the MinHash theorem; the joined
+    row makes the estimator's error a measurable column instead of an
+    article of faith.
+
+    Scale shape: signatures are one doc-keyed aggregation; candidates
+    come from the banded inverted-index join (never all-pairs); the
+    exact Jaccard joins per-doc sorted shingle arrays for the candidate
+    pairs only."""
+    sigs = minhash_sig_array(docs, n_hashes, shingle_k, text_col)
+    cand = lsh_candidate_pairs(docs, n_bands, rows_per_band, shingle_k, text_col)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    sh = word_shingles(docs, k=shingle_k, text_col=text_col)
+    arr = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("_sh")
+    )
+    aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_ha"))
+    ab = arr.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_hb"))
+    agree = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x)
+    )
+    inter = F.size(F.array_intersect("_ha", "_hb"))
+    uni = F.size("_ha") + F.size("_hb") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(n_hashes), 6).alias("est_jaccard"),
+            F.round(inter / uni, 6).alias("exact_jaccard"),
+        )
+    )

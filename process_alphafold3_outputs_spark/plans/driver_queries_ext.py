@@ -3061,3 +3061,61 @@ def _multimodal_near_dup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_multimodal_near_dup()
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator quality: signature-agreement Jaccard estimate next
+# to the exact shingle-set Jaccard for every LSH candidate pair (the
+# "measure the estimator" row for the MinHash family, mirroring the
+# ANN recall rows).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_minhash_estimate",
+    sql=f"""
+    WITH {_SHINGLES},
+    mh AS (
+        SELECT doc_id, s.seed,
+               min(((2 * s.seed + 1)
+                    * (CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)
+                    + (s.seed * s.seed + 7)) % 2147483647) AS minhash
+        FROM shingles, unnest(generate_series(0, 11)) s(seed)
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 3 AS band,
+               string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
+        FROM mh GROUP BY doc_id, seed // 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM cand c
+        JOIN mh x ON x.doc_id = c.doc_a
+        JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.doc_a
+        JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT a.doc_a, a.doc_b,
+           round(a.n_agree / 12.0, 6) AS est_jaccard,
+           round(coalesce(i.n_common, 0)
+                 / (za.n_sh + zb.n_sh - coalesce(i.n_common, 0)), 6) AS exact_jaccard
+    FROM agree a
+    LEFT JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+    JOIN sizes za ON za.doc_id = a.doc_a
+    JOIN sizes zb ON zb.doc_id = a.doc_b
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_estimate_pairs(load_table(spark, sf_dir, "documents"))

@@ -875,3 +875,17 @@ def test_cohort_retention_counts(spark):
     assert got[(0, 0)] == 2 and got[(0, 1)] == 1 and got[(0, 2)] == 1
     assert got[(1, 0)] == 1
     assert (1, 1) not in got
+
+
+def test_minhash_estimate_tracks_exact_jaccard(docs):
+    rows = dedup.minhash_estimate_pairs(docs).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    # exact duplicates: every signature position agrees, jaccard 1
+    assert got[(0, 1)].est_jaccard == 1.0 and got[(0, 1)].exact_jaccard == 1.0
+    assert got[(0, 2)].est_jaccard == 1.0
+    # the planted near-dup estimates high but its exact value is <1
+    near = got[(0, 3)]
+    assert near.exact_jaccard < 1.0
+    assert abs(near.est_jaccard - near.exact_jaccard) <= 0.35  # 12 hashes
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
