@@ -222,6 +222,9 @@ _DEFERRED: set[str] = {
                              # pair mechanics evidenced by green
                              # dedup_minhash_lsh/dedup_jaccard rows
                              # (deferred: headroom)
+    "pipeline_corpus_curate",  # session-4 chain composition; each stage
+                             # separately oracle-green (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -101,6 +101,7 @@ HEADLINE = [
     "multimodal_phash_real",
     "multimodal_near_dup_real",
     "dedup_minhash_estimate",
+    "pipeline_corpus_curate",
 ]
 
 

@@ -198,3 +198,46 @@ def staged_corpus_to_training(docs: DataFrame, **kwargs):
     finally:
         for df in handles:
             df.unpersist()
+
+
+def curate_corpus(
+    docs,
+    seg_words: int = 8,
+    min_df: int = 2,
+    max_avg_nll: float = 3.5,
+    text_col: str = "text",
+):
+    """(doc_id, clean_text, n_bigrams, avg_nll) — the session-4 curation
+    chain as ONE DAG: strip cross-document boilerplate segments, gate on
+    self-trained bigram fluency (drop empty and high-perplexity docs),
+    then exact-dedup the CLEANED text (boilerplate stripping makes
+    previously-distinct docs collide — dedup must run after it).
+
+    Composes :func:`~..operators.dedup.drop_boilerplate`,
+    :func:`~..operators.text.bigram_lm_scores` and the min-id exact-keep
+    — each stage's shuffles stay as documented on the standalone
+    operators; nothing here adds a new scan of the raw corpus beyond
+    the boilerplate stage's own."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import drop_boilerplate
+    from ..operators.text import bigram_lm_scores
+
+    bp = drop_boilerplate(docs, seg_words=seg_words, min_df=min_df, text_col=text_col)
+    cleaned = bp.select("doc_id", "clean_text")
+    scored = bigram_lm_scores(
+        cleaned.withColumnRenamed("clean_text", "text")
+    ).filter((F.col("n_bigrams") >= 1) & (F.col("avg_nll") <= max_avg_nll))
+    kept = cleaned.join(
+        scored.select("doc_id", "n_bigrams", "avg_nll"), "doc_id"
+    )
+    return (
+        kept.groupBy(F.md5("clean_text").alias("_h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "clean_text", "n_bigrams", "avg_nll"),
+                F.col("doc_id"),
+            ).alias("_r")
+        )
+        .select("_r.doc_id", "_r.clean_text", "_r.n_bigrams", "_r.avg_nll")
+    )

@@ -3119,3 +3119,77 @@ _register_multimodal_near_dup()
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_estimate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# session-4 curation chain as one row: boilerplate strip -> bigram
+# fluency gate -> exact dedup of the CLEANED text. The oracle chains
+# the boilerplate CTEs into the bigram chain (retrained on the cleaned
+# text) and the min-id keep.
+# --------------------------------------------------------------------------
+_CUR_NLL = 3.5
+
+
+@register(
+    "pipeline_corpus_curate",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w, len(string_split(t, ' ')) AS n
+              FROM norm),
+    starts AS (
+        SELECT doc_id, w, n, CAST(s.s AS INT) AS start
+        FROM words,
+             unnest(generate_series(
+                 0,
+                 greatest(CAST(ceil((n - {_SEG}) / {_SEG}.0) AS INT), 0) * {_SEG},
+                 {_SEG})) s(s)),
+    segs AS (
+        SELECT doc_id, CAST(start // {_SEG} AS INT) AS chunk_id,
+               array_to_string(w[start + 1 : start + {_SEG}], ' ') AS chunk_text
+        FROM starts),
+    dfq AS (
+        SELECT md5(chunk_text) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM segs GROUP BY md5(chunk_text)),
+    cleaned AS (
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN df < {_BP_MIN_DF} THEN chunk_text END, ' '
+                                   ORDER BY chunk_id), '') AS clean_text
+        FROM segs JOIN dfq ON md5(chunk_text) = h
+        GROUP BY doc_id),
+    cnorm AS (SELECT doc_id, clean_text,
+                     lower(regexp_replace(trim(clean_text), '\\s+', ' ', 'g')) AS t
+              FROM cleaned),
+    ctoks AS (SELECT doc_id, clean_text, string_split(t, ' ') AS w FROM cnorm),
+    cidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+             FROM ctoks WHERE len(w) >= 2),
+    cbg AS (SELECT doc_id, i, w[i] AS w1, w[i+1] AS w2 FROM cidx),
+    cc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM cbg GROUP BY w1, w2),
+    cc1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM cc2 GROUP BY w1),
+    cv AS (SELECT count(DISTINCT w2) AS vv FROM cbg),
+    cscored AS (
+        SELECT cbg.doc_id, cbg.i,
+               -ln((cc2.n12 + {_LM_ALPHA}) / (cc1.n1 + {_LM_ALPHA} * cv.vv)) AS nll
+        FROM cbg JOIN cc2 USING (w1, w2) JOIN cc1 USING (w1), cv),
+    cagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                    round(sum(nll ORDER BY i) / count(*), 6) AS avg_nll
+             FROM cscored GROUP BY doc_id),
+    gated AS (
+        SELECT c.doc_id, c.clean_text, a.n_bigrams, a.avg_nll
+        FROM ctoks c JOIN cagg a USING (doc_id)
+        WHERE a.n_bigrams >= 1 AND a.avg_nll <= {_CUR_NLL})
+    SELECT doc_id, clean_text, n_bigrams, avg_nll FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(clean_text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated)
+    WHERE rn = 1
+    """,
+)
+def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import curate_corpus
+
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        seg_words=_SEG,
+        min_df=_BP_MIN_DF,
+        max_avg_nll=_CUR_NLL,
+    )

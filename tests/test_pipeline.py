@@ -312,3 +312,42 @@ def test_full_report_matches_model_alternate_seed(spark, tmp_path):
     got = {tuple(r[c] for c in cols) for r in report.collect()}
     want = set(model.full_pipeline(corpus))
     assert got == want and len(want) > 0
+
+
+def test_curate_corpus_dedups_after_boilerplate_strip(spark):
+    """Two docs that differ ONLY in their shared boilerplate header must
+    collide after stripping — the reason dedup runs last."""
+    from process_alphafold3_outputs_spark.plans.corpus import curate_corpus
+
+    hdr = "site navigation menu footer"
+    body = "the quick brown fox jumps over the lazy dog sees more cats"
+    other = "completely separate article text goes here with many new words"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hdr} {body}"),
+            (2, f"{hdr} {body}"),
+            (3, f"{hdr} {other}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in
+           curate_corpus(docs, seg_words=4, min_df=2, max_avg_nll=99.0).collect()}
+    # docs 1/2 are exact dups: EVERY segment of theirs reaches df=2 and
+    # strips, so both drop at the n_bigrams gate — full-duplicate text
+    # is boilerplate by definition under the frequency rule
+    assert 1 not in out and 2 not in out
+    # doc 3 keeps its unique article, loses only the shared header
+    assert 3 in out and hdr not in out[3]["clean_text"]
+    assert out[3]["clean_text"] == other
+
+    # header-only sharing: distinct bodies survive with the header gone
+    docs2 = spark.createDataFrame(
+        [(1, f"{hdr} {body}"), (2, f"{hdr} {other}")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r.asDict() for r in
+            curate_corpus(docs2, seg_words=4, min_df=2,
+                          max_avg_nll=99.0).collect()}
+    assert set(out2) == {1, 2}
+    assert out2[1]["clean_text"] == body
+    assert out2[2]["clean_text"] == other
