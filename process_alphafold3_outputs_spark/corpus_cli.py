@@ -9,6 +9,8 @@ line to stdout):
   stats          per-source corpus profile (text.corpus_stats)
   quality        Gopher rule signals + keep flag (text.gopher_quality)
   clean          the four-gate cleaning pipeline (plans.corpus.clean_corpus)
+  curate         boilerplate strip -> bigram fluency gate -> exact dedup
+                 of the cleaned text (plans.corpus.curate_corpus)
   training       full clean → chunk → split DAG (corpus_to_training)
   pack           clean → chunk → split → fixed-token packing
   dedup          exact | paragraphs | minhash | simhash | clusters
@@ -70,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--near-dedup", choices=["greedy", "clusters"], default="greedy"
     )
+
+    sp = sub.add_parser("curate")
+    common(sp)
+    sp.add_argument("--seg-words", type=int, default=8)
+    sp.add_argument("--min-df", type=int, default=2)
+    sp.add_argument("--max-avg-nll", type=float, default=3.5)
 
     sp = sub.add_parser("training")
     common(sp)
@@ -213,6 +221,13 @@ def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         return text.corpus_stats(docs)
     if args.command == "quality":
         return text.gopher_quality(docs)
+    if args.command == "curate":
+        return corpus_plans.curate_corpus(
+            docs,
+            seg_words=args.seg_words,
+            min_df=args.min_df,
+            max_avg_nll=args.max_avg_nll,
+        )
     if args.command == "clean":
         return corpus_plans.clean_corpus(
             docs,

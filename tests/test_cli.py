@@ -378,3 +378,19 @@ def test_corpus_cli_interleave_writes_ordered_shards(spark, tmp_path):
             ranges.append((min(vals), max(vals)))
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_corpus_cli_curate(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+    from process_alphafold3_outputs_spark.plans.corpus import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    args = corpus_cli.build_parser().parse_args(
+        ["curate", "--documents", f"{sf}/documents.parquet", "--out", out,
+         "--max-avg-nll", "99"]
+    )
+    res = corpus_cli.run(args, spark)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    want = curate_corpus(docs, max_avg_nll=99.0).count()
+    assert res["rows"] == want > 0
