@@ -225,6 +225,10 @@ _DEFERRED: set[str] = {
     "pipeline_corpus_curate",  # session-4 chain composition; each stage
                              # separately oracle-green (deferred:
                              # headroom)
+    "event_value_outliers",  # median/MAD robust screen; percentile
+                             # mechanics evidenced by green
+                             # text_corpus_stats row (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

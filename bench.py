@@ -102,6 +102,7 @@ HEADLINE = [
     "multimodal_near_dup_real",
     "dedup_minhash_estimate",
     "pipeline_corpus_curate",
+    "event_value_outliers",
 ]
 
 

@@ -103,3 +103,51 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("_u").alias("n_users"))
     )
+
+
+def value_outliers(
+    events: DataFrame,
+    k: float = 3.5,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_type, med, mad, n_events, n_outliers, outlier_frac) — the
+    robust per-type data-quality screen: median and MAD (median absolute
+    deviation) per event type, and how many values sit more than
+    ``k``·MAD from the median (the robust z-score rule — mean/stddev
+    break down exactly when the data has the outliers you're hunting).
+
+    Scale shape: two type-keyed aggregations (median, then MAD over the
+    joined deviations) and one flagging pass — group count = event-type
+    cardinality, tiny; the exact interpolating percentile matches
+    DuckDB's quantile_cont bit-for-bit (swap in approx_percentile at
+    100 TB, same shape). MAD of 0 (constant stream) flags any deviation
+    as outlying only when k·0 < |dev| — i.e. every non-median value."""
+    e = events.select(F.col(type_col).alias("_ty"), F.col(value_col).alias("_v"))
+    med = e.groupBy("_ty").agg(
+        F.percentile("_v", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(med, "_ty").withColumn("_d", F.abs(F.col("_v") - F.col("med")))
+    mad = dev.groupBy("_ty", "med").agg(
+        F.percentile("_d", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.drop("med").join(mad, "_ty")
+    return (
+        flagged.groupBy("_ty", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("_d") > F.lit(k) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            F.col("_ty").alias("event_type"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_events",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_events"), 6).alias(
+                "outlier_frac"
+            ),
+        )
+    )

@@ -739,3 +739,32 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("click", "purchase", "view")
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# robust outlier screen on the event value stream (median/MAD rule)
+# --------------------------------------------------------------------------
+@register(
+    "event_value_outliers",
+    sql="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS d
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, med, quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY event_type, med)
+    SELECT d.event_type, round(m.med, 6) AS med, round(m.mad, 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.d > 3.5 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(sum(CASE WHEN d.d > 3.5 * m.mad THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import value_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_outliers(ev, k=3.5)

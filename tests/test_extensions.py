@@ -889,3 +889,18 @@ def test_minhash_estimate_tracks_exact_jaccard(docs):
     assert abs(near.est_jaccard - near.exact_jaccard) <= 0.35  # 12 hashes
     for r in rows:
         assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_value_outliers_flags_planted_spikes(spark):
+    from process_alphafold3_outputs_spark.operators.funnel import value_outliers
+
+    rows = [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(100)]
+    rows += [(100, "a", 1000.0), (101, "a", -500.0)]   # two spikes
+    rows += [(i, "b", 5.0) for i in range(200, 240)]    # constant stream
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_type: r.asDict() for r in value_outliers(ev, k=3.5).collect()}
+    a = got["a"]
+    assert a["n_events"] == 102 and a["n_outliers"] == 2
+    assert abs(a["med"] - 10.2) < 0.2
+    b = got["b"]
+    assert b["mad"] == 0.0 and b["n_outliers"] == 0  # constant: no dev > 0
