@@ -229,6 +229,9 @@ _DEFERRED: set[str] = {
                              # mechanics evidenced by green
                              # text_corpus_stats row (deferred:
                              # headroom)
+    "event_transitions",     # Markov transition matrix; lag-window
+                             # mechanics evidenced by green sessionize
+                             # row (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -103,6 +103,7 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "pipeline_corpus_curate",
     "event_value_outliers",
+    "event_transitions",
 ]
 
 

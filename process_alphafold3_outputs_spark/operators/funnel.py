@@ -11,7 +11,7 @@ later stages inherit the NULL through the join condition (monotone).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,5 +149,51 @@ def value_outliers(
             F.round(F.col("n_outliers") / F.col("n_events"), 6).alias(
                 "outlier_frac"
             ),
+        )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    t: Column | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n, p) — the first-order Markov model of the
+    event stream: for each user's time-ordered sequence, count adjacent
+    type transitions and row-normalize (the clickstream model behind
+    next-action prediction and funnel-drop diagnosis).
+
+    Scale shape: one lag window per user partition (user histories are
+    the natural partition; no global ordering), then a tiny
+    (from, to)-keyed count — group count = |types|². Ordering ties on
+    equal timestamps break by ``order_tiebreak`` so the lag is
+    deterministic."""
+    if t is None:
+        from ..sources.tables import event_seconds
+
+        t = event_seconds(events)
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        t.alias("_t"),
+        F.col(order_tiebreak).alias("_id"),
+        F.col(type_col).alias("_ty"),
+    )
+    w = Window.partitionBy("_u").orderBy("_t", "_id")
+    pairs = (
+        e.withColumn("_prev", F.lag("_ty").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_type"), F.col("_ty").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
         )
     )

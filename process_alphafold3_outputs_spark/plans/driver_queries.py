@@ -768,3 +768,32 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return value_outliers(ev, k=3.5)
+
+
+# --------------------------------------------------------------------------
+# first-order Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+@register(
+    "event_transitions",
+    sql="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+    seq AS (SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id) AS prev
+            FROM e),
+    pairs AS (SELECT prev AS from_type, event_type AS to_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE prev IS NOT NULL
+              GROUP BY prev, event_type),
+    tot AS (SELECT from_type, sum(n) AS tot FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n,
+           round(p.n / CAST(t.tot AS DOUBLE), 6) AS p
+    FROM pairs p JOIN tot t USING (from_type)
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev)

@@ -904,3 +904,29 @@ def test_value_outliers_flags_planted_spikes(spark):
     assert abs(a["med"] - 10.2) < 0.2
     b = got["b"]
     assert b["mad"] == 0.0 and b["n_outliers"] == 0  # constant: no dev > 0
+
+
+def test_transition_matrix_rows_normalize(spark):
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    rows = [
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"), (4, 1, 40, "b"),
+        (5, 2, 10, "a"), (6, 2, 20, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, event_type string"
+    )
+    got = {(r.from_type, r.to_type): r.asDict()
+           for r in transition_matrix(ev, t=F.col("t")).collect()}
+    # u1: a->b, b->a, a->b ; u2: a->a
+    assert got[("a", "b")]["n"] == 2 and got[("a", "a")]["n"] == 1
+    assert got[("b", "a")]["n"] == 1 and got[("b", "a")]["p"] == 1.0
+    assert abs(got[("a", "b")]["p"] - 2 / 3) < 1e-6
+    # each from-row's probabilities sum to 1
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (f, _), r in got.items():
+        sums[f] += r["p"]
+    assert all(abs(s - 1.0) < 1e-5 for s in sums.values())
