@@ -232,6 +232,9 @@ _DEFERRED: set[str] = {
     "event_transitions",     # Markov transition matrix; lag-window
                              # mechanics evidenced by green sessionize
                              # row (deferred: headroom)
+    "dedup_clusters_stars",  # star-algorithm CC twin (same oracle as
+                             # the green dedup_clusters row; deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -104,6 +104,7 @@ HEADLINE = [
     "pipeline_corpus_curate",
     "event_value_outliers",
     "event_transitions",
+    "dedup_clusters_stars",
 ]
 
 

@@ -3193,3 +3193,24 @@ def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_df=_BP_MIN_DF,
         max_avg_nll=_CUR_NLL,
     )
+
+
+# --------------------------------------------------------------------------
+# star-algorithm CC twin of dedup_clusters: identical result (same
+# recursive-CTE oracle), different physical strategy (alternating
+# large/small-star re-keys by node id each round — no label-keyed join
+# to structurally skew on giant components).
+# --------------------------------------------------------------------------
+def _register_clusters_stars() -> None:
+    register("dedup_clusters_stars", sql=_ORACLE["dedup_clusters"])(
+        _dedup_clusters_stars
+    )
+
+
+def _dedup_clusters_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    return dedup.connected_components_stars(pairs)
+
+
+_register_clusters_stars()
