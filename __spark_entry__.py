@@ -235,6 +235,9 @@ _DEFERRED: set[str] = {
     "dedup_clusters_stars",  # star-algorithm CC twin (same oracle as
                              # the green dedup_clusters row; deferred:
                              # headroom)
+    "similarity_topk_pq_refined",  # two-stage ADC + exact re-rank;
+                             # both stages' mechanics oracle-green
+                             # separately (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -105,6 +105,7 @@ HEADLINE = [
     "event_value_outliers",
     "event_transitions",
     "dedup_clusters_stars",
+    "similarity_topk_pq_refined",
 ]
 
 

@@ -261,6 +261,10 @@ def recall_vs_bruteforce(
         approx = topk_pq(embeddings, query_ids, k).select(
             "query_id", "neighbor_id"
         )
+    elif method == "pq_refined":
+        approx = topk_pq_refined(embeddings, query_ids, k).select(
+            "query_id", "neighbor_id"
+        )
     elif method == "ivf":
         approx = topk_ivf(
             embeddings,
@@ -675,4 +679,53 @@ def topk_pq(
             "rk",
             F.round("sim", 6).alias("sim"),
         )
+    )
+
+
+def topk_pq_refined(
+    embeddings: DataFrame,
+    query_ids: DataFrame | Column,
+    k: int = 5,
+    rerank: int = 20,
+    m: int = 8,
+    kc: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rk, sim) — two-stage PQ search: the ADC
+    table-lookup scan shortlists ``rerank`` candidates per query from
+    codes alone, then ONLY those candidates' full vectors are fetched
+    for exact-cosine re-ranking to the final top-k (the standard
+    IVFADC-with-refinement shape: the corpus-wide pass stays in
+    compressed space; full-precision vectors are touched for
+    |queries|·rerank rows, not the corpus).
+
+    Recall ≥ plain :func:`topk_pq` at the same codebooks (the exact
+    re-rank can only fix ADC ordering mistakes inside the shortlist,
+    and the shortlist is a superset of ADC's top-k) — measured via
+    ``recall_vs_bruteforce(method='pq_refined')``."""
+    shortlist = topk_pq(embeddings, query_ids, rerank, m, kc, dim).select(
+        "query_id", "neighbor_id"
+    )
+    emb = spread(embeddings, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    if isinstance(query_ids, Column):
+        q = emb.filter(query_ids)
+    else:
+        q = emb.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    cand = shortlist.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec")),
+        "neighbor_id",
+    )
+    scored = cand.join(F.broadcast(qv), "query_id").withColumn(
+        "sim", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
     )

@@ -2377,9 +2377,10 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_KC, _PQ_DSUB = 8, 16, 8  # 64-dim embeddings -> 8 subspaces of 8
 
 
-@register(
-    "similarity_topk_pq",
-    sql=f"""
+def _pq_topk_sql(k: int) -> str:
+    """Full PQ/ADC top-k oracle text, parameterized by k (the refined
+    row composes a rerank-sized shortlist from the same construction)."""
+    return f"""
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     nrm AS (SELECT vec_id,
                    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
@@ -2415,9 +2416,11 @@ _PQ_M, _PQ_KC, _PQ_DSUB = 8, 16, 8  # 64-dim embeddings -> 8 subspaces of 8
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, neighbor_id) AS rk
           FROM scored)
-    WHERE rk <= {_IVF_K}
-    """,
-)
+    WHERE rk <= {k}
+    """
+
+
+@register("similarity_topk_pq", sql=_pq_topk_sql(_IVF_K))
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k: corpus carried as m per-subspace codes; queries carry
     broadcast lookup tables."""
@@ -3214,3 +3217,40 @@ def _dedup_clusters_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_clusters_stars()
+
+
+# --------------------------------------------------------------------------
+# two-stage PQ: ADC shortlist (rerank candidates, codes only) + exact
+# cosine re-rank of the shortlist to the final top-k.
+# --------------------------------------------------------------------------
+_PQ_RERANK = 20
+
+
+@register(
+    "similarity_topk_pq_refined",
+    sql=f"""
+    WITH emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM ({_pq_topk_sql(_PQ_RERANK)})),
+    rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_COS.format(a="q.v", b="c.v")} AS sim
+        FROM shortlist s
+        JOIN emb2 q ON q.vec_id = s.query_id
+        JOIN emb2 c ON c.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, round(sim, 6) AS sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rk
+          FROM rescored)
+    WHERE rk <= {_IVF_K}
+    """,
+)
+def similarity_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.topk_pq_refined(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < _IVF_NQ,
+        k=_IVF_K,
+        rerank=_PQ_RERANK,
+        m=_PQ_M,
+        kc=_PQ_KC,
+    )

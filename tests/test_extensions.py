@@ -930,3 +930,22 @@ def test_transition_matrix_rows_normalize(spark):
     for (f, _), r in got.items():
         sums[f] += r["p"]
     assert all(abs(s - 1.0) < 1e-5 for s in sums.values())
+
+
+def test_pq_refined_recall_dominates_plain_pq(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.col("vec_id") < 5
+    plain = {
+        r.query_id: r.recall
+        for r in similarity.recall_vs_bruteforce(emb, q, k=3, method="pq").collect()
+    }
+    refined = {
+        r.query_id: r.recall
+        for r in similarity.recall_vs_bruteforce(
+            emb, q, k=3, method="pq_refined"
+        ).collect()
+    }
+    assert set(refined) == set(plain)
+    # the exact re-rank over a 20-candidate shortlist can only improve
+    # per-query recall on average (shortlist superset of top-k)
+    assert sum(refined.values()) >= sum(plain.values())
