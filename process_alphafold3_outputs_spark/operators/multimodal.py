@@ -333,3 +333,74 @@ def image_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_image_near_dup(
+    new_media: DataFrame,
+    seen_hashes: DataFrame,
+    max_hamming: int = 8,
+    fake: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept_media, updated_hashes) — a NEW shipment of image assets
+    deduped against the perceptual-hash HISTORY: an asset whose aHash
+    sits within ``max_hamming`` of any historical hash (banded
+    candidate join — same pigeonhole guarantee as
+    :func:`image_near_dup_pairs`) or of an earlier asset in the same
+    shipment is dropped; survivors append their hashes to the rolling
+    (asset_id, h_hi, h_lo) table.
+
+    History participates ONLY as its hash table (3 longs per asset —
+    the compressed-representation policy of incremental_exact_dedup);
+    historical pixels are never re-decoded."""
+    h = image_hashes(new_media, fake=fake)
+    hist = seen_hashes.select(
+        F.col("asset_id").alias("_hid"),
+        F.col("h_hi").alias("_hhi"),
+        F.col("h_lo").alias("_hlo"),
+    )
+
+    def bands(df, idc, hic, loc):
+        return df.select(
+            F.col(idc).alias("_id"),
+            F.col(hic).alias("_hi"),
+            F.col(loc).alias("_lo"),
+            F.posexplode(
+                F.array(
+                    F.col(hic) % 65536,
+                    (F.col(hic) / 65536).cast("long"),
+                    F.col(loc) % 65536,
+                    (F.col(loc) / 65536).cast("long"),
+                )
+            ).alias("band", "bval"),
+        )
+
+    nb = bands(h, "asset_id", "h_hi", "h_lo")
+    hb = bands(hist, "_hid", "_hhi", "_hlo")
+    ham = F.bit_count(F.col("a._hi").bitwiseXOR(F.col("b._hi"))) + F.bit_count(
+        F.col("a._lo").bitwiseXOR(F.col("b._lo"))
+    )
+    dup_vs_hist = (
+        nb.alias("a")
+        .join(hb.alias("b"), ["band", "bval"])
+        .filter(ham <= max_hamming)
+        .select(F.col("a._id").alias("asset_id"))
+        .distinct()
+    )
+    # intra-shipment: keep the lowest id of each near-dup pair
+    dup_within = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "bval"])
+        .filter(F.col("a._id") > F.col("b._id"))
+        .filter(ham <= max_hamming)
+        .select(F.col("a._id").alias("asset_id"))
+        .distinct()
+    )
+    drops = dup_vs_hist.union(dup_within).distinct()
+    kept = new_media.join(drops, "asset_id", "left_anti")
+    kept_hashes = h.join(drops, "asset_id", "left_anti").select(
+        "asset_id", "h_hi", "h_lo"
+    )
+    updated = seen_hashes.select("asset_id", "h_hi", "h_lo").unionByName(
+        kept_hashes
+    )
+    return kept, updated

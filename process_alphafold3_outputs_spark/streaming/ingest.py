@@ -318,3 +318,60 @@ def watch_documents_scored(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_media_dedup(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    hashes_path: str,
+    checkpoint_dir: str,
+    max_hamming: int = 8,
+    fake: bool = False,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming image intake with cross-epoch PERCEPTUAL dedup: each
+    micro-batch of media drops runs the batch
+    ``incremental_image_near_dup`` kernel against the rolling phash
+    table at ``hashes_path``, appends only perceptually-new assets to
+    ``out_path`` and rolls the hash table forward — restart-safe, the
+    state being the parquet hash table (3 longs per asset), exactly the
+    ``watch_documents_dedup`` shape lifted to the image modality.
+    Returns the StreamingQuery."""
+    import os
+
+    from ..operators.multimodal import incremental_image_near_dup
+
+    stream = (
+        spark.readStream.schema(
+            "asset_id long, modality string, content binary, "
+            "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.isdir(hashes_path):
+            seen = batch_df.sparkSession.read.parquet(hashes_path)
+        else:
+            seen = batch_df.sparkSession.createDataFrame(
+                [], "asset_id long, h_hi long, h_lo long"
+            )
+        kept, updated = incremental_image_near_dup(
+            batch_df, seen, max_hamming=max_hamming, fake=fake
+        )
+        kept.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        tmp = hashes_path + "_next"
+        updated.write.mode("overwrite").parquet(tmp)
+        batch_df.sparkSession.read.parquet(tmp).write.mode(
+            "overwrite"
+        ).parquet(hashes_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -565,3 +565,53 @@ def test_watch_documents_scored_matches_batch(spark, tmp_path):
     # in-distribution doc 1; short doc 3 carries the 0/NULL contract
     assert streamed[2][1] > streamed[1][1]
     assert streamed[3] == (0, None, None)
+
+
+def test_watch_media_dedup_perceptual_across_epochs(spark, tmp_path):
+    """A perceptually-near image re-dropped in a later epoch (or
+    duplicated within one) must not reach the keeper table twice;
+    genuinely different images pass."""
+    import numpy as np
+
+    from process_alphafold3_outputs_spark.operators import codecs
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_media_dedup,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, (16, 16, 3)).astype("uint8")
+    near = base.copy()
+    near[0, 0] = (near[0, 0].astype(int) + 2).clip(0, 255).astype("uint8")
+    other = rng.randint(0, 256, (16, 16, 3)).astype("uint8")
+
+    schema = ("asset_id long, modality string, content binary, "
+              "meta struct<width:int, height:int, duration_ms:int, codec:string>")
+
+    def drop(rows):
+        spark.createDataFrame(
+            [(i, "image/bmp", bytearray(codecs.encode_bmp(img)),
+              {"width": img.shape[1], "height": img.shape[0],
+               "duration_ms": None, "codec": "bmp"})
+             for i, img in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "kept")
+    hashes = str(tmp_path / "hashes")
+    ckpt = str(tmp_path / "ckpt")
+
+    drop([(1, base), (2, near)])          # 2 is an intra-batch near-dup
+    q = watch_media_dedup(spark, inbox, out, hashes, ckpt, max_hamming=8)
+    try:
+        q.processAllAvailable()
+        got0 = {r["asset_id"] for r in spark.read.parquet(out).collect()}
+        assert got0 == {1}
+
+        drop([(3, near), (4, other)])     # 3 repeats epoch-0 content
+        q.processAllAvailable()
+        got1 = {r["asset_id"] for r in spark.read.parquet(out).collect()}
+        assert got1 == {1, 4}
+    finally:
+        q.stop()
+    assert spark.read.parquet(hashes).count() == 2
