@@ -238,6 +238,9 @@ _DEFERRED: set[str] = {
     "similarity_topk_pq_refined",  # two-stage ADC + exact re-rank;
                              # both stages' mechanics oracle-green
                              # separately (deferred: headroom)
+    "similarity_diversity",  # sample pairwise-cosine diversity report;
+                             # fold mechanics evidenced by green
+                             # similarity rows (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

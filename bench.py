@@ -106,6 +106,7 @@ HEADLINE = [
     "event_transitions",
     "dedup_clusters_stars",
     "similarity_topk_pq_refined",
+    "similarity_diversity",
 ]
 
 

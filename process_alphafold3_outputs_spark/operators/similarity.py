@@ -729,3 +729,51 @@ def topk_pq_refined(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
     )
+
+
+def diversity_report(
+    embeddings: DataFrame, sample_mod: int = 25, id_col: str = "vec_id"
+) -> DataFrame:
+    """One row: (n_sample, mean_cos, min_cos, max_cos) — pairwise-cosine
+    diversity of a deterministic corpus sample (``id % mod == 0``), the
+    selection-diversity metric curation tracks alongside quality (a
+    dedup/sampling change that collapses diversity shows up here as
+    mean_cos drifting toward 1).
+
+    The quadratic stage runs on the SAMPLE only (n²/mod² pairs — choose
+    mod so the sample stays executor-sized; the corpus itself is
+    scanned once for the filter). The mean folds in (id_a, id_b) order
+    for the bit-exact cross-engine result."""
+    emb = spread(embeddings, id_col).filter(
+        F.col(id_col) % sample_mod == 0
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = emb.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cos", cosine(F.col("va"), F.col("vb"))
+    )
+    n_sample = emb.agg(F.count(F.lit(1)).alias("n_sample"))
+    agg = pairs.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("id_a", "id_b", "cos"))
+                ),
+                lambda s: s["cos"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum"),
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )
+    return agg.crossJoin(F.broadcast(n_sample)).select(
+        "n_sample",
+        F.round(F.col("_sum") / F.col("_n"), 6).alias("mean_cos"),
+        "min_cos",
+        "max_cos",
+    )

@@ -3254,3 +3254,33 @@ def similarity_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         kc=_PQ_KC,
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-diversity report over the deterministic id % 25 sample
+# --------------------------------------------------------------------------
+_DIV_MOD = 25
+
+
+@register(
+    "similarity_diversity",
+    sql=f"""
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % {_DIV_MOD} = 0),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COS.format(a="a.v", b="b.v")} AS c
+        FROM s a JOIN s b ON a.vec_id < b.vec_id),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM s)
+    SELECT n.n_sample,
+           round(sum(c ORDER BY id_a, id_b) / count(*), 6) AS mean_cos,
+           round(min(c), 6) AS min_cos,
+           round(max(c), 6) AS max_cos
+    FROM pairs, n
+    GROUP BY n.n_sample
+    """,
+)
+def similarity_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.diversity_report(
+        load_table(spark, sf_dir, "embeddings"), sample_mod=_DIV_MOD
+    )
