@@ -1249,6 +1249,7 @@ def connected_components_stars(
         .localCheckpoint()
     )
     rounds = 0
+    n_prev: int | None = None
     for _ in range(max_iters):
         rounds += 1
         # ---- large-star: ∀v∈Γ(u) with v>u → edge (m, v), m = min(Γ(u)∪u)
@@ -1277,10 +1278,15 @@ def connected_components_stars(
         )
         anchor = m2.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
         e2 = rehang.union(anchor).distinct().localCheckpoint()
-        changed = (
-            e2.join(e, ["lo", "hi"], "left_anti").count()
-            + e.join(e2, ["lo", "hi"], "left_anti").count()
-        )
+        # fixpoint test with ONE anti-join instead of two: both sides
+        # are distinct sets, so e2 == e  ⇔  |e2| == |e| and e2 \ e = ∅
+        # (|e| carries over from the previous round's |e2|, so the
+        # count is one tiny job; the anti-join runs only on size match)
+        n2 = e2.count()
+        changed = 1
+        if n_prev is not None and n2 == n_prev:
+            changed = e2.join(e, ["lo", "hi"], "left_anti").count()
+        n_prev = n2
         e = e2
         if changed == 0:
             break
