@@ -241,6 +241,13 @@ _DEFERRED: set[str] = {
     "similarity_diversity",  # sample pairwise-cosine diversity report;
                              # fold mechanics evidenced by green
                              # similarity rows (deferred: headroom)
+    "dedup_decontaminate_by_source",  # per-source contamination view;
+                             # composes the green decontaminate oracle
+                             # (deferred: headroom)
+    "text_length_strata",    # percentile-cutpoint strata (ntile without
+                             # the global sort); percentile mechanics
+                             # evidenced by green text_corpus_stats row
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

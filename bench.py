@@ -107,6 +107,8 @@ HEADLINE = [
     "dedup_clusters_stars",
     "similarity_topk_pq_refined",
     "similarity_diversity",
+    "dedup_decontaminate_by_source",
+    "text_length_strata",
 ]
 
 

@@ -1399,3 +1399,34 @@ def pmi_top_pairs(
         .withColumn("rk", F.row_number().over(w))
         .select("w1", "w2", "n12", "pmi", "rk")
     )
+
+
+def length_strata(
+    docs: DataFrame, n_strata: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, stratum) — equal-population length strata
+    (stratum 0 = shortest quartile at the default 4): the bucketing a
+    length-stratified sample or curriculum needs.
+
+    Deliberately NOT ``ntile``: an ntile window over the corpus is ONE
+    global sort on a single reducer. Instead the n−1 exact interpolated
+    percentile cutpoints are one aggregate row broadcast back, and the
+    stratum is a pure comparison sum — two corpus passes, zero global
+    sorts, the standard scale-safe quantile-bucketing shape (swap in
+    approx_percentile at 100 TB; ties at a cutpoint go to the lower
+    stratum — strict > comparisons)."""
+    d = normalized(docs, text_col).withColumn(
+        "_nw", F.size(F.split("_norm", " ")).cast("long")
+    )
+    cuts = d.agg(
+        *[
+            F.percentile("_nw", F.lit(i / n_strata)).alias(f"_c{i}")
+            for i in range(1, n_strata)
+        ]
+    )
+    stratum = F.lit(0)
+    for i in range(1, n_strata):
+        stratum = stratum + (F.col("_nw") > F.col(f"_c{i}")).cast("int")
+    return d.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", F.col("_nw").alias("n_words"), stratum.alias("stratum")
+    )

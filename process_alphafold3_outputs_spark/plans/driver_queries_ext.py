@@ -3284,3 +3284,75 @@ def similarity_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.diversity_report(
         load_table(spark, sf_dir, "embeddings"), sample_mod=_DIV_MOD
     )
+
+
+# --------------------------------------------------------------------------
+# contamination report grouped by source: which sources leak the
+# benchmark (the per-source view that decides what to re-crawl)
+# --------------------------------------------------------------------------
+def _register_decontaminate_by_source() -> None:
+    per_doc = _ORACLE["dedup_decontaminate"]
+    register(
+        "dedup_decontaminate_by_source",
+        sql=f"""
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(p.contaminated) AS BIGINT) AS n_contaminated,
+               round(sum(p.contaminated) / CAST(count(*) AS DOUBLE), 6)
+                   AS contaminated_frac,
+               CAST(sum(p.n_hits) AS BIGINT) AS total_hits
+        FROM ({per_doc}) p JOIN documents d USING (doc_id)
+        GROUP BY d.source
+        """,
+    )(_dedup_decontaminate_by_source)
+
+
+def _dedup_decontaminate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    per_doc = dedup.decontaminate(docs, bench, k=3)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("contaminated").cast("long").alias("n_contaminated"),
+            F.round(
+                F.sum("contaminated") / F.count(F.lit(1)), 6
+            ).alias("contaminated_frac"),
+            F.sum("n_hits").alias("total_hits"),
+        )
+    )
+
+
+_register_decontaminate_by_source()
+
+
+# --------------------------------------------------------------------------
+# equal-population length strata WITHOUT ntile's global sort: exact
+# percentile cutpoints broadcast back as pure comparisons.
+# --------------------------------------------------------------------------
+_STRATA = 4
+
+
+@register(
+    "text_length_strata",
+    sql=rf"""
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_words
+        FROM documents),
+    cuts AS (SELECT quantile_cont(n_words, 0.25) AS c1,
+                    quantile_cont(n_words, 0.5) AS c2,
+                    quantile_cont(n_words, 0.75) AS c3
+             FROM counts)
+    SELECT doc_id, n_words,
+           CAST(CAST(n_words > c1 AS INT) + CAST(n_words > c2 AS INT)
+                + CAST(n_words > c3 AS INT) AS INT) AS stratum
+    FROM counts, cuts
+    """,
+)
+def text_length_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.length_strata(
+        load_table(spark, sf_dir, "documents"), n_strata=_STRATA
+    )

@@ -1124,3 +1124,25 @@ def test_pmi_finds_planted_collocation(spark):
             assert pmis[("san", "francisco")] > pmis[p]
     ranks = {(r.w1, r.w2): r.rk for r in got}
     assert sorted(ranks.values()) == list(range(1, len(got) + 1))
+
+
+# --------------------------------------------------------------------------
+# length stratification (percentile cutpoints, no ntile)
+# --------------------------------------------------------------------------
+
+
+def test_length_strata_balanced_and_monotone(spark):
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(100)]  # 1..100 words
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in text.length_strata(docs, 4).collect()}
+    from collections import Counter
+    sizes = Counter(v["stratum"] for v in got.values())
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(20 <= c <= 30 for c in sizes.values())  # near-equal quarters
+    # monotone: longer doc never lands in a lower stratum
+    ordered = sorted(got.values(), key=lambda v: v["n_words"])
+    strata = [v["stratum"] for v in ordered]
+    assert strata == sorted(strata)
+
+    plan = text.length_strata(docs, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # cutpoint aggregate, never an ntile window
