@@ -248,6 +248,10 @@ _DEFERRED: set[str] = {
                              # the global sort); percentile mechanics
                              # evidenced by green text_corpus_stats row
                              # (deferred: headroom)
+    "text_perplexity_trigram",  # interpolated trigram LM; explode/join/
+                             # fold mechanics evidenced by green
+                             # text_perplexity_bigram row (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

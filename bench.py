@@ -109,6 +109,7 @@ HEADLINE = [
     "similarity_diversity",
     "dedup_decontaminate_by_source",
     "text_length_strata",
+    "text_perplexity_trigram",
 ]
 
 

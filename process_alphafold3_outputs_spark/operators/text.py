@@ -1430,3 +1430,97 @@ def length_strata(
     return d.crossJoin(F.broadcast(cuts)).select(
         "doc_id", F.col("_nw").alias("n_words"), stratum.alias("stratum")
     )
+
+
+def trigram_lm_scores(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    l3: float = 0.6,
+    l2: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_trigrams, avg_nll, ppl) — per-document fluency under a
+    Jelinek-Mercer INTERPOLATED trigram model trained on the corpus:
+    ``p(w3|w1w2) = λ3·p̂3 + λ2·p̂2 + λ1·p̂1`` with each p̂ add-alpha
+    smoothed and λ1 = 1−λ3−λ2 (the standard fix for trigram sparsity —
+    a pure trigram model assigns the α-floor to every unseen context,
+    which is most of them; interpolation lets the bigram/unigram
+    estimates carry).
+
+    Scale shape: ONE corpus explode into positional trigram rows; the
+    three model tables are vocabulary-sized aggregates DERIVED from the
+    trigram counts (never extra corpus passes); the corpus-sized join
+    keys on (w1,w2,w3) — maximally spread. Per-doc mean folds in
+    position order for the bit-exact oracle. Docs with < 3 tokens carry
+    n_trigrams = 0 and NULL scores."""
+    l1 = 1.0 - l3 - l2
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
+    n = F.size("_toks")
+    tg = (
+        d.filter(n >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.zip_with(
+                    F.zip_with(
+                        F.slice("_toks", 1, n - 2),
+                        F.slice("_toks", 2, n - 2),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                    F.slice("_toks", 3, n - 2),
+                    lambda p, c: F.struct(
+                        p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+                    ),
+                )
+            ).alias("i", "_t"),
+        )
+        .select("doc_id", "i", "_t.w1", "_t.w2", "_t.w3")
+    )
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
+    c12 = c3.groupBy("w1", "w2").agg(F.sum("n123").alias("n12"))
+    c23 = c3.groupBy("w2", "w3").agg(F.sum("n123").alias("n23"))
+    c2_ = c23.groupBy("w2").agg(F.sum("n23").alias("n2"))
+    c3u = c3.groupBy("w3").agg(F.sum("n123").alias("n3"))
+    tot = c3.agg(F.sum("n123").alias("nt"))
+    vocab = tg.agg(F.count_distinct("w3").alias("_v"))
+    a = F.lit(alpha)
+    scored = (
+        tg.join(c3, ["w1", "w2", "w3"])
+        .join(c12, ["w1", "w2"])
+        .join(c23, ["w2", "w3"])
+        .join(c2_, ["w2"])
+        .join(F.broadcast(c3u), ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                F.lit(l3) * (F.col("n123") + a) / (F.col("n12") + a * F.col("_v"))
+                + F.lit(l2) * (F.col("n23") + a) / (F.col("n2") + a * F.col("_v"))
+                + F.lit(l1) * (F.col("n3") + a) / (F.col("nt") + a * F.col("_v"))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "nll"))),
+                lambda s: s["nll"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0).cast("long")).alias("n_trigrams"),
+            F.round(F.col("_sum") / F.col("n_trigrams"), 6).alias("avg_nll"),
+            F.round(F.exp(F.col("_sum") / F.col("n_trigrams")), 4).alias("ppl"),
+        )
+    )

@@ -3356,3 +3356,57 @@ def text_length_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.length_strata(
         load_table(spark, sf_dir, "documents"), n_strata=_STRATA
     )
+
+
+# --------------------------------------------------------------------------
+# interpolated trigram LM (Jelinek-Mercer over add-alpha trigram/
+# bigram/unigram estimates) — the sparsity-safe big sibling of
+# text_perplexity_bigram.
+# --------------------------------------------------------------------------
+_TLM_L3, _TLM_L2 = 0.6, 0.3
+
+
+@register(
+    "text_perplexity_trigram",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toks WHERE len(w) >= 3),
+    tg AS (SELECT doc_id, i, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3 FROM idx),
+    c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n123
+           FROM tg GROUP BY w1, w2, w3),
+    c12 AS (SELECT w1, w2, CAST(sum(n123) AS BIGINT) AS n12 FROM c3 GROUP BY w1, w2),
+    c23 AS (SELECT w2, w3, CAST(sum(n123) AS BIGINT) AS n23 FROM c3 GROUP BY w2, w3),
+    c2_ AS (SELECT w2, CAST(sum(n23) AS BIGINT) AS n2 FROM c23 GROUP BY w2),
+    c3u AS (SELECT w3, CAST(sum(n123) AS BIGINT) AS n3 FROM c3 GROUP BY w3),
+    tot AS (SELECT CAST(sum(n123) AS BIGINT) AS nt FROM c3),
+    v AS (SELECT count(DISTINCT w3) AS vv FROM tg),
+    scored AS (
+        SELECT tg.doc_id, tg.i,
+               -ln({_TLM_L3} * (c3.n123 + 0.5) / (c12.n12 + 0.5 * v.vv)
+                   + {_TLM_L2} * (c23.n23 + 0.5) / (c2_.n2 + 0.5 * v.vv)
+                   + {1.0 - _TLM_L3 - _TLM_L2!r} * (c3u.n3 + 0.5) / (tot.nt + 0.5 * v.vv)) AS nll
+        FROM tg
+        JOIN c3 USING (w1, w2, w3)
+        JOIN c12 USING (w1, w2)
+        JOIN c23 USING (w2, w3)
+        JOIN c2_ USING (w2)
+        JOIN c3u USING (w3), tot, v),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   sum(nll ORDER BY i) AS s
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           round(a.s / a.n_trigrams, 6) AS avg_nll,
+           round(exp(a.s / a.n_trigrams), 4) AS ppl
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.trigram_lm_scores(
+        load_table(spark, sf_dir, "documents"),
+        alpha=_LM_ALPHA,
+        l3=_TLM_L3,
+        l2=_TLM_L2,
+    )

@@ -1146,3 +1146,18 @@ def test_length_strata_balanced_and_monotone(spark):
 
     plan = text.length_strata(docs, 4)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # cutpoint aggregate, never an ntile window
+
+
+def test_trigram_lm_interpolation_orders_fluency(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "ab cd ef ab cd ef ab cd ef ab cd ef"),  # repeated trigram
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "tiny doc"),  # < 3 tokens
+        ],
+    )
+    got = {r.doc_id: r.asDict() for r in text.trigram_lm_scores(docs).collect()}
+    assert got[1]["n_trigrams"] == 10 and got[2]["n_trigrams"] == 8
+    assert got[1]["avg_nll"] < got[2]["avg_nll"]
+    assert got[3]["n_trigrams"] == 0 and got[3]["ppl"] is None
