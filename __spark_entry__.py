@@ -252,6 +252,12 @@ _DEFERRED: set[str] = {
                              # fold mechanics evidenced by green
                              # text_perplexity_bigram row (deferred:
                              # headroom)
+    "dedup_jaccard_neighbors",  # per-doc top-k explorer view over the
+                             # green dedup_jaccard oracle at a low
+                             # floor (deferred: headroom)
+    "text_char_entropy",     # character-entropy screen; explode/fold
+                             # mechanics evidenced by green text_* rows
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -110,6 +110,8 @@ HEADLINE = [
     "dedup_decontaminate_by_source",
     "text_length_strata",
     "text_perplexity_trigram",
+    "dedup_jaccard_neighbors",
+    "text_char_entropy",
 ]
 
 

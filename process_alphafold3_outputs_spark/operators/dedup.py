@@ -1354,3 +1354,43 @@ def minhash_estimate_pairs(
             F.round(inter / uni, 6).alias("exact_jaccard"),
         )
     )
+
+
+def jaccard_top_neighbors(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.1,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, neighbor_id, jaccard, rk) — each document's ``k`` most
+    similar documents by shingle Jaccard (the dedup EXPLORER view: a
+    reviewer asks "what almost matches this doc" before tuning a
+    threshold; thresholded pair dumps can't answer that per-doc).
+
+    Built on :func:`jaccard_pairs` at a LOW floor threshold, mirrored
+    to both directions, ranked per doc. The floor keeps the pair graph
+    sparse (inverted-index candidates only); k caps the per-doc
+    output."""
+    pairs = jaccard_pairs(
+        docs, threshold=threshold, shingle_k=shingle_k, text_col=text_col
+    )
+    both = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id")
+    )
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "neighbor_id", "jaccard", "rk")
+    )

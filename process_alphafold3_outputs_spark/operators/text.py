@@ -1524,3 +1524,49 @@ def trigram_lm_scores(
             F.round(F.exp(F.col("_sum") / F.col("n_trigrams")), 4).alias("ppl"),
         )
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, entropy_bits) — Shannon entropy of the
+    normalized text's character distribution, in bits: near-zero for
+    single-character spam ('aaaa…'), ~4.1 for ordinary English, higher
+    for random gibberish/base64 blobs — the cheap
+    compression-style quality screen that catches what word-level
+    stats miss.
+
+    Scale shape: one position explode to (doc, char) rows, a
+    (doc, char)-keyed count (map-side combine collapses to ≤ |alphabet|
+    rows per doc per partition), and a doc-keyed fold in char order
+    (bit-exact cross-engine). Empty documents carry n_chars = 0 and
+    NULL entropy."""
+    d = normalized(spread(docs, "doc_id"), text_col)
+    n = F.length("_norm")
+    ch = (
+        d.filter(n >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), n)).alias("i"),
+            F.col("_norm"),
+        )
+        .select("doc_id", F.expr("substring(_norm, i, 1)").alias("ch"))
+    )
+    counts = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("_arr"),
+    )
+    nn = F.col("n_chars").cast("double")
+    h = F.aggregate(
+        F.transform("_arr", lambda s: s["c"].cast("double")),
+        F.lit(0.0),
+        lambda acc, c: acc - (c / nn) * F.log2(c / nn),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0).cast("long")).alias("n_chars"),
+            F.round(h, 6).alias("entropy_bits"),
+        )
+    )

@@ -3410,3 +3410,72 @@ def text_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         l3=_TLM_L3,
         l2=_TLM_L2,
     )
+
+
+# --------------------------------------------------------------------------
+# per-doc nearest neighbors over the Jaccard graph (the threshold-
+# tuning explorer view); oracle mirrors the pair oracle at a low floor.
+# --------------------------------------------------------------------------
+_JNN_K, _JNN_T = 3, 0.1
+
+
+def _register_jaccard_neighbors() -> None:
+    # the dedup_jaccard oracle text has the 0.5 threshold inlined twice
+    # (filter + display); retarget both occurrences to the floor
+    pairs_sql = _ORACLE["dedup_jaccard"].replace(">= 0.5", f">= {_JNN_T}")
+    register(
+        "dedup_jaccard_neighbors",
+        sql=f"""
+        WITH pairs AS ({pairs_sql}),
+        mirrored AS (
+            SELECT doc_a AS doc_id, doc_b AS neighbor_id, jaccard FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS neighbor_id, jaccard FROM pairs)
+        SELECT doc_id, neighbor_id, jaccard, CAST(rk AS INT) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY jaccard DESC, neighbor_id) AS rk
+              FROM mirrored)
+        WHERE rk <= {_JNN_K}
+        """,
+    )(_dedup_jaccard_neighbors)
+
+
+def _dedup_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_top_neighbors(
+        load_table(spark, sf_dir, "documents"), k=_JNN_K, threshold=_JNN_T
+    )
+
+
+_register_jaccard_neighbors()
+
+
+# --------------------------------------------------------------------------
+# character-entropy quality screen (compression-style gibberish/spam
+# detector the word-level stats miss)
+# --------------------------------------------------------------------------
+@register(
+    "text_char_entropy",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    ch AS (SELECT doc_id, substr(t, CAST(i AS INT), 1) AS ch
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                 FROM norm WHERE len(t) >= 1)),
+    counts AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+               FROM ch GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars
+            FROM counts GROUP BY doc_id),
+    ent AS (SELECT counts.doc_id,
+                   sum(-(c / CAST(t.n_chars AS DOUBLE))
+                       * log2(c / CAST(t.n_chars AS DOUBLE)) ORDER BY ch) AS h
+            FROM counts JOIN tot t USING (doc_id)
+            GROUP BY counts.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(t.n_chars, 0) AS BIGINT) AS n_chars,
+           round(e.h, 6) AS entropy_bits
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN ent e USING (doc_id)
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.char_entropy(load_table(spark, sf_dir, "documents"))

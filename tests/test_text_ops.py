@@ -1161,3 +1161,22 @@ def test_trigram_lm_interpolation_orders_fluency(spark):
     assert got[1]["n_trigrams"] == 10 and got[2]["n_trigrams"] == 8
     assert got[1]["avg_nll"] < got[2]["avg_nll"]
     assert got[3]["n_trigrams"] == 0 and got[3]["ppl"] is None
+
+
+def test_char_entropy_known_values(spark):
+    import math
+    docs = _docs(spark, [
+        (1, "aaaa"),        # one symbol -> 0 bits
+        (2, "abab"),        # two equiprobable -> 1 bit
+        (3, "abcd"),        # four equiprobable -> 2 bits
+        (4, None),          # NULL ≡ empty
+    ])
+    got = {r.doc_id: r.asDict() for r in text.char_entropy(docs).collect()}
+    assert got[1]["entropy_bits"] == 0.0
+    assert abs(got[2]["entropy_bits"] - 1.0) < 1e-9
+    assert abs(got[3]["entropy_bits"] - 2.0) < 1e-9
+    assert got[4]["n_chars"] == 0 and got[4]["entropy_bits"] is None
+    # English-ish text sits well above single-char spam
+    docs2 = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog")])
+    e = text.char_entropy(docs2).collect()[0]["entropy_bits"]
+    assert 3.5 < e < 5.0
