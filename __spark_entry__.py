@@ -258,6 +258,8 @@ _DEFERRED: set[str] = {
     "text_char_entropy",     # character-entropy screen; explode/fold
                              # mechanics evidenced by green text_* rows
                              # (deferred: headroom)
+    "multimodal_summary",    # pure-relational media metadata agg
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

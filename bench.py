@@ -112,6 +112,7 @@ HEADLINE = [
     "text_perplexity_trigram",
     "dedup_jaccard_neighbors",
     "text_char_entropy",
+    "multimodal_summary",
 ]
 
 

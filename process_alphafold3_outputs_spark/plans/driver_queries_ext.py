@@ -3479,3 +3479,23 @@ _register_jaccard_neighbors()
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# multimodal metadata summary — the pure-relational query over media
+# that must never touch Python at any scale
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_summary",
+    sql="""
+    SELECT 'text/blob' AS modality,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+)
+def multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    media = multimodal.from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.media_summary(media)
