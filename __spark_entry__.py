@@ -260,6 +260,10 @@ _DEFERRED: set[str] = {
                              # (deferred: headroom)
     "multimodal_summary",    # pure-relational media metadata agg
                              # (deferred: headroom)
+    "text_ngram_novelty",    # novelty dual of the boilerplate screen;
+                             # shingle-df mechanics evidenced by green
+                             # dedup_boilerplate row (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -113,6 +113,7 @@ HEADLINE = [
     "dedup_jaccard_neighbors",
     "text_char_entropy",
     "multimodal_summary",
+    "text_ngram_novelty",
 ]
 
 

@@ -1570,3 +1570,40 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(h, 6).alias("entropy_bits"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, shingle_k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_shingles, n_unique, novelty) — the fraction of a
+    document's word shingles that appear in NO other document: the
+    contribution/novelty score dual to the boilerplate df screen (a
+    doc of novelty ~0 adds nothing the corpus doesn't already have —
+    prime deletion candidate even when no single pair crosses a
+    near-dup threshold).
+
+    Scale shape: one shingle explode, a shingle-keyed df aggregate
+    (md5-uniform keys), one join back and a doc-keyed count — the
+    drop_boilerplate shuffle shape at shingle granularity."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, k=shingle_k, text_col=text_col)
+    dfq = sh.groupBy("shingle").agg(
+        F.count_distinct("doc_id").alias("_df")
+    )
+    return (
+        sh.join(dfq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -3499,3 +3499,26 @@ def multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.media_summary(media)
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty: fraction of a doc's shingles unique to it (the
+# contribution score dual to the boilerplate df screen)
+# --------------------------------------------------------------------------
+@register(
+    "text_ngram_novelty",
+    sql=f"""
+    WITH {_SHINGLES},
+    dfq AS (SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM shingles GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM shingles s JOIN dfq USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_novelty(load_table(spark, sf_dir, "documents"))

@@ -1180,3 +1180,15 @@ def test_char_entropy_known_values(spark):
     docs2 = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog")])
     e = text.char_entropy(docs2).collect()[0]["entropy_bits"]
     assert 3.5 < e < 5.0
+
+
+def test_ngram_novelty_extremes(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(spark, [
+        (1, shared),
+        (2, shared),                                  # exact dup: novelty 0
+        (3, "entirely original writing nobody copied ever before now"),
+    ])
+    got = {r.doc_id: r.asDict() for r in text.ngram_novelty(docs).collect()}
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
