@@ -264,6 +264,11 @@ _DEFERRED: set[str] = {
                              # shingle-df mechanics evidenced by green
                              # dedup_boilerplate row (deferred:
                              # headroom)
+    "dedup_incremental_near",  # shipment-over-history NEAR-dedup via
+                             # the rolling band table; band mechanics
+                             # evidenced by green dedup_minhash_lsh +
+                             # dedup_incremental rows (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -114,6 +114,7 @@ HEADLINE = [
     "text_char_entropy",
     "multimodal_summary",
     "text_ngram_novelty",
+    "dedup_incremental_near",
 ]
 
 

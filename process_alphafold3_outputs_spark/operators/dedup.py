@@ -1394,3 +1394,80 @@ def jaccard_top_neighbors(
         .filter(F.col("rk") <= k)
         .select("doc_id", "neighbor_id", "jaccard", "rk")
     )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, band_sig) — the LSH band table of a corpus (the
+    persistable NEAR-dup state: n_bands small strings per doc)."""
+    sig = minhash_sig_array(docs, n_bands * rows_per_band, shingle_k, text_col)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        ).alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.band", "_b.band_sig")
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    seen_bands: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(kept_docs, updated_bands) — a NEW shipment NEAR-deduped against
+    the corpus HISTORY'S LSH band table (the batch twin of
+    ``streaming.state.streaming_lsh_near_dedup`` and the near-dup
+    sibling of :func:`incremental_exact_dedup`): a shipment doc sharing
+    ANY band signature with history — or with a lower-id doc in the
+    same shipment — is dropped; survivors append their bands to the
+    rolling (doc_id, band, band_sig) table.
+
+    History participates ONLY as its band table (n_bands short strings
+    per doc); historical text is never rescanned — the scale contract
+    of every incremental operator here."""
+    nb = minhash_bands(new_docs, n_bands, rows_per_band, shingle_k, text_col)
+    hist = seen_bands.select(
+        "band", "band_sig", F.col("doc_id").alias("_hid")
+    )
+    dup_vs_hist = (
+        nb.join(hist, ["band", "band_sig"])
+        .select("doc_id")
+        .distinct()
+    )
+    dup_within = (
+        nb.alias("a")
+        .join(
+            nb.select(
+                "band", "band_sig", F.col("doc_id").alias("_bid")
+            ).alias("b"),
+            ["band", "band_sig"],
+        )
+        .filter(F.col("a.doc_id") > F.col("_bid"))
+        .select("doc_id")
+        .distinct()
+    )
+    drops = dup_vs_hist.union(dup_within).distinct()
+    kept = new_docs.join(drops, "doc_id", "left_anti")
+    updated = seen_bands.select("doc_id", "band", "band_sig").unionByName(
+        nb.join(drops, "doc_id", "left_anti")
+    )
+    return kept, updated

@@ -3522,3 +3522,49 @@ def multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# batch shipment-over-history NEAR-dedup (LSH band table as rolling
+# state): history = even doc_ids, shipment = odd. Per-doc signatures
+# depend only on the doc's own shingles, so the oracle computes bands
+# over the whole table and filters per side.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_incremental_near",
+    sql=f"""
+    WITH {_SHINGLES},
+    mh AS (
+        SELECT doc_id, s.seed,
+               min(((2 * s.seed + 1)
+                    * (CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)
+                    + (s.seed * s.seed + 7)) % 2147483647) AS minhash
+        FROM shingles, unnest(generate_series(0, 11)) s(seed)
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 3 AS band,
+               string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
+        FROM mh GROUP BY doc_id, seed // 3
+    ),
+    hist AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    nw AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    drops AS (
+        SELECT DISTINCT n.doc_id
+        FROM nw n JOIN hist h ON n.band = h.band AND n.band_sig = h.band_sig
+        UNION
+        SELECT DISTINCT a.doc_id
+        FROM nw a JOIN nw b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id > b.doc_id
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hist_bands = dedup.minhash_bands(docs.filter(F.col("doc_id") % 2 == 0))
+    shipment = docs.filter(F.col("doc_id") % 2 == 1)
+    kept, _ = dedup.incremental_near_dedup(shipment, hist_bands)
+    return kept.select("doc_id")

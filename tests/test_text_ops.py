@@ -1192,3 +1192,29 @@ def test_ngram_novelty_extremes(spark):
     got = {r.doc_id: r.asDict() for r in text.ngram_novelty(docs).collect()}
     assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
     assert got[3]["novelty"] == 1.0
+
+
+def test_incremental_near_dedup_across_shipments(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a slow tune in the quiet town")
+    near = base.replace("slow", "fast")
+    other = "completely different content about spark engines and shuffles"
+    s1 = _docs(spark, [(1, base), (2, other)])
+    empty_bands = spark.createDataFrame(
+        [], "doc_id long, band int, band_sig string"
+    )
+    kept1, bands1 = dedup.incremental_near_dedup(s1, empty_bands)
+    assert {r.doc_id for r in kept1.collect()} == {1, 2}
+    # shipment 2: a near-dup of 1 (drops vs history), a fresh doc, and
+    # an intra-shipment near-dup pair (5 drops, 4 stays)
+    s2 = _docs(spark, [
+        (3, near),
+        (4, "brand new words never seen in any earlier shipment at all"),
+        (5, "brand new words never seen in any earlier shipment at all!"),
+    ])
+    kept2, bands2 = dedup.incremental_near_dedup(s2, bands1)
+    got = {r.doc_id for r in kept2.collect()}
+    assert 3 not in got and 4 in got
+    # rolling table holds bands for every KEPT doc only
+    assert {r.doc_id for r in bands2.select("doc_id").distinct().collect()} \
+        == {1, 2} | got
