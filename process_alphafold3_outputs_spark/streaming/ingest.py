@@ -375,3 +375,54 @@ def watch_media_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_documents_near_dedup(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    bands_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming corpus intake with cross-epoch NEAR-dedup: each
+    micro-batch runs the batch ``incremental_near_dedup`` kernel
+    against the rolling LSH band table at ``bands_path``, appends only
+    near-novel documents to ``out_path`` and rolls the band table
+    forward (restart-safe parquet state; the exact-dedup twin is
+    ``watch_documents_dedup``, the in-memory state-store variant is
+    ``state.streaming_lsh_near_dedup``). Returns the StreamingQuery."""
+    import os
+
+    from ..operators.dedup import incremental_near_dedup
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.isdir(bands_path):
+            seen = batch_df.sparkSession.read.parquet(bands_path)
+        else:
+            seen = batch_df.sparkSession.createDataFrame(
+                [], "doc_id long, band int, band_sig string"
+            )
+        kept, updated = incremental_near_dedup(batch_df, seen)
+        kept.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        tmp = bands_path + "_next"
+        updated.write.mode("overwrite").parquet(tmp)
+        batch_df.sparkSession.read.parquet(tmp).write.mode(
+            "overwrite"
+        ).parquet(bands_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

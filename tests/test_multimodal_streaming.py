@@ -615,3 +615,40 @@ def test_watch_media_dedup_perceptual_across_epochs(spark, tmp_path):
     finally:
         q.stop()
     assert spark.read.parquet(hashes).count() == 2
+
+
+def test_watch_documents_near_dedup_across_epochs(spark, tmp_path):
+    """A near-duplicate (one word changed) re-dropped in a later epoch
+    must not reach the keeper table; novel docs pass."""
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_documents_near_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a slow tune in the quiet town tonight")
+    near = base.replace("slow", "fast")
+    other = "entirely different content about query engines and shuffles here"
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "kept")
+    bands = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(rows):
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows], schema
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    drop([(1, base), (2, other)])
+    q = watch_documents_near_dedup(spark, inbox, out, bands, ckpt)
+    try:
+        q.processAllAvailable()
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+        drop([(3, near),
+              (4, "brand new unseen sentence with many novel words inside")])
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert 3 not in got and 4 in got
+    finally:
+        q.stop()
