@@ -269,6 +269,10 @@ _DEFERRED: set[str] = {
                              # evidenced by green dedup_minhash_lsh +
                              # dedup_incremental rows (deferred:
                              # headroom)
+    "text_bm25_search",      # BM25 ranked retrieval; tf/df/top-k
+                             # mechanics evidenced by green
+                             # text_tfidf_topterms row (deferred:
+                             # headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

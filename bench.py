@@ -115,6 +115,7 @@ HEADLINE = [
     "multimodal_summary",
     "text_ngram_novelty",
     "dedup_incremental_near",
+    "text_bm25_search",
 ]
 
 

@@ -1607,3 +1607,76 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score, rk) — the ``k`` best documents for a bag of
+    query terms under Okapi BM25 (the standard lexical ranking
+    function): ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    with the Robertson idf ``ln(1 + (N−df+0.5)/(df+0.5))`` (always
+    positive). Terms are matched against the normalized token stream.
+
+    Scale shape: doc lengths and per-(doc, query-term) tfs come from
+    one corpus pass (the tf filter keeps only query terms — the
+    explode collapses immediately); df and avgdl are tiny broadcast
+    aggregates. Scores fold in term order and round to 9 dp BEFORE
+    ranking (the ln-in-rank-key policy); the top-k is
+    TakeOrderedAndProject."""
+    terms = sorted(set(query_terms))
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
+    lens = d.select("doc_id", F.size("_toks").cast("long").alias("_dl"))
+    tok = d.select("doc_id", F.explode("_toks").alias("term")).filter(
+        F.col("term").isin(terms)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            F.log(
+                1.0
+                + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            )
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (1 - b + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("term", "_s"))),
+                    lambda s: s["_s"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        per_doc.orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "score", "rk")
+    )

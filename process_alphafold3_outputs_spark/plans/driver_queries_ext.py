@@ -3568,3 +3568,47 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipment = docs.filter(F.col("doc_id") % 2 == 1)
     kept, _ = dedup.incremental_near_dedup(shipment, hist_bands)
     return kept.select("doc_id")
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval over the corpus inverted index
+# --------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "shuffle", "query"]
+_BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
+
+
+@register(
+    "text_bm25_search",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+           WHERE term IN ('spark', 'shuffle', 'query')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl)) AS sc
+        FROM tf JOIN dfq USING (term) JOIN lens l ON l.doc_id = tf.doc_id, stats s),
+    per_doc AS (
+        SELECT doc_id, round(sum(sc ORDER BY term), 9) AS score
+        FROM scored GROUP BY doc_id)
+    SELECT doc_id, score, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+          FROM per_doc)
+    WHERE rk <= {_BM25_K}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_search(
+        load_table(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )

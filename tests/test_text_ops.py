@@ -1218,3 +1218,19 @@ def test_incremental_near_dedup_across_shipments(spark):
     # rolling table holds bands for every KEPT doc only
     assert {r.doc_id for r in bands2.select("doc_id").distinct().collect()} \
         == {1, 2} | got
+
+
+def test_bm25_ranks_exact_match_first(spark):
+    docs = _docs(spark, [
+        (1, "spark shuffle spark shuffle query plan"),   # all terms, high tf
+        (2, "spark only here with many other filler words present today"),
+        (3, "nothing relevant in this document at all whatsoever"),
+        (4, "query query query query query query"),      # one term, high tf
+    ])
+    got = {r.doc_id: r.asDict() for r in
+           text.bm25_search(docs, ["spark", "shuffle", "query"], k=3).collect()}
+    assert 3 not in got                      # no query term -> unranked
+    assert got[1]["rk"] == 1                 # covers all terms, short doc
+    assert all(0 < v["score"] for v in got.values())
+    ranks = sorted(v["rk"] for v in got.values())
+    assert ranks == list(range(1, len(got) + 1))
