@@ -273,6 +273,9 @@ _DEFERRED: set[str] = {
                              # mechanics evidenced by green
                              # text_tfidf_topterms row (deferred:
                              # headroom)
+    "dedup_candidate_quality",  # banding precision/recall vs exact
+                             # truth; composes two green oracles
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

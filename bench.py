@@ -116,6 +116,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "dedup_incremental_near",
     "text_bm25_search",
+    "dedup_candidate_quality",
 ]
 
 

@@ -1471,3 +1471,49 @@ def incremental_near_dedup(
         nb.join(drops, "doc_id", "left_anti")
     )
     return kept, updated
+
+
+def candidate_quality(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row: (n_candidates, n_true, n_hit, precision, recall) — the
+    LSH BANDING stage measured against exact-Jaccard ground truth:
+    recall = how many true >= threshold pairs the candidate generator
+    surfaces (a missed pair is a duplicate that survives dedup
+    forever); precision = how much of the candidate volume is worth
+    verifying. The measure-the-estimator row for the candidate stage
+    itself (minhash_estimate_pairs measures the per-pair similarity
+    estimate; this measures pair COVERAGE).
+
+    Both pair sets come from their inverted-index generators — no
+    all-pairs stage anywhere; the compare is two pair-keyed joins."""
+    cand = lsh_candidate_pairs(
+        docs, n_bands, rows_per_band, shingle_k, text_col
+    ).select("doc_a", "doc_b")
+    true = jaccard_pairs(
+        docs, threshold=threshold, shingle_k=shingle_k, text_col=text_col
+    ).select("doc_a", "doc_b")
+    hit = cand.join(true, ["doc_a", "doc_b"], "left_semi")
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = true.agg(F.count(F.lit(1)).alias("n_true"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(nh)
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )

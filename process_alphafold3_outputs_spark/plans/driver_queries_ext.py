@@ -3612,3 +3612,37 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
     )
+
+
+# --------------------------------------------------------------------------
+# candidate-generator quality: the banding stage's precision/recall vs
+# exact-Jaccard ground truth (coverage twin of dedup_minhash_estimate).
+# Oracle composes both stages' own oracle texts.
+# --------------------------------------------------------------------------
+def _register_candidate_quality() -> None:
+    cand_sql = _ORACLE["dedup_minhash_lsh"]
+    true_sql = _ORACLE["dedup_jaccard"]
+    register(
+        "dedup_candidate_quality",
+        sql=f"""
+        WITH cand AS ({cand_sql}),
+        tru AS (SELECT doc_a, doc_b FROM ({true_sql})),
+        hit AS (SELECT c.doc_a, c.doc_b FROM cand c JOIN tru USING (doc_a, doc_b))
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT) FROM tru) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+               round((SELECT count(*) FROM hit)
+                     / CAST(greatest((SELECT count(*) FROM cand), 1) AS DOUBLE), 6) AS precision,
+               round((SELECT count(*) FROM hit)
+                     / CAST(greatest((SELECT count(*) FROM tru), 1) AS DOUBLE), 6) AS recall
+        """,
+    )(_dedup_candidate_quality)
+
+
+def _dedup_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.candidate_quality(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+_register_candidate_quality()

@@ -949,3 +949,11 @@ def test_pq_refined_recall_dominates_plain_pq(spark, sf_dir):
     # the exact re-rank over a 20-candidate shortlist can only improve
     # per-query recall on average (shortlist superset of top-k)
     assert sum(refined.values()) >= sum(plain.values())
+
+
+def test_candidate_quality_full_recall_on_planted_dups(docs):
+    row = dedup.candidate_quality(docs, threshold=0.5).collect()[0]
+    # the planted exact/near dups all share bands -> full recall here
+    assert row.n_true > 0 and row.recall == 1.0
+    assert 0 < row.precision <= 1.0
+    assert row.n_hit <= row.n_candidates
