@@ -276,6 +276,8 @@ _DEFERRED: set[str] = {
     "dedup_candidate_quality",  # banding precision/recall vs exact
                              # truth; composes two green oracles
                              # (deferred: headroom)
+    "text_bm25_search_many", # batched BM25 (single-query parity
+                             # pytest-pinned; deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -117,6 +117,7 @@ HEADLINE = [
     "dedup_incremental_near",
     "text_bm25_search",
     "dedup_candidate_quality",
+    "text_bm25_search_many",
 ]
 
 

@@ -1680,3 +1680,74 @@ def bm25_search(
         .withColumn("rk", F.row_number().over(w))
         .select("doc_id", "score", "rk")
     )
+
+
+def bm25_search_many(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score, rk) — BM25 top-k for a whole TABLE of
+    queries at once (``queries``: (query_id, term) rows — the batch
+    evaluation/serving shape; :func:`bm25_search` is its single-query
+    special case). The corpus is scanned ONCE for all queries: the
+    token stream semi-joins the distinct query-term set, tf/df build
+    per matched term, and each query's scoring join fans out only over
+    its own terms' postings.
+
+    Same determinism policy as bm25_search: term-ordered fold, 9-dp
+    rounding before the per-query rank window."""
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
+    lens = d.select("doc_id", F.size("_toks").cast("long").alias("_dl"))
+    qterms = queries.select("query_id", "term")
+    tok = d.select("doc_id", F.explode("_toks").alias("term")).join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            F.log(
+                1.0
+                + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            )
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (1 - b + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    per = scored.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("term", "_s"))),
+                    lambda s: s["_s"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )

@@ -3646,3 +3646,58 @@ def _dedup_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_candidate_quality()
+
+
+# --------------------------------------------------------------------------
+# batched BM25: a table of queries served off ONE corpus scan
+# --------------------------------------------------------------------------
+_BM25M_QUERIES = [
+    (1, "spark"), (1, "shuffle"),
+    (2, "query"), (2, "join"), (2, "window"),
+    (3, "merge"),
+]
+
+
+def _register_bm25_many() -> None:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25M_QUERIES)
+    register(
+        "text_bm25_search_many",
+        sql=f"""
+        WITH q(query_id, term) AS (VALUES {vals}),
+        norm AS ({_NORM}),
+        toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM lens),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+               WHERE term IN (SELECT DISTINCT term FROM q)
+               GROUP BY doc_id, term),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT q.query_id, tf.doc_id, tf.term,
+                   ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl)) AS sc
+            FROM tf JOIN dfq USING (term) JOIN q USING (term)
+            JOIN lens l ON l.doc_id = tf.doc_id, stats s),
+        per AS (
+            SELECT query_id, doc_id, round(sum(sc ORDER BY term), 9) AS score
+            FROM scored GROUP BY query_id, doc_id)
+        SELECT CAST(query_id AS INT) AS query_id, doc_id, score, CAST(rk AS INT) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, doc_id) AS rk
+              FROM per)
+        WHERE rk <= 5
+        """,
+    )(_text_bm25_search_many)
+
+
+def _text_bm25_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = spark.createDataFrame(_BM25M_QUERIES, "query_id int, term string")
+    return text.bm25_search_many(
+        load_table(spark, sf_dir, "documents"), q, k=5,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+_register_bm25_many()

@@ -1234,3 +1234,19 @@ def test_bm25_ranks_exact_match_first(spark):
     assert all(0 < v["score"] for v in got.values())
     ranks = sorted(v["rk"] for v in got.values())
     assert ranks == list(range(1, len(got) + 1))
+
+
+def test_bm25_many_matches_single_query(spark):
+    docs = _docs(spark, [
+        (1, "spark shuffle spark shuffle query plan"),
+        (2, "spark only here with many other filler words present today"),
+        (3, "query query join window merge sort"),
+    ])
+    q = spark.createDataFrame(
+        [(7, "spark"), (7, "shuffle")], "query_id int, term string"
+    )
+    many = {(r.query_id, r.doc_id): (r.score, r.rk)
+            for r in text.bm25_search_many(docs, q, k=3).collect()}
+    single = {r.doc_id: (r.score, r.rk)
+              for r in text.bm25_search(docs, ["spark", "shuffle"], k=3).collect()}
+    assert {d: v for (qq, d), v in many.items() if qq == 7} == single
