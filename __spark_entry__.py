@@ -278,6 +278,9 @@ _DEFERRED: set[str] = {
                              # (deferred: headroom)
     "text_bm25_search_many", # batched BM25 (single-query parity
                              # pytest-pinned; deferred: headroom)
+    "text_keyword_contexts", # KWIC reviewer view; array-slice
+                             # mechanics evidenced by green text_* rows
+                             # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):

@@ -118,6 +118,7 @@ HEADLINE = [
     "text_bm25_search",
     "dedup_candidate_quality",
     "text_bm25_search_many",
+    "text_keyword_contexts",
 ]
 
 

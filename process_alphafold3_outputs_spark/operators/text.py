@@ -1751,3 +1751,45 @@ def bm25_search_many(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_id", "score", "rk")
     )
+
+
+def keyword_contexts(
+    docs: DataFrame, term: str, window: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, context) — every occurrence of ``term`` in the
+    normalized token stream with ``window`` words of context either
+    side (KWIC — keyword in context: the reviewer view behind a BM25
+    hit list; 'show me how this corpus actually uses the word').
+    ``pos`` is the 1-based token position.
+
+    Scale shape: one position explode filtered to matches immediately
+    (the non-matching positions never leave the projection), context
+    sliced from the already-split token array — no second scan, no
+    join."""
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
+    n = F.size("_toks")
+    hits = d.select(
+        "doc_id",
+        "_toks",
+        n.alias("_n"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.when(
+                        F.element_at("_toks", i) == term, i
+                    ).otherwise(F.lit(None)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("pos"),
+    )
+    start = F.greatest(F.col("pos") - window, F.lit(1))
+    length = F.least(F.col("pos") + window, F.col("_n")) - start + 1
+    return hits.select(
+        "doc_id",
+        "pos",
+        F.array_join(F.slice("_toks", start, length), " ").alias("context"),
+    )

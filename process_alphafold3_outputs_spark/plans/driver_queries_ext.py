@@ -3701,3 +3701,31 @@ def _text_bm25_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_bm25_many()
+
+
+# --------------------------------------------------------------------------
+# keyword-in-context extraction (the reviewer view behind a BM25 hit)
+# --------------------------------------------------------------------------
+_KWIC_TERM, _KWIC_W = "spark", 3
+
+
+@register(
+    "text_keyword_contexts",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    hits AS (SELECT doc_id, w, len(w) AS n, CAST(i AS BIGINT) AS pos
+             FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+                   FROM toks)
+             WHERE w[CAST(i AS INT)] = '{_KWIC_TERM}')
+    SELECT doc_id, pos,
+           array_to_string(
+               w[CAST(greatest(pos - {_KWIC_W}, 1) AS INT)
+                 : CAST(least(pos + {_KWIC_W}, n) AS INT)], ' ') AS context
+    FROM hits
+    """,
+)
+def text_keyword_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.keyword_contexts(
+        load_table(spark, sf_dir, "documents"), _KWIC_TERM, window=_KWIC_W
+    )

@@ -1250,3 +1250,19 @@ def test_bm25_many_matches_single_query(spark):
     single = {r.doc_id: (r.score, r.rk)
               for r in text.bm25_search(docs, ["spark", "shuffle"], k=3).collect()}
     assert {d: v for (qq, d), v in many.items() if qq == 7} == single
+
+
+def test_keyword_contexts_windows_and_edges(spark):
+    docs = _docs(spark, [
+        (1, "alpha beta spark gamma delta"),
+        (2, "spark starts and also ends with spark"),
+        (3, "no match here"),
+    ])
+    got = [(r.doc_id, r.pos, r.context) for r in
+           text.keyword_contexts(docs, "spark", window=2)
+           .orderBy("doc_id", "pos").collect()]
+    assert got == [
+        (1, 3, "alpha beta spark gamma delta"),
+        (2, 1, "spark starts and"),          # left edge clamps
+        (2, 7, "ends with spark"),           # right edge clamps
+    ]
