@@ -122,6 +122,74 @@ HEADLINE = [
 ]
 
 
+# The FIXED subset of queries whose medians are embedded in the final
+# driver-parseable stdout line. The driver captures only the LAST 2000
+# characters of stdout; r2-r4 embedded the full per-query map (~2900
+# chars at 89 queries) and the head of the line was chopped off, so the
+# driver recorded "parsed": null three rounds running. The full map
+# always goes to BENCH_DETAIL.json; this list must stay small enough
+# that the line fits with headroom (enforced by build_driver_line's
+# assert and tests/test_bench_line.py).
+LINE_QUERIES = [
+    "af3_flagship",
+    "pipeline_corpus_clean",
+    "pipeline_corpus_to_training",
+    "pipeline_pack_sequences",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard",
+    "dedup_clusters",
+    "sessionize",
+    "semi_join",
+    "similarity_topk",
+    "similarity_topk_lsh_multiprobe",
+    "text_language_id",
+    "text_quality",
+    "multimodal_features",
+]
+
+MAX_LINE_LEN = 1900  # driver tail window is 2000 chars; keep headroom
+
+
+def build_driver_line(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    sf: float,
+    n_runs: int,
+) -> str:
+    """The ONE compact JSON line the driver parses from stdout tail.
+
+    ``value`` is the total over ALL timed queries (the headline metric);
+    ``queries`` carries only the fixed LINE_QUERIES subset so the line
+    stays under the driver's 2000-char tail-capture window no matter how
+    large the suite grows. ``failed`` is capped at 10 names with
+    ``n_failed`` preserving the true count.
+    """
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {
+                q: timings[q] for q in LINE_QUERIES if q in timings
+            },
+            "n_queries": len(timings),
+            "sf": sf,
+            "runs": n_runs,
+            "stat": "median",
+            "failed": sorted(errors)[:10],
+            "n_failed": len(errors),
+        }
+    )
+    # growth-proof: suite size cannot re-break the driver parse (the
+    # r2/r3/r4 failure mode) because the embedded subset is fixed
+    assert len(line) <= MAX_LINE_LEN, (
+        f"driver line {len(line)} chars > {MAX_LINE_LEN}; "
+        f"shrink LINE_QUERIES"
+    )
+    return line
+
+
 def _prev_bench() -> tuple[str | None, dict]:
     """Newest *parseable* BENCH_r{N}.json in the repo root — the
     regression anchor. Files whose ``parsed`` is null (r2's tail-capture
@@ -208,16 +276,25 @@ def main() -> None:
         if warmup:
             build().write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
-        runs = []
-        for _ in range(n_runs):
+
+        def one_run() -> float:
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
             # each call re-persists the staged fan-out points afresh;
             # clear the PREVIOUS run's now-dead blocks so pinned storage
             # doesn't compound across runs (measured: a staged pipeline
             # query drifting 3.2s -> 6.9s -> 18.4s over three runs)
             spark.catalog.clearCache()
+            return elapsed
+
+        runs = [one_run() for _ in range(n_runs)]
+        # host-noise guard: a >3x min/max spread means at least one run
+        # was contention-inflated (shared 32-CPU VM, loadavg spikes to
+        # 15+); double the sample once so the median settles on the true
+        # cost instead of a coin flip between quiet and noisy runs
+        if n_runs > 1 and min(runs) > 0 and max(runs) / min(runs) > 3.0:
+            runs += [one_run() for _ in range(n_runs)]
         return (
             round(statistics.median(runs), 3),
             round(min(runs), 3),
@@ -282,13 +359,15 @@ def main() -> None:
         for q in timings
         if q in prev_q and prev_q[q] > 0
     }
-    total = round(sum(timings.values()), 3)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:
             json.dump(
                 {
+                    # full per-query medians — the driver line carries
+                    # only the fixed LINE_QUERIES subset
+                    "queries_full": timings,
                     "spread": spread,
                     "vs_prev": vs_prev,
                     "vs_prev_stat": (prev.get("stat", "min") if prev else None),
@@ -308,21 +387,10 @@ def main() -> None:
         print(f"bench: BENCH_DETAIL.json write failed: {exc}",
               file=sys.stderr)
     # The compact driver-parseable line, printed LAST so tail capture
-    # always sees a complete JSON object.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": n_runs,
-                "stat": "median",
-                "failed": sorted(errors),
-            }
-        )
-    )
+    # always sees a complete JSON object. Bounded at MAX_LINE_LEN chars
+    # (driver keeps the last 2000 of stdout) — the full per-query map is
+    # in BENCH_DETAIL.json.
+    print(build_driver_line(timings, errors, sf, n_runs))
     spark.stop()
 
 
