@@ -1,29 +1,40 @@
 """Pure-Python image codecs for the multimodal pipeline: uncompressed
-24-bit BMP (BITMAPINFOHEADER, BI_RGB) and binary PPM (P6).
+24-bit BMP (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), and 8-bit
+PNG (grayscale/RGB/RGBA, non-interlaced — stdlib ``zlib`` inflate +
+per-row unfiltering).
 
-These two formats need no external library — both are fixed headers over
-raw RGB samples — so they give ``operators.multimodal`` one REAL decode
-path in this container. Every other format stays behind the documented
-``NotImplementedError`` codec boundary.
+These formats need no external library — BMP/PPM are fixed headers over
+raw RGB samples, PNG's DEFLATE stream is stdlib — so they give
+``operators.multimodal`` REAL decode paths in this container, including
+one genuinely COMPRESSED format. Formats that require codec libraries
+absent here (JPEG, video) stay behind the documented
+``NotImplementedError`` boundary.
 
 Format layouts are public knowledge (BMP: Windows BITMAPFILEHEADER +
-BITMAPINFOHEADER; PPM: the netpbm P6 spec). Decoded output is a numpy
-``(height, width, 3)`` uint8 array in RGB order, top-down.
+BITMAPINFOHEADER; PPM: the netpbm P6 spec; PNG: RFC 2083 / the W3C PNG
+spec — chunk framing, filter types 0-4, Paeth predictor). Decoded
+output is a numpy ``(height, width, 3)`` uint8 array in RGB order,
+top-down (PNG alpha is dropped, grayscale broadcast to RGB).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff(content: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'wav' | None for the first bytes of an asset."""
+    """'bmp' | 'ppm' | 'png' | 'wav' | None for an asset's first bytes."""
     if content[:2] == b"BM":
         return "bmp"
     if content[:2] == b"P6":
         return "ppm"
+    if content[:8] == PNG_MAGIC:
+        return "png"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return None
@@ -127,6 +138,129 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# PNG — 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
+# non-interlaced. Inflate via stdlib zlib; scanline unfiltering per the
+# W3C PNG spec (filter types 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth).
+# --------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _unfilter_row(
+    ftype: int, row: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline from its filtered bytes. Types 0/1/2 are
+    vectorized; Average and Paeth reference the just-reconstructed left
+    neighbour so they run a per-byte loop (fine for the Arrow-batched
+    decode path — each image decodes once inside a mapInPandas batch)."""
+    if ftype == 0:
+        return row
+    if ftype == 2:
+        return (row.astype(np.int32) + prior).astype(np.uint8)
+    if ftype == 1:
+        # recon[x] = filt[x] + recon[x-bpp]: a cumulative sum mod 256
+        # down each byte lane of width bpp
+        lanes = row.reshape(-1, bpp).astype(np.int64)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+    recon = row.astype(np.int32)
+    pr = prior.astype(np.int32)
+    if ftype == 3:
+        for i in range(len(recon)):
+            a = int(recon[i - bpp]) if i >= bpp else 0
+            recon[i] = (recon[i] + (a + int(pr[i])) // 2) % 256
+        return recon.astype(np.uint8)
+    if ftype == 4:
+        for i in range(len(recon)):
+            a = int(recon[i - bpp]) if i >= bpp else 0
+            b = int(pr[i])
+            c = int(pr[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            recon[i] = (recon[i] + pred) % 256
+        return recon.astype(np.uint8)
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        pos += 8
+        data = content[pos : pos + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += length + 4  # payload + CRC (CRC not verified: zlib's
+        # adler32 already guards the pixel stream end-to-end)
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    channels = _PNG_CHANNELS.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"compression={comp}, filter={filt}) — 8-bit gray/RGB/RGBA only"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        p += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p).copy()
+        p += stride
+        prior = _unfilter_row(ftype, row, prior, channels)
+        out[y] = prior
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """8-bit RGB PNG, filter type 0 per scanline, one zlib IDAT."""
+    h, w, c = rgb.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    body = rgb.astype(np.uint8)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------------------
 # shared entry points used by operators.multimodal
 # --------------------------------------------------------------------------
 
@@ -137,6 +271,8 @@ def decode_image(content: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_bmp(content)
     if fmt == "ppm":
         return fmt, decode_ppm(content)
+    if fmt == "png":
+        return fmt, decode_png(content)
     raise ValueError("unsupported image format")
 
 
@@ -145,6 +281,8 @@ def encode_image(fmt: str, rgb: np.ndarray) -> bytes:
         return encode_bmp(rgb)
     if fmt == "ppm":
         return encode_ppm(rgb)
+    if fmt == "png":
+        return encode_png(rgb)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

@@ -4,10 +4,11 @@ mmCIF structures — SURVEY §7.1 M7).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape,
 UDF signatures — is real and tested. The codec step has one REAL path:
-uncompressed 24-bit BMP and binary PPM (P6) decode/encode/resize via the
-pure-Python ``operators.codecs`` module (no external libraries needed).
-Formats that genuinely require codec libraries absent from this
-container (JPEG/PNG/audio/video) stay behind ``NotImplementedError``
+uncompressed 24-bit BMP, binary PPM (P6), and 8-bit PNG
+(stdlib-zlib inflate + scanline unfiltering) decode/encode/resize via
+the pure-Python ``operators.codecs`` module (no external libraries
+needed). Formats that genuinely require codec libraries absent from
+this container (JPEG/video) stay behind ``NotImplementedError``
 unless ``fake=True``, which substitutes a deterministic md5-derived
 pseudo-decode (stable across runs/engines, so tests and oracles can
 cover the full pipeline shape).
@@ -64,7 +65,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize each asset via ``mapInPandas`` (Arrow batches;
     one Python worker call per partition batch, never per row).
 
-    ``fake=False`` REALLY decodes BMP/PPM assets (pure-Python
+    ``fake=False`` REALLY decodes BMP/PPM/PNG assets (pure-Python
     ``operators.codecs``) and computes pixel-derived features; any other
     format raises NotImplementedError at execution time — that is the
     honest codec boundary for libraries this container doesn't ship.
@@ -91,7 +92,8 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 fmt = codecs.sniff(b)
                 if fmt is None:
                     raise NotImplementedError(
-                        "only BMP/PPM image and PCM WAV audio decode ship "
+                        "only BMP/PPM/PNG image and PCM WAV audio decode "
+                        "ship "
                         "in this environment; pass fake=True for the "
                         "deterministic stub decode of other formats"
                     )
@@ -119,7 +121,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize every image asset via ``mapInPandas``. The Spark plumbing
     — Arrow batch shape, meta-struct update, content pass-through — is
-    real and tested. ``fake=False`` REALLY resizes BMP/PPM assets
+    real and tested. ``fake=False`` REALLY resizes BMP/PPM/PNG assets
     (nearest-neighbour, pure-Python ``operators.codecs``) and re-encodes
     in the same format; other formats raise NotImplementedError at
     execution (the codec boundary). ``fake=True`` substitutes a
@@ -145,7 +147,7 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                     continue
                 if codecs.sniff(b) is None:
                     raise NotImplementedError(
-                        "only BMP/PPM resize ships in this environment; "
+                        "only BMP/PPM/PNG resize ships in this environment; "
                         "pass fake=True for the deterministic stub transform"
                     )
                 fmt, rgb = codecs.decode_image(b)
@@ -259,7 +261,8 @@ def image_hashes(media: DataFrame, fake: bool = False) -> DataFrame:
                 fmt = codecs.sniff(b)
                 if fmt is None or fmt == "wav":
                     raise NotImplementedError(
-                        "image_hashes needs a decodable image (BMP/PPM); "
+                        "image_hashes needs a decodable image "
+                        "(BMP/PPM/PNG); "
                         "pass fake=True for the stub path"
                     )
                 _, rgb = codecs.decode_image(b)

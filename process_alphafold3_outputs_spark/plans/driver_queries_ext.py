@@ -2863,8 +2863,9 @@ _MMR_N = 64
     """,
 )
 def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-decode evidence row: pixels -> encode_bmp -> decode_bmp ->
-    image_features, all on the executors."""
+    """Real-decode evidence row: pixels -> encode (BMP/PPM/PNG rotating
+    by doc_id, so every shipped codec including the zlib PNG path is on
+    the hash) -> real decode -> image_features, all on executors."""
     from collections.abc import Iterator
 
     from ..operators import multimodal
@@ -2887,14 +2888,15 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(4):
                         base = int(did) * 31 + x * 7 + y * 13
                         arr[y, x] = [base % 256, (base + 5) % 256, (base + 10) % 256]
-                contents.append(bytearray(codecs.encode_bmp(arr)))
+                fmt = ("bmp", "ppm", "png")[int(did) % 3]
+                contents.append(bytearray(codecs.encode_image(fmt, arr)))
                 metas.append(
-                    {"width": 4, "height": 4, "duration_ms": None, "codec": "bmp"}
+                    {"width": 4, "height": 4, "duration_ms": None, "codec": fmt}
                 )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
-                    "modality": "image/bmp",
+                    "modality": "image/mixed",
                     "content": contents,
                     "meta": metas,
                 }
@@ -2943,8 +2945,9 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-decode perceptual hashing: pixels -> encode_bmp ->
-    decode_bmp -> fixed-point aHash, all on the executors."""
+    """Real-decode perceptual hashing: pixels -> encode (BMP/PPM/PNG
+    rotating by doc_id) -> real decode -> fixed-point aHash, all on the
+    executors."""
     from collections.abc import Iterator
 
     from ..operators import multimodal
@@ -2967,14 +2970,15 @@ def multimodal_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(8):
                         base = int(did) * 31 + x * 7 + y * 13
                         arr[y, x] = [base % 256, (base + 5) % 256, (base + 10) % 256]
-                contents.append(bytearray(codecs.encode_bmp(arr)))
+                fmt = ("bmp", "ppm", "png")[int(did) % 3]
+                contents.append(bytearray(codecs.encode_image(fmt, arr)))
                 metas.append(
-                    {"width": 8, "height": 8, "duration_ms": None, "codec": "bmp"}
+                    {"width": 8, "height": 8, "duration_ms": None, "codec": fmt}
                 )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
-                    "modality": "image/bmp",
+                    "modality": "image/mixed",
                     "content": contents,
                     "meta": metas,
                 }
@@ -3044,14 +3048,15 @@ def _multimodal_near_dup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(8):
                         base = int(did) * 31 + x * 7 + y * 13
                         arr[y, x] = [base % 256, (base + 5) % 256, (base + 10) % 256]
-                contents.append(bytearray(codecs.encode_bmp(arr)))
+                fmt = ("bmp", "ppm", "png")[int(did) % 3]
+                contents.append(bytearray(codecs.encode_image(fmt, arr)))
                 metas.append(
-                    {"width": 8, "height": 8, "duration_ms": None, "codec": "bmp"}
+                    {"width": 8, "height": 8, "duration_ms": None, "codec": fmt}
                 )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
-                    "modality": "image/bmp",
+                    "modality": "image/mixed",
                     "content": contents,
                     "meta": metas,
                 }

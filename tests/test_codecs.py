@@ -215,3 +215,146 @@ def test_image_near_dup_pairs_banded(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 4
     assert not any(2 in p for p in pairs)  # inverted image never pairs
+
+
+# --------------------------------------------------------------------------
+# PNG (stdlib zlib inflate + scanline unfiltering)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (8, 8), (17, 9)])
+def test_png_roundtrip(w, h):
+    img = _rgb(h, w, seed=w * 7 + h)
+    out = codecs.decode_png(codecs.encode_png(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_bmp_png_bmp_roundtrip():
+    # cross-format: the compressed path reproduces the raw path exactly
+    img = _rgb(6, 11, seed=42)
+    via_png = codecs.decode_png(codecs.encode_png(codecs.decode_bmp(
+        codecs.encode_bmp(img))))
+    np.testing.assert_array_equal(codecs.decode_bmp(
+        codecs.encode_bmp(via_png)), img)
+
+
+def _png_with_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Hand-build a PNG whose every scanline uses filter ``ftype``,
+    applying the forward filter per the W3C spec — exercises the
+    decoder's unfilter paths that encode_png (filter 0) never emits."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    bpp = 3
+    raw = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        filt = np.empty_like(line)
+        for i in range(len(line)):
+            a = int(line[i - bpp]) if i >= bpp else 0
+            b = int(prior[i])
+            c = int(prior[i - bpp]) if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (line[i] - pred) % 256
+        raw += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+        prior = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (codecs.PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_unfilters_every_filter_type(ftype):
+    img = _rgb(5, 7, seed=ftype + 10)
+    np.testing.assert_array_equal(
+        codecs.decode_png(_png_with_filter(img, ftype)), img)
+
+
+def test_png_rgba_alpha_dropped_and_gray_broadcast():
+    import struct
+    import zlib
+
+    def build(color, channels, px):
+        h, w = px.shape[:2]
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (codecs.PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    rgba = np.dstack([_rgb(3, 4, seed=1),
+                      np.full((3, 4, 1), 128, dtype=np.uint8)])
+    np.testing.assert_array_equal(
+        codecs.decode_png(build(6, 4, rgba)), rgba[:, :, :3])
+    gray = _rgb(2, 5, seed=2)[:, :, :1]
+    out = codecs.decode_png(build(0, 1, gray))
+    np.testing.assert_array_equal(out, np.repeat(gray, 3, axis=2))
+
+
+def test_png_rejects_unsupported_variants():
+    img = codecs.encode_png(_rgb(2, 2))
+    # flip the interlace byte inside IHDR (offset 8+8+IHDR[12] = 28)
+    bad = bytearray(img)
+    bad[28] = 1
+    with pytest.raises(ValueError, match="interlac"):
+        codecs.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+    # truncated pixel stream
+    depth = bytearray(img)
+    depth[24] = 16  # bit depth
+    with pytest.raises(ValueError, match="unsupported"):
+        codecs.decode_png(bytes(depth))
+
+
+def test_png_sniff_and_image_entrypoints():
+    img = _rgb(4, 4, seed=9)
+    data = codecs.encode_png(img)
+    assert codecs.sniff(data) == "png"
+    fmt, rgb = codecs.decode_image(data)
+    assert fmt == "png"
+    np.testing.assert_array_equal(rgb, img)
+    np.testing.assert_array_equal(
+        codecs.decode_image(codecs.encode_image("png", img))[1], img)
+
+
+def test_extract_features_real_decode_png(spark):
+    img = _rgb(4, 5, seed=11)
+    media = _media_df(spark, [("image/png", "png", codecs.encode_png(img))])
+    row = multimodal.extract_features(media, fake=False).collect()[0]
+    want = codecs.image_features(img, multimodal.FEATURE_DIM)
+    assert [round(float(v), 6) for v in row.features] == pytest.approx(
+        want, abs=1e-5)
+
+
+def test_resize_images_real_png(spark):
+    img = _rgb(10, 8, seed=12)
+    media = _media_df(spark, [("image/png", "png", codecs.encode_png(img))])
+    row = multimodal.resize_images(media, 4, 5, fake=False).collect()[0]
+    assert row.meta.codec == "png"
+    fmt, rgb = codecs.decode_image(bytes(row.content))
+    assert fmt == "png"
+    np.testing.assert_array_equal(rgb, codecs.resize_nearest(img, 4, 5))
