@@ -68,7 +68,18 @@ _PRIORITY: list[str] = [
     "text_redact_pii",
     # -- round-4 additions
     "similarity_recall",   # ANN quality as a hard driver signal
+    # -- round-5 additions
+    "af3_rmsd_overlay",    # Kabsch RMSD (rows-only: SVD not SQL-expressible)
 ]
+
+#: driver-visible queries DELIBERATELY registered without a SQL oracle —
+#: the driver records a weaker rows-only check for these; each needs a
+#: docstring explaining why (non-SQL-expressible) and a differential
+#: pytest pinning its values.
+_NO_ORACLE_OK = {
+    "af3_rmsd_overlay",  # 3x3 SVD (Kabsch) — pinned by
+                         # tests/test_structures_rmsd.py
+}
 
 # Shape queries whose SURVEY §2 operator is already evidenced end-to-end
 # by a green af3_*/file_* row (mapping noted per entry). Implemented,

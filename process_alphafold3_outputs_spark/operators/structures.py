@@ -140,6 +140,84 @@ def write_overlay_models(
     return _write_cif_groups(with_path, "_path")
 
 
+def superimpose_models(
+    atoms: DataFrame,
+    ref_model: int = 0,
+    atom_name: str = "CA",
+    chain_id: str | None = None,
+) -> DataFrame:
+    """(job, model_id, n_atoms, rmsd) — optimal-superposition RMSD of
+    every non-reference model onto ``ref_model``, per job (Kabsch
+    algorithm: centroid-align, 3x3 covariance SVD, det-corrected
+    rotation).
+
+    Extension beyond the reference surface: the reference README
+    (README.md:98-104) claims RMSD superimposition of overlay models
+    but its script never calls the imported ``Superimposer``
+    (process_af3_outputs.py:10 — dead import); this implements what the
+    README promises. The PyMOL ``align`` codegen (:func:`pymol_scripts`)
+    remains the reference-parity path; this gives the same alignment
+    quality measure without leaving the engine.
+
+    Scale shape: atom pairing is pure relational — a self-join on
+    (job, chain_id, residue_id) over the ``atom_name`` slice, so
+    Catalyst shuffles both sides once on the same key. The Python
+    island is one 3x3 SVD per (job, model) group inside a grouped-map
+    ``applyInPandas`` (Arrow batches; work per group is O(atoms) + a
+    constant-size eigendecomposition — no quadratic term, no driver
+    collect). RMSD uses the trace identity
+    ``n·rmsd² = Σ|Pc|² + Σ|Qc|² − 2(σ1+σ2±σ3)`` so no per-atom rotated
+    coordinates are materialised.
+    """
+    import pandas as pd
+
+    ca = atoms.filter(F.col("atom_name") == atom_name)
+    if chain_id is not None:
+        ca = ca.filter(F.col("chain_id") == chain_id)
+    ref = ca.filter(F.col("model_id") == ref_model).select(
+        "job",
+        "chain_id",
+        "residue_id",
+        F.col("x").alias("rx"),
+        F.col("y").alias("ry"),
+        F.col("z").alias("rz"),
+    )
+    mov = ca.filter(F.col("model_id") != ref_model).select(
+        "job", "model_id", "chain_id", "residue_id", "x", "y", "z"
+    )
+    paired = mov.join(ref, ["job", "chain_id", "residue_id"])
+
+    def kabsch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        p = pdf[["x", "y", "z"]].to_numpy(dtype=np.float64)
+        q = pdf[["rx", "ry", "rz"]].to_numpy(dtype=np.float64)
+        pc = p - p.mean(axis=0)
+        qc = q - q.mean(axis=0)
+        h = pc.T @ qc
+        s = np.linalg.svd(h, compute_uv=False)
+        # proper-rotation correction: if the optimal orthogonal map is a
+        # reflection (det(H) < 0), the smallest singular value flips
+        # sign; at det(H)=0 that value is 0, so the branch is immaterial
+        sign = 1.0 if np.linalg.det(h) >= 0 else -1.0
+        e2 = float((pc**2).sum() + (qc**2).sum()) - 2.0 * float(
+            s[0] + s[1] + sign * s[2]
+        )
+        rmsd = float(np.sqrt(max(e2, 0.0) / len(p)))
+        return pd.DataFrame(
+            {
+                "job": [pdf["job"].iloc[0]],
+                "model_id": [pdf["model_id"].iloc[0]],
+                "n_atoms": [len(p)],
+                "rmsd": [rmsd],
+            }
+        )
+
+    return paired.groupBy("job", "model_id").applyInPandas(
+        kabsch, "job string, model_id long, n_atoms long, rmsd double"
+    )
+
+
 def pymol_scripts(model_files: DataFrame, out_dir: str) -> DataFrame:
     """O33 codegen (:477-541): per job emit a ``.pml`` that loads every
     model, aligns model_i chain A onto model_0 chain A, colours chains,

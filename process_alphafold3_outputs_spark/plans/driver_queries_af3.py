@@ -321,3 +321,28 @@ def af3_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark)
     grid = sweep_grid(_SWEEP_PAES, _SWEEP_MINRES)
     return sweep_interacting_residues(t["pae_long"], t["chains"], grid)
+
+
+# ---------------------------------------------------------------------------
+# Kabsch RMSD of overlay models onto model 0 — the extension the
+# reference README claims (README.md:98-104) but whose script never
+# executes (``Superimposer`` is a dead import,
+# process_af3_outputs.py:10). No SQL oracle: the optimal-superposition
+# RMSD needs a 3x3 SVD, which is not ANSI-SQL-expressible — the driver
+# records the weaker rows-only check here, and the exact values are
+# pinned by the sequential-numpy differential in
+# tests/test_structures_rmsd.py.
+# ---------------------------------------------------------------------------
+@register("af3_rmsd_overlay", sql=None)
+def af3_rmsd_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.structures import superimpose_models
+
+    t = _tables(spark)
+    out = superimpose_models(t["atoms"], ref_model=0, atom_name="CA")
+    # round to 3 decimals: the trace identity's cancellation noise near
+    # rmsd=0 sits at the 1e-6 level and depends on within-group row
+    # order, so a finer rounding would be partitioning-dependent; exact
+    # SVD values are the differential pytest's job
+    return out.select(
+        "job", "model_id", "n_atoms", F.round("rmsd", 3).alias("rmsd")
+    )

@@ -53,7 +53,9 @@ def test_query_matches_oracle(name, spark, sf_dir):
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLE)
     # non-SQL-expressible ops may omit oracles; keep the list explicit
-    assert missing <= set(), f"unexpected oracle-less queries: {missing}"
+    assert missing <= entrymod._NO_ORACLE_OK, (
+        f"unexpected oracle-less queries: {missing - entrymod._NO_ORACLE_OK}"
+    )
 
 
 def test_entry_smoke(spark):

@@ -45,6 +45,7 @@ ARROW_PYTHON_OK = {
     "multimodal_phash_real",       # asset synthesis + real decode
     "multimodal_near_dup_real",    # asset synthesis + real decode
     "multimodal_frame_sample",     # codec boundary
+    "af3_rmsd_overlay",            # Kabsch 3x3 SVD per (job, model)
 }
 
 
