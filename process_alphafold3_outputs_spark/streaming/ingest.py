@@ -217,6 +217,107 @@ def interval_join(
     )
 
 
+# ---------------------------------------------------------------------------
+# Versioned parquet state for the rolling-dedup watchers.
+#
+# Layout: ``{state_path}/v_{epoch}`` — one size-compacted snapshot per
+# committed epoch, pruned to the newest ``keep_versions``. This fixes
+# two failure modes of a flat overwrite-in-place table at once:
+#
+# 1. RESTART SAFETY (exactly-once): ``foreachBatch`` replays an epoch
+#    with the SAME epoch_id after a crash. ``read_state`` reads the
+#    newest snapshot with version < epoch_id, so a replay recomputes
+#    against exactly the state the first attempt saw; the snapshot
+#    write is mode-overwrite to ``v_{epoch}`` (idempotent), and kept
+#    rows go to ``{out}/epoch_id={epoch}`` with overwrite — a replayed
+#    epoch replaces its own output instead of appending duplicates.
+# 2. COMPACTION: each snapshot is coalesced to
+#    ceil(prev_snapshot_bytes / target_mb) files (sized from a listing,
+#    no data scan), so the state table stays single-digit-file at test
+#    scale and size-proportional at 100 TB — file count can no longer
+#    grow with epoch count.
+# ---------------------------------------------------------------------------
+
+_STATE_TARGET_MB = 256
+_STATE_KEEP_VERSIONS = 2
+
+
+def _state_versions(state_path: str) -> list[int]:
+    """Committed (``_SUCCESS``-marked) snapshot versions, ascending."""
+    import os
+
+    if not os.path.isdir(state_path):
+        return []
+    out = []
+    for d in os.listdir(state_path):
+        if d.startswith("v_") and d[2:].isdigit() and os.path.exists(
+            os.path.join(state_path, d, "_SUCCESS")
+        ):
+            out.append(int(d[2:]))
+    return sorted(out)
+
+
+def read_state(
+    spark: SparkSession,
+    state_path: str,
+    schema: str,
+    before_epoch: int | None = None,
+) -> DataFrame:
+    """The newest committed state snapshot — restricted to versions
+    strictly below ``before_epoch`` when given, so a crash-replayed
+    epoch reads the same state its first attempt did. Empty DataFrame
+    of ``schema`` when no snapshot qualifies."""
+    versions = _state_versions(state_path)
+    if before_epoch is not None:
+        versions = [v for v in versions if v < before_epoch]
+    if not versions:
+        return spark.createDataFrame([], schema)
+    import os
+
+    return spark.read.parquet(os.path.join(state_path, f"v_{versions[-1]}"))
+
+
+def roll_state(
+    df: DataFrame,
+    state_path: str,
+    epoch_id: int,
+    target_mb: int = _STATE_TARGET_MB,
+    keep_versions: int = _STATE_KEEP_VERSIONS,
+) -> None:
+    """Write ``df`` as snapshot ``v_{epoch_id}`` (size-compacted,
+    overwrite-idempotent) and prune all but the newest
+    ``keep_versions`` snapshots."""
+    import math
+    import os
+    import shutil
+
+    prev = _state_versions(state_path)
+    prev_bytes = 0
+    if prev:
+        d = os.path.join(state_path, f"v_{prev[-1]}")
+        prev_bytes = sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(prev_bytes / (target_mb * 1024 * 1024)))
+    dst = os.path.join(state_path, f"v_{epoch_id}")
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst)
+    for v in _state_versions(state_path)[:-keep_versions]:
+        shutil.rmtree(os.path.join(state_path, f"v_{v}"), ignore_errors=True)
+
+
+def _write_epoch_output(kept: DataFrame, out_path: str, epoch_id: int) -> None:
+    """Kept rows land in ``{out}/epoch_id={epoch}`` with overwrite — a
+    crash-replayed epoch replaces its own directory, so readers of
+    ``out_path`` see each surviving row exactly once."""
+    import os
+
+    kept.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"epoch_id={epoch_id}")
+    )
+
+
 def watch_documents_dedup(
     spark: SparkSession,
     inbox_dir: str,
@@ -231,15 +332,16 @@ def watch_documents_dedup(
     ``hashes_path`` table, appends only never-seen documents to
     ``out_path``, and rolls the hash table forward — so the keeper
     table stays exactly-deduped across epochs AND restarts (the state
-    is the parquet hash table itself, not executor memory; contrast
-    ``state.streaming_exact_dedup``, which keeps per-key state in the
-    state store and suits lower-latency pipelines).
+    is a versioned parquet snapshot per epoch — see ``roll_state`` —
+    not executor memory; contrast ``state.streaming_exact_dedup``,
+    which keeps per-key state in the state store and suits
+    lower-latency pipelines). Epoch replay after a crash is idempotent:
+    state reads exclude the replayed epoch's own snapshot and output
+    lands per-epoch with overwrite.
 
     The stream stage is only the scan; dedup semantics are the SAME
     tested batch kernel via ``foreachBatch`` — no drift. Returns the
     StreamingQuery."""
-    import os
-
     from ..operators.dedup import incremental_exact_dedup, incremental_hashes
 
     stream = (
@@ -251,21 +353,13 @@ def watch_documents_dedup(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.isdir(hashes_path):
-            seen = batch_df.sparkSession.read.parquet(hashes_path)
-        else:
-            seen = batch_df.sparkSession.createDataFrame([], "text_hash string")
-        kept = incremental_exact_dedup(batch_df, seen)
-        kept.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
-            out_path
+        ss = batch_df.sparkSession
+        seen = read_state(
+            ss, hashes_path, "text_hash string", before_epoch=epoch_id
         )
-        # rewrite the rolled-forward table via a temp dir: the new plan
-        # reads the CURRENT table, so an in-place overwrite would read
-        # and clobber the same files
-        tmp = hashes_path + "_next"
-        incremental_hashes(seen, batch_df).write.mode("overwrite").parquet(tmp)
-        fs_df = batch_df.sparkSession.read.parquet(tmp)
-        fs_df.write.mode("overwrite").parquet(hashes_path)
+        kept = incremental_exact_dedup(batch_df, seen)
+        _write_epoch_output(kept, out_path, epoch_id)
+        roll_state(incremental_hashes(seen, batch_df), hashes_path, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -336,10 +430,10 @@ def watch_media_dedup(
     table at ``hashes_path``, appends only perceptually-new assets to
     ``out_path`` and rolls the hash table forward — restart-safe, the
     state being the parquet hash table (3 longs per asset), exactly the
-    ``watch_documents_dedup`` shape lifted to the image modality.
-    Returns the StreamingQuery."""
-    import os
-
+    ``watch_documents_dedup`` shape lifted to the image modality —
+    same versioned-snapshot state (``roll_state``) and per-epoch
+    overwrite output, so crash replay is idempotent. Returns the
+    StreamingQuery."""
     from ..operators.multimodal import incremental_image_near_dup
 
     stream = (
@@ -352,23 +446,18 @@ def watch_media_dedup(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.isdir(hashes_path):
-            seen = batch_df.sparkSession.read.parquet(hashes_path)
-        else:
-            seen = batch_df.sparkSession.createDataFrame(
-                [], "asset_id long, h_hi long, h_lo long"
-            )
+        ss = batch_df.sparkSession
+        seen = read_state(
+            ss,
+            hashes_path,
+            "asset_id long, h_hi long, h_lo long",
+            before_epoch=epoch_id,
+        )
         kept, updated = incremental_image_near_dup(
             batch_df, seen, max_hamming=max_hamming, fake=fake
         )
-        kept.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
-        tmp = hashes_path + "_next"
-        updated.write.mode("overwrite").parquet(tmp)
-        batch_df.sparkSession.read.parquet(tmp).write.mode(
-            "overwrite"
-        ).parquet(hashes_path)
+        _write_epoch_output(kept, out_path, epoch_id)
+        roll_state(updated, hashes_path, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -389,11 +478,10 @@ def watch_documents_near_dedup(
     micro-batch runs the batch ``incremental_near_dedup`` kernel
     against the rolling LSH band table at ``bands_path``, appends only
     near-novel documents to ``out_path`` and rolls the band table
-    forward (restart-safe parquet state; the exact-dedup twin is
+    forward (versioned-snapshot parquet state — crash replay is
+    idempotent, see ``roll_state``; the exact-dedup twin is
     ``watch_documents_dedup``, the in-memory state-store variant is
     ``state.streaming_lsh_near_dedup``). Returns the StreamingQuery."""
-    import os
-
     from ..operators.dedup import incremental_near_dedup
 
     stream = (
@@ -405,21 +493,16 @@ def watch_documents_near_dedup(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.isdir(bands_path):
-            seen = batch_df.sparkSession.read.parquet(bands_path)
-        else:
-            seen = batch_df.sparkSession.createDataFrame(
-                [], "doc_id long, band int, band_sig string"
-            )
+        ss = batch_df.sparkSession
+        seen = read_state(
+            ss,
+            bands_path,
+            "doc_id long, band int, band_sig string",
+            before_epoch=epoch_id,
+        )
         kept, updated = incremental_near_dedup(batch_df, seen)
-        kept.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
-        tmp = bands_path + "_next"
-        updated.write.mode("overwrite").parquet(tmp)
-        batch_df.sparkSession.read.parquet(tmp).write.mode(
-            "overwrite"
-        ).parquet(bands_path)
+        _write_epoch_output(kept, out_path, epoch_id)
+        roll_state(updated, bands_path, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -507,7 +507,9 @@ def test_watch_documents_dedup_across_epochs(spark, tmp_path):
         q.stop()
 
     # the rolled-forward hash table holds all three distinct texts
-    assert spark.read.parquet(hashes).count() == 3
+    # (latest committed snapshot — state is versioned per epoch)
+    from process_alphafold3_outputs_spark.streaming.ingest import read_state
+    assert read_state(spark, hashes, "text_hash string").count() == 3
 
 
 def test_watch_documents_scored_matches_batch(spark, tmp_path):
@@ -614,7 +616,10 @@ def test_watch_media_dedup_perceptual_across_epochs(spark, tmp_path):
         assert got1 == {1, 4}
     finally:
         q.stop()
-    assert spark.read.parquet(hashes).count() == 2
+    from process_alphafold3_outputs_spark.streaming.ingest import read_state
+    assert read_state(
+        spark, hashes, "asset_id long, h_hi long, h_lo long"
+    ).count() == 2
 
 
 def test_watch_documents_near_dedup_across_epochs(spark, tmp_path):
@@ -652,3 +657,94 @@ def test_watch_documents_near_dedup_across_epochs(spark, tmp_path):
         assert 3 not in got and 4 in got
     finally:
         q.stop()
+
+
+def test_state_table_stays_compact_over_many_epochs(spark, tmp_path):
+    """10 micro-batches must end with a single-digit-file state table
+    (versioned snapshots, pruned + size-coalesced — the r4 verdict's
+    state-lifecycle gap) and dedup decisions identical to running the
+    batch kernel over the union."""
+    import glob
+    import os
+
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        read_state,
+        watch_documents_dedup,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "kept")
+    hashes = str(tmp_path / "hashes")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(epoch):
+        # each drop: one brand-new text + one repeat of epoch 0's
+        rows = [(epoch * 10, f"text number {epoch}", "en", "s", 10),
+                (epoch * 10 + 1, "text number 0", "en", "s", 10)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    drop(0)  # inbox must exist before the stream starts
+    q = watch_documents_dedup(spark, inbox, out, hashes, ckpt)
+    try:
+        q.processAllAvailable()
+        for epoch in range(1, 10):
+            drop(epoch)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # exactly one keeper per distinct text: epoch 0's doc 1 is an
+    # intra-batch dup of doc 0, every later epoch keeps only its novel doc
+    assert kept == {e * 10 for e in range(10)}
+    # state: all 10 distinct hashes, in at most 2 data files total
+    n_state = read_state(spark, hashes, "text_hash string").count()
+    assert n_state == 10
+    data_files = glob.glob(os.path.join(hashes, "**", "*.parquet"),
+                           recursive=True)
+    assert len(data_files) <= 2, sorted(data_files)
+    # and at most 2 snapshot dirs survive pruning
+    snaps = [d for d in os.listdir(hashes) if d.startswith("v_")]
+    assert len(snaps) <= 2, snaps
+
+
+def test_state_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay semantics of the versioned state: re-running an
+    epoch against the state reads (before_epoch) reproduces the same
+    decisions, re-writing its snapshot and its epoch output in place —
+    no duplicate rows, no state drift."""
+    from process_alphafold3_outputs_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_hashes,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _write_epoch_output,
+        read_state,
+        roll_state,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    out = str(tmp_path / "kept")
+    hashes = str(tmp_path / "hashes")
+
+    def run_epoch(epoch, rows):
+        batch = spark.createDataFrame(rows, schema)
+        seen = read_state(spark, hashes, "text_hash string",
+                          before_epoch=epoch)
+        kept = incremental_exact_dedup(batch, seen)
+        _write_epoch_output(kept, out, epoch)
+        roll_state(incremental_hashes(seen, batch), hashes, epoch)
+
+    run_epoch(0, [(1, "alpha", "en", "s", 5)])
+    run_epoch(1, [(2, "alpha", "en", "s", 5), (3, "beta", "en", "s", 4)])
+    before = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    state_before = read_state(spark, hashes, "text_hash string").count()
+
+    # crash-replay epoch 1: same epoch_id, same input
+    run_epoch(1, [(2, "alpha", "en", "s", 5), (3, "beta", "en", "s", 4)])
+    after = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert after == before == [1, 3]
+    assert read_state(spark, hashes, "text_hash string").count() == state_before == 2
