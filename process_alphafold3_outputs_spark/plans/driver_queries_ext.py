@@ -3218,7 +3218,7 @@ def _register_clusters_stars() -> None:
 def _dedup_clusters_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, threshold=0.5)
-    return dedup.connected_components_stars(pairs)
+    return dedup.connected_components_stars(pairs, check_every=2)
 
 
 _register_clusters_stars()

@@ -221,7 +221,12 @@ def test_stars_cc_matches_pointer_doubling_random_graphs(spark):
         }
         b = {
             (r["doc_id"], r["cluster_id"])
-            for r in dedup.connected_components_stars(pairs).collect()
+            # alternate the amortized stopping rule into the
+            # differential: extra rounds past the fixpoint must be
+            # no-ops (check_every coarsens ONLY when to stop)
+            for r in dedup.connected_components_stars(
+                pairs, check_every=1 + len(edges) % 3
+            ).collect()
         }
         assert a == b, f"mismatch on edges={edges[:8]}..."
 
