@@ -172,7 +172,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
+def _result(
+    args: argparse.Namespace,
+    spark: SparkSession,
+    handles: list | None = None,
+) -> DataFrame:
     if args.command == "kmeans":
         emb = spark.read.parquet(args.embeddings)
         return similarity.kmeans(
@@ -185,7 +189,8 @@ def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
     if args.command == "semdedup":
         emb = spark.read.parquet(args.embeddings)
         return dedup.semantic_dedup(
-            emb, k=args.clusters, iters=args.iters, eps=args.eps
+            emb, k=args.clusters, iters=args.iters, eps=args.eps,
+            handles=handles,
         )
 
     docs = spark.read.parquet(args.documents)
@@ -293,8 +298,9 @@ def _result(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
 def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
     owns = spark is None
     spark = spark or get_spark("corpus-cli")
+    handles: list = []
     try:
-        out = _result(args, spark)
+        out = _result(args, spark, handles=handles)
         if args.command == "interleave":
             # ordered-shard write: range partitioning + within-shard sort
             # (a plain write would lose the curriculum order)
@@ -308,6 +314,10 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
         n = spark.read.parquet(args.out).count()
         return {"command": args.command, "rows": n, "out": args.out}
     finally:
+        # release operator-staged blocks now the output is on disk —
+        # run() may be called many times against a borrowed session
+        for h in handles:
+            h.unpersist()
         if owns:
             spark.stop()
 

@@ -1063,6 +1063,7 @@ def semantic_dedup(
     iters: int = 2,
     eps: float = 0.7,
     id_col: str = "vec_id",
+    handles: list | None = None,
 ) -> DataFrame:
     """(vec_id, cluster, sim, kept) — SemDeDup-style semantic
     deduplication (Abbas et al. 2023, "SemDeDup" — public technique):
@@ -1102,8 +1103,13 @@ def semantic_dedup(
     # every reference (measured ~2.5x on this operator). persist() is
     # lazy (plan construction stays job-free for the analysis-only
     # schema/plan-lint tests, unlike localCheckpoint) and the blocks
-    # are caller-owned, same contract as the staged corpus pipelines.
+    # are CALLER-OWNED under the same ``handles`` contract as
+    # clean_corpus: pass a list to receive the persisted DataFrame and
+    # unpersist it once the output has materialised (otherwise repeated
+    # invocations in one session accumulate pinned blocks).
     av = assigned.join(emb, "vec_id").persist()
+    if handles is not None:
+        handles.append(av)
     a1 = av.select(
         "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )

@@ -282,7 +282,7 @@ def image_hashes(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def image_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 8, fake: bool = False
+    media: DataFrame, max_hamming: int = 3, fake: bool = False
 ) -> DataFrame:
     """(id_a, id_b, hamming) — near-duplicate image candidate pairs by
     perceptual hash: each asset's 64-bit aHash splits into four 16-bit
@@ -290,6 +290,14 @@ def image_near_dup_pairs(
     hashes within Hamming distance 3 of each other share at least one
     band — same guarantee as the simhash64 banding), then the exact
     Hamming distance filters to ``max_hamming``.
+
+    RECALL BOUND: candidate generation is complete only for pairs
+    within Hamming distance 3 (4 bands ⇒ a distance-4+ pair can differ
+    in every band and never meet). The default threshold matches that
+    guarantee; passing ``max_hamming`` > 3 widens the FILTER but pairs
+    beyond distance 3 surface only when they happen to share a band —
+    output is then "banded candidates within threshold", not all pairs
+    within threshold.
 
     Scale shape: the self-join keys on (band index, band value) — an
     inverted-index join, never an all-pairs cross; Hamming is JVM-side
@@ -341,16 +349,16 @@ def image_near_dup_pairs(
 def incremental_image_near_dup(
     new_media: DataFrame,
     seen_hashes: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     fake: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(kept_media, updated_hashes) — a NEW shipment of image assets
     deduped against the perceptual-hash HISTORY: an asset whose aHash
     sits within ``max_hamming`` of any historical hash (banded
-    candidate join — same pigeonhole guarantee as
-    :func:`image_near_dup_pairs`) or of an earlier asset in the same
-    shipment is dropped; survivors append their hashes to the rolling
-    (asset_id, h_hi, h_lo) table.
+    candidate join — same pigeonhole guarantee AND the same >3 recall
+    bound as :func:`image_near_dup_pairs`) or of an earlier asset in
+    the same shipment is dropped; survivors append their hashes to the
+    rolling (asset_id, h_hi, h_lo) table.
 
     History participates ONLY as its hash table (3 longs per asset —
     the compressed-representation policy of incremental_exact_dedup);

@@ -652,6 +652,11 @@ def topk_pq(
             ).alias("tab")
         )
     )
+    # ADC stride = the ACTUAL per-subspace code count (= size(tab)/m),
+    # not the requested kc: pq_codebooks trains on the first kc corpus
+    # vectors, so a corpus smaller than kc yields fewer codes per
+    # subspace and a kc-strided lookup would read the wrong cells
+    stride = (F.size("tab") / F.lit(m)).cast("int")
     scored = (
         codes.crossJoin(F.broadcast(qtab))
         .filter(F.col("query_id") != F.col("vec_id"))
@@ -660,7 +665,7 @@ def topk_pq(
             F.aggregate(
                 F.transform(
                     "codes",
-                    lambda c, s: F.element_at("tab", s * kc + c + F.lit(1)),
+                    lambda c, s: F.element_at("tab", s * stride + c + F.lit(1)),
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,

@@ -329,26 +329,34 @@ def score_with_bigram_model(
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_nll, ppl) — score documents against a
     (possibly previously-trained) bigram model.
-    ``p(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V)``; bigrams absent from the
-    model take the α-floor (c=0 ⇒ p = 1/V — the left join + coalesce;
-    a no-op when the model was trained on these very docs). The only
-    corpus-sized join keys on (w1, w2) — far better distributed than
-    w1 alone (hot contexts spread across their continuations). The
-    per-doc mean folds in position order
+    ``p(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V)`` — true add-α smoothing:
+    an unseen continuation of a KNOWN context scores
+    ``α/(c(w1)+α·V)`` (the context count joins separately on w1 from
+    the broadcast model-sized context table, so ``p(·|w1)`` stays
+    normalized), and only a fully-unknown context falls to the
+    ``1/V`` floor. Both joins are no-ops when the model was trained on
+    these very docs. The corpus-sized join keys on (w1, w2) — far
+    better distributed than w1 alone (hot contexts spread across their
+    continuations); the w1 context join is broadcast, never a shuffle.
+    The per-doc mean folds in position order
     (sort_array(struct(pos, nll))) so the DuckDB oracle
     (``sum(nll ORDER BY i)``) reproduces every double bit-for-bit.
     Documents with < 2 tokens carry n_bigrams = 0 and NULL scores."""
     bg = _doc_bigrams(docs, text_col)
     vocab = model.agg(F.max("vv").alias("_v"))
+    # context counts: one row per distinct w1 — model-sized (≤ V rows),
+    # broadcastable by construction
+    ctx = model.select("w1", F.col("n1").alias("_n1")).distinct()
     scored = (
-        bg.join(model.select("w1", "w2", "n12", "n1"), ["w1", "w2"], "left")
+        bg.join(model.select("w1", "w2", "n12"), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "nll",
             -F.log(
                 (F.coalesce("n12", F.lit(0).cast("long")) + F.lit(alpha))
                 / (
-                    F.coalesce("n1", F.lit(0).cast("long"))
+                    F.coalesce("_n1", F.lit(0).cast("long"))
                     + F.lit(alpha) * F.col("_v")
                 )
             ),

@@ -386,9 +386,10 @@ def watch_documents_scored(
     static vocabulary-sized table (read once per micro-batch, broadcast
     into the scoring join); scoring is per-document with no cross-doc
     state, so a stream scored in N micro-batches equals the batch
-    scoring of the union — pinned by the parity test. Bigrams unseen by
-    the model take the alpha-floor (p = 1/V), which is exactly where a
-    drifted shipment shows up as rising perplexity. Returns the
+    scoring of the union — pinned by the parity test. Unseen continuations
+    of known contexts score alpha/(c(w1)+alpha*V) and fully-unknown
+    contexts take the 1/V floor — exactly where a drifted shipment
+    shows up as rising perplexity. Returns the
     StreamingQuery."""
     from ..operators.text import score_with_bigram_model
 
@@ -420,7 +421,7 @@ def watch_media_dedup(
     out_path: str,
     hashes_path: str,
     checkpoint_dir: str,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     fake: bool = False,
     max_files_per_trigger: int = 1000,
 ):

@@ -780,6 +780,38 @@ def test_pq_identical_vectors_score_identically(spark):
     assert top.neighbor_id == 1
 
 
+def test_pq_adc_stride_when_corpus_smaller_than_kc(spark):
+    """kc larger than the corpus: pq_codebooks emits fewer codes per
+    subspace, and the ADC lookup must stride by the ACTUAL per-subspace
+    code count — the kc-strided lookup read the wrong cells (or NULLs)
+    for every subspace past the first."""
+    base = [float(i % 5 + 1) for i in range(8)]
+    other = [float((i * 3) % 7 + 1) for i in range(8)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, base), (2, other), (3, [x + 2.0 for x in other])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.topk_pq(
+        emb, F.col("vec_id") == 0, k=3, m=4, kc=16, dim=8
+    ).collect()
+    assert len(out) == 3
+    assert all(r.sim is not None for r in out)
+    top = min(out, key=lambda r: r.rk)
+    assert top.neighbor_id == 1  # identical-code duplicate ranks first
+    # kc=16 on a 4-vector corpus trains the SAME codebooks as kc=4
+    # (first min(kc, n) vectors), so the two runs must agree exactly —
+    # under the old kc-strided lookup every subspace past the first
+    # read the wrong cell
+    want = {
+        (r.query_id, r.neighbor_id): (r.rk, r.sim)
+        for r in similarity.topk_pq(
+            emb, F.col("vec_id") == 0, k=3, m=4, kc=4, dim=8
+        ).collect()
+    }
+    got = {(r.query_id, r.neighbor_id): (r.rk, r.sim) for r in out}
+    assert got == want
+
+
 def test_pq_recall_measured_and_bounded(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     vals = {

@@ -1266,3 +1266,37 @@ def test_keyword_contexts_windows_and_edges(spark):
         (2, 1, "spark starts and"),          # left edge clamps
         (2, 7, "ends with spark"),           # right edge clamps
     ]
+
+
+def test_bigram_scoring_uses_context_count_for_unseen_continuations(spark):
+    """True add-alpha smoothing: an unseen continuation of a KNOWN
+    context must score p = alpha/(c(w1)+alpha*V) — STRICTLY less likely
+    than the 1/V floor of a fully-unknown context (the old coalesce
+    gave both 1/V, over-rewarding unseen bigrams in hot contexts)."""
+    import math
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    train = spark.createDataFrame(
+        [(0, "aa bb aa bb aa bb aa cc", "en", "s", 23)], schema
+    )
+    model = text.bigram_lm_model(train)
+    alpha = 0.5
+    # doc 1: "aa zz" — known context aa (c=4), unseen continuation zz
+    # doc 2: "zz zz" — fully unknown context
+    score = {
+        r.doc_id: r.avg_nll
+        for r in text.score_with_bigram_model(
+            spark.createDataFrame(
+                [(1, "aa zz", "en", "s", 5), (2, "zz zz", "en", "s", 5)],
+                schema,
+            ),
+            model,
+            alpha=alpha,
+        ).collect()
+    }
+    vocab = 3  # aa, bb, cc
+    want_known_ctx = -math.log(alpha / (4 + alpha * vocab))
+    want_unknown_ctx = -math.log(alpha / (0 + alpha * vocab))
+    assert abs(score[1] - round(want_known_ctx, 6)) < 1e-6
+    assert abs(score[2] - round(want_unknown_ctx, 6)) < 1e-6
+    assert score[1] > score[2]  # hot context, unseen next word = rarer event
