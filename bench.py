@@ -236,9 +236,90 @@ def _af3_bench_corpus(sf: float) -> str:
     return d
 
 
+def _shuffle_totals(spark) -> dict | None:
+    """Cumulative shuffle read/write bytes over all completed stages,
+    via the UI REST API (None when the UI is off or unreachable).
+    Snapshot before/after a probe and diff."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    try:
+        apps = _json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5)
+        )
+        app_id = apps[0]["id"]
+        stages = _json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages", timeout=15
+            )
+        )
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return None
+    return {
+        "shuffle_write_bytes": sum(
+            s.get("shuffleWriteBytes", 0) for s in stages
+        ),
+        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+    }
+
+
+def _scale_probe(spark, sf0_1_flagship_sec: float | None) -> dict:
+    """One 10x datapoint for the flagship: interaction_report over a
+    1000-job scale-6 corpus (10x the sf0.1 bench corpus), wall-time +
+    shuffle deltas — the measured evidence that the job-keyed pipeline
+    scales near-linearly (r4 verdict item #8)."""
+    import glob as _glob
+
+    from process_alphafold3_outputs_spark.fixtures import write_corpus
+    from process_alphafold3_outputs_spark.params import ScreenParams
+    from process_alphafold3_outputs_spark.plans.pipeline import (
+        interaction_report,
+    )
+
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache",
+        "af3_bench_1000_s6",
+    )
+    if not _glob.glob(os.path.join(d, "atoms.parquet")):
+        write_corpus(d, n_jobs=1000, seed=13, scale=6)
+    tabs = {
+        n: spark.read.parquet(os.path.join(d, f"{n}.parquet"))
+        for n in ("predictions", "chains", "pae_long", "atoms")
+    }
+    before = _shuffle_totals(spark)
+    t0 = time.perf_counter()
+    interaction_report(
+        tabs["predictions"], tabs["chains"], tabs["pae_long"], tabs["atoms"],
+        ScreenParams(),
+    ).write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 3)
+    after = _shuffle_totals(spark)
+    spark.catalog.clearCache()
+    out = {"n_jobs": 1000, "scale": 6, "wall_sec": wall}
+    if before and after:
+        out["shuffle_write_bytes"] = (
+            after["shuffle_write_bytes"] - before["shuffle_write_bytes"]
+        )
+        out["shuffle_read_bytes"] = (
+            after["shuffle_read_bytes"] - before["shuffle_read_bytes"]
+        )
+    if sf0_1_flagship_sec:
+        # the sf0.1 flagship row runs the same pipeline at 100 jobs —
+        # wall ratio ≈ 10 (or less, fixed costs amortizing) is the
+        # near-linear scaling claim, measured
+        out["vs_100_jobs_median"] = sf0_1_flagship_sec
+        out["wall_ratio_10x_data"] = round(wall / sf0_1_flagship_sec, 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # UI on: the scale probe reads stage-level shuffle totals over REST
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_spark("af3spark-bench")
 
     # warm the JVM + parquet footers once so timings measure query
@@ -346,6 +427,15 @@ def main() -> None:
         fn = dq._QUERIES[name]
         record(name, lambda fn=fn: fn(spark, sf_dir))
 
+    scale_probe: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        try:
+            scale_probe = _scale_probe(spark, timings.get("af3_flagship"))
+        except Exception as exc:  # noqa: BLE001 — probe is additive evidence
+            scale_probe = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"bench: scale probe failed: {scale_probe['error'][:200]}",
+                  file=sys.stderr)
+
     anchor, prev = _prev_bench()
     prev_q = prev.get("queries", {}) if prev else {}
     # like-for-like: median vs a median anchor, min vs a min anchor
@@ -368,6 +458,7 @@ def main() -> None:
                     # full per-query medians — the driver line carries
                     # only the fixed LINE_QUERIES subset
                     "queries_full": timings,
+                    "scale_probe": scale_probe,
                     "spread": spread,
                     "vs_prev": vs_prev,
                     "vs_prev_stat": (prev.get("stat", "min") if prev else None),
