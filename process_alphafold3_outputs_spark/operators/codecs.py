@@ -1,20 +1,21 @@
 """Pure-Python image codecs for the multimodal pipeline: uncompressed
-24-bit BMP (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), and 8-bit
-PNG (grayscale/RGB/RGBA, non-interlaced — stdlib ``zlib`` inflate +
-per-row unfiltering).
+24-bit BMP (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), 8-bit PNG
+(grayscale/RGB/RGBA, non-interlaced — stdlib ``zlib`` inflate +
+per-row unfiltering), and baseline JPEG (sequential DCT, Huffman,
+4:4:4 / 4:2:2 / 4:2:0 — ``operators.jpeg``).
 
 These formats need no external library — BMP/PPM are fixed headers over
-raw RGB samples, PNG's DEFLATE stream is stdlib — so they give
-``operators.multimodal`` REAL decode paths in this container, including
-one genuinely COMPRESSED format. Formats that require codec libraries
-absent here (JPEG, video) stay behind the documented
-``NotImplementedError`` boundary.
+raw RGB samples, PNG's DEFLATE stream is stdlib, JPEG's entropy coding
+and DCT are implemented from the public T.81 spec — so
+``operators.multimodal`` has REAL decode paths for every common still
+image format in this container. Only video remains behind the
+documented ``NotImplementedError`` boundary.
 
 Format layouts are public knowledge (BMP: Windows BITMAPFILEHEADER +
 BITMAPINFOHEADER; PPM: the netpbm P6 spec; PNG: RFC 2083 / the W3C PNG
-spec — chunk framing, filter types 0-4, Paeth predictor). Decoded
-output is a numpy ``(height, width, 3)`` uint8 array in RGB order,
-top-down (PNG alpha is dropped, grayscale broadcast to RGB).
+spec — chunk framing, filter types 0-4, Paeth predictor; JPEG: ITU-T
+T.81). Decoded output is a numpy ``(height, width, 3)`` uint8 array in
+RGB order, top-down (PNG alpha is dropped, grayscale broadcast to RGB).
 """
 
 from __future__ import annotations
@@ -28,13 +29,15 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff(content: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'png' | 'wav' | None for an asset's first bytes."""
+    """'bmp'|'ppm'|'png'|'jpeg'|'wav'|None for an asset's first bytes."""
     if content[:2] == b"BM":
         return "bmp"
     if content[:2] == b"P6":
         return "ppm"
     if content[:8] == PNG_MAGIC:
         return "png"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return None
@@ -273,6 +276,10 @@ def decode_image(content: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_ppm(content)
     if fmt == "png":
         return fmt, decode_png(content)
+    if fmt == "jpeg":
+        from . import jpeg
+
+        return fmt, jpeg.decode_jpeg(content)
     raise ValueError("unsupported image format")
 
 
@@ -283,6 +290,10 @@ def encode_image(fmt: str, rgb: np.ndarray) -> bytes:
         return encode_ppm(rgb)
     if fmt == "png":
         return encode_png(rgb)
+    if fmt == "jpeg":
+        from . import jpeg
+
+        return jpeg.encode_jpeg(rgb)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

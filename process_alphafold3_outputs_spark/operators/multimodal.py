@@ -4,11 +4,12 @@ mmCIF structures — SURVEY §7.1 M7).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape,
 UDF signatures — is real and tested. The codec step has one REAL path:
-uncompressed 24-bit BMP, binary PPM (P6), and 8-bit PNG
-(stdlib-zlib inflate + scanline unfiltering) decode/encode/resize via
-the pure-Python ``operators.codecs`` module (no external libraries
-needed). Formats that genuinely require codec libraries absent from
-this container (JPEG/video) stay behind ``NotImplementedError``
+uncompressed 24-bit BMP, binary PPM (P6), 8-bit PNG (stdlib-zlib
+inflate + scanline unfiltering), and baseline JPEG (pure-Python T.81
+sequential DCT, ``operators.jpeg``) decode/encode/resize via the
+``operators.codecs`` entry points (no external libraries needed).
+Only video still genuinely requires codec libraries absent from this
+container and stays behind ``NotImplementedError``
 unless ``fake=True``, which substitutes a deterministic md5-derived
 pseudo-decode (stable across runs/engines, so tests and oracles can
 cover the full pipeline shape).
@@ -65,7 +66,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize each asset via ``mapInPandas`` (Arrow batches;
     one Python worker call per partition batch, never per row).
 
-    ``fake=False`` REALLY decodes BMP/PPM/PNG assets (pure-Python
+    ``fake=False`` REALLY decodes BMP/PPM/PNG/JPEG assets (pure-Python
     ``operators.codecs``) and computes pixel-derived features; any other
     format raises NotImplementedError at execution time — that is the
     honest codec boundary for libraries this container doesn't ship.
@@ -92,7 +93,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 fmt = codecs.sniff(b)
                 if fmt is None:
                     raise NotImplementedError(
-                        "only BMP/PPM/PNG image and PCM WAV audio decode "
+                        "only BMP/PPM/PNG/JPEG image and PCM WAV audio decode "
                         "ship "
                         "in this environment; pass fake=True for the "
                         "deterministic stub decode of other formats"
@@ -121,7 +122,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize every image asset via ``mapInPandas``. The Spark plumbing
     — Arrow batch shape, meta-struct update, content pass-through — is
-    real and tested. ``fake=False`` REALLY resizes BMP/PPM/PNG assets
+    real and tested. ``fake=False`` REALLY resizes BMP/PPM/PNG/JPEG assets
     (nearest-neighbour, pure-Python ``operators.codecs``) and re-encodes
     in the same format; other formats raise NotImplementedError at
     execution (the codec boundary). ``fake=True`` substitutes a
@@ -147,7 +148,7 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                     continue
                 if codecs.sniff(b) is None:
                     raise NotImplementedError(
-                        "only BMP/PPM/PNG resize ships in this environment; "
+                        "only BMP/PPM/PNG/JPEG resize ships in this environment; "
                         "pass fake=True for the deterministic stub transform"
                     )
                 fmt, rgb = codecs.decode_image(b)
@@ -262,7 +263,7 @@ def image_hashes(media: DataFrame, fake: bool = False) -> DataFrame:
                 if fmt is None or fmt == "wav":
                     raise NotImplementedError(
                         "image_hashes needs a decodable image "
-                        "(BMP/PPM/PNG); "
+                        "(BMP/PPM/PNG/JPEG); "
                         "pass fake=True for the stub path"
                     )
                 _, rgb = codecs.decode_image(b)

@@ -2864,8 +2864,11 @@ _MMR_N = 64
 )
 def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-decode evidence row: pixels -> encode (BMP/PPM/PNG rotating
-    by doc_id, so every shipped codec including the zlib PNG path is on
-    the hash) -> real decode -> image_features, all on executors."""
+    by doc_id, so every LOSSLESS shipped codec including the zlib PNG
+    path is on the hash) -> real decode -> image_features, all on
+    executors. JPEG stays out of this rotation by necessity — the
+    oracle recomputes features from the EXACT source pixels and JPEG is
+    lossy; its decode is pinned by tests/test_jpeg.py instead."""
     from collections.abc import Iterator
 
     from ..operators import multimodal
