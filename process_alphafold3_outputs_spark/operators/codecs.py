@@ -40,6 +40,8 @@ def sniff(content: bytes) -> str | None:
         return "jpeg"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return "avi"
     return None
 
 

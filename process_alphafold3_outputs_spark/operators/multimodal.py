@@ -8,8 +8,10 @@ uncompressed 24-bit BMP, binary PPM (P6), 8-bit PNG (stdlib-zlib
 inflate + scanline unfiltering), and baseline JPEG (pure-Python T.81
 sequential DCT, ``operators.jpeg``) decode/encode/resize via the
 ``operators.codecs`` entry points (no external libraries needed).
-Only video still genuinely requires codec libraries absent from this
-container and stays behind ``NotImplementedError``
+Video has a real path too — MJPEG-in-AVI frame extraction
+(``operators.avi``); only inter-frame codecs (H.264 etc.) genuinely
+require libraries absent from this container and stay behind
+``NotImplementedError``
 unless ``fake=True``, which substitutes a deterministic md5-derived
 pseudo-decode (stable across runs/engines, so tests and oracles can
 cover the full pipeline shape).
@@ -180,28 +182,47 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
 
 def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFrame:
     """Video frame sampling: LATERAL-style fan-out — one output row per
-    sampled frame (asset_id, frame_ms, content). Frame count derives
-    from ``meta.duration_ms`` (relational, no decode needed); the frame
-    EXTRACTION is the codec boundary: ``fake=False`` raises at
-    execution, ``fake=True`` emits deterministic md5-derived frame
-    bytes so the fan-out shape and partitioning are fully testable."""
+    sampled frame (asset_id, frame_ms, content).
+
+    ``fake=False`` REALLY extracts frames from MJPEG-AVI assets
+    (pure-Python RIFF walk, ``operators.avi``; each emitted frame is
+    standalone JPEG bytes that :func:`extract_features` or
+    :func:`image_hashes` can decode downstream). Inter-frame codecs
+    (H.264 etc.) raise NotImplementedError at execution — the codec
+    boundary. ``fake=True`` derives frame count from
+    ``meta.duration_ms`` and emits deterministic md5-derived frame
+    bytes so the fan-out shape and partitioning stay testable for
+    formats without a real path."""
 
     def run(batches) -> Iterator:
         import hashlib
 
         import pandas as pd
 
+        from . import avi, codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires a codec library not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "stub frames"
-                )
             rows = []
             for asset_id, content, meta in zip(
                 pdf["asset_id"], pdf["content"], pdf["meta"]
             ):
+                b = bytes(content)
+                if not fake:
+                    if codecs.sniff(b) != "avi":
+                        raise NotImplementedError(
+                            "only MJPEG-AVI video decodes in this "
+                            "environment; pass fake=True for the "
+                            "deterministic stub frames"
+                        )
+                    for t, frame in avi.sample_avi_frames(b, every_ms):
+                        rows.append(
+                            {
+                                "asset_id": asset_id,
+                                "frame_ms": t,
+                                "content": frame,
+                            }
+                        )
+                    continue
                 duration = (meta or {}).get("duration_ms") or 0
                 for t in range(0, int(duration), int(every_ms)):
                     rows.append(
@@ -209,7 +230,7 @@ def sample_frames(media: DataFrame, every_ms: int, fake: bool = False) -> DataFr
                             "asset_id": asset_id,
                             "frame_ms": t,
                             "content": hashlib.md5(
-                                bytes(content) + f"@{t}".encode()
+                                b + f"@{t}".encode()
                             ).digest(),
                         }
                     )
