@@ -418,3 +418,48 @@ def average_hash(rgb: np.ndarray) -> tuple[int, int]:
 def hamming64(a: tuple[int, int], b: tuple[int, int]) -> int:
     """Hamming distance between two (hi, lo) average hashes."""
     return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+# --------------------------------------------------------------------------
+# audio fingerprint: coarse spectral-envelope sign hash (the
+# Haitsma-Kalker / Chromaprint family of robust hashes, public
+# technique): frame the signal, per-frame log-band energies via a
+# numpy FFT, hash = sign of the (band, time) energy DELTAS. Robust to
+# level changes (deltas) and small noise (coarse bands); two encodings
+# of the same recording land within small Hamming distance.
+# --------------------------------------------------------------------------
+
+_AFP_BANDS = 8          # frequency bands per frame -> 8 delta bits
+_AFP_FRAMES = 9         # analysis frames -> 8 frame-to-frame deltas
+
+
+def audio_fingerprint(rate: int, samples: np.ndarray) -> tuple[int, int]:
+    """(hi, lo) 32-bit words of a 64-bit spectral fingerprint: the
+    clip is split into _AFP_FRAMES equal frames; each frame's spectrum
+    collapses into _AFP_BANDS log-spaced band energies; bit (f, b) is
+    set iff band b's energy ROSE from frame f to f+1 (8 deltas x 8
+    bands = 64 bits, packed row-major). Deterministic: fixed framing,
+    fixed bands, integer threshold on a float comparison whose inputs
+    are exact sums — no RNG, no library DSP."""
+    n = len(samples)
+    if n < _AFP_FRAMES * 2:
+        samples = np.pad(samples, (0, _AFP_FRAMES * 2 - n))
+        n = len(samples)
+    frame_len = n // _AFP_FRAMES
+    energies = np.zeros((_AFP_FRAMES, _AFP_BANDS))
+    for f in range(_AFP_FRAMES):
+        frame = samples[f * frame_len : (f + 1) * frame_len]
+        spec = np.abs(np.fft.rfft(frame)) ** 2
+        # log-spaced band edges over the positive spectrum (DC dropped)
+        edges = np.unique(
+            np.geomspace(1, len(spec) - 1, _AFP_BANDS + 1).astype(int)
+        )
+        while len(edges) < _AFP_BANDS + 1:  # tiny frames: pad edges
+            edges = np.append(edges, edges[-1] + 1)
+        for b in range(_AFP_BANDS):
+            lo_e, hi_e = edges[b], edges[b + 1]
+            energies[f, b] = spec[lo_e:hi_e].sum() if hi_e > lo_e else 0.0
+    bits = (np.diff(energies, axis=0) > 0).astype(np.int64).reshape(-1)
+    hi = int(sum(int(bits[i]) << i for i in range(32)))
+    lo = int(sum(int(bits[32 + i]) << i for i in range(32)))
+    return hi, lo

@@ -324,7 +324,14 @@ def image_near_dup_pairs(
     Scale shape: the self-join keys on (band index, band value) — an
     inverted-index join, never an all-pairs cross; Hamming is JVM-side
     ``bit_count`` over the xor of the two words."""
-    h = image_hashes(media, fake=fake)
+    return _banded_hamming_pairs(image_hashes(media, fake=fake), max_hamming)
+
+
+def _banded_hamming_pairs(h: DataFrame, max_hamming: int) -> DataFrame:
+    """(id_a, id_b, hamming) candidate pairs over any (asset_id, h_hi,
+    h_lo) 64-bit hash table: four 16-bit bands, inverted-index
+    self-join, exact JVM-side bit_count filter — shared by the image
+    aHash and audio fingerprint families."""
     bands = h.select(
         "asset_id",
         "h_hi",
@@ -366,6 +373,62 @@ def image_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def audio_hashes(media: DataFrame, fake: bool = False) -> DataFrame:
+    """(asset_id, modality, h_hi, h_lo) — 64-bit spectral fingerprint
+    per PCM WAV asset (``codecs.audio_fingerprint``: sign of log-band
+    energy deltas over 9 analysis frames — level-invariant and robust
+    to small noise, the Haitsma-Kalker family). Same two-word packing
+    as the image aHash so the banded Hamming machinery is shared.
+    ``fake=True`` hashes the md5 pseudo-decode (plumbing path for
+    formats without a real audio codec here)."""
+
+    def run(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        from . import codecs
+
+        for pdf in batches:
+            his, los = [], []
+            for content in pdf["content"]:
+                b = bytes(content)
+                if fake:
+                    h = hashlib.md5(b).digest()
+                    his.append(int.from_bytes(h[:4], "little"))
+                    los.append(int.from_bytes(h[4:8], "little"))
+                    continue
+                if codecs.sniff(b) != "wav":
+                    raise NotImplementedError(
+                        "audio_hashes needs PCM WAV; pass fake=True for "
+                        "the stub path"
+                    )
+                rate, samples = codecs.decode_wav(b)
+                hi, lo = codecs.audio_fingerprint(rate, samples)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "h_hi": his,
+                    "h_lo": los,
+                }
+            )
+
+    return media.mapInPandas(run, _PHASH_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, fake: bool = False
+) -> DataFrame:
+    """(id_a, id_b, hamming) — near-duplicate audio candidate pairs by
+    spectral fingerprint: the audio twin of
+    :func:`image_near_dup_pairs`, sharing its banded inverted-index
+    join, pigeonhole guarantee, and the >3 recall bound."""
+    return _banded_hamming_pairs(audio_hashes(media, fake=fake), max_hamming)
 
 
 def incremental_image_near_dup(

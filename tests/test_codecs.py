@@ -358,3 +358,62 @@ def test_resize_images_real_png(spark):
     fmt, rgb = codecs.decode_image(bytes(row.content))
     assert fmt == "png"
     np.testing.assert_array_equal(rgb, codecs.resize_nearest(img, 4, 5))
+
+
+# --------------------------------------------------------------------------
+# audio fingerprint + near-dup (spectral sign hash)
+# --------------------------------------------------------------------------
+
+
+def _tone(rate=8000, freq=440.0, seconds=1.0, decay=True):
+    t = np.arange(int(rate * seconds)) / rate
+    s = np.sin(2 * np.pi * freq * t)
+    return s * np.exp(-t) if decay else s
+
+
+def test_audio_fingerprint_is_level_invariant_and_discriminates():
+    rate = 8000
+    a = _tone(rate)
+    fa = codecs.audio_fingerprint(rate, a)
+    # level changes do not move a single bit (delta-sign hash)
+    assert codecs.audio_fingerprint(rate, a * 0.25) == fa
+    # small additive noise: a few bits at most
+    noisy = a + np.random.RandomState(0).randn(len(a)) * 0.01
+    assert codecs.hamming64(fa, codecs.audio_fingerprint(rate, noisy)) <= 3
+    # structurally different audio: far away
+    t = np.arange(rate) / rate
+    chirp = np.sin(2 * np.pi * 1700 * t**2)
+    assert codecs.hamming64(fa, codecs.audio_fingerprint(rate, chirp)) > 10
+
+
+def test_audio_fingerprint_short_clip_padding():
+    hi, lo = codecs.audio_fingerprint(8000, np.array([0.5, -0.5]))
+    assert isinstance(hi, int) and isinstance(lo, int)
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_audio_near_dup_pairs_spark(spark):
+    rate = 8000
+    base = _tone(rate)
+    noisy = base + np.random.RandomState(1).randn(len(base)) * 0.005
+    t = np.arange(rate) / rate
+    other = np.sin(2 * np.pi * 1700 * t**2)
+    media = _media_df(spark, [
+        ("audio/wav", "wav", codecs.encode_wav(rate, base)),
+        ("audio/wav", "wav", codecs.encode_wav(rate, noisy)),
+        ("audio/wav", "wav", codecs.encode_wav(rate, other)),
+    ])
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in multimodal.audio_near_dup_pairs(media, max_hamming=3)
+             .collect()}
+    assert (0, 1) in pairs          # re-encoded near-dup found
+    assert (0, 2) not in pairs      # different content not paired
+    assert (1, 2) not in pairs
+    # image near-dup over the same banded helper still behaves (shared
+    # machinery regression guard)
+    with pytest.raises(Exception, match="PCM WAV|NotImplementedError"):
+        multimodal.audio_near_dup_pairs(
+            _media_df(spark, [("image/bmp", "bmp",
+                               codecs.encode_bmp(_rgb(4, 4)))]),
+            fake=False,
+        ).collect()
