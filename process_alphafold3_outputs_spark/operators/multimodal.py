@@ -448,7 +448,33 @@ def incremental_image_near_dup(
     History participates ONLY as its hash table (3 longs per asset —
     the compressed-representation policy of incremental_exact_dedup);
     historical pixels are never re-decoded."""
-    h = image_hashes(new_media, fake=fake)
+    return _incremental_hash_near_dup(
+        image_hashes(new_media, fake=fake), new_media, seen_hashes, max_hamming
+    )
+
+
+def incremental_audio_near_dup(
+    new_media: DataFrame,
+    seen_hashes: DataFrame,
+    max_hamming: int = 3,
+    fake: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept_media, updated_hashes) — the audio twin of
+    :func:`incremental_image_near_dup`: a NEW shipment of WAV assets
+    deduped against the rolling spectral-fingerprint history (same
+    banded join, same >3 recall bound, historical samples never
+    re-decoded)."""
+    return _incremental_hash_near_dup(
+        audio_hashes(new_media, fake=fake), new_media, seen_hashes, max_hamming
+    )
+
+
+def _incremental_hash_near_dup(
+    h: DataFrame,
+    new_media: DataFrame,
+    seen_hashes: DataFrame,
+    max_hamming: int,
+) -> tuple[DataFrame, DataFrame]:
     hist = seen_hashes.select(
         F.col("asset_id").alias("_hid"),
         F.col("h_hi").alias("_hhi"),

@@ -510,3 +510,52 @@ def watch_documents_near_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_audio_dedup(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    hashes_path: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    fake: bool = False,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming audio intake with cross-epoch SPECTRAL dedup — the
+    audio member of the intake family (exact / LSH-near / perceptual
+    image / scored / spectral audio): each micro-batch runs the batch
+    ``incremental_audio_near_dup`` kernel against the rolling
+    fingerprint table, with the same versioned-snapshot state and
+    idempotent per-epoch output as the other watchers. Returns the
+    StreamingQuery."""
+    from ..operators.multimodal import incremental_audio_near_dup
+
+    stream = (
+        spark.readStream.schema(
+            "asset_id long, modality string, content binary, "
+            "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ss = batch_df.sparkSession
+        seen = read_state(
+            ss,
+            hashes_path,
+            "asset_id long, h_hi long, h_lo long",
+            before_epoch=epoch_id,
+        )
+        kept, updated = incremental_audio_near_dup(
+            batch_df, seen, max_hamming=max_hamming, fake=fake
+        )
+        _write_epoch_output(kept, out_path, epoch_id)
+        roll_state(updated, hashes_path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -748,3 +748,54 @@ def test_state_replay_is_idempotent(spark, tmp_path):
     after = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert after == before == [1, 3]
     assert read_state(spark, hashes, "text_hash string").count() == state_before == 2
+
+
+def test_watch_audio_dedup_spectral_across_epochs(spark, tmp_path):
+    """A re-encoded (slightly noisy) copy of a clip re-dropped in a
+    later epoch must not reach the keeper table; genuinely different
+    audio passes — the spectral twin of the perceptual image watcher."""
+    import numpy as np
+
+    from process_alphafold3_outputs_spark.operators import codecs
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        read_state,
+        watch_audio_dedup,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    base = np.sin(2 * np.pi * 440 * t) * np.exp(-t)
+    near = base + np.random.RandomState(2).randn(rate) * 0.005
+    other = np.sin(2 * np.pi * 1700 * t**2)
+
+    schema = ("asset_id long, modality string, content binary, "
+              "meta struct<width:int, height:int, duration_ms:int, codec:string>")
+
+    def drop(rows):
+        spark.createDataFrame(
+            [(i, "audio/wav", bytearray(codecs.encode_wav(rate, s)),
+              {"width": None, "height": None, "duration_ms": 1000,
+               "codec": "pcm"})
+             for i, s in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(inbox)
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "kept")
+    hashes = str(tmp_path / "hashes")
+    ckpt = str(tmp_path / "ckpt")
+
+    drop([(1, base), (2, near)])          # 2 is an intra-batch near-dup
+    q = watch_audio_dedup(spark, inbox, out, hashes, ckpt, max_hamming=3)
+    try:
+        q.processAllAvailable()
+        assert {r.asset_id for r in spark.read.parquet(out).collect()} == {1}
+        drop([(3, near), (4, other)])     # 3 repeats epoch-0 content
+        q.processAllAvailable()
+        got = {r.asset_id for r in spark.read.parquet(out).collect()}
+        assert got == {1, 4}
+    finally:
+        q.stop()
+    assert read_state(
+        spark, hashes, "asset_id long, h_hi long, h_lo long"
+    ).count() == 2
