@@ -236,10 +236,11 @@ def _af3_bench_corpus(sf: float) -> str:
     return d
 
 
-def _shuffle_totals(spark) -> dict | None:
-    """Cumulative shuffle read/write bytes over all completed stages,
-    via the UI REST API (None when the UI is off or unreachable).
-    Snapshot before/after a probe and diff."""
+def _stage_metrics(spark) -> list[dict] | None:
+    """Completed-stage records from the UI REST API (None when the UI
+    is off or unreachable). NOTE the UI store retains a bounded stage
+    window (spark.ui.retainedStages) — so a before/after TOTAL diff
+    can go negative under eviction; diff by stage id instead."""
     import json as _json
     import urllib.request
 
@@ -251,18 +252,26 @@ def _shuffle_totals(spark) -> dict | None:
             urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5)
         )
         app_id = apps[0]["id"]
-        stages = _json.load(
+        return _json.load(
             urllib.request.urlopen(
                 f"{ui}/api/v1/applications/{app_id}/stages", timeout=15
             )
         )
     except Exception:  # noqa: BLE001 — metrics are best-effort
         return None
+
+
+def _shuffle_since(spark, after_stage_id: int) -> dict | None:
+    """Shuffle totals over stages NEWER than ``after_stage_id`` — the
+    probe's own stages are the newest, so store eviction of older
+    stages cannot corrupt the sum."""
+    stages = _stage_metrics(spark)
+    if stages is None:
+        return None
+    mine = [s for s in stages if s.get("stageId", -1) > after_stage_id]
     return {
-        "shuffle_write_bytes": sum(
-            s.get("shuffleWriteBytes", 0) for s in stages
-        ),
-        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in mine),
+        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in mine),
     }
 
 
@@ -289,23 +298,21 @@ def _scale_probe(spark, sf0_1_flagship_sec: float | None) -> dict:
         n: spark.read.parquet(os.path.join(d, f"{n}.parquet"))
         for n in ("predictions", "chains", "pae_long", "atoms")
     }
-    before = _shuffle_totals(spark)
+    before = _stage_metrics(spark)
+    last_stage = max(
+        (s.get("stageId", -1) for s in before), default=-1
+    ) if before is not None else -1
     t0 = time.perf_counter()
     interaction_report(
         tabs["predictions"], tabs["chains"], tabs["pae_long"], tabs["atoms"],
         ScreenParams(),
     ).write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - t0, 3)
-    after = _shuffle_totals(spark)
+    shuffles = _shuffle_since(spark, last_stage)
     spark.catalog.clearCache()
     out = {"n_jobs": 1000, "scale": 6, "wall_sec": wall}
-    if before and after:
-        out["shuffle_write_bytes"] = (
-            after["shuffle_write_bytes"] - before["shuffle_write_bytes"]
-        )
-        out["shuffle_read_bytes"] = (
-            after["shuffle_read_bytes"] - before["shuffle_read_bytes"]
-        )
+    if shuffles is not None:
+        out.update(shuffles)
     if sf0_1_flagship_sec:
         # the sf0.1 flagship row runs the same pipeline at 100 jobs —
         # wall ratio ≈ 10 (or less, fixed costs amortizing) is the
