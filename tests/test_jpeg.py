@@ -10,6 +10,8 @@ coefficient at any quality).
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -209,3 +211,31 @@ def test_resize_images_real_jpeg(spark):
     assert row.meta.codec == "jpeg"
     fmt, rgb = codecs.decode_image(bytes(row.content))
     assert fmt == "jpeg" and rgb.shape == (10, 8, 3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fuzz_truncation_and_corruption_raise_cleanly(seed):
+    """Truncated or bit-flipped streams must raise (ValueError or a
+    clearly-typed error), never hang or return garbage silently — a
+    malformed asset in a 100 TB corpus must fail the row, not the
+    executor."""
+    rng = np.random.RandomState(seed)
+    img = _smooth(16, 16)
+    data = bytearray(jpeg.encode_jpeg(img, quality=80))
+    # truncate at an arbitrary point past the header
+    cut = rng.randint(30, len(data) - 1)
+    try:
+        jpeg.decode_jpeg(bytes(data[:cut]))
+    except (ValueError, struct.error, IndexError):
+        pass
+    # flip a byte somewhere in the stream
+    flip = rng.randint(2, len(data) - 3)
+    mutated = bytearray(data)
+    mutated[flip] ^= 0xFF
+    try:
+        out = jpeg.decode_jpeg(bytes(mutated))
+        # a survivable flip (entropy data) must still produce a valid frame
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except (ValueError, KeyError, struct.error, IndexError):
+        pass
+
