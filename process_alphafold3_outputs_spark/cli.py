@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "{output-dir}/process_af3_outputs.log (the reference's "
                    "log-file observability, :16-21, as a batch sink; the "
                    "errors are always queryable via read_summary_errors)")
+    p.add_argument("--rmsd", action="store_true",
+                   help="also compute Kabsch optimal-superposition RMSD of "
+                   "every overlay model onto model 0 (per binder job, CA "
+                   "atoms) and write {output-dir}/overlay_rmsd.csv — the "
+                   "analysis the reference README claims (README.md:98-104) "
+                   "but its script never runs (dead Superimposer import)")
     p.add_argument("--watch", action="store_true",
                    help="streaming mode: watch input_dir for new summary "
                    "JSONs and append screen verdicts to "
@@ -230,6 +236,23 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
         ).filter(F.col("job") != "")
         scripts = pymol_scripts(files, ov_dir).collect()
         result["overlay_files"] = len(overlay_rows) + len(scripts)
+
+        if getattr(args, "rmsd", False):
+            from .operators.structures import superimpose_models
+
+            rmsd_path = os.path.join(out_root, "overlay_rmsd.csv")
+            rmsd_pdf = (
+                superimpose_models(
+                    atoms.join(binders.select("job"), "job", "left_semi"),
+                    ref_model=0,
+                )
+                .select("job", "model_id", "n_atoms", F.round("rmsd", 4).alias("rmsd"))
+                .orderBy("job", "model_id")
+                .toPandas()
+            )
+            rmsd_pdf.to_csv(rmsd_path, index=False)
+            result["rmsd_csv"] = rmsd_path
+            result["rmsd_rows"] = len(rmsd_pdf)
 
     if own_session:
         spark.stop()

@@ -394,3 +394,35 @@ def test_corpus_cli_curate(spark, tmp_path):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     want = curate_corpus(docs, max_avg_nll=99.0).count()
     assert res["rows"] == want > 0
+
+
+def test_cli_rmsd_flag(spark, tmp_path):
+    """--rmsd writes overlay_rmsd.csv with one row per (binder job,
+    non-reference model); the fixture's model 1 is a rigid translation
+    of model 0, so every rmsd is ~0 after optimal superposition."""
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    write_file_corpus(corpus_dir, n_jobs=5, seed=6)
+
+    args = build_parser().parse_args(
+        ["-id", corpus_dir, "--output-dir", out_dir, "--rmsd",
+         "--no-emit-pae-csv"]
+    )
+    result = run(args, spark=spark)
+    # one row per binder job WITH structures (the latin1_job landmine is
+    # a binder whose CIFs don't exist) x each non-reference model
+    ov_dir = os.path.join(out_dir, "Overlays_PAE_15.0_maxdist_8.0")
+    jobs_with_models = [
+        d for d in os.listdir(ov_dir)
+        if os.path.isdir(os.path.join(ov_dir, d))
+        and "model_1.cif" in os.listdir(os.path.join(ov_dir, d))
+    ]
+    assert result["rmsd_rows"] == len(jobs_with_models) > 0
+    path = os.path.join(out_dir, "overlay_rmsd.csv")
+    assert result["rmsd_csv"] == path
+    import csv as _csv
+
+    rows = list(_csv.DictReader(open(path)))
+    assert len(rows) == result["rmsd_rows"]
+    assert all(r["model_id"] == "1" for r in rows)
+    assert all(abs(float(r["rmsd"])) < 1e-3 for r in rows)
