@@ -1,7 +1,8 @@
 """Structured Streaming ingest — SURVEY §7.1 M8 (an extension; the
 reference is batch-only).
 
-Six modes, all reusing batch kernels so stream and batch cannot drift:
+The intake family, all reusing batch kernels so stream and batch
+cannot drift:
 
 - ``watch_summaries``: file-source stream over an inbox directory of
   ``*_summary_confidences_0.json``; each micro-batch runs the SAME
@@ -19,6 +20,13 @@ Six modes, all reusing batch kernels so stream and batch cannot drift:
   streaming twin of the batch tumbling/sliding window queries.
 - ``interval_join``: watermarked stream-stream time-range join (event
   attribution), one code path for batch and streaming inputs.
+- ``watch_documents_near_dedup`` / ``watch_media_dedup`` /
+  ``watch_audio_dedup``: cross-epoch NEAR-dedup intake (LSH bands /
+  perceptual image hash / spectral audio fingerprint) over
+  versioned-snapshot parquet state (``roll_state`` — idempotent crash
+  replay, size-compacted, pruned).
+- ``watch_documents_scored``: train-batch / score-stream fluency
+  scoring against a static bigram model.
 """
 
 from __future__ import annotations

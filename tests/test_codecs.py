@@ -417,3 +417,49 @@ def test_audio_near_dup_pairs_spark(spark):
                                codecs.encode_bmp(_rgb(4, 4)))]),
             fake=False,
         ).collect()
+
+
+# --------------------------------------------------------------------------
+# property tests: lossless codecs must round-trip ANY image exactly
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(min_value=1, max_value=12))
+    w = draw(st.integers(min_value=1, max_value=12))
+    data = draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+@settings(max_examples=25, deadline=None)
+@given(_images())
+def test_property_png_roundtrip_exact(img):
+    np.testing.assert_array_equal(
+        codecs.decode_png(codecs.encode_png(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_images())
+def test_property_bmp_roundtrip_exact(img):
+    np.testing.assert_array_equal(
+        codecs.decode_bmp(codecs.encode_bmp(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_images())
+def test_property_ppm_roundtrip_exact(img):
+    np.testing.assert_array_equal(
+        codecs.decode_ppm(codecs.encode_ppm(img)), img)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_images())
+def test_property_jpeg_decodes_to_same_shape(img):
+    from process_alphafold3_outputs_spark.operators import jpeg
+
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    assert out.shape == img.shape and out.dtype == np.uint8
