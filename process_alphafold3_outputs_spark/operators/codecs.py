@@ -1,8 +1,9 @@
 """Pure-Python image codecs for the multimodal pipeline: uncompressed
 24-bit BMP (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), 8-bit PNG
 (grayscale/RGB/RGBA, non-interlaced — stdlib ``zlib`` inflate +
-per-row unfiltering), and baseline JPEG (sequential DCT, Huffman,
-4:4:4 / 4:2:2 / 4:2:0 — ``operators.jpeg``).
+per-row unfiltering), baseline JPEG (sequential DCT, Huffman,
+4:4:4 / 4:2:2 / 4:2:0 — ``operators.jpeg``), and GIF87a/89a
+(palette + variable-width LZW — ``operators.gif``).
 
 These formats need no external library — BMP/PPM are fixed headers over
 raw RGB samples, PNG's DEFLATE stream is stdlib, JPEG's entropy coding
@@ -38,6 +39,8 @@ def sniff(content: bytes) -> str | None:
         return "png"
     if content[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
@@ -282,6 +285,10 @@ def decode_image(content: bytes) -> tuple[str, np.ndarray]:
         from . import jpeg
 
         return fmt, jpeg.decode_jpeg(content)
+    if fmt == "gif":
+        from . import gif
+
+        return fmt, gif.decode_gif(content)
     raise ValueError("unsupported image format")
 
 
@@ -296,6 +303,10 @@ def encode_image(fmt: str, rgb: np.ndarray) -> bytes:
         from . import jpeg
 
         return jpeg.encode_jpeg(rgb)
+    if fmt == "gif":
+        from . import gif
+
+        return gif.encode_gif(rgb)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

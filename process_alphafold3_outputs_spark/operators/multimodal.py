@@ -3,16 +3,16 @@ typed metadata struct (the same pattern the engine already uses for
 mmCIF structures — SURVEY §7.1 M7).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape,
-UDF signatures — is real and tested. The codec step has one REAL path:
-uncompressed 24-bit BMP, binary PPM (P6), 8-bit PNG (stdlib-zlib
-inflate + scanline unfiltering), and baseline JPEG (pure-Python T.81
-sequential DCT, ``operators.jpeg``) decode/encode/resize via the
-``operators.codecs`` entry points (no external libraries needed).
-Video has a real path too — MJPEG-in-AVI frame extraction
-(``operators.avi``); only inter-frame codecs (H.264 etc.) genuinely
-require libraries absent from this container and stay behind
-``NotImplementedError``
-unless ``fake=True``, which substitutes a deterministic md5-derived
+UDF signatures — is real and tested. The codec step is REAL for every
+common format, all pure-Python via the ``operators.codecs`` entry
+points (no external libraries needed): uncompressed 24-bit BMP, binary
+PPM (P6), 8-bit PNG (stdlib-zlib inflate + scanline unfiltering),
+GIF87a/89a (palette + LZW, ``operators.gif``), baseline JPEG (T.81
+sequential DCT, ``operators.jpeg``), PCM WAV audio, and MJPEG-in-AVI
+video frame extraction (``operators.avi``). Only inter-frame video
+codecs (H.264 etc.) genuinely require libraries absent from this
+container; they stay behind ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic md5-derived
 pseudo-decode (stable across runs/engines, so tests and oracles can
 cover the full pipeline shape).
 """
@@ -68,7 +68,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize each asset via ``mapInPandas`` (Arrow batches;
     one Python worker call per partition batch, never per row).
 
-    ``fake=False`` REALLY decodes BMP/PPM/PNG/JPEG assets (pure-Python
+    ``fake=False`` REALLY decodes BMP/PPM/PNG/GIF/JPEG assets (pure-Python
     ``operators.codecs``) and computes pixel-derived features; any other
     format raises NotImplementedError at execution time — that is the
     honest codec boundary for libraries this container doesn't ship.
@@ -95,7 +95,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 fmt = codecs.sniff(b)
                 if fmt is None:
                     raise NotImplementedError(
-                        "only BMP/PPM/PNG/JPEG image and PCM WAV audio decode "
+                        "only BMP/PPM/PNG/GIF/JPEG image and PCM WAV audio decode "
                         "ship "
                         "in this environment; pass fake=True for the "
                         "deterministic stub decode of other formats"
@@ -124,7 +124,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize every image asset via ``mapInPandas``. The Spark plumbing
     — Arrow batch shape, meta-struct update, content pass-through — is
-    real and tested. ``fake=False`` REALLY resizes BMP/PPM/PNG/JPEG assets
+    real and tested. ``fake=False`` REALLY resizes BMP/PPM/PNG/GIF/JPEG assets
     (nearest-neighbour, pure-Python ``operators.codecs``) and re-encodes
     in the same format; other formats raise NotImplementedError at
     execution (the codec boundary). ``fake=True`` substitutes a
@@ -150,7 +150,7 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                     continue
                 if codecs.sniff(b) is None:
                     raise NotImplementedError(
-                        "only BMP/PPM/PNG/JPEG resize ships in this environment; "
+                        "only BMP/PPM/PNG/GIF/JPEG resize ships in this environment; "
                         "pass fake=True for the deterministic stub transform"
                     )
                 fmt, rgb = codecs.decode_image(b)
@@ -284,7 +284,7 @@ def image_hashes(media: DataFrame, fake: bool = False) -> DataFrame:
                 if fmt is None or fmt == "wav":
                     raise NotImplementedError(
                         "image_hashes needs a decodable image "
-                        "(BMP/PPM/PNG/JPEG); "
+                        "(BMP/PPM/PNG/GIF/JPEG); "
                         "pass fake=True for the stub path"
                     )
                 _, rgb = codecs.decode_image(b)
