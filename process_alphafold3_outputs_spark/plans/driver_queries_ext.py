@@ -2863,9 +2863,9 @@ _MMR_N = 64
     """,
 )
 def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-decode evidence row: pixels -> encode (BMP/PPM/PNG rotating
-    by doc_id, so every LOSSLESS shipped codec including the zlib PNG
-    path is on the hash) -> real decode -> image_features, all on
+    """Real-decode evidence row: pixels -> encode (BMP/PPM/PNG/GIF rotating
+    by doc_id, so every LOSSLESS shipped codec — the zlib PNG inflate
+    and the GIF LZW paths included — is on the hash) -> real decode -> image_features, all on
     executors. JPEG stays out of this rotation by necessity — the
     oracle recomputes features from the EXACT source pixels and JPEG is
     lossy; its decode is pinned by tests/test_jpeg.py instead."""
@@ -2891,7 +2891,7 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(4):
                         base = int(did) * 31 + x * 7 + y * 13
                         arr[y, x] = [base % 256, (base + 5) % 256, (base + 10) % 256]
-                fmt = ("bmp", "ppm", "png")[int(did) % 3]
+                fmt = ("bmp", "ppm", "png", "gif")[int(did) % 4]
                 contents.append(bytearray(codecs.encode_image(fmt, arr)))
                 metas.append(
                     {"width": 4, "height": 4, "duration_ms": None, "codec": fmt}
@@ -2948,7 +2948,7 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-decode perceptual hashing: pixels -> encode (BMP/PPM/PNG
+    """Real-decode perceptual hashing: pixels -> encode (BMP/PPM/PNG/GIF
     rotating by doc_id) -> real decode -> fixed-point aHash, all on the
     executors."""
     from collections.abc import Iterator
@@ -2973,7 +2973,7 @@ def multimodal_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(8):
                         base = int(did) * 31 + x * 7 + y * 13
                         arr[y, x] = [base % 256, (base + 5) % 256, (base + 10) % 256]
-                fmt = ("bmp", "ppm", "png")[int(did) % 3]
+                fmt = ("bmp", "ppm", "png", "gif")[int(did) % 4]
                 contents.append(bytearray(codecs.encode_image(fmt, arr)))
                 metas.append(
                     {"width": 8, "height": 8, "duration_ms": None, "codec": fmt}
@@ -3051,7 +3051,7 @@ def _multimodal_near_dup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(8):
                         base = int(did) * 31 + x * 7 + y * 13
                         arr[y, x] = [base % 256, (base + 5) % 256, (base + 10) % 256]
-                fmt = ("bmp", "ppm", "png")[int(did) % 3]
+                fmt = ("bmp", "ppm", "png", "gif")[int(did) % 4]
                 contents.append(bytearray(codecs.encode_image(fmt, arr)))
                 metas.append(
                     {"width": 8, "height": 8, "duration_ms": None, "codec": fmt}
