@@ -119,6 +119,7 @@ HEADLINE = [
     "dedup_candidate_quality",
     "text_bm25_search_many",
     "text_keyword_contexts",
+    "af3_rmsd_overlay",
 ]
 
 
