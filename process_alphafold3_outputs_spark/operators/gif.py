@@ -240,3 +240,39 @@ def encode_gif(rgb: np.ndarray) -> bytes:
         out += bytes([len(block)]) + block
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def quantize_colors(rgb: np.ndarray, n: int = 256) -> np.ndarray:
+    """Median-cut color quantization (Heckbert 1982 — public technique):
+    an (h, w, 3) uint8 image reduced to at most ``n`` distinct colors,
+    each pixel mapped to the mean color of its box. Deterministic (ties
+    split on the lowest channel index, boxes keyed by creation order) —
+    the upstream step that makes any true-color image GIF-encodable."""
+    h, w, _ = rgb.shape
+    flat = rgb.reshape(-1, 3).astype(np.int32)
+    uniq, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(uniq) <= n:
+        return rgb.copy()
+    boxes = [np.arange(len(uniq))]  # index sets into uniq
+    while len(boxes) < n:
+        # split the box with the largest channel range (weighted splits
+        # would need per-color counts; range-cut is the classic form)
+        spans = [
+            (uniq[b].max(axis=0) - uniq[b].min(axis=0)).max() if len(b) > 1 else -1
+            for b in boxes
+        ]
+        i = int(np.argmax(spans))
+        if spans[i] <= 0:
+            break  # every box is a single color
+        box = boxes[i]
+        ch = int(np.argmax(uniq[box].max(axis=0) - uniq[box].min(axis=0)))
+        order = box[np.argsort(uniq[box][:, ch], kind="stable")]
+        mid = len(order) // 2
+        boxes[i] = order[:mid]
+        boxes.append(order[mid:])
+    palette_of = np.zeros(len(uniq), dtype=np.int32)
+    centers = np.zeros((len(boxes), 3), dtype=np.uint8)
+    for k, b in enumerate(boxes):
+        palette_of[b] = k
+        centers[k] = np.round(uniq[b].mean(axis=0)).astype(np.uint8)
+    return centers[palette_of[inverse]].reshape(h, w, 3)

@@ -114,3 +114,19 @@ def test_codecs_entrypoints_route_gif():
     fmt, rgb = codecs.decode_image(data)
     assert fmt == "gif"
     np.testing.assert_array_equal(rgb, img)
+
+
+def test_quantize_colors_bounds_palette_and_enables_gif():
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)  # ~1024 colors
+    q = gif.quantize_colors(img, n=256)
+    assert len(np.unique(q.reshape(-1, 3), axis=0)) <= 256
+    # quantized image round-trips through GIF exactly
+    np.testing.assert_array_equal(gif.decode_gif(gif.encode_gif(q)), q)
+    # mean absolute error stays modest (boxes average nearby colors)
+    assert np.abs(q.astype(int) - img.astype(int)).mean() < 24
+    # already-paletted images pass through untouched
+    small = _paletted(8, 8, 5, seed=9)
+    np.testing.assert_array_equal(gif.quantize_colors(small, 256), small)
+    # determinism
+    np.testing.assert_array_equal(q, gif.quantize_colors(img, n=256))
