@@ -463,3 +463,14 @@ def test_property_jpeg_decodes_to_same_shape(img):
 
     out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+@settings(max_examples=25, deadline=None)
+@given(_images())
+def test_property_gif_roundtrip_exact(img):
+    # the strategy caps images at 12x12 = 144 px, so distinct colors
+    # always fit a GIF palette and the round trip must be EXACT
+    from process_alphafold3_outputs_spark.operators import gif
+
+    np.testing.assert_array_equal(
+        gif.decode_gif(gif.encode_gif(img)), img)
