@@ -323,6 +323,52 @@ def _scale_probe(spark, sf0_1_flagship_sec: float | None) -> dict:
     return out
 
 
+def _scale_probe_corpus(spark, sf_dir: str, base_median: float | None) -> dict:
+    """10x datapoint for the corpus side: pipeline_corpus_to_training
+    over 10 id-shifted, text-perturbed copies of the documents table
+    (each copy appends a distinct token, so copies are NEAR-dups — the
+    exact-dedup stage cannot collapse them and the PPJoin does 10x real
+    work; family pair counts stay bounded at C(10,2) per document)."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.plans import corpus
+    from process_alphafold3_outputs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" probecopy{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(10)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    before = _stage_metrics(spark)
+    last_stage = max(
+        (s.get("stageId", -1) for s in before), default=-1
+    ) if before is not None else -1
+    t0 = time.perf_counter()
+    corpus.corpus_to_training(big).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    wall = round(time.perf_counter() - t0, 3)
+    shuffles = _shuffle_since(spark, last_stage)
+    spark.catalog.clearCache()
+    out = {"n_docs": n * 10, "wall_sec": wall}
+    if shuffles is not None:
+        out.update(shuffles)
+    if base_median:
+        out["vs_1x_median"] = base_median
+        out["wall_ratio_10x_data"] = round(wall / base_median, 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -438,11 +484,21 @@ def main() -> None:
     scale_probe: dict = {}
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         try:
-            scale_probe = _scale_probe(spark, timings.get("af3_flagship"))
+            scale_probe["flagship"] = _scale_probe(
+                spark, timings.get("af3_flagship")
+            )
         except Exception as exc:  # noqa: BLE001 — probe is additive evidence
-            scale_probe = {"error": f"{type(exc).__name__}: {exc}"}
-            print(f"bench: scale probe failed: {scale_probe['error'][:200]}",
-                  file=sys.stderr)
+            scale_probe["flagship"] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"bench: flagship scale probe failed: "
+                  f"{scale_probe['flagship']['error'][:200]}", file=sys.stderr)
+        try:
+            scale_probe["corpus"] = _scale_probe_corpus(
+                spark, sf_dir, timings.get("pipeline_corpus_to_training")
+            )
+        except Exception as exc:  # noqa: BLE001
+            scale_probe["corpus"] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"bench: corpus scale probe failed: "
+                  f"{scale_probe['corpus']['error'][:200]}", file=sys.stderr)
 
     anchor, prev = _prev_bench()
     prev_q = prev.get("queries", {}) if prev else {}
