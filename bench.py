@@ -28,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from process_alphafold3_outputs_spark.plans import driver_queries as dq
+from process_alphafold3_outputs_spark.plans import driver_queries_af3  # noqa: F401  (registers af3_* incl. af3_rmsd_overlay)
 from process_alphafold3_outputs_spark.plans import driver_queries_ext  # noqa: F401
 from process_alphafold3_outputs_spark.session import get_spark
 
