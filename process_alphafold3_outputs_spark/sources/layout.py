@@ -181,3 +181,31 @@ def write_ordered_shards(
         .option("compression", codec)
         .parquet(path)
     )
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 1_000_000,
+    codec: str = "zstd",
+) -> None:
+    """Parquet write with per-column BLOOM FILTERS — the point-lookup
+    pruning lever for 100 TB layouts: a reader filtering on
+    ``col = literal`` consults the row group's bloom bitmap and skips
+    groups that cannot contain the key, which dictionary/min-max stats
+    cannot do for high-cardinality unsorted columns (a uuid/doc_id
+    probe otherwise scans every group whose [min, max] straddles it —
+    at random layout that is ALL of them).
+
+    Uses the standard parquet-mr writer options
+    (``parquet.bloom.filter.enabled#<col>`` /
+    ``parquet.bloom.filter.expected.ndv#<col>``); size the ndv to the
+    real distinct count — oversizing wastes footer bytes, undersizing
+    inflates the false-positive rate and with it the skipped-group
+    miss rate."""
+    w = df.write.mode("overwrite").option("compression", codec)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+    w.parquet(path)

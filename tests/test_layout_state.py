@@ -332,3 +332,35 @@ def test_write_ordered_shards_global_order_across_files(spark, tmp_path):
     # part file name order == partition id order == disjoint ascending ranges
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "shard ranges overlap"
+
+
+def test_write_with_bloom_stores_bitmaps_and_identical_data(spark, tmp_path):
+    """The bloom options must reach the parquet writer: the bloom file
+    carries the extra bitmap bytes (per filtered column) while the DATA
+    is identical — and a point-lookup still returns the right rows."""
+    import glob
+    import os
+
+    from process_alphafold3_outputs_spark.sources.layout import (
+        write_with_bloom,
+    )
+
+    df = spark.range(200_000).selectExpr(
+        "id", "md5(cast(id as string)) AS k"
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.coalesce(1).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(plain)
+    write_with_bloom(df.coalesce(1), bloomed, ["k"], expected_ndv=200_000)
+
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(p) for p in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    # a 200k-ndv bloom bitmap is ~100+ KiB; data pages are identical
+    assert size(bloomed) > size(plain) + 50_000
+    a = spark.read.parquet(plain)
+    b = spark.read.parquet(bloomed)
+    assert b.count() == a.count() == 200_000
+    probe = b.filter("k = md5('137')").collect()
+    assert [r.id for r in probe] == [137]
