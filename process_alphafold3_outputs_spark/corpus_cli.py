@@ -27,6 +27,9 @@ line to stdout):
   mix            per-source token-budget mixture draw (text.mix_by_budget)
   dedup-incremental  shipment-over-history exact dedup (needs --hashes; also
                  writes the rolled-forward hash table to <out>_hashes)
+  media-stats    JVM-only multimodal format census (plans.media)
+  media-curate   per-modality near-dedup of a media table: perceptual
+                 images, spectral audio, exact everything-else
 
 Every command is a thin shell over the library operators — no query
 logic lives here, so CLI behavior cannot drift from the tested kernels.
@@ -161,6 +164,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="repeatable per-source token budget, e.g. --budget web=4000000",
     )
 
+    sp = sub.add_parser("media-stats")
+    sp.add_argument("--media", required=True,
+                    help="MEDIA_SCHEMA parquet path (asset_id, modality, "
+                    "content, meta)")
+    sp.add_argument("--out", required=True, help="output parquet path")
+
+    sp = sub.add_parser("media-curate")
+    sp.add_argument("--media", required=True,
+                    help="MEDIA_SCHEMA parquet path (asset_id, modality, "
+                    "content, meta)")
+    sp.add_argument("--out", required=True, help="output parquet path")
+    sp.add_argument("--max-hamming", type=int, default=3)
+    sp.add_argument("--fake", action="store_true",
+                    help="md5 pseudo-hashes instead of real decodes "
+                    "(plumbing-only path for codec-less formats)")
+
     sp = sub.add_parser("dedup-incremental")
     common(sp)
     sp.add_argument(
@@ -191,6 +210,21 @@ def _result(
         return dedup.semantic_dedup(
             emb, k=args.clusters, iters=args.iters, eps=args.eps,
             handles=handles,
+        )
+
+    if args.command == "media-stats":
+        from .plans import media as media_plans
+
+        return media_plans.media_format_summary(
+            spark.read.parquet(args.media)
+        )
+    if args.command == "media-curate":
+        from .plans import media as media_plans
+
+        return media_plans.curate_media(
+            spark.read.parquet(args.media),
+            max_hamming=args.max_hamming,
+            fake=args.fake,
         )
 
     docs = spark.read.parquet(args.documents)

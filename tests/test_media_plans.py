@@ -124,3 +124,28 @@ def test_magic_table_matches_codecs_sniff_exhaustively():
     assert set(a for a in (codecs.sniff(bytes(v)) for v in assets.values())
                if a is not None) == {"bmp", "ppm", "png", "jpeg", "gif",
                                      "wav", "avi"}
+
+
+def test_media_cli_commands(spark, tmp_path):
+    import json
+
+    from process_alphafold3_outputs_spark.corpus_cli import build_parser, run
+
+    media_path = str(tmp_path / "media")
+    blob = b"\x00\x01 unknown bytes"
+    rows = [(0, codecs.encode_bmp(_rgb(8, 8, 1))), (1, blob), (2, blob)]
+    _media_df(spark, rows).write.parquet(media_path)
+
+    out1 = str(tmp_path / "census")
+    res = run(build_parser().parse_args(
+        ["media-stats", "--media", media_path, "--out", out1]), spark=spark)
+    assert res["rows"] == 2  # bmp + other
+    got = {r.fmt: r.n_assets for r in spark.read.parquet(out1).collect()}
+    assert got == {"bmp": 1, "other": 2}
+
+    out2 = str(tmp_path / "curated")
+    res = run(build_parser().parse_args(
+        ["media-curate", "--media", media_path, "--out", out2]), spark=spark)
+    assert res["rows"] == 2  # exact dup blob dropped
+    kept = {r.asset_id for r in spark.read.parquet(out2).collect()}
+    assert kept == {0, 1}
