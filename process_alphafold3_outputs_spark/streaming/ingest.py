@@ -69,9 +69,10 @@ def watch_summaries(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        screen_binders(batch_df, params).withColumn(
-            "epoch_id", F.lit(epoch_id)
-        ).write.mode("append").parquet(out_path)
+        # per-epoch overwrite (not append): a crash-replayed epoch
+        # replaces its own directory — idempotent, same policy as the
+        # stateful watchers' _write_epoch_output
+        _write_epoch_output(screen_binders(batch_df, params), out_path, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -167,10 +168,10 @@ def watch_documents(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        gopher_quality(
-            batch_df, min_required_hits=min_required_hits
-        ).withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
-            out_path
+        _write_epoch_output(
+            gopher_quality(batch_df, min_required_hits=min_required_hits),
+            out_path,
+            epoch_id,
         )
 
     return (
@@ -412,9 +413,7 @@ def watch_documents_scored(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         model = batch_df.sparkSession.read.parquet(model_path)
         scored = score_with_bigram_model(batch_df, model, alpha=alpha)
-        scored.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
+        _write_epoch_output(scored, out_path, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
