@@ -1,0 +1,114 @@
+"""Link-graph operators for source-quality weighting: PageRank over a
+(src, dst) edge table — the classic authority signal corpus pipelines
+use to weight web sources (public technique: Brin & Page 1998; the
+CommonCrawl-derived pipelines weight domains by exactly this family).
+
+Scale shape (the whole point): each power-iteration round is ONE
+edge-keyed join (ranks onto out-edges) + ONE dst-keyed sum — the same
+keyed-shuffle-per-round discipline as ``dedup.connected_components``,
+with ``localCheckpoint`` truncating the iterative lineage. Dangling
+nodes (no out-links) redistribute their mass uniformly via a one-row
+aggregate broadcast, so the total rank stays 1 and the result matches
+the textbook definition, not a leaky approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 20,
+) -> DataFrame:
+    """(node, rank) — damped PageRank after ``iters`` power iterations
+    (fixed iteration count: rank drift after ~20 rounds is far below
+    ranking-decision level, and a fixed count keeps the plan free of
+    per-round driver convergence actions).
+
+    Duplicate (src, dst) rows count once (the unweighted link model);
+    self-links are dropped. Every node appearing as src OR dst
+    participates with initial rank 1/N.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-edges with the share each link carries of its source's rank
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: rank held by nodes with no out-links — a
+        # one-row aggregate, broadcast into the update (crossJoin of a
+        # single row; never a real cartesian)
+        dangling = (
+            ranks.join(deg.withColumnRenamed("u", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def source_authority(
+    docs: DataFrame,
+    edges: DataFrame,
+    source_col: str = "source",
+    **pr_kwargs,
+) -> DataFrame:
+    """Documents annotated with their source's PageRank — the
+    source-quality weighting join: rank the (source, source) link graph
+    once (a domain-count-sized table), broadcast it onto the corpus.
+    Sources absent from the graph get the teleport floor (1-d)/N rather
+    than NULL, so downstream weighting never divides by nothing."""
+    pr = pagerank(edges, **pr_kwargs)
+    n = pr.count()
+    damping = pr_kwargs.get("damping", 0.85)
+    floor = (1.0 - damping) / n if n else 0.0
+    return docs.join(
+        F.broadcast(pr.withColumnRenamed("node", source_col)),
+        source_col,
+        "left",
+    ).withColumn(
+        "source_rank", F.coalesce(F.col("rank"), F.lit(floor))
+    ).drop("rank")

@@ -1,0 +1,73 @@
+"""PageRank differential vs a dense numpy power iteration (including
+dangling-mass redistribution), structural sanity (hub ranks highest,
+ranks sum to 1), and the source-authority join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from process_alphafold3_outputs_spark.operators.graph import (
+    pagerank,
+    source_authority,
+)
+
+
+def _numpy_pagerank(edges, damping=0.85, iters=20):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {x: i for i, x in enumerate(nodes)}
+    n = len(nodes)
+    uniq = {(u, v) for u, v in edges if u != v}
+    out = np.zeros(n)
+    for u, _ in uniq:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for u, v in uniq:
+            inflow[idx[v]] += r[idx[u]] / out[idx[u]]
+        dm = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (inflow + dm / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_matches_numpy_power_iteration_with_dangling(spark):
+    rng = np.random.default_rng(5)
+    edges = [(int(rng.integers(0, 12)), int(rng.integers(0, 12)))
+             for _ in range(40)]
+    edges += [(11, 0)]  # ensure node 11 exists; nodes w/o out-links stay dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=20).collect()}
+    want = _numpy_pagerank(edges, iters=20)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hub_ranks_highest_and_duplicates_count_once(spark):
+    edges = [(i, 0) for i in range(1, 8)] + [(1, 0)] * 5  # dup links to the hub
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(df).collect()}
+    assert max(ranks, key=ranks.get) == 0
+    # spokes all tie (the duplicate (1, 0) edges must not boost node 1)
+    spoke = [ranks[i] for i in range(1, 8)]
+    assert max(spoke) - min(spoke) < 1e-12
+
+
+def test_empty_graph(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
+
+
+def test_source_authority_join_and_floor(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "unlisted")], "doc_id long, source string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a")], "src string, dst string"
+    )
+    out = {r.doc_id: r.source_rank
+           for r in source_authority(docs, edges).collect()}
+    assert out[1] > out[3] and out[2] > out[3]
+    assert out[3] == pytest.approx((1 - 0.85) / 3)
