@@ -3737,3 +3737,97 @@ def text_keyword_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.keyword_contexts(
         load_table(spark, sf_dir, "documents"), _KWIC_TERM, window=_KWIC_W
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over a deterministic source link graph, cross-engine: the
+# Spark side runs operators.graph.pagerank; the DuckDB oracle UNROLLS
+# the same power iteration (fixed 5 rounds, dangling-mass
+# redistribution included) as chained CTEs. Edges derive identically in
+# both engines from the distinct sources: src_i -> dst_(3i+1 mod k) and
+# src_i -> dst_(7i+2 mod k) by alphabetical rank.
+# --------------------------------------------------------------------------
+_PR_ITERS, _PR_D = 5, 0.85
+
+
+def _pagerank_oracle_sql() -> str:
+    rounds = []
+    for t in range(_PR_ITERS):
+        prev = f"r{t}"
+        rounds.append(f"""
+    f{t} AS (
+        SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS inflow
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst),
+    d{t} AS (
+        SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+        WHERE node NOT IN (SELECT src FROM deg)),
+    r{t + 1} AS (
+        SELECT n.node,
+               (1 - {_PR_D}) / k.c
+               + {_PR_D} * (coalesce(f{t}.inflow, 0) + d{t}.dm / k.c) AS rank
+        FROM nodes n
+        LEFT JOIN f{t} ON f{t}.node = n.node
+        CROSS JOIN d{t} CROSS JOIN k)""")
+    return f"""
+    WITH ord AS (
+        SELECT source, row_number() OVER (ORDER BY source) - 1 AS i
+        FROM (SELECT DISTINCT source FROM documents)),
+    k AS (SELECT CAST(count(*) AS DOUBLE) AS c, count(*) AS ki FROM ord),
+    edges AS (
+        SELECT a.source AS src, b.source AS dst
+        FROM ord a JOIN k ON true JOIN ord b ON b.i = (a.i * 3 + 1) % k.ki
+        WHERE a.source <> b.source
+        UNION
+        SELECT a.source, b.source
+        FROM ord a JOIN k ON true JOIN ord b ON b.i = (a.i * 7 + 2) % k.ki
+        WHERE a.source <> b.source),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / k.c AS rank FROM nodes CROSS JOIN k),
+    {",".join(rounds)}
+    SELECT node AS source, round(rank, 9) AS rank
+    FROM r{_PR_ITERS}
+    """
+
+
+def _source_edges(docs: DataFrame):
+    from pyspark.sql import Window
+
+    ord_df = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "i", F.row_number().over(Window.orderBy("source")) - 1
+        )
+    )
+    k = ord_df.count()
+    a = ord_df.select(F.col("source").alias("src"), "i")
+    b = ord_df.select(F.col("source").alias("dst"), F.col("i").alias("j"))
+    e1 = a.join(b, (F.col("i") * 3 + 1) % k == F.col("j")).filter(
+        F.col("src") != F.col("dst")
+    )
+    e2 = a.join(b, (F.col("i") * 7 + 2) % k == F.col("j")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return e1.select("src", "dst").union(e2.select("src", "dst")).distinct()
+
+
+@register("graph_source_pagerank", sql=_pagerank_oracle_sql())
+def graph_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine PageRank: the iterative keyed-join engine vs the
+    oracle's unrolled power iteration (deferred — pytest-mirrored; the
+    numpy differential lives in tests/test_graph.py)."""
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pr = pagerank(
+        _source_edges(docs), damping=_PR_D, iters=_PR_ITERS
+    )
+    return pr.select(
+        F.col("node").alias("source"), F.round("rank", 9).alias("rank")
+    )
