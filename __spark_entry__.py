@@ -293,6 +293,11 @@ _DEFERRED: set[str] = {
                              # mechanics evidenced by green text_* rows
                              # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
+    "graph_source_pagerank", # iterative PageRank (deferred — pytest-
+                             # mirrored numpy differential + oracle pair
+                             # in tests/test_graph.py; keyed-join
+                             # mechanics evidenced by green dedup_clusters
+                             # row; deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",
@@ -333,12 +338,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return _dq.sessionize(spark, "/root/testdata/sf0.001")
 
 
+def visible_count() -> int:
+    """Driver-visible query count BEFORE truncation — the loud pytest
+    guard (tests/test_bench_line.py) asserts this fits the window; the
+    conftest import-time check mirrors it so any pytest run fails fast."""
+    return len(_ordered(_dq._QUERIES))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """NEVER raises at driver time: if a bookkeeping slip pushes the
+    visible registry past the window, truncate in _PRIORITY-first order
+    (drop the tail) and warn — the pytest guard is the loud failure.
+    (A read-time assert here voided the entire round-5 correctness run.)"""
     q = _ordered(_dq._QUERIES)
-    assert len(q) <= _DRIVER_WINDOW, (
-        f"{len(q)} driver-visible queries exceed the observed "
-        f"{_DRIVER_WINDOW}-query correctness window; defer or merge"
-    )
+    if len(q) > _DRIVER_WINDOW:
+        import warnings
+
+        dropped = list(q)[_DRIVER_WINDOW:]
+        warnings.warn(
+            f"{len(q)} driver-visible queries exceed the "
+            f"{_DRIVER_WINDOW}-query window; truncating (dropped: "
+            f"{dropped}) — fix _DEFERRED",
+            stacklevel=2,
+        )
+        q = dict(list(q.items())[:_DRIVER_WINDOW])
     return q
 
 

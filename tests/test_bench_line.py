@@ -68,6 +68,14 @@ def test_driver_window_order_and_cap():
     priority_block = entry_mod._PRIORITY[:16]
     assert q[:16] == priority_block
     assert all(n.startswith(("af3_", "file_")) for n in priority_block)
+    # queries() itself truncates gracefully (never raises at driver
+    # time) — THIS assert, on the pre-truncation count, is the loud
+    # failure for a bookkeeping slip:
+    assert entry_mod.visible_count() <= entry_mod._DRIVER_WINDOW, (
+        f"{entry_mod.visible_count()} driver-visible queries exceed the "
+        f"{entry_mod._DRIVER_WINDOW}-query window; add the overflow to "
+        f"_DEFERRED in __spark_entry__.py"
+    )
     assert len(q) <= entry_mod._DRIVER_WINDOW
     # every driver-visible query has an oracle unless explicitly waived
     oracles = entry_mod.oracle_sql()
