@@ -28,6 +28,12 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: formats :func:`decode_image` can actually decode — guard membership
+#: with this, not ``fmt is None`` (sniff also returns non-image formats
+#: like 'avi' that must hit the NotImplementedError codec boundary, not
+#: a generic decode ValueError)
+IMAGE_FORMATS = frozenset({"bmp", "ppm", "png", "gif", "jpeg"})
+
 
 def sniff(content: bytes) -> str | None:
     """'bmp'|'ppm'|'png'|'jpeg'|'wav'|None for an asset's first bytes."""

@@ -71,10 +71,28 @@ def island_ranges(
 ) -> DataFrame:
     """Collapse kept islands to one row each with ``island_start`` /
     ``island_min`` / ``island_max`` / ``island_size`` — the ``min-max``
-    range presentation of O26 (process_af3_outputs.py:376-379)."""
-    kept = find_islands(df, partition_cols, value_col, max_gap, min_length)
-    return kept.groupBy(*partition_cols, "island_start").agg(
-        F.min(value_col).alias("island_min"),
-        F.max(value_col).alias("island_max"),
-        F.count(F.lit(1)).alias("island_size"),
+    range presentation of O26 (process_af3_outputs.py:376-379).
+
+    Single window pass + hash aggregate: the per-island min/size that
+    ``find_islands`` computes with a SECOND window function are here
+    folded into the groupBy (HAVING count >= min_length). One shuffle
+    total — HashPartitioning(partition_cols) from the break-window
+    satisfies the agg's ClusteredDistribution(partition_cols, _isl)."""
+    part = [F.col(c) for c in partition_cols]
+    w = Window.partitionBy(*part).orderBy(F.col(value_col))
+    gap_break: Column = F.when(
+        F.col(value_col) - F.lag(value_col).over(w) > max_gap, 1
+    ).otherwise(0)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    tagged = df.withColumn("_isl", F.sum(gap_break).over(w_cum))
+    return (
+        tagged.groupBy(*part, F.col("_isl"))
+        .agg(
+            F.min(value_col).alias("island_min"),
+            F.max(value_col).alias("island_max"),
+            F.count(F.lit(1)).alias("island_size"),
+        )
+        .filter(F.col("island_size") >= min_length)
+        .withColumn("island_start", F.col("island_min"))
+        .drop("_isl")
     )

@@ -375,7 +375,9 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        y = np.clip(full[0], 0, 255)
+        # round like the 3-component path (truncation gave a half-LSB
+        # downward bias and an inconsistency between the decode paths)
+        y = np.clip(full[0], 0, 255).round()
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
     if len(full) != 3:
         raise ValueError(f"unsupported component count {len(full)}")

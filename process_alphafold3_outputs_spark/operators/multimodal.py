@@ -93,7 +93,7 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     feats.append(_fake_decode(b))
                     continue
                 fmt = codecs.sniff(b)
-                if fmt is None:
+                if fmt != "wav" and fmt not in codecs.IMAGE_FORMATS:
                     raise NotImplementedError(
                         "only BMP/PPM/PNG/GIF/JPEG image and PCM WAV audio decode "
                         "ship "
@@ -148,7 +148,7 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = False)
                     )
                     out_codec.append("fake-resized")
                     continue
-                if codecs.sniff(b) is None:
+                if codecs.sniff(b) not in codecs.IMAGE_FORMATS:
                     raise NotImplementedError(
                         "only BMP/PPM/PNG/GIF/JPEG resize ships in this environment; "
                         "pass fake=True for the deterministic stub transform"
@@ -281,7 +281,7 @@ def image_hashes(media: DataFrame, fake: bool = False) -> DataFrame:
                     los.append(int.from_bytes(h[4:8], "little"))
                     continue
                 fmt = codecs.sniff(b)
-                if fmt is None or fmt == "wav":
+                if fmt not in codecs.IMAGE_FORMATS:
                     raise NotImplementedError(
                         "image_hashes needs a decodable image "
                         "(BMP/PPM/PNG/GIF/JPEG); "

@@ -377,21 +377,21 @@ SESSION_MIN_EVENTS = 3
     """,
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.islands import island_ranges
+
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("user_id", event_seconds(ev).alias("t"))
-    kept = find_islands(
-        e,
-        ["user_id"],
-        "t",
-        max_gap=SESSION_GAP_S,
-        min_length=SESSION_MIN_EVENTS,
-        island_col="session_id",
+    # island_ranges = ONE window pass + hash agg (the old find_islands →
+    # re-groupBy path evaluated a second window for per-island min/size)
+    r = island_ranges(
+        e, ["user_id"], "t", max_gap=SESSION_GAP_S, min_length=SESSION_MIN_EVENTS
     )
-    return kept.groupBy("user_id", "session_id").agg(
-        F.min("t").alias("session_start"),
-        (F.max("t") - F.min("t")).alias("duration_s"),
-        F.count(F.lit(1)).alias("n_events"),
-    ).drop("session_id")
+    return r.select(
+        "user_id",
+        F.col("island_min").alias("session_start"),
+        (F.col("island_max") - F.col("island_min")).alias("duration_s"),
+        F.col("island_size").alias("n_events"),
+    )
 
 
 # --------------------------------------------------------------------------

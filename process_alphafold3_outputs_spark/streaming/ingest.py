@@ -251,16 +251,30 @@ _STATE_TARGET_MB = 256
 _STATE_KEEP_VERSIONS = 2
 
 
-def _state_versions(state_path: str) -> list[int]:
-    """Committed (``_SUCCESS``-marked) snapshot versions, ascending."""
-    import os
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — works
+    uniformly for local paths, ``file://``, ``hdfs://``, ``s3a://``…
+    (plain ``os.listdir``/``shutil`` would silently see no versions on
+    non-local URIs and reset dedup state every epoch)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
-    if not os.path.isdir(state_path):
+
+def _state_versions(spark: SparkSession, state_path: str) -> list[int]:
+    """Committed (``_SUCCESS``-marked) snapshot versions, ascending."""
+    fs, root = _hadoop_fs(spark, state_path)
+    if not fs.exists(root):
         return []
+    jvm = spark._jvm
     out = []
-    for d in os.listdir(state_path):
-        if d.startswith("v_") and d[2:].isdigit() and os.path.exists(
-            os.path.join(state_path, d, "_SUCCESS")
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        d = status.getPath().getName()
+        if d.startswith("v_") and d[2:].isdigit() and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
         ):
             out.append(int(d[2:]))
     return sorted(out)
@@ -276,14 +290,12 @@ def read_state(
     strictly below ``before_epoch`` when given, so a crash-replayed
     epoch reads the same state its first attempt did. Empty DataFrame
     of ``schema`` when no snapshot qualifies."""
-    versions = _state_versions(state_path)
+    versions = _state_versions(spark, state_path)
     if before_epoch is not None:
         versions = [v for v in versions if v < before_epoch]
     if not versions:
         return spark.createDataFrame([], schema)
-    import os
-
-    return spark.read.parquet(os.path.join(state_path, f"v_{versions[-1]}"))
+    return spark.read.parquet(f"{state_path.rstrip('/')}/v_{versions[-1]}")
 
 
 def roll_state(
@@ -295,25 +307,24 @@ def roll_state(
 ) -> None:
     """Write ``df`` as snapshot ``v_{epoch_id}`` (size-compacted,
     overwrite-idempotent) and prune all but the newest
-    ``keep_versions`` snapshots."""
+    ``keep_versions`` snapshots. All listing/sizing/deletion goes
+    through the Hadoop FS API, so the versioned state works on any
+    scheme the cluster can write (local, HDFS, S3A…)."""
     import math
-    import os
-    import shutil
 
-    prev = _state_versions(state_path)
+    spark = df.sparkSession
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, state_path)
+    prev = _state_versions(spark, state_path)
     prev_bytes = 0
     if prev:
-        d = os.path.join(state_path, f"v_{prev[-1]}")
-        prev_bytes = sum(
-            os.path.getsize(os.path.join(d, f))
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
+        d = jvm.org.apache.hadoop.fs.Path(root, f"v_{prev[-1]}")
+        prev_bytes = fs.getContentSummary(d).getLength()
     n_files = max(1, math.ceil(prev_bytes / (target_mb * 1024 * 1024)))
-    dst = os.path.join(state_path, f"v_{epoch_id}")
+    dst = f"{state_path.rstrip('/')}/v_{epoch_id}"
     df.coalesce(n_files).write.mode("overwrite").parquet(dst)
-    for v in _state_versions(state_path)[:-keep_versions]:
-        shutil.rmtree(os.path.join(state_path, f"v_{v}"), ignore_errors=True)
+    for v in _state_versions(spark, state_path)[:-keep_versions]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(root, f"v_{v}"), True)
 
 
 def _write_epoch_output(kept: DataFrame, out_path: str, epoch_id: int) -> None:

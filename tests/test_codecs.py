@@ -474,3 +474,27 @@ def test_property_gif_roundtrip_exact(img):
 
     np.testing.assert_array_equal(
         gif.decode_gif(gif.encode_gif(img)), img)
+
+
+def test_avi_blob_hits_codec_boundary_not_decode_error(spark):
+    """sniff() knows 'avi', but the image guards must route any
+    non-image format to the NotImplementedError codec boundary — not
+    let it fall through to decode_image's generic ValueError."""
+    from process_alphafold3_outputs_spark.operators import avi as avi_mod
+
+    frames = [_rgb(4, 4, seed=s) for s in (1, 2)]
+    blob = avi_mod.encode_mjpeg_avi(frames, fps=5)
+    assert codecs.sniff(blob) == "avi"
+    media = _media_df(spark, [("video", "avi", blob)])
+    for build in (
+        lambda: multimodal.extract_features(media, fake=False),
+        lambda: multimodal.resize_images(media, 2, 2, fake=False),
+        lambda: multimodal.image_hashes(media, fake=False),
+    ):
+        with pytest.raises(Exception) as ei:
+            build().collect()
+        msg = str(ei.value)
+        assert "NotImplementedError" in msg or isinstance(
+            ei.value, NotImplementedError
+        )
+        assert "ValueError" not in msg.split("NotImplementedError")[0]
