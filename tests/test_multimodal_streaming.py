@@ -799,3 +799,64 @@ def test_watch_audio_dedup_spectral_across_epochs(spark, tmp_path):
     assert read_state(
         spark, hashes, "asset_id long, h_hi long, h_lo long"
     ).count() == 2
+
+
+def test_lsh_band_watcher_replay_between_append_and_state_swap(spark, tmp_path):
+    """The exact crash window ADVICE r5 flagged for the LSH band
+    watcher: the epoch's output append lands but the process dies
+    BEFORE roll_state swaps the band snapshot in. On restart,
+    foreachBatch replays the epoch with the same epoch_id; the replay
+    must (a) read the pre-epoch state (its own half-written epoch never
+    visible), (b) overwrite its own epoch output in place — identical
+    rows, no duplicate appends — and (c) leave the band table exactly
+    as a never-crashed run would."""
+    from process_alphafold3_outputs_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _write_epoch_output,
+        read_state,
+        roll_state,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    band_schema = "doc_id long, band int, band_sig string"
+    out = str(tmp_path / "kept")
+    bands = str(tmp_path / "bands")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " today"          # near-dup of base (shares bands)
+    other = "completely different content about spark shuffle partitioning"
+
+    epochs = {
+        0: [(1, base, "en", "s", len(base))],
+        1: [(2, near, "en", "s", len(near)),     # near-dups history doc 1
+            (3, other, "en", "s", len(other))],  # novel
+    }
+
+    def run_epoch(epoch, crash_before_state_swap=False):
+        batch = spark.createDataFrame(epochs[epoch], schema)
+        seen = read_state(spark, bands, band_schema, before_epoch=epoch)
+        kept, updated = incremental_near_dedup(batch, seen)
+        _write_epoch_output(kept, out, epoch)
+        if crash_before_state_swap:
+            return  # simulated kill between append and state swap
+        roll_state(updated, bands, epoch)
+
+    run_epoch(0)
+    run_epoch(1, crash_before_state_swap=True)
+    # crashed run's output already landed; state still at epoch 0 only
+    assert read_state(spark, bands, band_schema, before_epoch=1).count() > 0
+    mid = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+
+    run_epoch(1)  # restart: full replay of the same epoch
+    after = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert after == mid == [(1, base), (3, other)]  # no duplicate appends
+    # band table == a never-crashed run's: docs 1 and 3 contribute bands,
+    # the near-dup 2 contributes none
+    state = read_state(spark, bands, band_schema)
+    assert set(r.doc_id for r in state.select("doc_id").distinct().collect()) == {1, 3}
