@@ -298,6 +298,10 @@ _DEFERRED: set[str] = {
                              # in tests/test_graph.py; keyed-join
                              # mechanics evidenced by green dedup_clusters
                              # row; deferred: headroom)
+    "entity_resolution",     # blocked fuzzy ER (levenshtein + CC over
+                             # distinct names); CC kernel evidenced by
+                             # green dedup_clusters row (deferred:
+                             # headroom; full oracle in pytest mirror)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",
