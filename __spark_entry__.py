@@ -79,6 +79,8 @@ _PRIORITY: list[str] = [
 _NO_ORACLE_OK = {
     "af3_rmsd_overlay",  # 3x3 SVD (Kabsch) — pinned by
                          # tests/test_structures_rmsd.py
+    "pipeline_train_bpe",  # iterative data-dependent merge selection —
+                           # pure-Python differential in tests/test_bpe.py
 }
 
 # Shape queries whose SURVEY §2 operator is already evidenced end-to-end
@@ -298,6 +300,9 @@ _DEFERRED: set[str] = {
                              # in tests/test_graph.py; keyed-join
                              # mechanics evidenced by green dedup_clusters
                              # row; deferred: headroom)
+    "pipeline_train_bpe",    # distributed BPE trainer (deferred:
+                             # headroom; differential-pinned, no SQL
+                             # oracle possible)
     "entity_resolution",     # blocked fuzzy ER (levenshtein + CC over
                              # distinct names); CC kernel evidenced by
                              # green dedup_clusters row (deferred:

@@ -1,0 +1,148 @@
+"""Distributed BPE tokenizer training — the "train the tokenizer" step
+of an LLM data pipeline, in its Spark-native scale shape.
+
+Classic byte-pair encoding (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"): start from characters,
+repeatedly merge the most frequent adjacent symbol pair. The textbook
+implementation is a driver-side dict loop; the distributed shape here
+keeps ALL heavy state executor-side:
+
+- **Corpus scans once.** Word counting is the only pass over the raw
+  text; every merge iteration runs over the VOCABULARY table
+  (distinct word, count, symbol array) — vocabulary-sized, not
+  corpus-sized. At 100 TB the corpus is arbitrarily large; the
+  vocabulary is tens of millions of rows at worst.
+- **Per merge: one map-side-combined aggregation** (adjacent-pair
+  counts weighted by word frequency) + one `limit(1)` collect (a
+  bounded scalar, same driver contract as the CC fixpoint counts) +
+  one narrow array-fold projection applying the merge. No shuffle in
+  the apply step.
+- **Lineage truncation**: the symbol column grows one `aggregate`
+  fold per merge; `localCheckpoint` every ``checkpoint_every`` merges
+  keeps the plan flat (same policy as the iterative CC kernels — on
+  a real cluster use reliable checkpointing).
+
+Tie-break is deterministic (count DESC, then pair lexicographic), so
+re-runs train identical merge tables. Merging is left-to-right
+non-overlapping, matching the reference implementation
+(differential-pinned in tests/test_bpe.py against a pure-Python
+trainer on the same corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import normalized
+
+#: merge-table schema: rank = merge order (0-based), merged = left||right
+MERGES_SCHEMA = (
+    "rank int, left string, right string, merged string, n_occurrences long"
+)
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, n, syms) — distinct-word counts with initial character
+    symbol arrays. The ONLY corpus-sized pass of the trainer."""
+    words = (
+        normalized(docs, text_col)
+        .select(F.explode(F.split("_norm", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("syms", F.split("w", ""))
+    )
+
+
+def _apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
+    """Left-to-right non-overlapping replacement of adjacent
+    (left, right) with their concatenation — an ``aggregate`` fold
+    over the symbol array (append, or swap the just-appended ``left``
+    for the merged token when ``right`` follows it). Word-local, so
+    the apply step is a narrow projection."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(l, r, cnt) — adjacent symbol-pair counts weighted by word
+    frequency; map-side combined hash aggregation."""
+    pairs = vocab.filter(F.size("syms") > 1).select(
+        "n",
+        F.explode(
+            F.expr(
+                "transform(slice(syms, 1, size(syms) - 1), "
+                "(s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+        F.sum("n").alias("cnt")
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Learned merge table (MERGES_SCHEMA), rank-ordered. Stops early
+    when the best remaining pair's weighted count drops below
+    ``min_pair_count`` (merging hapax pairs memorizes the corpus)."""
+    spark = docs.sparkSession
+    vocab = word_vocab(docs, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, left + right, cnt))
+        vocab = vocab.select(
+            "w", "n", _apply_merge(F.col("syms"), left, right).alias("syms")
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def segment_words(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w, n, pieces) — the corpus vocabulary segmented by a learned
+    merge table (the APPLY side of BPE): replay every merge in rank
+    order over the character arrays. ``merges`` is collected to the
+    driver (bounded: the merge table IS the model, a few thousand rows
+    at most) and applied as a chain of narrow folds."""
+    rules = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    vocab = word_vocab(docs, text_col)
+    col = F.col("syms")
+    for left, right in rules:
+        col = _apply_merge(col, left, right)
+    return vocab.select("w", "n", col.alias("pieces"))

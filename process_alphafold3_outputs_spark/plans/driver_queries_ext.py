@@ -3881,3 +3881,23 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_col="p_name",
         max_distance=_ER_DIST,
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE tokenizer training (operators/bpe.py). Genuinely
+# iterative with data-dependent merge selection — non-SQL-expressible
+# (the _NO_ORACLE_OK contract); pinned instead by the pure-Python
+# differential in tests/test_bpe.py on merge table AND segmentation.
+# --------------------------------------------------------------------------
+_BPE_MERGES = 12
+
+
+@register("pipeline_train_bpe")
+def pipeline_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned merge table over the documents corpus: vocabulary-sized
+    iteration, corpus scanned once (deferred — pytest-mirrored)."""
+    from ..operators.bpe import train_bpe
+
+    return train_bpe(
+        load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
