@@ -782,3 +782,48 @@ def diversity_report(
         "min_cos",
         "max_cos",
     )
+
+
+def ivf_search(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, rk, sim) — top-k cosine search over a
+    PREBUILT inverted index (vec_id, cell, vec), e.g. the output of the
+    streaming ``watch_embeddings_ann`` watcher or a persisted batch
+    build. Same probe/tie-break semantics as :func:`topk_ivf` (which
+    builds its index inline): queries fan out to their ``n_probe``
+    best cells only; the corpus-sized index is touched through one
+    cell-keyed join."""
+    q = spread(queries, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_s", cosine(F.col("qv"), F.col("cvec"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("_s"), "cell")
+    probes = (
+        scored.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = (
+        probes.join(index, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("vec")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rk",
+            F.round("sim", 6).alias("sim"),
+        )
+    )

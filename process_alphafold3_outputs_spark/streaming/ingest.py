@@ -577,3 +577,59 @@ def watch_audio_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_embeddings_ann(
+    spark: SparkSession,
+    inbox_dir: str,
+    index_path: str,
+    centroids_path: str,
+    checkpoint_dir: str,
+    n_cells: int = 16,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming IVF index maintenance — the ANN twin of the dedup
+    watchers: each micro-batch of embedding drops is assigned to its
+    max-cosine coarse cell and appended to the bucketed inverted index
+    at ``index_path`` (``epoch_id={n}`` partitions, overwrite —
+    crash-replay idempotent like every watcher here).
+
+    The coarse quantizer is TRAINED ONCE on the first micro-batch
+    (``ivf_centroids`` bootstrap) and then FROZEN in versioned state
+    (``roll_state`` just carries it forward): the production IVF
+    contract — vectors add incrementally against a fixed quantizer,
+    re-training is an offline rebuild, never an in-stream mutation
+    (a drifting quantizer would silently strand earlier epochs'
+    vectors in stale cells). Query via
+    ``operators.similarity.ivf_search`` over ``spark.read.parquet(
+    index_path)`` — a stream indexed in N epochs equals the batch
+    index of the union (parity-pinned). Returns the StreamingQuery."""
+    from ..operators.similarity import ivf_assign, ivf_centroids
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ss = batch_df.sparkSession
+        cents = read_state(
+            ss,
+            centroids_path,
+            "cell int, cvec array<double>",
+            before_epoch=epoch_id,
+        )
+        if not cents.head(1):  # first committed epoch: bootstrap-train
+            cents = ivf_centroids(batch_df, n_cells=n_cells)
+        assigned = ivf_assign(batch_df, cents)
+        _write_epoch_output(
+            assigned.select("vec_id", "cell", "vec"), index_path, epoch_id
+        )
+        roll_state(cents, centroids_path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
