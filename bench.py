@@ -121,6 +121,9 @@ HEADLINE = [
     "text_bm25_search_many",
     "text_keyword_contexts",
     "af3_rmsd_overlay",
+    "graph_source_pagerank",
+    "entity_resolution",
+    "pipeline_train_bpe",
 ]
 
 
