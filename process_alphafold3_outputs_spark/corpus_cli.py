@@ -27,6 +27,13 @@ line to stdout):
   mix            per-source token-budget mixture draw (text.mix_by_budget)
   dedup-incremental  shipment-over-history exact dedup (needs --hashes; also
                  writes the rolled-forward hash table to <out>_hashes)
+  entities       fuzzy entity resolution over any (id, name) table
+                 (operators.entity.resolve_entities)
+  train-bpe      distributed BPE tokenizer training -> merge table
+                 (operators.bpe.train_bpe)
+  ann-index      build an IVF inverted index (+ <out>_centroids) from an
+                 embeddings table
+  ann-query      multi-probe top-k search of a prebuilt IVF index
   media-stats    JVM-only multimodal format census (plans.media)
   media-curate   per-modality near-dedup of a media table: perceptual
                  images, spectral audio, exact everything-else
@@ -188,6 +195,33 @@ def build_parser() -> argparse.ArgumentParser:
         "written to --out and the rolled-forward table to <out>_hashes",
     )
 
+    sp = sub.add_parser("entities")
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--out", required=True, help="output parquet path")
+    sp.add_argument("--id-col", required=True)
+    sp.add_argument("--name-col", required=True)
+    sp.add_argument("--max-distance", type=int, default=2)
+
+    sp = sub.add_parser("train-bpe")
+    common(sp)
+    sp.add_argument("--merges", type=int, default=32)
+    sp.add_argument("--min-pair-count", type=int, default=2)
+
+    sp = sub.add_parser("ann-index")
+    common(sp, embeddings=True)
+    sp.add_argument("--cells", type=int, default=16)
+    sp.add_argument(
+        "--centroids", default=None,
+        help="where to write the coarse quantizer (default <out>_centroids)",
+    )
+
+    sp = sub.add_parser("ann-query")
+    common(sp, embeddings=True)
+    sp.add_argument("--index", required=True, help="(vec_id, cell, vec) parquet")
+    sp.add_argument("--centroids", required=True)
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--n-probe", type=int, default=2)
+
     return p
 
 
@@ -227,7 +261,42 @@ def _result(
             fake=args.fake,
         )
 
+    if args.command == "entities":
+        from .operators.entity import resolve_entities
+
+        return resolve_entities(
+            spark.read.parquet(args.input),
+            id_col=args.id_col,
+            name_col=args.name_col,
+            max_distance=args.max_distance,
+        )
+    if args.command == "ann-index":
+        from .operators.similarity import ivf_assign, ivf_centroids
+
+        emb = spark.read.parquet(args.embeddings)
+        cents = ivf_centroids(emb, n_cells=args.cells)
+        cents.write.mode("overwrite").parquet(
+            args.centroids or args.out + "_centroids"
+        )
+        return ivf_assign(emb, cents).select("vec_id", "cell", "vec")
+    if args.command == "ann-query":
+        from .operators.similarity import ivf_search
+
+        return ivf_search(
+            spark.read.parquet(args.index),
+            spark.read.parquet(args.centroids),
+            spark.read.parquet(args.embeddings),
+            k=args.k,
+            n_probe=args.n_probe,
+        )
+
     docs = spark.read.parquet(args.documents)
+    if args.command == "train-bpe":
+        from .operators.bpe import train_bpe
+
+        return train_bpe(
+            docs, n_merges=args.merges, min_pair_count=args.min_pair_count
+        )
     if args.command == "classify":
         if args.weights:
             w = spark.read.parquet(args.weights).orderBy("bucket").collect()

@@ -426,3 +426,58 @@ def test_cli_rmsd_flag(spark, tmp_path):
     assert len(rows) == result["rmsd_rows"]
     assert all(r["model_id"] == "1" for r in rows)
     assert all(abs(float(r["rmsd"])) < 1e-3 for r in rows)
+
+
+def test_corpus_cli_entities_bpe_ann(spark, tmp_path):
+    """Round-6 CLI commands: entities, train-bpe, ann-index/ann-query —
+    thin shells over the tested kernels."""
+    import numpy as np
+
+    from process_alphafold3_outputs_spark.corpus_cli import build_parser, run
+
+    # -- entities over a small (id, name) table
+    names = str(tmp_path / "names")
+    spark.createDataFrame(
+        [(1, "Hot Rod"), (2, "hot  rod"), (3, "hot rods"), (4, "cold bolt")],
+        "id long, name string",
+    ).write.parquet(names)
+    out = str(tmp_path / "ents")
+    res = run(build_parser().parse_args(
+        ["entities", "--input", names, "--out", out,
+         "--id-col", "id", "--name-col", "name", "--max-distance", "1"]),
+        spark=spark)
+    assert res["rows"] == 4
+    ents = {r.id: r.entity_id for r in spark.read.parquet(out).collect()}
+    assert ents == {1: 1, 2: 1, 3: 1, 4: 4}
+
+    # -- train-bpe over a tiny corpus
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "low low lower"), (1, "low lowest")], "doc_id long, text string"
+    ).write.parquet(docs)
+    out2 = str(tmp_path / "merges")
+    res = run(build_parser().parse_args(
+        ["train-bpe", "--documents", docs, "--out", out2, "--merges", "4"]),
+        spark=spark)
+    assert res["rows"] >= 1
+    m0 = spark.read.parquet(out2).orderBy("rank").first()
+    assert (m0.left, m0.right) == ("l", "o")  # 'lo' appears in every word
+
+    # -- ann-index then ann-query round trip
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in np.random.RandomState(i).randn(8)])
+         for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb)
+    idx = str(tmp_path / "index")
+    res = run(build_parser().parse_args(
+        ["ann-index", "--embeddings", emb, "--out", idx, "--cells", "4"]),
+        spark=spark)
+    assert res["rows"] == 20
+    out3 = str(tmp_path / "hits")
+    res = run(build_parser().parse_args(
+        ["ann-query", "--embeddings", emb, "--index", idx,
+         "--centroids", idx + "_centroids", "--out", out3, "--k", "3"]),
+        spark=spark)
+    assert res["rows"] == 60  # 20 queries x k=3
