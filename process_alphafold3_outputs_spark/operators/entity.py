@@ -117,3 +117,87 @@ def resolve_entities(
     return labeled.join(F.broadcast(ents), "_canon").select(
         id_col, "name_norm", "entity_id"
     )
+
+
+def incremental_resolve(
+    new_rows: DataFrame,
+    canon: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(labeled_rows, updated_canon) — a NEW shipment resolved against
+    the accumulated entity CANON table (name_norm, entity_id) without
+    reprocessing history: the incremental sibling of
+    :func:`resolve_entities`, same contract as the incremental dedup
+    family (history participates only as its vocabulary-sized canon
+    table; historical rows are never rescanned).
+
+    Assignment, in deterministic precedence order:
+
+    1. **exact adoption** — a normalized name already in canon keeps
+       that entity_id;
+    2. **fuzzy adoption** — an unseen name within ``max_distance`` of
+       ≥1 canon names (same blocking as the batch path) adopts the
+       MINIMUM matching entity_id. Existing entities are never merged
+       by a bridging shipment name (the standard incremental
+       compromise — batch re-resolution is the offline rebuild that
+       would merge them);
+    3. **new entities** — leftover names cluster among THEMSELVES
+       (connected components over the shipment-local match graph);
+       each cluster becomes a new entity whose id is the minimum
+       ``id_col`` across its rows.
+
+    ``updated_canon`` = canon ∪ the shipment's new (name_norm,
+    entity_id) mappings — idempotent under replay."""
+    rows = new_rows.select(
+        F.col(id_col), normalized_name(F.col(name_col)).alias("name_norm")
+    )
+    names = rows.select(F.col("name_norm").alias("_n")).distinct()
+    cn = canon.select(
+        F.col("name_norm").alias("_cn"), F.col("entity_id").alias("_ceid")
+    )
+    exact = names.join(
+        cn.withColumnRenamed("_cn", "_n"), "_n"
+    ).select("_n", F.col("_ceid").alias("entity_id"))
+    unseen = names.join(exact.select("_n"), "_n", "left_anti")
+    # fuzzy adoption: blocked lev join against canon names
+    u_blk = unseen.withColumn("_blk", F.split("_n", " ")[0])
+    c_blk = cn.withColumn("_blk", F.split("_cn", " ")[0])
+    fuzzy = (
+        u_blk.join(c_blk, "_blk")
+        .filter(F.levenshtein("_n", "_cn") <= max_distance)
+        .groupBy("_n")
+        .agg(F.min("_ceid").alias("entity_id"))
+    )
+    leftover = unseen.join(fuzzy.select("_n"), "_n", "left_anti")
+    pairs = name_match_pairs(
+        leftover.withColumnRenamed("_n", "name"), "name",
+        max_distance=max_distance,
+    )
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    lcanon = (
+        leftover.join(
+            comp.select(
+                F.col("doc_id").alias("_n"), F.col("cluster_id").alias("_c")
+            ),
+            "_n",
+            "left",
+        )
+        .withColumn("_c", F.coalesce("_c", "_n"))
+    )
+    # new entity id = min row id across the cluster's rows
+    new_ids = (
+        lcanon.join(rows.withColumnRenamed("name_norm", "_n"), "_n")
+        .groupBy("_c")
+        .agg(F.min(id_col).alias("entity_id"))
+    )
+    fresh = lcanon.join(F.broadcast(new_ids), "_c").select("_n", "entity_id")
+    mapping = exact.unionByName(fuzzy).unionByName(fresh)
+    labeled = rows.join(
+        mapping.withColumnRenamed("_n", "name_norm"), "name_norm"
+    ).select(id_col, "name_norm", "entity_id")
+    updated = canon.select("name_norm", "entity_id").unionByName(
+        mapping.select(F.col("_n").alias("name_norm"), "entity_id")
+    )
+    return labeled, updated

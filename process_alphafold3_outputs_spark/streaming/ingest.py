@@ -633,3 +633,52 @@ def watch_embeddings_ann(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_entities(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    canon_path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_distance: int = 2,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming entity resolution: each micro-batch of (id, name)
+    drops runs the batch ``incremental_resolve`` kernel against the
+    rolling canon table (name_norm → entity_id, versioned-snapshot
+    state — crash-replay idempotent like every watcher here), labeled
+    rows land per-epoch under ``out_path``, and the canon rolls
+    forward. Entity ids are STABLE across epochs: a name seen in any
+    earlier epoch keeps its entity forever. Returns the
+    StreamingQuery."""
+    from ..operators.entity import incremental_resolve
+
+    stream = (
+        spark.readStream.schema(f"{id_col} long, {name_col} string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ss = batch_df.sparkSession
+        canon = read_state(
+            ss,
+            canon_path,
+            "name_norm string, entity_id long",
+            before_epoch=epoch_id,
+        )
+        labeled, updated = incremental_resolve(
+            batch_df, canon, id_col=id_col, name_col=name_col,
+            max_distance=max_distance,
+        )
+        _write_epoch_output(labeled, out_path, epoch_id)
+        roll_state(updated, canon_path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
