@@ -175,3 +175,97 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce("cnt", F.lit(0).cast("long"))).alias("est_cnt"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """(group, q, approx) — quantiles from a FIXED-BIN histogram
+    sketch: the deterministic member of the sketch family (HLL and
+    percentile_approx have no bit-exact cross-engine oracle; this one
+    does — every step is integer bin arithmetic + one linear
+    interpolation, reproduced exactly by the DuckDB oracle).
+
+    Sketch shape: one (group, bin) count table — ``n_bins`` rows per
+    group cross the shuffle regardless of data size, partial counts
+    combine map-side, and histograms from different shipments MERGE by
+    adding bin counts (mergeability pinned by pytest). Error bound:
+    one bin width = (hi-lo)/n_bins, the classic fixed-histogram
+    trade-off; values outside [lo, hi) clamp into the edge bins.
+
+    Estimator: for each q, find the first bin where the cumulative
+    count reaches ``q * total`` and interpolate linearly inside it
+    (left edge + fraction-of-bin * width). 6-dp rounding defuses libm
+    last-ulp drift, same policy as the similarity rows."""
+    width = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    hist = df.groupBy(F.col(group_col), bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return histogram_sketch_quantiles(hist, group_col, lo, hi, n_bins, qs)
+
+
+def histogram_sketch_quantiles(
+    hist: DataFrame,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Quantile read-off over a prebuilt/merged (group, bin, cnt)
+    histogram table — the merge path: sum bin counts across shipments
+    first (``groupBy(group, bin).sum(cnt)``), then read quantiles off
+    the merged sketch without touching any raw data."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(group_col)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("total", F.sum("cnt").over(wt))
+    )
+    out = None
+    for q in qs:
+        target = F.lit(float(q)) * F.col("total")
+        # first bin whose cumulative reaches the target
+        hit = cum.filter(F.col("cum") >= target).groupBy(group_col).agg(
+            F.min_by(
+                F.struct("bin", "cnt", "cum", "total"), F.col("bin")
+            ).alias("_h")
+        )
+        est = hit.select(
+            F.col(group_col),
+            F.lit(float(q)).alias("q"),
+            F.round(
+                F.lit(lo)
+                + (
+                    F.col("_h.bin")
+                    + (
+                        F.lit(float(q)) * F.col("_h.total")
+                        - (F.col("_h.cum") - F.col("_h.cnt"))
+                    )
+                    / F.col("_h.cnt")
+                )
+                * F.lit(width),
+                6,
+            ).alias("approx"),
+        )
+        out = est if out is None else out.unionByName(est)
+    return out

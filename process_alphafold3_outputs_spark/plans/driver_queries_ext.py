@@ -3901,3 +3901,54 @@ def pipeline_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(
         load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch — the deterministic member of the
+# sketch family (HLL/percentile_approx have no bit-exact cross-engine
+# oracle; this one does: integer bin arithmetic + one interpolation).
+# --------------------------------------------------------------------------
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 110000.0, 64
+_HQ_W = (_HQ_HI - _HQ_LO) / _HQ_BINS
+
+
+@register(
+    "sketch_histogram_quantiles",
+    sql=f"""
+    WITH b AS (
+        SELECT l_returnflag AS g,
+               CAST(least(greatest(floor((l_extendedprice - {_HQ_LO!r}) / {_HQ_W!r}), 0),
+                          {_HQ_BINS - 1}) AS INT) AS bin
+        FROM lineitem),
+    h AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY g, bin),
+    c AS (SELECT g, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY g ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY g) AS total
+          FROM h),
+    qq AS (SELECT unnest([0.5, 0.9]) AS q),
+    sel AS (
+        SELECT c.g, qq.q, c.bin, c.cnt, c.cum, c.total,
+               row_number() OVER (PARTITION BY c.g, qq.q ORDER BY c.bin) AS rn
+        FROM c JOIN qq ON c.cum >= qq.q * c.total)
+    SELECT g AS l_returnflag, q,
+           round({_HQ_LO!r} + (bin + (q * total - (cum - cnt)) / cnt) * {_HQ_W!r}, 6)
+               AS approx
+    FROM sel WHERE rn = 1
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch over lineitem prices per
+    return flag (deferred — pytest-mirrored; mergeability pinned in
+    tests/test_sketch_quantiles.py)."""
+    from ..operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "lineitem"),
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        lo=_HQ_LO,
+        hi=_HQ_HI,
+        n_bins=_HQ_BINS,
+        qs=(0.5, 0.9),
+    )

@@ -1,0 +1,86 @@
+"""Fixed-bin histogram quantile sketch: mergeability, error bound,
+edge clamping."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from process_alphafold3_outputs_spark.operators.sketches import (
+    histogram_quantiles,
+    histogram_sketch_quantiles,
+)
+from pyspark.sql import functions as F
+
+LO, HI, BINS = 0.0, 100.0, 50
+
+
+def _df(spark, vals, g="a"):
+    return spark.createDataFrame(
+        [(g, float(v)) for v in vals], "g string, v double"
+    )
+
+
+def test_merged_shipment_sketches_equal_full_sketch(spark):
+    rng = np.random.RandomState(7)
+    a, b = rng.uniform(0, 100, 400), rng.uniform(0, 100, 300)
+    full = histogram_quantiles(
+        _df(spark, np.concatenate([a, b])), "g", "v", LO, HI, BINS
+    ).collect()
+
+    def hist(vals):
+        bin_col = F.least(
+            F.greatest(F.floor((F.col("v") - LO) / ((HI - LO) / BINS)), F.lit(0)),
+            F.lit(BINS - 1),
+        ).cast("int")
+        return _df(spark, vals).groupBy("g", bin_col.alias("bin")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    # merge = ADD BIN COUNTS across shipments, then read off — no raw
+    # data rescanned
+    merged = (
+        hist(a).unionByName(hist(b))
+        .groupBy("g", "bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    got = histogram_sketch_quantiles(merged, "g", LO, HI, BINS).collect()
+    assert sorted((r.q, r.approx) for r in got) == sorted(
+        (r.q, r.approx) for r in full
+    )
+
+
+def test_error_bounded_by_bin_width(spark):
+    rng = np.random.RandomState(3)
+    vals = rng.uniform(0, 100, 2000)
+    got = {
+        r.q: r.approx
+        for r in histogram_quantiles(
+            _df(spark, vals), "g", "v", LO, HI, BINS, qs=(0.1, 0.5, 0.9)
+        ).collect()
+    }
+    width = (HI - LO) / BINS
+    for q in (0.1, 0.5, 0.9):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= width, (q, got[q], exact)
+
+
+def test_out_of_range_values_clamp_to_edge_bins(spark):
+    # all mass below lo -> every quantile reads the first bin
+    got = {
+        r.q: r.approx
+        for r in histogram_quantiles(
+            _df(spark, [-50.0, -10.0, -1.0]), "g", "v", LO, HI, BINS
+        ).collect()
+    }
+    width = (HI - LO) / BINS
+    assert all(LO <= v <= LO + width for v in got.values())
+
+
+def test_multiple_groups_independent(spark):
+    df = _df(spark, [10.0] * 10, g="x").unionByName(
+        _df(spark, [90.0] * 10, g="y")
+    )
+    got = {
+        (r.g, r.q): r.approx
+        for r in histogram_quantiles(df, "g", "v", LO, HI, BINS).collect()
+    }
+    assert got[("x", 0.5)] < 15 and got[("y", 0.5)] > 85
