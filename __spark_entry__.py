@@ -300,6 +300,9 @@ _DEFERRED: set[str] = {
                              # in tests/test_graph.py; keyed-join
                              # mechanics evidenced by green dedup_clusters
                              # row; deferred: headroom)
+    "sketch_hll_distinct",   # deterministic-md5 HLL; register/agg
+                             # mechanics evidenced by green sketch rows
+                             # (deferred: headroom)
     "sketch_histogram_quantiles",  # deterministic quantile sketch;
                              # window/agg mechanics evidenced by green
                              # text_corpus_stats row (deferred: headroom)

@@ -124,6 +124,8 @@ HEADLINE = [
     "graph_source_pagerank",
     "entity_resolution",
     "pipeline_train_bpe",
+    "sketch_histogram_quantiles",
+    "sketch_hll_distinct",
 ]
 
 

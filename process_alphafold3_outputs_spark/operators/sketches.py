@@ -269,3 +269,88 @@ def histogram_sketch_quantiles(
         )
         out = est if out is None else out.unionByName(est)
     return out
+
+
+def hll_deterministic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 256,
+    seed: str = "hll-v1",
+) -> DataFrame:
+    """(group, raw_est, n_empty) — HyperLogLog distinct estimate built
+    from scratch on DETERMINISTIC md5 hashing, the oracle-checkable
+    twin of :func:`approx_distinct_by` (DataSketches HLL estimates
+    cannot be reproduced by another engine; this one is bit-exact in
+    ANSI SQL, so the approx-distinct family gets a hard correctness
+    row, not just an error-band differential).
+
+    Construction (classic Flajolet HLL, m power-of-two registers):
+    60-bit md5 hash → low bits pick the register, the remaining
+    W = 60 - log2(m) bits' leading-zero count + 1 is rho; each register
+    keeps max(rho) — ONE (group, register)-keyed aggregation with
+    map-side combine, m rows per group across the shuffle, mergeable
+    by max like any HLL. The harmonic sum is computed in INTEGER
+    arithmetic (sum of 2^(53-rho) via shiftleft — exact and
+    order-independent, where summing 2^-rho doubles would round by
+    shuffle order), then one double division.
+
+    ``raw_est`` is the uncorrected estimate (alpha_m·m²/Z);
+    ``n_empty`` ships alongside so consumers can apply linear-counting
+    small-range correction (m·ln(m/V) uses libm ln — deliberately NOT
+    computed here, where cross-engine ulp drift would break the
+    oracle)."""
+    if m & (m - 1) or m < 16:
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    wbits = 60 - m.bit_length() + 1  # log2(m) for power-of-two m
+    max_rho = wbits + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + ":"), F.col(value_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = df.select(F.col(group_col).alias("g"), h.alias("_h"))
+    rho = F.when(F.col("_w") == 0, F.lit(max_rho)).otherwise(
+        F.lit(wbits) - F.length(F.bin("_w")) + 1
+    )
+    mx = (
+        hashed.select(
+            "g",
+            (F.col("_h") % m).alias("reg"),
+            # integer div, NOT double division: _h has 60 bits and a
+            # double round-trip would corrupt the low bits above 2^53
+            F.expr(f"_h div {m}").alias("_w"),
+        )
+        .withColumn("rho", rho)
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("M"))
+    )
+    regs = (
+        df.select(F.col(group_col).alias("g"))
+        .distinct()
+        .select("g", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("reg"))
+    )
+    filled = regs.join(mx, ["g", "reg"], "left").withColumn(
+        "M", F.coalesce("M", F.lit(0))
+    )
+    z = filled.groupBy("g").agg(
+        F.sum(F.expr(f"shiftleft(1L, {max_rho} - M)")).alias("_z"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias(
+            "n_empty"
+        ),
+    )
+    scale = float(alpha * m * m * (1 << max_rho))
+    return z.select(
+        F.col("g").alias(group_col),
+        F.round(F.lit(scale) / F.col("_z"), 3).alias("raw_est"),
+        "n_empty",
+    )

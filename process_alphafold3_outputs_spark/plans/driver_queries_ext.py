@@ -3952,3 +3952,61 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bins=_HQ_BINS,
         qs=(0.5, 0.9),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic md5 HyperLogLog — the oracle-checkable approx-distinct
+# row (the DataSketches HLL rows are error-band-pinned only; this
+# estimator is reproduced bit-for-bit in SQL: integer register math,
+# exact power-of-two harmonic sum via shifts, one double division).
+# --------------------------------------------------------------------------
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_SCALE = float(_HLL_ALPHA * _HLL_M * _HLL_M * (1 << 53))
+
+
+@register(
+    "sketch_hll_distinct",
+    sql=f"""
+    WITH v AS (SELECT l_returnflag AS g, l_partkey AS val FROM lineitem),
+    h AS (SELECT g,
+                 CAST(('0x' || substr(md5('hll-v1:' || CAST(val AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS hh
+          FROM v),
+    r AS (SELECT g, hh % {_HLL_M} AS reg, hh // {_HLL_M} AS w FROM h),
+    rho AS (SELECT g, reg,
+                   CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END AS rho
+            FROM r),
+    mx AS (SELECT g, reg, max(rho) AS M FROM rho GROUP BY g, reg),
+    allg AS (SELECT DISTINCT g FROM v),
+    regs AS (SELECT g, CAST(s.r AS BIGINT) AS reg
+             FROM allg, unnest(generate_series(0, {_HLL_M - 1})) s(r)),
+    filled AS (SELECT regs.g, regs.reg, coalesce(mx.M, 0) AS M
+               FROM regs LEFT JOIN mx ON mx.g = regs.g AND mx.reg = regs.reg),
+    z AS (SELECT g, sum(1::BIGINT << CAST(53 - M AS INT)) AS zint,
+                 CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_empty
+          FROM filled GROUP BY g),
+    ex AS (SELECT g, CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
+           FROM v GROUP BY g)
+    SELECT z.g AS l_returnflag,
+           round({_HLL_SCALE!r} / zint, 3) AS raw_est,
+           z.n_empty,
+           ex.exact_distinct
+    FROM z JOIN ex ON ex.g = z.g
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct l_partkey per return flag, joined to
+    the exact count so the estimator's error is a visible column
+    (deferred — pytest-mirrored)."""
+    from ..operators.sketches import hll_deterministic
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_deterministic(
+        li, group_col="l_returnflag", value_col="l_partkey", m=_HLL_M
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag")

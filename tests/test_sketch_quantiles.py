@@ -84,3 +84,32 @@ def test_multiple_groups_independent(spark):
         for r in histogram_quantiles(df, "g", "v", LO, HI, BINS).collect()
     }
     assert got[("x", 0.5)] < 15 and got[("y", 0.5)] > 85
+
+
+def test_hll_deterministic_error_band_and_determinism(spark):
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        hll_deterministic,
+    )
+
+    for n in (500, 5000):
+        df = spark.range(n).selectExpr("'g' as g", "id as v")
+        got = hll_deterministic(df, "g", "v", m=256).collect()[0]
+        assert abs(got.raw_est - n) / n < 0.15, (n, got.raw_est)
+    # duplicates do not move the estimate (distinct semantics)
+    base = spark.range(1000).selectExpr("'g' as g", "id as v")
+    dup = base.unionAll(base).unionAll(base)
+    a = hll_deterministic(base, "g", "v").collect()[0]
+    b = hll_deterministic(dup, "g", "v").collect()[0]
+    assert (a.raw_est, a.n_empty) == (b.raw_est, b.n_empty)
+
+
+def test_hll_rejects_non_power_of_two_m(spark):
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        hll_deterministic,
+    )
+
+    df = spark.range(4).selectExpr("'g' as g", "id as v")
+    with _pytest.raises(ValueError):
+        hll_deterministic(df, "g", "v", m=100)
