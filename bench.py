@@ -126,6 +126,7 @@ HEADLINE = [
     "pipeline_train_bpe",
     "sketch_histogram_quantiles",
     "sketch_hll_distinct",
+    "skew_salted_join",
 ]
 
 

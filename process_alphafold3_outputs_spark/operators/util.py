@@ -81,3 +81,44 @@ def salted_join(
     )
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_salted_join(
+    big: "DataFrame",
+    small: "DataFrame",
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> "DataFrame":
+    """Join with identical results to ``big.join(small, keys, how)``
+    but with every hot key's rows split across ``n_salts`` partitions —
+    the join-side twin of :func:`two_phase_agg` for when a handful of
+    keys carry most of the big side and even AQE's skew splitting
+    leaves stragglers (AQE splits a skewed PARTITION; a single giant
+    KEY still lands in one sort-merge group).
+
+    Mechanics: the big side gets a per-row salt (row-hash, result-
+    neutral — the salt is part of the join key only to spread the
+    shuffle); the small side is replicated ``n_salts``× so every
+    (key, salt) finds its match. Small-side shuffle volume multiplies
+    by n_salts — use for genuinely small-to-medium right sides (a
+    broadcast join needs no salting at all; this covers the
+    too-big-to-broadcast, skewed-key middle ground).
+
+    ``how``: inner/left joins only (semantics of right/outer joins
+    change under replication)."""
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_salted_join supports inner/left, got {how!r}")
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(n_salts)
+        ),
+    )
+    small_s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
+    )
+    return big_s.join(small_s, [*keys, "_salt"], how).drop("_salt")

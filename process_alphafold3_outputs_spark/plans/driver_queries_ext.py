@@ -4010,3 +4010,36 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("exact_distinct")
     )
     return est.join(exact, "l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join — identical result to the plain join (the oracle IS
+# the plain join), physically split so no single hot key serializes a
+# sort-merge group.
+# --------------------------------------------------------------------------
+@register(
+    "skew_salted_join",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted lineitem⨝orders revenue rollup (deferred — pytest-
+    mirrored; result equality with the unsalted join IS the oracle)."""
+    from ..operators.util import skew_salted_join as salted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted(li, orders, ["l_orderkey"], n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

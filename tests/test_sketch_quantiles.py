@@ -113,3 +113,43 @@ def test_hll_rejects_non_power_of_two_m(spark):
     df = spark.range(4).selectExpr("'g' as g", "id as v")
     with _pytest.raises(ValueError):
         hll_deterministic(df, "g", "v", m=100)
+
+
+# -- skew-salted join (operators/util.py) ----------------------------------
+
+def test_skew_salted_join_matches_plain_join(spark):
+    from process_alphafold3_outputs_spark.operators.util import (
+        skew_salted_join,
+    )
+
+    # skewed big side: key 1 carries 80% of rows
+    big = spark.createDataFrame(
+        [(1, i) for i in range(80)] + [(k, k * 100) for k in range(2, 22)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 15)], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.payload, r.name)
+            for r in skew_salted_join(big, small, ["k"], n_salts=4, how=how)
+            .collect()
+        )
+        want = sorted(
+            (r.k, r.payload, r.name)
+            for r in big.join(small, ["k"], how).collect()
+        )
+        assert got == want, how
+
+
+def test_skew_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark.operators.util import (
+        skew_salted_join,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pytest.raises(ValueError):
+        skew_salted_join(df, df, ["k"], how="right")
