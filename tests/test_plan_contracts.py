@@ -213,3 +213,61 @@ def test_bloom_decontaminate_single_corpus_shuffle(spark, sf_dir):
     # shuffle reads); no exchange keyed by shingle
     assert "hashpartitioning(shingle" not in plan
     assert plan.count("Exchange hashpartitioning(doc_id") <= 2
+
+
+def test_histogram_sketch_single_shuffle_to_bins(spark, sf_dir):
+    """The histogram build shuffles ONE (group, bin) count table —
+    partial aggregation must appear before the exchange (map-side
+    combine: n_bins rows per group cross the wire, not the data)."""
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = histogram_quantiles(
+        li, "l_returnflag", "l_extendedprice", 0.0, 110000.0, 64, qs=(0.5,)
+    )
+    plan = formatted_plan(q)
+    # map-side combine: the bin-count aggregate runs in partial mode
+    # below the exchange (formatted plans mark it partial_count)
+    assert "partial_count" in plan
+    # raw value column pruned to exactly what the bin expression needs
+    assert "struct<l_extendedprice:double,l_returnflag:string>" in plan
+
+
+def test_entity_resolution_broadcasts_vocab_tables(spark, sf_dir):
+    """Row labeling joins against vocabulary-sized tables (canon map,
+    entity ids) — those joins must be broadcasts, never a corpus-sized
+    sort-merge."""
+    from process_alphafold3_outputs_spark.operators.entity import (
+        resolve_entities,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    q = resolve_entities(part, "p_partkey", "p_name", max_distance=3)
+    plan = formatted_plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_agg_is_map_side_combined(spark, sf_dir):
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        hll_deterministic,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = hll_deterministic(li, "l_returnflag", "l_partkey")
+    plan = formatted_plan(q)
+    assert "partial_max" in plan  # per-register rho max combines map-side
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_count_is_map_side_combined(spark):
+    from process_alphafold3_outputs_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest")], "doc_id long, text string"
+    )
+    q = bpe._pair_counts(bpe.word_vocab(docs))
+    plan = formatted_plan(q)
+    assert "partial_sum" in plan  # weighted pair counts combine map-side
