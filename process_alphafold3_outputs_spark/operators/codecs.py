@@ -480,3 +480,34 @@ def audio_fingerprint(rate: int, samples: np.ndarray) -> tuple[int, int]:
     hi = int(sum(int(bits[i]) << i for i in range(32)))
     lo = int(sum(int(bits[32 + i]) << i for i in range(32)))
     return hi, lo
+
+
+def resample_audio(
+    rate: int, samples: np.ndarray, target_rate: int, taps: int = 63
+) -> np.ndarray:
+    """Deterministic sample-rate conversion (pure numpy, no library
+    DSP — same policy as every codec here): downsampling applies a
+    Hamming-windowed-sinc anti-alias low-pass (cutoff at the TARGET
+    Nyquist) before picking output samples by linear interpolation at
+    exact rational positions; upsampling is linear interpolation (the
+    signal is already band-limited below the new Nyquist)."""
+    if target_rate <= 0 or rate <= 0:
+        raise ValueError("rates must be positive")
+    if target_rate == rate or len(samples) == 0:
+        return samples.astype(np.float64, copy=True)
+    x = samples.astype(np.float64)
+    if target_rate < rate:
+        # windowed-sinc low-pass, cutoff = target Nyquist / input rate
+        fc = 0.5 * target_rate / rate
+        m = np.arange(taps) - (taps - 1) / 2.0
+        h = 2 * fc * np.sinc(2 * fc * m) * np.hamming(taps)
+        h /= h.sum()
+        x = np.convolve(x, h, mode="same")
+    n_out = int(len(x) * target_rate // rate)
+    # exact rational positions: pos_i = i * rate / target (float64 on
+    # integer inputs — deterministic)
+    pos = np.arange(n_out) * (rate / target_rate)
+    i0 = np.minimum(pos.astype(np.int64), len(x) - 1)
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    frac = pos - i0
+    return x[i0] * (1 - frac) + x[i1] * frac

@@ -526,3 +526,59 @@ def _incremental_hash_near_dup(
         kept_hashes
     )
     return kept, updated
+
+
+def resample_audio(
+    media: DataFrame, target_rate: int, fake: bool = False
+) -> DataFrame:
+    """Resample every WAV asset to ``target_rate`` via ``mapInPandas``
+    — the audio twin of :func:`resize_images`. ``fake=False`` REALLY
+    resamples PCM WAV (windowed-sinc anti-alias + linear interpolation,
+    pure-numpy ``codecs.resample_audio``) and re-encodes 16-bit PCM;
+    non-WAV assets hit the NotImplementedError codec boundary.
+    ``fake=True`` substitutes a deterministic md5 stub (plumbing
+    testable without the codec)."""
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from . import codecs
+
+        for pdf in batches:
+            out_content, out_rate = [], []
+            for content in pdf["content"]:
+                b = bytes(content)
+                if fake:
+                    out_content.append(
+                        hashlib.md5(b + f":{target_rate}".encode()).digest()
+                    )
+                    out_rate.append(target_rate)
+                    continue
+                if codecs.sniff(b) != "wav":
+                    raise NotImplementedError(
+                        "resample_audio needs PCM WAV; pass fake=True for "
+                        "the deterministic stub transform"
+                    )
+                rate, samples = codecs.decode_wav(b)
+                out_content.append(
+                    codecs.encode_wav(
+                        target_rate,
+                        codecs.resample_audio(rate, samples, target_rate),
+                    )
+                )
+                out_rate.append(target_rate)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "content": out_content,
+                    "sample_rate": out_rate,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "asset_id long, modality string, content binary, sample_rate int",
+    )

@@ -498,3 +498,53 @@ def test_avi_blob_hits_codec_boundary_not_decode_error(spark):
             ei.value, NotImplementedError
         )
         assert "ValueError" not in msg.split("NotImplementedError")[0]
+
+
+def test_resample_audio_length_tone_and_alias_rejection():
+    rate, target = 8000, 4000
+    t = np.arange(rate) / rate  # 1 s
+    low = np.sin(2 * np.pi * 440 * t) * 0.5       # below target Nyquist
+    high = np.sin(2 * np.pi * 3500 * t) * 0.5     # above target Nyquist
+    out_low = codecs.resample_audio(rate, low, target)
+    out_high = codecs.resample_audio(rate, high, target)
+    assert len(out_low) == len(out_high) == target
+    rms = lambda x: float(np.sqrt(np.mean(x**2)))  # noqa: E731
+    # in-band tone survives (within windowing tolerance)...
+    assert abs(rms(out_low) - rms(low)) / rms(low) < 0.1
+    # ...out-of-band tone is attenuated by the anti-alias filter
+    assert rms(out_high) < 0.25 * rms(high)
+    # deterministic
+    np.testing.assert_array_equal(
+        out_low, codecs.resample_audio(rate, low, target)
+    )
+    # upsample: length scales, identity rate is a copy
+    assert len(codecs.resample_audio(rate, low, 16000)) == 2 * rate
+    np.testing.assert_array_equal(
+        codecs.resample_audio(rate, low, rate), low
+    )
+
+
+def test_spark_resample_audio_roundtrip_and_boundary(spark):
+    rate, target = 8000, 4000
+    t = np.arange(rate) / rate
+    tone = np.sin(2 * np.pi * 440 * t) * 0.5
+    wav = codecs.encode_wav(rate, tone)
+    media = _media_df(
+        spark, [("audio/wav", "pcm", wav), ("image", "bmp",
+                                            codecs.encode_bmp(_rgb(4, 4)))]
+    )
+    out = multimodal.resample_audio(
+        media.filter("asset_id = 0"), target
+    ).collect()
+    assert len(out) == 1 and out[0].sample_rate == target
+    r2, s2 = codecs.decode_wav(bytes(out[0].content))
+    assert r2 == target and len(s2) == target
+    # non-WAV asset hits the codec boundary, not a decode error
+    with pytest.raises(Exception) as ei:
+        multimodal.resample_audio(media.filter("asset_id = 1"), target).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+    # fake path keeps the plumbing drivable without the codec
+    fake = multimodal.resample_audio(media, target, fake=True).collect()
+    assert {r.asset_id for r in fake} == {0, 1}
