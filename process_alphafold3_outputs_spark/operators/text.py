@@ -1494,12 +1494,15 @@ def trigram_lm_scores(
     tot = c3.agg(F.sum("n123").alias("nt"))
     vocab = tg.agg(F.count_distinct("w3").alias("_v"))
     a = F.lit(alpha)
-    scored = (
-        tg.join(c3, ["w1", "w2", "w3"])
-        .join(c12, ["w1", "w2"])
+    # nll depends ONLY on the trigram key, so the model joins compose
+    # on the VOCABULARY-sized c3 table and the corpus-sized tg joins
+    # exactly once on the finished per-trigram nll — one corpus shuffle
+    # where the old chain shuffled tg through four model joins
+    nll_tab = (
+        c3.join(c12, ["w1", "w2"])
         .join(c23, ["w2", "w3"])
         .join(c2_, ["w2"])
-        .join(F.broadcast(c3u), ["w3"])
+        .join(c3u, ["w3"])
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(vocab))
         .withColumn(
@@ -1510,7 +1513,9 @@ def trigram_lm_scores(
                 + F.lit(l1) * (F.col("n3") + a) / (F.col("nt") + a * F.col("_v"))
             ),
         )
+        .select("w1", "w2", "w3", "nll")
     )
+    scored = tg.join(nll_tab, ["w1", "w2", "w3"])
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         F.aggregate(
