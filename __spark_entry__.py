@@ -300,6 +300,9 @@ _DEFERRED: set[str] = {
                              # in tests/test_graph.py; keyed-join
                              # mechanics evidenced by green dedup_clusters
                              # row; deferred: headroom)
+    "file_roundtrip_orc",    # ORC write/read identity; file-boundary
+                             # mechanics evidenced by the green
+                             # file_sink_* rows (deferred: headroom)
     "skew_salted_join",      # salting demo; result-identical to the
                              # plain join oracle (deferred: headroom)
     "sketch_hll_distinct",   # deterministic-md5 HLL; register/agg

@@ -476,3 +476,23 @@ def file_sink_documents_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(_DOCS_SCHEMA).json(out).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "file_roundtrip_orc",
+    sql="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def file_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read identity over the documents table — the
+    columnar-format breadth row next to the parquet sources and the
+    JSONL round trip (ORC is the other splittable columnar format a
+    100 TB lake commonly serves; Spark reads/writes it natively with
+    the same pushdown/pruning machinery). Deferred — pytest-mirrored."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = os.path.join(
+        OUT_DIR, "documents_orc", os.path.basename(os.path.normpath(sf_dir))
+    )
+    docs.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
