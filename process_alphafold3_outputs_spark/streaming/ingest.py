@@ -27,6 +27,12 @@ cannot drift:
   replay, size-compacted, pruned).
 - ``watch_documents_scored``: train-batch / score-stream fluency
   scoring against a static bigram model.
+- ``watch_embeddings_ann``: streaming IVF index maintenance — frozen
+  bootstrap-trained quantizer in versioned state, per-epoch idempotent
+  appends to the bucketed inverted index.
+- ``watch_entities``: streaming entity resolution — the incremental
+  batch kernel per micro-batch against the rolling canon table; entity
+  ids stable across epochs.
 """
 
 from __future__ import annotations

@@ -271,3 +271,22 @@ def test_bpe_pair_count_is_map_side_combined(spark):
     q = bpe._pair_counts(bpe.word_vocab(docs))
     plan = formatted_plan(q)
     assert "partial_sum" in plan  # weighted pair counts combine map-side
+
+
+def test_ivf_search_broadcasts_centroids_and_joins_on_cell(spark, sf_dir):
+    """Prebuilt-index search: the quantizer table broadcasts (it is
+    cells-sized); the corpus-sized index is reached ONLY through the
+    cell-keyed equi-join — no cartesian anywhere."""
+    from process_alphafold3_outputs_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells=4)
+    index = ivf_assign(emb, cents).select("vec_id", "cell", "vec")
+    q = ivf_search(index, cents, emb.limit(5), k=3, n_probe=2)
+    plan = formatted_plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
