@@ -300,6 +300,9 @@ _DEFERRED: set[str] = {
                              # in tests/test_graph.py; keyed-join
                              # mechanics evidenced by green dedup_clusters
                              # row; deferred: headroom)
+    "text_mix_temperature",  # T-scaled mixture; window/broadcast
+                             # mechanics evidenced by green
+                             # text_mix_budget row (deferred: headroom)
     "file_roundtrip_orc",    # ORC write/read identity; file-boundary
                              # mechanics evidenced by the green
                              # file_sink_* rows (deferred: headroom)

@@ -127,6 +127,8 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "sketch_hll_distinct",
     "skew_salted_join",
+    "text_mix_temperature",
+    "file_roundtrip_orc",
 ]
 
 

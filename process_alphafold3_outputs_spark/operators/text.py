@@ -1806,3 +1806,65 @@ def keyword_contexts(
         "pos",
         F.array_join(F.slice("_toks", start, length), " ").alias("context"),
     )
+
+
+def mix_by_temperature(
+    docs: DataFrame,
+    total_tokens: int,
+    temperature: float = 1.0,
+    domain_col: str = "source",
+    seed: str = "mix-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture draw — the Gopher/LLaMA-style source
+    weighting that :func:`mix_by_budget` takes as given: source s gets
+    weight ``n_s^(1/T) / Σ_j n_j^(1/T)`` of the ``total_tokens``
+    budget (T=1 → proportional/natural distribution, T→∞ → uniform;
+    T>1 up-weights small sources), then the same deterministic
+    hash-ordered prefix draw fills each source's budget.
+
+    Scale shape: the weighting stage runs entirely on the
+    SOURCES-sized token-total table (one corpus aggregation feeds it);
+    budgets broadcast back onto the corpus rows. The weight ratio is
+    rounded to 9 dp before the floor (libm pow differs by 1 ulp across
+    engines for general exponents — same defuse as the A-ES sampler).
+
+    Output: (id, domain, n_tokens, cum_tokens, budget) for the
+    selected docs."""
+    if total_tokens <= 0 or temperature <= 0:
+        raise ValueError("total_tokens and temperature must be positive")
+    inv_t = 1.0 / temperature
+    d = normalized(docs, text_col).withColumn(
+        "n_tokens", F.size(F.split("_norm", " ")).cast("long")
+    )
+    totals = d.groupBy(domain_col).agg(F.sum("n_tokens").alias("_n"))
+    wsum = totals.agg(
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(inv_t))).alias("_s")
+    )
+    budgets = (
+        totals.crossJoin(F.broadcast(wsum))
+        .select(
+            domain_col,
+            F.floor(
+                F.round(
+                    F.pow(F.col("_n").cast("double"), F.lit(inv_t))
+                    / F.col("_s"),
+                    9,
+                )
+                * F.lit(int(total_tokens))
+            ).cast("long").alias("budget"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(budgets), domain_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select(id_col, domain_col, "n_tokens", "cum_tokens", "budget")
+    )

@@ -4043,3 +4043,48 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture (T=2: sqrt weighting — up-weights small
+# sources); budgets derive from the corpus itself, then the same
+# hash-prefix draw as text_mix_budget fills them.
+# --------------------------------------------------------------------------
+_MIXT_TOTAL, _MIXT_T = 8_000, 2.0
+
+
+@register(
+    "text_mix_temperature",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    tok AS (
+        SELECT n.doc_id, d.source,
+               CAST(len(string_split(n.t, ' ')) AS BIGINT) AS n_tokens,
+               md5('mix-v1:' || CAST(n.doc_id AS VARCHAR)) AS h
+        FROM norm n JOIN documents d USING (doc_id)),
+    totals AS (SELECT source, sum(n_tokens) AS nn FROM tok GROUP BY source),
+    wsum AS (SELECT sum(power(nn::DOUBLE, {1.0 / _MIXT_T!r})) AS s FROM totals),
+    budgets AS (
+        SELECT t.source,
+               CAST(floor(round(power(t.nn::DOUBLE, {1.0 / _MIXT_T!r}) / w.s, 9)
+                          * {_MIXT_TOTAL}) AS BIGINT) AS budget
+        FROM totals t, wsum w),
+    cum AS (
+        SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+               CAST(sum(t.n_tokens) OVER (
+                   PARTITION BY t.source ORDER BY t.h, t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM tok t JOIN budgets b USING (source))
+    SELECT doc_id, source, n_tokens, cum_tokens, budget
+    FROM cum WHERE cum_tokens <= budget
+    """,
+)
+def text_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=2 temperature mixture over documents (deferred — pytest-
+    mirrored; the T=1 budget form is the green text_mix_budget row)."""
+    return text.mix_by_temperature(
+        load_table(spark, sf_dir, "documents"),
+        total_tokens=_MIXT_TOTAL,
+        temperature=_MIXT_T,
+    )

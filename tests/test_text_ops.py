@@ -1300,3 +1300,37 @@ def test_bigram_scoring_uses_context_count_for_unseen_continuations(spark):
     assert abs(score[1] - round(want_known_ctx, 6)) < 1e-6
     assert abs(score[2] - round(want_unknown_ctx, 6)) < 1e-6
     assert score[1] > score[2]  # hot context, unseen next word = rarer event
+
+
+def test_mix_by_temperature_limits(spark):
+    """T=1 reproduces proportional budgets; large T approaches uniform;
+    invalid params rejected."""
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark.operators import text as t
+
+    rows = [(i, "w " * 10, "big") for i in range(90)] + [
+        (100 + i, "w " * 10, "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        [(i, s.strip(), "en", src, len(s)) for i, s, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # corpus: big=900 tokens, small=100 tokens
+    def budgets(temp):
+        out = t.mix_by_temperature(docs, total_tokens=500, temperature=temp)
+        return {
+            r.source: r.budget
+            for r in out.select("source", "budget").distinct().collect()
+        }
+
+    b1 = budgets(1.0)
+    assert b1 == {"big": 450, "small": 50}  # proportional
+    b100 = budgets(100.0)
+    # near-uniform: both sources within a few tokens of 250
+    assert abs(b100["big"] - 250) < 5 and abs(b100["small"] - 250) < 5
+    assert b100["small"] > b1["small"]  # temperature up-weights the tail
+    with _pytest.raises(ValueError):
+        t.mix_by_temperature(docs, total_tokens=0)
+    with _pytest.raises(ValueError):
+        t.mix_by_temperature(docs, total_tokens=10, temperature=0)
