@@ -378,6 +378,51 @@ def _scale_probe_corpus(spark, sf_dir: str, base_median: float | None) -> dict:
     return out
 
 
+def _scale_probe_ann(spark, sf_dir: str, base_median: float | None) -> dict:
+    """10x datapoint for the ANN side: multi-probe LSH top-k over 10
+    id-shifted, value-perturbed copies of the embeddings table (each
+    copy adds a deterministic per-copy offset to one component, so the
+    corpus is 10x distinct vectors; the query set stays the SAME size —
+    at scale the corpus grows, the probe fan-out does not)."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators import similarity
+    from process_alphafold3_outputs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    copies = [
+        emb.select(
+            (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, j: x + (j == 0).cast("int") * F.lit(i * 0.01)
+            ).cast("array<float>").alias("embedding"),
+        )
+        for i in range(10)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    before = _stage_metrics(spark)
+    last_stage = max(
+        (s.get("stageId", -1) for s in before), default=-1
+    ) if before is not None else -1
+    t0 = time.perf_counter()
+    similarity.topk_lsh_multiprobe(
+        big, F.col("vec_id") < 20, k=5, n_probe=2
+    ).write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 3)
+    shuffles = _shuffle_since(spark, last_stage)
+    spark.catalog.clearCache()
+    out = {"n_vectors": n * 10, "wall_sec": wall}
+    if shuffles is not None:
+        out.update(shuffles)
+    if base_median:
+        out["vs_1x_median"] = base_median
+        out["wall_ratio_10x_data"] = round(wall / base_median, 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -508,6 +553,14 @@ def main() -> None:
             scale_probe["corpus"] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"bench: corpus scale probe failed: "
                   f"{scale_probe['corpus']['error'][:200]}", file=sys.stderr)
+        try:
+            scale_probe["ann"] = _scale_probe_ann(
+                spark, sf_dir, timings.get("similarity_topk_lsh_multiprobe")
+            )
+        except Exception as exc:  # noqa: BLE001
+            scale_probe["ann"] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"bench: ann scale probe failed: "
+                  f"{scale_probe['ann']['error'][:200]}", file=sys.stderr)
 
     anchor, prev = _prev_bench()
     prev_q = prev.get("queries", {}) if prev else {}
