@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from process_alphafold3_outputs_spark.plans import driver_queries as dq
 from process_alphafold3_outputs_spark.plans import driver_queries_af3  # noqa: F401  (registers af3_* incl. af3_rmsd_overlay)
 from process_alphafold3_outputs_spark.plans import driver_queries_ext  # noqa: F401
+from process_alphafold3_outputs_spark.plans import driver_queries_files  # noqa: F401  (registers file_* incl. file_roundtrip_orc)
 from process_alphafold3_outputs_spark.session import get_spark
 
 HEADLINE = [
@@ -60,6 +61,7 @@ HEADLINE = [
     "pipeline_corpus_to_training",
     "pipeline_pack_sequences",
     "dedup_clusters",
+    "dedup_clusters_stars",
     "similarity_topk_lsh_multiprobe",
     "dedup_decontaminate",
     "text_repetition",
@@ -105,7 +107,6 @@ HEADLINE = [
     "pipeline_corpus_curate",
     "event_value_outliers",
     "event_transitions",
-    "dedup_clusters_stars",
     "similarity_topk_pq_refined",
     "similarity_diversity",
     "dedup_decontaminate_by_source",
