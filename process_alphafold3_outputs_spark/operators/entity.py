@@ -16,9 +16,18 @@ scale shape:
 2. **Blocking**: candidate pairs only within a block (first token of
    the normalized name). The block join is one hash shuffle on the
    block key; per-block work is O(b²) in BLOCK size, never corpus
-   size. Hot blocks are a data-quality signal (a vocabulary whose
-   every name shares one first word needs a finer key — compose the
-   block column accordingly, e.g. first token + length bucket).
+   size. Against HOT first-token blocks ("the …", "university of …")
+   the default execution refines the key with a LOSSLESS length band:
+   ``levenshtein(a,b) <= d`` implies ``|len(a)-len(b)| <= d``, so
+   emitting each name under (token, len//(d+1)) and (token,
+   len//(d+1)+1) guarantees every qualifying pair still shares a key
+   while an m-name hot block splits into O(m/width) buckets. The
+   match SPEC is unchanged — results are bit-identical to plain
+   first-token blocking (the oracle stays on the simple restatement);
+   only the join fan-out shrinks. ``block_mode="auto"`` probes for
+   hot blocks on a deterministic sample (the Jaccard skew-gate
+   pattern, :func:`..operators.dedup.has_hot_shingle`) and takes the
+   cheaper single-key join when no block is hot.
 3. **Transitive closure**: an edit-distance match is not transitive
    ("aa"~"ab"~"bb" but "aa"!~"bb" at distance 1), so entities are the
    CONNECTED COMPONENTS of the match graph — the same O(log n)
@@ -46,31 +55,103 @@ def normalized_name(col: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
 
 
+def _band_keys(name: Column, max_distance: int) -> Column:
+    """The two lossless (first_token, length_band) block keys of a
+    name. Band width w = max_distance + 1: matching names differ in
+    length by at most max_distance < w, so their band indices differ
+    by at most 1 and the {k, k+1} double-emission guarantees a shared
+    key for every qualifying pair — zero recall loss vs blocking on
+    the first token alone, while a hot token block splits by length."""
+    w = max_distance + 1
+    tok = F.split(name, " ")[0]
+    k = F.floor(F.length(name) / F.lit(w)).cast("long")
+    return F.array(
+        F.concat_ws("#", tok, k.cast("string")),
+        F.concat_ws("#", tok, (k + F.lit(1)).cast("string")),
+    )
+
+
+def has_hot_block(
+    names: DataFrame,
+    name_col: str = "name",
+    sample_pct: int = 25,
+    min_count: int = 4,
+) -> bool:
+    """Deterministic hot-block probe (the Jaccard skew-gate pattern,
+    ``dedup.has_hot_shingle``): does any first-token block hold ≥
+    max(min_count, 5% of the sampled names)? Sampling is
+    md5-hash-deterministic over the name — a block covering a constant
+    fraction of the vocabulary appears in any sample of it. The name
+    table is already vocabulary-sized, so a generous sample_pct is
+    cheap."""
+    s = (
+        names.select(F.col(name_col).alias("_n"))
+        .distinct()
+        .filter(
+            F.conv(F.substring(F.md5("_n"), 1, 4), 16, 10).cast("long")
+            % 100 < sample_pct
+        )
+    )
+    counts = (
+        s.groupBy(F.split("_n", " ")[0].alias("_blk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .collect()[0]
+    )
+    if counts.tot is None or counts.tot == 0:
+        return False
+    return counts.mx >= max(min_count, 0.05 * counts.tot)
+
+
 def name_match_pairs(
     names: DataFrame,
     name_col: str = "name",
     max_distance: int = 2,
     block_col: Column | None = None,
+    block_mode: str = "token_len",
 ) -> DataFrame:
     """(name_a, name_b) — unordered (a < b) pairs of DISTINCT names
-    with ``levenshtein <= max_distance`` inside the same block.
+    with ``levenshtein <= max_distance`` inside the same first-token
+    block.
 
-    ``block_col``: blocking key expression over the name column;
-    default first whitespace token. Blocking is part of the match
-    SPEC (pairs straddling blocks are non-matches by definition) —
-    deterministic and oracle-reproducible, like every candidate
-    generator in this repo."""
-    blk = (
-        block_col
-        if block_col is not None
-        else F.split(F.col(name_col), " ")[0]
-    )
-    b = names.select(F.col(name_col).alias("_n")).distinct().withColumn(
-        "_blk", blk if block_col is not None else F.split("_n", " ")[0]
-    )
-    left = b.select(F.col("_n").alias("name_a"), "_blk")
-    right = b.select(F.col("_n").alias("name_b"), "_blk")
-    return (
+    ``block_col``: caller-supplied blocking key expression over the
+    name column (single key; blocking is then part of the match SPEC —
+    pairs straddling blocks are non-matches by definition).
+
+    ``block_mode`` (default blocking only): ``"token_len"`` (default)
+    joins on the lossless (token, length-band) double keys — the
+    always-insured corpus-scale form, fully lazy; ``"token"`` joins on
+    the bare first token (one key, no pair-dedup — cheapest when no
+    block is hot); ``"auto"`` probes (:func:`has_hot_block`, fires a
+    Spark job at plan-build time) and picks. All three produce
+    IDENTICAL pairs — the length band cannot drop a qualifying pair."""
+    b = names.select(F.col(name_col).alias("_n")).distinct()
+    if block_col is not None:
+        # apply the caller's expression over the ORIGINAL column name,
+        # in the same select that aliases it (the post-alias form made
+        # any block_col referencing name_col fail analysis)
+        keyed = names.select(
+            F.col(name_col).alias("_n"), block_col.alias("_blk")
+        ).distinct()
+    else:
+        if block_mode == "auto":
+            block_mode = (
+                "token_len" if has_hot_block(b, "_n") else "token"
+            )
+        if block_mode == "token":
+            keyed = b.withColumn("_blk", F.split("_n", " ")[0])
+        elif block_mode == "token_len":
+            keyed = b.select(
+                "_n",
+                F.explode(_band_keys(F.col("_n"), max_distance)).alias("_blk"),
+            )
+        else:
+            raise ValueError(
+                f"block_mode must be token|token_len|auto, got {block_mode!r}"
+            )
+    left = keyed.select(F.col("_n").alias("name_a"), "_blk")
+    right = keyed.select(F.col("_n").alias("name_b"), "_blk")
+    pairs = (
         left.join(right, "_blk")
         .filter(
             (F.col("name_a") < F.col("name_b"))
@@ -78,6 +159,10 @@ def name_match_pairs(
         )
         .select("name_a", "name_b")
     )
+    # double-key emission can match one pair under both keys
+    if block_col is None and block_mode == "token_len":
+        pairs = pairs.distinct()
+    return pairs
 
 
 def resolve_entities(
@@ -161,9 +246,16 @@ def incremental_resolve(
         cn.withColumnRenamed("_cn", "_n"), "_n"
     ).select("_n", F.col("_ceid").alias("entity_id"))
     unseen = names.join(exact.select("_n"), "_n", "left_anti")
-    # fuzzy adoption: blocked lev join against canon names
-    u_blk = unseen.withColumn("_blk", F.split("_n", " ")[0])
-    c_blk = cn.withColumn("_blk", F.split("_cn", " ")[0])
+    # fuzzy adoption: blocked lev join against canon names — the same
+    # lossless (token, length-band) keys as the batch path (the groupBy
+    # also collapses the double-key duplicate matches)
+    u_blk = unseen.select(
+        "_n", F.explode(_band_keys(F.col("_n"), max_distance)).alias("_blk")
+    )
+    c_blk = cn.select(
+        "_cn", "_ceid",
+        F.explode(_band_keys(F.col("_cn"), max_distance)).alias("_blk"),
+    )
     fuzzy = (
         u_blk.join(c_blk, "_blk")
         .filter(F.levenshtein("_n", "_cn") <= max_distance)
@@ -197,7 +289,14 @@ def incremental_resolve(
     labeled = rows.join(
         mapping.withColumnRenamed("_n", "name_norm"), "name_norm"
     ).select(id_col, "name_norm", "entity_id")
+    # canon grows by the GENUINELY NEW names only (fuzzy + fresh are
+    # subsets of `unseen`, disjoint from canon by the left_anti).
+    # Unioning `exact` back in would re-insert rows canon already
+    # holds — one duplicate per repeat epoch, doubling through the
+    # next epoch's inner join and breaking the idempotence contract.
     updated = canon.select("name_norm", "entity_id").unionByName(
-        mapping.select(F.col("_n").alias("name_norm"), "entity_id")
+        fuzzy.unionByName(fresh).select(
+            F.col("_n").alias("name_norm"), "entity_id"
+        )
     )
     return labeled, updated

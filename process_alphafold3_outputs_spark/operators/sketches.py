@@ -202,7 +202,14 @@ def histogram_quantiles(
     Estimator: for each q, find the first bin where the cumulative
     count reaches ``q * total`` and interpolate linearly inside it
     (left edge + fraction-of-bin * width). 6-dp rounding defuses libm
-    last-ulp drift, same policy as the similarity rows."""
+    last-ulp drift, same policy as the similarity rows.
+
+    NULL values are excluded BEFORE binning: floor(NULL) would
+    propagate into a NULL bin that still counts toward ``total``
+    (skewing every estimate), and NULL bins sort NULLS FIRST in Spark
+    but NULLS LAST in DuckDB — a latent cross-engine parity break.
+    Quantiles are statistics of the present values, same contract as
+    percentile_cont."""
     width = (hi - lo) / n_bins
     bin_col = F.least(
         F.greatest(
@@ -210,7 +217,9 @@ def histogram_quantiles(
         ),
         F.lit(n_bins - 1),
     ).cast("int")
-    hist = df.groupBy(F.col(group_col), bin_col.alias("bin")).agg(
+    hist = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col), bin_col.alias("bin")
+    ).agg(
         F.count(F.lit(1)).alias("cnt")
     )
     return histogram_sketch_quantiles(hist, group_col, lo, hi, n_bins, qs)

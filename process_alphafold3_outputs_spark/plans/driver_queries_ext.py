@@ -3919,7 +3919,7 @@ _HQ_W = (_HQ_HI - _HQ_LO) / _HQ_BINS
         SELECT l_returnflag AS g,
                CAST(least(greatest(floor((l_extendedprice - {_HQ_LO!r}) / {_HQ_W!r}), 0),
                           {_HQ_BINS - 1}) AS INT) AS bin
-        FROM lineitem),
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
     h AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY g, bin),
     c AS (SELECT g, bin, cnt,
                  sum(cnt) OVER (PARTITION BY g ORDER BY bin

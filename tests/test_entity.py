@@ -143,3 +143,138 @@ def test_watch_entities_stable_ids_across_epochs(spark, tmp_path):
     assert state == {
         "hot rod": 1, "cold bolt": 2, "hot rods": 1, "warm pipe": 12,
     }
+
+
+def test_incremental_canon_row_stable_on_repeat_epochs(spark):
+    # ADVICE r6 (high): exact adoptions were unioned back into canon,
+    # doubling the (name_norm, entity_id) row count every epoch a name
+    # repeats and duplicating labeled output rows through the inner
+    # join. Canon must stay ONE row per name; labeled must stay ONE
+    # row per input row.
+    from process_alphafold3_outputs_spark.operators.entity import (
+        incremental_resolve,
+    )
+
+    canon = spark.createDataFrame(
+        [("hot rod", 3)], "name_norm string, entity_id long"
+    )
+    for epoch in range(3):
+        ship = spark.createDataFrame(
+            [(100 + epoch, "hot rod")], "id long, name string"
+        )
+        labeled, canon = incremental_resolve(
+            ship, canon, id_col="id", name_col="name", max_distance=1
+        )
+        assert labeled.count() == 1, f"epoch {epoch}: duplicated labels"
+        assert canon.count() == 1, f"epoch {epoch}: canon rows grew"
+        assert canon.collect()[0].entity_id == 3
+
+
+def test_incremental_labeled_count_matches_input(spark):
+    from process_alphafold3_outputs_spark.operators.entity import (
+        incremental_resolve,
+    )
+
+    canon = spark.createDataFrame(
+        [("hot rod", 3), ("cold bolt", 7)], "name_norm string, entity_id long"
+    )
+    ship = spark.createDataFrame(
+        [(1, "hot rod"), (2, "hot rod"), (3, "hot rods"), (4, "qq zz")],
+        "id long, name string",
+    )
+    labeled, updated = incremental_resolve(
+        ship, canon, id_col="id", name_col="name", max_distance=1
+    )
+    assert labeled.count() == 4
+    # updated canon: 2 old + 2 genuinely new names, one row each
+    assert updated.count() == 4
+    assert updated.select("name_norm").distinct().count() == 4
+
+
+def test_custom_block_col_referencing_name_column(spark):
+    # ADVICE r6 (low): a caller-supplied block_col over the name
+    # column previously failed analysis (applied after the alias)
+    from process_alphafold3_outputs_spark.operators import entity
+    from pyspark.sql import functions as F
+
+    names = spark.createDataFrame(
+        [("aa x",), ("aa y",), ("ab x",)], "name string"
+    )
+    # block on the first TWO characters: "aa x"/"aa y" share a block,
+    # "ab x" does not
+    pairs = entity.name_match_pairs(
+        names, "name", max_distance=2,
+        block_col=F.substring(F.col("name"), 1, 2),
+    )
+    assert [(r.name_a, r.name_b) for r in pairs.collect()] == [("aa x", "aa y")]
+
+
+def test_token_len_blocking_is_lossless_vs_token(spark):
+    # the length-band refinement is an EXECUTION change only: pairs
+    # must be identical to bare first-token blocking on any input
+    from process_alphafold3_outputs_spark.operators import entity
+
+    rows = [
+        ("the quick fox",), ("the quick fix",), ("the slow fox",),
+        ("the a",), ("the ab",), ("the abcdefghijklmno",),
+        ("other name",), ("other namee",),
+    ]
+    names = spark.createDataFrame(rows, "name string")
+    fine = {
+        (r.name_a, r.name_b)
+        for r in entity.name_match_pairs(
+            names, "name", max_distance=2, block_mode="token_len"
+        ).collect()
+    }
+    coarse = {
+        (r.name_a, r.name_b)
+        for r in entity.name_match_pairs(
+            names, "name", max_distance=2, block_mode="token"
+        ).collect()
+    }
+    assert fine == coarse and len(fine) >= 2
+
+
+def test_hot_block_probe_and_band_fanout_bound(spark):
+    # a vocabulary whose every name shares one first token: the probe
+    # must flag it, and the (token, length-band) keys must split the
+    # single hot block so no bucket holds the whole vocabulary
+    from process_alphafold3_outputs_spark.operators import entity
+    from pyspark.sql import functions as F
+
+    hot = spark.createDataFrame(
+        [("the " + "x" * i,) for i in range(1, 41)], "name string"
+    )
+    assert entity.has_hot_block(hot, "name", sample_pct=100) is True
+    diverse = spark.createDataFrame(
+        [(f"tok{i} name",) for i in range(40)], "name string"
+    )
+    assert entity.has_hot_block(diverse, "name", sample_pct=100) is False
+
+    keyed = hot.select(
+        "name",
+        F.explode(
+            entity._band_keys(F.col("name"), max_distance=1)
+        ).alias("_blk"),
+    )
+    max_bucket = (
+        keyed.groupBy("_blk").count().agg(F.max("count")).collect()[0][0]
+    )
+    # band width 2 + double emission => at most ~4 of the 40 names per
+    # bucket (vs 40 in the bare-token block)
+    assert max_bucket <= 4
+
+
+def test_auto_block_mode_routes_and_matches(spark):
+    from process_alphafold3_outputs_spark.operators import entity
+
+    names = spark.createDataFrame(
+        [("the aaa",), ("the aab",), ("the zzzzzz",)], "name string"
+    )
+    auto = {
+        (r.name_a, r.name_b)
+        for r in entity.name_match_pairs(
+            names, "name", max_distance=1, block_mode="auto"
+        ).collect()
+    }
+    assert auto == {("the aaa", "the aab")}

@@ -153,3 +153,26 @@ def test_skew_salted_join_rejects_outer(spark):
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     with _pytest.raises(ValueError):
         skew_salted_join(df, df, ["k"], how="right")
+
+
+def test_null_values_excluded_from_binning(spark):
+    # ADVICE r6 (low): NULLs previously landed in a NULL bin that
+    # still counted toward `total` (skewed estimates) and sorted
+    # differently across engines. Quantiles must be statistics of the
+    # present values only.
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    with_nulls = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)] + [("g", None)] * 37,
+        "g string, v double",
+    )
+    without = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "g string, v double"
+    )
+    kw = dict(group_col="g", value_col="v", lo=0.0, hi=100.0, n_bins=10,
+              qs=(0.5, 0.9))
+    got = {(r.q, r.approx) for r in histogram_quantiles(with_nulls, **kw).collect()}
+    want = {(r.q, r.approx) for r in histogram_quantiles(without, **kw).collect()}
+    assert got == want and len(got) == 2
