@@ -67,9 +67,12 @@ _PRIORITY: list[str] = [
     "text_sample_domains",
     "text_redact_pii",
     # -- round-4 additions
-    "similarity_recall",   # ANN quality as a hard driver signal
+    # (similarity_recall rotated out in r7 — see _DEFERRED)
     # -- round-5 additions
     "af3_rmsd_overlay",    # Kabsch RMSD (rows-only: SVD not SQL-expressible)
+    # -- round-7 rotation (NOTES.md rotation table): PageRank's
+    #    iterative keyed-join shape gets its first driver evidence
+    "graph_source_pagerank",
 ]
 
 #: driver-visible queries DELIBERATELY registered without a SQL oracle —
@@ -295,11 +298,11 @@ _DEFERRED: set[str] = {
                              # mechanics evidenced by green text_* rows
                              # (deferred: headroom)
     "similarity_topk_ivf",   # superseded by similarity_topk_ivf_refined
-    "graph_source_pagerank", # iterative PageRank (deferred — pytest-
-                             # mirrored numpy differential + oracle pair
-                             # in tests/test_graph.py; keyed-join
-                             # mechanics evidenced by green dedup_clusters
-                             # row; deferred: headroom)
+    "similarity_recall",     # ANN LSH recall row — rotated OUT in r7
+                             # for graph_source_pagerank (the recall
+                             # family keeps pytest-mirror + bench
+                             # coverage; its IVF/PQ twins were always
+                             # deferred)
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
@@ -321,6 +324,10 @@ _DEFERRED: set[str] = {
                              # distinct names); CC kernel evidenced by
                              # green dedup_clusters row (deferred:
                              # headroom; full oracle in pytest mirror)
+    "pipeline_corpus_clean_banded",  # linear-output banded near-dup
+                             # mode of the green pipeline_corpus_clean
+                             # row; band arithmetic evidenced by green
+                             # dedup_minhash_lsh row (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -130,6 +130,7 @@ HEADLINE = [
     "skew_salted_join",
     "text_mix_temperature",
     "file_roundtrip_orc",
+    "pipeline_corpus_clean_banded",
 ]
 
 
@@ -286,11 +287,51 @@ def _shuffle_since(spark, after_stage_id: int) -> dict | None:
     }
 
 
+def _probe_runs() -> int:
+    return max(1, int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3")))
+
+
+def _probed_wall(spark, action) -> dict:
+    """The headline-row timing discipline applied to a scale probe: one
+    untimed warmup, then median-of-N walls + spread, shuffle bytes of
+    one steady-state run, and the probe-window loadavg. r6 shipped
+    one-shot unwarmed probe walls that moved 10x with host load (17.06x
+    vs 1.46x for the same code) — a probe whose answer depends on the
+    measurement, not the plan, is not a scale signal."""
+    action()  # warmup: first-touch shuffle files + codegen
+    spark.catalog.clearCache()
+    before = _stage_metrics(spark)
+    last_stage = max(
+        (s.get("stageId", -1) for s in before), default=-1
+    ) if before is not None else -1
+    walls: list[float] = []
+    shuffles = None
+    for i in range(_probe_runs()):
+        t0 = time.perf_counter()
+        action()
+        walls.append(round(time.perf_counter() - t0, 3))
+        if i == 0:
+            shuffles = _shuffle_since(spark, last_stage)
+        spark.catalog.clearCache()
+    out = {
+        "wall_sec": round(statistics.median(walls), 3),
+        "wall_spread": [min(walls), max(walls)],
+        "wall_runs": len(walls),
+        "probe_loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    if shuffles is not None:
+        out.update(shuffles)
+    return out
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _scale_probe(spark, sf0_1_flagship_sec: float | None) -> dict:
-    """One 10x datapoint for the flagship: interaction_report over a
-    1000-job scale-6 corpus (10x the sf0.1 bench corpus), wall-time +
-    shuffle deltas — the measured evidence that the job-keyed pipeline
-    scales near-linearly (r4 verdict item #8)."""
+    """10x datapoint for the flagship: interaction_report over a
+    1000-job scale-6 corpus (10x the sf0.1 bench corpus) — the measured
+    evidence that the job-keyed pipeline scales near-linearly."""
     import glob as _glob
 
     from process_alphafold3_outputs_spark.fixtures import write_corpus
@@ -309,43 +350,36 @@ def _scale_probe(spark, sf0_1_flagship_sec: float | None) -> dict:
         n: spark.read.parquet(os.path.join(d, f"{n}.parquet"))
         for n in ("predictions", "chains", "pae_long", "atoms")
     }
-    before = _stage_metrics(spark)
-    last_stage = max(
-        (s.get("stageId", -1) for s in before), default=-1
-    ) if before is not None else -1
-    t0 = time.perf_counter()
-    interaction_report(
-        tabs["predictions"], tabs["chains"], tabs["pae_long"], tabs["atoms"],
-        ScreenParams(),
-    ).write.format("noop").mode("overwrite").save()
-    wall = round(time.perf_counter() - t0, 3)
-    shuffles = _shuffle_since(spark, last_stage)
-    spark.catalog.clearCache()
-    out = {"n_jobs": 1000, "scale": 6, "wall_sec": wall}
-    if shuffles is not None:
-        out.update(shuffles)
+    out = _probed_wall(
+        spark,
+        lambda: _noop_write(
+            interaction_report(
+                tabs["predictions"], tabs["chains"], tabs["pae_long"],
+                tabs["atoms"], ScreenParams(),
+            )
+        ),
+    )
+    out = {"n_jobs": 1000, "scale": 6, **out}
     if sf0_1_flagship_sec:
         # the sf0.1 flagship row runs the same pipeline at 100 jobs —
         # wall ratio ≈ 10 (or less, fixed costs amortizing) is the
-        # near-linear scaling claim, measured
+        # near-linear scaling claim, measured median-vs-median
         out["vs_100_jobs_median"] = sf0_1_flagship_sec
-        out["wall_ratio_10x_data"] = round(wall / sf0_1_flagship_sec, 2)
+        out["wall_ratio_10x_data"] = round(
+            out["wall_sec"] / sf0_1_flagship_sec, 2
+        )
     return out
 
 
-def _scale_probe_corpus(spark, sf_dir: str, base_median: float | None) -> dict:
-    """10x datapoint for the corpus side: pipeline_corpus_to_training
-    over 10 id-shifted, text-perturbed copies of the documents table
-    (each copy appends a distinct token, so copies are NEAR-dups — the
-    exact-dedup stage cannot collapse them and the PPJoin does 10x real
-    work; family pair counts stay bounded at C(10,2) per document)."""
+def _probe_docs_10x(spark, sf_dir: str):
+    """documents ∪ 10 id-shifted, text-perturbed copies (each appends a
+    distinct token, so copies are NEAR-dups: exact dedup cannot collapse
+    them and the near-dup stage does 10x real work)."""
     from pyspark.sql import functions as F
 
-    from process_alphafold3_outputs_spark.plans import corpus
     from process_alphafold3_outputs_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
     copies = [
         docs.select(
             (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
@@ -359,23 +393,64 @@ def _scale_probe_corpus(spark, sf_dir: str, base_median: float | None) -> dict:
     big = copies[0]
     for c in copies[1:]:
         big = big.unionByName(c)
-    before = _stage_metrics(spark)
-    last_stage = max(
-        (s.get("stageId", -1) for s in before), default=-1
-    ) if before is not None else -1
-    t0 = time.perf_counter()
-    corpus.corpus_to_training(big).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    wall = round(time.perf_counter() - t0, 3)
-    shuffles = _shuffle_since(spark, last_stage)
-    spark.catalog.clearCache()
-    out = {"n_docs": n * 10, "wall_sec": wall}
-    if shuffles is not None:
-        out.update(shuffles)
+    return docs, big
+
+
+def _scale_probe_corpus(spark, sf_dir: str) -> dict:
+    """Corpus-side scale probe on the LINEAR-OUTPUT banded pipeline
+    (corpus_to_training(near_dedup="minhash_bands") — the 100 TB path;
+    r7). Self-contained ratio: the 1x baseline is measured inside the
+    probe with the same discipline, so the ratio never mixes cache /
+    load conditions with a headline median recorded minutes earlier.
+
+    The pair-form (greedy exact-Jaccard) pipeline is quadratic per
+    duplicate group by construction — r6 measured 7.2x-13.75x wall at
+    10x docs and the cause is structural (m²/2 pairs per m-dup group).
+    Its probe is off by default (SPARK_GRAFT_PROBE_PAIRFORM=1 re-runs
+    the contrast datapoint) so a loaded host can't starve the bench."""
+    from process_alphafold3_outputs_spark.plans import corpus
+
+    docs, big = _probe_docs_10x(spark, sf_dir)
+    n = docs.count()
+    base = _probed_wall(
+        spark,
+        lambda: _noop_write(
+            corpus.corpus_to_training(docs, near_dedup="minhash_bands")
+        ),
+    )
+    big_out = _probed_wall(
+        spark,
+        lambda: _noop_write(
+            corpus.corpus_to_training(big, near_dedup="minhash_bands")
+        ),
+    )
+    out = {
+        "mode": "minhash_bands",
+        "n_docs": n * 10,
+        **big_out,
+        "base_1x": base,
+        "wall_ratio_10x_data": round(
+            big_out["wall_sec"] / base["wall_sec"], 2
+        ) if base["wall_sec"] > 0 else None,
+    }
+    return out
+
+
+def _scale_probe_corpus_pairform(spark, sf_dir: str, base_median: float | None) -> dict:
+    """The pair-form contrast datapoint (greedy exact-Jaccard drop):
+    known superlinear on duplicate-heavy corpora; kept for on-demand
+    evidence behind SPARK_GRAFT_PROBE_PAIRFORM=1."""
+    from process_alphafold3_outputs_spark.plans import corpus
+
+    docs, big = _probe_docs_10x(spark, sf_dir)
+    n = docs.count()
+    out = _probed_wall(
+        spark, lambda: _noop_write(corpus.corpus_to_training(big))
+    )
+    out = {"mode": "greedy_pairform", "n_docs": n * 10, **out}
     if base_median:
         out["vs_1x_median"] = base_median
-        out["wall_ratio_10x_data"] = round(wall / base_median, 2)
+        out["wall_ratio_10x_data"] = round(out["wall_sec"] / base_median, 2)
     return out
 
 
@@ -404,23 +479,18 @@ def _scale_probe_ann(spark, sf_dir: str, base_median: float | None) -> dict:
     big = copies[0]
     for c in copies[1:]:
         big = big.unionByName(c)
-    before = _stage_metrics(spark)
-    last_stage = max(
-        (s.get("stageId", -1) for s in before), default=-1
-    ) if before is not None else -1
-    t0 = time.perf_counter()
-    similarity.topk_lsh_multiprobe(
-        big, F.col("vec_id") < 20, k=5, n_probe=2
-    ).write.format("noop").mode("overwrite").save()
-    wall = round(time.perf_counter() - t0, 3)
-    shuffles = _shuffle_since(spark, last_stage)
-    spark.catalog.clearCache()
-    out = {"n_vectors": n * 10, "wall_sec": wall}
-    if shuffles is not None:
-        out.update(shuffles)
+    out = _probed_wall(
+        spark,
+        lambda: _noop_write(
+            similarity.topk_lsh_multiprobe(
+                big, F.col("vec_id") < 20, k=5, n_probe=2
+            )
+        ),
+    )
+    out = {"n_vectors": n * 10, **out}
     if base_median:
         out["vs_1x_median"] = base_median
-        out["wall_ratio_10x_data"] = round(wall / base_median, 2)
+        out["wall_ratio_10x_data"] = round(out["wall_sec"] / base_median, 2)
     return out
 
 
@@ -458,11 +528,17 @@ def main() -> None:
               file=sys.stderr)
         n_runs = 1
 
-    def timed(build, warmup: bool = False) -> tuple[float, float, float]:
+    def timed(
+        build, warmup: bool = False, respread: float = 3.0
+    ) -> tuple[float, float, float]:
         """median of n_runs (plus min/max spread) — robust to the host
         VM's up-to-3× run-to-run noise. ``warmup`` adds one untimed run
         first (first-touch shuffle-file + codegen cost otherwise lands in
-        run 1 and dominates the spread)."""
+        run 1 and dominates the spread). ``respread`` is the min/max
+        spread ratio beyond which the sample doubles once — 3.0 for the
+        suite; the flagship passes 2.0 (it is THE number the driver's
+        envelope reads, so its median gets the tighter settle — r6
+        shipped a flagship median 2.4x its own min under loadavg 16)."""
         if warmup:
             build().write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
@@ -479,11 +555,11 @@ def main() -> None:
             return elapsed
 
         runs = [one_run() for _ in range(n_runs)]
-        # host-noise guard: a >3x min/max spread means at least one run
+        # host-noise guard: a large min/max spread means at least one run
         # was contention-inflated (shared 32-CPU VM, loadavg spikes to
         # 15+); double the sample once so the median settles on the true
         # cost instead of a coin flip between quiet and noisy runs
-        if n_runs > 1 and min(runs) > 0 and max(runs) / min(runs) > 3.0:
+        if n_runs > 1 and min(runs) > 0 and max(runs) / min(runs) > respread:
             runs += [one_run() for _ in range(n_runs)]
         return (
             round(statistics.median(runs), 3),
@@ -495,13 +571,15 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
 
-    def record(name: str, build, warmup: bool = False) -> None:
+    def record(
+        name: str, build, warmup: bool = False, respread: float = 3.0
+    ) -> None:
         # Per-query failure isolation: one query crashing (plan-time or
         # run-time) must not take down the suite — r3 lost its entire
         # bench artifact to a single AnalysisException. The error lands
         # in BENCH_DETAIL.json; the final JSON line prints regardless.
         try:
-            med, lo, hi = timed(build, warmup=warmup)
+            med, lo, hi = timed(build, warmup=warmup, respread=respread)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"
             print(f"bench: {name} FAILED: {errors[name][:200]}",
@@ -523,6 +601,7 @@ def main() -> None:
                 af3["atoms"], ScreenParams(),
             ),
             warmup=True,
+            respread=2.0,
         )
     else:
         errors["af3_flagship"] = "corpus setup failed (see stderr)"
@@ -547,13 +626,20 @@ def main() -> None:
             print(f"bench: flagship scale probe failed: "
                   f"{scale_probe['flagship']['error'][:200]}", file=sys.stderr)
         try:
-            scale_probe["corpus"] = _scale_probe_corpus(
-                spark, sf_dir, timings.get("pipeline_corpus_to_training")
-            )
+            scale_probe["corpus"] = _scale_probe_corpus(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001
             scale_probe["corpus"] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"bench: corpus scale probe failed: "
                   f"{scale_probe['corpus']['error'][:200]}", file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_PROBE_PAIRFORM", "0") == "1":
+            try:
+                scale_probe["corpus_pairform"] = _scale_probe_corpus_pairform(
+                    spark, sf_dir, timings.get("pipeline_corpus_to_training")
+                )
+            except Exception as exc:  # noqa: BLE001
+                scale_probe["corpus_pairform"] = {
+                    "error": f"{type(exc).__name__}: {exc}"
+                }
         try:
             scale_probe["ann"] = _scale_probe_ann(
                 spark, sf_dir, timings.get("similarity_topk_lsh_multiprobe")

@@ -39,6 +39,8 @@ def clean_corpus(
     full_rows: bool = False,
     handles: list[DataFrame] | None = None,
     near_dedup: str = "greedy",
+    n_bands: int = 4,
+    rows_per_band: int = 3,
 ) -> DataFrame:
     """Surviving documents after the four gates, with the stats the
     gates used: (doc_id, pred_lang, n_words). ``full_rows=True`` keeps
@@ -51,7 +53,22 @@ def clean_corpus(
     (:func:`..operators.dedup.connected_components`) — exactly one
     representative survives per cluster, at the cost of an EAGER
     iterative fixpoint during plan construction (inherent to connected
-    components; use greedy inside fully-lazy compositions).
+    components; use greedy inside fully-lazy compositions);
+    ``"minhash_bands"`` is the LINEAR-OUTPUT scale path: MinHash
+    banding (``n_bands`` × ``rows_per_band``) with a per-bucket min-id
+    keep — a document is dropped iff any of its band buckets holds a
+    smaller doc_id. The pair forms inherently emit m²/2 rows per
+    duplicate group of size m BEFORE the drop set collapses them (the
+    r6 10× corpus probe measured superlinear wall on duplicate-heavy
+    data for exactly this reason); the banded form's shuffle AND
+    output are linear in the band-table size — one groupBy(bucket) min
+    + one per-row join back, fully lazy, no pair expansion anywhere.
+    Trade-off: candidates come from the banding probability curve
+    (P[share a bucket] = 1-(1-j^r)^b), not from exact shingle Jaccard
+    — ``jaccard_threshold`` is unused in this mode; tune
+    n_bands/rows_per_band to place the S-curve instead. Exact-Jaccard
+    pair modes stay as the precise option for moderate-duplication
+    corpora.
 
     Stages:
       1. quality: whitespace token count in [min_words, max_words]
@@ -97,32 +114,59 @@ def clean_corpus(
         .agg(F.min_by(F.struct(*_kept_cols), F.col("doc_id")).alias("_r"))
         .select(*[F.col(f"_r.{c}").alias(c) for c in _kept_cols])
     )
-    shingles = dedup.hashed_shingles(exact_kept, text_col=text_col)
-    if stage:
-        exact_kept = exact_kept.persist()
-        shingles = shingles.persist()
-        if handles is not None:
-            handles.extend([exact_kept, shingles])
-    # prefix_filter=True explicitly: the corpus-scale pipeline always
-    # carries the PPJoin skew insurance AND keeps plan construction
-    # fully lazy (prefix_filter=None would fire the skew-probe jobs at
-    # build time — fine for ad-hoc calls, wrong inside a composed plan).
-    near_pairs = dedup.jaccard_pairs(
-        exact_kept,
-        threshold=jaccard_threshold,
-        text_col=text_col,
-        prefix_filter=True,
-        shingles=shingles,
-    )
-    if near_dedup == "clusters":
-        comp = dedup.connected_components(near_pairs)
-        drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
-            "doc_id"
+    if near_dedup == "minhash_bands":
+        # banded path needs no shingle side-table — minhash builds its
+        # own; only the survivor set is a fan-out point (band table +
+        # final anti-join)
+        if stage:
+            exact_kept = exact_kept.persist()
+            if handles is not None:
+                handles.append(exact_kept)
+        bands = dedup.minhash_bands(
+            exact_kept,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+            text_col=text_col,
         )
-    elif near_dedup == "greedy":
-        drop = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        mins = bands.groupBy("band", "band_sig").agg(
+            F.min("doc_id").alias("_min")
+        )
+        drop = (
+            bands.join(mins, ["band", "band_sig"])
+            .filter(F.col("doc_id") > F.col("_min"))
+            .select("doc_id")
+            .distinct()
+        )
+    elif near_dedup in ("greedy", "clusters"):
+        shingles = dedup.hashed_shingles(exact_kept, text_col=text_col)
+        if stage:
+            exact_kept = exact_kept.persist()
+            shingles = shingles.persist()
+            if handles is not None:
+                handles.extend([exact_kept, shingles])
+        # prefix_filter=True explicitly: the corpus-scale pipeline always
+        # carries the PPJoin skew insurance AND keeps plan construction
+        # fully lazy (prefix_filter=None would fire the skew-probe jobs at
+        # build time — fine for ad-hoc calls, wrong inside a composed plan).
+        near_pairs = dedup.jaccard_pairs(
+            exact_kept,
+            threshold=jaccard_threshold,
+            text_col=text_col,
+            prefix_filter=True,
+            shingles=shingles,
+        )
+        if near_dedup == "clusters":
+            comp = dedup.connected_components(near_pairs)
+            drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+                "doc_id"
+            )
+        else:
+            drop = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     else:
-        raise ValueError(f"near_dedup must be greedy|clusters, got {near_dedup!r}")
+        raise ValueError(
+            "near_dedup must be greedy|clusters|minhash_bands, "
+            f"got {near_dedup!r}"
+        )
     survivors = exact_kept.join(drop, "doc_id", "left_anti")
     if full_rows:
         return survivors.withColumn("n_words", F.col("n_ws_tokens"))
@@ -143,9 +187,13 @@ def corpus_to_training(
     text_col: str = "text",
     stage: bool = True,
     handles: list[DataFrame] | None = None,
+    near_dedup: str = "greedy",
 ) -> DataFrame:
     """The full clean → chunk → split DAG a training-data pipeline
     ships: (doc_id, chunk_id, chunk_text, n_tokens, split).
+    ``near_dedup`` passes through to :func:`clean_corpus` — use
+    ``"minhash_bands"`` on duplicate-heavy corpora (linear-output
+    banded drop; the pair forms are quadratic per duplicate group).
 
     Composition notes:
     - chunking runs on the SURVIVORS of :func:`clean_corpus` (post
@@ -166,6 +214,7 @@ def corpus_to_training(
         stage=stage,
         full_rows=True,
         handles=handles,
+        near_dedup=near_dedup,
     )
     chunks = text.chunk_documents(
         surv, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col

@@ -937,6 +937,77 @@ def pipeline_corpus_clean_clustered(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
+# corpus clean with the LINEAR-OUTPUT banded near-dup path: MinHash band
+# buckets + per-bucket min-id keep — never a pair expansion (a duplicate
+# group of size m costs m band rows, not m²/2 pairs). The oracle
+# restates the band arithmetic on the exact-dedup survivors.
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_corpus_clean_banded",
+    sql=f"""
+    WITH norm0 AS (SELECT doc_id, text,
+                          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                   FROM documents),
+    stats AS (SELECT doc_id, t,
+                     CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+                     {", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS))}
+              FROM norm0),
+    langed AS (SELECT doc_id, t, n_words,
+                      CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                           {"".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS))}
+                           ELSE 'und' END AS pred_lang
+               FROM stats),
+    base AS (SELECT * FROM langed
+             WHERE n_words BETWEEN {_CC_MIN} AND {_CC_MAX} AND pred_lang = 'en'),
+    exact AS (SELECT doc_id, t, pred_lang, n_words FROM (
+                  SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS keep
+                  FROM base)
+              WHERE doc_id = keep),
+    words AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM exact),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) < 3 THEN t
+                    ELSE array_to_string(w[i:i+2], ' ') END AS shingle
+        FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) s(i)),
+    mh AS (
+        SELECT doc_id, s.seed,
+               min(((2 * s.seed + 1)
+                    * (CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)
+                    + (s.seed * s.seed + 7)) % 2147483647) AS minhash
+        FROM shingles, unnest(generate_series(0, 11)) s(seed)
+        GROUP BY doc_id, s.seed),
+    bands AS (
+        SELECT doc_id, seed // 3 AS band,
+               string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS band_sig
+        FROM mh GROUP BY doc_id, seed // 3),
+    mins AS (SELECT band, band_sig, min(doc_id) AS mn
+             FROM bands GROUP BY band, band_sig),
+    dropsb AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands b JOIN mins m
+          ON b.band = m.band AND b.band_sig = m.band_sig
+        WHERE b.doc_id > m.mn)
+    SELECT e.doc_id, e.pred_lang, e.n_words
+    FROM exact e LEFT JOIN dropsb d ON d.doc_id = e.doc_id
+    WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_corpus_clean_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_corpus with near_dedup="minhash_bands" — the scale path:
+    band-bucket min-id keep, linear shuffle and output per duplicate
+    group (no pair expansion). Deferred — pytest-mirrored."""
+    from .corpus import clean_corpus
+
+    return clean_corpus(
+        load_table(spark, sf_dir, "documents"),
+        lang="en",
+        min_words=_CC_MIN,
+        max_words=_CC_MAX,
+        near_dedup="minhash_bands",
+    )
+
+
+# --------------------------------------------------------------------------
 # clean → chunk → split: the full corpus-to-training-set DAG
 # --------------------------------------------------------------------------
 _T2_CHUNK, _T2_OVERLAP, _T2_VAL = 32, 8, 10
