@@ -107,3 +107,70 @@ def test_deterministic_across_runs(spark, docs):
     a = bpe.train_bpe(docs, n_merges=6).collect()
     b = bpe.train_bpe(docs, n_merges=6).collect()
     assert a == b
+
+
+# -- batched merge selection (r7) ------------------------------------------
+
+NON_INTERACTING_TEXTS = [
+    # four disjoint-symbol bigram families with clearly separated
+    # counts; no merge's output ever forms a pair that outranks the
+    # remaining candidates, so a batched schedule must equal the
+    # sequential one exactly
+    "ab ab ab ab ab ab ab ab",
+    "cd cd cd cd cd cd cd",
+    "ef ef ef ef ef ef",
+    "gh gh gh gh gh",
+]
+
+
+def test_batched_equals_sequential_on_non_interacting_fixture(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(NON_INTERACTING_TEXTS)],
+        "doc_id long, text string",
+    )
+    seq = [
+        (r.rank, r.left, r.right, r.merged, r.n_occurrences)
+        for r in bpe.train_bpe(docs, n_merges=4, batch_merges=1)
+        .orderBy("rank").collect()
+    ]
+    bat = [
+        (r.rank, r.left, r.right, r.merged, r.n_occurrences)
+        for r in bpe.train_bpe(docs, n_merges=4, batch_merges=4)
+        .orderBy("rank").collect()
+    ]
+    assert seq == bat and len(seq) == 4
+
+
+def test_batch_merges_1_is_reference_identical(spark, docs):
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.n_occurrences)
+        for r in bpe.train_bpe(docs, n_merges=12, batch_merges=1)
+        .orderBy("rank").collect()
+    ]
+    want, _, _ = _ref_train(TEXTS, 12)
+    assert got == want
+
+
+def test_selector_skips_interacting_pairs():
+    # (a,b) picked first; (b,c) shares b -> skipped; (x,y) disjoint ->
+    # picked; (a,b)'s merged token "ab" as a symbol -> skipped
+    cands = [
+        {"l": "a", "r": "b", "cnt": 10},
+        {"l": "b", "r": "c", "cnt": 9},
+        {"l": "x", "r": "y", "cnt": 8},
+        {"l": "ab", "r": "z", "cnt": 7},
+        {"l": "q", "r": "r", "cnt": 1},  # below min_pair_count
+    ]
+    got = bpe._select_non_interacting(cands, m=4, min_pair_count=2)
+    assert got == [("a", "b", 10), ("x", "y", 8)]
+
+
+def test_batched_segmentation_reconstructs_words(spark, docs):
+    merges = bpe.train_bpe(docs, n_merges=12, batch_merges=4)
+    seg = bpe.segment_words(docs, merges)
+    from pyspark.sql import functions as F
+
+    bad = seg.filter(F.concat_ws("", "pieces") != F.col("w")).count()
+    assert bad == 0
+    ranks = [r.rank for r in merges.orderBy("rank").collect()]
+    assert ranks == list(range(len(ranks)))
