@@ -328,6 +328,13 @@ _DEFERRED: set[str] = {
                              # mode of the green pipeline_corpus_clean
                              # row; band arithmetic evidenced by green
                              # dedup_minhash_lsh row (deferred: headroom)
+    "text_dsir_weights",     # DSIR hashed-n-gram importance weights;
+                             # hashing-trick + broadcast + ordered-fold
+                             # mechanics evidenced by green text_* rows
+                             # (deferred: headroom)
+    "text_dsir_sample",      # Gumbel-top-k DSIR resample; composes the
+                             # weights oracle + the weighted_sample
+                             # ln-policy (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

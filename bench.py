@@ -131,6 +131,8 @@ HEADLINE = [
     "text_mix_temperature",
     "file_roundtrip_orc",
     "pipeline_corpus_clean_banded",
+    "text_dsir_weights",
+    "text_dsir_sample",
 ]
 
 

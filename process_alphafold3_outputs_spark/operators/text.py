@@ -1868,3 +1868,173 @@ def mix_by_temperature(
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select(id_col, domain_col, "n_tokens", "cum_tokens", "budget")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): select raw-corpus
+# documents whose hashed-n-gram distribution resembles a TARGET corpus.
+# --------------------------------------------------------------------------
+
+
+def _dsir_grams(docs: DataFrame, text_col: str, seed: str, m_buckets: int):
+    """(doc_id, bucket) — one row per unigram/bigram OCCURRENCE of the
+    normalized text, hashed into ``m_buckets`` (hashing trick, same md5
+    arithmetic as :func:`classifier_score`). Empty documents emit no
+    rows."""
+    from ..operators.dedup import normalized
+
+    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    unis = F.filter(F.col("_w"), lambda t: F.length(t) > 0)
+    # sequence(1, 0) DESCENDS under ANSI — guard short docs explicitly
+    bis = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_w", i), F.element_at("_w", (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    grams = d.select(
+        "doc_id", F.explode(F.concat(unis, bis)).alias("g")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col("g"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        % m_buckets
+    )
+    return grams.select("doc_id", bucket.alias("bucket"))
+
+
+def dsir_bucket_logratios(
+    raw: DataFrame,
+    target: DataFrame,
+    m_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, log_ratio) — add-α-smoothed log p_target(b) − log
+    p_raw(b) over the hashed-gram buckets, one row per bucket PRESENT
+    IN THE RAW corpus (weights are only ever applied to raw docs, whose
+    buckets all appear here). Both distribution tables are
+    ``m_buckets``-sized — broadcast material by construction, however
+    large the corpora. log_ratio is rounded to 9 dp (libm ln drifts in
+    the last ulp across engines; every downstream product/sum then
+    operates on bit-identical doubles — the weighted_sample policy)."""
+    rb = _dsir_grams(raw, text_col, seed, m_buckets).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    tb = _dsir_grams(target, text_col, seed, m_buckets).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    rt = rb.agg(F.sum("rc").alias("rtot"))
+    tt = tb.agg(F.coalesce(F.sum("tc"), F.lit(0).cast("long")).alias("ttot"))
+    am = float(alpha) * m_buckets
+    return (
+        rb.join(tb, "bucket", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce("tc", F.lit(0).cast("long")) + F.lit(float(alpha)))
+                    / (F.col("ttot") + F.lit(am))
+                )
+                - F.log(
+                    (F.col("rc") + F.lit(float(alpha)))
+                    / (F.col("rtot") + F.lit(am))
+                ),
+                9,
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    m_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, log_weight) for every RAW document: the DSIR
+    importance log-weight Σ_b count_doc(b) · log_ratio(b). Shape at
+    100 TB: the ratio table is m-row broadcast material; per-doc
+    bucket counts are one doc-keyed hash aggregation; the weight is an
+    ordered fold over each doc's ≤ m bucket rows
+    (sort_array(struct(bucket, contrib))) so the DuckDB oracle's
+    ``sum(x ORDER BY bucket)`` reproduces every double bit-for-bit.
+    Docs with no grams carry weight 0 (neutral)."""
+    lr = dsir_bucket_logratios(raw, target, m_buckets, alpha, seed, text_col)
+    db = (
+        _dsir_grams(raw, text_col, seed, m_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    contrib = db.join(F.broadcast(lr), "bucket").select(
+        "doc_id", "bucket", "c", (F.col("c") * F.col("log_ratio")).alias("x")
+    )
+    agg = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "x"))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_s"),
+    )
+    return (
+        raw.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    m_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, log_weight, score) — the top-``k`` Gumbel-perturbed
+    draw of the DSIR distribution: score = log_weight + Gumbel(0,1),
+    the exact sampling-without-replacement trick (perturb by
+    −ln(−ln u), take the top k ⇔ sample ∝ exp(log_weight)). u derives
+    from the seeded md5 of doc_id, the Gumbel noise is rounded to 9 dp
+    before the sum (cross-engine ln policy), and the top-k is
+    orderBy+limit — TakeOrderedAndProject, never a global sort."""
+    lw = dsir_log_weights(raw, target, m_buckets, alpha, seed, text_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "-s:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    g = F.round(-F.log(-F.log(u)), 9)
+    return (
+        lw.select(
+            "doc_id", "log_weight",
+            F.round(F.col("log_weight") + g, 9).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )

@@ -4159,3 +4159,94 @@ def text_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_tokens=_MIXT_TOTAL,
         temperature=_MIXT_T,
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+# distribution matching between a raw corpus and a target corpus
+# (here: the lang='en' subset as the target). The bucket tables are
+# m-row broadcast material; per-doc weights fold in bucket order so
+# the oracle's sum(x ORDER BY bucket) is bit-for-bit.
+# --------------------------------------------------------------------------
+_DSIR_M = 256
+_DSIR_SAMPLE_K = 50
+
+_DSIR_WEIGHT_CTES = f"""
+    norm AS (SELECT doc_id, lang,
+                    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+             FROM documents),
+    toks AS (SELECT doc_id, lang, string_split(t, ' ') AS w FROM norm),
+    grams0 AS (
+        SELECT doc_id, lang, g
+        FROM toks, unnest(w) u(g) WHERE len(g) > 0
+        UNION ALL
+        SELECT doc_id, lang, w[i] || ' ' || w[i + 1]
+        FROM toks, unnest(generate_series(1, len(w) - 1)) s(i)
+        WHERE len(w) >= 2),
+    gb AS (SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5('dsir-v1:' || g), 1, 8)) AS BIGINT)
+                      % {_DSIR_M} AS bucket
+           FROM grams0),
+    rb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM gb GROUP BY bucket),
+    tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc
+           FROM gb WHERE lang = 'en' GROUP BY bucket),
+    rt AS (SELECT CAST(count(*) AS BIGINT) AS rtot FROM gb),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS ttot FROM gb WHERE lang = 'en'),
+    lr AS (SELECT rb.bucket,
+                  round(ln((coalesce(tb.tc, 0) + 1.0) / (tt.ttot + {_DSIR_M}.0))
+                        - ln((rb.rc + 1.0) / (rt.rtot + {_DSIR_M}.0)), 9)
+                      AS log_ratio
+           FROM rb LEFT JOIN tb ON tb.bucket = rb.bucket
+           CROSS JOIN rt CROSS JOIN tt),
+    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM gb GROUP BY doc_id, bucket),
+    contrib AS (SELECT db.doc_id, db.bucket, db.c, db.c * lr.log_ratio AS x
+                FROM db JOIN lr ON lr.bucket = db.bucket),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                   sum(x ORDER BY bucket) AS s
+            FROM contrib GROUP BY doc_id),
+    wts AS (SELECT d.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   round(coalesce(a.s, 0.0), 6) AS log_weight
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id)
+"""
+
+
+@register(
+    "text_dsir_weights",
+    sql=f"""
+    WITH {_DSIR_WEIGHT_CTES}
+    SELECT doc_id, n_grams, log_weight FROM wts
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights of every document against the
+    lang='en' target subset (deferred — pytest-mirrored)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), m_buckets=_DSIR_M
+    )
+
+
+@register(
+    "text_dsir_sample",
+    sql=f"""
+    WITH {_DSIR_WEIGHT_CTES},
+    gmb AS (SELECT doc_id, log_weight,
+                   round(-ln(-ln(
+                       (CAST(('0x' || substr(md5('dsir-v1-s:'
+                            || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 1.0) / 4294967297.0)), 9) AS gn
+            FROM wts)
+    SELECT doc_id, log_weight, round(log_weight + gn, 9) AS score
+    FROM gmb ORDER BY score DESC, doc_id LIMIT {_DSIR_SAMPLE_K}
+    """,
+)
+def text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k DSIR resample (sampling ∝ exp(log_weight) without
+    replacement; deferred — pytest-mirrored)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_sample(
+        docs, docs.filter(F.col("lang") == "en"),
+        k=_DSIR_SAMPLE_K, m_buckets=_DSIR_M,
+    )

@@ -1334,3 +1334,62 @@ def test_mix_by_temperature_limits(spark):
         t.mix_by_temperature(docs, total_tokens=0)
     with _pytest.raises(ValueError):
         t.mix_by_temperature(docs, total_tokens=10, temperature=0)
+
+
+# -- DSIR importance resampling (r7) ---------------------------------------
+
+def test_dsir_target_equals_raw_gives_zero_weights(spark):
+    from process_alphafold3_outputs_spark.operators.text import dsir_log_weights
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee"), (3, "aa dd")],
+        "doc_id long, text string",
+    )
+    out = dsir_log_weights(docs, docs, m_buckets=32).collect()
+    assert all(r.log_weight == 0.0 for r in out)
+    assert {r.doc_id: r.n_grams for r in out} == {1: 5, 2: 3, 3: 3}
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from process_alphafold3_outputs_spark.operators.text import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "zzz qqq www eee rrr")],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.log_weight for r in
+         dsir_log_weights(raw, target, m_buckets=64).collect()}
+    assert w[1] > w[2]
+
+
+def test_dsir_empty_doc_neutral_weight(spark):
+    from process_alphafold3_outputs_spark.operators.text import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(1, "aa bb"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "aa bb")], "doc_id long, text string")
+    out = {r.doc_id: (r.n_grams, r.log_weight) for r in
+           dsir_log_weights(raw, target, m_buckets=16).collect()}
+    assert out[2] == (0, 0.0) and out[3] == (0, 0.0)
+    assert out[1][0] == 3
+
+
+def test_dsir_sample_deterministic_and_bounded(spark):
+    from process_alphafold3_outputs_spark.operators.text import dsir_sample
+
+    raw = spark.createDataFrame(
+        [(i, f"tok{i % 7} common words here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = raw.limit(10)
+    a = [(r.doc_id, r.score) for r in dsir_sample(raw, target, k=8).collect()]
+    b = [(r.doc_id, r.score) for r in dsir_sample(raw, target, k=8).collect()]
+    assert a == b and len(a) == 8
+    scores = [s for _, s in a]
+    assert scores == sorted(scores, reverse=True)
