@@ -335,6 +335,9 @@ _DEFERRED: set[str] = {
     "text_dsir_sample",      # Gumbel-top-k DSIR resample; composes the
                              # weights oracle + the weighted_sample
                              # ln-policy (deferred: headroom)
+    "pipeline_pack_doc_spans",  # attention-mask span table of the green
+                             # pipeline_pack_sequences row (straddle
+                             # resolution; deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -133,6 +133,7 @@ HEADLINE = [
     "pipeline_corpus_clean_banded",
     "text_dsir_weights",
     "text_dsir_sample",
+    "pipeline_pack_doc_spans",
 ]
 
 

@@ -2038,3 +2038,45 @@ def dsir_sample(
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
     )
+
+
+def packed_doc_spans(packed: DataFrame, seq_tokens: int) -> DataFrame:
+    """(split, shard, seq_id, doc_id, chunk_id, begin_tok, end_tok) —
+    the ATTENTION-MASK contract of a packed training set: for every
+    packed sequence, which token ranges belong to which document.
+    :func:`pack_sequences` lets chunks straddle sequence boundaries
+    (assigning each chunk to the sequence its start falls in); the
+    trainer masking cross-document attention needs the straddle
+    resolved — a chunk spilling into later sequences appears here once
+    PER COVERED SEQUENCE with its in-sequence [begin_tok, end_tok)
+    range.
+
+    Input is ``pack_sequences(keep_tokens=True)`` output. Pure narrow
+    arithmetic + one bounded explode (a chunk covers at most
+    ⌈n_tokens/seq_tokens⌉ + 1 sequences), then no shuffle at all —
+    consumers group by (split, shard, seq_id) on read, typically after
+    a partitioned write on the same keys."""
+    s = F.col("seq_id") * seq_tokens + F.col("seq_offset")
+    e = s + F.col("n_tokens")
+    out = packed.select(
+        "doc_id", "chunk_id", "split", "shard",
+        s.alias("_s"), e.alias("_e"),
+        F.explode(
+            F.sequence(
+                F.col("seq_id"),
+                F.floor((s + F.col("n_tokens") - 1) / seq_tokens).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.col("seq_id") * seq_tokens
+    return out.select(
+        "split",
+        "shard",
+        "seq_id",
+        "doc_id",
+        "chunk_id",
+        (F.greatest(F.col("_s"), lo) - lo).cast("long").alias("begin_tok"),
+        (F.least(F.col("_e"), lo + seq_tokens) - lo).cast("long").alias(
+            "end_tok"
+        ),
+    )

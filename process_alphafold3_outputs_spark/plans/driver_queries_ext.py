@@ -1182,6 +1182,90 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# packed-sequence document spans: the attention-mask contract (which
+# token ranges of each packed sequence belong to which document, with
+# boundary straddles resolved) — composes the pack oracle + one
+# generate_series explosion over the covered sequences
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_pack_doc_spans",
+    sql=f"""
+    WITH {_SURVIVOR_CTES.format(
+        lang_scores=", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS)),
+        lang_cases="".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS)),
+    )},
+    surv AS (
+        SELECT e.doc_id, e.t
+        FROM exact e LEFT JOIN drops d ON d.doc_id = e.doc_id
+        WHERE d.doc_id IS NULL),
+    words2 AS (SELECT doc_id, string_split(t, ' ') AS w,
+                      len(string_split(t, ' ')) AS n
+               FROM surv),
+    starts AS (
+        SELECT doc_id, w, n, CAST(s.s AS INT) AS start
+        FROM words2,
+             unnest(generate_series(
+                 0,
+                 greatest(CAST(ceil((n - {_T2_CHUNK}) / {_T2_STRIDE}.0) AS INT), 0) * {_T2_STRIDE},
+                 {_T2_STRIDE})) s(s)),
+    chunks AS (
+        SELECT doc_id, CAST(start // {_T2_STRIDE} AS INT) AS chunk_id,
+               CAST(least({_T2_CHUNK}, n - start) AS BIGINT) AS n_tokens,
+               CASE WHEN CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < {_T2_VAL}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM starts),
+    sharded AS (
+        SELECT *,
+               CAST(('0x' || substr(md5('pack-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_PK_SHARDS} AS shard
+        FROM chunks),
+    packed AS (
+        SELECT doc_id, chunk_id, split, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY split, shard
+                                        ORDER BY doc_id, chunk_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - n_tokens
+                    AS BIGINT) AS start_tok
+        FROM packed_src),
+    spanned AS (
+        SELECT split, shard, doc_id, chunk_id, start_tok, n_tokens,
+               CAST(q.q AS BIGINT) AS seq_id
+        FROM packed,
+             unnest(generate_series(start_tok // {_PK_SEQ},
+                                    (start_tok + n_tokens - 1) // {_PK_SEQ})) q(q))
+    SELECT split, CAST(shard AS BIGINT) AS shard, seq_id, doc_id, chunk_id,
+           CAST(greatest(start_tok, seq_id * {_PK_SEQ})
+                - seq_id * {_PK_SEQ} AS BIGINT) AS begin_tok,
+           CAST(least(start_tok + n_tokens, (seq_id + 1) * {_PK_SEQ})
+                - seq_id * {_PK_SEQ} AS BIGINT) AS end_tok
+    FROM spanned
+    """.replace("FROM packed_src", "FROM sharded"),
+)
+def pipeline_pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence document spans of the packed training set — the
+    masking contract consumers of pack_sequences need (straddles
+    resolved to in-sequence [begin, end) ranges). Deferred —
+    pytest-mirrored."""
+    from .corpus import corpus_to_training
+
+    chunks = corpus_to_training(
+        load_table(spark, sf_dir, "documents"),
+        lang="en",
+        min_words=_CC_MIN,
+        max_words=_CC_MAX,
+        jaccard_threshold=_CC_T,
+        chunk_tokens=_T2_CHUNK,
+        overlap=_T2_OVERLAP,
+        val_pct=_T2_VAL,
+    )
+    packed = text.pack_sequences(
+        chunks, seq_tokens=_PK_SEQ, n_shards=_PK_SHARDS, keep_tokens=True
+    )
+    return text.packed_doc_spans(packed, seq_tokens=_PK_SEQ)
+
+
+# --------------------------------------------------------------------------
 # LSH-bucketed approximate top-k — the md5-parity hyperplanes are
 # reproduced in SQL, so even the approximate path is hash-checked
 # --------------------------------------------------------------------------

@@ -1393,3 +1393,77 @@ def test_dsir_sample_deterministic_and_bounded(spark):
     assert a == b and len(a) == 8
     scores = [s for _, s in a]
     assert scores == sorted(scores, reverse=True)
+
+
+# -- packed-sequence document spans (r7) -------------------------------------
+
+def _spans_fixture(spark):
+    # one split/shard; chunk sizes chosen to straddle: 10+10+50 into
+    # seq_tokens=16 sequences
+    from process_alphafold3_outputs_spark.operators.text import (
+        pack_sequences, packed_doc_spans,
+    )
+    from pyspark.sql import functions as F
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 10, "train"), (2, 0, 10, "train"), (3, 0, 50, "train")],
+        "doc_id long, chunk_id int, n_tokens long, split string",
+    )
+    packed = pack_sequences(
+        chunks, seq_tokens=16, n_shards=1, keep_tokens=True
+    )
+    return packed_doc_spans(packed, seq_tokens=16)
+
+
+def test_packed_doc_spans_resolve_straddles_exactly(spark):
+    spans = _spans_fixture(spark).collect()
+    got = sorted(
+        (r.seq_id, r.doc_id, r.begin_tok, r.end_tok) for r in spans
+    )
+    # layout: doc1 [0,10), doc2 [10,20) -> seq0 [10,16) + seq1 [0,4),
+    # doc3 [20,70) -> seq1 [4,16) + seq2/3 full + seq4 [0,6)
+    assert got == [
+        (0, 1, 0, 10),
+        (0, 2, 10, 16),
+        (1, 2, 0, 4),
+        (1, 3, 4, 16),
+        (2, 3, 0, 16),
+        (3, 3, 0, 16),
+        (4, 3, 0, 6),
+    ]
+
+
+def test_packed_doc_spans_properties(spark):
+    # on real pipeline output: spans within a sequence are disjoint,
+    # ordered, begin < end, and total span coverage == total chunk
+    # tokens (nothing lost or duplicated by straddle resolution)
+    from process_alphafold3_outputs_spark.operators.text import (
+        chunk_documents, pack_sequences, packed_doc_spans, split_col,
+    )
+    from process_alphafold3_outputs_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).withColumn(
+        "split", split_col(10)
+    )
+    packed = pack_sequences(chunks, seq_tokens=64, n_shards=2,
+                            keep_tokens=True)
+    spans = packed_doc_spans(packed, seq_tokens=64)
+    total_chunk = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    total_span = spans.agg(
+        F.sum(F.col("end_tok") - F.col("begin_tok"))
+    ).collect()[0][0]
+    assert total_span == total_chunk
+    bad = spans.filter(
+        (F.col("begin_tok") >= F.col("end_tok"))
+        | (F.col("begin_tok") < 0) | (F.col("end_tok") > 64)
+    ).count()
+    assert bad == 0
+    # disjointness: per sequence, sum of span lengths == max(end)-min(begin)
+    # iff spans tile the covered range without overlap (pack is gapless)
+    per_seq = spans.groupBy("split", "shard", "seq_id").agg(
+        F.sum(F.col("end_tok") - F.col("begin_tok")).alias("covered"),
+        (F.max("end_tok") - F.min("begin_tok")).alias("range_len"),
+    )
+    assert per_seq.filter(F.col("covered") != F.col("range_len")).count() == 0
