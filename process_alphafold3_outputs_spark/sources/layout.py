@@ -209,3 +209,33 @@ def write_with_bloom(
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
         w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
     w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Save ``df`` as a Spark BUCKETED table (``bucketBy`` +
+    ``saveAsTable``) — the ingest-once / join-many layout lever the
+    directory-partition helpers above cannot provide: two tables
+    bucketed by the same join key with the SAME bucket count join with
+    ZERO Exchange (each task reads matching bucket files from both
+    sides), and with matching ``sortBy`` the sort-merge join skips its
+    sorts too. At 100 TB this turns every repeated fact-to-fact join
+    on the bucket key from a full dual shuffle into a local merge —
+    the single biggest recurring-shuffle eliminator Spark offers.
+
+    Bucket pruning also applies: an equality predicate on the bucket
+    column scans 1/n_buckets of the files. Requires a catalog
+    (``saveAsTable``; plain ``.parquet(path)`` writes no bucket
+    metadata and Spark will not trust the layout). The zero-Exchange
+    contract is pinned by tests/test_layout_state.py."""
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
