@@ -338,6 +338,9 @@ _DEFERRED: set[str] = {
     "pipeline_pack_doc_spans",  # attention-mask span table of the green
                              # pipeline_pack_sequences row (straddle
                              # resolution; deferred: headroom)
+    "similarity_topk_ivfpq", # residual IVFADC; composes the IVF +
+                             # PQ mechanics both separately
+                             # oracle-green (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -134,6 +134,7 @@ HEADLINE = [
     "text_dsir_weights",
     "text_dsir_sample",
     "pipeline_pack_doc_spans",
+    "similarity_topk_ivfpq",
 ]
 
 

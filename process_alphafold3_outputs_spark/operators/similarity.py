@@ -261,6 +261,10 @@ def recall_vs_bruteforce(
         approx = topk_pq(embeddings, query_ids, k).select(
             "query_id", "neighbor_id"
         )
+    elif method == "ivfpq":
+        approx = topk_ivfpq(
+            embeddings, query_ids, k, n_cells=n_cells, n_probe=n_probe
+        ).select("query_id", "neighbor_id")
     elif method == "pq_refined":
         approx = topk_pq_refined(embeddings, query_ids, k).select(
             "query_id", "neighbor_id"
@@ -819,6 +823,183 @@ def ivf_search(
     wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
     return (
         cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rk",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def topk_ivfpq(
+    embeddings: DataFrame,
+    query_ids: DataFrame | Column,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    kc: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rk, sim) — IVF-PQ with RESIDUAL
+    encoding (IVFADC, Jégou et al. 2011 §IV): the production ANN
+    layout that combines both compression axes. The corpus is coarsely
+    quantized into ``n_cells`` inverted lists; each vector stores only
+    its cell id + ``m`` sub-codes of the RESIDUAL (vector − its cell
+    centroid); a query probes its ``n_probe`` best cells and scores
+    candidates as dot(q, centroid_cell) + Σ_sub ADC_tab[sub, code] —
+    the centroid term re-adds what residual coding removed, so
+    approximation error is per-residual, much smaller than whole-
+    vector PQ at the same code budget.
+
+    Residual codes are argmin SQUARED L2 to the per-subspace codebook
+    (the metric residual PQ optimizes; ties break on the lower code),
+    codebooks are the residual sub-slices of the first ``kc`` vectors
+    by id (the family's deterministic training policy — quality is
+    MEASURED via recall_vs_bruteforce, not assumed).
+
+    100 TB shape: centroids (n_cells) and codebooks (m·kc) broadcast;
+    the corpus makes two passes (assign, encode) and is thereafter
+    carried as (cell, m codes) — store that, not the floats; probes
+    and ADC tables are query-side broadcast; the candidate join keys
+    on cell (bucket the stored codes by cell and it prunes). Score
+    folds in subspace order (DuckDB ``sum(d ORDER BY sub)``,
+    bit-for-bit)."""
+    from ..sources.tables import EMBEDDING_DIM
+
+    d = dim if dim is not None else EMBEDDING_DIM
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m {m}")
+    dsub = d // m
+    nrm = spread(embeddings, "vec_id").select(
+        "vec_id",
+        _normalized_vec(F.col("embedding").cast("array<double>")).alias("nv"),
+    )
+    # coarse quantizer: first n_cells NORMALIZED vectors by id
+    top = nrm.orderBy("vec_id").limit(n_cells)
+    cents = (
+        top.withColumn("_rn", F.row_number().over(Window.orderBy("vec_id")))
+        .select((F.col("_rn") - 1).alias("cell"), F.col("nv").alias("ccvec"))
+    )
+    scored_cells = nrm.crossJoin(F.broadcast(cents)).withColumn(
+        "_s", _dot(F.col("nv"), F.col("ccvec"))
+    )
+    assigned = (
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "nv", "ccvec"),
+                F.struct(F.col("_s"), (-F.col("cell")).alias("_nc")),
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b.cell").alias("cell"),
+            F.zip_with(
+                F.col("_b.nv"), F.col("_b.ccvec"), lambda a, b: a - b
+            ).alias("res"),
+        )
+    )
+    # residual codebooks: sub-slices of the first kc vectors' residuals
+    rtop = assigned.orderBy("vec_id").limit(kc)
+    rcoded = rtop.withColumn(
+        "code", F.row_number().over(Window.orderBy("vec_id")) - 1
+    )
+    cb = rcoded.select(
+        "code",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice("res", s * dsub + 1, dsub),
+            )
+        ).alias("sub", "cvec"),
+    ).select("sub", "code", "cvec")
+    # encode: argmin squared-L2 per (vector, subspace); map-side combine
+    enc_scored = assigned.crossJoin(F.broadcast(cb)).withColumn(
+        "_d2",
+        F.aggregate(
+            F.zip_with(
+                F.slice("res", F.col("sub") * dsub + 1, dsub),
+                F.col("cvec"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    codes = (
+        enc_scored.groupBy("vec_id", "sub")
+        .agg(
+            F.min_by(F.col("code"), F.struct("_d2", "code")).alias("code"),
+            F.first("cell").alias("cell"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("cell").alias("cell"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes"),
+        )
+    )
+    if isinstance(query_ids, Column):
+        q = nrm.filter(query_ids)
+    else:
+        q = nrm.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv"))
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("_s", _dot(F.col("qnv"), F.col("ccvec")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_s").desc(), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell", F.col("_s").alias("cdot"))
+    )
+    qtab = (
+        qv.crossJoin(F.broadcast(cb))
+        .withColumn(
+            "d",
+            _dot(F.slice("qnv", F.col("sub") * dsub + 1, dsub), F.col("cvec")),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code", "d"))),
+                lambda s: s["d"],
+            ).alias("tab")
+        )
+    )
+    stride = (F.size("tab") / F.lit(m)).cast("int")
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(qtab), "query_id")
+        .withColumn(
+            "sim",
+            F.col("cdot")
+            + F.aggregate(
+                F.transform(
+                    "codes",
+                    lambda c, s: F.element_at("tab", s * stride + c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
             "query_id",

@@ -4334,3 +4334,98 @@ def text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, docs.filter(F.col("lang") == "en"),
         k=_DSIR_SAMPLE_K, m_buckets=_DSIR_M,
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ with residual encoding (IVFADC, Jégou et al. 2011 §IV) — the
+# production ANN layout: coarse cells + PQ codes of the residuals; a
+# candidate scores as dot(q, centroid) + the residual ADC lookup sum.
+# --------------------------------------------------------------------------
+_IVFPQ_CELLS, _IVFPQ_PROBE = 8, 2
+
+
+@register(
+    "similarity_topk_ivfpq",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nrm AS (SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+            FROM emb),
+    cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                     nv AS ccvec
+              FROM nrm ORDER BY vec_id LIMIT {_IVFPQ_CELLS}),
+    asg AS (
+        SELECT vec_id, cell, ccvec, nv FROM (
+            SELECT n.vec_id, c.cell, c.ccvec, n.nv,
+                   row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.nv, c.ccvec) DESC, c.cell) AS rn
+            FROM nrm n, cents c)
+        WHERE rn = 1),
+    res AS (SELECT vec_id, cell,
+                   list_transform(generate_series(1, len(nv)),
+                                  i -> nv[i] - ccvec[i]) AS r
+            FROM asg),
+    rtop AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, r
+             FROM res ORDER BY vec_id LIMIT {_PQ_KC}),
+    subs AS (SELECT CAST(unnest(generate_series(0, {_PQ_M - 1})) AS INT) AS sub),
+    cb AS (SELECT s.sub, t.code,
+                  t.r[s.sub * {_PQ_DSUB} + 1 : s.sub * {_PQ_DSUB} + {_PQ_DSUB}] AS cvec
+           FROM rtop t, subs s),
+    rvs AS (SELECT res.vec_id, res.cell, s.sub,
+                   res.r[s.sub * {_PQ_DSUB} + 1 : s.sub * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+            FROM res, subs s),
+    codes AS (
+        SELECT vec_id, cell, sub, code FROM (
+            SELECT c.vec_id, c.cell, c.sub, b.code,
+                   row_number() OVER (PARTITION BY c.vec_id, c.sub
+                       ORDER BY list_dot_product(
+                           list_transform(generate_series(1, {_PQ_DSUB}),
+                                          i -> c.sv[i] - b.cvec[i]),
+                           list_transform(generate_series(1, {_PQ_DSUB}),
+                                          i -> c.sv[i] - b.cvec[i])) ASC,
+                           b.code) AS rn
+            FROM rvs c JOIN cb b USING (sub))
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, nv FROM nrm WHERE vec_id < {_IVF_NQ}),
+    probes AS (
+        SELECT query_id, cell, cdot FROM (
+            SELECT q.query_id, c.cell,
+                   list_dot_product(q.nv, c.ccvec) AS cdot,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.nv, c.ccvec) DESC, c.cell) AS rn
+            FROM q, cents c)
+        WHERE rn <= {_IVFPQ_PROBE}),
+    qtab AS (SELECT q.query_id, b.sub, b.code,
+                    list_dot_product(
+                        q.nv[b.sub * {_PQ_DSUB} + 1 : b.sub * {_PQ_DSUB} + {_PQ_DSUB}],
+                        b.cvec) AS d
+             FROM q, cb b),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id, p.cdot,
+               sum(t.d ORDER BY t.sub) AS adc
+        FROM codes c
+        JOIN probes p ON p.cell = c.cell
+        JOIN qtab t ON t.query_id = p.query_id
+                   AND t.sub = c.sub AND t.code = c.code
+        WHERE p.query_id <> c.vec_id
+        GROUP BY p.query_id, c.vec_id, p.cdot)
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, round(sim, 6) AS sim
+    FROM (SELECT query_id, neighbor_id, cdot + adc AS sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cdot + adc DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_IVF_K}
+    """,
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-k (deferred — pytest-mirrored): the corpus
+    travels as (cell, m codes); score = centroid dot + residual ADC."""
+    return similarity.topk_ivfpq(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < _IVF_NQ,
+        k=_IVF_K,
+        n_cells=_IVFPQ_CELLS,
+        n_probe=_IVFPQ_PROBE,
+        m=_PQ_M,
+        kc=_PQ_KC,
+    )

@@ -989,3 +989,53 @@ def test_candidate_quality_full_recall_on_planted_dups(docs):
     assert row.n_true > 0 and row.recall == 1.0
     assert 0 < row.precision <= 1.0
     assert row.n_hit <= row.n_candidates
+
+
+# -- residual IVF-PQ (IVFADC, r7) --------------------------------------------
+
+def test_ivfpq_shape_and_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.topk_ivfpq(
+        emb, F.col("vec_id") < 4, k=3, n_cells=8, n_probe=2
+    ).collect()
+    b = similarity.topk_ivfpq(
+        emb, F.col("vec_id") < 4, k=3, n_cells=8, n_probe=2
+    ).collect()
+    key = lambda r: (r.query_id, r.rk)  # noqa: E731
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r.query_id, []).append((r.rk, r.sim))
+    for q, lst in per_q.items():
+        lst.sort()
+        sims = [s for _, s in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert len(lst) <= 3
+
+
+def test_ivfpq_recall_measured(spark, sf_dir):
+    # residual coding re-adds the centroid term, so at equal code
+    # budget IVF-PQ should not be worse than random; just pin that the
+    # measurement machinery works and yields a sane [0, 1] mean
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rec = similarity.recall_vs_bruteforce(
+        emb, F.col("vec_id") < 8, k=5, method="ivfpq",
+        n_cells=8, n_probe=2,
+    ).agg(F.avg("recall")).collect()[0][0]
+    assert rec is not None and 0.0 <= rec <= 1.0
+
+
+def test_ivfpq_small_corpus_stride_guard(spark):
+    # corpus smaller than kc: codebooks hold fewer codes per subspace;
+    # the ADC stride must follow the actual table size
+    import math
+
+    rows = [
+        (i, [math.sin(i * 7 + j) for j in range(64)]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.topk_ivfpq(
+        emb, F.col("vec_id") < 2, k=2, n_cells=2, n_probe=2, m=8, kc=16
+    ).collect()
+    assert len(out) > 0
+    assert all(-1.5 <= r.sim <= 1.5 for r in out)
