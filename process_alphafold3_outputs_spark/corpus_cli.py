@@ -80,7 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-words", type=int, default=10_000)
     sp.add_argument("--jaccard-threshold", type=float, default=0.8)
     sp.add_argument(
-        "--near-dedup", choices=["greedy", "clusters"], default="greedy"
+        "--near-dedup",
+        choices=["greedy", "clusters", "minhash_bands"],
+        default="greedy",
+        help="greedy/clusters: exact-Jaccard pair forms; minhash_bands: "
+        "linear-output banded drop (the duplicate-heavy-corpus path)",
     )
 
     sp = sub.add_parser("curate")
@@ -206,6 +210,23 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--merges", type=int, default=32)
     sp.add_argument("--min-pair-count", type=int, default=2)
+    sp.add_argument(
+        "--batch-merges", type=int, default=1,
+        help="non-interacting merges applied per driver round (1 = "
+        "textbook sequential schedule)",
+    )
+
+    sp = sub.add_parser("dsir")
+    common(sp)
+    sp.add_argument(
+        "--target", required=True,
+        help="target-corpus parquet (the distribution to match)",
+    )
+    sp.add_argument("--m-buckets", type=int, default=256)
+    sp.add_argument(
+        "-k", "--sample-k", type=int, default=None,
+        help="if set, emit the Gumbel-top-k resample instead of weights",
+    )
 
     sp = sub.add_parser("ann-index")
     common(sp, embeddings=True)
@@ -295,8 +316,18 @@ def _result(
         from .operators.bpe import train_bpe
 
         return train_bpe(
-            docs, n_merges=args.merges, min_pair_count=args.min_pair_count
+            docs,
+            n_merges=args.merges,
+            min_pair_count=args.min_pair_count,
+            batch_merges=args.batch_merges,
         )
+    if args.command == "dsir":
+        target = spark.read.parquet(args.target)
+        if args.sample_k is not None:
+            return text.dsir_sample(
+                docs, target, k=args.sample_k, m_buckets=args.m_buckets
+            )
+        return text.dsir_log_weights(docs, target, m_buckets=args.m_buckets)
     if args.command == "classify":
         if args.weights:
             w = spark.read.parquet(args.weights).orderBy("bucket").collect()

@@ -1955,6 +1955,55 @@ def dsir_bucket_logratios(
     )
 
 
+def dsir_score_with_ratios(
+    docs: DataFrame,
+    ratios: DataFrame,
+    m_buckets: int = 256,
+    seed: str = "dsir-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, log_weight) — score documents against a
+    PRE-TRAINED bucket log-ratio table (the apply side of DSIR; the
+    operational train-batch / score-anywhere split — the same shape as
+    ``score_with_bigram_model``). Buckets missing from the ratio table
+    (grams unseen when the ratios were trained) contribute 0: the
+    smoothed-log-ratio of an unseen-in-both bucket is itself ~0, and a
+    drifted shipment's novel buckets scoring neutral is the
+    conservative choice. Per-doc weight folds in bucket order —
+    bit-reproducible in SQL via ``sum(x ORDER BY bucket)``."""
+    db = (
+        _dsir_grams(docs, text_col, seed, m_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    contrib = db.join(F.broadcast(ratios), "bucket", "left").select(
+        "doc_id",
+        "bucket",
+        "c",
+        (F.col("c") * F.coalesce("log_ratio", F.lit(0.0))).alias("x"),
+    )
+    agg = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "x"))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_s"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("log_weight"),
+        )
+    )
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -1970,36 +2019,13 @@ def dsir_log_weights(
     ordered fold over each doc's ≤ m bucket rows
     (sort_array(struct(bucket, contrib))) so the DuckDB oracle's
     ``sum(x ORDER BY bucket)`` reproduces every double bit-for-bit.
-    Docs with no grams carry weight 0 (neutral)."""
+    Docs with no grams carry weight 0 (neutral). Train/apply split:
+    :func:`dsir_bucket_logratios` is the trainer,
+    :func:`dsir_score_with_ratios` the applier — this composes them
+    (every raw bucket exists in the freshly-trained table, so the
+    apply-side left join is exact here)."""
     lr = dsir_bucket_logratios(raw, target, m_buckets, alpha, seed, text_col)
-    db = (
-        _dsir_grams(raw, text_col, seed, m_buckets)
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    contrib = db.join(F.broadcast(lr), "bucket").select(
-        "doc_id", "bucket", "c", (F.col("c") * F.col("log_ratio")).alias("x")
-    )
-    agg = contrib.groupBy("doc_id").agg(
-        F.sum("c").alias("n_grams"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("bucket", "x"))),
-                lambda s: s["x"],
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("_s"),
-    )
-    return (
-        raw.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
-            F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("log_weight"),
-        )
-    )
+    return dsir_score_with_ratios(raw, lr, m_buckets, seed, text_col)
 
 
 def dsir_sample(

@@ -688,3 +688,46 @@ def watch_entities(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_documents_dsir(
+    spark: SparkSession,
+    inbox_dir: str,
+    ratios_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    m_buckets: int = 256,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming DSIR scoring: importance-weight each micro-batch of
+    incoming documents against a BATCH-TRAINED bucket log-ratio table
+    (``text.dsir_bucket_logratios`` written to ``ratios_path``) and
+    append (doc_id, n_grams, log_weight, epoch_id) to ``out_path`` —
+    train-batch / score-stream, the ``watch_documents_scored`` shape
+    for the distribution-matching family. The ratio table is m-row
+    broadcast material read once per micro-batch; scoring is
+    per-document with no cross-doc state, so a stream scored in N
+    micro-batches equals batch scoring of the union (parity
+    pytest-pinned). Returns the StreamingQuery."""
+    from ..operators.text import dsir_score_with_ratios
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ratios = batch_df.sparkSession.read.parquet(ratios_path)
+        scored = dsir_score_with_ratios(
+            batch_df, ratios, m_buckets=m_buckets
+        )
+        _write_epoch_output(scored, out_path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -481,3 +481,63 @@ def test_corpus_cli_entities_bpe_ann(spark, tmp_path):
          "--centroids", idx + "_centroids", "--out", out3, "--k", "3"]),
         spark=spark)
     assert res["rows"] == 60  # 20 queries x k=3
+
+
+def test_corpus_cli_dsir_and_banded_clean(spark, tmp_path):
+    """r7 commands: dsir weights/sample and clean --near-dedup
+    minhash_bands are pure shells over the tested operators."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark import corpus_cli
+    from process_alphafold3_outputs_spark.operators import text
+    from process_alphafold3_outputs_spark.plans import corpus as corpus_plans
+
+    sf = "/root/testdata/sf0.001"
+    docs_path = f"{sf}/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    target_path = str(tmp_path / "target")
+    docs.filter(F.col("lang") == "en").write.parquet(target_path)
+
+    def run_cmd(argv):
+        args = corpus_cli.build_parser().parse_args(argv)
+        return corpus_cli.run(args, spark)
+
+    out = str(tmp_path / "dsirw")
+    res = run_cmd(
+        ["dsir", "--documents", docs_path, "--target", target_path,
+         "--m-buckets", "64", "--out", out]
+    )
+    want = text.dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), m_buckets=64
+    )
+    assert res["rows"] == want.count() == docs.count()
+    got = {(r.doc_id, r.log_weight)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(r.doc_id, r.log_weight) for r in want.collect()}
+
+    out = str(tmp_path / "dsirs")
+    res = run_cmd(
+        ["dsir", "--documents", docs_path, "--target", target_path,
+         "--m-buckets", "64", "-k", "7", "--out", out]
+    )
+    assert res["rows"] == 7
+
+    out = str(tmp_path / "banded")
+    res = run_cmd(
+        ["clean", "--documents", docs_path,
+         "--near-dedup", "minhash_bands", "--out", out]
+    )
+    want_n = corpus_plans.clean_corpus(
+        docs, near_dedup="minhash_bands"
+    ).count()
+    assert res["rows"] == want_n > 0
+
+    out = str(tmp_path / "bpe_b")
+    res = run_cmd(
+        ["train-bpe", "--documents", docs_path, "--merges", "6",
+         "--batch-merges", "3", "--out", out]
+    )
+    assert res["rows"] <= 6
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"rank", "left", "right", "merged",
+                                "n_occurrences"}

@@ -860,3 +860,53 @@ def test_lsh_band_watcher_replay_between_append_and_state_swap(spark, tmp_path):
     # the near-dup 2 contributes none
     state = read_state(spark, bands, band_schema)
     assert set(r.doc_id for r in state.select("doc_id").distinct().collect()) == {1, 3}
+
+
+def test_watch_documents_dsir_stream_equals_batch(spark, tmp_path):
+    """Train the ratio table batch, score a 2-epoch stream, assert the
+    union equals batch scoring with the same table."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        dsir_bucket_logratios,
+        dsir_score_with_ratios,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_documents_dsir,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    ratios_p = str(tmp_path / "ratios")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(ids_texts):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in ids_texts],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    train = rows([(100, "the quick brown fox"), (101, "zz qq ww")])
+    target = rows([(200, "the quick brown fox jumps")])
+    dsir_bucket_logratios(train, target, m_buckets=64).write.parquet(ratios_p)
+
+    e1 = [(1, "the quick brown fox"), (2, "totally novel words")]
+    e2 = [(3, "zz qq ww"), (4, "the quick fox")]
+    rows(e1).coalesce(1).write.mode("append").parquet(inbox)
+    q = watch_documents_dsir(spark, inbox, ratios_p, out, ckpt, m_buckets=64)
+    try:
+        q.processAllAvailable()
+        rows(e2).coalesce(1).write.mode("append").parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.n_grams, r.log_weight)
+        for r in spark.read.parquet(out).collect()
+    }
+    ratios = spark.read.parquet(ratios_p)
+    want = {
+        (r.doc_id, r.n_grams, r.log_weight)
+        for r in dsir_score_with_ratios(
+            rows(e1 + e2), ratios, m_buckets=64
+        ).collect()
+    }
+    assert got == want and len(got) == 4
