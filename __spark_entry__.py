@@ -341,6 +341,8 @@ _DEFERRED: set[str] = {
     "similarity_topk_ivfpq", # residual IVFADC; composes the IVF +
                              # PQ mechanics both separately
                              # oracle-green (deferred: headroom)
+    "similarity_recall_ivfpq",  # IVFADC quality signal; composes two
+                             # green oracle texts (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -135,6 +135,7 @@ HEADLINE = [
     "text_dsir_sample",
     "pipeline_pack_doc_spans",
     "similarity_topk_ivfpq",
+    "similarity_recall_ivfpq",
 ]
 
 

@@ -4429,3 +4429,38 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         kc=_PQ_KC,
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ recall row — the fourth ANN family's quality signal (LSH /
+# IVF / PQ / IVF-PQ each carry one); both subqueries are the oracle
+# texts of their own green rows, so drift in either breaks this too.
+# --------------------------------------------------------------------------
+def _register_similarity_recall_ivfpq() -> None:
+    exact_sql = _ORACLE["similarity_topk"]
+    approx_sql = _ORACLE["similarity_topk_ivfpq"]
+    register(
+        "similarity_recall_ivfpq",
+        sql=f"""
+        SELECT e.query_id,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               round(count(a.neighbor_id) / {_TOPK_K}, 4) AS recall
+        FROM ({exact_sql}) e
+        LEFT JOIN ({approx_sql}) a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        """,
+    )(_similarity_recall_ivfpq)
+
+
+def _similarity_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the residual IVFADC path vs the exact top-k
+    (deferred — pytest-mirrored)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.recall_vs_bruteforce(
+        emb, F.col("vec_id") < _N_QUERIES, k=_TOPK_K, method="ivfpq",
+        n_cells=_IVFPQ_CELLS, n_probe=_IVFPQ_PROBE,
+    )
+
+
+_register_similarity_recall_ivfpq()
