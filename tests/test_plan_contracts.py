@@ -290,3 +290,57 @@ def test_ivf_search_broadcasts_centroids_and_joins_on_cell(spark, sf_dir):
     plan = formatted_plan(q)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_clean_banded_scans_once_and_has_no_pair_join(spark, sf_dir):
+    """The banded drop path must (a) stage to ONE corpus scan like the
+    pair modes and (b) contain no doc-pair self-join anywhere — the
+    whole point is that its shuffle and output are linear in the band
+    table. The plan's only joins are the bucket-min join back onto the
+    band table and the final anti-join."""
+    from process_alphafold3_outputs_spark.plans.corpus import clean_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark.catalog.clearCache()
+    plan = formatted_plan(
+        clean_corpus(docs, stage=True, near_dedup="minhash_bands")
+    )
+    assert plan.count("documents.parquet") == 1
+    # the Jaccard pair machinery must be absent: no shingle-equality
+    # self-join condition (doc_a < doc_b) appears in the banded plan
+    assert "doc_a" not in plan and "doc_b" not in plan
+    spark.catalog.clearCache()
+
+
+def test_dsir_ratio_table_broadcasts_onto_doc_buckets(spark, sf_dir):
+    """The m-row log-ratio table must reach the per-doc contribution
+    join as a BroadcastHashJoin (never a corpus shuffle by bucket)."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        dsir_log_weights,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(
+        dsir_log_weights(docs, docs.filter(F.col("lang") == "en"),
+                         m_buckets=64)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_broadcasts_model_tables_and_joins_on_cell(spark, sf_dir):
+    """Centroids, codebooks, probes and ADC tables are broadcast; the
+    only corpus-sized join keys on cell."""
+    from process_alphafold3_outputs_spark.operators.similarity import (
+        topk_ivfpq,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = formatted_plan(
+        topk_ivfpq(emb, F.col("vec_id") < 4, k=3, n_cells=8, n_probe=2)
+    )
+    assert "BroadcastHashJoin" in plan
+    # the candidate join on cell must not shuffle the coded corpus side
+    # into a SortMergeJoin
+    assert "SortMergeJoin" not in plan
