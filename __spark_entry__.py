@@ -343,6 +343,9 @@ _DEFERRED: set[str] = {
                              # oracle-green (deferred: headroom)
     "similarity_recall_ivfpq",  # IVFADC quality signal; composes two
                              # green oracle texts (deferred: headroom)
+    "similarity_hard_negatives",  # contrastive mining; eps-filtered
+                             # variant of the green similarity_topk row
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -136,6 +136,7 @@ HEADLINE = [
     "pipeline_pack_doc_spans",
     "similarity_topk_ivfpq",
     "similarity_recall_ivfpq",
+    "similarity_hard_negatives",
 ]
 
 

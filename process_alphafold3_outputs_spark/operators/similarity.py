@@ -1008,3 +1008,52 @@ def topk_ivfpq(
             F.round("sim", 6).alias("sim"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: DataFrame | Column,
+    k: int = 5,
+    dup_eps: float = 0.98,
+) -> DataFrame:
+    """(query_id, neighbor_id, rk, sim) — each query's top-``k`` MOST
+    similar NON-duplicate neighbors: contrastive-training hard-negative
+    mining (the pairs that teach an embedding model the most are near
+    the decision boundary — similar, but not the same content). Near
+    duplicates (cosine ≥ ``dup_eps``, rounded-before-threshold like the
+    dedup family) are excluded BEFORE ranking: a missed near-dup mined
+    as a "negative" is a false negative that actively poisons the loss.
+
+    Same scale shape as :func:`topk_bruteforce` (broadcast queries, one
+    corpus scan, per-query rank window); swap the scorer for an ANN
+    family's shortlist at billion-vector scale — the eps-exclusion and
+    ranking compose unchanged."""
+    emb = spread(embeddings, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    if isinstance(query_ids, Column):
+        q = emb.filter(query_ids)
+    else:
+        q = emb.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+    q = q.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("vec").alias("cvec"),
+            )
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = pairs.withColumn(
+        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    ).filter(F.col("sim") < F.lit(float(dup_eps)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "sim")
+    )

@@ -1924,13 +1924,61 @@ def dsir_bucket_logratios(
     ``m_buckets``-sized — broadcast material by construction, however
     large the corpora. log_ratio is rounded to 9 dp (libm ln drifts in
     the last ulp across engines; every downstream product/sum then
-    operates on bit-identical doubles — the weighted_sample policy)."""
-    rb = _dsir_grams(raw, text_col, seed, m_buckets).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rc")
+    operates on bit-identical doubles — the weighted_sample policy).
+
+    Composes :func:`dsir_bucket_counts` (the mergeable distribution
+    sketch) with :func:`dsir_ratios_from_counts` (the pure read-off);
+    incremental pipelines persist the count tables and retrain ratios
+    from merged counts without rescanning history."""
+    return dsir_ratios_from_counts(
+        dsir_bucket_counts(raw, m_buckets, seed, text_col),
+        dsir_bucket_counts(target, m_buckets, seed, text_col),
+        m_buckets=m_buckets,
+        alpha=alpha,
     )
-    tb = _dsir_grams(target, text_col, seed, m_buckets).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("tc")
+
+
+def dsir_bucket_counts(
+    docs: DataFrame,
+    m_buckets: int = 256,
+    seed: str = "dsir-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, cnt) — a corpus's hashed-gram distribution table: the
+    MERGEABLE sketch of the DSIR family. Counts are additive, so
+    shipment tables merge by per-bucket sum (:func:`merge_bucket_counts`)
+    — exactly like the CMS/HLL/histogram sketches, the state a rolling
+    pipeline persists so ratio retraining never rescans history. At
+    most ``m_buckets`` rows regardless of corpus size."""
+    return (
+        _dsir_grams(docs, text_col, seed, m_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def merge_bucket_counts(*tables: DataFrame) -> DataFrame:
+    """Per-bucket sum of any number of (bucket, cnt) shipment tables —
+    counts(A ∪ B) == merge(counts(A), counts(B)), pytest-pinned."""
+    if not tables:
+        raise ValueError("merge_bucket_counts needs at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def dsir_ratios_from_counts(
+    raw_counts: DataFrame,
+    target_counts: DataFrame,
+    m_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, log_ratio) from two prebuilt/merged (bucket, cnt)
+    tables — the pure read-off stage of the trainer (no text access;
+    both inputs are ≤ m_buckets rows)."""
+    rb = raw_counts.select("bucket", F.col("cnt").alias("rc"))
+    tb = target_counts.select("bucket", F.col("cnt").alias("tc"))
     rt = rb.agg(F.sum("rc").alias("rtot"))
     tt = tb.agg(F.coalesce(F.sum("tc"), F.lit(0).cast("long")).alias("ttot"))
     am = float(alpha) * m_buckets

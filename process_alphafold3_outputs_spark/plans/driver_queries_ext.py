@@ -4464,3 +4464,42 @@ def _similarity_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_similarity_recall_ivfpq()
+
+
+# --------------------------------------------------------------------------
+# contrastive hard-negative mining: top-k most-similar NON-duplicate
+# neighbors (near-dups at cosine >= eps excluded BEFORE ranking — a
+# near-dup mined as a "negative" poisons a contrastive loss).
+# --------------------------------------------------------------------------
+_HN_EPS = 0.9
+
+
+@register(
+    "similarity_hard_negatives",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qe, ce) /
+                 (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                 6) AS sim
+        FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored WHERE sim < {_HN_EPS!r})
+    WHERE rk <= {_TOPK_K}
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives over the embeddings table (deferred —
+    pytest-mirrored)."""
+    return similarity.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < _N_QUERIES,
+        k=_TOPK_K,
+        dup_eps=_HN_EPS,
+    )

@@ -1467,3 +1467,41 @@ def test_packed_doc_spans_properties(spark):
         (F.max("end_tok") - F.min("begin_tok")).alias("range_len"),
     )
     assert per_seq.filter(F.col("covered") != F.col("range_len")).count() == 0
+
+
+def test_dsir_bucket_counts_merge_equals_union(spark):
+    # the DSIR distribution table is a mergeable sketch: counts of a
+    # union == per-bucket sum of shipment counts (so rolling pipelines
+    # retrain ratios from merged state, never rescanning history)
+    from process_alphafold3_outputs_spark.operators.text import (
+        dsir_bucket_counts, dsir_log_weights, dsir_ratios_from_counts,
+        dsir_score_with_ratios, merge_bucket_counts,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "aa dd"), (4, "ff gg hh")], "doc_id long, text string"
+    )
+    both = a.unionByName(b)
+    merged = merge_bucket_counts(
+        dsir_bucket_counts(a, m_buckets=32), dsir_bucket_counts(b, m_buckets=32)
+    )
+    direct = dsir_bucket_counts(both, m_buckets=32)
+    assert {(r.bucket, r.cnt) for r in merged.collect()} == {
+        (r.bucket, r.cnt) for r in direct.collect()
+    }
+    # ratios from merged counts == ratios trained directly on the union
+    target = spark.createDataFrame([(9, "aa bb")], "doc_id long, text string")
+    via_merge = dsir_score_with_ratios(
+        both,
+        dsir_ratios_from_counts(
+            merged, dsir_bucket_counts(target, m_buckets=32), m_buckets=32
+        ),
+        m_buckets=32,
+    )
+    direct_w = dsir_log_weights(both, target, m_buckets=32)
+    assert {(r.doc_id, r.log_weight) for r in via_merge.collect()} == {
+        (r.doc_id, r.log_weight) for r in direct_w.collect()
+    }
