@@ -192,3 +192,39 @@ def segment_words(
     for left, right in rules:
         col = _apply_merge(col, left, right)
     return vocab.select("w", "n", col.alias("pieces"))
+
+
+def tokenize_corpus(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens) — BPE token counts per document:
+    the tokenize-the-corpus step a data pipeline runs for budget
+    accounting (mixture weights, packing, pricing) after training a
+    tokenizer.
+
+    Scale shape: the merge folds replay over the VOCABULARY
+    (:func:`segment_words` — distinct words, tens of millions of rows
+    at worst), never over the corpus; the corpus-sized side is one
+    word explode joined against the broadcast (word → piece count)
+    table plus a doc-keyed sum with map-side combine. At 100 TB this
+    is the difference between folding every merge over every word
+    OCCURRENCE (corpus × merge-table work) and doing it once per
+    distinct word."""
+    seg = segment_words(docs, merges, text_col).select(
+        "w", F.size("pieces").alias("_np")
+    )
+    words = (
+        normalized(docs, text_col)
+        .select("doc_id", F.explode(F.split("_norm", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    return (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_np").alias("n_tokens"),
+        )
+    )

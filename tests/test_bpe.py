@@ -174,3 +174,25 @@ def test_batched_segmentation_reconstructs_words(spark, docs):
     assert bad == 0
     ranks = [r.rank for r in merges.orderBy("rank").collect()]
     assert ranks == list(range(len(ranks)))
+
+
+def test_tokenize_corpus_matches_per_doc_replay(spark, docs):
+    # vocabulary-join token counts == replaying the merges over every
+    # document's own words (the pure-Python reference)
+    merges_df = bpe.train_bpe(docs, n_merges=10)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe.tokenize_corpus(docs, merges_df).collect()
+    }
+    rules = [
+        (r.left, r.right) for r in merges_df.orderBy("rank").collect()
+    ]
+    for i, t in enumerate(TEXTS):
+        words = " ".join(t.lower().split()).split(" ")
+        n_tokens = 0
+        for w in words:
+            syms = list(w)
+            for left, right in rules:
+                syms = _ref_apply(syms, left, right)
+            n_tokens += len(syms)
+        assert got[i] == (len(words), n_tokens), f"doc {i}"
