@@ -346,6 +346,10 @@ _DEFERRED: set[str] = {
     "similarity_hard_negatives",  # contrastive mining; eps-filtered
                              # variant of the green similarity_topk row
                              # (deferred: headroom)
+    "graph_source_hits",     # HITS hubs/authorities; keyed-join-per-
+                             # round mechanics evidenced by the r7
+                             # graph_source_pagerank driver row
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -112,3 +112,84 @@ def source_authority(
     ).withColumn(
         "source_rank", F.coalesce(F.col("rank"), F.lit(floor))
     ).drop("rank")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """(node, hub, authority) — Kleinberg's HITS after ``iters``
+    mutual-reinforcement rounds with L1 normalization (authority =
+    normalized inflow of hub scores; hub = normalized outflow of
+    authority scores). The complement of PageRank for link-quality
+    weighting: PageRank scores global endorsement, HITS separates
+    "points at good pages" (hub) from "is pointed at by good hubs"
+    (authority) — a crawler seed list wants hubs, a source weighting
+    wants authorities.
+
+    Same scale discipline as :func:`pagerank`: per round, each
+    direction is ONE edge-keyed join + ONE node-keyed sum; the L1
+    totals are one-row aggregates broadcast into the update
+    (crossJoin of a single row); ``localCheckpoint`` truncates the
+    iterative lineage. Duplicate edges count once; self-links drop."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0)
+        )
+    h = nodes.withColumn("h", F.lit(1.0 / n)).localCheckpoint()
+    a = nodes.withColumn("a", F.lit(1.0 / n))
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("h").alias("ar"))
+        )
+        a_tot = a_raw.agg(F.coalesce(F.sum("ar"), F.lit(0.0)).alias("at"))
+        a = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.when(F.col("at") > 0, F.coalesce("ar", F.lit(0.0)) / F.col("at"))
+                .otherwise(F.lit(0.0))
+                .alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("a").alias("hr"))
+        )
+        h_tot = h_raw.agg(F.coalesce(F.sum("hr"), F.lit(0.0)).alias("ht"))
+        h = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.when(F.col("ht") > 0, F.coalesce("hr", F.lit(0.0)) / F.col("ht"))
+                .otherwise(F.lit(0.0))
+                .alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )

@@ -4503,3 +4503,81 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_TOPK_K,
         dup_eps=_HN_EPS,
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities over the synthetic source graph — PageRank's
+# complement (hub = points at good pages, authority = pointed at by
+# good hubs); oracle unrolls the mutual-reinforcement rounds with the
+# same L1-total cross joins.
+# --------------------------------------------------------------------------
+_HITS_ITERS = 3
+
+
+def _hits_oracle_sql() -> str:
+    rounds = []
+    prev_a, prev_h = None, "h0"
+    for t in range(_HITS_ITERS):
+        rounds.append(f"""
+    ar{t} AS (
+        SELECT e.dst AS node, sum(h.h) AS ar
+        FROM edges e JOIN {prev_h} h ON h.node = e.src
+        GROUP BY e.dst),
+    at{t} AS (SELECT coalesce(sum(ar), 0) AS at FROM ar{t}),
+    a{t + 1} AS (
+        SELECT n.node,
+               CASE WHEN at{t}.at > 0
+                    THEN coalesce(ar{t}.ar, 0) / at{t}.at ELSE 0 END AS a
+        FROM nodes n LEFT JOIN ar{t} ON ar{t}.node = n.node
+        CROSS JOIN at{t}),
+    hr{t} AS (
+        SELECT e.src AS node, sum(a.a) AS hr
+        FROM edges e JOIN a{t + 1} a ON a.node = e.dst
+        GROUP BY e.src),
+    ht{t} AS (SELECT coalesce(sum(hr), 0) AS ht FROM hr{t}),
+    h{t + 1} AS (
+        SELECT n.node,
+               CASE WHEN ht{t}.ht > 0
+                    THEN coalesce(hr{t}.hr, 0) / ht{t}.ht ELSE 0 END AS h
+        FROM nodes n LEFT JOIN hr{t} ON hr{t}.node = n.node
+        CROSS JOIN ht{t})""")
+        prev_h = f"h{t + 1}"
+        prev_a = f"a{t + 1}"
+    return f"""
+    WITH ord AS (
+        SELECT source, row_number() OVER (ORDER BY source) - 1 AS i
+        FROM (SELECT DISTINCT source FROM documents)),
+    k AS (SELECT CAST(count(*) AS DOUBLE) AS c, count(*) AS ki FROM ord),
+    edges AS (
+        SELECT a.source AS src, b.source AS dst
+        FROM ord a JOIN k ON true JOIN ord b ON b.i = (a.i * 3 + 1) % k.ki
+        WHERE a.source <> b.source
+        UNION
+        SELECT a.source, b.source
+        FROM ord a JOIN k ON true JOIN ord b ON b.i = (a.i * 7 + 2) % k.ki
+        WHERE a.source <> b.source),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    h0 AS (SELECT node, 1.0 / k.c AS h FROM nodes CROSS JOIN k),
+    {",".join(rounds)}
+    SELECT n.node AS source,
+           round(h.h, 9) AS hub, round(a.a, 9) AS authority
+    FROM nodes n
+    JOIN {prev_h} h ON h.node = n.node
+    JOIN {prev_a} a ON a.node = n.node
+    """
+
+
+@register("graph_source_hits", sql=_hits_oracle_sql())
+def graph_source_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the synthetic source graph (deferred —
+    pytest-mirrored; numpy differential in tests/test_graph.py)."""
+    from ..operators.graph import hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hits(_source_edges(docs), iters=_HITS_ITERS)
+    return out.select(
+        F.col("node").alias("source"),
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )

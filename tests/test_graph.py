@@ -71,3 +71,65 @@ def test_source_authority_join_and_floor(spark):
            for r in source_authority(docs, edges).collect()}
     assert out[1] > out[3] and out[2] > out[3]
     assert out[3] == pytest.approx((1 - 0.85) / 3)
+
+
+# -- HITS (r7) ----------------------------------------------------------------
+
+def _numpy_hits(edges, iters=4):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {x: i for i, x in enumerate(nodes)}
+    n = len(nodes)
+    uniq = {(u, v) for u, v in edges if u != v}
+    h = np.full(n, 1.0 / n)
+    a = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for u, v in uniq:
+            a[idx[v]] += h[idx[u]]
+        if a.sum() > 0:
+            a = a / a.sum()
+        h = np.zeros(n)
+        for u, v in uniq:
+            h[idx[u]] += a[idx[v]]
+        if h.sum() > 0:
+            h = h / h.sum()
+    return {nodes[i]: (h[i], a[i]) for i in range(n)}
+
+
+def test_hits_matches_numpy(spark):
+    from process_alphafold3_outputs_spark.operators.graph import hits
+
+    rng = np.random.default_rng(11)
+    edges = [(int(rng.integers(0, 10)), int(rng.integers(0, 10)))
+             for _ in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(df, iters=4).collect()}
+    want = _numpy_hits(edges, iters=4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-9), k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-9), k
+    assert sum(v[0] for v in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(v[1] for v in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_hub_and_authority_separate(spark):
+    # star: node 0 points at everything (pure hub), 1..6 are pointed at
+    # (authorities with no out-links)
+    from process_alphafold3_outputs_spark.operators.graph import hits
+
+    edges = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(df, iters=3).collect()}
+    assert got[0][0] == pytest.approx(1.0)   # all hub mass
+    assert got[0][1] == pytest.approx(0.0)   # no authority
+    for i in range(1, 7):
+        assert got[i][0] == pytest.approx(0.0)
+        assert got[i][1] == pytest.approx(1.0 / 6)
+
+
+def test_hits_empty_graph(spark):
+    from process_alphafold3_outputs_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert hits(df).count() == 0
