@@ -350,6 +350,9 @@ _DEFERRED: set[str] = {
                              # round mechanics evidenced by the r7
                              # graph_source_pagerank driver row
                              # (deferred: headroom)
+    "pipeline_corpus_report",  # per-source dashboard composing the
+                             # green quality/dedup/decontaminate
+                             # mechanics (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -137,6 +137,8 @@ HEADLINE = [
     "similarity_topk_ivfpq",
     "similarity_recall_ivfpq",
     "similarity_hard_negatives",
+    "graph_source_hits",
+    "pipeline_corpus_report",
 ]
 
 

@@ -290,3 +290,57 @@ def curate_corpus(
         )
         .select("_r.doc_id", "_r.clean_text", "_r.n_bigrams", "_r.avg_nll")
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    lang: str = "en",
+    shingle_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_distinct_texts, exact_dup_frac, lang_frac,
+    mean_words, contaminated_frac) — the per-source curation dashboard
+    a corpus owner reads before deciding re-crawl / re-weight / drop
+    decisions: volume, duplication, language purity, length profile,
+    and benchmark contamination, one row per source.
+
+    Shape: one corpus scan feeds a source-keyed aggregation (language
+    and length are pure columns; distinct-text counts are a hash
+    count-distinct inside the same agg); the contamination column
+    joins :func:`~..operators.dedup.decontaminate`'s per-doc flags
+    back on doc_id and re-aggregates — the benchmark side stays
+    broadcast-sized throughout. Output is sources-sized."""
+    from ..operators import text as text_ops
+
+    base = (
+        dedup.normalized(docs, text_col)
+        .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
+        .withColumn("pred_lang", text_ops.language_id_col(F.col("_norm")))
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("_norm")).alias("n_distinct_texts"),
+        F.round(
+            F.avg((F.col("pred_lang") == lang).cast("int")), 4
+        ).alias("lang_frac"),
+        F.round(F.avg("n_ws_tokens"), 4).alias("mean_words"),
+    ).withColumn(
+        "exact_dup_frac",
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct_texts")) / F.col("n_docs"), 4
+        ),
+    )
+    flags = dedup.decontaminate(
+        docs, benchmark, k=shingle_k, text_col=text_col
+    ).select("doc_id", "contaminated")
+    cont = (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(F.round(F.avg("contaminated"), 4).alias("contaminated_frac"))
+    )
+    return per_source.join(cont, "source").select(
+        "source", "n_docs", "n_distinct_texts", "exact_dup_frac",
+        "lang_frac", "mean_words", "contaminated_frac",
+    )

@@ -4581,3 +4581,64 @@ def graph_source_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hub", 9).alias("hub"),
         F.round("authority", 9).alias("authority"),
     )
+
+
+# --------------------------------------------------------------------------
+# per-source curation report: volume, duplication, language purity,
+# length profile, benchmark contamination — one row per source (the
+# dashboard a corpus owner reads before re-crawl/re-weight decisions).
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_corpus_report",
+    sql=f"""
+    WITH norm AS (SELECT doc_id, source,
+                         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents),
+    stats AS (SELECT doc_id, source, t,
+                     CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+                     {", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS))}
+              FROM norm),
+    langed AS (SELECT doc_id, source, t, n_words,
+                      CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                           {"".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS))}
+                           ELSE 'und' END AS pred_lang
+               FROM stats),
+    per_source AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(t)) AS BIGINT) AS n_distinct_texts,
+               round(avg(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END), 4)
+                   AS lang_frac,
+               round(avg(n_words), 4) AS mean_words
+        FROM langed GROUP BY source),
+    words AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) < 3 THEN t
+                    ELSE array_to_string(w[i:i+2], ' ') END AS shingle
+        FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) s(i)),
+    bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0),
+    flags AS (
+        SELECT s.doc_id,
+               max(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS contaminated
+        FROM sh s LEFT JOIN bsh b ON b.shingle = s.shingle
+        GROUP BY s.doc_id),
+    cont AS (
+        SELECT d.source, round(avg(f.contaminated), 4) AS contaminated_frac
+        FROM documents d JOIN flags f ON f.doc_id = d.doc_id
+        GROUP BY d.source)
+    SELECT p.source, p.n_docs, p.n_distinct_texts,
+           round((p.n_docs - p.n_distinct_texts)
+                 / CAST(p.n_docs AS DOUBLE), 4) AS exact_dup_frac,
+           p.lang_frac, p.mean_words, c.contaminated_frac
+    FROM per_source p JOIN cont c ON c.source = p.source
+    """,
+)
+def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard (deferred — pytest-mirrored);
+    benchmark = the doc_id % 19 == 0 slice (the dedup_decontaminate
+    fixture)."""
+    from .corpus import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs, docs.filter(F.col("doc_id") % 19 == 0))
