@@ -243,6 +243,27 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--n-probe", type=int, default=2)
 
+    sp = sub.add_parser("ann-index-pq")
+    common(sp, embeddings=True)
+    sp.add_argument("--cells", type=int, default=8)
+    sp.add_argument("-m", "--subspaces", type=int, default=8)
+    sp.add_argument("--kc", type=int, default=16)
+    sp.add_argument(
+        "--model-prefix", default=None,
+        help="where to write centroids/codebooks (default <out>_centroids"
+        " / <out>_codebooks); --out receives the (vec_id, cell, codes)"
+        " compressed corpus",
+    )
+
+    sp = sub.add_parser("ann-query-pq")
+    common(sp, embeddings=True)
+    sp.add_argument("--codes", required=True, help="(vec_id, cell, codes) parquet")
+    sp.add_argument("--centroids", required=True)
+    sp.add_argument("--codebooks", required=True)
+    sp.add_argument("-m", "--subspaces", type=int, default=8)
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--n-probe", type=int, default=2)
+
     return p
 
 
@@ -309,6 +330,29 @@ def _result(
             spark.read.parquet(args.embeddings),
             k=args.k,
             n_probe=args.n_probe,
+        )
+    if args.command == "ann-index-pq":
+        from .operators.similarity import ivfpq_index
+
+        emb = spark.read.parquet(args.embeddings)
+        cents, cb, codes = ivfpq_index(
+            emb, n_cells=args.cells, m=args.subspaces, kc=args.kc
+        )
+        prefix = args.model_prefix or args.out
+        cents.write.mode("overwrite").parquet(prefix + "_centroids")
+        cb.write.mode("overwrite").parquet(prefix + "_codebooks")
+        return codes
+    if args.command == "ann-query-pq":
+        from .operators.similarity import ivfpq_search
+
+        return ivfpq_search(
+            spark.read.parquet(args.codes),
+            spark.read.parquet(args.centroids),
+            spark.read.parquet(args.codebooks),
+            spark.read.parquet(args.embeddings),
+            k=args.k,
+            n_probe=args.n_probe,
+            m=args.subspaces,
         )
 
     docs = spark.read.parquet(args.documents)

@@ -866,7 +866,35 @@ def topk_ivfpq(
     and ADC tables are query-side broadcast; the candidate join keys
     on cell (bucket the stored codes by cell and it prunes). Score
     folds in subspace order (DuckDB ``sum(d ORDER BY sub)``,
-    bit-for-bit)."""
+    bit-for-bit).
+
+    Composes :func:`ivfpq_index` (the persistable build) with
+    :func:`ivfpq_search` (serve over a prebuilt index) — the
+    build-once/serve-many split, same contract as
+    ``ivf_search``/``watch_embeddings_ann``."""
+    cents, cb, codes = ivfpq_index(embeddings, n_cells, m, kc, dim)
+    if isinstance(query_ids, Column):
+        q = spread(embeddings, "vec_id").filter(query_ids)
+    else:
+        q = embeddings.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+    return ivfpq_search(
+        codes, cents, cb, q, k=k, n_probe=n_probe, m=m
+    )
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    kc: int = 16,
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebooks, codes) — the persistable IVF-PQ index
+    build: centroids (cell, ccvec over NORMALIZED vectors), residual
+    codebooks (sub, code, cvec), and the compressed corpus
+    (vec_id, cell, codes array<int>) — at 100 TB, write all three to
+    parquet (codes bucketed by cell) and serve with
+    :func:`ivfpq_search`; the floats never travel again."""
     from ..sources.tables import EMBEDDING_DIM
 
     d = dim if dim is not None else EMBEDDING_DIM
@@ -944,13 +972,30 @@ def topk_ivfpq(
             ).alias("codes"),
         )
     )
-    if isinstance(query_ids, Column):
-        q = nrm.filter(query_ids)
-    else:
-        q = nrm.join(query_ids.select("vec_id"), "vec_id", "left_semi")
-    qv = q.select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv"))
+    return cents, cb, codes
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 8,
+) -> DataFrame:
+    """(query_id, neighbor_id, rk, sim) — IVFADC serving over a
+    PREBUILT index (:func:`ivfpq_index`'s three tables, typically read
+    back from parquet): queries normalize, probe their ``n_probe``
+    best cells, and score candidates from codes alone via the
+    broadcast ADC tables. The corpus-sized ``codes`` table is touched
+    through one cell-keyed join; full vectors are never read."""
+    qv = spread(queries, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        _normalized_vec(F.col("embedding").cast("array<double>")).alias("qnv"),
+    )
     probes = (
-        qv.crossJoin(F.broadcast(cents))
+        qv.crossJoin(F.broadcast(centroids))
         .withColumn("_s", _dot(F.col("qnv"), F.col("ccvec")))
         .withColumn(
             "_rn",
@@ -964,10 +1009,17 @@ def topk_ivfpq(
         .select("query_id", "cell", F.col("_s").alias("cdot"))
     )
     qtab = (
-        qv.crossJoin(F.broadcast(cb))
+        qv.crossJoin(F.broadcast(codebooks))
         .withColumn(
             "d",
-            _dot(F.slice("qnv", F.col("sub") * dsub + 1, dsub), F.col("cvec")),
+            _dot(
+                F.slice(
+                    "qnv",
+                    F.col("sub") * F.size("cvec") + 1,
+                    F.size("cvec"),
+                ),
+                F.col("cvec"),
+            ),
         )
         .groupBy("query_id")
         .agg(

@@ -541,3 +541,40 @@ def test_corpus_cli_dsir_and_banded_clean(spark, tmp_path):
     got = spark.read.parquet(out)
     assert set(got.columns) == {"rank", "left", "right", "merged",
                                 "n_occurrences"}
+
+
+def test_corpus_cli_ann_pq_index_and_query(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark import corpus_cli
+    from process_alphafold3_outputs_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    emb_path = f"{sf}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+
+    def run_cmd(argv):
+        args = corpus_cli.build_parser().parse_args(argv)
+        return corpus_cli.run(args, spark)
+
+    codes_out = str(tmp_path / "pq_codes")
+    res = run_cmd(
+        ["ann-index-pq", "--embeddings", emb_path, "--cells", "8",
+         "--out", codes_out]
+    )
+    assert res["rows"] == emb.count()
+
+    qpath = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") < 3).write.parquet(qpath)
+    hits_out = str(tmp_path / "pq_hits")
+    res = run_cmd(
+        ["ann-query-pq", "--embeddings", qpath, "--codes", codes_out,
+         "--centroids", codes_out + "_centroids",
+         "--codebooks", codes_out + "_codebooks",
+         "--k", "3", "--out", hits_out]
+    )
+    want = similarity.topk_ivfpq(
+        emb, F.col("vec_id") < 3, k=3, n_cells=8, n_probe=2
+    )
+    got = {tuple(r) for r in spark.read.parquet(hits_out).collect()}
+    assert got == {tuple(r) for r in want.collect()} and res["rows"] > 0

@@ -1039,3 +1039,25 @@ def test_ivfpq_small_corpus_stride_guard(spark):
     ).collect()
     assert len(out) > 0
     assert all(-1.5 <= r.sim <= 1.5 for r in out)
+
+
+def test_ivfpq_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
+    # build-once/serve-many: the three index tables written to parquet
+    # and read back must search identically to the inline composition
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, cb, codes = similarity.ivfpq_index(emb, n_cells=8, m=8, kc=16)
+    for name, df in (("cents", cents), ("cb", cb), ("codes", codes)):
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    q = emb.filter(F.col("vec_id") < 4)
+    served = similarity.ivfpq_search(
+        spark.read.parquet(str(tmp_path / "codes")),
+        spark.read.parquet(str(tmp_path / "cents")),
+        spark.read.parquet(str(tmp_path / "cb")),
+        q, k=3, n_probe=2,
+    )
+    inline = similarity.topk_ivfpq(
+        emb, F.col("vec_id") < 4, k=3, n_cells=8, n_probe=2
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
