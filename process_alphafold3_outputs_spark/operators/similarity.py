@@ -944,8 +944,18 @@ def ivfpq_index(
             )
         ).alias("sub", "cvec"),
     ).select("sub", "code", "cvec")
-    # encode: argmin squared-L2 per (vector, subspace); map-side combine
-    enc_scored = assigned.crossJoin(F.broadcast(cb)).withColumn(
+    codes = _ivfpq_encode_assigned(assigned, cb, dsub)
+    return cents, cb, codes
+
+
+def _ivfpq_encode_assigned(
+    assigned: DataFrame, codebooks: DataFrame, dsub: int
+) -> DataFrame:
+    """(vec_id, cell, codes) from (vec_id, cell, res) rows: argmin
+    squared-L2 per (vector, subspace) against the broadcast codebooks
+    (ties: lower code); map-side combine collapses the kc scored
+    copies before the shuffle."""
+    enc_scored = assigned.crossJoin(F.broadcast(codebooks)).withColumn(
         "_d2",
         F.aggregate(
             F.zip_with(
@@ -957,7 +967,7 @@ def ivfpq_index(
             lambda acc, x: acc + x,
         ),
     )
-    codes = (
+    return (
         enc_scored.groupBy("vec_id", "sub")
         .agg(
             F.min_by(F.col("code"), F.struct("_d2", "code")).alias("code"),
@@ -972,7 +982,48 @@ def ivfpq_index(
             ).alias("codes"),
         )
     )
-    return cents, cb, codes
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, cell, codes) — encode NEW vectors against a FROZEN
+    IVF-PQ model (the incremental-maintenance step: a stream/shipment
+    encodes with the bootstrap-trained centroids + codebooks, so codes
+    stay comparable across epochs — retraining the model re-encodes
+    the world; freezing it is the standard serving contract, same
+    policy as ``watch_embeddings_ann``'s frozen coarse quantizer)."""
+    from ..sources.tables import EMBEDDING_DIM
+
+    d = dim if dim is not None else EMBEDDING_DIM
+    dsub = d // m
+    nrm = spread(embeddings, "vec_id").select(
+        "vec_id",
+        _normalized_vec(F.col("embedding").cast("array<double>")).alias("nv"),
+    )
+    assigned = (
+        nrm.crossJoin(F.broadcast(centroids))
+        .withColumn("_s", _dot(F.col("nv"), F.col("ccvec")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "nv", "ccvec"),
+                F.struct(F.col("_s"), (-F.col("cell")).alias("_nc")),
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b.cell").alias("cell"),
+            F.zip_with(
+                F.col("_b.nv"), F.col("_b.ccvec"), lambda a, b: a - b
+            ).alias("res"),
+        )
+    )
+    return _ivfpq_encode_assigned(assigned, codebooks, dsub)
 
 
 def ivfpq_search(

