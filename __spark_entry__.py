@@ -353,6 +353,10 @@ _DEFERRED: set[str] = {
     "pipeline_corpus_report",  # per-source dashboard composing the
                              # green quality/dedup/decontaminate
                              # mechanics (deferred: headroom)
+    "dedup_substrings",      # span-level exact-substring dedup (Lee et
+                             # al. 2022); gram-hash window + islands
+                             # mechanics evidenced by green dedup_exact
+                             # + sessionize rows (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

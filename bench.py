@@ -139,6 +139,7 @@ HEADLINE = [
     "similarity_hard_negatives",
     "graph_source_hits",
     "pipeline_corpus_report",
+    "dedup_substrings",
 ]
 
 

@@ -200,6 +200,127 @@ def drop_boilerplate(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame, min_words: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, begin, end) — maximal duplicated word spans: every
+    position range (0-based, end-exclusive) covered by some
+    ``min_words``-gram whose text occurs earlier in the corpus (earlier
+    = smaller ``(doc_id, position)``). This is the span-level
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), which removes duplicated
+    substrings of ≥N tokens rather than whole near-duplicate documents
+    — expressed relationally instead of via a monolithic suffix array:
+    a substring of length ≥ min_words is duplicated iff every
+    ``min_words``-gram inside it is duplicated, so marking non-first
+    gram occurrences and merging overlapping gram windows
+    (gaps-and-islands) yields exactly the maximal duplicated spans at
+    gram granularity.
+
+    Scale shape: grams explode once (narrow); global first-occurrence
+    is ONE window keyed by the gram hash (md5 — high-cardinality,
+    near-uniform, no skew); the surviving duplicate occurrences (a
+    small fraction of the corpus on real data) take one doc-keyed
+    window + aggregation for span merging. No suffix array, no global
+    sort, no candidate pairs."""
+    L = min_words
+    words = normalized(spread(docs, "doc_id"), text_col).select(
+        "doc_id", F.split("_norm", " ").alias("_w")
+    )
+    grams = words.filter(F.size("_w") >= L).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - L),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i + 1, L))),
+            )
+        ).alias("pos", "gh"),
+    )
+    first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    dups = (
+        grams.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id", "pos", (F.col("pos") + L).alias("_end"))
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    run = (
+        dups.withColumn(
+            "_prev_end",
+            F.max("_end").over(
+                seq.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev_end").isNull()
+                | (F.col("pos") > F.col("_prev_end"))
+            ).cast("int"),
+        )
+        .withColumn("_isl", F.sum("_new").over(seq))
+    )
+    return (
+        run.groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("begin"), F.max("_end").alias("end"))
+        .select("doc_id", "begin", "end")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame, min_words: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_spans, n_dup_words, clean_text) — remove the
+    :func:`duplicate_spans` ranges from each document, keeping the
+    globally FIRST occurrence of every duplicated substring (the Lee et
+    al. 2022 removal policy: later copies are cut, the corpus retains
+    exactly one). Documents shorter than ``min_words`` words pass
+    through untouched (no gram can mark them — the published pipelines
+    apply the same length floor); a document that was entirely
+    duplicated keeps a row with empty ``clean_text``.
+
+    The rebuild is a pure array projection: the merged spans (disjoint
+    by construction) collect per doc, and word i survives iff no span
+    contains i — `filter`/`exists` over the split-once token array,
+    zero Python."""
+    spans = duplicate_spans(docs, min_words, text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("begin", "end"))).alias(
+            "_spans"
+        )
+    )
+    base = normalized(spread(docs, "doc_id"), text_col).select(
+        "doc_id", F.split("_norm", " ").alias("_w")
+    )
+    j = base.join(per_doc, "doc_id", "left").withColumn(
+        "_spans",
+        F.coalesce(
+            "_spans",
+            F.array().cast("array<struct<begin:int,end:int>>"),
+        ),
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("_w") - 1),
+        lambda i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["begin"]) & (i < s["end"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_words"),
+        F.size("_spans").cast("long").alias("n_spans"),
+        F.aggregate(
+            "_spans",
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + (s["end"] - s["begin"]).cast("long"),
+        ).alias("n_dup_words"),
+        F.concat_ws(
+            " ",
+            F.transform(kept_idx, lambda i: F.element_at("_w", i + 1)),
+        ).alias("clean_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -4642,3 +4642,78 @@ def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_report(docs, docs.filter(F.col("doc_id") % 19 == 0))
+
+
+# --------------------------------------------------------------------------
+# exact-substring (span-level) dedup — Lee et al. 2022: duplicated
+# substrings of >= L words are cut from every doc but their globally
+# first occurrence; relational form (gram window + gaps-and-islands)
+# instead of a suffix array
+# --------------------------------------------------------------------------
+_SUBL = 8  # gram length (word count floor for a span to be "duplicated")
+
+
+@register(
+    "dedup_substrings",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    grams AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               md5(array_to_string(w[i:i+{_SUBL - 1}], ' ')) AS gh
+        FROM words, unnest(generate_series(1, len(w) - {_SUBL - 1})) s(i)
+        WHERE len(w) >= {_SUBL}),
+    dups AS (
+        SELECT doc_id, pos, pos + {_SUBL} AS e FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gh
+                                      ORDER BY doc_id, pos) AS rn
+            FROM grams) WHERE rn > 1),
+    runs AS (
+        SELECT doc_id, pos, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pe
+        FROM dups),
+    isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS g
+        FROM runs),
+    spans AS (
+        SELECT doc_id, min(pos) AS b, max(e) AS e2
+        FROM isl GROUP BY doc_id, g),
+    stats AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e2 - b) AS BIGINT) AS n_dup_words
+        FROM spans GROUP BY doc_id),
+    wordidx AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS wi, w[i] AS word
+        FROM words, unnest(generate_series(1, len(w))) s(i)),
+    kept AS (
+        SELECT x.doc_id, x.wi, x.word
+        FROM wordidx x
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.doc_id = x.doc_id
+                            AND x.wi >= s.b AND x.wi < s.e2)),
+    perdoc AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY wi) AS clean_text
+        FROM kept GROUP BY doc_id)
+    SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+           coalesce(st.n_spans, 0) AS n_spans,
+           coalesce(st.n_dup_words, 0) AS n_dup_words,
+           coalesce(p.clean_text, '') AS clean_text
+    FROM words w
+    LEFT JOIN stats st ON st.doc_id = w.doc_id
+    LEFT JOIN perdoc p ON p.doc_id = w.doc_id
+    """,
+)
+def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (deferred — pytest-mirrored):
+    keep each duplicated >= _SUBL-word substring's first occurrence,
+    cut every later copy mid-document."""
+    return dedup.strip_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), min_words=_SUBL
+    )

@@ -1505,3 +1505,71 @@ def test_dsir_bucket_counts_merge_equals_union(spark):
     assert {(r.doc_id, r.log_weight) for r in via_merge.collect()} == {
         (r.doc_id, r.log_weight) for r in direct_w.collect()
     }
+
+
+# --------------------------------------------------------------------------
+# span-level exact-substring dedup (Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+
+def test_duplicate_spans_marks_later_copies_only(spark):
+    # doc 1 owns "a b c d e"; doc 2 embeds it mid-text → exactly the
+    # embedded range [2, 7) is a span; doc 1 (first occurrence) is clean
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e"),
+            (2, "x y a b c d e z w q"),
+        ],
+    )
+    spans = {
+        r["doc_id"]: (r["begin"], r["end"])
+        for r in dedup.duplicate_spans(docs, min_words=5).collect()
+    }
+    assert spans == {2: (2, 7)}
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    # doc 2 repeats doc 1's full 7-word run: three 5-gram hits at pos
+    # 1,2,3 merge into ONE maximal span [1, 8)
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g"),
+            (2, "x a b c d e f g y"),
+        ],
+    )
+    spans = dedup.duplicate_spans(docs, min_words=5).collect()
+    assert [(r["doc_id"], r["begin"], r["end"]) for r in spans] == [
+        (2, 1, 8)
+    ]
+
+
+def test_strip_duplicate_spans_cuts_and_rebuilds(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e"),
+            (2, "x y a b c d e z w q"),
+            (3, "short doc"),           # below the gram floor: untouched
+            (4, "a b c d e"),           # whole doc duplicated → empty
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.strip_duplicate_spans(docs, min_words=5).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d e" and out[1]["n_spans"] == 0
+    assert out[2]["clean_text"] == "x y z w q"
+    assert out[2]["n_dup_words"] == 5 and out[2]["n_spans"] == 1
+    assert out[3]["clean_text"] == "short doc" and out[3]["n_spans"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_dup_words"] == 5
+    assert all(r["n_words"] >= r["n_dup_words"] for r in out.values())
+
+
+def test_strip_duplicate_spans_intra_doc_repetition(spark):
+    # the SECOND copy inside one doc is a duplicate of the first
+    docs = _docs(spark, [(1, "a b c d e k a b c d e")])
+    out = dedup.strip_duplicate_spans(docs, min_words=5).collect()[0]
+    assert out["clean_text"] == "a b c d e k"
+    assert out["n_spans"] == 1 and out["n_dup_words"] == 5
