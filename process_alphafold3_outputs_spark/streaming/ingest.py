@@ -641,6 +641,70 @@ def watch_embeddings_ann(
     )
 
 
+def watch_embeddings_ivfpq(
+    spark: SparkSession,
+    inbox_dir: str,
+    codes_path: str,
+    centroids_path: str,
+    codebooks_path: str,
+    checkpoint_dir: str,
+    n_cells: int = 8,
+    m: int = 8,
+    kc: int = 16,
+    dim: int | None = None,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming IVF-PQ (IVFADC) index maintenance — the compressed
+    twin of :func:`watch_embeddings_ann`: the full model (coarse
+    centroids AND residual codebooks) is trained once on the first
+    micro-batch (``ivfpq_index`` bootstrap) and FROZEN in versioned
+    state; every later epoch encodes its vectors against that frozen
+    model (``ivfpq_encode``) so codes stay comparable across epochs,
+    and appends only (vec_id, cell, codes) — the floats never land in
+    the index. Query via ``operators.similarity.ivfpq_search`` over
+    ``spark.read.parquet(codes_path)`` plus the two state tables.
+    Crash-replay idempotent like every watcher here (per-epoch
+    overwrite output, state reads exclude the replayed epoch).
+    Returns the StreamingQuery."""
+    from ..operators.similarity import ivfpq_encode, ivfpq_index
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ss = batch_df.sparkSession
+        cents = read_state(
+            ss,
+            centroids_path,
+            "cell int, ccvec array<double>",
+            before_epoch=epoch_id,
+        )
+        cb = read_state(
+            ss,
+            codebooks_path,
+            "sub int, code int, cvec array<double>",
+            before_epoch=epoch_id,
+        )
+        if not cents.head(1):  # first committed epoch: bootstrap-train
+            cents, cb, codes = ivfpq_index(
+                batch_df, n_cells=n_cells, m=m, kc=kc, dim=dim
+            )
+        else:
+            codes = ivfpq_encode(batch_df, cents, cb, m=m, dim=dim)
+        _write_epoch_output(codes, codes_path, epoch_id)
+        roll_state(cents, centroids_path, epoch_id)
+        roll_state(cb, codebooks_path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def watch_entities(
     spark: SparkSession,
     inbox_dir: str,

@@ -140,3 +140,154 @@ def test_search_over_streamed_index_matches_batch_search(spark, paths):
         ).collect()
     }
     assert got == want and len(got) == 18
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ maintenance: frozen model, epoch-append parity, crash replay
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def pq_paths(tmp_path):
+    return {
+        "inbox": str(tmp_path / "inbox"),
+        "codes": str(tmp_path / "codes"),
+        "cents": str(tmp_path / "cents"),
+        "cb": str(tmp_path / "cb"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_streamed_ivfpq_codes_match_frozen_batch_encode(spark, pq_paths):
+    from process_alphafold3_outputs_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_index,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_embeddings_ivfpq,
+    )
+
+    _vecs(spark, range(0, 24)).coalesce(1).write.mode("append").parquet(
+        pq_paths["inbox"]
+    )
+    q = watch_embeddings_ivfpq(
+        spark, pq_paths["inbox"], pq_paths["codes"], pq_paths["cents"],
+        pq_paths["cb"], pq_paths["ckpt"], n_cells=4, m=4, kc=8, dim=DIM,
+    )
+    try:
+        q.processAllAvailable()
+        _vecs(spark, range(24, 40)).coalesce(1).write.mode(
+            "append"
+        ).parquet(pq_paths["inbox"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in spark.read.parquet(pq_paths["codes"]).collect()
+    }
+    # batch reference: model trained on epoch 0 only, union encoded
+    # against the FROZEN model
+    cents, cb, boot_codes = ivfpq_index(
+        _vecs(spark, range(0, 24)), n_cells=4, m=4, kc=8, dim=DIM
+    )
+    want = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in ivfpq_encode(
+            _vecs(spark, range(0, 40)), cents, cb, m=4, dim=DIM
+        ).collect()
+    }
+    assert streamed == want
+    # both model tables are FROZEN at the epoch-0 bootstrap
+    got_cb = {
+        (r.sub, r.code): tuple(r.cvec)
+        for r in read_state(
+            spark, pq_paths["cb"], "sub int, code int, cvec array<double>"
+        ).collect()
+    }
+    want_cb = {(r.sub, r.code): tuple(r.cvec) for r in cb.collect()}
+    assert got_cb == want_cb
+
+
+def test_ivfpq_replay_between_output_and_state_swap(spark, pq_paths):
+    """Crash window: epoch codes land, the two state swaps don't,
+    epoch replays — codes and model state must equal a never-crashed
+    run (the replayed epoch re-bootstraps from the SAME pre-epoch
+    state because read_state excludes the replayed epoch)."""
+    from process_alphafold3_outputs_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_index,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _write_epoch_output,
+        roll_state,
+    )
+
+    def run_epoch(epoch, ids, crash=False):
+        batch = _vecs(spark, ids)
+        cents = read_state(
+            spark, pq_paths["cents"], "cell int, ccvec array<double>",
+            before_epoch=epoch,
+        )
+        cb = read_state(
+            spark, pq_paths["cb"],
+            "sub int, code int, cvec array<double>", before_epoch=epoch,
+        )
+        if not cents.head(1):
+            cents, cb, codes = ivfpq_index(batch, n_cells=2, m=4, kc=4, dim=DIM)
+        else:
+            codes = ivfpq_encode(batch, cents, cb, m=4, dim=DIM)
+        _write_epoch_output(codes, pq_paths["codes"], epoch)
+        if crash:
+            return
+        roll_state(cents, pq_paths["cents"], epoch)
+        roll_state(cb, pq_paths["cb"], epoch)
+
+    run_epoch(0, range(0, 10))
+    run_epoch(1, range(10, 16), crash=True)
+    mid = sorted(
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(pq_paths["codes"]).collect()
+    )
+    run_epoch(1, range(10, 16))  # restart replay
+    after = sorted(
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(pq_paths["codes"]).collect()
+    )
+    assert after == mid and len(after) == 16
+
+
+def test_search_over_streamed_ivfpq_index(spark, pq_paths):
+    from process_alphafold3_outputs_spark.operators.similarity import (
+        ivfpq_search,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_embeddings_ivfpq,
+    )
+
+    _vecs(spark, range(0, 32)).coalesce(1).write.mode("append").parquet(
+        pq_paths["inbox"]
+    )
+    q = watch_embeddings_ivfpq(
+        spark, pq_paths["inbox"], pq_paths["codes"], pq_paths["cents"],
+        pq_paths["cb"], pq_paths["ckpt"], n_cells=4, m=4, kc=8, dim=DIM,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    codes = spark.read.parquet(pq_paths["codes"]).select(
+        "vec_id", "cell", "codes"
+    )
+    cents = read_state(
+        spark, pq_paths["cents"], "cell int, ccvec array<double>"
+    )
+    cb = read_state(
+        spark, pq_paths["cb"], "sub int, code int, cvec array<double>"
+    )
+    out = ivfpq_search(
+        codes, cents, cb, _vecs(spark, range(0, 4)), k=3, n_probe=2, m=4
+    ).collect()
+    assert len(out) > 0
+    assert all(r.rk <= 3 and -1.5 <= r.sim <= 1.5 for r in out)
