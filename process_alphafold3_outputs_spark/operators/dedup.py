@@ -223,11 +223,27 @@ def duplicate_spans(
     small fraction of the corpus on real data) take one doc-keyed
     window + aggregation for span merging. No suffix array, no global
     sort, no candidate pairs."""
+    grams = _word_grams(docs, min_words, text_col)
+    first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    dups = (
+        grams.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id", "pos", (F.col("pos") + min_words).alias("_end"))
+    )
+    return _merge_gram_spans(dups)
+
+
+def _word_grams(
+    docs: DataFrame, min_words: int, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, gh) — every ``min_words``-gram of the normalized
+    text with its 0-based start position (docs shorter than the gram
+    floor contribute nothing)."""
     L = min_words
     words = normalized(spread(docs, "doc_id"), text_col).select(
         "doc_id", F.split("_norm", " ").alias("_w")
     )
-    grams = words.filter(F.size("_w") >= L).select(
+    return words.filter(F.size("_w") >= L).select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -236,12 +252,11 @@ def duplicate_spans(
             )
         ).alias("pos", "gh"),
     )
-    first = Window.partitionBy("gh").orderBy("doc_id", "pos")
-    dups = (
-        grams.withColumn("_rn", F.row_number().over(first))
-        .filter(F.col("_rn") > 1)
-        .select("doc_id", "pos", (F.col("pos") + L).alias("_end"))
-    )
+
+
+def _merge_gram_spans(dups: DataFrame) -> DataFrame:
+    """(doc_id, begin, end) — gaps-and-islands merge of the duplicate
+    gram windows (doc_id, pos, _end) into maximal disjoint spans."""
     seq = Window.partitionBy("doc_id").orderBy("pos")
     run = (
         dups.withColumn(
@@ -283,6 +298,15 @@ def strip_duplicate_spans(
     contains i — `filter`/`exists` over the split-once token array,
     zero Python."""
     spans = duplicate_spans(docs, min_words, text_col)
+    return _rebuild_without_spans(docs, spans, text_col)
+
+
+def _rebuild_without_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_spans, n_dup_words, clean_text) — cut the
+    given disjoint word spans out of each document's normalized text;
+    pure array projection after one doc-keyed collect of the spans."""
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("begin", "end"))).alias(
             "_spans"
@@ -319,6 +343,43 @@ def strip_duplicate_spans(
             F.transform(kept_idx, lambda i: F.element_at("_w", i + 1)),
         ).alias("clean_text"),
     )
+
+
+def incremental_strip_substrings(
+    new_docs: DataFrame,
+    seen_grams: DataFrame,
+    min_words: int = 20,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(stripped, updated_seen) — :func:`strip_duplicate_spans` in
+    shipment-over-history form: a gram occurrence in the NEW shipment
+    is duplicated if its hash exists in ``seen_grams`` (a (gh) table —
+    prior shipments' grams rolled forward) OR an earlier occurrence
+    exists within the shipment itself; marked spans merge and cut
+    exactly as in the batch kernel. ``updated_seen`` is the rolled
+    state: history ∪ the shipment's distinct grams.
+
+    Scale shape: history participates ONLY as its hash column via one
+    gh-keyed join (md5-uniform, no skew); historical text is never
+    rescanned — the same contract as :func:`incremental_exact_dedup`.
+    """
+    grams = _word_grams(new_docs, min_words, text_col)
+    hist = seen_grams.select("gh").distinct()
+    marked = grams.join(
+        hist.withColumn("_hist", F.lit(1)), "gh", "left"
+    )
+    first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    dups = (
+        marked.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_hist").isNotNull() | (F.col("_rn") > 1))
+        .select("doc_id", "pos", (F.col("pos") + min_words).alias("_end"))
+    )
+    spans = _merge_gram_spans(dups)
+    stripped = _rebuild_without_spans(new_docs, spans, text_col)
+    updated = hist.unionByName(
+        grams.select("gh").distinct()
+    ).distinct()
+    return stripped, updated
 
 
 # --------------------------------------------------------------------------

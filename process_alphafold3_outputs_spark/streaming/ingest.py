@@ -641,6 +641,51 @@ def watch_embeddings_ann(
     )
 
 
+def watch_documents_substrings(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    grams_path: str,
+    checkpoint_dir: str,
+    min_words: int = 20,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming span-level exact-substring dedup (Lee et al. 2022 in
+    intake form): each micro-batch of document drops runs the batch
+    ``incremental_strip_substrings`` kernel against the rolling gram
+    table — duplicated ≥ ``min_words``-word runs (vs history OR
+    earlier in the batch) are cut mid-document, the stripped rows land
+    per-epoch under ``out_path``, and the gram table rolls forward.
+    Versioned-snapshot state; crash-replay idempotent like every
+    watcher here. Returns the StreamingQuery."""
+    from ..operators.dedup import incremental_strip_substrings
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ss = batch_df.sparkSession
+        seen = read_state(
+            ss, grams_path, "gh string", before_epoch=epoch_id
+        )
+        stripped, updated = incremental_strip_substrings(
+            batch_df, seen, min_words=min_words
+        )
+        _write_epoch_output(stripped, out_path, epoch_id)
+        roll_state(updated, grams_path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def watch_embeddings_ivfpq(
     spark: SparkSession,
     inbox_dir: str,

@@ -910,3 +910,42 @@ def test_watch_documents_dsir_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_watch_documents_substrings_across_epochs(spark, tmp_path):
+    """Cross-epoch substring dedup: a sentence dropped in epoch 0 is
+    cut from every epoch-1 doc that embeds it; epoch-1-internal
+    repeats are cut too; the gram table rolls forward."""
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_documents_substrings,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "stripped")
+    grams = str(tmp_path / "grams")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    drop([(1, "a b c d e", "en", "s", 9)])
+    q = watch_documents_substrings(
+        spark, inbox, out, grams, ckpt, min_words=5
+    )
+    try:
+        q.processAllAvailable()
+        drop([(10, "x a b c d e y", "en", "s", 13),
+              (11, "p q r s t", "en", "s", 9),
+              (12, "z p q r s t w", "en", "s", 13)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: "a b c d e", 10: "x y", 11: "p q r s t",
+                   12: "z w"}

@@ -1573,3 +1573,49 @@ def test_strip_duplicate_spans_intra_doc_repetition(spark):
     out = dedup.strip_duplicate_spans(docs, min_words=5).collect()[0]
     assert out["clean_text"] == "a b c d e k"
     assert out["n_spans"] == 1 and out["n_dup_words"] == 5
+
+
+def test_incremental_strip_substrings_vs_history_and_batch(spark):
+    # history owns "a b c d e"; shipment doc 10 repeats it (cut vs
+    # history), doc 11 introduces "p q r s t" (kept — first ever),
+    # doc 12 repeats doc 11's run (cut WITHIN the shipment)
+    hist_docs = _docs(spark, [(1, "a b c d e")])
+    _, seen = dedup.incremental_strip_substrings(
+        hist_docs, spark.createDataFrame([], "gh string"), min_words=5
+    )
+    ship = _docs(
+        spark,
+        [
+            (10, "x a b c d e y"),
+            (11, "p q r s t"),
+            (12, "z p q r s t w"),
+        ],
+    )
+    stripped, updated = dedup.incremental_strip_substrings(
+        ship, seen, min_words=5
+    )
+    out = {r["doc_id"]: r for r in stripped.collect()}
+    assert out[10]["clean_text"] == "x y"
+    assert out[11]["clean_text"] == "p q r s t"
+    assert out[12]["clean_text"] == "z w"
+    # rolled state covers history + shipment grams
+    n_hist = seen.count()
+    assert updated.count() > n_hist
+    # two-shipment run == one-shot batch on the union (same corpus
+    # order: history doc_ids < shipment doc_ids)
+    union = _docs(
+        spark,
+        [
+            (1, "a b c d e"),
+            (10, "x a b c d e y"),
+            (11, "p q r s t"),
+            (12, "z p q r s t w"),
+        ],
+    )
+    batch = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.strip_duplicate_spans(union, min_words=5).collect()
+    }
+    assert {d: r["clean_text"] for d, r in out.items()} == {
+        d: t for d, t in batch.items() if d >= 10
+    }
