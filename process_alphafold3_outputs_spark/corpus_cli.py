@@ -118,11 +118,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--mode",
         choices=["exact", "paragraphs", "boilerplate", "minhash", "simhash",
-                 "clusters"],
+                 "clusters", "substrings"],
         default="exact",
     )
     sp.add_argument("--seg-words", type=int, default=20)
     sp.add_argument("--jaccard-threshold", type=float, default=0.5)
+    sp.add_argument(
+        "--min-words", type=int, default=20,
+        help="substrings mode: gram length — duplicated runs of at "
+        "least this many words are cut (Lee et al. 2022)",
+    )
 
     sp = sub.add_parser("decontaminate")
     common(sp)
@@ -450,6 +455,10 @@ def _result(
             return dedup.lsh_candidate_pairs(docs)
         if args.mode == "simhash":
             return dedup.simhash64(docs)
+        if args.mode == "substrings":
+            return dedup.strip_duplicate_spans(
+                docs, min_words=args.min_words
+            )
         # clusters: transitive components over the Jaccard pair graph
         pairs = dedup.jaccard_pairs(docs, threshold=args.jaccard_threshold)
         return dedup.connected_components(pairs, check_every=2)

@@ -578,3 +578,29 @@ def test_corpus_cli_ann_pq_index_and_query(spark, tmp_path):
     )
     got = {tuple(r) for r in spark.read.parquet(hits_out).collect()}
     assert got == {tuple(r) for r in want.collect()} and res["rows"] > 0
+
+
+def test_corpus_cli_dedup_substrings(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+    from process_alphafold3_outputs_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs_path = f"{sf}/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    out = str(tmp_path / "substr")
+    args = corpus_cli.build_parser().parse_args(
+        ["dedup", "--documents", docs_path, "--mode", "substrings",
+         "--min-words", "8", "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    assert res["rows"] == docs.count()
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "doc_id", "n_words", "n_spans", "n_dup_words", "clean_text"
+    }
+    # the sf0.001 corpus has real duplicated runs at this gram length
+    assert got.filter("n_spans > 0").count() > 0
+    want = dedup.strip_duplicate_spans(docs, min_words=8)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
