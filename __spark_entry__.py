@@ -357,6 +357,16 @@ _DEFERRED: set[str] = {
                              # al. 2022); gram-hash window + islands
                              # mechanics evidenced by green dedup_exact
                              # + sessionize rows (deferred: headroom)
+    "dedup_decontaminate_spans",  # surgical decontamination (span
+                             # form of the green dedup_decontaminate
+                             # row; shares the dedup_substrings
+                             # island/rebuild kernel — deferred:
+                             # headroom)
+    "text_classifier_train",  # distributed logistic-regression trainer
+                             # (fixed-point gradient sums); inference
+                             # half evidenced by the green
+                             # text_classifier_score row (deferred:
+                             # headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

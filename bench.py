@@ -140,6 +140,8 @@ HEADLINE = [
     "graph_source_hits",
     "pipeline_corpus_report",
     "dedup_substrings",
+    "dedup_decontaminate_spans",
+    "text_classifier_train",
 ]
 
 

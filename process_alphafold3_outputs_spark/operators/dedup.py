@@ -345,6 +345,51 @@ def _rebuild_without_spans(
     )
 
 
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_words: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, begin, end) — maximal word spans of corpus documents
+    covered by benchmark/eval-set ``min_words``-grams: the WHERE of
+    contamination, not just the whether (:func:`decontaminate` flags a
+    document; this locates the overlapping passages so an auditor can
+    inspect them and :func:`strip_contamination` can cut them).
+
+    Scale shape: the benchmark gram set is eval-set sized, so it
+    BROADCASTS and the corpus is never shuffled by gram — the gram
+    explode is narrow, the hit filter is a broadcast-hash join, and
+    only the (small) hit set takes the doc-keyed island merge."""
+    grams = _word_grams(docs, min_words, text_col)
+    bench = (
+        _word_grams(benchmark, min_words, text_col)
+        .select("gh")
+        .distinct()
+    )
+    hits = grams.join(F.broadcast(bench), "gh").select(
+        "doc_id", "pos", (F.col("pos") + min_words).alias("_end")
+    )
+    return _merge_gram_spans(hits)
+
+
+def strip_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_words: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_spans, n_dup_words, clean_text) — surgical
+    decontamination: cut the :func:`contamination_spans` ranges out of
+    each document instead of dropping the whole row
+    (:func:`decontaminated_docs` is the drop form). Keeps the
+    benchmark-free remainder of long documents that merely QUOTE an
+    eval item — the published trade-off when dropping whole docs costs
+    too much good text."""
+    spans = contamination_spans(docs, benchmark, min_words, text_col)
+    return _rebuild_without_spans(docs, spans, text_col)
+
+
 def incremental_strip_substrings(
     new_docs: DataFrame,
     seen_grams: DataFrame,

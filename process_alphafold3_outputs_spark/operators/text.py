@@ -2154,3 +2154,178 @@ def packed_doc_spans(packed: DataFrame, seq_tokens: int) -> DataFrame:
             "end_tok"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# quality-classifier TRAINING — the missing half of classifier_score
+# --------------------------------------------------------------------------
+
+
+def classifier_features(
+    docs: DataFrame,
+    positive: Column,
+    dim: int = 64,
+    seed: str = "qclf-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, y, bucket, x) — hashed-unigram feature rows for
+    logistic-regression training: bucket = md5(seed‖token) mod ``dim``
+    (the same arithmetic :func:`classifier_score` applies at inference,
+    so trained weights drop straight into it), x = bucket count /
+    document token count, plus one bias row per document
+    (bucket = −1, x = 1). ``positive`` is the label expression —
+    typically membership in a trusted-source seed set (the fastText
+    quality-filter recipe: positives = curated corpora, negatives =
+    random web).
+
+    One corpus-sized explode collapsing to ≤ min(doc_len, dim)+1 rows
+    per document (map-side combine); everything downstream of this
+    table is feature-sized, not text-sized."""
+    d = (
+        normalized(spread(docs, "doc_id"), text_col)
+        .withColumn("_y", positive.cast("double"))
+        .withColumn("_toks", F.split("_norm", " "))
+        .withColumn("_n", F.size("_toks"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("_tok"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % dim
+    )
+    feat = (
+        d.select("doc_id", "_y", "_n", F.explode("_toks").alias("_tok"))
+        .select("doc_id", "_y", "_n", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.max("_y").alias("y"),
+            (F.count(F.lit(1)) / F.max("_n")).alias("x"),
+        )
+    )
+    bias_rows = d.select(
+        "doc_id",
+        F.col("_y").alias("y"),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    ).select("doc_id", "bucket", "y", "x")
+    return feat.select("doc_id", "bucket", "y", "x").unionByName(bias_rows)
+
+
+def fit_quality_classifier(
+    docs: DataFrame,
+    positive: Column,
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    seed: str = "qclf-v1",
+    text_col: str = "text",
+    quant: float = 1e9,
+) -> tuple[list[float], float]:
+    """Full-batch gradient-descent logistic regression over
+    :func:`classifier_features` → (weights[dim], bias), ready for
+    :func:`classifier_score`. Every LLM curation stack trains this
+    gate (fastText/CCNet-style: label a seed set, fit a linear model,
+    keep the high-scoring tail); this is the distributed trainer.
+
+    Determinism + scale contract, per iteration:
+
+    - the model rides to the executors as a LITERAL weight array
+      (model-sized — never a join against the corpus);
+    - per-document logits fold the ≤ dim+1 feature rows in bucket
+      order (bounded arrays — safe to sort per group), then
+      p = round(σ(z), 9) defuses last-ulp libm ``exp`` drift;
+    - the gradient is quantized to ``quant`` FIXED-POINT integers and
+      summed as exact decimals — integer addition is associative, so
+      the sum is shuffle-order-independent AND map-side combinable
+      (an ordered float fold here would materialize corpus-sized
+      per-bucket arrays — the non-scalable alternative);
+    - one bounded collect of dim+1 gradient cells per iteration
+      (driver rounds = ``iters``, each a 2-shuffle job).
+
+    The DuckDB oracle (`text_classifier_train`) unrolls the iterations
+    as CTE pairs and reproduces every weight bit-for-bit."""
+    spark = docs.sparkSession
+    feats = classifier_features(docs, positive, dim, seed, text_col)
+    feats = feats.persist()
+    try:
+        n = feats.filter(F.col("bucket") == -1).count()  # one row per doc
+        if n == 0:
+            return [0.0] * dim, 0.0
+        w = {b: 0.0 for b in range(-1, dim)}
+        for _ in range(iters):
+            warr = F.array(*[F.lit(w[b]) for b in range(-1, dim)])
+            z = F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bucket", "x"))),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + s["x"]
+                * F.element_at(warr, (s["bucket"] + 2).cast("int")),
+            )
+            pdoc = feats.groupBy("doc_id").agg(
+                F.max("y").alias("y"),
+                F.round(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9
+                ).alias("p"),
+            )
+            grad = (
+                feats.join(pdoc.select("doc_id", "p"), "doc_id")
+                .groupBy("bucket")
+                .agg(
+                    F.sum(
+                        F.round(
+                            (F.col("p") - F.col("y")) * F.col("x") * quant, 0
+                        ).cast("decimal(38,0)")
+                    ).alias("gq")
+                )
+            )
+            g = {r["bucket"]: float(r["gq"]) for r in grad.collect()}
+            w = {
+                b: round_half_up(
+                    w[b] - lr * ((g.get(b, 0.0) / quant) / n), 9
+                )
+                for b in range(-1, dim)
+            }
+    finally:
+        feats.unpersist()
+    return [w[b] for b in range(dim)], w[-1]
+
+
+def round_half_up(v: float, digits: int) -> float:
+    """Driver-side twin of Spark's ``F.round`` (BigDecimal HALF_UP over
+    the shortest decimal representation) — weight updates must round
+    identically to the SQL oracle's ``round(x, 9)``."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    positive: Column,
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 1.0,
+    seed: str = "qclf-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, weight) — the trained model of
+    :func:`fit_quality_classifier` as a DataFrame (bucket −1 = bias):
+    the persistable/driver-checkable form; feed the list form straight
+    into :func:`classifier_score` for the inference gate."""
+    weights, bias = fit_quality_classifier(
+        docs, positive, dim=dim, iters=iters, lr=lr, seed=seed,
+        text_col=text_col,
+    )
+    spark = docs.sparkSession
+    rows = [(-1, float(bias))] + [
+        (b, float(weights[b])) for b in range(dim)
+    ]
+    return spark.createDataFrame(rows, "bucket int, weight double")

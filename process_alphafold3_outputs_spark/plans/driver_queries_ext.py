@@ -4717,3 +4717,152 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.strip_duplicate_spans(
         load_table(spark, sf_dir, "documents"), min_words=_SUBL
     )
+
+
+# --------------------------------------------------------------------------
+# contamination SPANS + surgical decontamination: WHERE the benchmark
+# overlap sits inside each doc (dedup_decontaminate flags the doc;
+# this cuts exactly the overlapping passages). Benchmark fixture =
+# the doc_id % 19 == 0 slice, as in dedup_decontaminate.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_decontaminate_spans",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    grams AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               md5(array_to_string(w[i:i+{_SUBL - 1}], ' ')) AS gh
+        FROM words, unnest(generate_series(1, len(w) - {_SUBL - 1})) s(i)
+        WHERE len(w) >= {_SUBL}),
+    bgrams AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 19 = 0),
+    hits AS (
+        SELECT g.doc_id, g.pos, g.pos + {_SUBL} AS e
+        FROM grams g JOIN bgrams b ON b.gh = g.gh),
+    runs AS (
+        SELECT doc_id, pos, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pe
+        FROM hits),
+    isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS g
+        FROM runs),
+    spans AS (
+        SELECT doc_id, min(pos) AS b, max(e) AS e2
+        FROM isl GROUP BY doc_id, g),
+    stats AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e2 - b) AS BIGINT) AS n_dup_words
+        FROM spans GROUP BY doc_id),
+    wordidx AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS wi, w[i] AS word
+        FROM words, unnest(generate_series(1, len(w))) s(i)),
+    kept AS (
+        SELECT x.doc_id, x.wi, x.word
+        FROM wordidx x
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.doc_id = x.doc_id
+                            AND x.wi >= s.b AND x.wi < s.e2)),
+    perdoc AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY wi) AS clean_text
+        FROM kept GROUP BY doc_id)
+    SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+           coalesce(st.n_spans, 0) AS n_spans,
+           coalesce(st.n_dup_words, 0) AS n_dup_words,
+           coalesce(p.clean_text, '') AS clean_text
+    FROM words w
+    LEFT JOIN stats st ON st.doc_id = w.doc_id
+    LEFT JOIN perdoc p ON p.doc_id = w.doc_id
+    """,
+)
+def dedup_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination (deferred — pytest-mirrored): cut
+    exactly the benchmark-overlapping >= _SUBL-word passages; a
+    benchmark doc itself strips to empty (it is pure overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.strip_contamination(
+        docs, docs.filter(F.col("doc_id") % 19 == 0), min_words=_SUBL
+    )
+
+
+# --------------------------------------------------------------------------
+# quality-classifier TRAINING: distributed full-batch logistic
+# regression over hashed-unigram features (the fastText/CCNet recipe:
+# positives = trusted-source seed set). The oracle unrolls each GD
+# iteration as CTE pairs; the gradient sums are 1e9 fixed-point
+# integers (order-independent — the scale-safe form), per-doc logits
+# fold in bucket order, p/weights round to 9 dp each iteration, so
+# every trained weight matches bit-for-bit.
+# --------------------------------------------------------------------------
+_TRN_DIM, _TRN_ITERS, _TRN_LR, _TRN_SEED = 32, 3, 2.0, "qtrain-v1"
+_TRN_POS = "('src0', 'src1', 'src2', 'src3')"
+
+
+def _clf_iter_sql(i: int) -> str:
+    """CTE block: logits+p under w{i}, fixed-point gradient, w{i+1}."""
+    return f"""
+    z{i} AS (
+        SELECT f.doc_id, max(f.y) AS y,
+               sum(f.x * w.w ORDER BY f.bucket) AS z
+        FROM feats f JOIN w{i} w USING (bucket) GROUP BY f.doc_id),
+    p{i} AS (SELECT doc_id, y, round(1.0 / (1.0 + exp(-z)), 9) AS p
+             FROM z{i}),
+    g{i} AS (
+        SELECT f.bucket,
+               sum(CAST(round((p.p - f.y) * f.x * 1e9) AS HUGEINT)) AS gq
+        FROM feats f JOIN p{i} p USING (doc_id) GROUP BY f.bucket),
+    w{i + 1} AS (
+        SELECT w.bucket,
+               round(w.w - {_TRN_LR!r} * ((coalesce(g.gq, 0) / 1e9) / nn.c),
+                     9) AS w
+        FROM w{i} w LEFT JOIN g{i} g USING (bucket), nn)"""
+
+
+@register(
+    "text_classifier_train",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id,
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t,
+               CAST(source IN {_TRN_POS} AS DOUBLE) AS y
+        FROM documents),
+    words AS (SELECT doc_id, y, string_split(t, ' ') AS w FROM base),
+    toks AS (SELECT doc_id, y, len(w) AS n, unnest(w) AS tok FROM words),
+    bf AS (
+        SELECT doc_id, y, n,
+               CAST(('0x' || substr(md5('{_TRN_SEED}:' || tok), 1, 8))
+                    AS BIGINT) % {_TRN_DIM} AS bucket
+        FROM toks),
+    feat AS (
+        SELECT doc_id, y, bucket, CAST(count(*) AS DOUBLE) / n AS x
+        FROM bf GROUP BY doc_id, y, bucket, n),
+    feats AS (
+        SELECT doc_id, y, bucket, x FROM feat
+        UNION ALL
+        SELECT doc_id, y, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x
+        FROM words),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM words),
+    w0 AS (SELECT CAST(unnest(generate_series(-1, {_TRN_DIM - 1}))
+                       AS BIGINT) AS bucket, 0.0 AS w),
+    {",".join(_clf_iter_sql(i) for i in range(_TRN_ITERS))}
+    SELECT CAST(bucket AS INT) AS bucket, w AS weight FROM w{_TRN_ITERS}
+    """,
+)
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-gate model (bucket −1 = bias): distributed GD
+    with literal-array model shipping, bucket-ordered bounded logit
+    folds, and exact fixed-point gradient aggregation — the weights
+    drop straight into the `text_classifier_score` inference gate."""
+    return text.train_quality_classifier(
+        load_table(spark, sf_dir, "documents"),
+        positive=F.col("source").isin("src0", "src1", "src2", "src3"),
+        dim=_TRN_DIM,
+        iters=_TRN_ITERS,
+        lr=_TRN_LR,
+        seed=_TRN_SEED,
+    )

@@ -1619,3 +1619,129 @@ def test_incremental_strip_substrings_vs_history_and_batch(spark):
     assert {d: r["clean_text"] for d, r in out.items()} == {
         d: t for d, t in batch.items() if d >= 10
     }
+
+
+def test_contamination_spans_locate_benchmark_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "intro words here a b c d e closing words"),
+            (2, "totally unrelated content with no overlap at all"),
+        ],
+    )
+    bench = _docs(spark, [(100, "a b c d e")])
+    spans = [
+        (r["doc_id"], r["begin"], r["end"])
+        for r in dedup.contamination_spans(docs, bench, min_words=5).collect()
+    ]
+    assert spans == [(1, 3, 8)]
+
+
+def test_strip_contamination_cuts_only_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "intro words here a b c d e closing words"),
+            (2, "clean doc stays whole no matter what"),
+            (3, "a b c d e"),  # IS the benchmark item → strips empty
+        ],
+    )
+    bench = _docs(spark, [(100, "a b c d e")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.strip_contamination(docs, bench, min_words=5).collect()
+    }
+    assert out[1]["clean_text"] == "intro words here closing words"
+    assert out[1]["n_spans"] == 1 and out[1]["n_dup_words"] == 5
+    assert out[2]["clean_text"] == "clean doc stays whole no matter what"
+    assert out[3]["clean_text"] == "" and out[3]["n_dup_words"] == 5
+
+
+def test_train_quality_classifier_separates_seed_sources(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                (
+                    "good clean prose flows here"
+                    if i % 2 == 0
+                    else "spam spam buy now click"
+                )
+                + f" tail{i % 3}",
+                "hq" if i % 2 == 0 else "web",
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    w, b = text.fit_quality_classifier(
+        docs, F.col("source") == "hq", dim=16, iters=4, lr=2.0, seed="t"
+    )
+    scored = text.classifier_score(docs, weights=w, bias=b, seed="t").collect()
+    pos = [r["clf_score"] for r in scored if r["doc_id"] % 2 == 0]
+    neg = [r["clf_score"] for r in scored if r["doc_id"] % 2 == 1]
+    assert min(pos) > max(neg)
+
+
+def test_fit_quality_classifier_matches_python_reference(spark):
+    """Loose-tolerance differential vs a sequential pure-Python GD
+    implementing the same quantized updates (the BIT-exact check is the
+    DuckDB oracle `text_classifier_train`)."""
+    import hashlib
+    import math
+
+    rows = [
+        (i, f"alpha beta w{i % 5} gamma" if i % 3 == 0 else f"delta w{i % 7}",
+         1.0 if i % 3 == 0 else 0.0)
+        for i in range(30)
+    ]
+    dim, iters, lr, seed, quant = 8, 3, 1.5, "dz", 1e9
+    docs = spark.createDataFrame(
+        [(i, t, "p" if y else "n") for i, t, y in rows],
+        "doc_id long, text string, source string",
+    )
+    got_w, got_b = text.fit_quality_classifier(
+        docs, F.col("source") == "p", dim=dim, iters=iters, lr=lr, seed=seed
+    )
+
+    def bucket(tok):
+        return int(hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:8], 16) % dim
+
+    feats = []  # (doc, y, [(bucket, x)...] incl bias)
+    for i, t, y in rows:
+        toks = t.lower().split(" ")
+        cnt: dict[int, int] = {}
+        for tok in toks:
+            cnt[bucket(tok)] = cnt.get(bucket(tok), 0) + 1
+        f = {b: c / len(toks) for b, c in cnt.items()}
+        f[-1] = 1.0
+        feats.append((y, f))
+    w = {b: 0.0 for b in range(-1, dim)}
+    n = len(rows)
+    for _ in range(iters):
+        g = {b: 0 for b in range(-1, dim)}
+        for y, f in feats:
+            z = 0.0
+            for b in sorted(f):
+                z += f[b] * w[b]
+            p = round(1.0 / (1.0 + math.exp(-z)), 9)
+            for b, x in f.items():
+                v = (p - y) * x * quant
+                g[b] += int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+        w = {b: w[b] - lr * ((g[b] / quant) / n) for b in range(-1, dim)}
+    assert abs(got_b - w[-1]) < 1e-6
+    for b in range(dim):
+        assert abs(got_w[b] - w[b]) < 1e-6, (b, got_w[b], w[b])
+
+
+def test_fit_quality_classifier_empty_and_zero_iters(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    w, b = text.fit_quality_classifier(docs, F.col("source") == "x", dim=4)
+    assert w == [0.0] * 4 and b == 0.0
+    docs2 = spark.createDataFrame(
+        [(1, "a b", "x")], "doc_id long, text string, source string"
+    )
+    w2, b2 = text.fit_quality_classifier(
+        docs2, F.col("source") == "x", dim=4, iters=0
+    )
+    assert w2 == [0.0] * 4 and b2 == 0.0
