@@ -367,6 +367,14 @@ _DEFERRED: set[str] = {
                              # half evidenced by the green
                              # text_classifier_score row (deferred:
                              # headroom)
+    "text_c4_quality",       # C4 rule bundle (Raffel et al. 2020);
+                             # same narrow-projection shape as the
+                             # green text_gopher_quality row
+                             # (deferred: headroom)
+    "text_epoch_expand",     # fractional-epoch training multiset;
+                             # md5-draw mechanics evidenced by the
+                             # green text_sample_domains row
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

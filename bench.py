@@ -142,6 +142,8 @@ HEADLINE = [
     "dedup_substrings",
     "dedup_decontaminate_spans",
     "text_classifier_train",
+    "text_c4_quality",
+    "text_epoch_expand",
 ]
 
 

@@ -2329,3 +2329,124 @@ def train_quality_classifier(
         (b, float(weights[b])) for b in range(dim)
     ]
     return spark.createDataFrame(rows, "bucket int, weight double")
+
+
+C4_BAD_PHRASES = ("lorem ipsum", "terms of use", "privacy policy", "cookie policy")
+
+
+def c4_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """Per-document signals + keep flag for the published C4 cleaning
+    rules (Raffel et al. 2020, §2.2) — the other standard heuristic
+    bundle next to :func:`gopher_quality`: keep only lines that end in
+    terminal punctuation AND have ≥ ``min_line_words`` words; drop
+    documents with fewer than ``min_sentences`` sentences, any curly
+    brace (code), or a blocklisted boilerplate phrase ("lorem ipsum",
+    policy pages). Returns the cleaned text (kept lines re-joined) plus
+    every signal so thresholds re-tune by query.
+
+    Scale shape: identical to gopher_quality — one narrow projection
+    over a split-once line array, no explode, no shuffle, no UDF; the
+    document-level gates compose as boolean columns."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(raw, "\n")
+    is_kept = lambda ln: (  # noqa: E731
+        F.trim(ln).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_words)
+    )
+    kept = F.filter(lines, is_kept)
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    low = F.lower(raw)
+    n_sentences = (
+        F.size(F.filter(F.split(low, r"[.!?]"), lambda s: F.trim(s) != ""))
+    ).cast("long")
+    has_brace = low.contains("{") | low.contains("}")
+    has_bad = None
+    for p in C4_BAD_PHRASES:
+        c = low.contains(p)
+        has_bad = c if has_bad is None else (has_bad | c)
+    keep = (
+        (F.size(kept) >= min_kept_lines)
+        & (n_sentences >= min_sentences)
+        & ~has_brace
+        & ~has_bad
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_brace.cast("int").alias("has_brace"),
+        has_bad.cast("int").alias("has_bad_phrase"),
+        keep.cast("int").alias("keep"),
+        clean.alias("clean_text"),
+    )
+
+
+def epoch_expand(
+    docs: DataFrame,
+    factors: dict[str, float],
+    seed: str = "epoch-v1",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, source, copy_idx) — the training multiset for a mixture
+    with FRACTIONAL per-source epoch factors (the published mixture
+    recipe: high-quality sources repeat 2–5 epochs, bulk web < 1): each
+    document appears ⌊e⌋ times plus once more iff its deterministic
+    hash draw falls under frac(e) — so a source with e = 2.3 repeats
+    every doc twice and a hash-chosen 30% slice a third time, giving
+    exactly e× expected tokens with zero randomness (a retried task
+    re-derives the same copies; the same seed reproduces the same
+    training set end to end).
+
+    Sources missing from ``factors`` get 0 — dropped.
+
+    Scale shape: the factor table is a sources-sized literal MAP (no
+    join), the per-doc draw is one md5, and the expansion is a bounded
+    explode (≤ ⌈max e⌉ rows per doc) — narrow, shuffle-free; writers
+    downstream typically repartition by hash(doc_id, copy_idx) to
+    spread the repeats."""
+    kv: list[Column] = []
+    for k, v in factors.items():
+        kv.append(F.lit(k))
+        kv.append(F.lit(float(v)))
+    fmap = F.create_map(*kv) if kv else F.create_map()
+    ep = F.coalesce(
+        F.element_at(fmap, F.col(source_col)), F.lit(0.0)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    n = (F.floor(ep) + F.when(u < ep - F.floor(ep), 1).otherwise(0)).cast(
+        "int"
+    )
+    return (
+        docs.select(id_col, source_col, n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias(
+                "copy_idx"
+            ),
+        )
+    )

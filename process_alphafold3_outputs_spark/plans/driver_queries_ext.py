@@ -4866,3 +4866,117 @@ def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr=_TRN_LR,
         seed=_TRN_SEED,
     )
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2) — the second published
+# heuristic bundle next to gopher_quality. The flat synthetic corpus
+# has no lines/punctuation, so the query derives a STRUCTURED corpus
+# deterministically first (period+newline every 5 words; bad phrase /
+# code brace injected by doc_id residue) — every signal then varies
+# and the oracle checks the full line/sentence arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "text_c4_quality",
+    sql=r"""
+    WITH structured AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 23 = 0 THEN 'Lorem ipsum intro. ' ELSE '' END
+               || regexp_replace(text, '((\w+ ){4}\w+) ', '\1.' || chr(10), 'g')
+               || CASE WHEN doc_id % 29 = 0 THEN ' {code}' ELSE '' END AS text
+        FROM documents),
+    sig AS (
+        SELECT doc_id,
+               string_split(text, chr(10)) AS lines,
+               lower(text) AS low
+        FROM structured),
+    per AS (
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               list_filter(lines, ln ->
+                   regexp_matches(trim(ln), '[.!?"]$')
+                   AND len(string_split_regex(trim(ln), '\s+')) >= 5)
+                   AS kept,
+               len(list_filter(string_split_regex(low, '[.!?]'),
+                               s -> trim(s) != '')) AS n_sentences,
+               CAST(contains(low, '{') OR contains(low, '}') AS INT)
+                   AS has_brace,
+               CAST(contains(low, 'lorem ipsum')
+                    OR contains(low, 'terms of use')
+                    OR contains(low, 'privacy policy')
+                    OR contains(low, 'cookie policy') AS INT)
+                   AS has_bad_phrase
+        FROM sig)
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           has_brace, has_bad_phrase,
+           CAST(len(kept) >= 1 AND n_sentences >= 3
+                AND has_brace = 0 AND has_bad_phrase = 0 AS INT) AS keep,
+           array_to_string(list_transform(kept, ln -> trim(ln)), chr(10))
+               AS clean_text
+    FROM per
+    """,
+)
+def text_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rule bundle over a deterministically structured corpus:
+    line-level terminal-punctuation + min-word gate, sentence floor,
+    code-brace and boilerplate-phrase blocklists, cleaned text."""
+    docs = load_table(spark, sf_dir, "documents")
+    structured = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 23 == 0, F.lit("Lorem ipsum intro. "))
+            .otherwise(F.lit("")),
+            F.regexp_replace(
+                F.col("text"), r"((\w+ ){4}\w+) ", "$1.\n"
+            ),
+            F.when(F.col("doc_id") % 29 == 0, F.lit(" {code}")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return text.c4_quality(structured)
+
+
+# --------------------------------------------------------------------------
+# fractional epoch expansion — the training-multiset materializer for
+# mixture weights given as per-source EPOCH factors (repeat counts):
+# doc repeated floor(e) times + once more iff its deterministic hash
+# draw < frac(e). Factors here: src{i} -> 0.25 + 0.35*(i mod 7).
+# --------------------------------------------------------------------------
+_EPOCH_SEED = "epoch-v1"
+_EPOCH_FACTORS = {
+    f"src{i}": round(0.25 + 0.35 * (i % 7), 2) for i in range(20)
+}
+
+
+@register(
+    "text_epoch_expand",
+    sql=f"""
+    WITH f AS (
+        SELECT * FROM (VALUES {", ".join(
+            f"('{k}', {v!r})" for k, v in sorted(_EPOCH_FACTORS.items())
+        )}) t(source, ep)),
+    d AS (
+        SELECT doc_id, d.source,
+               CAST(floor(ep) + CASE WHEN
+                   CAST(('0x' || substr(md5('{_EPOCH_SEED}:'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 < ep - floor(ep)
+                   THEN 1 ELSE 0 END AS INT) AS n
+        FROM documents d JOIN f ON f.source = d.source)
+    SELECT doc_id, source, CAST(i AS INT) AS copy_idx
+    FROM d, unnest(generate_series(0, n - 1)) s(i)
+    WHERE n > 0
+    """,
+)
+def text_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional-epoch training multiset: literal factor
+    map, one md5 draw per doc, bounded explode — shuffle-free."""
+    return text.epoch_expand(
+        load_table(spark, sf_dir, "documents"),
+        factors=_EPOCH_FACTORS,
+        seed=_EPOCH_SEED,
+    )

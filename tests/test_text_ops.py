@@ -1745,3 +1745,69 @@ def test_fit_quality_classifier_empty_and_zero_iters(spark):
         docs2, F.col("source") == "x", dim=4, iters=0
     )
     assert w2 == [0.0] * 4 and b2 == 0.0
+
+
+def test_c4_quality_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # 3 good sentences, each a >=5-word line with terminal punct
+            (1, "the quick brown fox jumps.\nover the lazy dog today!\n"
+                "and then it ran home?"),
+            # line too short + no terminal punct -> no kept lines
+            (2, "short line\nno punctuation here at all"),
+            # code brace kills it despite good lines
+            (3, "this is a fine sentence right here.\nanother very good "
+                "sentence follows it.\na third sentence closes it out. {x}"),
+            # boilerplate phrase
+            (4, "Lorem Ipsum dolor sit amet friends.\nthe second sentence "
+                "is here now.\nthe third sentence lands right here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.c4_quality(docs).collect()}
+    assert out[1]["keep"] == 1 and out[1]["n_kept_lines"] == 3
+    assert out[1]["clean_text"].count("\n") == 2
+    assert out[2]["keep"] == 0 and out[2]["n_kept_lines"] == 0
+    assert out[3]["keep"] == 0 and out[3]["has_brace"] == 1
+    assert out[4]["keep"] == 0 and out[4]["has_bad_phrase"] == 1
+    # the kept-line filter drops the short/unpunctuated lines
+    assert "short line" not in (out[2]["clean_text"] or "")
+
+
+def test_c4_quality_null_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.c4_quality(docs).collect()}
+    for d in (1, 2):
+        assert out[d]["keep"] == 0 and out[d]["n_kept_lines"] == 0
+
+
+def test_epoch_expand_counts_and_determinism(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)],
+        "doc_id long, source string",
+    )
+    factors = {"s0": 2.0, "s1": 0.5, "s2": 3.4}
+    out = text.epoch_expand(docs, factors, seed="e1").collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    import math
+
+    for i in range(60):
+        e = factors[f"s{i % 3}"]
+        u = int(hashlib.md5(f"e1:{i}".encode()).hexdigest()[:8], 16) / 2**32
+        expect = int(math.floor(e)) + (1 if u < e - math.floor(e) else 0)
+        got = sorted(per_doc.get(i, []))
+        assert got == list(range(expect)), (i, e, got, expect)
+
+
+def test_epoch_expand_missing_source_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "known"), (2, "unknown")], "doc_id long, source string"
+    )
+    out = text.epoch_expand(docs, {"known": 1.0}).collect()
+    assert {r["doc_id"] for r in out} == {1}
