@@ -375,6 +375,10 @@ _DEFERRED: set[str] = {
                              # md5-draw mechanics evidenced by the
                              # green text_sample_domains row
                              # (deferred: headroom)
+    "pipeline_ccnet_buckets",  # CCNet head/middle/tail tiers; composes
+                             # the green text_perplexity_bigram +
+                             # text_language_id oracle texts
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -144,6 +144,7 @@ HEADLINE = [
     "text_classifier_train",
     "text_c4_quality",
     "text_epoch_expand",
+    "pipeline_ccnet_buckets",
 ]
 
 

@@ -2450,3 +2450,46 @@ def epoch_expand(
             ),
         )
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pred_lang, ppl, bucket) — the CCNet quality tiers
+    (Wenzek et al. 2020): per detected language, rank documents by LM
+    perplexity and label the head / middle / tail tertiles (head =
+    most fluent; the published pipeline trains on head+middle and
+    drops or downweights tail). Composition of :func:`language_id` +
+    :func:`bigram_lm_scores` + per-language EXACT interpolating
+    percentile cutpoints.
+
+    Determinism: tier thresholds compare the ROUNDED ppl column
+    against 6-dp-rounded cutpoints — thresholding unrounded floats
+    across engines is the known landmine. Documents too short to score
+    (ppl NULL) fall to 'tail' in both engines (NULL fails every
+    comparison into the ELSE branch).
+
+    Scale shape: one doc-keyed join of two corpus passes, then a
+    LANGUAGES-sized cutpoint table broadcast back — the corpus is
+    never re-shuffled for the tiering. Exact percentiles buffer each
+    language's ppl values; at 100 TB swap `approx_percentile` with a
+    pinned accuracy (same one-line swap as corpus_stats)."""
+    lang = language_id(docs, text_col)
+    ppl = bigram_lm_scores(docs, alpha=alpha, text_col=text_col).select(
+        "doc_id", "ppl"
+    )
+    scored = ppl.join(lang, "doc_id")
+    cutpoints = scored.groupBy("pred_lang").agg(
+        F.round(F.percentile("ppl", F.lit(cuts[0])), 6).alias("_c1"),
+        F.round(F.percentile("ppl", F.lit(cuts[1])), 6).alias("_c2"),
+    )
+    out = scored.join(F.broadcast(cutpoints), "pred_lang")
+    bucket = (
+        F.when(F.col("ppl") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select("doc_id", "pred_lang", "ppl", bucket.alias("bucket"))

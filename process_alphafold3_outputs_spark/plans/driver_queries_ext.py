@@ -4980,3 +4980,40 @@ def text_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         factors=_EPOCH_FACTORS,
         seed=_EPOCH_SEED,
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet quality tiers (Wenzek et al. 2020): per detected language,
+# head/middle/tail perplexity tertiles. The oracle composes the two
+# existing green oracle texts (bigram LM + language id) as derived
+# tables, so drift in either also breaks this row.
+# --------------------------------------------------------------------------
+def _register_ccnet_buckets() -> None:
+    ppl = _ORACLE["text_perplexity_bigram"]
+    lang = _ORACLE["text_language_id"]
+    c1, c2 = repr(1.0 / 3.0), repr(2.0 / 3.0)
+    register(
+        "pipeline_ccnet_buckets",
+        sql=f"""
+        WITH scored AS (
+            SELECT p.doc_id, l.pred_lang, p.ppl
+            FROM ({ppl}) p JOIN ({lang}) l USING (doc_id)),
+        cuts AS (
+            SELECT pred_lang,
+                   round(quantile_cont(ppl, {c1}), 6) AS c1,
+                   round(quantile_cont(ppl, {c2}), 6) AS c2
+            FROM scored GROUP BY pred_lang)
+        SELECT s.doc_id, s.pred_lang, s.ppl,
+               CASE WHEN s.ppl <= c.c1 THEN 'head'
+                    WHEN s.ppl <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN cuts c USING (pred_lang)
+        """,
+    )(_pipeline_ccnet_buckets)
+
+
+def _pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ccnet_buckets(load_table(spark, sf_dir, "documents"))
+
+
+_register_ccnet_buckets()

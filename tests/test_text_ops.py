@@ -1811,3 +1811,31 @@ def test_epoch_expand_missing_source_dropped(spark):
     )
     out = text.epoch_expand(docs, {"known": 1.0}).collect()
     assert {r["doc_id"] for r in out} == {1}
+
+
+def test_ccnet_buckets_orders_by_fluency(spark):
+    fluent = "the cat sat on the mat and the cat sat on the mat again"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(6)]
+        + [(10 + i, f"zxq{i} wopr{i} blarg{i} fnord{i} quux{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.ccnet_buckets(docs).collect()}
+    # identical fluent docs share a ppl at/below the 1/3 cutpoint of
+    # their language group; each gibberish doc's unseen bigrams push it
+    # to a strictly higher ppl
+    for i in range(6):
+        assert out[i]["bucket"] == "head", out[i]
+    assert all(
+        out[10 + i]["ppl"] > out[0]["ppl"] for i in range(6)
+    )
+
+
+def test_ccnet_buckets_unscorable_doc_is_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, "the and of is to the and of"), (2, "single"),
+         (3, "the of and is to the of and is to")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.ccnet_buckets(docs).collect()}
+    assert out[2]["ppl"] is None and out[2]["bucket"] == "tail"
