@@ -379,6 +379,9 @@ _DEFERRED: set[str] = {
                              # the green text_perplexity_bigram +
                              # text_language_id oracle texts
                              # (deferred: headroom)
+    "pipeline_filter_audit",  # per-doc drop provenance; composes the
+                             # green pipeline_corpus_clean oracle as
+                             # its kept set (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

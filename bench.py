@@ -145,6 +145,7 @@ HEADLINE = [
     "text_c4_quality",
     "text_epoch_expand",
     "pipeline_ccnet_buckets",
+    "pipeline_filter_audit",
 ]
 
 

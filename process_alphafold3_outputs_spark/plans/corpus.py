@@ -344,3 +344,110 @@ def corpus_report(
         "source", "n_docs", "n_distinct_texts", "exact_dup_frac",
         "lang_frac", "mean_words", "contaminated_frac",
     )
+
+
+def filter_audit(
+    docs: DataFrame,
+    lang: str = "en",
+    min_words: int = 5,
+    max_words: int = 10_000,
+    jaccard_threshold: float = 0.8,
+    text_col: str = "text",
+    stage: bool = True,
+    handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(doc_id, n_words, pred_lang, pass_quality, pass_language,
+    pass_exact, pass_near, kept, dropped_at) — the per-document
+    PROVENANCE of :func:`clean_corpus`: which gate each document
+    passed and which one dropped it ("why is doc X not in my training
+    set?" — the audit table every curation run owes its consumers).
+
+    Stage verdicts respect the pipeline's staging: a gate a document
+    never reached (because an earlier one dropped it) reports the
+    SENTINEL −1, not a guess — exact-dup keep is defined among
+    quality+language survivors and near-dup among exact-dup survivors,
+    exactly as the pipeline executes them. ``kept`` equals membership
+    in :func:`clean_corpus`'s survivor set (pytest-pinned identity).
+    ``dropped_at`` ∈ quality | language | exact_dup | near_dup | kept
+    (quality is reported before language within the fused stage-1
+    filter — a presentation order, both are evaluated).
+
+    Scale shape: the flags are pure columns on one corpus pass; the
+    extra cost over the pipeline itself is one hash-keyed keeper join
+    and one left join against the (already computed) survivor ids —
+    both on the corpus's natural keys, no new pair expansion."""
+    base = (
+        dedup.normalized(docs, text_col)
+        .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
+        .withColumn("pred_lang", text.language_id_col(F.col("_norm")))
+        .withColumn(
+            "pass_quality",
+            (
+                (F.col("n_ws_tokens") >= min_words)
+                & (F.col("n_ws_tokens") <= max_words)
+            ).cast("int"),
+        )
+        .withColumn(
+            "pass_language", (F.col("pred_lang") == lang).cast("int")
+        )
+        .withColumn("_h", F.md5("_norm"))
+    )
+    surv12 = base.filter(
+        (F.col("pass_quality") == 1) & (F.col("pass_language") == 1)
+    )
+    keepers = surv12.groupBy("_h").agg(F.min("doc_id").alias("_keeper"))
+    kept_ids = (
+        clean_corpus(
+            docs,
+            lang=lang,
+            min_words=min_words,
+            max_words=max_words,
+            jaccard_threshold=jaccard_threshold,
+            text_col=text_col,
+            stage=stage,
+            handles=handles,
+        )
+        .select("doc_id")
+        .withColumn("_kept", F.lit(1))
+    )
+    j = (
+        base.select(
+            "doc_id",
+            F.col("n_ws_tokens").alias("n_words"),
+            "pred_lang",
+            "pass_quality",
+            "pass_language",
+            "_h",
+        )
+        # keepers/kept_ids are corpus-sized — no broadcast hint; both
+        # joins are plain keyed equi-joins AQE is free to re-plan
+        .join(keepers, "_h", "left")
+        .join(kept_ids, "doc_id", "left")
+    )
+    reached2 = (F.col("pass_quality") == 1) & (F.col("pass_language") == 1)
+    pass_exact = F.when(
+        reached2, (F.col("doc_id") == F.col("_keeper")).cast("int")
+    ).otherwise(F.lit(-1))
+    j = j.withColumn("pass_exact", pass_exact)
+    pass_near = F.when(
+        F.col("pass_exact") == 1, F.coalesce(F.col("_kept"), F.lit(0))
+    ).otherwise(F.lit(-1))
+    j = j.withColumn("pass_near", pass_near)
+    dropped_at = (
+        F.when(F.col("pass_quality") == 0, F.lit("quality"))
+        .when(F.col("pass_language") == 0, F.lit("language"))
+        .when(F.col("pass_exact") == 0, F.lit("exact_dup"))
+        .when(F.col("pass_near") == 0, F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        "pred_lang",
+        "pass_quality",
+        "pass_language",
+        "pass_exact",
+        "pass_near",
+        (dropped_at == "kept").cast("int").alias("kept"),
+        dropped_at.alias("dropped_at"),
+    )

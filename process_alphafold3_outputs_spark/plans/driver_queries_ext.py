@@ -5017,3 +5017,77 @@ def _pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_ccnet_buckets()
+
+
+# --------------------------------------------------------------------------
+# filter-provenance audit: which gate dropped each document. Stage
+# verdicts respect the pipeline staging (unreached gates report the
+# sentinel -1); `kept` is membership in the clean_corpus survivor set,
+# whose full oracle text is composed as a derived table — so drift in
+# the pipeline oracle also breaks this row.
+# --------------------------------------------------------------------------
+def _register_filter_audit() -> None:
+    clean = _ORACLE["pipeline_corpus_clean"]
+    register(
+        "pipeline_filter_audit",
+        sql=f"""
+        WITH norm0 AS (SELECT doc_id, text,
+                              lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                       FROM documents),
+        stats AS (SELECT doc_id, t,
+                         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+                         {", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS))}
+                  FROM norm0),
+        langed AS (SELECT doc_id, t, n_words,
+                          CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                               {"".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS))}
+                               ELSE 'und' END AS pred_lang
+                   FROM stats),
+        flags AS (SELECT doc_id, t, n_words, pred_lang,
+                         CAST(n_words BETWEEN {_CC_MIN} AND {_CC_MAX} AS INT) AS pass_quality,
+                         CAST(pred_lang = 'en' AS INT) AS pass_language
+                  FROM langed),
+        keepers AS (
+            SELECT md5(t) AS h, min(doc_id) AS keeper
+            FROM flags WHERE pass_quality = 1 AND pass_language = 1
+            GROUP BY md5(t)),
+        kept AS (SELECT doc_id FROM ({clean})),
+        audit AS (
+            SELECT f.doc_id, f.n_words, f.pred_lang,
+                   f.pass_quality, f.pass_language,
+                   CASE WHEN f.pass_quality = 1 AND f.pass_language = 1
+                        THEN CAST(f.doc_id = k.keeper AS INT)
+                        ELSE -1 END AS pass_exact
+            FROM flags f LEFT JOIN keepers k ON k.h = md5(f.t)),
+        audit2 AS (
+            SELECT a.*,
+                   CASE WHEN a.pass_exact = 1
+                        THEN CAST(kt.doc_id IS NOT NULL AS INT)
+                        ELSE -1 END AS pass_near
+            FROM audit a LEFT JOIN kept kt ON kt.doc_id = a.doc_id)
+        SELECT doc_id, n_words, pred_lang, pass_quality, pass_language,
+               pass_exact, pass_near,
+               CAST(pass_near = 1 AS INT) AS kept,
+               CASE WHEN pass_quality = 0 THEN 'quality'
+                    WHEN pass_language = 0 THEN 'language'
+                    WHEN pass_exact = 0 THEN 'exact_dup'
+                    WHEN pass_near = 0 THEN 'near_dup'
+                    ELSE 'kept' END AS dropped_at
+        FROM audit2
+        """,
+    )(_pipeline_filter_audit)
+
+
+def _pipeline_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import filter_audit
+
+    return filter_audit(
+        load_table(spark, sf_dir, "documents"),
+        lang="en",
+        min_words=_CC_MIN,
+        max_words=_CC_MAX,
+        jaccard_threshold=_CC_T,
+    )
+
+
+_register_filter_audit()

@@ -1110,3 +1110,41 @@ def test_ivfpq_encode_shipment_serves_through_search(spark, sf_dir):
         for r in served_boot.collect()
     }
     assert boot_only
+
+
+def test_filter_audit_explains_every_drop_and_matches_pipeline(spark):
+    from process_alphafold3_outputs_spark.plans.corpus import (
+        clean_corpus,
+        filter_audit,
+    )
+
+    en = "the cat and the dog of the house is happy to be here"
+    docs = spark.createDataFrame(
+        [
+            (1, en),                        # kept
+            (2, en),                        # exact dup of 1
+            (3, en + " extra"),             # near dup of 1 (jaccard high)
+            (4, "der hund und die katze nicht ist"),  # language
+            (5, "too short"),               # quality (min_words)
+            (6, "the rain in spain stays mainly on the plain is true"),  # kept
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(lang="en", min_words=5, max_words=100, jaccard_threshold=0.6)
+    audit = {r["doc_id"]: r for r in filter_audit(docs, **kw).collect()}
+    assert audit[1]["dropped_at"] == "kept" and audit[1]["kept"] == 1
+    assert audit[2]["dropped_at"] == "exact_dup"
+    assert audit[2]["pass_exact"] == 0 and audit[2]["pass_near"] == -1
+    assert audit[3]["dropped_at"] == "near_dup"
+    assert audit[4]["dropped_at"] == "language"
+    assert audit[4]["pass_exact"] == -1
+    assert audit[5]["dropped_at"] == "quality"
+    assert audit[6]["dropped_at"] == "kept"
+    # audit.kept IS the pipeline's survivor set
+    kept_audit = {d for d, r in audit.items() if r["kept"] == 1}
+    kept_pipe = {
+        r["doc_id"] for r in clean_corpus(docs, **kw).collect()
+    }
+    assert kept_audit == kept_pipe
+    # every input doc is explained exactly once
+    assert set(audit) == {1, 2, 3, 4, 5, 6}
