@@ -840,3 +840,58 @@ def watch_documents_dsir(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_documents_classifier(
+    spark: SparkSession,
+    inbox_dir: str,
+    model_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    seed: str = "qclf-v1",
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming quality gating with a TRAINED classifier: score each
+    micro-batch against the frozen logistic model at ``model_path``
+    (the ``text.train_quality_classifier`` output table — bucket −1 =
+    bias) and append (doc_id, clf_score, keep, epoch_id) to
+    ``out_path``.
+
+    Same train-batch / score-stream contract as the bigram watcher:
+    the model is a dim+1-row table read per micro-batch and folded
+    into the scoring expression as a LITERAL array (model-sized —
+    a bounded collect per epoch, never a corpus join); scoring is a
+    stateless narrow projection, so a stream scored in N micro-batches
+    equals batch scoring of the union (parity-pinned). Retraining =
+    overwrite ``model_path``; in-flight epochs keep the model they
+    read (no torn reads — the collect happens per batch)."""
+    from ..operators.text import classifier_score
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.sparkSession.read.parquet(model_path).collect()
+        model = {r["bucket"]: r["weight"] for r in rows}
+        dim = max(model) + 1
+        weights = [model.get(b, 0.0) for b in range(dim)]
+        scored = classifier_score(
+            batch_df,
+            weights=weights,
+            bias=model.get(-1, 0.0),
+            threshold=threshold,
+            seed=seed,
+        )
+        _write_epoch_output(scored, out_path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

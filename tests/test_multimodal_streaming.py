@@ -949,3 +949,65 @@ def test_watch_documents_substrings_across_epochs(spark, tmp_path):
     }
     assert got == {1: "a b c d e", 10: "x y", 11: "p q r s t",
                    12: "z w"}
+
+
+def test_watch_documents_classifier_matches_batch(spark, tmp_path):
+    """Stream scoring with a TRAINED logistic model equals batch
+    classifier_score of the union with the same frozen weights — the
+    train-batch / gate-stream contract for the quality classifier."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        classifier_score,
+        train_quality_classifier,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_documents_classifier,
+    )
+    from pyspark.sql import functions as SF
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    train = spark.createDataFrame(
+        [
+            (100 + i,
+             "good clean prose here" if i % 2 == 0 else "spam buy now",
+             "en", "hq" if i % 2 == 0 else "web", 20)
+            for i in range(20)
+        ],
+        schema,
+    )
+    model_path = str(tmp_path / "clf")
+    train_quality_classifier(
+        train, SF.col("source") == "hq", dim=16, iters=3, lr=2.0, seed="t"
+    ).write.parquet(model_path)
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "gated")
+    ckpt = str(tmp_path / "ckpt")
+    rows0 = [(1, "good clean prose here again", "en", "s", 27)]
+    rows1 = [(2, "spam buy now please", "en", "s", 19)]
+    spark.createDataFrame(rows0, schema).coalesce(1).write.mode("append").parquet(inbox)
+    q = watch_documents_classifier(spark, inbox, model_path, out, ckpt, seed="t")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r["doc_id"]: (r["clf_score"], r["keep"])
+        for r in spark.read.parquet(out).collect()
+    }
+    mrows = spark.read.parquet(model_path).collect()
+    model = {r["bucket"]: r["weight"] for r in mrows}
+    weights = [model.get(b, 0.0) for b in range(max(model) + 1)]
+    batch = {
+        r["doc_id"]: (r["clf_score"], r["keep"])
+        for r in classifier_score(
+            spark.createDataFrame(rows0 + rows1, schema),
+            weights=weights,
+            bias=model[-1],
+            seed="t",
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed[1][1] is True and streamed[2][1] is False
