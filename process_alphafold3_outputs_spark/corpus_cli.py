@@ -48,6 +48,7 @@ import argparse
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import dedup, similarity, text
 from .plans import corpus as corpus_plans
@@ -167,8 +168,47 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--threshold", type=float, default=0.5)
     sp.add_argument(
         "--weights", help="optional parquet of (bucket, weight) trained "
-        "weights; md5-derived demo table when omitted"
+        "weights (bucket -1 = bias, as train-classifier writes); "
+        "md5-derived demo table when omitted"
     )
+
+    sp = sub.add_parser("train-classifier")
+    common(sp)
+    sp.add_argument(
+        "--positive-sources", required=True,
+        help="comma-separated source values labeled positive "
+        "(the trusted-seed-set recipe)",
+    )
+    sp.add_argument("--dim", type=int, default=64)
+    sp.add_argument("--iters", type=int, default=4)
+    sp.add_argument("--lr", type=float, default=1.0)
+
+    sp = sub.add_parser("audit")
+    common(sp)
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--min-words", type=int, default=5)
+    sp.add_argument("--max-words", type=int, default=10_000)
+    sp.add_argument("--jaccard-threshold", type=float, default=0.8)
+
+    sp = sub.add_parser("c4")
+    common(sp)
+    sp.add_argument("--min-line-words", type=int, default=5)
+    sp.add_argument("--min-sentences", type=int, default=3)
+
+    sp = sub.add_parser("ccnet")
+    common(sp)
+    sp.add_argument("--alpha", type=float, default=0.5)
+
+    sp = sub.add_parser("epochs")
+    common(sp)
+    sp.add_argument(
+        "--factor",
+        action="append",
+        required=True,
+        metavar="SOURCE=EPOCHS",
+        help="repeatable per-source epoch factor, e.g. --factor wiki=2.5",
+    )
+    sp.add_argument("--seed", default="epoch-v1")
 
     sp = sub.add_parser("mix")
     common(sp)
@@ -378,12 +418,52 @@ def _result(
             )
         return text.dsir_log_weights(docs, target, m_buckets=args.m_buckets)
     if args.command == "classify":
+        bias = 0.0
         if args.weights:
-            w = spark.read.parquet(args.weights).orderBy("bucket").collect()
-            weights = [r["weight"] for r in w]
+            model = {
+                r["bucket"]: r["weight"]
+                for r in spark.read.parquet(args.weights).collect()
+            }
+            bias = model.pop(-1, 0.0)
+            weights = [model.get(b, 0.0) for b in range(max(model) + 1)]
         else:
             weights = text.default_classifier_weights(args.dim)
-        return text.classifier_score(docs, weights, threshold=args.threshold)
+        return text.classifier_score(
+            docs, weights, bias=bias, threshold=args.threshold
+        )
+    if args.command == "train-classifier":
+        positives = [
+            s for s in args.positive_sources.split(",") if s
+        ]
+        return text.train_quality_classifier(
+            docs,
+            positive=F.col("source").isin(positives),
+            dim=args.dim,
+            iters=args.iters,
+            lr=args.lr,
+        )
+    if args.command == "audit":
+        return corpus_plans.filter_audit(
+            docs,
+            lang=args.lang,
+            min_words=args.min_words,
+            max_words=args.max_words,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+    if args.command == "c4":
+        return text.c4_quality(
+            docs,
+            min_line_words=args.min_line_words,
+            min_sentences=args.min_sentences,
+        )
+    if args.command == "ccnet":
+        return text.ccnet_buckets(docs, alpha=args.alpha)
+    if args.command == "epochs":
+        factors = {}
+        for spec in args.factor:
+            src, _, e = spec.partition("=")
+            factors[src] = float(e)
+        return text.epoch_expand(docs, factors, seed=args.seed)
     if args.command == "mix":
         budgets = {}
         for spec in args.budget:

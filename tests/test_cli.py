@@ -604,3 +604,75 @@ def test_corpus_cli_dedup_substrings(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_corpus_cli_curation_round7_commands(spark, tmp_path):
+    """train-classifier / classify --weights / audit / c4 / ccnet /
+    epochs are pure shells over the tested operators; the trained
+    model round-trips through parquet into the scoring gate with its
+    bias row honored."""
+    from process_alphafold3_outputs_spark import corpus_cli
+    from process_alphafold3_outputs_spark.operators import text as text_ops
+
+    sf = "/root/testdata/sf0.001"
+    docs_path = f"{sf}/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    n = docs.count()
+
+    def run_cmd(argv):
+        args = corpus_cli.build_parser().parse_args(argv)
+        return corpus_cli.run(args, spark)
+
+    model_out = str(tmp_path / "model")
+    res = run_cmd(
+        ["train-classifier", "--documents", docs_path,
+         "--positive-sources", "src0,src1", "--dim", "16", "--iters", "2",
+         "--out", model_out]
+    )
+    assert res["rows"] == 17  # dim + bias row
+    model = spark.read.parquet(model_out)
+    assert {r["bucket"] for r in model.collect()} == set(range(-1, 16))
+
+    # trained weights (incl. bias at bucket -1) feed the scoring gate
+    out = str(tmp_path / "scored")
+    res = run_cmd(
+        ["classify", "--documents", docs_path, "--weights", model_out,
+         "--out", out]
+    )
+    assert res["rows"] == n
+    mrows = {r["bucket"]: r["weight"] for r in model.collect()}
+    bias = mrows.pop(-1)
+    lib = {
+        r["doc_id"]: r["clf_score"]
+        for r in text_ops.classifier_score(
+            docs, [mrows.get(b, 0.0) for b in range(16)], bias=bias
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["clf_score"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == lib
+
+    out = str(tmp_path / "audit")
+    res = run_cmd(["audit", "--documents", docs_path, "--out", out])
+    assert res["rows"] == n  # every doc explained
+    assert "dropped_at" in spark.read.parquet(out).columns
+
+    out = str(tmp_path / "c4")
+    res = run_cmd(["c4", "--documents", docs_path, "--out", out])
+    assert res["rows"] == n
+
+    out = str(tmp_path / "ccnet")
+    res = run_cmd(["ccnet", "--documents", docs_path, "--out", out])
+    assert res["rows"] == n
+    assert set(
+        r["bucket"] for r in spark.read.parquet(out).select("bucket").distinct().collect()
+    ) <= {"head", "middle", "tail"}
+
+    out = str(tmp_path / "epochs")
+    res = run_cmd(
+        ["epochs", "--documents", docs_path, "--factor", "src0=2.0",
+         "--factor", "src1=0.5", "--out", out]
+    )
+    exp = text_ops.epoch_expand(docs, {"src0": 2.0, "src1": 0.5}).count()
+    assert res["rows"] == exp > 0

@@ -344,3 +344,31 @@ def test_ivfpq_broadcasts_model_tables_and_joins_on_cell(spark, sf_dir):
     # the candidate join on cell must not shuffle the coded corpus side
     # into a SortMergeJoin
     assert "SortMergeJoin" not in plan
+
+
+def test_c4_quality_is_exchange_free(spark, sf_dir):
+    from process_alphafold3_outputs_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(text.c4_quality(docs))
+    assert "Exchange" not in plan  # narrow projection — no shuffle
+
+
+def test_epoch_expand_is_exchange_free(spark, sf_dir):
+    from process_alphafold3_outputs_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(
+        text.epoch_expand(docs, {"src0": 2.5, "src1": 0.5})
+    )
+    assert "Exchange" not in plan  # literal map + bounded explode
+
+
+def test_ccnet_cutpoints_join_is_broadcast(spark, sf_dir):
+    """The languages-sized tier-cutpoint table must broadcast back onto
+    the scored corpus — never a corpus-by-language shuffle."""
+    from process_alphafold3_outputs_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(text.ccnet_buckets(docs))
+    assert "BroadcastHashJoin" in plan
