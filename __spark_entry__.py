@@ -382,6 +382,10 @@ _DEFERRED: set[str] = {
     "pipeline_filter_audit",  # per-doc drop provenance; composes the
                              # green pipeline_corpus_clean oracle as
                              # its kept set (deferred: headroom)
+    "pipeline_token_report",  # raw->clean->epoch-expanded token
+                             # ledger; composes the clean oracle +
+                             # epoch draw arithmetic (deferred:
+                             # headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -146,6 +146,7 @@ HEADLINE = [
     "text_epoch_expand",
     "pipeline_ccnet_buckets",
     "pipeline_filter_audit",
+    "pipeline_token_report",
 ]
 
 

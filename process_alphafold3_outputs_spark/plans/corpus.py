@@ -451,3 +451,94 @@ def filter_audit(
         (dropped_at == "kept").cast("int").alias("kept"),
         dropped_at.alias("dropped_at"),
     )
+
+
+def token_report(
+    docs: DataFrame,
+    factors: dict[str, float],
+    lang: str = "en",
+    min_words: int = 5,
+    max_words: int = 10_000,
+    jaccard_threshold: float = 0.8,
+    seed: str = "epoch-v1",
+    text_col: str = "text",
+    stage: bool = True,
+    handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(source, raw_docs, raw_tokens, clean_docs, clean_tokens,
+    train_tokens) — the token-budget ledger of a training mix: what
+    each source contributes BEFORE cleaning, after :func:`clean_corpus`,
+    and after fractional epoch expansion with ``factors`` (the number
+    the trainer actually consumes). This is the planning table every
+    mixture discussion runs on — "does 2.5 epochs of wiki plus 0.3 of
+    web hit the 1T-token budget after dedup losses?".
+
+    train_tokens uses the SAME deterministic md5 draw as
+    :func:`..operators.text.epoch_expand` (⌊e⌋ + one more iff
+    draw < frac(e)), so the report equals counting the expanded
+    multiset without materializing it.
+
+    Scale shape: two corpus-keyed aggregations (raw profile; survivor
+    profile) collapsing to source-sized tables, joined source-to-source
+    — the expansion itself is never materialized."""
+    raw = (
+        dedup.normalized(docs, text_col)
+        .select(
+            "source",
+            F.size(F.split("_norm", " ")).cast("long").alias("_n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("raw_docs"),
+            F.sum("_n").alias("raw_tokens"),
+        )
+    )
+    kept = clean_corpus(
+        docs,
+        lang=lang,
+        min_words=min_words,
+        max_words=max_words,
+        jaccard_threshold=jaccard_threshold,
+        text_col=text_col,
+        stage=stage,
+        full_rows=True,
+        handles=handles,
+    )
+    kv = []
+    for k, v in factors.items():
+        kv.append(F.lit(k))
+        kv.append(F.lit(float(v)))
+    fmap = F.create_map(*kv) if kv else F.create_map()
+    ep = F.coalesce(F.element_at(fmap, F.col("source")), F.lit(0.0))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    n_copies = (
+        F.floor(ep) + F.when(u < ep - F.floor(ep), 1).otherwise(0)
+    ).cast("long")
+    clean = kept.select(
+        "source", F.col("n_words").alias("_n"), n_copies.alias("_c")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("clean_docs"),
+        F.sum("_n").alias("clean_tokens"),
+        F.sum(F.col("_c") * F.col("_n")).alias("train_tokens"),
+    )
+    return raw.join(clean, "source", "left").select(
+        "source",
+        "raw_docs",
+        "raw_tokens",
+        F.coalesce("clean_docs", F.lit(0)).alias("clean_docs"),
+        F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
+        F.coalesce("train_tokens", F.lit(0)).alias("train_tokens"),
+    )

@@ -5091,3 +5091,69 @@ def _pipeline_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_filter_audit()
+
+
+# --------------------------------------------------------------------------
+# token-budget ledger: per-source raw -> post-clean -> epoch-expanded
+# token accounting (the mixture-planning table). Composes the
+# clean-corpus oracle for survivors + the epoch_expand draw arithmetic
+# — the expansion is counted, never materialized.
+# --------------------------------------------------------------------------
+def _register_token_report() -> None:
+    clean = _ORACLE["pipeline_corpus_clean"]
+    factors_sql = ", ".join(
+        f"('{k}', {v!r})" for k, v in sorted(_EPOCH_FACTORS.items())
+    )
+    register(
+        "pipeline_token_report",
+        sql=f"""
+        WITH raw AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS raw_docs,
+                   CAST(sum(len(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '))) AS BIGINT) AS raw_tokens
+            FROM documents GROUP BY source),
+        kept AS (SELECT doc_id, n_words FROM ({clean})),
+        kf AS (
+            SELECT k.doc_id, k.n_words, d.source
+            FROM kept k JOIN documents d USING (doc_id)),
+        f AS (SELECT * FROM (VALUES {factors_sql}) t(source, ep)),
+        kc AS (
+            SELECT kf.source, kf.n_words,
+                   CAST(floor(coalesce(f.ep, 0.0))
+                        + CASE WHEN
+                            CAST(('0x' || substr(md5('{_EPOCH_SEED}:'
+                                 || CAST(kf.doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) / 4294967296.0
+                            < coalesce(f.ep, 0.0) - floor(coalesce(f.ep, 0.0))
+                          THEN 1 ELSE 0 END AS BIGINT) AS n
+            FROM kf LEFT JOIN f USING (source)),
+        cl AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS clean_docs,
+                   CAST(sum(n_words) AS BIGINT) AS clean_tokens,
+                   CAST(sum(n * n_words) AS BIGINT) AS train_tokens
+            FROM kc GROUP BY source)
+        SELECT r.source, r.raw_docs, r.raw_tokens,
+               CAST(coalesce(c.clean_docs, 0) AS BIGINT) AS clean_docs,
+               CAST(coalesce(c.clean_tokens, 0) AS BIGINT) AS clean_tokens,
+               CAST(coalesce(c.train_tokens, 0) AS BIGINT) AS train_tokens
+        FROM raw r LEFT JOIN cl c USING (source)
+        """,
+    )(_pipeline_token_report)
+
+
+def _pipeline_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import token_report
+
+    return token_report(
+        load_table(spark, sf_dir, "documents"),
+        factors=_EPOCH_FACTORS,
+        lang="en",
+        min_words=_CC_MIN,
+        max_words=_CC_MAX,
+        jaccard_threshold=_CC_T,
+        seed=_EPOCH_SEED,
+    )
+
+
+_register_token_report()

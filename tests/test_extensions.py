@@ -1148,3 +1148,46 @@ def test_filter_audit_explains_every_drop_and_matches_pipeline(spark):
     assert kept_audit == kept_pipe
     # every input doc is explained exactly once
     assert set(audit) == {1, 2, 3, 4, 5, 6}
+
+
+def test_token_report_equals_materialized_expansion(spark):
+    """train_tokens must equal counting tokens over the ACTUAL
+    epoch_expand multiset of the clean survivors."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators.text import epoch_expand
+    from process_alphafold3_outputs_spark.plans.corpus import (
+        clean_corpus,
+        token_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i,
+             f"the cat and dog of house {i} is happy to be here today",
+             "en",
+             "a" if i < 6 else "b",
+             40)
+            for i in range(12)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    factors = {"a": 2.5, "b": 0.5}
+    rep = {r["source"]: r for r in token_report(docs, factors).collect()}
+    kept = clean_corpus(docs, full_rows=True)
+    expanded = epoch_expand(kept, factors).join(
+        kept.select("doc_id", "n_words"), "doc_id"
+    )
+    truth = {
+        r["source"]: r["t"]
+        for r in expanded.groupBy("source")
+        .agg(F.sum("n_words").alias("t"))
+        .collect()
+    }
+    for s in ("a", "b"):
+        assert rep[s]["raw_docs"] == 6
+        assert rep[s]["train_tokens"] == truth.get(s, 0), s
+    # raw vs clean accounting is monotone
+    assert all(
+        r["clean_tokens"] <= r["raw_tokens"] for r in rep.values()
+    )

@@ -343,3 +343,74 @@ def test_bigram_lm_matches_python_reference(spark):
                 s += -math.log((c2[(a, b)] + alpha) / (c1[a] + alpha * v))
             assert got[doc_id][0] == len(bgs)
             assert abs(got[doc_id][1] - s / len(bgs)) < 1e-6, (seed, doc_id)
+
+
+def test_duplicate_spans_random_vs_bruteforce(spark):
+    """Span-level exact-substring dedup vs a brute-force sequential
+    reference (dict-of-grams first occurrence + interval merge) on
+    random small-vocabulary corpora — collisions, intra-doc repeats
+    and planted cross-doc runs all arise naturally."""
+    import random
+
+    from process_alphafold3_outputs_spark.operators import dedup
+
+    rng = random.Random(77)
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    L = 3
+    for trial in range(3):
+        docs = {}
+        for d in range(14):
+            docs[d] = [rng.choice(vocab) for _ in range(rng.randint(0, 18))]
+        # plant a verbatim 6-word run from doc 0 into two later docs
+        if len(docs[0]) >= 6:
+            run = docs[0][:6]
+            docs[5] = docs[5][:2] + run + docs[5][2:]
+            docs[9] = run + docs[9]
+
+        first: dict[tuple, tuple] = {}
+        dup_occ: list[tuple[int, int]] = []
+        for d in sorted(docs):
+            toks = docs[d]
+            for p in range(len(toks) - L + 1):
+                g = tuple(toks[p : p + L])
+                if g in first:
+                    dup_occ.append((d, p))
+                else:
+                    first[g] = (d, p)
+        expect: dict[int, list[tuple[int, int]]] = {}
+        for d, p in dup_occ:
+            expect.setdefault(d, []).append((p, p + L))
+        for d, ivs in expect.items():
+            ivs.sort()
+            merged: list[list[int]] = []
+            for b, e in ivs:
+                if merged and b <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([b, e])
+            expect[d] = [tuple(x) for x in merged]
+
+        sdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got: dict[int, list[tuple[int, int]]] = {}
+        for r in dedup.duplicate_spans(sdf, min_words=L).collect():
+            got.setdefault(r["doc_id"], []).append((r["begin"], r["end"]))
+        for d in got:
+            got[d].sort()
+        assert got == {d: v for d, v in expect.items() if v}, f"trial {trial}"
+
+        # strip form: surviving words are exactly the un-spanned ones
+        stripped = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup.strip_duplicate_spans(sdf, min_words=L).collect()
+        }
+        for d, toks in docs.items():
+            spans = expect.get(d, [])
+            keep = [
+                t
+                for i, t in enumerate(toks)
+                if not any(b <= i < e for b, e in spans)
+            ]
+            assert stripped[d] == " ".join(keep), (trial, d)
