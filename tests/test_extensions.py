@@ -1191,3 +1191,34 @@ def test_token_report_equals_materialized_expansion(spark):
     assert all(
         r["clean_tokens"] <= r["raw_tokens"] for r in rep.values()
     )
+
+
+def test_round7_operators_handle_empty_corpus(spark):
+    """Empty-shipment sweep for the round-7 additions: plan, return 0
+    rows (or a zero model for the trainer), never raise."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators import dedup, text
+    from process_alphafold3_outputs_spark.plans.corpus import (
+        filter_audit,
+        token_report,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    ops = [
+        lambda: text.c4_quality(empty),
+        lambda: text.epoch_expand(empty, {"src0": 2.0}),
+        lambda: text.ccnet_buckets(empty),
+        lambda: dedup.contamination_spans(empty, empty),
+        lambda: dedup.strip_contamination(empty, empty),
+        lambda: filter_audit(empty, stage=False),
+        lambda: token_report(empty, {"src0": 2.0}, stage=False),
+    ]
+    for i, op in enumerate(ops):
+        assert op().count() == 0, f"round-7 op #{i} returned rows"
+    w, b = text.fit_quality_classifier(
+        empty, F.col("source") == "x", dim=4, iters=2
+    )
+    assert w == [0.0] * 4 and b == 0.0
