@@ -386,6 +386,10 @@ _DEFERRED: set[str] = {
                              # ledger; composes the clean oracle +
                              # epoch draw arithmetic (deferred:
                              # headroom)
+    "similarity_embedding_drift",  # snapshot mean-vector drift; the
+                             # ordered-fold mechanics carry the green
+                             # similarity_kmeans row's evidence
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

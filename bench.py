@@ -147,6 +147,7 @@ HEADLINE = [
     "pipeline_ccnet_buckets",
     "pipeline_filter_audit",
     "pipeline_token_report",
+    "similarity_embedding_drift",
 ]
 
 

@@ -210,6 +210,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--seed", default="epoch-v1")
 
+    sp = sub.add_parser("report-tokens")
+    common(sp)
+    sp.add_argument(
+        "--factor",
+        action="append",
+        required=True,
+        metavar="SOURCE=EPOCHS",
+        help="repeatable per-source epoch factor for the train column",
+    )
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--min-words", type=int, default=5)
+    sp.add_argument("--max-words", type=int, default=10_000)
+    sp.add_argument("--jaccard-threshold", type=float, default=0.8)
+    sp.add_argument("--seed", default="epoch-v1")
+
     sp = sub.add_parser("mix")
     common(sp)
     sp.add_argument(
@@ -464,6 +479,20 @@ def _result(
             src, _, e = spec.partition("=")
             factors[src] = float(e)
         return text.epoch_expand(docs, factors, seed=args.seed)
+    if args.command == "report-tokens":
+        factors = {}
+        for spec in args.factor:
+            src, _, e = spec.partition("=")
+            factors[src] = float(e)
+        return corpus_plans.token_report(
+            docs,
+            factors,
+            lang=args.lang,
+            min_words=args.min_words,
+            max_words=args.max_words,
+            jaccard_threshold=args.jaccard_threshold,
+            seed=args.seed,
+        )
     if args.command == "mix":
         budgets = {}
         for spec in args.budget:

@@ -1160,3 +1160,88 @@ def hard_negatives(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", "sim")
     )
+
+
+def embedding_drift(emb_a: DataFrame, emb_b: DataFrame) -> DataFrame:
+    """One row: (n_a, n_b, mean_cosine, max_dim_shift, l2_shift) —
+    drift between two embedding SNAPSHOTS (the shipment-QA gate on the
+    vector side, twin of ``text.vocab_drift``): compare the per-
+    dimension MEAN vectors of snapshot A and B. An encoder change, a
+    preprocessing bug, or a population shift shows up as mean_cosine
+    falling from ~1 and the per-dimension shifts spiking — before any
+    ANN index built on the new drop silently degrades.
+
+    Determinism: per-dimension means fold component sums in vec_id
+    order (the ivf_refine policy — bounded by members per dim-group);
+    the dim-sized cross-mean folds order by pos. Degenerate snapshots
+    (either side empty → zero-norm means) report NULL metrics instead
+    of NaN in BOTH engines.
+
+    Scale shape: each snapshot is one corpus pass collapsing to a
+    DIM-sized mean table; everything downstream is dim-sized. The
+    counts ride along as one-row broadcast aggregates."""
+    def mean_vec(emb: DataFrame) -> DataFrame:
+        comps = spread(emb, "vec_id").select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        return comps.groupBy("pos").agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("vec_id", "val"))
+                        ),
+                        lambda s: s["val"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    ma = mean_vec(emb_a).withColumnRenamed("m", "ma")
+    mb = mean_vec(emb_b).withColumnRenamed("m", "mb")
+    j = ma.join(mb, "pos")
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), expr.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    metrics = j.agg(
+        fold(F.col("ma") * F.col("mb")).alias("_dot"),
+        fold(F.col("ma") * F.col("ma")).alias("_na2"),
+        fold(F.col("mb") * F.col("mb")).alias("_nb2"),
+        F.max(F.abs(F.col("ma") - F.col("mb"))).alias("_maxd"),
+        fold(
+            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+        ).alias("_d2"),
+    )
+    na = emb_a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = emb_b.agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(metrics)
+        .select(
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("_na2") > 0) & (F.col("_nb2") > 0),
+                F.round(
+                    F.col("_dot")
+                    / (F.sqrt(F.col("_na2")) * F.sqrt(F.col("_nb2"))),
+                    6,
+                ),
+            ).alias("mean_cosine"),
+            F.round(F.col("_maxd"), 6).alias("max_dim_shift"),
+            F.round(F.sqrt(F.col("_d2")), 6).alias("l2_shift"),
+        )
+    )

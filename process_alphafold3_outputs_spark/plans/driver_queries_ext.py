@@ -5157,3 +5157,48 @@ def _pipeline_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_token_report()
+
+
+# --------------------------------------------------------------------------
+# embedding snapshot drift: per-dimension mean-vector comparison
+# between two drops (vec_id parity slices stand in for snapshots).
+# Ordered folds keep every double bit-identical across engines.
+# --------------------------------------------------------------------------
+@register(
+    "similarity_embedding_drift",
+    sql=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ca AS (SELECT vec_id, s.pos, v[s.pos] AS val
+           FROM emb, unnest(generate_series(1, len(v))) s(pos)
+           WHERE vec_id % 2 = 0),
+    cb AS (SELECT vec_id, s.pos, v[s.pos] AS val
+           FROM emb, unnest(generate_series(1, len(v))) s(pos)
+           WHERE vec_id % 2 = 1),
+    ma AS (SELECT pos, sum(val ORDER BY vec_id) / count(*) AS ma
+           FROM ca GROUP BY pos),
+    mb AS (SELECT pos, sum(val ORDER BY vec_id) / count(*) AS mb
+           FROM cb GROUP BY pos),
+    j AS (SELECT ma.pos, ma.ma, mb.mb FROM ma JOIN mb USING (pos)),
+    m AS (SELECT sum(ma * mb ORDER BY pos) AS dot,
+                 sum(ma * ma ORDER BY pos) AS na2,
+                 sum(mb * mb ORDER BY pos) AS nb2,
+                 max(abs(ma - mb)) AS maxd,
+                 sum((ma - mb) * (ma - mb) ORDER BY pos) AS d2
+          FROM j),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM emb WHERE vec_id % 2 = 0),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM emb WHERE vec_id % 2 = 1)
+    SELECT na.n_a, nb.n_b,
+           CASE WHEN m.na2 > 0 AND m.nb2 > 0
+                THEN round(m.dot / (sqrt(m.na2) * sqrt(m.nb2)), 6) END
+               AS mean_cosine,
+           round(m.maxd, 6) AS max_dim_shift,
+           round(sqrt(m.d2), 6) AS l2_shift
+    FROM na, nb, m
+    """,
+)
+def similarity_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )

@@ -676,3 +676,19 @@ def test_corpus_cli_curation_round7_commands(spark, tmp_path):
     )
     exp = text_ops.epoch_expand(docs, {"src0": 2.0, "src1": 0.5}).count()
     assert res["rows"] == exp > 0
+
+
+def test_corpus_cli_report_tokens(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "ledger")
+    args = corpus_cli.build_parser().parse_args(
+        ["report-tokens", "--documents", f"{sf}/documents.parquet",
+         "--factor", "src0=2.0", "--factor", "src1=0.5", "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() > 0
+    cols = set(got.columns)
+    assert {"source", "raw_tokens", "clean_tokens", "train_tokens"} <= cols

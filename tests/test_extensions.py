@@ -1222,3 +1222,29 @@ def test_round7_operators_handle_empty_corpus(spark):
         empty, F.col("source") == "x", dim=4, iters=2
     )
     assert w == [0.0] * 4 and b == 0.0
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    import numpy as np
+
+    base = [
+        (i, [float(x) for x in np.linspace(0.1 * (i % 4), 1.0, 8)], 0)
+        for i in range(20)
+    ]
+    schema = "vec_id long, embedding array<float>, label int"
+    a = spark.createDataFrame(base, schema)
+    same = similarity.embedding_drift(a, a).collect()[0]
+    assert same["mean_cosine"] == 1.0
+    assert same["max_dim_shift"] == 0.0 and same["l2_shift"] == 0.0
+    # shift every vector by +1 in dim 0: max_dim_shift == 1, cosine < 1
+    b = spark.createDataFrame(
+        [(i, [v[0] + 1.0] + v[1:], 0) for i, v, _ in base], schema
+    )
+    drift = similarity.embedding_drift(a, b).collect()[0]
+    assert abs(drift["max_dim_shift"] - 1.0) < 1e-9
+    assert drift["mean_cosine"] < 1.0
+    assert abs(drift["l2_shift"] - 1.0) < 1e-9  # only dim 0 moved
+    # empty side: NULL metrics, not NaN
+    empty = spark.createDataFrame([], schema)
+    degen = similarity.embedding_drift(a, empty).collect()[0]
+    assert degen["n_b"] == 0 and degen["mean_cosine"] is None
