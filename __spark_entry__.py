@@ -390,6 +390,10 @@ _DEFERRED: set[str] = {
                              # ordered-fold mechanics carry the green
                              # similarity_kmeans row's evidence
                              # (deferred: headroom)
+    "dedup_decontaminate_winnow",  # edit-robust sparse-index
+                             # decontamination; composes the green
+                             # text_winnow_fingerprints oracle
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -148,6 +148,7 @@ HEADLINE = [
     "pipeline_filter_audit",
     "pipeline_token_report",
     "similarity_embedding_drift",
+    "dedup_decontaminate_winnow",
 ]
 
 

@@ -1784,3 +1784,53 @@ def candidate_quality(
             ).alias("recall"),
         )
     )
+
+
+def decontaminate_winnow(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = 2,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_fps, n_shared_fps, contaminated) — decontamination
+    over the SPARSE winnowing fingerprint index instead of the full
+    shingle set (:func:`decontaminated_docs` is the exact-gram form):
+    a document is flagged when ≥ ``min_shared`` of its fingerprints
+    appear in the benchmark's fingerprint set.
+
+    Why this form: the winnowing guarantee (any shared run of ≥
+    window+k−1 words shares ≥1 fingerprint) survives PARTIAL edits —
+    a lightly paraphrased benchmark quote still contains unedited
+    k-word grams (k ≪ the exact form's L-gram run requirement), each
+    a fingerprint candidate, so edited contamination that defeats the
+    exact L-gram match still accumulates shared fingerprints here.
+    min_shared > 1 suppresses single-collision false positives.
+
+    Scale shape: the benchmark fingerprint set is eval-set sized ⇒
+    BROADCAST; the corpus fingerprint projection is narrow at
+    ~2/(window+1) gram density; one doc-keyed count. The corpus is
+    never shuffled by fingerprint."""
+    from .text import winnow_fingerprints  # local: text imports dedup
+
+    fps = winnow_fingerprints(docs, k=k, window=window, text_col=text_col)
+    bench = (
+        winnow_fingerprints(benchmark, k=k, window=window, text_col=text_col)
+        .select("fp")
+        .distinct()
+    )
+    hit = fps.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "fp", "left"
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_shared_fps"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) >= min_shared
+        )
+        .cast("int")
+        .alias("contaminated"),
+    )

@@ -5202,3 +5202,43 @@ def similarity_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing-based (edit-robust) decontamination — the sparse-index
+# form of dedup_decontaminate: >= min_shared shared fingerprints flag
+# a doc. Composes the green winnow-fingerprint oracle text for both
+# sides (benchmark = the doc_id % 19 slice, as the exact form uses).
+# --------------------------------------------------------------------------
+def _register_decontaminate_winnow() -> None:
+    fp = _ORACLE["text_winnow_fingerprints"]
+    register(
+        "dedup_decontaminate_winnow",
+        sql=f"""
+        WITH fps AS ({fp}),
+        bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 19 = 0),
+        hit AS (
+            SELECT f.doc_id,
+                   CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END AS h
+            FROM fps f LEFT JOIN bench b ON b.fp = f.fp)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_fps,
+               CAST(sum(h) AS BIGINT) AS n_shared_fps,
+               CAST(sum(h) >= {_WIN_SHARED} AS INT) AS contaminated
+        FROM hit GROUP BY doc_id
+        """,
+    )(_dedup_decontaminate_winnow)
+
+
+def _dedup_decontaminate_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.decontaminate_winnow(
+        docs,
+        docs.filter(F.col("doc_id") % 19 == 0),
+        min_shared=_WIN_SHARED,
+        k=_WIN_K,
+        window=_WIN_W,
+    )
+
+
+_register_decontaminate_winnow()

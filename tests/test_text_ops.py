@@ -1839,3 +1839,40 @@ def test_ccnet_buckets_unscorable_doc_is_tail(spark):
     )
     out = {r["doc_id"]: r for r in text.ccnet_buckets(docs).collect()}
     assert out[2]["ppl"] is None and out[2]["bucket"] == "tail"
+
+
+def test_decontaminate_winnow_catches_edited_quote(spark):
+    """A benchmark passage quoted with a mid-quote EDIT (which breaks
+    any exact 8-gram run) must still be flagged: the unedited halves
+    carry enough 4-gram winnowing fingerprints."""
+    bench_text = (
+        "what is the capital of france the capital of france is paris "
+        "and it has been the capital since the tenth century"
+    )
+    words = bench_text.split()
+    edited = " ".join(words[:10] + ["EDITED"] + words[11:])
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + edited + " closing words"),
+            (2, "totally unrelated text about spark shuffles and joins "
+                "with nothing shared at all beyond common words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate_winnow(
+            docs, bench, min_shared=2, k=4, window=4
+        ).collect()
+    }
+    assert out[1]["contaminated"] == 1 and out[1]["n_shared_fps"] >= 2
+    assert out[2]["contaminated"] == 0
+    # the exact-gram form misses the edited quote at L=8 (no unbroken
+    # 8-gram run of benchmark text survives the edit on one side);
+    # verify the winnow form is strictly more sensitive here
+    exact = {
+        r["doc_id"]: r
+        for r in dedup.contamination_spans(docs, bench, min_words=12).collect()
+    }
+    assert 1 not in exact  # 12-gram runs: broken by the edit
