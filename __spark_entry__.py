@@ -394,6 +394,11 @@ _DEFERRED: set[str] = {
                              # decontamination; composes the green
                              # text_winnow_fingerprints oracle
                              # (deferred: headroom)
+    "text_hash_embed",       # feature-hashing doc embeddings (text→
+                             # vector bridge); md5-bucket mechanics
+                             # evidenced by the green
+                             # text_classifier_score row (deferred:
+                             # headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

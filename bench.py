@@ -149,6 +149,7 @@ HEADLINE = [
     "pipeline_token_report",
     "similarity_embedding_drift",
     "dedup_decontaminate_winnow",
+    "text_hash_embed",
 ]
 
 

@@ -2493,3 +2493,69 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
     )
     return out.select("doc_id", "pred_lang", "ppl", bucket.alias("bucket"))
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    seed: str = "hembed-v1",
+    text_col: str = "text",
+    dense: bool = False,
+) -> DataFrame:
+    """Hashed bag-of-words document embeddings — the text→vector
+    bridge when no neural encoder is in the loop (classic feature
+    hashing): bucket = md5(seed‖token) mod ``dim``, value = bucket
+    count L2-normalized per document. Long form (doc_id, bucket, val)
+    by default — the oracle-checkable shape; ``dense=True`` returns
+    (doc_id, embedding array<double>) ready for the ANN / k-means /
+    SemDeDup operators (``vec_id`` = ``doc_id``), composing the text
+    side with the whole similarity family.
+
+    Determinism: counts are exact integers, the per-doc norm is
+    sqrt(Σ cnt²) — an INTEGER sum, so no fold-order question exists —
+    and each value is one division. No floats accumulate.
+
+    Scale shape: one corpus explode collapsing to ≤ min(len, dim) rows
+    per doc (map-side combine); the dense form adds a per-doc bounded
+    sort+transform, no extra shuffle."""
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("_tok"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % dim
+    )
+    counts = (
+        d.select("doc_id", F.explode("_toks").alias("_tok"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("doc_id")
+    vals = counts.withColumn(
+        "val",
+        F.col("_c") / F.sqrt(F.sum(F.col("_c") * F.col("_c")).over(w)),
+    )
+    if not dense:
+        return vals.select("doc_id", "bucket", F.round("val", 6).alias("val"))
+    pairs = vals.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("bucket", "val")))
+        ).alias("_m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return pairs.select(
+        "doc_id",
+        F.transform(
+            idx,
+            lambda b: F.coalesce(
+                F.element_at(F.col("_m"), b.cast("long")), F.lit(0.0)
+            ),
+        ).alias("embedding"),
+    )

@@ -5242,3 +5242,34 @@ def _dedup_decontaminate_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_decontaminate_winnow()
+
+
+# --------------------------------------------------------------------------
+# hashed bag-of-words doc embeddings (feature hashing) — the
+# text→vector bridge; long form is the oracle shape. Counts are exact
+# ints and the norm is sqrt of an INTEGER sum, so no fold-order
+# question exists.
+# --------------------------------------------------------------------------
+_HE_DIM, _HE_SEED = 32, "hembed-v1"
+
+
+@register(
+    "text_hash_embed",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5('{_HE_SEED}:' || tok), 1, 8))
+                      AS BIGINT) % {_HE_DIM} AS bucket
+          FROM toks),
+    c AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY doc_id, bucket),
+    n AS (SELECT doc_id, sum(c * c) AS ssq FROM c GROUP BY doc_id)
+    SELECT c.doc_id, c.bucket, round(c.c / sqrt(n.ssq), 6) AS val
+    FROM c JOIN n USING (doc_id)
+    """,
+)
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.hash_embed(
+        load_table(spark, sf_dir, "documents"), dim=_HE_DIM, seed=_HE_SEED
+    )
