@@ -73,6 +73,12 @@ _PRIORITY: list[str] = [
     # -- round-7 rotation (NOTES.md rotation table): PageRank's
     #    iterative keyed-join shape gets its first driver evidence
     "graph_source_pagerank",
+    # -- round-8 rotation: the deterministic-md5 HLL sketch (bit-exact
+    #    integer-harmonic-sum oracle) gets driver evidence; the freed
+    #    slot comes from text_fingerprint (r9's planned out-row, pulled
+    #    forward because r8's planned out-row similarity_topk_ivf was
+    #    already deferred as superseded — see NOTES rotation table)
+    "sketch_hll_distinct",
 ]
 
 #: driver-visible queries DELIBERATELY registered without a SQL oracle —
@@ -311,9 +317,10 @@ _DEFERRED: set[str] = {
                              # file_sink_* rows (deferred: headroom)
     "skew_salted_join",      # salting demo; result-identical to the
                              # plain join oracle (deferred: headroom)
-    "sketch_hll_distinct",   # deterministic-md5 HLL; register/agg
-                             # mechanics evidenced by green sketch rows
-                             # (deferred: headroom)
+    "text_fingerprint",      # md5 doc fingerprint; mechanics subsumed by
+                             # the green dedup_exact row (rotated OUT in
+                             # r8 for sketch_hll_distinct; stays benched
+                             # + pytest-mirrored)
     "sketch_histogram_quantiles",  # deterministic quantile sketch;
                              # window/agg mechanics evidenced by green
                              # text_corpus_stats row (deferred: headroom)

@@ -319,6 +319,7 @@ def _probed_wall(spark, action) -> dict:
     measurement, not the plan, is not a scale signal."""
     action()  # warmup: first-touch shuffle files + codegen
     spark.catalog.clearCache()
+    _release_persisted_rdds(spark)
     before = _stage_metrics(spark)
     last_stage = max(
         (s.get("stageId", -1) for s in before), default=-1
@@ -332,6 +333,7 @@ def _probed_wall(spark, action) -> dict:
         if i == 0:
             shuffles = _shuffle_since(spark, last_stage)
         spark.catalog.clearCache()
+        _release_persisted_rdds(spark)
     out = {
         "wall_sec": round(statistics.median(walls), 3),
         "wall_spread": [min(walls), max(walls)],
@@ -345,6 +347,34 @@ def _probed_wall(spark, action) -> dict:
 
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _release_persisted_rdds(spark) -> int:
+    """Unpersist EVERY still-pinned RDD — including localCheckpoint()
+    blocks, which ``clearCache()`` does NOT touch (it only drops
+    catalog-level DataFrame cache entries). The iterative operators
+    (connected components, k-means, PageRank/HITS, BPE) localCheckpoint
+    per call to truncate lineage; each bench run builds a fresh plan, so
+    the previous run's checkpoint blocks are dead weight that stays
+    pinned in the block manager and taxes every LATER query in the suite
+    (r7 measured dedup_clusters 1.43× and the trigram LM ~2× their r6
+    medians with zero code change as the suite grew — this is the
+    mechanism, see NOTES). Safe here because bench never reuses a plan
+    across runs: nothing can re-read the truncated lineage.
+
+    Returns the number of RDDs released (recorded once in
+    BENCH_DETAIL for observability)."""
+    released = 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+                released += 1
+    except Exception as exc:  # noqa: BLE001 — cleanup is best-effort
+        print(f"bench: rdd release failed: {exc}", file=sys.stderr)
+    return released
 
 
 def _scale_probe(spark, sf0_1_flagship_sec: float | None) -> dict:
@@ -416,11 +446,15 @@ def _probe_docs_10x(spark, sf_dir: str):
 
 
 def _scale_probe_corpus(spark, sf_dir: str) -> dict:
-    """Corpus-side scale probe on the LINEAR-OUTPUT banded pipeline
-    (corpus_to_training(near_dedup="minhash_bands") — the 100 TB path;
-    r7). Self-contained ratio: the 1x baseline is measured inside the
-    probe with the same discipline, so the ratio never mixes cache /
-    load conditions with a headline median recorded minutes earlier.
+    """Corpus-side scale probe through the DEFAULT entry point
+    (corpus_to_training(docs) — near_dedup="auto" since r8): the probe
+    now measures exactly what a defaults-calling user gets. The auto
+    gate routes the 10x duplicate-heavy corpus to the linear-output
+    banded drop and the benign 1x corpus to exact-Jaccard pairs; both
+    resolved modes are recorded alongside the walls. Self-contained
+    ratio: the 1x baseline is measured inside the probe with the same
+    discipline, so the ratio never mixes cache / load conditions with a
+    headline median recorded minutes earlier.
 
     The pair-form (greedy exact-Jaccard) pipeline is quadratic per
     duplicate group by construction — r6 measured 7.2x-13.75x wall at
@@ -433,18 +467,18 @@ def _scale_probe_corpus(spark, sf_dir: str) -> dict:
     n = docs.count()
     base = _probed_wall(
         spark,
-        lambda: _noop_write(
-            corpus.corpus_to_training(docs, near_dedup="minhash_bands")
-        ),
+        lambda: _noop_write(corpus.corpus_to_training(docs)),
     )
     big_out = _probed_wall(
         spark,
-        lambda: _noop_write(
-            corpus.corpus_to_training(big, near_dedup="minhash_bands")
-        ),
+        lambda: _noop_write(corpus.corpus_to_training(big)),
     )
     out = {
-        "mode": "minhash_bands",
+        "mode": "auto (default entry point)",
+        # cached by the gate, so these read the decisions the timed
+        # runs actually used
+        "mode_1x": corpus._resolve_near_dedup(docs, 4, 3, "text"),
+        "mode_10x": corpus._resolve_near_dedup(big, 4, 3, "text"),
         "n_docs": n * 10,
         **big_out,
         "base_1x": base,
@@ -513,6 +547,91 @@ def _scale_probe_ann(spark, sf_dir: str, base_median: float | None) -> dict:
     return out
 
 
+def _scale_probe_substrings(spark, sf_dir: str) -> dict:
+    """10x datapoint for the span-level exact-substring dedup family
+    (new in r7, unprobed until r8): strip_duplicate_spans at 1x and 10x
+    docs. The 10x corpus's id-shifted copies share nearly every ≥20-word
+    run with their original, so the gram window and island merge do real
+    10x duplicate work. Also records the md5-mode shuffle bytes at 1x —
+    the measured evidence for the xxhash64 (8-byte gram hash) default
+    vs the 32-char md5 string (the gram hash IS this family's dominant
+    shuffle payload: one row per corpus word)."""
+    from process_alphafold3_outputs_spark.operators import dedup
+
+    docs, big = _probe_docs_10x(spark, sf_dir)
+    n = docs.count()
+    base = _probed_wall(
+        spark, lambda: _noop_write(dedup.strip_duplicate_spans(docs))
+    )
+    md5_base = _probed_wall(
+        spark,
+        lambda: _noop_write(
+            dedup.strip_duplicate_spans(docs, hash_mode="md5")
+        ),
+    )
+    big_out = _probed_wall(
+        spark, lambda: _noop_write(dedup.strip_duplicate_spans(big))
+    )
+    return {
+        "hash_mode": "xxhash64",
+        "n_docs": n * 10,
+        **big_out,
+        "base_1x": base,
+        "md5_1x": md5_base,
+        "wall_ratio_10x_data": round(
+            big_out["wall_sec"] / base["wall_sec"], 2
+        ) if base["wall_sec"] > 0 else None,
+    }
+
+
+def _scale_probe_trainers(spark, sf_dir: str) -> dict:
+    """10x datapoints for the r7 trainer paths (VERDICT item 7): the
+    distributed LR quality-classifier (fixed iters — per-iteration cost
+    is the scale question; the driver collect is dim+1 rows regardless
+    of corpus size) and the DSIR bucket-count sketch (≤ m_buckets rows
+    out regardless of corpus size). Both should read ≲ linear."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators import text as text_ops
+
+    docs, big = _probe_docs_10x(spark, sf_dir)
+    n = docs.count()
+    pos = F.col("doc_id") % 3 == 0
+
+    def train(df):
+        # fit_* is eager (one dim+1-row collect per iter) — the call IS
+        # the action
+        return lambda: text_ops.fit_quality_classifier(
+            df, pos, dim=32, iters=2
+        )
+
+    clf_base = _probed_wall(spark, train(docs))
+    clf_big = _probed_wall(spark, train(big))
+    dsir_base = _probed_wall(
+        spark, lambda: _noop_write(text_ops.dsir_bucket_counts(docs))
+    )
+    dsir_big = _probed_wall(
+        spark, lambda: _noop_write(text_ops.dsir_bucket_counts(big))
+    )
+    return {
+        "n_docs": n * 10,
+        "classifier": {
+            **clf_big,
+            "base_1x": clf_base,
+            "wall_ratio_10x_data": round(
+                clf_big["wall_sec"] / clf_base["wall_sec"], 2
+            ) if clf_base["wall_sec"] > 0 else None,
+        },
+        "dsir": {
+            **dsir_big,
+            "base_1x": dsir_base,
+            "wall_ratio_10x_data": round(
+                dsir_big["wall_sec"] / dsir_base["wall_sec"], 2
+            ) if dsir_base["wall_sec"] > 0 else None,
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -561,6 +680,7 @@ def main() -> None:
         if warmup:
             build().write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
+            _release_persisted_rdds(spark)
 
         def one_run() -> float:
             t0 = time.perf_counter()
@@ -569,8 +689,11 @@ def main() -> None:
             # each call re-persists the staged fan-out points afresh;
             # clear the PREVIOUS run's now-dead blocks so pinned storage
             # doesn't compound across runs (measured: a staged pipeline
-            # query drifting 3.2s -> 6.9s -> 18.4s over three runs)
+            # query drifting 3.2s -> 6.9s -> 18.4s over three runs).
+            # clearCache() alone leaves localCheckpoint blocks pinned —
+            # release those too (the r7 late-suite drift mechanism)
             spark.catalog.clearCache()
+            _release_persisted_rdds(spark)
             return elapsed
 
         runs = [one_run() for _ in range(n_runs)]
@@ -609,8 +732,10 @@ def main() -> None:
         finally:
             # staged queries (corpus pipelines) persist fan-out points per
             # call; release them so pinned blocks from one query don't
-            # pressure executor memory for the rest of the suite
+            # pressure executor memory for the rest of the suite — and
+            # sweep localCheckpoint blocks clearCache can't see
             spark.catalog.clearCache()
+            _release_persisted_rdds(spark)
 
     if af3 is not None:
         record(
@@ -659,6 +784,18 @@ def main() -> None:
                 scale_probe["corpus_pairform"] = {
                     "error": f"{type(exc).__name__}: {exc}"
                 }
+        try:
+            scale_probe["substrings"] = _scale_probe_substrings(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            scale_probe["substrings"] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"bench: substrings scale probe failed: "
+                  f"{scale_probe['substrings']['error'][:200]}", file=sys.stderr)
+        try:
+            scale_probe["trainers"] = _scale_probe_trainers(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            scale_probe["trainers"] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"bench: trainers scale probe failed: "
+                  f"{scale_probe['trainers']['error'][:200]}", file=sys.stderr)
         try:
             scale_probe["ann"] = _scale_probe_ann(
                 spark, sf_dir, timings.get("similarity_topk_lsh_multiprobe")

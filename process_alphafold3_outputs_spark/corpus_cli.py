@@ -82,9 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--jaccard-threshold", type=float, default=0.8)
     sp.add_argument(
         "--near-dedup",
-        choices=["greedy", "clusters", "minhash_bands"],
-        default="greedy",
-        help="greedy/clusters: exact-Jaccard pair forms; minhash_bands: "
+        choices=["auto", "greedy", "clusters", "minhash_bands"],
+        default="auto",
+        help="auto: probe duplicate density and pick bands vs pairs; "
+        "greedy/clusters: exact-Jaccard pair forms; minhash_bands: "
         "linear-output banded drop (the duplicate-heavy-corpus path)",
     )
 
@@ -271,9 +272,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--merges", type=int, default=32)
     sp.add_argument("--min-pair-count", type=int, default=2)
     sp.add_argument(
-        "--batch-merges", type=int, default=1,
+        "--batch-merges",
+        type=lambda v: v if v == "auto" else int(v),
+        default=1,
         help="non-interacting merges applied per driver round (1 = "
-        "textbook sequential schedule)",
+        "textbook sequential schedule; 'auto' = adaptive doubling "
+        "schedule)",
     )
 
     sp = sub.add_parser("dsir")

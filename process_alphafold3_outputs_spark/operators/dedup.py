@@ -201,7 +201,10 @@ def drop_boilerplate(
 
 
 def duplicate_spans(
-    docs: DataFrame, min_words: int = 20, text_col: str = "text"
+    docs: DataFrame,
+    min_words: int = 20,
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, begin, end) — maximal duplicated word spans: every
     position range (0-based, end-exclusive) covered by some
@@ -222,8 +225,12 @@ def duplicate_spans(
     near-uniform, no skew); the surviving duplicate occurrences (a
     small fraction of the corpus on real data) take one doc-keyed
     window + aggregation for span merging. No suffix array, no global
-    sort, no candidate pairs."""
-    grams = _word_grams(docs, min_words, text_col)
+    sort, no candidate pairs.
+
+    ``hash_mode`` (default ``"xxhash64"`` — 8-byte gram hashes, the
+    production shuffle payload) passes through to :func:`_word_grams`;
+    the oracle-paired driver row pins ``"md5"`` for DuckDB parity."""
+    grams = _word_grams(docs, min_words, text_col, hash_mode=hash_mode)
     first = Window.partitionBy("gh").orderBy("doc_id", "pos")
     dups = (
         grams.withColumn("_rn", F.row_number().over(first))
@@ -234,12 +241,33 @@ def duplicate_spans(
 
 
 def _word_grams(
-    docs: DataFrame, min_words: int, text_col: str = "text"
+    docs: DataFrame,
+    min_words: int,
+    text_col: str = "text",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(doc_id, pos, gh) — every ``min_words``-gram of the normalized
     text with its 0-based start position (docs shorter than the gram
-    floor contribute nothing)."""
+    floor contribute nothing).
+
+    ``hash_mode``: ``"md5"`` emits a 32-char hex STRING (the DuckDB-
+    oracle-parity form); ``"xxhash64"`` emits a BIGINT — the production
+    default for :func:`strip_duplicate_spans` and the incremental /
+    streaming kernels, because the gram hash is the dominant shuffle
+    payload of this family (one row per corpus word): 8 bytes vs ~36
+    (32 chars + length) per row is ~4× less shuffle at 100 TB, and the
+    64-bit space is ample for first-occurrence bucketing (collisions
+    merely mark one extra gram duplicated). A pytest pins md5 ==
+    xxhash64 span identity on a collision-free fixture."""
     L = min_words
+    if hash_mode == "md5":
+        def gh(s):
+            return F.md5(s)
+    elif hash_mode == "xxhash64":
+        def gh(s):
+            return F.xxhash64(s)
+    else:
+        raise ValueError(f"hash_mode must be md5|xxhash64, got {hash_mode!r}")
     words = normalized(spread(docs, "doc_id"), text_col).select(
         "doc_id", F.split("_norm", " ").alias("_w")
     )
@@ -248,7 +276,7 @@ def _word_grams(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("_w") - L),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("_w", i + 1, L))),
+                lambda i: gh(F.concat_ws(" ", F.slice("_w", i + 1, L))),
             )
         ).alias("pos", "gh"),
     )
@@ -282,7 +310,10 @@ def _merge_gram_spans(dups: DataFrame) -> DataFrame:
 
 
 def strip_duplicate_spans(
-    docs: DataFrame, min_words: int = 20, text_col: str = "text"
+    docs: DataFrame,
+    min_words: int = 20,
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, n_words, n_spans, n_dup_words, clean_text) — remove the
     :func:`duplicate_spans` ranges from each document, keeping the
@@ -297,7 +328,7 @@ def strip_duplicate_spans(
     by construction) collect per doc, and word i survives iff no span
     contains i — `filter`/`exists` over the split-once token array,
     zero Python."""
-    spans = duplicate_spans(docs, min_words, text_col)
+    spans = duplicate_spans(docs, min_words, text_col, hash_mode=hash_mode)
     return _rebuild_without_spans(docs, spans, text_col)
 
 
@@ -350,6 +381,7 @@ def contamination_spans(
     benchmark: DataFrame,
     min_words: int = 8,
     text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, begin, end) — maximal word spans of corpus documents
     covered by benchmark/eval-set ``min_words``-grams: the WHERE of
@@ -361,9 +393,9 @@ def contamination_spans(
     BROADCASTS and the corpus is never shuffled by gram — the gram
     explode is narrow, the hit filter is a broadcast-hash join, and
     only the (small) hit set takes the doc-keyed island merge."""
-    grams = _word_grams(docs, min_words, text_col)
+    grams = _word_grams(docs, min_words, text_col, hash_mode=hash_mode)
     bench = (
-        _word_grams(benchmark, min_words, text_col)
+        _word_grams(benchmark, min_words, text_col, hash_mode=hash_mode)
         .select("gh")
         .distinct()
     )
@@ -378,6 +410,7 @@ def strip_contamination(
     benchmark: DataFrame,
     min_words: int = 8,
     text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, n_words, n_spans, n_dup_words, clean_text) — surgical
     decontamination: cut the :func:`contamination_spans` ranges out of
@@ -386,7 +419,9 @@ def strip_contamination(
     benchmark-free remainder of long documents that merely QUOTE an
     eval item — the published trade-off when dropping whole docs costs
     too much good text."""
-    spans = contamination_spans(docs, benchmark, min_words, text_col)
+    spans = contamination_spans(
+        docs, benchmark, min_words, text_col, hash_mode=hash_mode
+    )
     return _rebuild_without_spans(docs, spans, text_col)
 
 
@@ -395,6 +430,7 @@ def incremental_strip_substrings(
     seen_grams: DataFrame,
     min_words: int = 20,
     text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """(stripped, updated_seen) — :func:`strip_duplicate_spans` in
     shipment-over-history form: a gram occurrence in the NEW shipment
@@ -407,8 +443,11 @@ def incremental_strip_substrings(
     Scale shape: history participates ONLY as its hash column via one
     gh-keyed join (md5-uniform, no skew); historical text is never
     rescanned — the same contract as :func:`incremental_exact_dedup`.
+    The BIGINT ``hash_mode="xxhash64"`` default also shrinks the rolled
+    state table ~4× vs md5 strings (state mode must stay consistent
+    across shipments — the gh join keys on it).
     """
-    grams = _word_grams(new_docs, min_words, text_col)
+    grams = _word_grams(new_docs, min_words, text_col, hash_mode=hash_mode)
     hist = seen_grams.select("gh").distinct()
     marked = grams.join(
         hist.withColumn("_hist", F.lit(1)), "gh", "left"
@@ -680,6 +719,57 @@ def has_hot_shingle(
         .collect()[0]["m"]
     )
     return max_df >= max(4.0, hot_frac * n_docs)
+
+
+def duplicate_density(
+    docs: DataFrame,
+    sample_mod: int = 20,
+    n_bands: int = 4,
+    rows_per_band: int = 3,
+    text_col: str = "text",
+) -> float:
+    """Fraction of (doc, band) rows whose MinHash band bucket holds ≥2
+    documents, estimated on a deterministic BUCKET sample — the
+    duplicate-density probe behind ``clean_corpus(near_dedup="auto")``.
+
+    Why this statistic: the exact-Jaccard pair forms emit m²/2 pair rows
+    per duplicate group of size m, so their cost is governed by how MANY
+    documents have at least one near-duplicate partner, not by whether
+    one single text is corpus-hot (the :func:`has_hot_shingle` question).
+
+    Why sample BUCKETS, not documents: a duplicate group survives doc
+    sampling only when ≥2 of its members co-sample — small scattered
+    groups (the 10×-copies shape that killed the r6 probe) become
+    near-invisible at any useful doc-sampling rate, and the estimate's
+    variance explodes on small corpora (a 19-doc sample read 0.05 on a
+    corpus whose true density is 0.11). Hashing ``(band, band_sig)``
+    instead keeps every sampled bucket INTACT, so the multi-doc-row
+    fraction over sampled buckets is an unbiased group-structure-free
+    estimate of the full-corpus figure. Cost: the minhash signatures
+    are computed for all docs (one narrow scan — the same signatures
+    the banded pipeline itself would compute), but only ~1/sample_mod
+    of band rows shuffle into the bucket count.
+
+    Deterministic (hash sampling), two jobs at plan-build time — an
+    adaptive-planning action in the AQE spirit; callers who already
+    know their corpus pass the mode explicitly and no job fires."""
+    bands = minhash_bands(
+        docs, n_bands=n_bands, rows_per_band=rows_per_band, text_col=text_col
+    ).filter(F.abs(F.xxhash64("band", "band_sig")) % sample_mod == 0)
+    row = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("m") >= 2, F.col("m"))), F.lit(0)
+            ).alias("dup_rows"),
+            F.coalesce(F.sum("m"), F.lit(0)).alias("all_rows"),
+        )
+        .collect()[0]
+    )
+    if row["all_rows"] == 0:
+        return 0.0
+    return row["dup_rows"] / row["all_rows"]
 
 
 def jaccard_pairs(

@@ -27,6 +27,63 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, text
 
+#: near_dedup="auto" probe decisions, keyed by the input plan's
+#: semanticHash + probe params. The probe is deterministic, so caching
+#: is sound — and it keeps repeated plan builds over the same corpus
+#: (bench timed runs, the plan-lint sweep, composed pipelines that call
+#: clean_corpus more than once) from re-firing the two probe jobs.
+_AUTO_MODE_CACHE: dict[tuple, str] = {}
+
+#: multi-doc band-bucket row fraction at/above which "auto" routes to
+#: the linear-output banded drop. 0.25 is evidence-anchored, midway
+#: between the two measured regimes: the synthetic bench corpora carry
+#: ~0.11-0.13 banded density (deliberate near-dup groups of ≤10) and
+#: the exact-Jaccard pair form handles them at the r1-anchored cost,
+#: while the 10×-copies probe corpus reads ≥0.37 and measured 7-14×
+#: superlinear wall in pair form (r6). Between those, group sizes stay
+#: small and pair output is ≈ density·m·corpus — safe either way.
+AUTO_DUP_FRAC = 0.25
+
+
+def _resolve_near_dedup(
+    docs: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    text_col: str,
+) -> str:
+    """The ``near_dedup="auto"`` gate: probe the corpus's duplicate
+    density (:func:`..operators.dedup.duplicate_density` — deterministic
+    doc sample, two small jobs) and pick the banded linear-output drop
+    for duplicate-heavy corpora, exact-Jaccard greedy pairs otherwise.
+
+    This mirrors the engine's other adaptive-planning probes
+    (``has_hot_shingle``, ``has_hot_block``): runtime stats choose the
+    physical strategy, exactly once per distinct input plan (cached by
+    semanticHash). Callers composing fully-lazy plans (streaming
+    foreachBatch, plan-only tooling) should pass an explicit mode."""
+    try:
+        key = (
+            docs.semanticHash(),
+            n_bands,
+            rows_per_band,
+            text_col,
+            AUTO_DUP_FRAC,
+        )
+    except Exception:  # noqa: BLE001 — hash is an optimization only
+        key = None
+    if key is not None and key in _AUTO_MODE_CACHE:
+        return _AUTO_MODE_CACHE[key]
+    dens = dedup.duplicate_density(
+        docs,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        text_col=text_col,
+    )
+    mode = "minhash_bands" if dens >= AUTO_DUP_FRAC else "greedy"
+    if key is not None:
+        _AUTO_MODE_CACHE[key] = mode
+    return mode
+
 
 def clean_corpus(
     docs: DataFrame,
@@ -38,7 +95,7 @@ def clean_corpus(
     stage: bool = True,
     full_rows: bool = False,
     handles: list[DataFrame] | None = None,
-    near_dedup: str = "greedy",
+    near_dedup: str = "auto",
     n_bands: int = 4,
     rows_per_band: int = 3,
 ) -> DataFrame:
@@ -47,8 +104,13 @@ def clean_corpus(
     every document column too (the downstream chunk/split stages need
     the text — see :func:`corpus_to_training`).
 
-    ``near_dedup``: ``"greedy"`` (default) drops the higher id of each
-    qualifying pair — one lazy anti-join; ``"clusters"`` drops every
+    ``near_dedup``: ``"auto"`` (default) probes the corpus's duplicate
+    density on a deterministic doc sample (two small jobs at plan-build
+    time, cached per input plan — :func:`_resolve_near_dedup`) and picks
+    ``"minhash_bands"`` on duplicate-heavy corpora, ``"greedy"``
+    otherwise — so a defaults-called pipeline is 100 TB-safe without the
+    caller knowing their duplication profile; ``"greedy"`` drops the
+    higher id of each qualifying pair — one lazy anti-join; ``"clusters"`` drops every
     non-minimum member of each TRANSITIVE duplicate cluster
     (:func:`..operators.dedup.connected_components`) — exactly one
     representative survives per cluster, at the cost of an EAGER
@@ -106,6 +168,8 @@ def clean_corpus(
             & (F.col("pred_lang") == lang)
         )
     )
+    if near_dedup == "auto":
+        near_dedup = _resolve_near_dedup(docs, n_bands, rows_per_band, text_col)
     # min_by hash agg, not a window: duplicates collapse map-side before
     # the hash-keyed shuffle (doc_id unique -> deterministic winner)
     _kept_cols = [c for c in base.columns if c != "_norm"]
@@ -164,7 +228,7 @@ def clean_corpus(
             drop = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     else:
         raise ValueError(
-            "near_dedup must be greedy|clusters|minhash_bands, "
+            "near_dedup must be auto|greedy|clusters|minhash_bands, "
             f"got {near_dedup!r}"
         )
     survivors = exact_kept.join(drop, "doc_id", "left_anti")
@@ -187,13 +251,14 @@ def corpus_to_training(
     text_col: str = "text",
     stage: bool = True,
     handles: list[DataFrame] | None = None,
-    near_dedup: str = "greedy",
+    near_dedup: str = "auto",
 ) -> DataFrame:
     """The full clean → chunk → split DAG a training-data pipeline
     ships: (doc_id, chunk_id, chunk_text, n_tokens, split).
-    ``near_dedup`` passes through to :func:`clean_corpus` — use
-    ``"minhash_bands"`` on duplicate-heavy corpora (linear-output
-    banded drop; the pair forms are quadratic per duplicate group).
+    ``near_dedup`` passes through to :func:`clean_corpus` — ``"auto"``
+    (default) probes duplicate density and routes duplicate-heavy
+    corpora to the linear-output banded drop (the pair forms are
+    quadratic per duplicate group).
 
     Composition notes:
     - chunking runs on the SURVIVORS of :func:`clean_corpus` (post

@@ -4715,7 +4715,9 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep each duplicated >= _SUBL-word substring's first occurrence,
     cut every later copy mid-document."""
     return dedup.strip_duplicate_spans(
-        load_table(spark, sf_dir, "documents"), min_words=_SUBL
+        load_table(spark, sf_dir, "documents"), min_words=_SUBL,
+        hash_mode="md5",  # oracle parity: DuckDB restates md5 gram hashes;
+                          # production default is the 8-byte xxhash64 mode
     )
 
 
@@ -4786,7 +4788,8 @@ def dedup_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark doc itself strips to empty (it is pure overlap)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.strip_contamination(
-        docs, docs.filter(F.col("doc_id") % 19 == 0), min_words=_SUBL
+        docs, docs.filter(F.col("doc_id") % 19 == 0), min_words=_SUBL,
+        hash_mode="md5",  # oracle parity (see dedup_substrings)
     )
 
 

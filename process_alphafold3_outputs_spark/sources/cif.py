@@ -37,58 +37,28 @@ ATOMS_SCHEMA = (
     "x double, y double, z double"
 )
 
-_TOKEN_RE = re.compile(r"'(?:[^']*)'|\"(?:[^\"]*)\"|\S+")
-
-
-def _tokens(line: str) -> list[str]:
-    return [t[1:-1] if t[:1] in "'\"" else t for t in _TOKEN_RE.findall(line)]
+from ._cif_core import (  # noqa: F401 — _tokens re-exported for tests
+    ATOM_COLUMNS,
+    _tokens,
+    parse_atom_site_columns,
+)
 
 
 def parse_atom_site(text: str) -> list[dict]:
-    """Parse every ``_atom_site`` loop in an mmCIF document into atom dicts."""
-    lines = text.splitlines()
-    out: list[dict] = []
-    i = 0
-    n = len(lines)
-    while i < n:
-        if lines[i].strip() != "loop_":
-            i += 1
-            continue
-        i += 1
-        headers: list[str] = []
-        while i < n and lines[i].startswith("_"):
-            headers.append(lines[i].strip().split()[0])
-            i += 1
-        if not headers or not headers[0].startswith("_atom_site."):
-            continue
-        idx = {h.split(".", 1)[1]: k for k, h in enumerate(headers)}
-        chain_f = "auth_asym_id" if "auth_asym_id" in idx else "label_asym_id"
-        res_f = "auth_seq_id" if "auth_seq_id" in idx else "label_seq_id"
-        while i < n:
-            s = lines[i].strip()
-            if not s or s.startswith(("#", "_", "loop_", "data_")):
-                break
-            row = _tokens(s)
-            i += 1
-            if len(row) < len(headers):
-                continue  # malformed row: drop, don't fail (SURVEY §2.2 #11)
-            try:
-                resname = row[idx["label_comp_id"]]
-                out.append(
-                    {
-                        "chain_id": row[idx[chain_f]],
-                        "residue_id": int(row[idx[res_f]]),
-                        "residue_name": resname,
-                        "is_aa": resname in AA_3TO1,
-                        "atom_name": row[idx["label_atom_id"]],
-                        "x": float(row[idx["Cartn_x"]]),
-                        "y": float(row[idx["Cartn_y"]]),
-                        "z": float(row[idx["Cartn_z"]]),
-                    }
-                )
-            except (KeyError, ValueError):
-                continue
-    return out
+    """Parse every ``_atom_site`` loop in an mmCIF document into atom
+    dicts — the row-form compatibility wrapper over the COLUMNAR core
+    (:mod:`._cif_core`, ~10× the r7 row parser's atoms/s/core; the
+    mapInPandas ingest path consumes the columns directly and never
+    pays the per-atom dict built here)."""
+    cols = parse_atom_site_columns(text)
+    plain = {
+        k: (v.tolist() if hasattr(v, "tolist") else v)
+        for k, v in cols.items()
+    }
+    return [
+        dict(zip(ATOM_COLUMNS, vals))
+        for vals in zip(*(plain[k] for k in ATOM_COLUMNS))
+    ]
 
 
 def _decode(content: bytes) -> str | None:
@@ -135,8 +105,12 @@ def read_atoms(
 
         import pandas as pd
 
+        out_cols = [
+            "job", "model_id", "chain_id", "residue_id", "residue_name",
+            "is_aa", "atom_name", "x", "y", "z",
+        ]
         for pdf in batches:
-            rows = []
+            frames = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 if job_re is not None:
                     m_job = job_re.match(_os.path.basename(path))
@@ -147,17 +121,19 @@ def read_atoms(
                 if not m_job or text is None:
                     continue
                 model_id = int(m_model.group(1)) if m_model else 0
-                for atom in parse_atom_site(text):
-                    atom["job"] = m_job.group(1)
-                    atom["model_id"] = model_id
-                    rows.append(atom)
-            cols = [
-                "job", "model_id", "chain_id", "residue_id", "residue_name",
-                "is_aa", "atom_name", "x", "y", "z",
-            ]
-            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
-                columns=cols
-            )
+                # columnar core → columnar frame: never pays a Python
+                # dict per atom (the scalar job/model_id broadcast)
+                c = parse_atom_site_columns(text)
+                if not c["chain_id"]:
+                    continue
+                frames.append(
+                    pd.DataFrame({"job": m_job.group(1),
+                                  "model_id": model_id, **c})
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[out_cols]
+            else:
+                yield pd.DataFrame(columns=out_cols)
 
     return files.mapInPandas(parse_partition, ATOMS_SCHEMA)
 

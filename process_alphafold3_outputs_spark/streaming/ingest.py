@@ -670,8 +670,11 @@ def watch_documents_substrings(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         ss = batch_df.sparkSession
+        # BIGINT gram hashes (xxhash64 production mode): the rolled gram
+        # table is 8 bytes/row instead of a 32-char md5 string — the
+        # state table IS this watcher's dominant storage at scale
         seen = read_state(
-            ss, grams_path, "gh string", before_epoch=epoch_id
+            ss, grams_path, "gh long", before_epoch=epoch_id
         )
         stripped, updated = incremental_strip_substrings(
             batch_df, seen, min_words=min_words

@@ -139,6 +139,28 @@ def test_batched_equals_sequential_on_non_interacting_fixture(spark):
         .orderBy("rank").collect()
     ]
     assert seq == bat and len(seq) == 4
+    # adaptive schedule: same exactness contract — on a non-interacting
+    # fixture the batch size only changes how many driver rounds run,
+    # never which merges are learned
+    ada = [
+        (r.rank, r.left, r.right, r.merged, r.n_occurrences)
+        for r in bpe.train_bpe(docs, n_merges=4, batch_merges="auto")
+        .orderBy("rank").collect()
+    ]
+    assert seq == ada
+
+
+def test_adaptive_batch_deterministic_across_runs(spark, docs):
+    """batch_merges="auto" must train identical tables on re-run (the
+    schedule is a pure function of the ordered candidate stream)."""
+    def run():
+        return [
+            (r.rank, r.left, r.right, r.merged, r.n_occurrences)
+            for r in bpe.train_bpe(docs, n_merges=12, batch_merges="auto")
+            .orderBy("rank").collect()
+        ]
+    a, b = run(), run()
+    assert a == b and len(a) > 0
 
 
 def test_batch_merges_1_is_reference_identical(spark, docs):

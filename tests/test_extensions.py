@@ -1248,3 +1248,93 @@ def test_embedding_drift_identical_and_shifted(spark):
     empty = spark.createDataFrame([], schema)
     degen = similarity.embedding_drift(a, empty).collect()[0]
     assert degen["n_b"] == 0 and degen["mean_cosine"] is None
+
+
+# --------------------------------------------------------------------------
+# near_dedup="auto" gate (VERDICT r7 item 1): duplicate-heavy corpora
+# route to the linear-output banded drop, benign corpora keep the
+# exact-Jaccard pair path — both result-correct vs the explicit mode
+# --------------------------------------------------------------------------
+
+
+def _en_sentence(i: int) -> str:
+    """A distinct English-marker-rich sentence (passes the language and
+    quality gates). A unique token sits at every other position, so two
+    sentences with different ``i`` share NO 3-shingle — genuinely
+    benign for the near-dup probe, not template near-dups."""
+    u = [f"w{i}x{j}" for j in range(7)]
+    return (
+        f"the {u[0]} and {u[1]} of {u[2]} with {u[3]} "
+        f"for {u[4]} is {u[5]} near {u[6]}"
+    )
+
+
+def test_clean_corpus_auto_gate_duplicate_heavy_picks_bands(spark):
+    """400 docs in 40 near-duplicate groups of 10 (each copy appends a
+    distinct token — exact dedup cannot collapse them): the density
+    probe must route to minhash_bands, and the auto output must equal
+    the explicit banded output."""
+    from process_alphafold3_outputs_spark.plans import corpus
+
+    rows = [
+        (g * 100 + c, _en_sentence(g) + f" copy{c}")
+        for g in range(40)
+        for c in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus._AUTO_MODE_CACHE.clear()
+    assert corpus._resolve_near_dedup(docs, 4, 3, "text") == "minhash_bands"
+    auto = {
+        r.doc_id
+        for r in corpus.clean_corpus(docs, stage=False, max_words=100).collect()
+    }
+    explicit = {
+        r.doc_id
+        for r in corpus.clean_corpus(
+            docs, stage=False, max_words=100, near_dedup="minhash_bands"
+        ).collect()
+    }
+    assert auto == explicit and auto  # routed to bands, non-empty
+
+
+def test_clean_corpus_auto_gate_benign_picks_pairs(spark):
+    """400 all-distinct docs: density ~0 — auto must keep the exact-
+    Jaccard greedy path and match its output."""
+    from process_alphafold3_outputs_spark.plans import corpus
+
+    rows = [(i, _en_sentence(7 * i)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus._AUTO_MODE_CACHE.clear()
+    assert corpus._resolve_near_dedup(docs, 4, 3, "text") == "greedy"
+    auto = {
+        r.doc_id
+        for r in corpus.clean_corpus(docs, stage=False, max_words=100).collect()
+    }
+    explicit = {
+        r.doc_id
+        for r in corpus.clean_corpus(
+            docs, stage=False, max_words=100, near_dedup="greedy"
+        ).collect()
+    }
+    assert auto == explicit and auto
+
+
+def test_duplicate_density_full_sample_bounds(spark):
+    """sample_mod=1 (every doc sampled): a corpus of identical texts
+    reads density 1.0; an all-distinct corpus reads ~0; empty reads 0."""
+    from process_alphafold3_outputs_spark.operators.dedup import (
+        duplicate_density,
+    )
+
+    same = spark.createDataFrame(
+        [(i, "the same exact text for every doc here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert duplicate_density(same, sample_mod=1) == 1.0
+    distinct = spark.createDataFrame(
+        [(i, _en_sentence(13 * i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert duplicate_density(distinct, sample_mod=1) < 0.2
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicate_density(empty, sample_mod=1) == 0.0
