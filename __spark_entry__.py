@@ -406,6 +406,21 @@ _DEFERRED: set[str] = {
                              # evidenced by the green
                              # text_classifier_score row (deferred:
                              # headroom)
+    "dedup_containment",     # asymmetric subset-duplication screen;
+                             # shingle join mechanics evidenced by the
+                             # green dedup_jaccard row (deferred:
+                             # headroom)
+    "text_script_profile",   # unicode-script histogram router; narrow
+                             # char-array projection, mechanics
+                             # evidenced by green text_* rows
+                             # (deferred: headroom)
+    "text_search_hybrid",    # RRF fusion of the green text_bm25_search
+                             # + similarity_topk kernels (deferred:
+                             # headroom)
+    "pipeline_corpus_diff",  # crawl-to-crawl hash diff; full-outer
+                             # hash-join mechanics evidenced by green
+                             # dedup_exact + dedup_incremental rows
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

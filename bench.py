@@ -150,6 +150,10 @@ HEADLINE = [
     "similarity_embedding_drift",
     "dedup_decontaminate_winnow",
     "text_hash_embed",
+    "dedup_containment",
+    "text_script_profile",
+    "text_search_hybrid",
+    "pipeline_corpus_diff",
 ]
 
 

@@ -37,6 +37,10 @@ line to stdout):
   media-stats    JVM-only multimodal format census (plans.media)
   media-curate   per-modality near-dedup of a media table: perceptual
                  images, spectral audio, exact everything-else
+  script-profile unicode-script histogram per document (text.script_profile)
+  diff           crawl-to-crawl change report vs --old (corpus_diff)
+  search         hybrid BM25 + vector retrieval fused by RRF
+                 (text.hybrid_search_rrf)
 
 Every command is a thin shell over the library operators — no query
 logic lives here, so CLI behavior cannot drift from the tested kernels.
@@ -120,7 +124,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--mode",
         choices=["exact", "paragraphs", "boilerplate", "minhash", "simhash",
-                 "clusters", "substrings"],
+                 "clusters", "substrings", "containment"],
         default="exact",
     )
     sp.add_argument("--seg-words", type=int, default=20)
@@ -130,6 +134,30 @@ def build_parser() -> argparse.ArgumentParser:
         help="substrings mode: gram length — duplicated runs of at "
         "least this many words are cut (Lee et al. 2022)",
     )
+    sp.add_argument(
+        "--containment-threshold", type=float, default=0.9,
+        help="containment mode: drop threshold on |A∩B|/|A| — the "
+        "asymmetric subset-duplication screen",
+    )
+
+    sp = sub.add_parser("script-profile")
+    common(sp)
+
+    sp = sub.add_parser("diff")
+    common(sp)
+    sp.add_argument("--old", required=True,
+                    help="previous drop's documents parquet")
+
+    sp = sub.add_parser("search")
+    common(sp)
+    sp.add_argument("--embeddings", required=True,
+                    help="embeddings parquet path (vector side)")
+    sp.add_argument("--terms", required=True,
+                    help="comma-separated lexical query terms")
+    sp.add_argument("--query-vec-id", type=int, required=True)
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--k-each", type=int, default=20)
+    sp.add_argument("--rrf-c", type=int, default=60)
 
     sp = sub.add_parser("decontaminate")
     common(sp)
@@ -572,9 +600,30 @@ def _result(
             return dedup.strip_duplicate_spans(
                 docs, min_words=args.min_words
             )
+        if args.mode == "containment":
+            return dedup.containment_pairs(
+                docs, threshold=args.containment_threshold
+            )
         # clusters: transitive components over the Jaccard pair graph
         pairs = dedup.jaccard_pairs(docs, threshold=args.jaccard_threshold)
         return dedup.connected_components(pairs, check_every=2)
+    if args.command == "script-profile":
+        return text.script_profile(docs)
+    if args.command == "diff":
+        return corpus_plans.corpus_diff(
+            spark.read.parquet(args.old), docs
+        )
+    if args.command == "search":
+        emb = spark.read.parquet(args.embeddings)
+        return text.hybrid_search_rrf(
+            docs,
+            emb,
+            [t for t in args.terms.split(",") if t],
+            query_vec_id=args.query_vec_id,
+            k=args.k,
+            k_each=args.k_each,
+            c=args.rrf_c,
+        )
     if args.command == "decontaminate":
         bench = spark.read.parquet(args.benchmark)
         if args.bloom:

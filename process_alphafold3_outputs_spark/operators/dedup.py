@@ -917,6 +917,76 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, container_id, containment) — near-SUBSET duplication:
+    directed pairs where ``|shingles(doc) ∩ shingles(container)| /
+    |shingles(doc)| ≥ threshold``. This is the asymmetric face of
+    near-dedup: a short document wholly quoted inside a longer one (a
+    syndicated article inside a boilerplate-wrapped page, an answer
+    reposted with commentary) has HIGH containment but LOW symmetric
+    Jaccard — ``|A∩B|/|A∪B|`` is diluted by the big doc's extra text,
+    so :func:`jaccard_pairs` misses exactly the duplication pattern
+    web corpora are fullest of. Standard curation stacks run both
+    screens (containment ≥ 0.9 is the common drop rule for the
+    contained copy).
+
+    Scale shape: the same inverted-index self-join as the plain
+    Jaccard path — one (doc, shingle) explode, shingle-keyed join,
+    pair-keyed count, broadcast-friendly doc-size join; both directed
+    ratios are derived from ONE undirected pair row (a < b) and
+    emitted via a 2-element explode, so the join work is never done
+    twice. Hot-shingle skew on this join is the
+    :func:`has_hot_shingle` story; pass a prefix-filtered ``shingles``
+    table on known-skewed corpora.
+
+    Thresholding uses the UNROUNDED ratio (round is display-only) —
+    the same cross-engine boundary policy as the Jaccard family."""
+    sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, k=shingle_k, text_col=text_col)
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    both = common.join(sa, "doc_a").join(sb, "doc_b")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("container_id"),
+                    (F.col("n_common") / F.col("n_a")).alias("_c"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("container_id"),
+                    (F.col("n_common") / F.col("n_b")).alias("_c"),
+                ),
+            )
+        ).alias("_d")
+    ).select("_d.doc_id", "_d.container_id", "_d._c")
+    return directed.filter(F.col("_c") >= threshold).select(
+        "doc_id",
+        "container_id",
+        F.round("_c", 6).alias("containment"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -2559,3 +2559,147 @@ def hash_embed(
             ),
         ).alias("embedding"),
     )
+
+
+#: Unicode-script codepoint ranges for the script profile — EXPLICIT
+#: BMP ranges, not \p{script=...} classes, so Spark (Java regex /
+#: UTF-16) and DuckDB (RE2 / codepoints) compute bit-identical counts
+#: by construction (the two engines' \p unicode tables drift across
+#: versions; a range test on the codepoint cannot). Supplementary-plane
+#: scripts (Han ext-B+, emoji) fall into ``other`` — documented
+#: limitation of the UTF-16 code-unit view.
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "arabic": ((0x0600, 0x06FF), (0x0750, 0x077F)),
+    "cyrillic": ((0x0400, 0x052F),),
+    "digit": ((0x0030, 0x0039),),
+    "greek": ((0x0370, 0x03FF),),
+    "han": ((0x4E00, 0x9FFF), (0x3400, 0x4DBF)),
+    "hangul": ((0xAC00, 0xD7AF), (0x1100, 0x11FF)),
+    "hebrew": ((0x0590, 0x05FF),),
+    "kana": ((0x3040, 0x309F), (0x30A0, 0x30FF)),
+    "latin": ((0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F)),
+}
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, <script counts...>, other, main_script) — the
+    per-document Unicode-script histogram a multilingual curation
+    pipeline reads BEFORE language ID: marker-word language detection
+    (:func:`language_id`) only works within an alphabet, so the script
+    split (Latin vs Cyrillic vs Han vs ...) is the coarse router that
+    decides which language-ID path and which tokenizer a document even
+    goes to — and mixed-script documents (spam, mojibake, wrong-charset
+    decodes) show up here as no dominant script.
+
+    Pure narrow projection: the text splits to characters ONCE, maps to
+    codepoints once (``ascii`` — first UTF-16 unit; all tabulated
+    ranges are BMP so the unit equals the codepoint), and every script
+    count filters the same array. No explode, no shuffle. ``other`` =
+    total chars − tabulated chars (spaces, punctuation,
+    supplementary-plane); ``main_script`` = argmax with alphabetical
+    tie-break, ``none`` when no tabulated script occurs."""
+    names = sorted(SCRIPT_RANGES)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    chars = F.filter(F.split(txt, ""), lambda c: c != F.lit(""))
+    cps = F.transform(chars, lambda c: F.ascii(c))
+
+    def in_ranges(cp, ranges):
+        cond = F.lit(False)
+        for lo, hi in ranges:
+            cond = cond | ((cp >= F.lit(lo)) & (cp <= F.lit(hi)))
+        return cond
+
+    d = docs.withColumn("_cps", cps).withColumn(
+        "n_chars", F.length(txt).cast("long")
+    )
+    def counter(ranges):
+        # bind via closure, NOT a defaulted lambda param — PySpark reads
+        # higher-order-function lambda arity, and a second parameter
+        # would be interpreted as the element-index argument
+        return F.size(
+            F.filter("_cps", lambda cp: in_ranges(cp, ranges))
+        ).cast("long")
+
+    for s in names:
+        d = d.withColumn(s, counter(SCRIPT_RANGES[s]))
+    total_tab = None
+    for s in names:
+        total_tab = F.col(s) if total_tab is None else total_tab + F.col(s)
+    d = d.withColumn("other", (F.col("n_chars") - total_tab).cast("long"))
+    best = F.greatest(*[F.col(s) for s in names])
+    main = F.lit("none")
+    for s in reversed(names):
+        main = F.when(F.col(s) == best, F.lit(s)).otherwise(main)
+    main = F.when(best == 0, F.lit("none")).otherwise(main)
+    return d.select(
+        "doc_id", "n_chars", *names, "other", main.alias("main_script")
+    )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 20,
+    c: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, rrf_score, lex_rank, vec_rank, rk) — hybrid retrieval
+    by reciprocal-rank fusion (Cormack et al. 2009): the top-``k``
+    documents under ``Σ_lists 1/(c + rank)`` over a BM25 lexical list
+    and a cosine vector list for the same information need. This is
+    the serving-side fusion every RAG/retrieval stack runs — lexical
+    matching catches exact terms the embedding smooths over, the
+    embedding catches paraphrases BM25 cannot see, and RRF combines
+    them without score calibration (ranks only — the two scorers'
+    scales never meet).
+
+    Scale shape: both input lists are top-``k_each`` results — bounded
+    tables from their own scale-safe kernels (:func:`bm25_search`'s
+    one-corpus-pass TakeOrdered; brute-force or ANN top-k on the
+    vector side); the fusion itself is a full-outer join of two ≤
+    ``k_each``-row tables + one TakeOrdered — driver-scale work no
+    matter the corpus size. Missing-from-one-list docs contribute only
+    the present list's reciprocal (standard RRF). Fused score rounds
+    to 9 dp before ranking (cross-engine rational arithmetic); ties
+    break on doc_id."""
+    from . import similarity
+
+    lex = bm25_search(docs, query_terms, k=k_each, text_col=text_col).select(
+        "doc_id", F.col("rk").alias("lex_rank")
+    )
+    vec = (
+        similarity.topk_bruteforce(
+            embeddings, F.col("vec_id") == query_vec_id, k=k_each
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rk").alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(1.0 / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(c) + F.col("vec_rank")), F.lit(0.0)),
+                9,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(k)
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "rrf_score",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            "rk",
+        )
+    )

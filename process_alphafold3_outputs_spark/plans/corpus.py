@@ -607,3 +607,40 @@ def token_report(
         F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
         F.coalesce("train_tokens", F.lit(0)).alias("train_tokens"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, status, old_source, new_source) with status ∈
+    added | removed | changed | unchanged — the crawl-to-crawl change
+    report a corpus owner reads before re-running the pipeline: how
+    much of the new drop is genuinely new work (added/changed feeds
+    the incremental dedup/scoring kernels; unchanged reuses last
+    epoch's artifacts; removed triggers retention bookkeeping).
+
+    Scale shape: each side collapses to (doc_id, md5(normalized text),
+    source) in one narrow pass, then ONE doc_id-keyed full-outer join
+    — no text ever shuffles (hashes only), the same
+    history-as-hashes contract as the incremental dedup family."""
+    from ..operators.dedup import normalized
+
+    def sig(df: DataFrame, prefix: str) -> DataFrame:
+        return normalized(df, text_col).select(
+            "doc_id",
+            F.md5("_norm").alias(f"{prefix}_h"),
+            F.col("source").alias(f"{prefix}_source"),
+        )
+
+    j = sig(old, "old").join(sig(new, "new"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .when(F.col("old_h") == F.col("new_h"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "doc_id", status.alias("status"), "old_source", "new_source"
+    )

@@ -5276,3 +5276,226 @@ def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hash_embed(
         load_table(spark, sf_dir, "documents"), dim=_HE_DIM, seed=_HE_SEED
     )
+
+
+# --------------------------------------------------------------------------
+# containment near-dup: the asymmetric screen — a short doc wholly
+# quoted inside a longer one has high |A∩B|/|A| but low symmetric
+# Jaccard (diluted by the union), so the standard pair screen misses
+# exactly the subset-duplication web corpora are fullest of. Same
+# shingle construction as the Jaccard family; directed output.
+# --------------------------------------------------------------------------
+_CONT_T = 0.6
+
+
+@register(
+    "dedup_containment",
+    sql=f"""
+    WITH {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    undirected AS (
+        SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    directed AS (
+        SELECT doc_a AS doc_id, doc_b AS container_id,
+               n_common / n_a AS c FROM undirected
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS container_id,
+               n_common / n_b AS c FROM undirected
+    )
+    SELECT doc_id, container_id, round(c, 6) AS containment
+    FROM directed WHERE c >= {_CONT_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=_CONT_T
+    )
+
+
+# --------------------------------------------------------------------------
+# Unicode-script profile: the coarse router in FRONT of marker-word
+# language ID (which only works within an alphabet). Counts are
+# explicit BMP codepoint-range tests — identical arithmetic on both
+# engines by construction (no \p{script} table drift).
+# --------------------------------------------------------------------------
+def _script_count_sql(ranges: tuple) -> str:
+    cond = " OR ".join(
+        f"(oc BETWEEN {lo} AND {hi})" for lo, hi in ranges
+    )
+    return f"CAST(coalesce(sum(CASE WHEN {cond} THEN 1 END), 0) AS BIGINT)"
+
+
+def _register_script_profile() -> None:
+    names = sorted(text.SCRIPT_RANGES)
+    counts = ",\n               ".join(
+        f"{_script_count_sql(text.SCRIPT_RANGES[s])} AS {s}" for s in names
+    )
+    tie = " ".join(
+        f"WHEN {s} = best THEN '{s}'" for s in names
+    )
+    total = " + ".join(names)
+    register(
+        "text_script_profile",
+        sql=f"""
+        WITH chars AS (
+            SELECT doc_id, ord(c) AS oc
+            FROM (SELECT doc_id,
+                         unnest(string_split(coalesce(text, ''), '')) AS c
+                  FROM documents)
+            WHERE c <> ''),
+        counted AS (
+            SELECT d.doc_id,
+                   CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+                   {counts}
+            FROM documents d LEFT JOIN chars ON chars.doc_id = d.doc_id
+            GROUP BY d.doc_id, d.text)
+        SELECT doc_id, n_chars, {", ".join(names)},
+               CAST(n_chars - ({total}) AS BIGINT) AS other,
+               CASE WHEN greatest({", ".join(names)}) = 0 THEN 'none'
+                    {tie}
+                    ELSE 'none' END AS main_script
+        FROM (SELECT *, greatest({", ".join(names)}) AS best FROM counted)
+        """,
+    )(_text_script_profile)
+
+
+def _text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.script_profile(load_table(spark, sf_dir, "documents"))
+
+
+_register_script_profile()
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval (RRF): reciprocal-rank fusion of the BM25 lexical
+# top-k and the cosine vector top-k — the serving-side combination
+# every RAG stack runs. Oracle restates both lists and the fusion.
+# --------------------------------------------------------------------------
+_HYB_QID, _HYB_K, _HYB_KEACH, _HYB_C = 3, 10, 15, 60
+
+
+@register(
+    "text_search_hybrid",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+           WHERE term IN ('spark', 'shuffle', 'query')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+        FROM tf JOIN dfq USING (term) JOIN lens l ON l.doc_id = tf.doc_id, stats s),
+    per_doc AS (
+        SELECT doc_id, round(sum(sc ORDER BY term), 9) AS score
+        FROM scored GROUP BY doc_id),
+    lex AS (
+        SELECT doc_id, CAST(rk AS INT) AS lex_rank
+        FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+              FROM per_doc)
+        WHERE rk <= {_HYB_KEACH}),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id = {_HYB_QID}),
+    vscored AS (
+        SELECT c.vec_id AS doc_id,
+               list_dot_product(q.qe, c.ce) /
+                 (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(c.ce, c.ce))) AS s
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings) c, q
+        WHERE c.vec_id <> {_HYB_QID}),
+    vec AS (
+        SELECT doc_id, CAST(rk AS INT) AS vec_rank
+        FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+              FROM vscored)
+        WHERE rk <= {_HYB_KEACH}),
+    fused AS (
+        SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+               lex.lex_rank, vec.vec_rank,
+               round(coalesce(1.0 / ({_HYB_C} + lex.lex_rank), 0)
+                     + coalesce(1.0 / ({_HYB_C} + vec.vec_rank), 0), 9)
+                 AS rrf_score
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id, rrf_score, lex_rank, vec_rank, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= {_HYB_K}
+    """,
+)
+def text_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.hybrid_search_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["spark", "shuffle", "query"],
+        query_vec_id=_HYB_QID,
+        k=_HYB_K,
+        k_each=_HYB_KEACH,
+        c=_HYB_C,
+    )
+
+
+# --------------------------------------------------------------------------
+# crawl-to-crawl corpus diff: old = docs with doc_id % 7 != 0 (some
+# removed), new = docs with id-shifted additions and % 5 == 0 texts
+# perturbed (changed) — every status occurs on the fixture.
+# --------------------------------------------------------------------------
+@register(
+    "pipeline_corpus_diff",
+    sql=r"""
+    WITH oldd AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h,
+               source
+        FROM documents WHERE doc_id % 7 <> 0),
+    newd AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END
+               ), '\s+', ' ', 'g'))) AS h,
+               source
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))),
+               source
+        FROM documents WHERE doc_id % 11 = 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.source AS old_source, n.source AS new_source
+    FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+    """,
+)
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+    )
+    return corpus_diff(old, new)

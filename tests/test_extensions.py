@@ -1338,3 +1338,98 @@ def test_duplicate_density_full_sample_bounds(spark):
     assert duplicate_density(distinct, sample_mod=1) < 0.2
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert duplicate_density(empty, sample_mod=1) == 0.0
+
+
+# --------------------------------------------------------------------------
+# round-8 additions: containment, script profile, hybrid RRF
+# --------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_duplication_jaccard_misses(spark):
+    """A short doc wholly quoted inside a much longer one: containment
+    fires in the contained→container direction while symmetric Jaccard
+    stays below any dedup threshold."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"filler{i} pad{i} extra{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.container_id): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0   # doc 1 fully inside doc 2
+    assert (2, 1) not in got                       # direction matters
+    jac = dedup.jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []                               # symmetric screen misses it
+
+
+def test_script_profile_counts_and_main_script(spark):
+    from process_alphafold3_outputs_spark.operators.text import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abc XYZ 12"),            # latin 6, digit 2, other 2 spaces
+            (2, "привет мир"),            # cyrillic 9, other 1
+            (3, "中文 and latin"),         # han 2, latin 8, other 2
+            (4, ""),                      # empty
+            (5, None),                    # NULL text ≡ empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in script_profile(docs).collect()}
+    assert got[1]["latin"] == 6 and got[1]["digit"] == 2
+    assert got[1]["other"] == 2 and got[1]["main_script"] == "latin"
+    assert got[2]["cyrillic"] == 9 and got[2]["main_script"] == "cyrillic"
+    assert got[3]["han"] == 2 and got[3]["latin"] == 8
+    assert got[3]["main_script"] == "latin"
+    for d in (4, 5):
+        assert got[d]["n_chars"] == 0 and got[d]["main_script"] == "none"
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """RRF arithmetic: a doc on both lists outranks docs on one list
+    with comparable ranks; scores match 1/(c+r) sums exactly."""
+    from pyspark.sql import functions as F
+    from process_alphafold3_outputs_spark.operators.text import (
+        hybrid_search_rrf,
+    )
+
+    # doc 1: lexical hit AND vector neighbor; doc 2: lexical only;
+    # doc 3: vector only; doc 9 is the query vector's id
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark query engine"),
+            (2, "spark spark spark shuffle shuffle query query"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),
+            (2, [-1.0, 0.5]),
+            (3, [0.9, 0.2]),
+            (9, [1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_search_rrf(
+        docs, emb, ["spark", "shuffle", "query"], query_vec_id=9,
+        k=5, k_each=3, c=60,
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    # doc 1 on both lists; its score is the sum of both reciprocals
+    r1 = rows[1]
+    assert r1.lex_rank is not None and r1.vec_rank is not None
+    # scores round to 9 dp inside the operator (cross-engine policy)
+    assert abs(
+        r1.rrf_score - (1.0 / (60 + r1.lex_rank) + 1.0 / (60 + r1.vec_rank))
+    ) < 1e-9
+    # single-list docs carry exactly one reciprocal
+    r3 = rows[3]
+    assert r3.lex_rank is None
+    assert abs(r3.rrf_score - 1.0 / (60 + r3.vec_rank)) < 1e-9
+    # fused winner is doc 1 (present in both lists at good ranks)
+    assert out[0].doc_id == 1 and out[0].rk == 1
