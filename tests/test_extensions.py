@@ -1433,3 +1433,29 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     assert abs(r3.rrf_score - 1.0 / (60 + r3.vec_rank)) < 1e-9
     # fused winner is doc 1 (present in both lists at good ranks)
     assert out[0].doc_id == 1 and out[0].rk == 1
+
+
+def test_round8_operators_handle_empty_corpus(spark):
+    """Empty-shipment sweep for the round-8 additions: plan, return 0
+    rows, never raise."""
+    from process_alphafold3_outputs_spark.operators import dedup, text
+    from process_alphafold3_outputs_spark.plans.corpus import corpus_diff
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    ops = [
+        lambda: dedup.containment_pairs(empty),
+        lambda: text.script_profile(empty),
+        lambda: corpus_diff(empty, empty),
+        lambda: text.hybrid_search_rrf(
+            empty, empty_emb, ["spark"], query_vec_id=0
+        ),
+    ]
+    for i, op in enumerate(ops):
+        assert op().count() == 0, f"round-8 op #{i} returned rows"
+    # empty-corpus duplicate density reads 0 and routes to the pair path
+    assert dedup.duplicate_density(empty) == 0.0
