@@ -421,6 +421,10 @@ _DEFERRED: set[str] = {
                              # hash-join mechanics evidenced by green
                              # dedup_exact + dedup_incremental rows
                              # (deferred: headroom)
+    "pipeline_corpus_clean_containment",  # overlap-coefficient drop
+                             # mode of the green pipeline_corpus_clean
+                             # row; shingle-join mechanics evidenced by
+                             # green dedup_jaccard (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -154,6 +154,7 @@ HEADLINE = [
     "text_script_profile",
     "text_search_hybrid",
     "pipeline_corpus_diff",
+    "pipeline_corpus_clean_containment",
 ]
 
 

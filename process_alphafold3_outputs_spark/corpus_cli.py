@@ -86,11 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--jaccard-threshold", type=float, default=0.8)
     sp.add_argument(
         "--near-dedup",
-        choices=["auto", "greedy", "clusters", "minhash_bands"],
+        choices=["auto", "greedy", "clusters", "minhash_bands", "containment"],
         default="auto",
         help="auto: probe duplicate density and pick bands vs pairs; "
         "greedy/clusters: exact-Jaccard pair forms; minhash_bands: "
-        "linear-output banded drop (the duplicate-heavy-corpus path)",
+        "linear-output banded drop (the duplicate-heavy-corpus path); "
+        "containment: overlap-coefficient drop of subset duplicates",
     )
 
     sp = sub.add_parser("curate")

@@ -98,6 +98,7 @@ def clean_corpus(
     near_dedup: str = "auto",
     n_bands: int = 4,
     rows_per_band: int = 3,
+    containment_threshold: float = 0.9,
 ) -> DataFrame:
     """Surviving documents after the four gates, with the stats the
     gates used: (doc_id, pred_lang, n_words). ``full_rows=True`` keeps
@@ -201,6 +202,56 @@ def clean_corpus(
             .select("doc_id")
             .distinct()
         )
+    elif near_dedup == "containment":
+        # overlap-coefficient drop (the subset-duplication rule the
+        # symmetric modes miss): for every pair whose
+        # n_common / min(|A|,|B|) ≥ containment_threshold, drop the
+        # SMALLER-set doc (it is the contained copy — and the smaller
+        # side's containment always dominates the larger side's, so
+        # "either direction qualifies" reduces to exactly this test);
+        # equal-sized sets drop the higher id. One shingle inverted
+        # join + one pair agg + the size join — the jaccard_pairs
+        # shuffle shape with a different threshold arithmetic.
+        shingles = dedup.hashed_shingles(exact_kept, text_col=text_col)
+        if stage:
+            exact_kept = exact_kept.persist()
+            shingles = shingles.persist()
+            if handles is not None:
+                handles.extend([exact_kept, shingles])
+        a = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sizes = shingles.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        )
+        qual = (
+            common.join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+                ),
+                "doc_b",
+            )
+            .filter(
+                F.col("n_common") / F.least("n_a", "n_b")
+                >= containment_threshold
+            )
+        )
+        drop = qual.select(
+            F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        ).distinct()
     elif near_dedup in ("greedy", "clusters"):
         shingles = dedup.hashed_shingles(exact_kept, text_col=text_col)
         if stage:
@@ -228,8 +279,8 @@ def clean_corpus(
             drop = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     else:
         raise ValueError(
-            "near_dedup must be auto|greedy|clusters|minhash_bands, "
-            f"got {near_dedup!r}"
+            "near_dedup must be auto|greedy|clusters|minhash_bands|"
+            f"containment, got {near_dedup!r}"
         )
     survivors = exact_kept.join(drop, "doc_id", "left_anti")
     if full_rows:

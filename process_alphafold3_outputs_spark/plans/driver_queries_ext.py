@@ -5499,3 +5499,72 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(old, new)
+
+
+# --------------------------------------------------------------------------
+# corpus clean with the CONTAINMENT (overlap-coefficient) drop rule:
+# for every pair with n_common / min(|A|,|B|) >= t the smaller-set doc
+# is dropped (the contained copy; equal sizes drop the higher id) —
+# the pipeline form of the subset-duplication screen.
+# --------------------------------------------------------------------------
+_CCC_T = 0.6
+
+
+@register(
+    "pipeline_corpus_clean_containment",
+    sql=f"""
+    WITH norm0 AS (SELECT doc_id, text,
+                          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                   FROM documents),
+    stats AS (SELECT doc_id, t,
+                     CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+                     {", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS))}
+              FROM norm0),
+    langed AS (SELECT doc_id, t, n_words,
+                      CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                           {"".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS))}
+                           ELSE 'und' END AS pred_lang
+               FROM stats),
+    base AS (SELECT * FROM langed
+             WHERE n_words BETWEEN {_CC_MIN} AND {_CC_MAX} AND pred_lang = 'en'),
+    exact AS (SELECT doc_id, t, pred_lang, n_words FROM (
+                  SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS keep
+                  FROM base)
+              WHERE doc_id = keep),
+    words AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM exact),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) < 3 THEN t
+                    ELSE array_to_string(w[i:i+2], ' ') END AS shingle
+        FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) s(i)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    qual AS (
+        SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / least(sa.n_sh, sb.n_sh) >= {_CCC_T}),
+    dropc AS (
+        SELECT DISTINCT CASE WHEN n_a < n_b THEN doc_a ELSE doc_b END AS doc_id
+        FROM qual)
+    SELECT e.doc_id, e.pred_lang, e.n_words
+    FROM exact e LEFT JOIN dropc d ON d.doc_id = e.doc_id
+    WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_corpus_clean_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import clean_corpus
+
+    return clean_corpus(
+        load_table(spark, sf_dir, "documents"),
+        lang="en",
+        min_words=_CC_MIN,
+        max_words=_CC_MAX,
+        near_dedup="containment",
+        containment_threshold=_CCC_T,
+    )

@@ -1459,3 +1459,52 @@ def test_round8_operators_handle_empty_corpus(spark):
         assert op().count() == 0, f"round-8 op #{i} returned rows"
     # empty-corpus duplicate density reads 0 and routes to the pair path
     assert dedup.duplicate_density(empty) == 0.0
+
+
+def test_clean_corpus_containment_mode_drops_contained_copy(spark):
+    """Pipeline containment mode: the short doc quoted inside a longer
+    one is dropped, the container survives — and greedy (symmetric
+    Jaccard) keeps both, so the modes genuinely differ."""
+    from process_alphafold3_outputs_spark.plans.corpus import clean_corpus
+
+    short = ("the cat and the dog walk to the old stone bridge today "
+             "with a small red kite")
+    filler = " ".join(
+        f"the word{i} and is of term{i} for item{i}" for i in range(10)
+    )
+    docs = spark.createDataFrame(
+        [(1, short + " " + filler), (2, short)],
+        "doc_id long, text string",
+    )
+    cont = {
+        r.doc_id
+        for r in clean_corpus(
+            docs, stage=False, max_words=200,
+            near_dedup="containment", containment_threshold=0.9,
+        ).collect()
+    }
+    greedy = {
+        r.doc_id
+        for r in clean_corpus(
+            docs, stage=False, max_words=200, near_dedup="greedy",
+        ).collect()
+    }
+    assert cont == {1}        # contained doc 2 dropped, container kept
+    assert greedy == {1, 2}   # symmetric screen missed the subset dup
+
+
+def test_auto_gate_resolved_plan_is_explicit_plan(spark):
+    """The auto gate only SELECTS a mode — the resulting plan must be
+    semantically identical to the explicitly requested mode (no hidden
+    plan divergence behind the probe)."""
+    from process_alphafold3_outputs_spark.plans import corpus
+
+    docs = spark.createDataFrame(
+        [(i, _en_sentence(3 * i)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    corpus._AUTO_MODE_CACHE.clear()
+    mode = corpus._resolve_near_dedup(docs, 4, 3, "text")
+    auto_plan = corpus.clean_corpus(docs, stage=False)
+    explicit_plan = corpus.clean_corpus(docs, stage=False, near_dedup=mode)
+    assert auto_plan.sameSemantics(explicit_plan)
