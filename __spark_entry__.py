@@ -425,6 +425,9 @@ _DEFERRED: set[str] = {
                              # mode of the green pipeline_corpus_clean
                              # row; shingle-join mechanics evidenced by
                              # green dedup_jaccard (deferred: headroom)
+    "text_search_hybrid_many",  # query-table form of the hybrid RRF
+                             # row (single==many parity pytest-pinned;
+                             # deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -155,6 +155,7 @@ HEADLINE = [
     "text_search_hybrid",
     "pipeline_corpus_diff",
     "pipeline_corpus_clean_containment",
+    "text_search_hybrid_many",
 ]
 
 

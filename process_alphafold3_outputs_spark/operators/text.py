@@ -2703,3 +2703,68 @@ def hybrid_search_rrf(
             "rk",
         )
     )
+
+
+def hybrid_search_many(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_each: int = 20,
+    c: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, rrf_score, lex_rank, vec_rank, rk) — the
+    query-TABLE form of :func:`hybrid_search_rrf`: RRF-fused hybrid
+    retrieval for a whole batch of queries at once (the serving shape —
+    evaluation sets, batched API traffic). ``queries`` is (query_id,
+    term) rows for the lexical side; each query's vector is the
+    embeddings row whose ``vec_id`` equals its ``query_id`` (the
+    aligned-id convention of the single-query form).
+
+    Scale shape: the corpus is scanned ONCE for all lexical queries
+    (:func:`bm25_search_many`) and once for all vector queries
+    (broadcast query block inside ``topk_bruteforce`` — swap in an ANN
+    kernel at corpus scale); the fusion joins two
+    (n_queries × k_each)-row tables on (query_id, doc_id) and ranks
+    per query. Single-query parity with :func:`hybrid_search_rrf` is
+    pytest-pinned."""
+    from . import similarity
+
+    lex = bm25_search_many(docs, queries, k=k_each, text_col=text_col).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        F.col("rk").alias("lex_rank"),
+    )
+    qids = (
+        queries.select(F.col("query_id").cast("long").alias("vec_id"))
+        .distinct()
+    )
+    vec = similarity.topk_bruteforce(embeddings, qids, k=k_each).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(1.0 / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("vec_rank")), F.lit(0.0)),
+            9,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -5568,3 +5568,96 @@ def pipeline_corpus_clean_containment(spark: SparkSession, sf_dir: str) -> DataF
         near_dedup="containment",
         containment_threshold=_CCC_T,
     )
+
+
+# --------------------------------------------------------------------------
+# batched hybrid retrieval: RRF fusion for a query TABLE — lexical
+# lists from one corpus scan (bm25_search_many), vector lists from the
+# aligned-id embeddings, fused per query. Single==many parity is
+# pytest-pinned; the oracle restates both list builders + the fusion.
+# --------------------------------------------------------------------------
+_HYBM_QUERIES = [(3, "spark"), (3, "shuffle"), (7, "query"), (7, "data")]
+_HYBM_K, _HYBM_KEACH = 5, 10
+
+
+def _register_hybrid_many() -> None:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _HYBM_QUERIES)
+    register(
+        "text_search_hybrid_many",
+        sql=f"""
+        WITH q(query_id, term) AS (VALUES {vals}),
+        norm AS ({_NORM}),
+        toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM lens),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+               WHERE term IN (SELECT DISTINCT term FROM q)
+               GROUP BY doc_id, term),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT q.query_id, tf.doc_id, tf.term,
+                   ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl)) AS sc
+            FROM tf JOIN dfq USING (term) JOIN q USING (term)
+            JOIN lens l ON l.doc_id = tf.doc_id, stats s),
+        per AS (
+            SELECT query_id, doc_id, round(sum(sc ORDER BY term), 9) AS score
+            FROM scored GROUP BY query_id, doc_id),
+        lex AS (
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   CAST(rk AS INT) AS lex_rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY score DESC, doc_id) AS rk
+                  FROM per)
+            WHERE rk <= {_HYBM_KEACH}),
+        qv AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS qid FROM q),
+        qe AS (SELECT qv.qid, e.embedding::DOUBLE[] AS qe
+               FROM qv JOIN embeddings e ON e.vec_id = qv.qid),
+        vscored AS (
+            SELECT qe.qid AS query_id, c.vec_id AS doc_id,
+                   list_dot_product(qe.qe, c.ce) /
+                     (sqrt(list_dot_product(qe.qe, qe.qe))
+                      * sqrt(list_dot_product(c.ce, c.ce))) AS s
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings) c, qe
+            WHERE c.vec_id <> qe.qid),
+        vec AS (
+            SELECT query_id, doc_id, CAST(rk AS INT) AS vec_rank
+            FROM (SELECT query_id, doc_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, doc_id) AS rk
+                  FROM vscored)
+            WHERE rk <= {_HYBM_KEACH}),
+        fused AS (
+            SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+                   coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                   lex.lex_rank, vec.vec_rank,
+                   round(coalesce(1.0 / ({_HYB_C} + lex.lex_rank), 0)
+                         + coalesce(1.0 / ({_HYB_C} + vec.vec_rank), 0), 9)
+                     AS rrf_score
+            FROM lex FULL OUTER JOIN vec
+              ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+        SELECT query_id, doc_id, rrf_score, lex_rank, vec_rank,
+               CAST(rk AS INT) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rrf_score DESC, doc_id) AS rk
+              FROM fused)
+        WHERE rk <= {_HYBM_K}
+        """,
+    )(_text_search_hybrid_many)
+
+
+def _text_search_hybrid_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = spark.createDataFrame(_HYBM_QUERIES, "query_id int, term string")
+    return text.hybrid_search_many(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        q,
+        k=_HYBM_K,
+        k_each=_HYBM_KEACH,
+        c=_HYB_C,
+    )
+
+
+_register_hybrid_many()

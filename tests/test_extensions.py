@@ -1508,3 +1508,49 @@ def test_auto_gate_resolved_plan_is_explicit_plan(spark):
     auto_plan = corpus.clean_corpus(docs, stage=False)
     explicit_plan = corpus.clean_corpus(docs, stage=False, near_dedup=mode)
     assert auto_plan.sameSemantics(explicit_plan)
+
+
+def test_hybrid_many_matches_single_per_query(spark):
+    """The batched hybrid form must reproduce the single-query form
+    exactly, per query (the bm25 single==many pin, lifted to the
+    fused output)."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        hybrid_search_many,
+        hybrid_search_rrf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark query engine"),
+            (2, "spark spark shuffle query data"),
+            (3, "data plane with nothing else"),
+            (7, "query data query data spark"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.2]),
+            (2, [-0.5, 1.0]),
+            (3, [0.8, 0.1]),
+            (7, [0.9, 0.4]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(3, "spark"), (3, "query"), (7, "data")],
+        "query_id int, term string",
+    )
+    many = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.vec_rank, r.rk)
+        for r in hybrid_search_many(docs, emb, q, k=4, k_each=3).collect()
+    }
+    for qid, terms in ((3, ["spark", "query"]), (7, ["data"])):
+        single = hybrid_search_rrf(
+            docs, emb, terms, query_vec_id=qid, k=4, k_each=3
+        ).collect()
+        for r in single:
+            assert many[(qid, r.doc_id)] == (
+                r.rrf_score, r.lex_rank, r.vec_rank, r.rk
+            ), (qid, r.doc_id)
+        assert len([k for k in many if k[0] == qid]) == len(single)
