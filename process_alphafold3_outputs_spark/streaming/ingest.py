@@ -33,6 +33,8 @@ cannot drift:
 - ``watch_entities``: streaming entity resolution — the incremental
   batch kernel per micro-batch against the rolling canon table; entity
   ids stable across epochs.
+- ``watch_queries_hybrid``: hybrid-search SERVING — query drops run
+  the batched RRF fusion against frozen corpus/embeddings snapshots.
 """
 
 from __future__ import annotations
@@ -892,6 +894,55 @@ def watch_documents_classifier(
             seed=seed,
         )
         _write_epoch_output(scored, out_path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def watch_queries_hybrid(
+    spark: SparkSession,
+    inbox_dir: str,
+    documents_path: str,
+    embeddings_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    k_each: int = 20,
+    c: int = 60,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming hybrid-search SERVING: queries arrive as (query_id,
+    term) parquet drops; each micro-batch runs the batched RRF fusion
+    (``text.hybrid_search_many``) against the FROZEN corpus +
+    embeddings snapshots and appends (query results, epoch_id) under
+    ``out_path``. Query-side streaming is the serving shape: the
+    corpus is the big static side (scanned per micro-batch here; at
+    scale the lexical tf/df tables and the ANN index are prebuilt —
+    ``bm25_search_many``'s postings and ``ivfpq_search`` slot in
+    without changing this watcher's contract). Per-query results
+    depend only on that query's terms/vector and the frozen snapshots,
+    so a stream served in N micro-batches equals the batch evaluation
+    of the union — pinned by the parity test. Returns the
+    StreamingQuery."""
+    from ..operators.text import hybrid_search_many
+
+    stream = (
+        spark.readStream.schema("query_id long, term string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ss = batch_df.sparkSession
+        docs = ss.read.parquet(documents_path)
+        emb = ss.read.parquet(embeddings_path)
+        results = hybrid_search_many(
+            docs, emb, batch_df, k=k, k_each=k_each, c=c
+        )
+        _write_epoch_output(results, out_path, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -1011,3 +1011,67 @@ def test_watch_documents_classifier_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert streamed[1][1] is True and streamed[2][1] is False
+
+
+def test_watch_queries_hybrid_matches_batch(spark, tmp_path):
+    """Hybrid-search serving: a query stream served in two micro-batches
+    against frozen corpus/embeddings snapshots equals the batch
+    hybrid_search_many of the union — per-query results depend only on
+    the query and the frozen sides."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        hybrid_search_many,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_queries_hybrid,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark query engine"),
+            (2, "spark spark shuffle query data"),
+            (3, "data plane with nothing else"),
+            (7, "query data query data spark"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.2]), (2, [-0.5, 1.0]), (3, [0.8, 0.1]), (7, [0.9, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    docs_path = str(tmp_path / "docs")
+    emb_path = str(tmp_path / "emb")
+    docs.write.parquet(docs_path)
+    emb.write.parquet(emb_path)
+
+    inbox = str(tmp_path / "qinbox")
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "qckpt")
+
+    def drop(rows):
+        spark.createDataFrame(rows, "query_id long, term string").coalesce(
+            1
+        ).write.mode("append").parquet(inbox)
+
+    drop([(3, "spark"), (3, "query")])
+    q = watch_queries_hybrid(
+        spark, inbox, docs_path, emb_path, out, ckpt, k=4, k_each=3
+    )
+    try:
+        q.processAllAvailable()
+        drop([(7, "data")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.vec_rank, r.rk)
+        for r in spark.read.parquet(out).collect()
+    }
+    all_q = spark.createDataFrame(
+        [(3, "spark"), (3, "query"), (7, "data")],
+        "query_id long, term string",
+    )
+    batch = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.vec_rank, r.rk)
+        for r in hybrid_search_many(docs, emb, all_q, k=4, k_each=3).collect()
+    }
+    assert streamed == batch and batch
