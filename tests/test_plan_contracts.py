@@ -372,3 +372,18 @@ def test_ccnet_cutpoints_join_is_broadcast(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = formatted_plan(text.ccnet_buckets(docs))
     assert "BroadcastHashJoin" in plan
+
+
+def test_containment_clean_scans_corpus_once(spark, sf_dir):
+    """clean_corpus(near_dedup="containment", stage=True) shares the
+    staged survivor/shingle subtrees exactly like the greedy mode — the
+    raw corpus parquet must appear in the plan exactly once."""
+    from process_alphafold3_outputs_spark.plans.corpus import clean_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark.catalog.clearCache()
+    plan = formatted_plan(
+        clean_corpus(docs, stage=True, near_dedup="containment")
+    )
+    assert plan.count("documents.parquet") == 1
+    spark.catalog.clearCache()
