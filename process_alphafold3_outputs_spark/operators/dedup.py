@@ -922,6 +922,7 @@ def containment_pairs(
     threshold: float = 0.9,
     shingle_k: int = 3,
     text_col: str = "text",
+    prefix_filter: bool | None = None,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, container_id, containment) — near-SUBSET duplication:
@@ -936,14 +937,27 @@ def containment_pairs(
     screens (containment ≥ 0.9 is the common drop rule for the
     contained copy).
 
-    Scale shape: the same inverted-index self-join as the plain
-    Jaccard path — one (doc, shingle) explode, shingle-keyed join,
-    pair-keyed count, broadcast-friendly doc-size join; both directed
-    ratios are derived from ONE undirected pair row (a < b) and
-    emitted via a 2-element explode, so the join work is never done
-    twice. Hot-shingle skew on this join is the
-    :func:`has_hot_shingle` story; pass a prefix-filtered ``shingles``
-    table on known-skewed corpora.
+    Scale shape, ``prefix_filter=False``: the same inverted-index
+    self-join as the plain Jaccard path — one (doc, shingle) explode,
+    shingle-keyed join, pair-keyed count, broadcast-friendly doc-size
+    join; both directed ratios are derived from ONE undirected pair
+    row (a < b) and emitted via a 2-element explode, so the join work
+    is never done twice.
+
+    ``prefix_filter=True`` is the hot-shingle insurance, adapted from
+    PPJoin to the ASYMMETRIC threshold: if ``|A∩B| ≥ t·|A|`` then by
+    pigeonhole A∩B must intersect A's first ``|A| − ceil(t·|A|) + 1``
+    shingles under ANY fixed global order — so candidates come from
+    joining only the CONTAINED side's (df ASC, hash ASC)-ordered
+    prefix against the container side's full postings (the container
+    cannot be prefixed: a huge B still fully contains a tiny A). With
+    the order by ascending document frequency, corpus-hot shingles
+    almost never land in prefixes, so the hot row of the full-postings
+    index meets few prefix rows — the same insurance PPJoin buys the
+    symmetric screen. LOSSLESS (pigeonhole, not probabilistic) —
+    prefix == plain equality is differential-pinned. Verification uses
+    per-doc sorted arrays + ``array_intersect`` (one shuffled row per
+    doc). ``None`` (default) probes :func:`has_hot_shingle` and picks.
 
     Thresholding uses the UNROUNDED ratio (round is display-only) —
     the same cross-engine boundary policy as the Jaccard family."""
@@ -952,6 +966,56 @@ def containment_pairs(
         if shingles is not None
         else hashed_shingles(docs, k=shingle_k, text_col=text_col)
     )
+    if prefix_filter is None:
+        prefix_filter = has_hot_shingle(sh)
+    if prefix_filter:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        doc_arr = (
+            sh.join(dfreq, "sh")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("df", "sh"))).alias(
+                    "_ord"
+                )
+            )
+        )
+        n_sh = F.size("_ord")
+        plen = (n_sh - F.ceil(F.lit(float(threshold)) * n_sh) + 1).cast("int")
+        prefix = doc_arr.select(
+            F.col("doc_id").alias("doc_id"),
+            F.explode(F.slice("_ord", F.lit(1), plen)).alias("_e"),
+        ).select("doc_id", F.col("_e.sh").alias("sh"))
+        full = sh.select(F.col("doc_id").alias("container_id"), "sh")
+        cand = (
+            prefix.join(full, "sh")
+            .filter(F.col("doc_id") != F.col("container_id"))
+            .select("doc_id", "container_id")
+            .distinct()
+        )
+        sets = doc_arr.select(
+            "doc_id", F.transform("_ord", lambda x: x["sh"]).alias("shs")
+        )
+        sd = sets.select(F.col("doc_id"), F.col("shs").alias("_sd"))
+        sc = sets.select(
+            F.col("doc_id").alias("container_id"), F.col("shs").alias("_sc")
+        )
+        scored = (
+            cand.join(sd, "doc_id")
+            .join(sc, "container_id")
+            .select(
+                "doc_id",
+                "container_id",
+                (
+                    F.size(F.array_intersect("_sd", "_sc"))
+                    / F.size("_sd")
+                ).alias("_c"),
+            )
+        )
+        return scored.filter(F.col("_c") >= threshold).select(
+            "doc_id",
+            "container_id",
+            F.round("_c", 6).alias("containment"),
+        )
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (

@@ -414,3 +414,32 @@ def test_duplicate_spans_random_vs_bruteforce(spark):
                 if not any(b <= i < e for b, e in spans)
             ]
             assert stripped[d] == " ".join(keep), (trial, d)
+
+
+def test_containment_prefix_equals_plain_on_random_corpora(spark):
+    """The containment prefix path (contained-side pigeonhole prefix ×
+    full container postings) is LOSSLESS: identical directed pairs and
+    ratios to the plain inverted-index path, on corpora with heavy
+    shingle collisions (small vocab) at several thresholds."""
+    for seed, t in ((11, 0.5), (12, 0.7), (13, 0.9)):
+        rows = _random_small_vocab_docs(seed, n_docs=25, vocab=8, max_words=30)
+        # inject guaranteed subset duplicates: short prefixes of real
+        # docs (every shingle of the copy is in the original)
+        donors = [r for r in rows if len(r[1].split()) >= 12][:4]
+        rows = rows + [
+            (1000 + i, " ".join(txt.split()[:8]))
+            for i, (_, txt) in enumerate(donors)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def collect(prefix):
+            return sorted(
+                (r.doc_id, r.container_id, r.containment)
+                for r in dedup.containment_pairs(
+                    docs, threshold=t, prefix_filter=prefix
+                ).collect()
+            )
+        plain = collect(False)
+        pref = collect(True)
+        assert pref == plain, (seed, t)
+        assert plain  # fixtures must actually produce qualifying pairs
