@@ -692,3 +692,52 @@ def test_corpus_cli_report_tokens(spark, tmp_path):
     assert res["rows"] == got.count() > 0
     cols = set(got.columns)
     assert {"source", "raw_tokens", "clean_tokens", "train_tokens"} <= cols
+
+
+def test_corpus_cli_round8_commands(spark, tmp_path):
+    """Roundtrip the round-8 CLI surface: containment dedup,
+    script-profile, crawl diff, hybrid search."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    sf = "/root/testdata/sf0.001"
+    docs = f"{sf}/documents.parquet"
+
+    out = str(tmp_path / "cont")
+    args = corpus_cli.build_parser().parse_args(
+        ["dedup", "--mode", "containment", "--documents", docs,
+         "--containment-threshold", "0.6", "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count()
+    assert {"doc_id", "container_id", "containment"} <= set(got.columns)
+
+    out = str(tmp_path / "script")
+    args = corpus_cli.build_parser().parse_args(
+        ["script-profile", "--documents", docs, "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() > 0
+    assert {"main_script", "latin", "other"} <= set(got.columns)
+
+    out = str(tmp_path / "diff")
+    args = corpus_cli.build_parser().parse_args(
+        ["diff", "--old", docs, "--documents", docs, "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() > 0
+    # identical drops: everything unchanged
+    assert got.filter(got.status != "unchanged").count() == 0
+
+    out = str(tmp_path / "hyb")
+    args = corpus_cli.build_parser().parse_args(
+        ["search", "--documents", docs,
+         "--embeddings", f"{sf}/embeddings.parquet",
+         "--terms", "spark,query", "--query-vec-id", "3", "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() > 0
+    assert {"doc_id", "rrf_score", "rk"} <= set(got.columns)
