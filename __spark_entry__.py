@@ -312,6 +312,15 @@ _DEFERRED: set[str] = {
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
+    "cube_customer_segments",  # CUBE lattice; grouping-set mechanics
+                             # evidenced by the green rollup_revenue
+                             # row (deferred: headroom)
+    "text_mix_doremi",       # DoReMi EG domain weights (new r8);
+                             # loss-aggregation + simplex mechanics
+                             # pytest-mirrored (deferred: headroom)
+    "text_mix_doremi_sample",  # end-to-end DoReMi draw; prefix-fill
+                             # mechanics evidenced by the green
+                             # text_mix_budget row (deferred: headroom)
     "file_roundtrip_orc",    # ORC write/read identity; file-boundary
                              # mechanics evidenced by the green
                              # file_sink_* rows (deferred: headroom)

@@ -156,6 +156,8 @@ HEADLINE = [
     "pipeline_corpus_diff",
     "pipeline_corpus_clean_containment",
     "text_search_hybrid_many",
+    "text_mix_doremi",
+    "cube_customer_segments",
 ]
 
 
@@ -638,6 +640,35 @@ def _scale_probe_trainers(spark, sf_dir: str) -> dict:
     }
 
 
+def _scale_probe_containment(spark, sf_dir: str) -> dict:
+    """10x datapoint for the containment (near-subset) screen, new in
+    r8 and unprobed until now. The 10x corpus's id-shifted copies are
+    ~full containment pairs of their originals, so the inverted-index
+    join carries real 10x duplicate mass — exactly the load that made
+    the r6 pair-form Jaccard probe superlinear. Output here is directed
+    PAIRS (the screen's contract), so duplicate-heavy growth has a
+    legitimate output-size term; the probe documents the measured
+    exponent rather than assuming it."""
+    from process_alphafold3_outputs_spark.operators import dedup
+
+    docs, big = _probe_docs_10x(spark, sf_dir)
+    n = docs.count()
+    base = _probed_wall(
+        spark, lambda: _noop_write(dedup.containment_pairs(docs))
+    )
+    big_out = _probed_wall(
+        spark, lambda: _noop_write(dedup.containment_pairs(big))
+    )
+    return {
+        "n_docs": n * 10,
+        **big_out,
+        "base_1x": base,
+        "wall_ratio_10x_data": round(
+            big_out["wall_sec"] / base["wall_sec"], 2
+        ) if base["wall_sec"] > 0 else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -802,6 +833,17 @@ def main() -> None:
             scale_probe["trainers"] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"bench: trainers scale probe failed: "
                   f"{scale_probe['trainers']['error'][:200]}", file=sys.stderr)
+        try:
+            scale_probe["containment"] = _scale_probe_containment(
+                spark, sf_dir
+            )
+        except Exception as exc:  # noqa: BLE001
+            scale_probe["containment"] = {
+                "error": f"{type(exc).__name__}: {exc}"
+            }
+            print(f"bench: containment scale probe failed: "
+                  f"{scale_probe['containment']['error'][:200]}",
+                  file=sys.stderr)
         try:
             scale_probe["ann"] = _scale_probe_ann(
                 spark, sf_dir, timings.get("similarity_topk_lsh_multiprobe")

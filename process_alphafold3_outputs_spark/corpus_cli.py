@@ -265,6 +265,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="repeatable per-source token budget, e.g. --budget web=4000000",
     )
 
+    sp = sub.add_parser("mix-doremi")
+    common(sp)
+    sp.add_argument("--total-tokens", type=int, default=None,
+                    help="draw documents to this budget; omit to emit "
+                    "the per-domain weight table only")
+    sp.add_argument("--iters", type=int, default=4)
+    sp.add_argument("--eta", type=float, default=1.0)
+    sp.add_argument("--smoothing", type=float, default=0.01)
+
     sp = sub.add_parser("media-stats")
     sp.add_argument("--media", required=True,
                     help="MEDIA_SCHEMA parquet path (asset_id, modality, "
@@ -532,6 +541,18 @@ def _result(
             src, _, tok = spec.partition("=")
             budgets[src] = int(tok)
         return text.mix_by_budget(docs, budgets)
+    if args.command == "mix-doremi":
+        if args.total_tokens is not None:
+            return text.doremi_sample(
+                docs,
+                total_tokens=args.total_tokens,
+                iters=args.iters,
+                eta=args.eta,
+                smoothing=args.smoothing,
+            )
+        return text.doremi_mixture(
+            docs, iters=args.iters, eta=args.eta, smoothing=args.smoothing
+        )
     if args.command == "dedup-incremental":
         seen = spark.read.parquet(args.hashes)
         kept = dedup.incremental_exact_dedup(docs, seen)

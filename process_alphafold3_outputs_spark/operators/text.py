@@ -2768,3 +2768,219 @@ def hybrid_search_many(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining"): exponentiated-
+# gradient ascent on the domain simplex, driven by per-domain EXCESS
+# loss over a uniform-mixture reference. The engine's stand-in for the
+# proxy-model loss is the corpus's own unigram surprisal — rare-vocab
+# domains read "hard", repetitive domains read "easy" — so the whole
+# computation stays inside the engine: no external trainer in the loop.
+# --------------------------------------------------------------------------
+
+
+def _ordered_fold(key_col: str, val_col: str):
+    """Deterministic double fold of ``val_col`` in ``key_col`` order —
+    the Spark form of DuckDB's ordered aggregate ``sum(x ORDER BY
+    key)``; used wherever a float sum over a small keyed table must be
+    bit-reproducible across engines."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, val_col))),
+            lambda s: s[val_col],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def domain_surprisal_losses(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(domain, n_docs, n_tokens, loss) — per-domain mean per-token
+    unigram surprisal ``E[ln(N) - ln(count(tok))]`` under the corpus's
+    own unigram distribution: the deterministic difficulty signal the
+    DoReMi step consumes.
+
+    Scale shape: ONE corpus tokenization — the per-(domain, token)
+    hash aggregation, materialized once via ``localCheckpoint`` (the
+    BPE-vocab discipline; its three consumers — per-domain sums,
+    global vocab counts, token total — would otherwise each re-embed
+    and re-execute the corpus explode: measured 3 Generate nodes in
+    the executed plan without the cut). Everything downstream
+    re-aggregates that (vocab × domains)-sized table; the only other
+    corpus touch is the narrow ``domain_col``-column scan for doc
+    counts. Cross-engine parity: per-token surprisal rounds to 9 dp
+    and is fixed-pointed to 1e9 integers, so the per-domain sums are
+    order-independent exact integer arithmetic (the
+    ``text_classifier_train`` gradient discipline)."""
+    d = normalized(docs, text_col)
+    toks = d.select(
+        domain_col, F.explode(F.split("_norm", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dt = (
+        toks.groupBy(domain_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    cnt = dt.groupBy("tok").agg(F.sum("c").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    surp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.round(F.log("n") - F.log("c"), 9) * F.lit(1e9), 0)
+        .cast("long")
+        .alias("sq"),
+    )
+    dq = dt.join(surp, "tok").groupBy(domain_col).agg(
+        F.sum((F.col("c") * F.col("sq")).cast("decimal(38,0)")).alias("q"),
+        F.sum("c").alias("n_tokens"),
+    )
+    nd = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return nd.join(dq, domain_col, "left").select(
+        domain_col,
+        "n_docs",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("q").cast("double") / F.lit(1e9)) / F.col("n_tokens"),
+                9,
+            )
+        )
+        .alias("loss"),
+    )
+
+
+def doremi_mixture(
+    docs: DataFrame,
+    iters: int = 4,
+    eta: float = 1.0,
+    smoothing: float = 0.01,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(domain, n_docs, n_tokens, loss, excess, weight) — DoReMi
+    domain weights: ``iters`` exponentiated-gradient steps
+    ``w ∝ w · exp(η · excess)`` on the domain simplex, each step
+    smoothed toward uniform with mass ``smoothing`` (Xie et al. 2023,
+    Algorithm 1), returning the across-step AVERAGE weight per domain
+    (the paper's final-mixture estimator). ``excess`` is the clipped
+    per-domain surplus of :func:`domain_surprisal_losses` over the
+    token-weighted uniform-mixture reference loss.
+
+    Scale shape: the corpus is touched exactly once (the loss
+    aggregation), and its lineage is CUT at the domains-sized result
+    (``localCheckpoint``, the engine's iterative-operator discipline —
+    without the cut every EG step's self-referencing plan re-embeds
+    and re-executes the corpus tokenization, 24 explodes at iters=2);
+    every EG step is then arithmetic on the k-row checkpointed table
+    with one-row broadcast normalizers — at any corpus size the
+    iteration costs k rows × ``iters`` steps. Cross-engine parity:
+    simplex normalizers fold in domain order (``sum(x ORDER BY
+    domain)``), every step's weights round to 9 dp."""
+    if iters <= 0 or eta <= 0 or not (0.0 <= smoothing < 1.0):
+        raise ValueError("iters/eta positive, 0 <= smoothing < 1 required")
+    dom = (
+        domain_surprisal_losses(docs, domain_col, text_col)
+        .withColumn("_xl", F.col("loss") * F.col("n_tokens"))
+        .localCheckpoint()
+    )
+    glob = dom.agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        _ordered_fold(domain_col, "_xl").alias("_xlsum"),
+        F.sum("n_tokens").alias("_nn"),
+    )
+    cur = (
+        dom.crossJoin(F.broadcast(glob))
+        .withColumn(
+            "excess",
+            F.round(
+                F.greatest(
+                    F.col("loss")
+                    - F.when(F.col("_nn") == 0, F.lit(0.0)).otherwise(
+                        F.round(F.col("_xlsum") / F.col("_nn"), 9)
+                    ),
+                    F.lit(0.0),
+                ),
+                9,
+            ),
+        )
+        .withColumn("w", F.round(F.lit(1.0) / F.col("_k"), 9))
+        .withColumn("ws", F.lit(0.0))
+        .drop("_xl", "_xlsum", "_nn")
+    )
+    for _ in range(iters):
+        u = cur.withColumn(
+            "u",
+            F.round(F.col("w") * F.exp(F.lit(eta) * F.col("excess")), 9),
+        )
+        z = u.agg(_ordered_fold(domain_col, "u").alias("_z"))
+        cur = (
+            u.crossJoin(F.broadcast(z))
+            .withColumn(
+                "w",
+                F.round(
+                    F.lit(1.0 - smoothing) * F.col("u") / F.col("_z")
+                    + F.lit(smoothing) / F.col("_k"),
+                    9,
+                ),
+            )
+            .withColumn("ws", F.col("ws") + F.col("w"))
+            .drop("u", "_z")
+        )
+    return cur.select(
+        domain_col,
+        "n_docs",
+        "n_tokens",
+        "loss",
+        "excess",
+        F.round(F.col("ws") / F.lit(float(iters)), 9).alias("weight"),
+    )
+
+
+def doremi_sample(
+    docs: DataFrame,
+    total_tokens: int,
+    iters: int = 4,
+    eta: float = 1.0,
+    smoothing: float = 0.01,
+    domain_col: str = "source",
+    seed: str = "doremi-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, domain, n_tokens, cum_tokens, budget) — the end-to-end
+    DoReMi draw: :func:`doremi_mixture` weights allocate
+    ``total_tokens`` across domains (``budget = floor(weight ·
+    total)``), then the same deterministic hash-ordered prefix fill as
+    :func:`mix_by_temperature` selects documents. Budgets broadcast
+    onto corpus rows; one window per domain does the fill."""
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be positive")
+    budgets = doremi_mixture(
+        docs, iters, eta, smoothing, domain_col, text_col
+    ).select(
+        domain_col,
+        F.floor(F.col("weight") * F.lit(int(total_tokens)))
+        .cast("long")
+        .alias("budget"),
+    )
+    d = normalized(docs, text_col).withColumn(
+        "n_tokens", F.size(F.split("_norm", " ")).cast("long")
+    )
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(budgets), domain_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select(id_col, domain_col, "n_tokens", "cum_tokens", "budget")
+    )

@@ -456,6 +456,47 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CUBE aggregation — the full 2^k grouping-set lattice next to
+# rollup_revenue's hierarchy (region × market segment: CUBE also emits
+# the (ALL, segment) slices a ROLLUP never sees). Same Spark-freebie
+# family (SURVEY §2.1).
+# --------------------------------------------------------------------------
+@register(
+    "cube_customer_segments",
+    sql="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY CUBE (r_name, c_mktsegment)
+    """,
+)
+def cube_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.cube("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # exact + approximate distinct aggregation
 # --------------------------------------------------------------------------
 @register(

@@ -5661,3 +5661,133 @@ def _text_search_hybrid_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_hybrid_many()
+
+
+# --------------------------------------------------------------------------
+# DoReMi domain reweighting (Xie et al. 2023): exponentiated-gradient
+# steps on the domain simplex driven by per-domain excess unigram
+# surprisal. The oracle unrolls every EG step as CTE pairs; simplex
+# normalizers are ordered folds (sum ORDER BY source), per-token
+# surprisal is 1e9 fixed-point so the per-domain loss sums are exact
+# integers — each step's weights match bit-for-bit.
+# --------------------------------------------------------------------------
+_DRM_ITERS, _DRM_ETA, _DRM_SMOOTH = 4, 1.0, 0.01
+_DRM_SAMPLE_TOTAL, _DRM_SEED = 8_000, "doremi-v1"
+
+
+def _doremi_iter_sql(i: int) -> str:
+    """CTE block: one EG step — multiplicative update, ordered-fold
+    normalizer, uniform smoothing."""
+    return f"""
+    u{i} AS (SELECT w.source, round(w.w * exp({_DRM_ETA!r} * d.excess), 9) AS u
+             FROM w{i} w JOIN dom d USING (source)),
+    z{i} AS (SELECT sum(u ORDER BY source) AS z FROM u{i}),
+    w{i + 1} AS (SELECT u.source,
+                        round({(1.0 - _DRM_SMOOTH)!r} * u.u / z.z
+                              + {_DRM_SMOOTH!r} / g.k, 9) AS w
+                 FROM u{i} u, z{i} z, gstat g)"""
+
+
+_DRM_CTES = f"""
+    norm AS ({_NORM}),
+    d2 AS (SELECT n.doc_id, d.source, n.t
+           FROM norm n JOIN documents d USING (doc_id)),
+    toks AS (SELECT source, unnest(string_split(t, ' ')) AS tok FROM d2),
+    tk AS (SELECT source, tok FROM toks WHERE len(tok) > 0),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    surp AS (SELECT c.tok,
+                    CAST(round(round(ln(t.n) - ln(c.c), 9) * 1e9) AS BIGINT)
+                        AS sq
+             FROM cnt c, tot t),
+    dt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY source, tok),
+    dq AS (SELECT d.source,
+                  sum(CAST(d.c * s.sq AS HUGEINT)) AS q,
+                  CAST(sum(d.c) AS BIGINT) AS n_tokens
+           FROM dt d JOIN surp s USING (tok) GROUP BY d.source),
+    nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+    dom0 AS (SELECT nd.source, nd.n_docs,
+                    coalesce(dq.n_tokens, 0) AS n_tokens,
+                    CASE WHEN coalesce(dq.n_tokens, 0) = 0 THEN 0.0
+                         ELSE round((CAST(dq.q AS DOUBLE) / 1e9)
+                                    / dq.n_tokens, 9)
+                    END AS loss
+             FROM nd LEFT JOIN dq USING (source)),
+    gstat AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+                    sum(loss * n_tokens ORDER BY source) AS xl,
+                    CAST(sum(n_tokens) AS BIGINT) AS nn
+             FROM dom0),
+    dom AS (SELECT d.source, d.n_docs, d.n_tokens, d.loss,
+                   round(greatest(d.loss
+                                  - CASE WHEN g.nn = 0 THEN 0.0
+                                         ELSE round(g.xl / g.nn, 9) END,
+                                  0.0), 9) AS excess
+            FROM dom0 d, gstat g),
+    w0 AS (SELECT d.source, round(1.0 / g.k, 9) AS w FROM dom d, gstat g),
+    {",".join(_doremi_iter_sql(i) for i in range(_DRM_ITERS))},
+    wts AS (
+        SELECT d.source, d.n_docs, d.n_tokens, d.loss, d.excess,
+               round(({" + ".join(f"w{i}.w" for i in range(1, _DRM_ITERS + 1))})
+                     / {_DRM_ITERS}, 9) AS weight
+        FROM dom d
+        {" ".join(f"JOIN w{i} ON w{i}.source = d.source"
+                  for i in range(1, _DRM_ITERS + 1))})
+"""
+
+
+@register(
+    "text_mix_doremi",
+    sql=f"""
+    WITH {_DRM_CTES}
+    SELECT source, n_docs, n_tokens, loss, excess, weight FROM wts
+    """,
+)
+def text_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain weights over the documents corpus (deferred —
+    pytest-mirrored): per-domain excess unigram surprisal drives
+    {_DRM_ITERS} smoothed EG steps; the across-step average weight is
+    the published mixture estimator."""
+    return text.doremi_mixture(
+        load_table(spark, sf_dir, "documents"),
+        iters=_DRM_ITERS,
+        eta=_DRM_ETA,
+        smoothing=_DRM_SMOOTH,
+    )
+
+
+@register(
+    "text_mix_doremi_sample",
+    sql=f"""
+    WITH {_DRM_CTES},
+    budgets AS (SELECT source,
+                       CAST(floor(weight * {_DRM_SAMPLE_TOTAL}) AS BIGINT)
+                           AS budget
+                FROM wts),
+    dtok AS (SELECT n.doc_id, d.source,
+                    CAST(len(string_split(n.t, ' ')) AS BIGINT) AS n_tokens,
+                    md5('{_DRM_SEED}:' || CAST(n.doc_id AS VARCHAR)) AS h
+             FROM norm n JOIN documents d USING (doc_id)),
+    cum AS (SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+                   CAST(sum(t.n_tokens) OVER (
+                       PARTITION BY t.source ORDER BY t.h, t.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM dtok t JOIN budgets b USING (source))
+    SELECT doc_id, source, n_tokens, cum_tokens, budget
+    FROM cum WHERE cum_tokens <= budget
+    """,
+)
+def text_mix_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DoReMi draw (deferred — pytest-mirrored): the learned
+    weights allocate a {_DRM_SAMPLE_TOTAL}-token budget, the
+    deterministic hash-ordered prefix fill selects documents."""
+    return text.doremi_sample(
+        load_table(spark, sf_dir, "documents"),
+        total_tokens=_DRM_SAMPLE_TOTAL,
+        iters=_DRM_ITERS,
+        eta=_DRM_ETA,
+        smoothing=_DRM_SMOOTH,
+        seed=_DRM_SEED,
+    )

@@ -741,3 +741,30 @@ def test_corpus_cli_round8_commands(spark, tmp_path):
     got = spark.read.parquet(out)
     assert res["rows"] == got.count() > 0
     assert {"doc_id", "rrf_score", "rk"} <= set(got.columns)
+
+
+def test_corpus_cli_mix_doremi_roundtrip(spark, tmp_path):
+    """Roundtrip the mix-doremi CLI: weight-table form and the
+    budget-draw form (drawn rows respect their domain budgets)."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+
+    out = str(tmp_path / "drmw")
+    args = corpus_cli.build_parser().parse_args(
+        ["mix-doremi", "--documents", docs, "--iters", "3", "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() > 0
+    assert {"source", "loss", "excess", "weight"} <= set(got.columns)
+
+    out = str(tmp_path / "drms")
+    args = corpus_cli.build_parser().parse_args(
+        ["mix-doremi", "--documents", docs, "--total-tokens", "5000",
+         "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out).toPandas()
+    assert res["rows"] == len(got) > 0
+    assert (got.cum_tokens <= got.budget).all()

@@ -1554,3 +1554,78 @@ def test_hybrid_many_matches_single_per_query(spark):
                 r.rrf_score, r.lex_rank, r.vec_rank, r.rk
             ), (qid, r.doc_id)
         assert len([k for k in many if k[0] == qid]) == len(single)
+
+
+def test_doremi_mixture_upweights_hard_domain(spark):
+    """The rare-vocab ("hard", high-surprisal) domain gets positive
+    excess and a strictly larger weight than the repetitive ("easy")
+    one; the learned weights still sum to ~1 on the simplex."""
+    from process_alphafold3_outputs_spark.operators import text
+
+    easy = [(i, "the cat sat on the mat", "en", "easy", 22) for i in range(20)]
+    hard = [
+        (100 + i, f"zeta{i} quark{i} boson{i} gluon{i} meson{i}", "en", "hard", 40)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        easy + hard, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rows = {r.source: r for r in text.doremi_mixture(docs, iters=4).collect()}
+    assert rows["hard"].excess > 0.0
+    assert rows["easy"].excess == 0.0
+    assert rows["hard"].weight > rows["easy"].weight
+    assert abs(rows["hard"].weight + rows["easy"].weight - 1.0) < 1e-6
+    assert rows["hard"].n_docs == 20 and rows["easy"].n_docs == 20
+
+
+def test_doremi_mixture_uniform_when_domains_symmetric(spark):
+    """Identical loss everywhere -> zero excess -> every EG step is a
+    no-op and each domain keeps the uniform 1/k weight."""
+    from process_alphafold3_outputs_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", f"s{i % 4}", 16) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = text.doremi_mixture(docs, iters=3).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.excess == 0.0
+        assert abs(r.weight - 0.25) < 1e-6
+
+
+def test_doremi_sample_respects_budgets(spark):
+    """Every drawn row sits inside its domain budget; per-domain drawn
+    tokens never exceed the budget; budgets derive from the weights."""
+    from process_alphafold3_outputs_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(10)), "en", f"s{i % 3}", 60)
+            for i in range(60)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = text.doremi_sample(docs, total_tokens=120, iters=2).toPandas()
+    assert len(out) > 0
+    assert (out.cum_tokens <= out.budget).all()
+    per = out.groupby("source").agg({"n_tokens": "sum", "budget": "max"})
+    assert (per.n_tokens <= per.budget).all()
+
+
+def test_doremi_handles_empty_and_single_domain(spark):
+    """Empty corpus -> 0 rows, never raises; a single domain always
+    weighs ~1.0 (smoothing mixes uniform-over-one back to itself)."""
+    from process_alphafold3_outputs_spark.operators import text
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert text.doremi_mixture(empty).count() == 0
+    assert text.doremi_sample(empty, total_tokens=100).count() == 0
+    one = spark.createDataFrame(
+        [(1, "solo words here", "en", "only", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = text.doremi_mixture(one, iters=3).collect()
+    assert len(rows) == 1 and abs(rows[0].weight - 1.0) < 1e-6

@@ -387,3 +387,21 @@ def test_containment_clean_scans_corpus_once(spark, sf_dir):
     )
     assert plan.count("documents.parquet") == 1
     spark.catalog.clearCache()
+
+
+def test_doremi_iteration_is_corpus_free(spark, sf_dir):
+    """DoReMi's EG iteration must run on the checkpointed domains-sized
+    table: the RETURNED plan may contain no corpus scan and no token
+    explode (without the lineage cuts each step re-embedded and
+    re-executed the tokenization — 24 Generate nodes at iters=2). The
+    single tokenization itself is pinned by construction: the
+    per-(domain, token) table is localCheckpoint-materialized before
+    its three consumers fan out."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        doremi_mixture,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(doremi_mixture(docs, iters=3))
+    assert "documents.parquet" not in plan
+    assert "Generate" not in plan
