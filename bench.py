@@ -659,10 +659,19 @@ def _scale_probe_containment(spark, sf_dir: str) -> dict:
     big_out = _probed_wall(
         spark, lambda: _noop_write(dedup.containment_pairs(big))
     )
+    # output attribution: every 10x doc sits in a ~11-copy near-dup
+    # group, so the PAIR contract's output grows ~quadratically in the
+    # copy count by definition; out_rows separates "wall grew because
+    # the answer grew" from "wall grew because the plan wasted work"
+    out_1x = dedup.containment_pairs(docs).count()
+    out_10x = dedup.containment_pairs(big).count()
     return {
         "n_docs": n * 10,
         **big_out,
         "base_1x": base,
+        "out_rows_1x": out_1x,
+        "out_rows_10x": out_10x,
+        "out_ratio_10x": round(out_10x / out_1x, 2) if out_1x else None,
         "wall_ratio_10x_data": round(
             big_out["wall_sec"] / base["wall_sec"], 2
         ) if base["wall_sec"] > 0 else None,

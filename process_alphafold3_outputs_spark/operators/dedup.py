@@ -1051,6 +1051,112 @@ def containment_pairs(
     )
 
 
+def overlap_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    prefix_filter: bool | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b) with ``doc_a < doc_b`` —
+    pairs qualifying under the OVERLAP COEFFICIENT
+    ``|A∩B| / min(|A|, |B|) ≥ threshold``: the symmetric statement of
+    subset-duplication (either direction's containment qualifying is
+    exactly the smaller side's, which is this ratio). This is the pair
+    kernel behind ``clean_corpus(near_dedup="containment")``'s
+    drop-the-smaller rule.
+
+    ``prefix_filter=True`` is the PPJoin pigeonhole insurance adapted
+    to the min-denominator: a qualifying pair's intersection must hit
+    the SMALLER side's first ``|X| − ceil(t·|X|) + 1`` shingles under
+    the global (df ASC, hash ASC) order — so joining EVERY doc's own
+    prefix against the full postings covers every qualifying pair via
+    its min side, while corpus-hot (boilerplate) shingles stay out of
+    prefixes and can no longer quadratically explode a postings row.
+    LOSSLESS (pigeonhole, not probabilistic); verification recomputes
+    the exact intersection from per-doc sorted arrays. ``None``
+    (default) probes :func:`has_hot_shingle` and picks."""
+    sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, k=shingle_k, text_col=text_col)
+    )
+    if prefix_filter is None:
+        prefix_filter = has_hot_shingle(sh)
+    if not prefix_filter:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        return (
+            common.join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("n_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("n_b"),
+                ),
+                "doc_b",
+            )
+            .filter(
+                F.col("n_common") / F.least("n_a", "n_b") >= threshold
+            )
+            .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+        )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    doc_arr = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("_ord"))
+    )
+    n_sh = F.size("_ord")
+    plen = (n_sh - F.ceil(F.lit(float(threshold)) * n_sh) + 1).cast("int")
+    prefix = doc_arr.select(
+        "doc_id",
+        F.explode(F.slice("_ord", F.lit(1), plen)).alias("_e"),
+    ).select("doc_id", F.col("_e.sh").alias("sh"))
+    full = sh.select(F.col("doc_id").alias("other_id"), "sh")
+    cand = (
+        prefix.join(full, "sh")
+        .filter(F.col("doc_id") != F.col("other_id"))
+        .select(
+            F.least("doc_id", "other_id").alias("doc_a"),
+            F.greatest("doc_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = doc_arr.select(
+        "doc_id", F.transform("_ord", lambda x: x["sh"]).alias("shs")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("_sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("_sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias(
+                "n_common"
+            ),
+            F.size("_sa").cast("long").alias("n_a"),
+            F.size("_sb").cast("long").alias("n_b"),
+        )
+        .filter(F.col("n_common") / F.least("n_a", "n_b") >= threshold)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -218,34 +218,18 @@ def clean_corpus(
             shingles = shingles.persist()
             if handles is not None:
                 handles.extend([exact_kept, shingles])
-        a = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
-        b = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
-        common = (
-            a.join(b, "sh")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        sizes = shingles.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_sh")
-        )
-        qual = (
-            common.join(
-                sizes.select(
-                    F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-                ),
-                "doc_a",
-            )
-            .join(
-                sizes.select(
-                    F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-                ),
-                "doc_b",
-            )
-            .filter(
-                F.col("n_common") / F.least("n_a", "n_b")
-                >= containment_threshold
-            )
+        # prefix_filter=True explicitly, for the same two reasons as the
+        # greedy mode below: the corpus-scale pipeline always carries
+        # the pigeonhole hot-shingle insurance (one boilerplate shingle
+        # must not quadratically explode a postings row), and plan
+        # construction stays fully lazy (None would fire the skew-probe
+        # jobs at build time).
+        qual = dedup.overlap_pairs(
+            exact_kept,
+            threshold=containment_threshold,
+            text_col=text_col,
+            prefix_filter=True,
+            shingles=shingles,
         )
         drop = qual.select(
             F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a"))

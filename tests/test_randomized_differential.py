@@ -443,3 +443,31 @@ def test_containment_prefix_equals_plain_on_random_corpora(spark):
         pref = collect(True)
         assert pref == plain, (seed, t)
         assert plain  # fixtures must actually produce qualifying pairs
+
+
+def test_overlap_prefix_equals_plain_on_random_corpora(spark):
+    """The overlap-coefficient prefix path (every doc's own pigeonhole
+    prefix × full postings — the min side of any qualifying pair is
+    covered by its own prefix) is LOSSLESS: identical (a, b, n_common,
+    n_a, n_b) rows to the plain inverted-index path on heavy-collision
+    random corpora with injected subset duplicates."""
+    for seed, t in ((21, 0.5), (22, 0.7), (23, 0.9)):
+        rows = _random_small_vocab_docs(seed, n_docs=25, vocab=8, max_words=30)
+        donors = [r for r in rows if len(r[1].split()) >= 12][:4]
+        rows = rows + [
+            (1000 + i, " ".join(txt.split()[:8]))
+            for i, (_, txt) in enumerate(donors)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def collect(prefix):
+            return sorted(
+                (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
+                for r in dedup.overlap_pairs(
+                    docs, threshold=t, prefix_filter=prefix
+                ).collect()
+            )
+        plain = collect(False)
+        pref = collect(True)
+        assert pref == plain, (seed, t)
+        assert plain  # fixtures must actually produce qualifying pairs
