@@ -2796,6 +2796,83 @@ def _ordered_fold(key_col: str, val_col: str):
     )
 
 
+def domain_token_counts(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(domain, tok, c) — per-(domain, token) counts: the MERGEABLE
+    sufficient statistic of the whole DoReMi loss computation (counts
+    are additive, so batch-on-union == merge-of-batch-counts — the
+    property the streaming watcher rides). One corpus tokenization,
+    one hash aggregation."""
+    d = normalized(docs, text_col)
+    toks = d.select(
+        domain_col, F.explode(F.split("_norm", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy(domain_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+
+
+def merge_domain_token_counts(*tables: DataFrame) -> DataFrame:
+    """Union + re-sum of :func:`domain_token_counts` tables — exact
+    (integer adds), any grouping/merge order."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    keys = out.columns[:2]
+    return out.groupBy(*keys).agg(F.sum("c").alias("c"))
+
+
+def domain_doc_counts(docs: DataFrame, domain_col: str = "source") -> DataFrame:
+    """(domain, n_docs) — the second (tiny) mergeable statistic."""
+    return docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def merge_domain_doc_counts(*tables: DataFrame) -> DataFrame:
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(out.columns[0]).agg(F.sum("n_docs").alias("n_docs"))
+
+
+def surprisal_losses_from_counts(
+    dt: DataFrame, nd: DataFrame, domain_col: str = "source"
+) -> DataFrame:
+    """(domain, n_docs, n_tokens, loss) from PRE-AGGREGATED count
+    tables (:func:`domain_token_counts` / :func:`domain_doc_counts` or
+    their merges): everything here is (vocab x domains)-sized
+    re-aggregation — the corpus is never touched. Cross-engine parity:
+    per-token surprisal rounds to 9 dp and is fixed-pointed to 1e9
+    integers, so the per-domain sums are order-independent exact
+    integer arithmetic (the ``text_classifier_train`` gradient
+    discipline)."""
+    cnt = dt.groupBy("tok").agg(F.sum("c").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    surp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.round(F.log("n") - F.log("c"), 9) * F.lit(1e9), 0)
+        .cast("long")
+        .alias("sq"),
+    )
+    dq = dt.join(surp, "tok").groupBy(domain_col).agg(
+        F.sum((F.col("c") * F.col("sq")).cast("decimal(38,0)")).alias("q"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return nd.join(dq, domain_col, "left").select(
+        domain_col,
+        "n_docs",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("q").cast("double") / F.lit(1e9)) / F.col("n_tokens"),
+                9,
+            )
+        )
+        .alias("loss"),
+    )
+
+
 def domain_surprisal_losses(
     docs: DataFrame,
     domain_col: str = "source",
@@ -2812,80 +2889,28 @@ def domain_surprisal_losses(
     global vocab counts, token total — would otherwise each re-embed
     and re-execute the corpus explode: measured 3 Generate nodes in
     the executed plan without the cut). Everything downstream
-    re-aggregates that (vocab × domains)-sized table; the only other
+    re-aggregates that (vocab x domains)-sized table; the only other
     corpus touch is the narrow ``domain_col``-column scan for doc
-    counts. Cross-engine parity: per-token surprisal rounds to 9 dp
-    and is fixed-pointed to 1e9 integers, so the per-domain sums are
-    order-independent exact integer arithmetic (the
-    ``text_classifier_train`` gradient discipline)."""
-    d = normalized(docs, text_col)
-    toks = d.select(
-        domain_col, F.explode(F.split("_norm", " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    dt = (
-        toks.groupBy(domain_col, "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
-    cnt = dt.groupBy("tok").agg(F.sum("c").alias("c"))
-    tot = cnt.agg(F.sum("c").alias("n"))
-    surp = cnt.crossJoin(F.broadcast(tot)).select(
-        "tok",
-        F.round(F.round(F.log("n") - F.log("c"), 9) * F.lit(1e9), 0)
-        .cast("long")
-        .alias("sq"),
-    )
-    dq = dt.join(surp, "tok").groupBy(domain_col).agg(
-        F.sum((F.col("c") * F.col("sq")).cast("decimal(38,0)")).alias("q"),
-        F.sum("c").alias("n_tokens"),
-    )
-    nd = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    return nd.join(dq, domain_col, "left").select(
-        domain_col,
-        "n_docs",
-        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-        F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
-        .otherwise(
-            F.round(
-                (F.col("q").cast("double") / F.lit(1e9)) / F.col("n_tokens"),
-                9,
-            )
-        )
-        .alias("loss"),
-    )
+    counts."""
+    dt = domain_token_counts(docs, domain_col, text_col).localCheckpoint()
+    nd = domain_doc_counts(docs, domain_col)
+    return surprisal_losses_from_counts(dt, nd, domain_col)
 
 
-def doremi_mixture(
-    docs: DataFrame,
+def doremi_weights_from_losses(
+    dom_losses: DataFrame,
     iters: int = 4,
     eta: float = 1.0,
     smoothing: float = 0.01,
     domain_col: str = "source",
-    text_col: str = "text",
 ) -> DataFrame:
-    """(domain, n_docs, n_tokens, loss, excess, weight) — DoReMi
-    domain weights: ``iters`` exponentiated-gradient steps
-    ``w ∝ w · exp(η · excess)`` on the domain simplex, each step
-    smoothed toward uniform with mass ``smoothing`` (Xie et al. 2023,
-    Algorithm 1), returning the across-step AVERAGE weight per domain
-    (the paper's final-mixture estimator). ``excess`` is the clipped
-    per-domain surplus of :func:`domain_surprisal_losses` over the
-    token-weighted uniform-mixture reference loss.
-
-    Scale shape: the corpus is touched exactly once (the loss
-    aggregation), and its lineage is CUT at the domains-sized result
-    (``localCheckpoint``, the engine's iterative-operator discipline —
-    without the cut every EG step's self-referencing plan re-embeds
-    and re-executes the corpus tokenization, 24 explodes at iters=2);
-    every EG step is then arithmetic on the k-row checkpointed table
-    with one-row broadcast normalizers — at any corpus size the
-    iteration costs k rows × ``iters`` steps. Cross-engine parity:
-    simplex normalizers fold in domain order (``sum(x ORDER BY
-    domain)``), every step's weights round to 9 dp."""
+    """The EG iteration of :func:`doremi_mixture` over an
+    already-computed (domain, n_docs, n_tokens, loss) table — the
+    domains-sized half the streaming watcher re-runs per epoch."""
     if iters <= 0 or eta <= 0 or not (0.0 <= smoothing < 1.0):
         raise ValueError("iters/eta positive, 0 <= smoothing < 1 required")
     dom = (
-        domain_surprisal_losses(docs, domain_col, text_col)
+        dom_losses
         .withColumn("_xl", F.col("loss") * F.col("n_tokens"))
         .localCheckpoint()
     )
@@ -2939,6 +2964,42 @@ def doremi_mixture(
         "loss",
         "excess",
         F.round(F.col("ws") / F.lit(float(iters)), 9).alias("weight"),
+    )
+
+
+def doremi_mixture(
+    docs: DataFrame,
+    iters: int = 4,
+    eta: float = 1.0,
+    smoothing: float = 0.01,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(domain, n_docs, n_tokens, loss, excess, weight) — DoReMi
+    domain weights: ``iters`` exponentiated-gradient steps
+    ``w ∝ w · exp(η · excess)`` on the domain simplex, each step
+    smoothed toward uniform with mass ``smoothing`` (Xie et al. 2023,
+    Algorithm 1), returning the across-step AVERAGE weight per domain
+    (the paper's final-mixture estimator). ``excess`` is the clipped
+    per-domain surplus of :func:`domain_surprisal_losses` over the
+    token-weighted uniform-mixture reference loss.
+
+    Scale shape: the corpus is touched exactly once (the loss
+    aggregation), and its lineage is CUT at the domains-sized result
+    (``localCheckpoint``, the engine's iterative-operator discipline —
+    without the cut every EG step's self-referencing plan re-embeds
+    and re-executes the corpus tokenization, 24 explodes at iters=2);
+    every EG step is then arithmetic on the k-row checkpointed table
+    with one-row broadcast normalizers — at any corpus size the
+    iteration costs k rows × ``iters`` steps. Cross-engine parity:
+    simplex normalizers fold in domain order (``sum(x ORDER BY
+    domain)``), every step's weights round to 9 dp."""
+    return doremi_weights_from_losses(
+        domain_surprisal_losses(docs, domain_col, text_col),
+        iters=iters,
+        eta=eta,
+        smoothing=smoothing,
+        domain_col=domain_col,
     )
 
 

@@ -949,3 +949,90 @@ def watch_queries_hybrid(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_documents_doremi(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    counts_path: str,
+    docs_path: str,
+    checkpoint_dir: str,
+    iters: int = 4,
+    eta: float = 1.0,
+    smoothing: float = 0.01,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming DoReMi: the domain-mixture weight table, kept CURRENT
+    over a continuously-ingested corpus. The whole loss computation
+    reduces to two mergeable statistics — per-(domain, token) counts
+    and per-domain doc counts — so each micro-batch (a) folds its own
+    counts into the versioned-snapshot state (``roll_state``), then
+    (b) re-derives losses + EG weights from the merged state, which is
+    (vocab × domains)-sized work with no corpus rescan. Counts are
+    additive, so the weight table after N epochs is IDENTICAL to
+    ``text.doremi_mixture`` on the union of all drops (parity
+    pytest-pinned). Crash replay is idempotent: state reads exclude
+    the replayed epoch's own snapshot, snapshots and per-epoch output
+    land with overwrite. Each epoch's weights append to
+    ``out_path/epoch_id=N`` — downstream samplers read the newest
+    epoch for current budgets, older epochs are the weight history
+    (mixture drift over the crawl is itself a curation signal).
+    Returns the StreamingQuery."""
+    from ..operators import text as text_ops
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ss = batch_df.sparkSession
+        prev_dt = read_state(
+            ss, counts_path, "source string, tok string, c long",
+            before_epoch=epoch_id,
+        )
+        prev_nd = read_state(
+            ss, docs_path, "source string, n_docs long",
+            before_epoch=epoch_id,
+        )
+        roll_state(
+            text_ops.merge_domain_token_counts(
+                prev_dt, text_ops.domain_token_counts(batch_df)
+            ),
+            counts_path,
+            epoch_id,
+        )
+        roll_state(
+            text_ops.merge_domain_doc_counts(
+                prev_nd, text_ops.domain_doc_counts(batch_df)
+            ),
+            docs_path,
+            epoch_id,
+        )
+        # weights derive from the just-committed snapshots (parquet-
+        # backed — the EG iteration never re-executes the merge)
+        dt = read_state(
+            ss, counts_path, "source string, tok string, c long",
+            before_epoch=epoch_id + 1,
+        )
+        nd = read_state(
+            ss, docs_path, "source string, n_docs long",
+            before_epoch=epoch_id + 1,
+        )
+        weights = text_ops.doremi_weights_from_losses(
+            text_ops.surprisal_losses_from_counts(dt, nd),
+            iters=iters,
+            eta=eta,
+            smoothing=smoothing,
+        )
+        _write_epoch_output(weights, out_path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1075,3 +1075,139 @@ def test_watch_queries_hybrid_matches_batch(spark, tmp_path):
         for r in hybrid_search_many(docs, emb, all_q, k=4, k_each=3).collect()
     }
     assert streamed == batch and batch
+
+
+def test_watch_documents_doremi_matches_batch(spark, tmp_path):
+    """Streamed DoReMi weights after N epochs equal the batch
+    doremi_mixture over the union of all drops: the per-(domain,
+    token) and per-domain-doc count states are additive, and the EG
+    iteration is a pure function of the merged counts."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        doremi_mixture,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_documents_doremi,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "weights")
+    counts = str(tmp_path / "counts")
+    docs_state = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [(i, "the cat sat on the mat", "en", "easy", 22)
+              for i in range(10)]
+    batch2 = [(100 + i, f"zeta{i} quark{i} boson{i} gluon{i}", "en", "hard", 30)
+              for i in range(10)]
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    drop(batch1)
+    q = watch_documents_doremi(
+        spark, inbox, out, counts, docs_state, ckpt, iters=3
+    )
+    try:
+        q.processAllAvailable()
+        drop(batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    epochs = sorted(
+        int(r.epoch_id)
+        for r in spark.read.option("basePath", out).parquet(out)
+        .select("epoch_id").distinct().collect()
+    )
+    latest = (
+        spark.read.option("basePath", out).parquet(out)
+        .filter(F.col("epoch_id") == epochs[-1])
+        .drop("epoch_id")
+    )
+    union = spark.createDataFrame(batch1 + batch2, schema)
+    want = doremi_mixture(union, iters=3)
+    got_rows = {r.source: r for r in latest.collect()}
+    want_rows = {r.source: r for r in want.collect()}
+    assert set(got_rows) == set(want_rows) == {"easy", "hard"}
+    for s in want_rows:
+        for f in ("n_docs", "n_tokens", "loss", "excess", "weight"):
+            assert got_rows[s][f] == want_rows[s][f], (s, f)
+    # the hard domain outweighs the easy one in the final table too
+    assert got_rows["hard"].weight > got_rows["easy"].weight
+
+
+def test_doremi_state_replay_is_idempotent(spark, tmp_path):
+    """Crash-replaying a DoReMi epoch (same epoch_id, same input)
+    reproduces identical count state and identical weights: state
+    reads exclude the replayed epoch's own snapshot, so the merge
+    never double-counts the batch."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        domain_doc_counts,
+        domain_token_counts,
+        doremi_weights_from_losses,
+        merge_domain_doc_counts,
+        merge_domain_token_counts,
+        surprisal_losses_from_counts,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _write_epoch_output,
+        read_state,
+        roll_state,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    out = str(tmp_path / "weights")
+    counts = str(tmp_path / "counts")
+    docs_state = str(tmp_path / "docs")
+
+    def run_epoch(epoch, rows):
+        batch = spark.createDataFrame(rows, schema)
+        prev_dt = read_state(spark, counts, "source string, tok string, c long",
+                             before_epoch=epoch)
+        prev_nd = read_state(spark, docs_state, "source string, n_docs long",
+                             before_epoch=epoch)
+        roll_state(merge_domain_token_counts(
+            prev_dt, domain_token_counts(batch)), counts, epoch)
+        roll_state(merge_domain_doc_counts(
+            prev_nd, domain_doc_counts(batch)), docs_state, epoch)
+        dt = read_state(spark, counts, "source string, tok string, c long",
+                        before_epoch=epoch + 1)
+        nd = read_state(spark, docs_state, "source string, n_docs long",
+                        before_epoch=epoch + 1)
+        w = doremi_weights_from_losses(
+            surprisal_losses_from_counts(dt, nd), iters=2)
+        _write_epoch_output(w, out, epoch)
+
+    e0 = [(1, "the cat sat", "en", "easy", 11)]
+    e1 = [(2, "zeta quark boson", "en", "hard", 16)]
+    run_epoch(0, e0)
+    run_epoch(1, e1)
+    before = sorted(
+        (r.source, r.n_tokens, r.weight)
+        for r in spark.read.option("basePath", out).parquet(out)
+        .filter(F.col("epoch_id") == 1).collect()
+    )
+    state_before = sorted(
+        (r.source, r.tok, r.c)
+        for r in read_state(spark, counts,
+                            "source string, tok string, c long").collect()
+    )
+
+    run_epoch(1, e1)  # crash-replay: same epoch_id, same input
+    after = sorted(
+        (r.source, r.n_tokens, r.weight)
+        for r in spark.read.option("basePath", out).parquet(out)
+        .filter(F.col("epoch_id") == 1).collect()
+    )
+    state_after = sorted(
+        (r.source, r.tok, r.c)
+        for r in read_state(spark, counts,
+                            "source string, tok string, c long").collect()
+    )
+    assert after == before
+    assert state_after == state_before
+    # both domains present with all tokens counted exactly once
+    assert sum(c for _, _, c in state_after) == 6
