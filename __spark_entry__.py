@@ -312,6 +312,10 @@ _DEFERRED: set[str] = {
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
+    "dedup_decontaminate_multi",  # per-benchmark attribution; the
+                             # single-benchmark mechanics are the
+                             # green dedup_decontaminate row
+                             # (deferred: headroom)
     "cube_customer_segments",  # CUBE lattice; grouping-set mechanics
                              # evidenced by the green rollup_revenue
                              # row (deferred: headroom)

@@ -158,6 +158,7 @@ HEADLINE = [
     "text_search_hybrid_many",
     "text_mix_doremi",
     "cube_customer_segments",
+    "dedup_decontaminate_multi",
 ]
 
 

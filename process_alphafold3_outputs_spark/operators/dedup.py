@@ -1193,6 +1193,40 @@ def decontaminate(
     )
 
 
+def decontaminate_multi(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    k: int = 3,
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bench_id, n_hits) — ONE decontamination pass against
+    MANY eval sets at once, with per-benchmark attribution: which
+    benchmark a document leaks, not just that it leaks. This is the
+    operational form — production pipelines screen against dozens of
+    held-out sets, and re-running :func:`decontaminate` per benchmark
+    costs one corpus pass each.
+
+    Scale shape: the union of all benchmark shingle sets is still
+    eval-set sized and broadcasts ONCE; the corpus is shingled and
+    scanned ONCE no matter how many benchmarks screen it. Output grain
+    is hits-only (doc, benchmark) — never a corpus × benchmarks
+    product. ``benchmarks`` carries (doc_id, ``bench_id_col``, text);
+    a doc shared by two benchmarks attributes to both."""
+    bsh = (
+        word_shingles(benchmarks, k, text_col)
+        .join(benchmarks.select("doc_id", bench_id_col), "doc_id")
+        .select(bench_id_col, "shingle")
+        .distinct()
+    )
+    train = word_shingles(docs, k, text_col)
+    return (
+        train.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id", bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def decontaminated_docs(
     docs: DataFrame,
     benchmark: DataFrame,

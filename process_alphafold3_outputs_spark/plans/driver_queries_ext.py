@@ -1506,6 +1506,44 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# multi-benchmark decontamination: one corpus pass, per-benchmark
+# attribution (benchmarks = the mod-19 and mod-23 slices — docs
+# divisible by both attribute to both)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_decontaminate_multi",
+    sql=f"""
+    WITH {_SHINGLES},
+    bmap AS (
+        SELECT doc_id, 'mod19' AS bench_id FROM documents WHERE doc_id % 19 = 0
+        UNION ALL
+        SELECT doc_id, 'mod23' AS bench_id FROM documents WHERE doc_id % 23 = 0),
+    bsh AS (SELECT DISTINCT b.bench_id, s.shingle
+            FROM shingles s JOIN bmap b USING (doc_id))
+    SELECT s.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM shingles s JOIN bsh b USING (shingle)
+    GROUP BY s.doc_id, b.bench_id
+    """,
+)
+def dedup_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark contamination attribution in one corpus pass
+    (deferred — pytest-mirrored; single-benchmark mechanics evidenced
+    by the green dedup_decontaminate row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmarks = (
+        docs.filter(F.col("doc_id") % 19 == 0)
+        .select("doc_id", "text")
+        .withColumn("bench_id", F.lit("mod19"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 0)
+            .select("doc_id", "text")
+            .withColumn("bench_id", F.lit("mod23"))
+        )
+    )
+    return dedup.decontaminate_multi(docs, benchmarks, k=3)
+
+
+# --------------------------------------------------------------------------
 # repetition screens: duplicate word n-gram fractions (narrow projection)
 # --------------------------------------------------------------------------
 def _sql_rep(k: int) -> str:

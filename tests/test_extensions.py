@@ -1629,3 +1629,45 @@ def test_doremi_handles_empty_and_single_domain(spark):
     )
     rows = text.doremi_mixture(one, iters=3).collect()
     assert len(rows) == 1 and abs(rows[0].weight - 1.0) < 1e-6
+
+
+def test_decontaminate_multi_attributes_per_benchmark(spark):
+    """A doc overlapping only benchmark A hits A alone; a doc shared by
+    both benchmark sets attributes to both; a clean doc emits nothing —
+    and the single-benchmark kernel agrees on the marginal."""
+    from process_alphafold3_outputs_spark.operators import dedup
+
+    schema = "doc_id long, text string"
+    qa = "what is the capital of france paris is the capital"
+    gsm = "if a train travels sixty miles in one hour how far in three"
+    docs = spark.createDataFrame(
+        [
+            (1, qa),                       # leaks bench A only
+            (2, gsm),                      # leaks bench B only
+            (3, qa + " " + gsm),           # leaks both
+            (4, "entirely unrelated words about gardening and soil"),
+        ],
+        schema,
+    )
+    benchmarks = spark.createDataFrame(
+        [(100, qa, "qa"), (200, gsm, "math")],
+        "doc_id long, text string, bench_id string",
+    )
+    got = {
+        (r.doc_id, r.bench_id): r.n_hits
+        for r in dedup.decontaminate_multi(docs, benchmarks, k=3).collect()
+    }
+    hit_docs = {d for d, _ in got}
+    assert 4 not in hit_docs
+    assert {b for d, b in got if d == 1} == {"qa"}
+    assert {b for d, b in got if d == 2} == {"math"}
+    assert {b for d, b in got if d == 3} == {"qa", "math"}
+    # marginal parity with the single-benchmark kernel
+    single = {
+        r.doc_id: r.n_hits
+        for r in dedup.decontaminate(
+            docs, benchmarks.filter(F.col("bench_id") == "qa"), k=3
+        ).collect()
+        if r.n_hits > 0
+    }
+    assert {d: h for (d, b), h in got.items() if b == "qa"} == single
