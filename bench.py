@@ -622,6 +622,14 @@ def _scale_probe_trainers(spark, sf_dir: str) -> dict:
     dsir_big = _probed_wall(
         spark, lambda: _noop_write(text_ops.dsir_bucket_counts(big))
     )
+    # DoReMi shares the trainer shape: one corpus tokenization, then a
+    # domains-sized EG iteration — wall should track the tokenization
+    drm_base = _probed_wall(
+        spark, lambda: _noop_write(text_ops.doremi_mixture(docs, iters=4))
+    )
+    drm_big = _probed_wall(
+        spark, lambda: _noop_write(text_ops.doremi_mixture(big, iters=4))
+    )
     return {
         "n_docs": n * 10,
         "classifier": {
@@ -637,6 +645,13 @@ def _scale_probe_trainers(spark, sf_dir: str) -> dict:
             "wall_ratio_10x_data": round(
                 dsir_big["wall_sec"] / dsir_base["wall_sec"], 2
             ) if dsir_base["wall_sec"] > 0 else None,
+        },
+        "doremi": {
+            **drm_big,
+            "base_1x": drm_base,
+            "wall_ratio_10x_data": round(
+                drm_big["wall_sec"] / drm_base["wall_sec"], 2
+            ) if drm_base["wall_sec"] > 0 else None,
         },
     }
 

@@ -405,3 +405,25 @@ def test_doremi_iteration_is_corpus_free(spark, sf_dir):
     plan = formatted_plan(doremi_mixture(docs, iters=3))
     assert "documents.parquet" not in plan
     assert "Generate" not in plan
+
+
+def test_decontaminate_multi_broadcasts_benchmark_union(spark, sf_dir):
+    """The multi-benchmark screen must reach the corpus as a
+    BroadcastHashJoin on the unioned benchmark shingle set — the corpus
+    is never sort-merge shuffled by shingle no matter how many
+    benchmarks screen it."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators.dedup import (
+        decontaminate_multi,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    benchmarks = (
+        docs.filter(F.col("doc_id") % 19 == 0)
+        .select("doc_id", "text")
+        .withColumn("bench_id", F.lit("b"))
+    )
+    plan = formatted_plan(decontaminate_multi(docs, benchmarks))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
