@@ -312,6 +312,10 @@ _DEFERRED: set[str] = {
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
+    "graph_source_trustrank",  # seeded (personalized) PageRank; the
+                             # power-iteration mechanics are the green
+                             # graph_source_pagerank row
+                             # (deferred: headroom)
     "dedup_decontaminate_multi",  # per-benchmark attribution; the
                              # single-benchmark mechanics are the
                              # green dedup_decontaminate row

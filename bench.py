@@ -159,6 +159,7 @@ HEADLINE = [
     "text_mix_doremi",
     "cube_customer_segments",
     "dedup_decontaminate_multi",
+    "graph_source_trustrank",
 ]
 
 

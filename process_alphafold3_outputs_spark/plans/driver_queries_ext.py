@@ -5829,3 +5829,90 @@ def text_mix_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         smoothing=_DRM_SMOOTH,
         seed=_DRM_SEED,
     )
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank / TrustRank over the synthetic source graph:
+# teleport restricted to the i % 4 == 0 seed sources. Same unrolled
+# power iteration as graph_source_pagerank; the restart vector is a
+# per-node CASE. (No dangling on this fixture — every source has
+# out-edges — but both engines carry the dm * s term anyway.)
+# --------------------------------------------------------------------------
+def _ppr_oracle_sql() -> str:
+    rounds = []
+    for t in range(_PR_ITERS):
+        prev = f"r{t}"
+        rounds.append(f"""
+    f{t} AS (
+        SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS inflow
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst),
+    d{t} AS (
+        SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+        WHERE node NOT IN (SELECT src FROM deg)),
+    r{t + 1} AS (
+        SELECT n.node,
+               (1 - {_PR_D}) * sv.s
+               + {_PR_D} * (coalesce(f{t}.inflow, 0) + d{t}.dm * sv.s) AS rank
+        FROM nodes n
+        JOIN sv ON sv.node = n.node
+        LEFT JOIN f{t} ON f{t}.node = n.node
+        CROSS JOIN d{t})""")
+    return f"""
+    WITH ord AS (
+        SELECT source, row_number() OVER (ORDER BY source) - 1 AS i
+        FROM (SELECT DISTINCT source FROM documents)),
+    k AS (SELECT CAST(count(*) AS DOUBLE) AS c, count(*) AS ki FROM ord),
+    edges AS (
+        SELECT a.source AS src, b.source AS dst
+        FROM ord a JOIN k ON true JOIN ord b ON b.i = (a.i * 3 + 1) % k.ki
+        WHERE a.source <> b.source
+        UNION
+        SELECT a.source, b.source
+        FROM ord a JOIN k ON true JOIN ord b ON b.i = (a.i * 7 + 2) % k.ki
+        WHERE a.source <> b.source),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    seeds AS (SELECT o.source AS node FROM ord o
+              JOIN nodes n ON n.node = o.source
+              WHERE o.i % 4 = 0),
+    ks AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds),
+    sv AS (SELECT n.node,
+                  CASE WHEN s.node IS NOT NULL THEN 1.0 / ks.c
+                       ELSE 0.0 END AS s
+           FROM nodes n LEFT JOIN seeds s ON s.node = n.node CROSS JOIN ks),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, s AS rank FROM sv),
+    {",".join(rounds)}
+    SELECT node AS source, round(rank, 9) AS rank
+    FROM r{_PR_ITERS}
+    """
+
+
+@register("graph_source_trustrank", sql=_ppr_oracle_sql())
+def graph_source_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the synthetic source graph: personalized
+    PageRank seeded on every 4th source (deferred — pytest-mirrored;
+    the numpy differential lives in tests/test_graph.py)."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import personalized_pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    ord_df = (
+        docs.select("source")
+        .distinct()
+        .withColumn("i", F.row_number().over(Window.orderBy("source")) - 1)
+    )
+    seeds = ord_df.filter(F.col("i") % 4 == 0).select(
+        F.col("source").alias("node")
+    )
+    pr = personalized_pagerank(
+        _source_edges(docs), seeds, damping=_PR_D, iters=_PR_ITERS
+    )
+    return pr.select(
+        F.col("node").alias("source"), F.round("rank", 9).alias("rank")
+    )

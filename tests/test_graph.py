@@ -133,3 +133,67 @@ def test_hits_empty_graph(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert hits(df).count() == 0
+
+
+def _numpy_ppr(edges, seeds, damping=0.85, iters=20):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {x: i for i, x in enumerate(nodes)}
+    n = len(nodes)
+    uniq = {(u, v) for u, v in edges if u != v}
+    out = np.zeros(n)
+    for u, _ in uniq:
+        out[idx[u]] += 1
+    seed_set = {s for s in seeds if s in idx}
+    s = np.zeros(n)
+    for x in seed_set:
+        s[idx[x]] = 1.0 / len(seed_set)
+    r = s.copy()
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for u, v in uniq:
+            inflow[idx[v]] += r[idx[u]] / out[idx[u]]
+        dm = r[out == 0].sum()
+        r = (1 - damping) * s + damping * (inflow + dm * s)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_personalized_matches_numpy(spark):
+    from process_alphafold3_outputs_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    rng = np.random.default_rng(9)
+    edges = [(int(rng.integers(0, 12)), int(rng.integers(0, 12)))
+             for _ in range(40)]
+    edges += [(11, 0)]
+    seeds = [0, 3, 7]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {r.node: r.rank
+           for r in personalized_pagerank(df, sdf, iters=20).collect()}
+    want = _numpy_ppr(edges, seeds, iters=20)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_concentrates_rank_near_seeds(spark):
+    """Two disconnected 3-cycles: seeding one component leaves the
+    other with rank 0 — proximity-to-trust, not raw popularity."""
+    from process_alphafold3_outputs_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    cyc_a = [(1, 2), (2, 3), (3, 1)]
+    cyc_b = [(10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(cyc_a + cyc_b, "src long, dst long")
+    sdf = spark.createDataFrame([(1,)], "node long")
+    ranks = {r.node: r.rank
+             for r in personalized_pagerank(df, sdf, iters=30).collect()}
+    assert sum(ranks[x] for x in (1, 2, 3)) == pytest.approx(1.0, abs=1e-9)
+    for x in (10, 11, 12):
+        assert ranks[x] == 0.0
+    # unmatched seeds: empty result, not an error
+    off = spark.createDataFrame([(99,)], "node long")
+    assert personalized_pagerank(df, off).count() == 0
