@@ -1671,3 +1671,24 @@ def test_decontaminate_multi_attributes_per_benchmark(spark):
         if r.n_hits > 0
     }
     assert {d: h for (d, b), h in got.items() if b == "qa"} == single
+
+
+def test_round8_late_operators_handle_empty_corpus(spark):
+    """Empty-shipment sweep for the late-round-8 additions: plan,
+    return 0 rows, never raise."""
+    from process_alphafold3_outputs_spark.operators import dedup, text
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    empty_bench = spark.createDataFrame(
+        [], "doc_id long, text string, bench_id string"
+    )
+    ops = [
+        lambda: dedup.overlap_pairs(empty),
+        lambda: dedup.decontaminate_multi(empty, empty_bench),
+        lambda: text.domain_surprisal_losses(empty),
+        lambda: text.domain_token_counts(empty),
+    ]
+    for i, op in enumerate(ops):
+        assert op().count() == 0, f"late round-8 op #{i} returned rows"
