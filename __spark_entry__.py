@@ -312,6 +312,10 @@ _DEFERRED: set[str] = {
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
+    "text_log_odds",         # Fightin'-Words corpus comparison; the
+                             # tokenize-count-broadcast mechanics are
+                             # the green text_quality/tfidf rows
+                             # (deferred: headroom)
     "graph_source_trustrank",  # seeded (personalized) PageRank; the
                              # power-iteration mechanics are the green
                              # graph_source_pagerank row

@@ -160,6 +160,7 @@ HEADLINE = [
     "cube_customer_segments",
     "dedup_decontaminate_multi",
     "graph_source_trustrank",
+    "text_log_odds",
 ]
 
 

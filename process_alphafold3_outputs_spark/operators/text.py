@@ -3045,3 +3045,68 @@ def doremi_sample(
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select(id_col, domain_col, "n_tokens", "cum_tokens", "budget")
     )
+
+
+def log_odds_terms(
+    docs: DataFrame,
+    group_a: Column,
+    alpha: float = 0.01,
+    text_col: str = "text",
+) -> DataFrame:
+    """(tok, count_a, count_b, delta, z) — the "Fightin' Words"
+    log-odds-ratio with an informative Dirichlet prior (Monroe,
+    Colaresi & Quinn 2008): for every vocabulary term, how strongly it
+    distinguishes the ``group_a`` slice of the corpus from the rest.
+    ``delta`` is the prior-smoothed log-odds difference, ``z`` its
+    standardized form (``delta / sqrt(1/(y_a+α) + 1/(y_b+α))``) — the
+    published corpus-comparison statistic behind "what changed between
+    crawls / what characterizes this source", more robust at the rare
+    tail than raw tf-idf deltas.
+
+    Scale shape: one corpus tokenization into a vocab-sized
+    two-column count table; the three normalizers (group totals,
+    vocab size) are a one-row broadcast. Output is vocab-sized.
+    Cross-engine parity: counts are exact integers, ``delta`` rounds
+    to 9 dp and ``z`` derives from the ROUNDED delta."""
+    d = normalized(docs, text_col)
+    toks = d.select(
+        group_a.cast("int").alias("_a"),
+        F.explode(F.split("_norm", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.sum("_a").alias("count_a"),
+        F.sum(F.lit(1) - F.col("_a")).alias("count_b"),
+    )
+    g = counts.agg(
+        F.sum("count_a").alias("_na"),
+        F.sum("count_b").alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    a = float(alpha)
+    a0 = F.lit(a) * F.col("_v")
+    delta = F.round(
+        F.log(
+            (F.col("count_a") + F.lit(a))
+            / (F.col("_na") + a0 - F.col("count_a") - F.lit(a))
+        )
+        - F.log(
+            (F.col("count_b") + F.lit(a))
+            / (F.col("_nb") + a0 - F.col("count_b") - F.lit(a))
+        ),
+        9,
+    )
+    out = counts.crossJoin(F.broadcast(g)).withColumn("delta", delta)
+    return out.select(
+        "tok",
+        "count_a",
+        "count_b",
+        "delta",
+        F.round(
+            F.col("delta")
+            / F.sqrt(
+                F.lit(1.0) / (F.col("count_a") + F.lit(a))
+                + F.lit(1.0) / (F.col("count_b") + F.lit(a))
+            ),
+            9,
+        ).alias("z"),
+    )

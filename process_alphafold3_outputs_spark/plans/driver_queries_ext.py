@@ -5916,3 +5916,48 @@ def graph_source_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("source"), F.round("rank", 9).alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# "Fightin' Words" log-odds with Dirichlet prior (Monroe et al. 2008):
+# which terms distinguish the lang='en' slice from the rest. Counts
+# are exact integers; delta rounds to 9 dp and z derives from the
+# ROUNDED delta, so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+_LO_A = 0.01
+
+
+@register(
+    "text_log_odds",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    d2 AS (SELECT n.doc_id, CAST(d.lang = 'en' AS INT) AS a, n.t
+           FROM norm n JOIN documents d USING (doc_id)),
+    toks AS (SELECT a, unnest(string_split(t, ' ')) AS tok FROM d2),
+    tk AS (SELECT a, tok FROM toks WHERE len(tok) > 0),
+    counts AS (SELECT tok,
+                      CAST(sum(a) AS BIGINT) AS count_a,
+                      CAST(sum(1 - a) AS BIGINT) AS count_b
+               FROM tk GROUP BY tok),
+    g AS (SELECT CAST(sum(count_a) AS BIGINT) AS na,
+                 CAST(sum(count_b) AS BIGINT) AS nb,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM counts),
+    d0 AS (SELECT c.tok, c.count_a, c.count_b,
+                  round(ln((c.count_a + {_LO_A!r})
+                           / (g.na + {_LO_A!r} * g.v - c.count_a - {_LO_A!r}))
+                        - ln((c.count_b + {_LO_A!r})
+                             / (g.nb + {_LO_A!r} * g.v - c.count_b - {_LO_A!r})),
+                        9) AS delta
+           FROM counts c, g)
+    SELECT tok, count_a, count_b, delta,
+           round(delta / sqrt(1.0 / (count_a + {_LO_A!r})
+                              + 1.0 / (count_b + {_LO_A!r})), 9) AS z
+    FROM d0
+    """,
+)
+def text_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prior-smoothed log-odds of every vocabulary term, lang='en' vs
+    the rest (deferred — pytest-mirrored)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.log_odds_terms(docs, F.col("lang") == "en", alpha=_LO_A)

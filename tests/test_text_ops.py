@@ -1919,3 +1919,28 @@ def test_word_grams_xxhash64_is_bigint(spark):
     g = dedup._word_grams(docs, 5, hash_mode="xxhash64")
     assert dict(g.dtypes)["gh"] == "bigint"
     assert dict(dedup._word_grams(docs, 5).dtypes)["gh"] == "string"
+
+
+def test_log_odds_separates_group_markers(spark):
+    """A term appearing only in group A gets a strongly positive z; a
+    B-only term strongly negative; shared background terms sit near 0
+    — and the prior keeps single-occurrence terms finite."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        log_odds_terms,
+    )
+
+    rows = [(i, "common words here plus groupa marker", "en") for i in range(10)]
+    rows += [(100 + i, "common words here plus groupb token", "fr")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.tok: r for r in log_odds_terms(
+        docs, F.col("lang") == "en").collect()}
+    # with a small prior an A-only term is the strongest positive and a
+    # B-only term the strongest negative; shared terms sit at ~0
+    assert out["groupa"].z == max(r.z for r in out.values()) > 0
+    assert out["groupb"].z == min(r.z for r in out.values()) < 0
+    assert abs(out["common"].z) < abs(out["groupa"].z) / 2
+    assert out["groupa"].count_a == 10 and out["groupa"].count_b == 0
+    import math
+    for r in out.values():
+        assert math.isfinite(r.z) and math.isfinite(r.delta)
