@@ -274,6 +274,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--eta", type=float, default=1.0)
     sp.add_argument("--smoothing", type=float, default=0.01)
 
+    sp = sub.add_parser("compare")
+    common(sp)
+    sp.add_argument("--group-lang", default=None,
+                    help="group A = docs with this lang (vs the rest)")
+    sp.add_argument("--group-source", default=None,
+                    help="group A = docs from this source (vs the rest)")
+    sp.add_argument("--alpha", type=float, default=0.01)
+
     sp = sub.add_parser("media-stats")
     sp.add_argument("--media", required=True,
                     help="MEDIA_SCHEMA parquet path (asset_id, modality, "
@@ -553,6 +561,16 @@ def _result(
         return text.doremi_mixture(
             docs, iters=args.iters, eta=args.eta, smoothing=args.smoothing
         )
+    if args.command == "compare":
+        if (args.group_lang is None) == (args.group_source is None):
+            raise SystemExit(
+                "compare: give exactly one of --group-lang / --group-source"
+            )
+        if args.group_lang is not None:
+            group = F.col("lang") == args.group_lang
+        else:
+            group = F.col("source") == args.group_source
+        return text.log_odds_terms(docs, group, alpha=args.alpha)
     if args.command == "dedup-incremental":
         seen = spark.read.parquet(args.hashes)
         kept = dedup.incremental_exact_dedup(docs, seen)

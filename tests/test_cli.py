@@ -768,3 +768,27 @@ def test_corpus_cli_mix_doremi_roundtrip(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     assert res["rows"] == len(got) > 0
     assert (got.cum_tokens <= got.budget).all()
+
+
+def test_corpus_cli_compare_roundtrip(spark, tmp_path):
+    """Roundtrip the compare CLI (Fightin'-Words log-odds): lang-group
+    form works, and asking for zero or two groups is rejected."""
+    import pytest
+
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "cmp")
+    args = corpus_cli.build_parser().parse_args(
+        ["compare", "--documents", docs, "--group-lang", "en", "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() > 0
+    assert {"tok", "count_a", "count_b", "delta", "z"} <= set(got.columns)
+
+    bad = corpus_cli.build_parser().parse_args(
+        ["compare", "--documents", docs, "--out", out]
+    )
+    with pytest.raises(SystemExit):
+        corpus_cli.run(bad, spark)
