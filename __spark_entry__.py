@@ -312,6 +312,9 @@ _DEFERRED: set[str] = {
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
+    "similarity_mmr",        # MMR diversity rerank; candidate kernel
+                             # is the green similarity_topk row
+                             # (deferred: headroom)
     "text_log_odds",         # Fightin'-Words corpus comparison; the
                              # tokenize-count-broadcast mechanics are
                              # the green text_quality/tfidf rows

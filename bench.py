@@ -161,6 +161,7 @@ HEADLINE = [
     "dedup_decontaminate_multi",
     "graph_source_trustrank",
     "text_log_odds",
+    "similarity_mmr",
 ]
 
 

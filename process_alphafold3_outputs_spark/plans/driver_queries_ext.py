@@ -5961,3 +5961,73 @@ def text_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest (deferred — pytest-mirrored)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.log_odds_terms(docs, F.col("lang") == "en", alpha=_LO_A)
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking (Carbonell & Goldstein 1998): greedy pick of
+# k results maximizing λ·rel − (1−λ)·max-sim-to-selected over the exact
+# top-n candidate list. The oracle unrolls each greedy step as a
+# LIMIT-1 CTE; candidate relevance and pair-sims round to 6 dp, MMR
+# scores to 9 dp, ties break on vec_id — the engine's bounded-collect
+# greedy reproduces every pick bit-for-bit.
+# --------------------------------------------------------------------------
+_MMR_QID, _MMR_K, _MMR_NC, _MMR_LAM = 3, 5, 20, 0.7
+
+
+def _mmr_oracle_sql() -> str:
+    one_minus = 1.0 - _MMR_LAM
+    steps = [f"""
+    p1 AS (SELECT vec_id, rel,
+                  round({_MMR_LAM!r} * rel - {one_minus!r} * 0.0, 9) AS mmr
+           FROM cand ORDER BY mmr DESC, vec_id LIMIT 1)"""]
+    for i in range(2, _MMR_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+    p{i} AS (
+        SELECT c.vec_id, c.rel,
+               round({_MMR_LAM!r} * c.rel - {one_minus!r} * (
+                   SELECT max(ps.c) FROM ps
+                   WHERE ps.ia = c.vec_id AND ps.ib IN ({picked})
+               ), 9) AS mmr
+        FROM cand c
+        WHERE c.vec_id NOT IN ({picked})
+        ORDER BY mmr DESC, c.vec_id
+        LIMIT 1)""")
+    final = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rk, vec_id, rel AS relevance, "
+        f"mmr AS mmr_score FROM p{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = {_MMR_QID}),
+    scored AS (
+        SELECT e.vec_id, round({_COS.format(a="e.v", b="q.qv")}, 6) AS rel,
+               row_number() OVER (
+                   ORDER BY {_COS.format(a="e.v", b="q.qv")} DESC, e.vec_id
+               ) AS rn
+        FROM emb e, q WHERE e.vec_id <> {_MMR_QID}),
+    cand AS (SELECT s.vec_id, s.rel, e.v
+             FROM scored s JOIN emb e USING (vec_id) WHERE rn <= {_MMR_NC}),
+    ps AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  round({_COS.format(a="a.v", b="b.v")}, 6) AS c
+           FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    {",".join(steps)}
+    {final}
+    """
+
+
+@register("similarity_mmr", sql=_mmr_oracle_sql())
+def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank of the exact top-20 for one query vector
+    (deferred — pytest-mirrored; the candidate kernel is the green
+    similarity_topk row)."""
+    return similarity.mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=_MMR_QID,
+        k=_MMR_K,
+        n_candidates=_MMR_NC,
+        lam=_MMR_LAM,
+    )

@@ -1692,3 +1692,34 @@ def test_round8_late_operators_handle_empty_corpus(spark):
     ]
     for i, op in enumerate(ops):
         assert op().count() == 0, f"late round-8 op #{i} returned rows"
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Two near-identical high-relevance vectors: plain top-k returns
+    both back-to-back, MMR (λ=0.5) demotes the clone in favor of the
+    diverse lower-relevance result."""
+    from process_alphafold3_outputs_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0]),      # best hit
+        (2, [0.99, 0.141, 0.0]),     # near-clone of 1
+        (3, [0.7, 0.0, 0.7]),        # diverse, lower relevance
+        (4, [0.0, 1.0, 0.0]),        # irrelevant
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.mmr_rerank(
+        emb, query_id=0, k=3, n_candidates=4, lam=0.5
+    ).collect()
+    order = [r.vec_id for r in sorted(out, key=lambda r: r.rk)]
+    assert order[0] == 1                      # relevance still leads
+    assert order[1] == 3                      # diversity beats the clone
+    assert order[2] == 2
+    # plain top-k would have ranked the clone second
+    plain = similarity.topk_bruteforce(
+        emb, F.col("vec_id") == 0, k=3
+    ).orderBy("rk").collect()
+    assert [r.neighbor_id for r in plain][:2] == [1, 2]
