@@ -162,6 +162,7 @@ HEADLINE = [
     "graph_source_trustrank",
     "text_log_odds",
     "similarity_mmr",
+    "text_paragraph_langs",
 ]
 
 

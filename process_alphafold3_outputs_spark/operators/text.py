@@ -3110,3 +3110,63 @@ def log_odds_terms(
             9,
         ).alias("z"),
     )
+
+
+def paragraph_language_profile(
+    docs: DataFrame,
+    para_words: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_paragraphs, dominant_lang, dominant_frac, n_langs) —
+    paragraph-level language segmentation: chunk each document into
+    ``para_words``-word pseudo-paragraphs, language-ID each chunk with
+    the marker heuristic, and report the per-document dominant
+    language with its paragraph share. This is the CCNet recipe's
+    granularity — web documents routinely mix languages (boilerplate
+    in one, body in another; quoted passages), and a doc-level LID
+    both mislabels them and hides that they need splitting.
+    ``dominant_frac < 1`` is exactly the "route to a segmenter" flag.
+
+    Scale shape: one narrow projection explodes each doc into
+    ceil(words/``para_words``) chunk rows (output-linear in corpus
+    words), one doc-keyed count aggregation, one doc-keyed window for
+    the dominant pick — no joins, nothing driver-side. Ties break
+    alphabetically (deterministic); ``dominant_frac`` rounds to 6 dp."""
+    if para_words <= 0:
+        raise ValueError("para_words must be positive")
+    w = int(para_words)
+    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    paras = d.select(
+        "doc_id",
+        "_w",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size("_w") / F.lit(float(w))).cast("int"),
+            )
+        ).alias("_pi"),
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice("_w", (F.col("_pi") - 1) * w + 1, w), " "
+        ).alias("_pt"),
+    )
+    pl = paras.select(
+        "doc_id", language_id_col(F.col("_pt")).alias("_plang")
+    )
+    cnt = pl.groupBy("doc_id", "_plang").agg(F.count(F.lit(1)).alias("_c"))
+    wd = Window.partitionBy("doc_id")
+    wr = Window.partitionBy("doc_id").orderBy(F.col("_c").desc(), "_plang")
+    return (
+        cnt.withColumn("_rn", F.row_number().over(wr))
+        .withColumn("_nt", F.sum("_c").over(wd))
+        .withColumn("_nl", F.count(F.lit(1)).over(wd))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("_nt").alias("n_paragraphs"),
+            F.col("_plang").alias("dominant_lang"),
+            F.round(F.col("_c") / F.col("_nt"), 6).alias("dominant_frac"),
+            F.col("_nl").cast("long").alias("n_langs"),
+        )
+    )

@@ -6031,3 +6031,74 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=_MMR_NC,
         lam=_MMR_LAM,
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level language profile (the CCNet granularity): the flat
+# synthetic corpus is single-language, so the query derives a MIXED
+# corpus deterministically first — doc_id % 3 picks a French or German
+# marker paragraph to append — and every doc then exercises the
+# chunk → per-paragraph LID → dominant-share arithmetic.
+# --------------------------------------------------------------------------
+_PLP_W = 12
+_PLP_FR = "le chat et les chiens est le la des les et le"
+_PLP_DE = "der hund und die katze ist nicht der und die der ist"
+
+
+@register(
+    "text_paragraph_langs",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0 THEN ' {_PLP_FR}'
+                            WHEN doc_id % 3 = 1 THEN ' {_PLP_DE}'
+                            ELSE '' END AS text
+        FROM documents),
+    norm AS (SELECT doc_id,
+                    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t0
+             FROM base),
+    words AS (SELECT doc_id, string_split(t0, ' ') AS w FROM norm),
+    paras AS (
+        SELECT doc_id,
+               array_to_string(w[(p - 1) * {_PLP_W} + 1 : p * {_PLP_W}], ' ')
+                   AS t
+        FROM words,
+             unnest(generate_series(
+                 1, CAST(ceil(len(w) / {_PLP_W}.0) AS INT))) s(p)),
+    scores AS (SELECT doc_id,
+        {", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS))}
+        FROM paras),
+    pl AS (SELECT doc_id,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                {"".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS))}
+                ELSE 'und' END AS plang
+           FROM scores),
+    cnt AS (SELECT doc_id, plang, CAST(count(*) AS BIGINT) AS c
+            FROM pl GROUP BY doc_id, plang),
+    agg AS (SELECT doc_id, plang, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, plang) AS rn,
+                   CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS nt,
+                   CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nl
+            FROM cnt)
+    SELECT doc_id, nt AS n_paragraphs, plang AS dominant_lang,
+           round(c / CAST(nt AS DOUBLE), 6) AS dominant_frac,
+           nl AS n_langs
+    FROM agg WHERE rn = 1
+    """,
+)
+def text_paragraph_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-paragraph LID rollup over a deterministically mixed corpus
+    (deferred — pytest-mirrored; doc-level LID is the green
+    text_language_id row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _PLP_FR))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" " + _PLP_DE))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return text.paragraph_language_profile(mixed, para_words=_PLP_W)

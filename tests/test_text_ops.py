@@ -1944,3 +1944,29 @@ def test_log_odds_separates_group_markers(spark):
     import math
     for r in out.values():
         assert math.isfinite(r.z) and math.isfinite(r.delta)
+
+
+def test_paragraph_language_profile_detects_mixed_docs(spark):
+    """A doc whose first chunk is English and second chunk French
+    reports 2 languages with dominant_frac 0.5; a pure-English doc
+    reports (1 lang, frac 1.0); chunking is exactly para_words-sized."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        paragraph_language_profile,
+    )
+
+    en = "the cat and the dog is to the mat and of it"          # 12 words
+    fr = "le chat et les chiens est le la des les et le"        # 12 words
+    docs = spark.createDataFrame(
+        [(1, en + " " + fr), (2, en), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_language_profile(
+        docs, para_words=12).collect()}
+    assert out[1].n_paragraphs == 2 and out[1].n_langs == 2
+    assert out[1].dominant_frac == 0.5
+    assert out[1].dominant_lang in ("en", "fr")  # tie -> alphabetical
+    assert out[1].dominant_lang == "en"
+    assert out[2].n_paragraphs == 1 and out[2].n_langs == 1
+    assert out[2].dominant_lang == "en" and out[2].dominant_frac == 1.0
+    # empty text: one empty paragraph, language 'und'
+    assert out[3].dominant_lang == "und" and out[3].n_paragraphs == 1
