@@ -312,6 +312,9 @@ _DEFERRED: set[str] = {
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
+    "text_split_by_language",  # same-language segment split; islands
+                             # mechanics are the green sessionize row
+                             # (deferred: headroom)
     "text_paragraph_langs",  # per-paragraph LID rollup; doc-level LID
                              # is the green text_language_id row
                              # (deferred: headroom)

@@ -163,6 +163,7 @@ HEADLINE = [
     "text_log_odds",
     "similarity_mmr",
     "text_paragraph_langs",
+    "text_split_by_language",
 ]
 
 

@@ -3170,3 +3170,81 @@ def paragraph_language_profile(
             F.col("_nl").cast("long").alias("n_langs"),
         )
     )
+
+
+def split_by_language(
+    docs: DataFrame,
+    para_words: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, seg_id, lang, n_paragraphs, seg_text) — split each
+    document into contiguous same-language SEGMENTS: chunk into
+    ``para_words``-word paragraphs, language-ID each, then merge
+    adjacent same-language runs (the gaps-and-islands kernel on the
+    paragraph sequence). This is the ACTION the
+    :func:`paragraph_language_profile` flag routes to — a mixed
+    French/English page becomes one French row and one English row,
+    each feeding its own language's cleaning pipeline instead of
+    polluting a single one.
+
+    Scale shape: the same output-linear chunk explode as the profile,
+    one doc-keyed window pass for run detection, one (doc, run)-keyed
+    aggregation that reassembles segment text in paragraph order — no
+    joins. Segment ids are 1-based in paragraph order."""
+    if para_words <= 0:
+        raise ValueError("para_words must be positive")
+    w = int(para_words)
+    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    paras = d.select(
+        "doc_id",
+        "_w",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size("_w") / F.lit(float(w))).cast("int"),
+            )
+        ).alias("_pi"),
+    ).select(
+        "doc_id",
+        "_pi",
+        F.array_join(
+            F.slice("_w", (F.col("_pi") - 1) * w + 1, w), " "
+        ).alias("_pt"),
+    )
+    pl = paras.withColumn("_plang", language_id_col(F.col("_pt")))
+    wo = Window.partitionBy("doc_id").orderBy("_pi")
+    runs = pl.withColumn(
+        "_chg",
+        F.when(
+            F.lag("_plang").over(wo).isNull()
+            | (F.lag("_plang").over(wo) != F.col("_plang")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_run",
+        F.sum("_chg").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("doc_id", "_run")
+        .agg(
+            # constant within a run — min() for engine-order independence
+            F.min("_plang").alias("lang"),
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pi", "_pt"))),
+                    lambda s: s["_pt"],
+                ),
+                " ",
+            ).alias("seg_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("_run").cast("int").alias("seg_id"),
+            "lang",
+            "n_paragraphs",
+            "seg_text",
+        )
+    )

@@ -6102,3 +6102,69 @@ def text_paragraph_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return text.paragraph_language_profile(mixed, para_words=_PLP_W)
+
+
+# --------------------------------------------------------------------------
+# language segmentation: the split the paragraph profile routes to —
+# contiguous same-language paragraph runs become segments (same mixed
+# fixture as text_paragraph_langs).
+# --------------------------------------------------------------------------
+@register(
+    "text_split_by_language",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0 THEN ' {_PLP_FR}'
+                            WHEN doc_id % 3 = 1 THEN ' {_PLP_DE}'
+                            ELSE '' END AS text
+        FROM documents),
+    norm AS (SELECT doc_id,
+                    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t0
+             FROM base),
+    words AS (SELECT doc_id, string_split(t0, ' ') AS w FROM norm),
+    paras AS (
+        SELECT doc_id, p AS pi,
+               array_to_string(w[(p - 1) * {_PLP_W} + 1 : p * {_PLP_W}], ' ')
+                   AS t
+        FROM words,
+             unnest(generate_series(
+                 1, CAST(ceil(len(w) / {_PLP_W}.0) AS INT))) s(p)),
+    scores AS (SELECT doc_id, pi, t,
+        {", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in sorted(text.LANG_MARKERS))}
+        FROM paras),
+    pl AS (SELECT doc_id, pi, t,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                {"".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr) THEN '{lang}' " for lang in sorted(text.LANG_MARKERS))}
+                ELSE 'und' END AS plang
+           FROM scores),
+    runs AS (
+        SELECT doc_id, pi, t, plang,
+               CASE WHEN lag(plang) OVER (PARTITION BY doc_id ORDER BY pi)
+                         IS DISTINCT FROM plang THEN 1 ELSE 0 END AS chg
+        FROM pl),
+    seg AS (
+        SELECT doc_id, pi, t, plang,
+               CAST(sum(chg) OVER (PARTITION BY doc_id ORDER BY pi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS INT) AS run
+        FROM runs)
+    SELECT doc_id, run AS seg_id, min(plang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_paragraphs,
+           string_agg(t, ' ' ORDER BY pi) AS seg_text
+    FROM seg GROUP BY doc_id, run
+    """,
+)
+def text_split_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous same-language segments of the mixed fixture corpus
+    (deferred — pytest-mirrored)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _PLP_FR))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" " + _PLP_DE))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return text.split_by_language(mixed, para_words=_PLP_W)

@@ -1970,3 +1970,34 @@ def test_paragraph_language_profile_detects_mixed_docs(spark):
     assert out[2].dominant_lang == "en" and out[2].dominant_frac == 1.0
     # empty text: one empty paragraph, language 'und'
     assert out[3].dominant_lang == "und" and out[3].n_paragraphs == 1
+
+
+def test_split_by_language_merges_adjacent_runs(spark):
+    """EN,EN,FR paragraphs -> two segments (the adjacent English
+    chunks merge); reassembled segment text round-trips the original
+    word sequence; a pure doc stays one segment."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        split_by_language,
+    )
+
+    en1 = "the cat and the dog is to the mat and of it"
+    en2 = "the sun and the moon is to the sky and of light"
+    fr = "le chat et les chiens est le la des les et le"
+    docs = spark.createDataFrame(
+        [(1, " ".join([en1, en2, fr])), (2, en1)],
+        "doc_id long, text string",
+    )
+    segs = sorted(
+        split_by_language(docs, para_words=12).collect(),
+        key=lambda r: (r.doc_id, r.seg_id),
+    )
+    d1 = [s for s in segs if s.doc_id == 1]
+    assert [(s.seg_id, s.lang, s.n_paragraphs) for s in d1] == [
+        (1, "en", 2), (2, "fr", 1)
+    ]
+    assert d1[0].seg_text == en1 + " " + en2
+    assert d1[1].seg_text == fr
+    d2 = [s for s in segs if s.doc_id == 2]
+    assert [(s.seg_id, s.lang) for s in d2] == [(1, "en")]
+    # segments reassemble the full document losslessly
+    assert " ".join(s.seg_text for s in d1) == " ".join([en1, en2, fr])
