@@ -282,6 +282,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="group A = docs from this source (vs the rest)")
     sp.add_argument("--alpha", type=float, default=0.01)
 
+    sp = sub.add_parser("langs")
+    common(sp)
+    sp.add_argument("--para-words", type=int, default=12)
+    sp.add_argument("--split", action="store_true",
+                    help="emit same-language segments instead of the "
+                    "per-document dominant-language profile")
+
     sp = sub.add_parser("media-stats")
     sp.add_argument("--media", required=True,
                     help="MEDIA_SCHEMA parquet path (asset_id, modality, "
@@ -571,6 +578,12 @@ def _result(
         else:
             group = F.col("source") == args.group_source
         return text.log_odds_terms(docs, group, alpha=args.alpha)
+    if args.command == "langs":
+        if args.split:
+            return text.split_by_language(docs, para_words=args.para_words)
+        return text.paragraph_language_profile(
+            docs, para_words=args.para_words
+        )
     if args.command == "dedup-incremental":
         seen = spark.read.parquet(args.hashes)
         kept = dedup.incremental_exact_dedup(docs, seen)

@@ -792,3 +792,28 @@ def test_corpus_cli_compare_roundtrip(spark, tmp_path):
     )
     with pytest.raises(SystemExit):
         corpus_cli.run(bad, spark)
+
+
+def test_corpus_cli_langs_roundtrip(spark, tmp_path):
+    """Roundtrip the langs CLI: profile form and segment-split form."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+
+    out = str(tmp_path / "prof")
+    args = corpus_cli.build_parser().parse_args(
+        ["langs", "--documents", docs, "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() > 0
+    assert {"dominant_lang", "dominant_frac", "n_langs"} <= set(got.columns)
+
+    out = str(tmp_path / "segs")
+    args = corpus_cli.build_parser().parse_args(
+        ["langs", "--documents", docs, "--split", "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() > 0
+    assert {"seg_id", "lang", "seg_text"} <= set(got.columns)
