@@ -1036,3 +1036,56 @@ def watch_documents_doremi(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_documents_langs(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    para_words: int = 12,
+    split: bool = True,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming language routing: each micro-batch of documents is
+    language-segmented (``split=True`` — the
+    ``text.split_by_language`` kernel; mixed pages become one row per
+    contiguous same-language run) or profiled (``split=False`` —
+    ``paragraph_language_profile``), and lands under
+    ``out_path/epoch_id=N/lang=<l>`` — the per-language fan-out every
+    multilingual ingestion stack runs so each language's cleaning
+    pipeline reads only its own partition. Stateless per batch (the
+    kernels are pure per-document), so a stream processed in N
+    micro-batches equals the batch run on the union (parity
+    pytest-pinned); per-epoch overwrite keeps crash replay idempotent.
+    Returns the StreamingQuery."""
+    import os
+
+    from ..operators import text as text_ops
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if split:
+            out = text_ops.split_by_language(batch_df, para_words=para_words)
+            part = "lang"
+        else:
+            out = text_ops.paragraph_language_profile(
+                batch_df, para_words=para_words
+            )
+            part = "dominant_lang"
+        out.write.mode("overwrite").partitionBy(part).parquet(
+            os.path.join(out_path, f"epoch_id={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

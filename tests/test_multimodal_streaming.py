@@ -1211,3 +1211,52 @@ def test_doremi_state_replay_is_idempotent(spark, tmp_path):
     assert state_after == state_before
     # both domains present with all tokens counted exactly once
     assert sum(c for _, _, c in state_after) == 6
+
+
+def test_watch_documents_langs_routes_segments(spark, tmp_path):
+    """Streamed language routing equals the batch split on the union
+    (stateless per-doc kernel), and segments land under per-language
+    partitions readers can prune on."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        split_by_language,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_documents_langs,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    en = "the cat and the dog is to the mat and of it"
+    fr = "le chat et les chiens est le la des les et le"
+    b1 = [(1, en + " " + fr, "en", "s", 50)]
+    b2 = [(2, en, "en", "s", 40)]
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    drop(b1)
+    q = watch_documents_langs(spark, inbox, out, ckpt, para_words=12)
+    try:
+        q.processAllAvailable()
+        drop(b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.read.option("basePath", out).parquet(out)
+        .select("doc_id", "seg_id", "lang", "seg_text")
+    )
+    want = split_by_language(
+        spark.createDataFrame(b1 + b2, schema), para_words=12
+    ).select("doc_id", "seg_id", "lang", "seg_text")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    # the physical layout is per-language: a lang=fr directory exists
+    import glob
+    assert glob.glob(f"{out}/epoch_id=*/lang=fr")
