@@ -312,6 +312,10 @@ _DEFERRED: set[str] = {
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
+    "quality_expectations",  # Deequ-style constraint report; the
+                             # conditional-sum mechanics are the green
+                             # conditional_sum/distinct_agg rows
+                             # (deferred: headroom)
     "text_split_by_language",  # same-language segment split; islands
                              # mechanics are the green sessionize row
                              # (deferred: headroom)

@@ -164,6 +164,7 @@ HEADLINE = [
     "similarity_mmr",
     "text_paragraph_langs",
     "text_split_by_language",
+    "quality_expectations",
 ]
 
 

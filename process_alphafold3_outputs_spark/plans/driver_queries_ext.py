@@ -6168,3 +6168,51 @@ def text_split_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return text.split_by_language(mixed, para_words=_PLP_W)
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality expectations (the Deequ family, Schelter et
+# al. 2018): six constraints over orders in ONE scan + ONE aggregation,
+# chosen so the fixture exercises both outcomes (o_custkey repeats,
+# totalprice exceeds the range cap, status 'P' is outside the set).
+# --------------------------------------------------------------------------
+_EXP_RULES = [
+    {"column": "o_custkey", "check": "not_null"},
+    {"column": "o_orderkey", "check": "unique"},
+    {"column": "o_custkey", "check": "unique"},
+    {"column": "o_totalprice", "check": "range", "min": 0.0, "max": 250000.0},
+    {"column": "o_orderstatus", "check": "in_set", "values": ["O", "F"]},
+    {"column": "o_orderpriority", "check": "regex", "pattern": "^[0-9]-"},
+]
+
+
+@register(
+    "quality_expectations",
+    sql="""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v0,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v1,
+             CAST(count(o_custkey) - count(DISTINCT o_custkey) AS BIGINT) AS v2,
+             CAST(coalesce(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 250000.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3,
+             CAST(coalesce(sum(CASE WHEN NOT o_orderstatus IN ('O', 'F') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4,
+             CAST(coalesce(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v5
+      FROM orders)
+    SELECT CAST(0 AS INT) AS rule_id, 'o_custkey' AS "column",
+           'not_null' AS "check", v0 AS n_violations, n AS n_rows,
+           v0 = 0 AS passed FROM a
+    UNION ALL SELECT 1, 'o_orderkey', 'unique', v1, n, v1 = 0 FROM a
+    UNION ALL SELECT 2, 'o_custkey', 'unique', v2, n, v2 = 0 FROM a
+    UNION ALL SELECT 3, 'o_totalprice', 'range', v3, n, v3 = 0 FROM a
+    UNION ALL SELECT 4, 'o_orderstatus', 'in_set', v4, n, v4 = 0 FROM a
+    UNION ALL SELECT 5, 'o_orderpriority', 'regex', v5, n, v5 = 0 FROM a
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report over orders (deferred —
+    pytest-mirrored)."""
+    from ..operators.expect import check_expectations
+
+    return check_expectations(
+        load_table(spark, sf_dir, "orders"), _EXP_RULES
+    )

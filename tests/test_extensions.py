@@ -1723,3 +1723,47 @@ def test_mmr_prefers_diverse_over_redundant(spark):
         emb, F.col("vec_id") == 0, k=3
     ).orderBy("rk").collect()
     assert [r.neighbor_id for r in plain][:2] == [1, 2]
+
+
+def test_check_expectations_counts_each_violation_kind(spark):
+    """Each check type counts exactly its own violations; nulls belong
+    to not_null alone; an empty table passes everything with 0 rows."""
+    import pytest
+
+    from process_alphafold3_outputs_spark.operators.expect import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", "a1"),
+            (1, 300.0, "O", "b2"),     # dup id, out-of-range, bad regex
+            (2, None, "X", "c3"),      # null price, out-of-set status
+            (None, 50.0, "F", "d4"),   # null id
+        ],
+        "id int, price double, status string, tag string",
+    )
+    rules = [
+        {"column": "id", "check": "not_null"},
+        {"column": "id", "check": "unique"},
+        {"column": "price", "check": "range", "min": 0.0, "max": 100.0},
+        {"column": "status", "check": "in_set", "values": ["O", "F"]},
+        {"column": "tag", "check": "regex", "pattern": "^[a-c]"},
+    ]
+    out = {(r.column, r.check): r for r in
+           check_expectations(df, rules).collect()}
+    assert out[("id", "not_null")].n_violations == 1
+    assert out[("id", "unique")].n_violations == 1       # one extra copy of 1
+    assert out[("price", "range")].n_violations == 1     # null NOT counted here
+    assert out[("status", "in_set")].n_violations == 1
+    assert out[("tag", "regex")].n_violations == 1       # 'd4'
+    assert all(r.n_rows == 4 for r in out.values())
+    assert not any(r.passed for r in out.values())
+
+    empty = spark.createDataFrame([], "id int, price double, status string, tag string")
+    eout = check_expectations(empty, rules).collect()
+    assert len(eout) == 5
+    assert all(r.passed and r.n_violations == 0 and r.n_rows == 0 for r in eout)
+
+    with pytest.raises(ValueError):
+        check_expectations(df, [{"column": "id", "check": "bogus"}])
