@@ -41,6 +41,15 @@ line to stdout):
   diff           crawl-to-crawl change report vs --old (corpus_diff)
   search         hybrid BM25 + vector retrieval fused by RRF
                  (text.hybrid_search_rrf)
+  mix-doremi     DoReMi EG domain weights; --total-tokens draws documents
+                 to the learned budgets (text.doremi_mixture/_sample)
+  compare        Fightin'-Words log-odds of a lang/source slice vs the
+                 rest (text.log_odds_terms)
+  langs          paragraph-level language profile; --split emits
+                 same-language segments (text.paragraph_language_profile /
+                 split_by_language)
+  expect         Deequ-style constraint report over ANY parquet table
+                 (operators.expect.check_expectations)
 
 Every command is a thin shell over the library operators — no query
 logic lives here, so CLI behavior cannot drift from the tested kernels.
@@ -289,6 +298,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="emit same-language segments instead of the "
                     "per-document dominant-language profile")
 
+    sp = sub.add_parser("expect")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table to validate")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--not-null", action="append", default=[],
+                    metavar="COL")
+    sp.add_argument("--unique", action="append", default=[], metavar="COL")
+    sp.add_argument("--range", action="append", default=[],
+                    metavar="COL:MIN:MAX", dest="range_rules")
+    sp.add_argument("--in-set", action="append", default=[],
+                    metavar="COL:V1,V2,...", dest="inset_rules")
+    sp.add_argument("--regex", action="append", default=[],
+                    metavar="COL:PATTERN", dest="regex_rules")
+
     sp = sub.add_parser("media-stats")
     sp.add_argument("--media", required=True,
                     help="MEDIA_SCHEMA parquet path (asset_id, modality, "
@@ -471,6 +494,27 @@ def _result(
             n_probe=args.n_probe,
             m=args.subspaces,
         )
+
+    if args.command == "expect":
+        from .operators.expect import check_expectations
+
+        rules: list[dict] = []
+        rules += [{"column": c, "check": "not_null"} for c in args.not_null]
+        rules += [{"column": c, "check": "unique"} for c in args.unique]
+        for spec in args.range_rules:
+            col, lo, hi = spec.split(":")
+            rules.append({"column": col, "check": "range",
+                          "min": float(lo), "max": float(hi)})
+        for spec in args.inset_rules:
+            col, _, vals = spec.partition(":")
+            rules.append({"column": col, "check": "in_set",
+                          "values": vals.split(",")})
+        for spec in args.regex_rules:
+            col, _, pat = spec.partition(":")
+            rules.append({"column": col, "check": "regex", "pattern": pat})
+        if not rules:
+            raise SystemExit("expect: give at least one rule flag")
+        return check_expectations(spark.read.parquet(args.input), rules)
 
     docs = spark.read.parquet(args.documents)
     if args.command == "train-bpe":

@@ -817,3 +817,32 @@ def test_corpus_cli_langs_roundtrip(spark, tmp_path):
     got = spark.read.parquet(out)
     assert res["rows"] == got.count() > 0
     assert {"seg_id", "lang", "seg_text"} <= set(got.columns)
+
+
+def test_corpus_cli_expect_roundtrip(spark, tmp_path):
+    """Roundtrip the expect CLI: flag-built rules produce one report
+    row each; zero rules is rejected."""
+    import pytest
+
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    orders = "/root/testdata/sf0.001/orders.parquet"
+    out = str(tmp_path / "exp")
+    args = corpus_cli.build_parser().parse_args(
+        ["expect", "--input", orders, "--unique", "o_orderkey",
+         "--not-null", "o_custkey", "--range", "o_totalprice:0:250000",
+         "--in-set", "o_orderstatus:O,F",
+         "--regex", "o_orderpriority:^[0-9]-", "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() == 5
+    rows = {(r.column, r.check): r for r in got.collect()}
+    assert rows[("o_orderkey", "unique")].passed
+    assert not rows[("o_orderstatus", "in_set")].passed
+
+    bad = corpus_cli.build_parser().parse_args(
+        ["expect", "--input", orders, "--out", out]
+    )
+    with pytest.raises(SystemExit):
+        corpus_cli.run(bad, spark)
