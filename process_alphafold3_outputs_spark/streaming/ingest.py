@@ -1089,3 +1089,52 @@ def watch_documents_langs(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_documents_expect(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    rules: list[dict] | None = None,
+    max_files_per_trigger: int = 1000,
+):
+    """Continuous data-quality monitoring: every micro-batch of
+    document drops is validated against the declarative constraint set
+    (``operators.expect.check_expectations`` — the Deequ pattern runs
+    exactly like this in production: per-delivery reports, not one
+    retrospective audit) and the per-epoch violations report lands at
+    ``out_path/epoch_id=N``. A failing delivery is visible the moment
+    it arrives, with the rule and count attached; the epoch history IS
+    the quality time-series. Default rules cover the document-drop
+    contract: doc_id present and unique, text present, n_chars
+    non-negative. Stateless per batch; per-epoch overwrite keeps crash
+    replay idempotent. Returns the StreamingQuery."""
+    from ..operators.expect import check_expectations
+
+    if rules is None:
+        rules = [
+            {"column": "doc_id", "check": "not_null"},
+            {"column": "doc_id", "check": "unique"},
+            {"column": "text", "check": "not_null"},
+            {"column": "n_chars", "check": "range",
+             "min": 0, "max": 1 << 40},
+        ]
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _write_epoch_output(
+            check_expectations(batch_df, rules), out_path, epoch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

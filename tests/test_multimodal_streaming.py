@@ -1260,3 +1260,45 @@ def test_watch_documents_langs_routes_segments(spark, tmp_path):
     # the physical layout is per-language: a lang=fr directory exists
     import glob
     assert glob.glob(f"{out}/epoch_id=*/lang=fr")
+
+
+def test_watch_documents_expect_reports_per_epoch(spark, tmp_path):
+    """A clean drop passes every default rule; a later drop with a
+    duplicate id and a null text fails exactly those rules in ITS
+    epoch's report — the per-delivery quality time-series."""
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        watch_documents_expect,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "reports")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+
+    drop([(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4)])
+    q = watch_documents_expect(spark, inbox, out, ckpt)
+    try:
+        q.processAllAvailable()
+        drop([(3, "gamma", "en", "s", 5), (3, None, "en", "s", 4)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rep = spark.read.option("basePath", out).parquet(out)
+    epochs = sorted(int(r.epoch_id) for r in
+                    rep.select("epoch_id").distinct().collect())
+    assert len(epochs) == 2
+    first = {(r.column, r.check): r for r in
+             rep.filter(F.col("epoch_id") == epochs[0]).collect()}
+    assert all(r.passed for r in first.values())
+    second = {(r.column, r.check): r for r in
+              rep.filter(F.col("epoch_id") == epochs[-1]).collect()}
+    assert not second[("doc_id", "unique")].passed
+    assert second[("doc_id", "unique")].n_violations == 1
+    assert not second[("text", "not_null")].passed
+    assert second[("doc_id", "not_null")].passed
