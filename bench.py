@@ -165,6 +165,7 @@ HEADLINE = [
     "text_paragraph_langs",
     "text_split_by_language",
     "quality_expectations",
+    "similarity_mmr_many",
 ]
 
 

@@ -1328,3 +1328,84 @@ def mmr_rerank(
     return spark.createDataFrame(
         picked, "rk int, vec_id long, relevance double, mmr_score double"
     )
+
+
+def mmr_rerank_many(
+    embeddings: DataFrame,
+    query_ids: DataFrame | Column,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(query_id, rk, vec_id, relevance, mmr_score) — the query-TABLE
+    form of :func:`mmr_rerank` (the serving shape, like
+    ``hybrid_search_many``): candidate generation for ALL queries is
+    one corpus pass (``topk_bruteforce`` already fans a broadcast
+    query table out), then the greedy selection runs per query on the
+    collected candidate block — bounded at queries × ``n_candidates``
+    rows. Same determinism contract as the single-query form."""
+    from .text import round_half_up
+
+    cands_df = (
+        topk_bruteforce(embeddings, query_ids, k=n_candidates)
+        .join(
+            embeddings.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", "sim", "v")
+    )
+    rows = sorted(
+        ((int(r.query_id), int(r.neighbor_id), float(r.sim), list(r.v))
+         for r in cands_df.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    def _cos6(a, b):
+        return round_half_up(
+            _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b))), 6
+        )
+
+    out: list[tuple[int, int, int, float, float]] = []
+    by_q: dict[int, list[tuple[int, float, list]]] = {}
+    for qid, nid, sim, v in rows:
+        by_q.setdefault(qid, []).append((nid, sim, v))
+    for qid in sorted(by_q):
+        vecs = {i: v for i, _, v in by_q[qid]}
+        rel = {i: s for i, s, _ in by_q[qid]}
+        remaining = [i for i, _, _ in by_q[qid]]
+        picked: list[int] = []
+        while remaining and len(picked) < k:
+            best = None
+            for i in remaining:
+                maxsim = max(
+                    (_cos6(vecs[i], vecs[j]) for j in picked), default=0.0
+                )
+                score = round_half_up(
+                    lam * rel[i] - (1.0 - lam) * maxsim, 9
+                )
+                if best is None or score > best[1] or (
+                    score == best[1] and i < best[0]
+                ):
+                    best = (i, score)
+            out.append(
+                (qid, len(picked) + 1, best[0], rel[best[0]], best[1])
+            )
+            picked.append(best[0])
+            remaining.remove(best[0])
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out,
+        "query_id long, rk int, vec_id long, relevance double, "
+        "mmr_score double",
+    )

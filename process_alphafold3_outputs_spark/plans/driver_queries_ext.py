@@ -6216,3 +6216,84 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_expectations(
         load_table(spark, sf_dir, "orders"), _EXP_RULES
     )
+
+
+# --------------------------------------------------------------------------
+# query-TABLE MMR (the serving-batch shape): same greedy unroll as
+# similarity_mmr but per query via window argmax instead of LIMIT 1.
+# --------------------------------------------------------------------------
+_MMRM_NQ, _MMRM_K, _MMRM_NC = 4, 4, 12
+
+
+def _mmr_many_oracle_sql() -> str:
+    lam, om = _MMR_LAM, 1.0 - _MMR_LAM
+    steps = [f"""
+    p1 AS (SELECT query_id, vec_id, rel, mmr FROM (
+        SELECT query_id, vec_id, rel, mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, vec_id) AS r
+        FROM (SELECT query_id, vec_id, rel,
+                     round({lam!r} * rel - {om!r} * 0.0, 9) AS mmr
+              FROM cand)) WHERE r = 1)"""]
+    for i in range(2, _MMRM_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM p{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+    p{i} AS (SELECT query_id, vec_id, rel, mmr FROM (
+        SELECT query_id, vec_id, rel, mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, vec_id) AS r
+        FROM (
+            SELECT c.query_id, c.vec_id, c.rel,
+                   round({lam!r} * c.rel - {om!r} * (
+                       SELECT max(p.cs) FROM ps p
+                       WHERE p.query_id = c.query_id AND p.ia = c.vec_id
+                         AND p.ib IN (SELECT vec_id FROM ({picked}) pk
+                                      WHERE pk.query_id = c.query_id)
+                   ), 9) AS mmr
+            FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM ({picked}) pk2
+                              WHERE pk2.query_id = c.query_id
+                                AND pk2.vec_id = c.vec_id)))
+        WHERE r = 1)""")
+    final = " UNION ALL ".join(
+        f"SELECT query_id, CAST({i} AS INT) AS rk, vec_id, "
+        f"rel AS relevance, mmr AS mmr_score FROM p{i}"
+        for i in range(1, _MMRM_K + 1)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+          WHERE vec_id < {_MMRM_NQ}),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round({_COS.format(a="e.v", b="q.qv")}, 6) AS rel,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(a="e.v", b="q.qv")} DESC, e.vec_id
+               ) AS rn
+        FROM emb e, q WHERE e.vec_id <> q.query_id),
+    cand AS (SELECT s.query_id, s.vec_id, s.rel, e.v
+             FROM scored s JOIN emb e USING (vec_id)
+             WHERE rn <= {_MMRM_NC}),
+    ps AS (SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+                  round({_COS.format(a="a.v", b="b.v")}, 6) AS cs
+           FROM cand a JOIN cand b
+             ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+    {",".join(steps)}
+    {final}
+    """
+
+
+@register("similarity_mmr_many", sql=_mmr_many_oracle_sql())
+def similarity_mmr_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched MMR rerank for a whole query set (deferred —
+    pytest-mirrored; single-query greedy is similarity_mmr)."""
+    return similarity.mmr_rerank_many(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < _MMRM_NQ,
+        k=_MMRM_K,
+        n_candidates=_MMRM_NC,
+        lam=_MMR_LAM,
+    )

@@ -1767,3 +1767,30 @@ def test_check_expectations_counts_each_violation_kind(spark):
 
     with pytest.raises(ValueError):
         check_expectations(df, [{"column": "id", "check": "bogus"}])
+
+
+def test_mmr_many_matches_single_per_query(spark):
+    """The batched form returns exactly the single-query greedy result
+    for each of its queries (same candidates, same tiebreaks)."""
+    from process_alphafold3_outputs_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(4)])
+         for i in range(15)],
+        "vec_id long, embedding array<float>",
+    )
+    many = similarity.mmr_rerank_many(
+        emb, F.col("vec_id") < 3, k=4, n_candidates=8, lam=0.6
+    ).collect()
+    for qid in (0, 1, 2):
+        single = similarity.mmr_rerank(
+            emb, query_id=qid, k=4, n_candidates=8, lam=0.6
+        ).collect()
+        got = sorted(
+            ((r.rk, r.vec_id, r.relevance, r.mmr_score)
+             for r in many if r.query_id == qid)
+        )
+        want = sorted(
+            (r.rk, r.vec_id, r.relevance, r.mmr_score) for r in single
+        )
+        assert got == want, qid
