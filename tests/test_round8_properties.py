@@ -137,3 +137,62 @@ def test_split_by_language_reassembles_losslessly(split_runner, words):
     for a, b in zip(segs, segs[1:]):
         assert a.lang != b.lang
     assert [s.seg_id for s in segs] == list(range(1, len(segs) + 1))
+
+
+@pytest.fixture(scope="module")
+def expect_runner(spark):
+    from process_alphafold3_outputs_spark.operators.expect import (
+        check_expectations,
+    )
+
+    rules = [
+        {"column": "x", "check": "not_null"},
+        {"column": "x", "check": "unique"},
+        {"column": "x", "check": "range", "min": 2, "max": 7},
+        {"column": "s", "check": "in_set", "values": ["a", "b"]},
+        {"column": "s", "check": "regex", "pattern": "^[ab]"},
+    ]
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "x int, s string")
+        return (
+            {(r.column, r.check): (r.n_violations, r.passed)
+             for r in check_expectations(df, rules).collect()},
+            rules,
+        )
+
+    return run
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", "zz"])),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_expectations_match_independent_model(expect_runner, rows):
+    got, _ = expect_runner(rows)
+    xs = [x for x, _ in rows]
+    ss = [s for _, s in rows]
+    nn_x = [x for x in xs if x is not None]
+    nn_s = [s for s in ss if s is not None]
+    want = {
+        ("x", "not_null"): sum(1 for x in xs if x is None),
+        ("x", "unique"): len(nn_x) - len(set(nn_x)),
+        ("x", "range"): sum(1 for x in nn_x if not (2 <= x <= 7)),
+        ("s", "in_set"): sum(1 for s in nn_s if s not in ("a", "b")),
+        ("s", "regex"): sum(1 for s in nn_s if not s[:1] in ("a", "b")),
+    }
+    for key, exp in want.items():
+        n_viol, passed = got[key]
+        assert n_viol == exp, (key, n_viol, exp)
+        assert passed == (exp == 0), key
