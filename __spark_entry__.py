@@ -322,6 +322,10 @@ _DEFERRED: set[str] = {
     "text_paragraph_langs",  # per-paragraph LID rollup; doc-level LID
                              # is the green text_language_id row
                              # (deferred: headroom)
+    "sketch_hll_overlap",    # pairwise sketch inclusion-exclusion;
+                             # the estimator is the green
+                             # sketch_hll_distinct row
+                             # (deferred: headroom)
     "similarity_mmr_many",   # batched MMR; single-query greedy is
                              # similarity_mmr (deferred: headroom)
     "similarity_mmr",        # MMR diversity rerank; candidate kernel

@@ -166,6 +166,7 @@ HEADLINE = [
     "text_split_by_language",
     "quality_expectations",
     "similarity_mmr_many",
+    "sketch_hll_overlap",
 ]
 
 

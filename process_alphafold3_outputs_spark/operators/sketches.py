@@ -309,6 +309,32 @@ def hll_deterministic(
     small-range correction (m·ln(m/V) uses libm ln — deliberately NOT
     computed here, where cross-engine ulp drift would break the
     oracle)."""
+    filled, max_rho, scale = _hll_filled_registers(
+        df, group_col, value_col, m, seed
+    )
+    z = filled.groupBy("g").agg(
+        F.sum(F.expr(f"shiftleft(1L, {max_rho} - M)")).alias("_z"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias(
+            "n_empty"
+        ),
+    )
+    return z.select(
+        F.col("g").alias(group_col),
+        F.round(F.lit(scale) / F.col("_z"), 3).alias("raw_est"),
+        "n_empty",
+    )
+
+
+def _hll_filled_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int,
+    seed: str,
+):
+    """(filled (g, reg, M) register table, max_rho, harmonic scale) —
+    the shared construction behind :func:`hll_deterministic` and
+    :func:`hll_overlap`; registers are max-mergeable."""
     if m & (m - 1) or m < 16:
         raise ValueError(f"m must be a power of two >= 16, got {m}")
     wbits = 60 - m.bit_length() + 1  # log2(m) for power-of-two m
@@ -351,15 +377,60 @@ def hll_deterministic(
     filled = regs.join(mx, ["g", "reg"], "left").withColumn(
         "M", F.coalesce("M", F.lit(0))
     )
-    z = filled.groupBy("g").agg(
-        F.sum(F.expr(f"shiftleft(1L, {max_rho} - M)")).alias("_z"),
-        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias(
-            "n_empty"
-        ),
+    return filled, max_rho, float(alpha * m * m * (1 << max_rho))
+
+
+def hll_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 256,
+    seed: str = "hll-v1",
+) -> DataFrame:
+    """(group_a, group_b, est_a, est_b, est_union, est_overlap) — the
+    pairwise distinct-value OVERLAP matrix between groups, by
+    inclusion–exclusion on max-merged HLL registers
+    (``|A∩B| ≈ est(A) + est(B) − est(A∪B)``; the union sketch is the
+    register-wise max — HLL's defining mergeability). This is the
+    cross-crawl / cross-source vocabulary-overlap diagnostic that is
+    unpayable exactly at 100 TB (an exact pairwise distinct-intersect
+    is k² corpus-sized set operations) but costs k²·m sketch rows
+    here, with the corpus read ONCE for the register table.
+
+    Same deterministic md5 construction and exact integer harmonic
+    sums as :func:`hll_deterministic`, so every estimate reproduces
+    bit-for-bit in ANSI SQL. Pairs are emitted once (group_a <
+    group_b)."""
+    filled, max_rho, scale = _hll_filled_registers(
+        df, group_col, value_col, m, seed
     )
-    scale = float(alpha * m * m * (1 << max_rho))
-    return z.select(
-        F.col("g").alias(group_col),
-        F.round(F.lit(scale) / F.col("_z"), 3).alias("raw_est"),
-        "n_empty",
+    zs = filled.groupBy("g").agg(
+        F.sum(F.expr(f"shiftleft(1L, {max_rho} - M)")).alias("_z")
+    )
+    a = filled.select(F.col("g").alias("_ga"), "reg", F.col("M").alias("_Ma"))
+    b = filled.select(F.col("g").alias("_gb"), "reg", F.col("M").alias("_Mb"))
+    zu = (
+        a.join(b, "reg")
+        .filter(F.col("_ga") < F.col("_gb"))
+        .groupBy("_ga", "_gb")
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(1L, {max_rho} - greatest(_Ma, _Mb))")
+            ).alias("_zu")
+        )
+    )
+    ea = F.round(F.lit(scale) / F.col("_za"), 3)
+    eb = F.round(F.lit(scale) / F.col("_zb"), 3)
+    eu = F.round(F.lit(scale) / F.col("_zu"), 3)
+    return (
+        zu.join(zs.select(F.col("g").alias("_ga"), F.col("_z").alias("_za")), "_ga")
+        .join(zs.select(F.col("g").alias("_gb"), F.col("_z").alias("_zb")), "_gb")
+        .select(
+            F.col("_ga").alias("group_a"),
+            F.col("_gb").alias("group_b"),
+            ea.alias("est_a"),
+            eb.alias("est_b"),
+            eu.alias("est_union"),
+            F.round(ea + eb - eu, 3).alias("est_overlap"),
+        )
     )

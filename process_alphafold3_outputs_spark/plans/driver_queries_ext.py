@@ -6297,3 +6297,59 @@ def similarity_mmr_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=_MMRM_NC,
         lam=_MMR_LAM,
     )
+
+
+# --------------------------------------------------------------------------
+# pairwise distinct-overlap matrix by HLL inclusion-exclusion: the
+# union sketch is the register-wise max (HLL's defining mergeability),
+# so est(A∩B) = est(A) + est(B) − est(A∪B) with the corpus read once.
+# Same bit-exact integer construction as sketch_hll_distinct.
+# --------------------------------------------------------------------------
+@register(
+    "sketch_hll_overlap",
+    sql=f"""
+    WITH v AS (SELECT l_returnflag AS g, l_partkey AS val FROM lineitem),
+    h AS (SELECT g,
+                 CAST(('0x' || substr(md5('hll-v1:' || CAST(val AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS hh
+          FROM v),
+    r AS (SELECT g, hh % {_HLL_M} AS reg, hh // {_HLL_M} AS w FROM h),
+    rho AS (SELECT g, reg,
+                   CASE WHEN w = 0 THEN 53 ELSE 52 - length(bin(w)) + 1 END AS rho
+            FROM r),
+    mx AS (SELECT g, reg, max(rho) AS M FROM rho GROUP BY g, reg),
+    allg AS (SELECT DISTINCT g FROM v),
+    regs AS (SELECT g, CAST(s.r AS BIGINT) AS reg
+             FROM allg, unnest(generate_series(0, {_HLL_M - 1})) s(r)),
+    filled AS (SELECT regs.g, regs.reg, coalesce(mx.M, 0) AS M
+               FROM regs LEFT JOIN mx ON mx.g = regs.g AND mx.reg = regs.reg),
+    zs AS (SELECT g, sum(1::BIGINT << CAST(53 - M AS INT)) AS z
+           FROM filled GROUP BY g),
+    zu AS (SELECT a.g AS ga, b.g AS gb,
+                  sum(1::BIGINT << CAST(53 - greatest(a.M, b.M) AS INT)) AS zu
+           FROM filled a JOIN filled b ON a.reg = b.reg AND a.g < b.g
+           GROUP BY a.g, b.g)
+    SELECT zu.ga AS group_a, zu.gb AS group_b,
+           round({_HLL_SCALE!r} / za.z, 3) AS est_a,
+           round({_HLL_SCALE!r} / zb.z, 3) AS est_b,
+           round({_HLL_SCALE!r} / zu.zu, 3) AS est_union,
+           round(round({_HLL_SCALE!r} / za.z, 3)
+                 + round({_HLL_SCALE!r} / zb.z, 3)
+                 - round({_HLL_SCALE!r} / zu.zu, 3), 3) AS est_overlap
+    FROM zu
+    JOIN zs za ON za.g = zu.ga
+    JOIN zs zb ON zb.g = zu.gb
+    """,
+)
+def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l_partkey overlap between return flags by sketch
+    inclusion-exclusion (deferred — pytest-mirrored; the per-group
+    estimator is the green sketch_hll_distinct row)."""
+    from ..operators.sketches import hll_overlap
+
+    return hll_overlap(
+        load_table(spark, sf_dir, "lineitem"),
+        group_col="l_returnflag",
+        value_col="l_partkey",
+        m=_HLL_M,
+    )

@@ -176,3 +176,33 @@ def test_null_values_excluded_from_binning(spark):
     got = {(r.q, r.approx) for r in histogram_quantiles(with_nulls, **kw).collect()}
     want = {(r.q, r.approx) for r in histogram_quantiles(without, **kw).collect()}
     assert got == want and len(got) == 2
+
+
+def test_hll_overlap_tracks_exact_intersection(spark):
+    """Two groups with a known 50%-ish overlap: the sketch
+    inclusion-exclusion lands within HLL error (~1.04/sqrt(m)) of the
+    exact intersection, and the union sketch equals the sketch of the
+    relabeled union (register max-merge == recompute, exactly)."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        hll_deterministic,
+        hll_overlap,
+    )
+
+    rows = [("A", i) for i in range(2000)] + [
+        ("B", i) for i in range(1000, 3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, val long")
+    out = hll_overlap(df, "g", "val", m=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("A", "B")
+    # exact: |A|=2000 |B|=2000 |A∪B|=3000 |A∩B|=1000; rel err ~6.5%/est
+    assert abs(r.est_union - 3000) / 3000 < 0.2
+    assert abs(r.est_overlap - 1000) / 1000 < 0.6  # differences amplify
+    # max-merge == recompute: sketch the union as ONE group
+    u = hll_deterministic(
+        df.withColumn("g", F.lit("U")), "g", "val", m=256
+    ).collect()[0]
+    assert u.raw_est == r.est_union
