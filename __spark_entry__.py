@@ -322,6 +322,10 @@ _DEFERRED: set[str] = {
     "text_paragraph_langs",  # per-paragraph LID rollup; doc-level LID
                              # is the green text_language_id row
                              # (deferred: headroom)
+    "sketch_cms_join_size",  # CMS inner-product join estimate; the
+                             # sketch build/probe is the green
+                             # sketch_cms_term_counts row
+                             # (deferred: headroom)
     "sketch_hll_overlap",    # pairwise sketch inclusion-exclusion;
                              # the estimator is the green
                              # sketch_hll_distinct row

@@ -167,6 +167,7 @@ HEADLINE = [
     "quality_expectations",
     "similarity_mmr_many",
     "sketch_hll_overlap",
+    "sketch_cms_join_size",
 ]
 
 

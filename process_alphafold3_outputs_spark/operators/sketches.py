@@ -434,3 +434,36 @@ def hll_overlap(
             F.round(ea + eb - eu, 3).alias("est_overlap"),
         )
     )
+
+
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """(est_join_size) — equi-join cardinality estimate
+    ``|A ⋈ B| = Σ_v f_A(v)·f_B(v)`` by count-min INNER PRODUCT
+    (Cormode & Muthukrishnan 2005, §4.2): per hash row, dot the two
+    sketches' cells and take the MIN across rows — always an
+    OVERestimate (collisions only add cross terms). This is the
+    pre-flight the optimizer-less world needs at 100 TB: both sides'
+    sketches are d·w-cell tables built in one pass each (and mergeable
+    across shipments), so "how big would this join be?" costs sketch
+    arithmetic instead of the join.
+
+    Both sketches must share (w, d, seed). Exact integer arithmetic
+    throughout — bit-reproducible in ANSI SQL."""
+    ip = (
+        cms_a.select("j", "bucket", F.col("cnt").alias("_ca"))
+        .join(
+            cms_b.select("j", "bucket", F.col("cnt").alias("_cb")),
+            ["j", "bucket"],
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    js = cms_a.select("j").union(cms_b.select("j")).distinct()
+    return (
+        js.join(ip, "j", "left")
+        .agg(
+            F.min(F.coalesce("_ip", F.lit(0).cast("long"))).alias(
+                "est_join_size"
+            )
+        )
+    )

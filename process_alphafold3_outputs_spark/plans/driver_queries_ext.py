@@ -6353,3 +6353,53 @@ def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="l_partkey",
         m=_HLL_M,
     )
+
+
+# --------------------------------------------------------------------------
+_CMSJ_W = 8192  # wider than the term sketch: the join bound is n_a*n_b/w
+
+
+# join-size estimation by CMS inner product (Cormode & Muthukrishnan
+# 2005 §4.2): |orders ⋈ lineitem on orderkey| estimated from two d·w
+# sketches, the exact count alongside so the overestimate is a visible
+# column. Pure integer arithmetic — bit-exact across engines.
+# --------------------------------------------------------------------------
+@register(
+    "sketch_cms_join_size",
+    sql=f"""
+    WITH seeds AS (SELECT CAST(unnest(generate_series(0, {_CMS_D - 1})) AS INT) AS j),
+    ca AS (SELECT j,
+                  CAST(('0x' || substr(md5('{_CMS_SEED}-' || CAST(j AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % {_CMSJ_W} AS bucket,
+                  CAST(count(*) AS BIGINT) AS ca
+           FROM orders, seeds GROUP BY 1, 2),
+    cb AS (SELECT j,
+                  CAST(('0x' || substr(md5('{_CMS_SEED}-' || CAST(j AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % {_CMSJ_W} AS bucket,
+                  CAST(count(*) AS BIGINT) AS cb
+           FROM lineitem, seeds GROUP BY 1, 2),
+    ip AS (SELECT ca.j, sum(ca.ca * cb.cb) AS ip
+           FROM ca JOIN cb USING (j, bucket) GROUP BY ca.j),
+    est AS (SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_join_size
+            FROM seeds LEFT JOIN ip USING (j)),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+    SELECT est.est_join_size, ex.exact_join_size FROM est, ex
+    """,
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join cardinality: CMS inner product vs the exact
+    join count (deferred — pytest-mirrored; the sketch build/probe is
+    the green sketch_cms_term_counts row)."""
+    from ..operators.sketches import cms_join_size, cms_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ca = cms_table(orders, "o_orderkey", w=_CMSJ_W, d=_CMS_D, seed=_CMS_SEED)
+    cb = cms_table(li, "l_orderkey", w=_CMSJ_W, d=_CMS_D, seed=_CMS_SEED)
+    est = cms_join_size(ca, cb)
+    exact = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -206,3 +206,34 @@ def test_hll_overlap_tracks_exact_intersection(spark):
         df.withColumn("g", F.lit("U")), "g", "val", m=256
     ).collect()[0]
     assert u.raw_est == r.est_union
+
+
+def test_cms_join_size_overestimates_within_band(spark):
+    """The inner-product estimate is ALWAYS >= the exact join size
+    (collisions only add) and lands within the CMS error band
+    (n_a*n_b/w per row, min over d rows) on a skewed join."""
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        cms_join_size,
+        cms_table,
+    )
+
+    # skewed: key 0 appears 50x on side A, 20x on side B
+    a = spark.createDataFrame(
+        [(0,)] * 50 + [(i,) for i in range(1, 200)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(0,)] * 20 + [(i,) for i in range(100, 400)], "k long"
+    )
+    exact = a.join(b, "k").count()
+    est = cms_join_size(
+        cms_table(a, "k", w=256, d=4), cms_table(b, "k", w=256, d=4)
+    ).collect()[0].est_join_size
+    assert est >= exact
+    assert est <= exact + (a.count() * b.count()) / 256 + 1
+    # disjoint key ranges: small (collision-only) estimate, far below
+    # the overlapping case
+    c = spark.createDataFrame([(i,) for i in range(10_000, 10_050)], "k long")
+    est0 = cms_join_size(
+        cms_table(a, "k", w=256, d=4), cms_table(c, "k", w=256, d=4)
+    ).collect()[0].est_join_size
+    assert est0 <= (a.count() * c.count()) / 256 + 1
