@@ -50,6 +50,8 @@ line to stdout):
                  split_by_language)
   expect         Deequ-style constraint report over ANY parquet table
                  (operators.expect.check_expectations)
+  join-size      pre-flight equi-join cardinality estimate by CMS inner
+                 product (sketches.cms_join_size)
 
 Every command is a thin shell over the library operators — no query
 logic lives here, so CLI behavior cannot drift from the tested kernels.
@@ -312,6 +314,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--regex", action="append", default=[],
                     metavar="COL:PATTERN", dest="regex_rules")
 
+    sp = sub.add_parser("join-size")
+    sp.add_argument("--left", required=True, help="left parquet path")
+    sp.add_argument("--left-key", required=True)
+    sp.add_argument("--right", required=True, help="right parquet path")
+    sp.add_argument("--right-key", required=True)
+    sp.add_argument("--width", type=int, default=8192,
+                    help="CMS width w; the bound is n_left*n_right/w")
+    sp.add_argument("--depth", type=int, default=4)
+    sp.add_argument("--out", required=True)
+
     sp = sub.add_parser("media-stats")
     sp.add_argument("--media", required=True,
                     help="MEDIA_SCHEMA parquet path (asset_id, modality, "
@@ -495,6 +507,14 @@ def _result(
             m=args.subspaces,
         )
 
+    if args.command == "join-size":
+        from .operators.sketches import cms_join_size, cms_table
+
+        left = spark.read.parquet(args.left)
+        right = spark.read.parquet(args.right)
+        ca = cms_table(left, args.left_key, w=args.width, d=args.depth)
+        cb = cms_table(right, args.right_key, w=args.width, d=args.depth)
+        return cms_join_size(ca, cb)
     if args.command == "expect":
         from .operators.expect import check_expectations
 

@@ -846,3 +846,32 @@ def test_corpus_cli_expect_roundtrip(spark, tmp_path):
     )
     with pytest.raises(SystemExit):
         corpus_cli.run(bad, spark)
+
+
+def test_corpus_cli_join_size_roundtrip(spark, tmp_path):
+    """Roundtrip the join-size CLI: one-row estimate table, estimate
+    bounded below by the exact join size."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "jsz")
+    args = corpus_cli.build_parser().parse_args(
+        ["join-size", "--left", f"{sf}/orders.parquet",
+         "--left-key", "o_orderkey",
+         "--right", f"{sf}/lineitem.parquet", "--right-key", "l_orderkey",
+         "--width", "8192", "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out).collect()
+    assert res["rows"] == len(got) == 1
+    exact = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert got[0].est_join_size >= exact
