@@ -52,6 +52,8 @@ line to stdout):
                  (operators.expect.check_expectations)
   join-size      pre-flight equi-join cardinality estimate by CMS inner
                  product (sketches.cms_join_size)
+  vocab-overlap  crawl-vs-crawl distinct-vocabulary overlap by HLL
+                 inclusion-exclusion (sketches.hll_overlap)
 
 Every command is a thin shell over the library operators — no query
 logic lives here, so CLI behavior cannot drift from the tested kernels.
@@ -324,6 +326,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--depth", type=int, default=4)
     sp.add_argument("--out", required=True)
 
+    sp = sub.add_parser("vocab-overlap")
+    sp.add_argument("--left", required=True,
+                    help="documents parquet (e.g. last month's crawl)")
+    sp.add_argument("--right", required=True,
+                    help="documents parquet (e.g. this month's crawl)")
+    sp.add_argument("-m", "--registers", type=int, default=1024,
+                    help="HLL registers (power of two)")
+    sp.add_argument("--out", required=True)
+
     sp = sub.add_parser("media-stats")
     sp.add_argument("--media", required=True,
                     help="MEDIA_SCHEMA parquet path (asset_id, modality, "
@@ -515,6 +526,22 @@ def _result(
         ca = cms_table(left, args.left_key, w=args.width, d=args.depth)
         cb = cms_table(right, args.right_key, w=args.width, d=args.depth)
         return cms_join_size(ca, cb)
+    if args.command == "vocab-overlap":
+        from .operators.dedup import normalized
+        from .operators.sketches import hll_overlap
+
+        def toks(path: str, label: str) -> DataFrame:
+            return (
+                normalized(spark.read.parquet(path))
+                .select(
+                    F.lit(label).alias("side"),
+                    F.explode(F.split("_norm", " ")).alias("tok"),
+                )
+                .filter(F.col("tok") != "")
+            )
+
+        both = toks(args.left, "left").unionByName(toks(args.right, "right"))
+        return hll_overlap(both, "side", "tok", m=args.registers)
     if args.command == "expect":
         from .operators.expect import check_expectations
 

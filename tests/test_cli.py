@@ -875,3 +875,22 @@ def test_corpus_cli_join_size_roundtrip(spark, tmp_path):
         .count()
     )
     assert got[0].est_join_size >= exact
+
+
+def test_corpus_cli_vocab_overlap_roundtrip(spark, tmp_path):
+    """Roundtrip the vocab-overlap CLI: comparing a corpus with itself
+    estimates full overlap (est_union == est_a == est_b, overlap ==
+    either side up to the 3-dp round)."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "vov")
+    args = corpus_cli.build_parser().parse_args(
+        ["vocab-overlap", "--left", docs, "--right", docs, "--out", out]
+    )
+    res = corpus_cli.run(args, spark)
+    got = spark.read.parquet(out).collect()
+    assert res["rows"] == len(got) == 1
+    r = got[0]
+    assert r.est_a == r.est_b == r.est_union
+    assert abs(r.est_overlap - r.est_a) < 0.01
