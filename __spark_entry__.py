@@ -79,6 +79,14 @@ _PRIORITY: list[str] = [
     #    forward because r8's planned out-row similarity_topk_ivf was
     #    already deferred as superseded — see NOTES rotation table)
     "sketch_hll_distinct",
+    # -- round-9 rotation (NOTES rotation table): the two strongest
+    #    undriven oracle families get driver evidence — ER's
+    #    recursive-CTE closure oracle and DoReMi's unrolled-EG
+    #    bit-exact oracle; freed slots: dedup_simhash64 (banding
+    #    pytest-pinned) + text_split_assign (mechanics subsumed by
+    #    pipeline_corpus_to_training)
+    "entity_resolution",
+    "text_mix_doremi",
 ]
 
 #: driver-visible queries DELIBERATELY registered without a SQL oracle —
@@ -105,6 +113,13 @@ _DEFERRED: set[str] = {
     "anti_join",             # O21 — semi_join row + pipeline_corpus_clean anti-join
     "conditional_sum",       # O13 — file_chains_from_cifs token rule
     "dedup_simhash",         # superseded by dedup_simhash64
+    "dedup_simhash64",       # rotated OUT in r9 for entity_resolution
+                             # (Hamming banding recall pinned in pytest;
+                             # stays benched + oracle-mirrored)
+    "text_split_assign",     # rotated OUT in r9 for text_mix_doremi
+                             # (split mechanics subsumed by the green
+                             # pipeline_corpus_to_training row; stays
+                             # benched + oracle-mirrored)
     "screen_filter",         # O6 — af3_screen applies the same conjunctive filter
     "array_element_screen",  # O8 — af3_screen reads the same 2-D array element
     "lookup_default",        # O12 — file_chains_from_cifs runs the 3→1 lookup end-to-end
@@ -350,9 +365,6 @@ _DEFERRED: set[str] = {
     "cube_customer_segments",  # CUBE lattice; grouping-set mechanics
                              # evidenced by the green rollup_revenue
                              # row (deferred: headroom)
-    "text_mix_doremi",       # DoReMi EG domain weights (new r8);
-                             # loss-aggregation + simplex mechanics
-                             # pytest-mirrored (deferred: headroom)
     "text_mix_doremi_sample",  # end-to-end DoReMi draw; prefix-fill
                              # mechanics evidenced by the green
                              # text_mix_budget row (deferred: headroom)
@@ -371,10 +383,6 @@ _DEFERRED: set[str] = {
     "pipeline_train_bpe",    # distributed BPE trainer (deferred:
                              # headroom; differential-pinned, no SQL
                              # oracle possible)
-    "entity_resolution",     # blocked fuzzy ER (levenshtein + CC over
-                             # distinct names); CC kernel evidenced by
-                             # green dedup_clusters row (deferred:
-                             # headroom; full oracle in pytest mirror)
     "pipeline_corpus_clean_banded",  # linear-output banded near-dup
                              # mode of the green pipeline_corpus_clean
                              # row; band arithmetic evidenced by green

@@ -525,7 +525,7 @@ def _result(
         right = spark.read.parquet(args.right)
         ca = cms_table(left, args.left_key, w=args.width, d=args.depth)
         cb = cms_table(right, args.right_key, w=args.width, d=args.depth)
-        return cms_join_size(ca, cb)
+        return cms_join_size(ca, cb, d=args.depth)
     if args.command == "vocab-overlap":
         from .operators.dedup import normalized
         from .operators.sketches import hll_overlap

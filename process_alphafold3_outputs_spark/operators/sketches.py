@@ -431,12 +431,20 @@ def hll_overlap(
             ea.alias("est_a"),
             eb.alias("est_b"),
             eu.alias("est_union"),
-            F.round(ea + eb - eu, 3).alias("est_overlap"),
+            # clamp at 0: near-disjoint groups can estimate a small
+            # NEGATIVE intersection from sketch noise (est_a + est_b <
+            # est_union); a negative overlap is never meaningful, so
+            # floor it — mirrored in the SQL oracle for parity
+            F.round(F.greatest(ea + eb - eu, F.lit(0.0)), 3).alias(
+                "est_overlap"
+            ),
         )
     )
 
 
-def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+def cms_join_size(
+    cms_a: DataFrame, cms_b: DataFrame, d: int = 4
+) -> DataFrame:
     """(est_join_size) — equi-join cardinality estimate
     ``|A ⋈ B| = Σ_v f_A(v)·f_B(v)`` by count-min INNER PRODUCT
     (Cormode & Muthukrishnan 2005, §4.2): per hash row, dot the two
@@ -447,8 +455,13 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     across shipments), so "how big would this join be?" costs sketch
     arithmetic instead of the join.
 
-    Both sketches must share (w, d, seed). Exact integer arithmetic
-    throughout — bit-reproducible in ANSI SQL."""
+    Both sketches must share (w, d, seed); pass the same ``d`` here.
+    Exact integer arithmetic throughout — bit-reproducible in ANSI SQL.
+
+    The hash-row axis is generated from ``sequence(0, d-1)`` rather
+    than from the sketches' own rows so that an EMPTY input sketch
+    (empty source table) estimates 0 instead of propagating NULL —
+    matching the SQL oracle's seeds-driven form."""
     ip = (
         cms_a.select("j", "bucket", F.col("cnt").alias("_ca"))
         .join(
@@ -458,12 +471,12 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
         .groupBy("j")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
     )
-    js = cms_a.select("j").union(cms_b.select("j")).distinct()
-    return (
-        js.join(ip, "j", "left")
-        .agg(
-            F.min(F.coalesce("_ip", F.lit(0).cast("long"))).alias(
-                "est_join_size"
-            )
-        )
+    js = cms_a.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("j")
+    )
+    return js.join(ip, "j", "left").agg(
+        F.coalesce(
+            F.min(F.coalesce("_ip", F.lit(0).cast("long"))),
+            F.lit(0).cast("long"),
+        ).alias("est_join_size")
     )

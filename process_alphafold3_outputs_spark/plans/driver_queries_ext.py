@@ -6333,9 +6333,10 @@ def similarity_mmr_many(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_HLL_SCALE!r} / za.z, 3) AS est_a,
            round({_HLL_SCALE!r} / zb.z, 3) AS est_b,
            round({_HLL_SCALE!r} / zu.zu, 3) AS est_union,
-           round(round({_HLL_SCALE!r} / za.z, 3)
-                 + round({_HLL_SCALE!r} / zb.z, 3)
-                 - round({_HLL_SCALE!r} / zu.zu, 3), 3) AS est_overlap
+           round(greatest(round({_HLL_SCALE!r} / za.z, 3)
+                          + round({_HLL_SCALE!r} / zb.z, 3)
+                          - round({_HLL_SCALE!r} / zu.zu, 3), 0.0),
+                 3) AS est_overlap
     FROM zu
     JOIN zs za ON za.g = zu.ga
     JOIN zs zb ON zb.g = zu.gb
@@ -6397,7 +6398,7 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ca = cms_table(orders, "o_orderkey", w=_CMSJ_W, d=_CMS_D, seed=_CMS_SEED)
     cb = cms_table(li, "l_orderkey", w=_CMSJ_W, d=_CMS_D, seed=_CMS_SEED)
-    est = cms_join_size(ca, cb)
+    est = cms_join_size(ca, cb, d=_CMS_D)
     exact = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .agg(F.count(F.lit(1)).alias("exact_join_size"))

@@ -951,6 +951,72 @@ def test_watch_documents_substrings_across_epochs(spark, tmp_path):
                    12: "z w"}
 
 
+def test_read_state_type_clash_fails_fast(spark, tmp_path):
+    """A state snapshot whose column TYPES contradict the declared
+    schema (old md5 STRING hashes vs current xxhash64 BIGINT) must
+    raise a migration error, not silently null every value through an
+    implicit cast in the downstream join."""
+    import pytest
+
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        read_state,
+        roll_state,
+    )
+
+    state = str(tmp_path / "grams")
+    roll_state(
+        spark.createDataFrame([("abcd" * 8,)], "gh string"), state, 0
+    )
+    with pytest.raises(ValueError, match="incompatible version"):
+        read_state(spark, state, "gh long", before_epoch=2)
+    # same-typed read still works
+    assert read_state(spark, state, "gh string", before_epoch=2).count() == 1
+
+
+def test_substrings_watcher_pins_md5_state_lineage(spark, tmp_path):
+    """A restart over gram state written by the old md5-STRING version
+    keeps hashing in md5 for that lineage: the epoch-0 sentence is
+    still stripped from an epoch-1 doc (a mode mix would join bigints
+    against strings and strip NOTHING), and the rolled state stays
+    string-typed."""
+    from process_alphafold3_outputs_spark.operators.dedup import (
+        incremental_strip_substrings,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _substrings_process_batch,
+        peek_state_field_type,
+        roll_state,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    grams = str(tmp_path / "grams")
+    out = str(tmp_path / "stripped")
+
+    # epoch 0 as the OLD code would have run it: md5 string grams
+    e0 = spark.createDataFrame([(1, "a b c d e", "en", "s", 9)], schema)
+    _, md5_state = incremental_strip_substrings(
+        e0,
+        spark.createDataFrame([], "gh string"),
+        min_words=5,
+        hash_mode="md5",
+    )
+    roll_state(md5_state, grams, 0)
+    assert peek_state_field_type(spark, grams, "gh", before_epoch=1) == "string"
+
+    # epoch 1 under the NEW code: lineage pin must resolve md5
+    e1 = spark.createDataFrame(
+        [(10, "x a b c d e y", "en", "s", 13)], schema
+    )
+    _substrings_process_batch(e1, 1, grams, out, min_words=5)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {10: "x y"}  # cross-restart duplicate STRIPPED
+    # rolled state stays in the lineage's type
+    assert peek_state_field_type(spark, grams, "gh", before_epoch=2) == "string"
+
+
 def test_watch_documents_classifier_matches_batch(spark, tmp_path):
     """Stream scoring with a TRAINED logistic model equals batch
     classifier_score of the union with the same frozen weights — the

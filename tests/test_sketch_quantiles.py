@@ -237,3 +237,45 @@ def test_cms_join_size_overestimates_within_band(spark):
         cms_table(a, "k", w=256, d=4), cms_table(c, "k", w=256, d=4)
     ).collect()[0].est_join_size
     assert est0 <= (a.count() * c.count()) / 256 + 1
+
+
+def test_cms_join_size_empty_input_estimates_zero(spark):
+    """An EMPTY source table sketches to an empty cell table; the
+    estimate must be 0 (matching the SQL oracle's seeds-driven form),
+    not a NULL from aggregating over zero hash rows."""
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        cms_join_size,
+        cms_table,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    empty = spark.createDataFrame([], "k long")
+    for ca, cb in [
+        (cms_table(a, "k", w=64, d=4), cms_table(empty, "k", w=64, d=4)),
+        (cms_table(empty, "k", w=64, d=4), cms_table(empty, "k", w=64, d=4)),
+    ]:
+        rows = cms_join_size(ca, cb, d=4).collect()
+        assert len(rows) == 1
+        assert rows[0].est_join_size == 0  # exactly 0, not None
+
+
+def test_hll_overlap_clamped_nonnegative(spark):
+    """Near-disjoint groups can estimate est_a + est_b < est_union from
+    sketch noise; the overlap column is clamped at 0 so consumers never
+    see a negative intersection."""
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        hll_overlap,
+    )
+
+    # fully disjoint value ranges across three groups — any negative
+    # pre-clamp estimate is pure sketch noise
+    rows = (
+        [("A", i) for i in range(500)]
+        + [("B", i) for i in range(10_000, 10_500)]
+        + [("C", i) for i in range(20_000, 20_500)]
+    )
+    df = spark.createDataFrame(rows, "g string, val long")
+    out = hll_overlap(df, "g", "val", m=64).collect()
+    assert len(out) == 3  # pairs emitted once, a < b
+    for r in out:
+        assert r.est_overlap >= 0.0
