@@ -9,19 +9,31 @@ allows:
 - loop blocks are located with compiled-regex scans over the RAW text
   (no ``splitlines`` of the whole document, no strip/startswith per
   data line);
-- the whole data block is tokenized with ONE C-level ``str.split`` (an
-  alignment guard drops the block to a per-line loop when a malformed
-  or quoted line breaks the rows × columns token count);
-- numeric columns convert via ``numpy.asarray(..., dtype=...)`` — C
-  parsing loops instead of a Python ``int()``/``float()`` per token;
+- the block END is found OPTIMISTICALLY with one ``str.find("\n#")``
+  (memchr speed — standard PDBx/mmCIF terminates every category block
+  with a ``#`` line, and this repo's own sinks write that form); the
+  multiline-regex terminator scan runs only when the optimistic parse
+  fails, so correctness never depends on the guess;
+- the data block is parsed by ``np.loadtxt``'s C tokenizer (numpy
+  ≥1.23, structured dtype): tokenization AND numeric conversion happen
+  in one C pass, ``usecols`` skips the ~10 unused columns entirely,
+  and string columns land in fixed-width UCS4 arrays — no per-token
+  PyUnicode objects anywhere in the hot loop;
+- a last-column canary index, forced numeric dtypes, a physical-line-
+  count guard, and a fixed-width-overflow check detect every
+  malformation (short row, interior blank line, stray header, bad
+  number, over-long identifier) — any hit falls back to the
+  regex-terminated per-line path, which preserves the original
+  row-drop semantics exactly;
 - the Arrow/pandas consumer builds its DataFrame straight from the
   columns (a list-of-dicts frame re-pays a dict per atom).
 
-Measured on a 100 k-atom synthetic document (NOTES r8): 0.17 M
-atoms/s/core for the r7 regex-per-line row parser → ~0.8 M
-atoms/s/core for this core (the compat row wrapper in
-``cif.parse_atom_site`` adds the dict cost back for its direct callers
-— tests and small inputs).
+Measured on a 100 k-atom synthetic document, same host and process,
+min-of-15 (NOTES r9): 0.48 M atoms/s/core for the r8 split+asarray
+columnar core → ~1.3 M atoms/s/core for this loadtxt core (the r7
+regex-per-line row parser measured 0.17 M on the r8 fixture; the
+compat row wrapper in ``cif.parse_atom_site`` adds the dict cost back
+for its direct callers — tests and small inputs).
 
 Row-drop semantics are unchanged from the reference parity contract
 (process_af3_outputs.py:126-176 — SURVEY §2.2 #11): a malformed row is
@@ -61,6 +73,102 @@ def _tokens(line: str) -> list[str]:
 
 def _empty_columns() -> dict[str, list]:
     return {k: [] for k in ATOM_COLUMNS}
+
+
+#: fixed UCS4 width for the string columns of the loadtxt fast path.
+#: mmCIF atom/residue/chain identifiers are ≤5 chars in the PDBx
+#: dictionary; any token REACHING the width is treated as possibly
+#: truncated and demotes the block to the per-line path (lossless).
+_U_WIDTH = 8
+_AA_KEYS = np.array(sorted(AA_3TO1), dtype=f"U{_U_WIDTH}")
+
+
+def _maybe_truncated(field: np.ndarray, width: int) -> bool:
+    """True when any fixed-width unicode value fills its width — i.e.
+    the original token MAY have been longer and silently clipped by
+    ``np.loadtxt``. Vectorized: the last UCS4 code unit of a full-width
+    value is nonzero. (``np.char.str_len`` measured 60 ms/100 k — this
+    is <1 ms.)"""
+    if not len(field):
+        return False
+    v = np.ascontiguousarray(field).view(np.uint32).reshape(-1, width)
+    return bool((v[:, width - 1] != 0).any())
+
+
+def _read_block_fast(
+    block: str, nh: int, ic: int, ir: int,
+    inm: int, ia: int, ix: int, iy: int, iz: int,
+):
+    """Parse one quote-free data block with ``np.loadtxt``'s C
+    tokenizer (numpy ≥1.23); None when anything about the block
+    contradicts a clean rows × columns grid (the caller then re-derives
+    the block bounds and runs the per-line drop-row path).
+
+    Why loadtxt: one C pass tokenizes AND converts — numeric columns
+    never become Python objects, string columns land in fixed-width
+    UCS4 arrays (no per-token PyUnicode), and ``usecols`` skips the
+    ~10 unused columns entirely. Measured vs the pandas C engine on
+    the same 100 k-atom block: 47 ms vs 95 ms.
+
+    Malformation detection, by construction:
+    - forced dtypes (int64 residue id, float64 coords) raise on any
+      non-numeric token — including the left-shifted tokens of a row
+      missing a MIDDLE field (``.``/``?`` placeholders included);
+    - the LAST column (nh-1) rides along in ``usecols`` as a canary:
+      loadtxt validates every requested index against each row's
+      actual field count, so any row missing trailing tokens raises;
+    - blank/whitespace-only interior lines are silently SKIPPED by
+      loadtxt — the caller compares row count against the block's
+      physical line count and rejects on mismatch (an interior blank
+      line legitimately TERMINATES a block in CIF);
+    - ``comments=None`` keeps ``#`` literal mid-token (parity with the
+      per-line path, which never treats ``#`` specially);
+    - a string token filling its fixed width may have been clipped —
+      :func:`_maybe_truncated` demotes the block.
+
+    Rows with EXTRA tokens keep their first ``nh`` fields — identical
+    to the per-line path, which indexes ``row[i]`` without an upper
+    length guard. Returns rows_parsed alongside the columns so the
+    caller can run the line-count check."""
+    import io
+
+    import warnings
+
+    use = sorted({ic, ir, inm, ia, ix, iy, iz, nh - 1})
+    spec = dict.fromkeys(use, f"U{_U_WIDTH}")
+    spec[ir] = np.int64
+    spec[ix] = spec[iy] = spec[iz] = np.float64
+    sdt = np.dtype([(f"c{j}", spec[j]) for j in use])
+    try:
+        with warnings.catch_warnings():
+            # loadtxt parses "1.5" into an int64 column via float with
+            # only a DeprecationWarning; the per-line contract is
+            # int("1.5") -> ValueError -> row dropped. Escalate so a
+            # non-integer residue id demotes the block instead of
+            # silently flooring.
+            warnings.simplefilter("error", DeprecationWarning)
+            arr = np.loadtxt(
+                io.StringIO(block), dtype=sdt, usecols=use, comments=None
+            )
+    except Exception:  # noqa: BLE001 — ANY parse anomaly → per-line path
+        return None
+    arr = np.atleast_1d(arr)
+    for j in use:
+        if spec[j] == f"U{_U_WIDTH}" and _maybe_truncated(
+            arr[f"c{j}"], _U_WIDTH
+        ):
+            return None
+    rn = arr[f"c{inm}"]
+    return len(arr), (
+        arr[f"c{ic}"].tolist(),
+        arr[f"c{ir}"],
+        rn.tolist(),
+        np.isin(rn, _AA_KEYS).tolist(),
+        arr[f"c{ia}"].tolist(),
+        arr[f"c{ix}"],
+        arr[f"c{iy}"],
+        arr[f"c{iz}"],
+    )
 
 
 def parse_atom_site_columns(text: str) -> dict[str, list]:
@@ -103,45 +211,63 @@ def parse_atom_site_columns(text: str) -> dict[str, list]:
         except KeyError:
             continue
         nh = len(headers)
-        # data block: everything up to the first terminator line — one
-        # compiled-regex scan, no per-line Python
+
+        def _try_fast(block: str):
+            """loadtxt fast path + the physical-line-count guard: loadtxt
+            silently SKIPS blank/whitespace-only lines, but in CIF such a
+            line legitimately TERMINATES the block — any skip means the
+            optimistic bounds were wrong, so reject and let the regex
+            path re-derive them."""
+            if "'" in block or '"' in block:
+                return None
+            out = _read_block_fast(block, nh, ic, ir, inm, ia, ix, iy, iz)
+            if out is None:
+                return None
+            nrows, parsed = out
+            nlines = block.count("\n")
+            if not block.endswith("\n"):
+                nlines += 1
+            if nrows != nlines:
+                return None
+            return parsed
+
+        def _consume(parsed) -> None:
+            (ch, rid, rn, aa, an, xs, ys, zs) = parsed
+            cols["chain_id"].extend(ch)
+            num_chunks["residue_id"].append(rid)
+            cols["residue_name"].extend(rn)
+            cols["is_aa"].extend(aa)
+            cols["atom_name"].extend(an)
+            num_chunks["x"].append(xs)
+            num_chunks["y"].append(ys)
+            num_chunks["z"].append(zs)
+
+        # OPTIMISTIC block end: one memchr-speed find for the standard
+        # '#' category terminator. If the guess is wrong (a nearer
+        # terminator of another kind sits inside the slice), that line
+        # cannot survive the fast path's grid checks, so the block is
+        # rejected and the authoritative regex scan below re-derives
+        # the true bounds — the guess can only cost time, never rows.
+        if not _BLOCK_END_RE.match(text, pos):
+            cand = text.find("\n#", pos)
+            if cand != -1:
+                parsed = _try_fast(text[pos : cand + 1])
+                if parsed is not None:
+                    _consume(parsed)
+                    pos = cand + 1
+                    continue
+        # authoritative terminator: first line that is empty or starts
+        # (after indent) with #, _, loop_, or data_ — one multiline-
+        # regex scan
         m_end = _BLOCK_END_RE.search(text, pos)
         end = m_end.start() if m_end else n
         block = text[pos:end]
         pos = end
         if not block.strip():
             continue
-        nlines = block.count("\n")
-        if not block.endswith("\n"):
-            nlines += 1
-        done = False
-        if "'" not in block and '"' not in block:
-            flat = block.split()
-            # alignment guard: take the strided view only when the
-            # token count is exactly rows × columns; any malformed
-            # line breaks the equality and the block drops to the
-            # per-line path (compensating misalignments additionally
-            # have to survive the numeric conversions below)
-            if len(flat) == nh * nlines:
-                try:
-                    rid = np.asarray(flat[ir::nh], dtype=np.int64)
-                    xs = np.asarray(flat[ix::nh], dtype=np.float64)
-                    ys = np.asarray(flat[iy::nh], dtype=np.float64)
-                    zs = np.asarray(flat[iz::nh], dtype=np.float64)
-                except ValueError:
-                    pass  # some numeric token malformed: per-line path
-                else:
-                    rn = flat[inm::nh]
-                    cols["chain_id"].extend(flat[ic::nh])
-                    num_chunks["residue_id"].append(rid)
-                    cols["residue_name"].extend(rn)
-                    cols["is_aa"].extend([v in AA_3TO1 for v in rn])
-                    cols["atom_name"].extend(flat[ia::nh])
-                    num_chunks["x"].append(xs)
-                    num_chunks["y"].append(ys)
-                    num_chunks["z"].append(zs)
-                    done = True
-        if done:
+        parsed = _try_fast(block)
+        if parsed is not None:
+            _consume(parsed)
             continue
         # slow path: quoted fields or a malformed line somewhere in
         # the block — tokenize per line, drop rows that don't parse

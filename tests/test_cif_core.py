@@ -1,0 +1,163 @@
+"""Edge-case pins for the mmCIF ``_atom_site`` parser core — the
+row-drop semantics of the reference parity contract
+(process_af3_outputs.py:126-176, SURVEY §2.2 #11) must survive every
+fast-path rewrite: a malformed ROW is dropped, never a file; quoted
+fields, CRLF, multi-loop documents, and non-'#' block terminators all
+parse; the optimistic '#'-terminator guess can cost time but never
+rows. Pure-Python tests (no Spark session needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from process_alphafold3_outputs_spark.sources._cif_core import (
+    _read_block_fast,
+    parse_atom_site_columns,
+)
+
+HDR = """data_t
+#
+loop_
+_atom_site.group_PDB
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.label_asym_id
+_atom_site.auth_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.auth_asym_id
+"""
+# column order: group, atom, comp, asym, seq, x, y, z, auth_asym  (nh=9)
+
+
+def row(atom="CA", comp="ALA", seq=1, x=1.0, y=2.0, z=3.0, chain="A"):
+    return f"ATOM {atom} {comp} L {seq} {x:.3f} {y:.3f} {z:.3f} {chain}"
+
+
+def doc(lines, terminator="#\n"):
+    return HDR + "\n".join(lines) + "\n" + terminator
+
+
+def test_clean_block_parses_all_rows():
+    c = parse_atom_site_columns(doc([row(seq=i) for i in range(1, 6)]))
+    assert list(c["residue_id"]) == [1, 2, 3, 4, 5]
+    assert c["chain_id"] == ["A"] * 5
+    assert c["is_aa"] == [True] * 5
+    assert np.asarray(c["x"]).dtype == np.float64
+
+
+def test_malformed_rows_dropped_not_file():
+    """Short row, bad numeric, and placeholder '.' each drop exactly
+    that row; the rest of the block survives."""
+    lines = [
+        row(seq=1),
+        "ATOM CA ALA L",            # short row -> dropped
+        row(seq=2),
+        row(seq=3).replace("3 ", "x ", 1),  # bad residue id -> dropped
+        "ATOM CA ALA L 4 . 2.000 3.000 A",  # '.' placeholder x -> dropped
+        row(seq=5),
+    ]
+    c = parse_atom_site_columns(doc(lines))
+    assert list(c["residue_id"]) == [1, 2, 5]
+
+
+def test_quoted_fields_route_to_token_path():
+    lines = [row(seq=1), "ATOM \"C1'\" GLY L 2 1.000 2.000 3.000 A"]
+    c = parse_atom_site_columns(doc(lines))
+    assert list(c["residue_id"]) == [1, 2]
+    assert c["atom_name"][1] == "C1'"  # quotes stripped
+    assert c["is_aa"] == [True, True]
+
+
+def test_crlf_line_endings():
+    text = doc([row(seq=1), row(seq=2)]).replace("\n", "\r\n")
+    c = parse_atom_site_columns(text)
+    assert list(c["residue_id"]) == [1, 2]
+    assert c["chain_id"] == ["A", "A"]  # no trailing \r in string cols
+
+
+def test_multi_loop_document():
+    """Two _atom_site loops (e.g. two models) both contribute; an
+    unrelated loop between them contributes nothing."""
+    other = "loop_\n_pdbx.id\n_pdbx.val\n1 a\n2 b\n#\n"
+    text = (
+        doc([row(seq=1), row(seq=2)])
+        + other
+        + doc([row(seq=7, chain="B")]).split("data_t\n#\n", 1)[1]
+    )
+    c = parse_atom_site_columns(text)
+    assert list(c["residue_id"]) == [1, 2, 7]
+    assert c["chain_id"] == ["A", "A", "B"]
+
+
+@pytest.mark.parametrize(
+    "terminator",
+    ["#\n", "_next.item x\n", "loop_\n", "data_other\n", "\n", "   \n"],
+)
+def test_every_terminator_kind_ends_the_block(terminator):
+    """The optimistic '#' guess must not leak rows past a nearer
+    terminator of another kind: content AFTER the terminator is not
+    atoms (a trailing '#' far below simulates the wrong guess)."""
+    text = HDR + row(seq=1) + "\n" + terminator + "\n#\n"
+    c = parse_atom_site_columns(text)
+    assert list(c["residue_id"]) == [1]
+
+
+def test_blank_line_terminates_before_hash():
+    """Rows after an interior blank line belong to no block even when a
+    '#' line follows much later (loadtxt silently skips blanks — the
+    line-count guard must reject the optimistic slice)."""
+    text = HDR + row(seq=1) + "\n\n" + row(seq=99) + "\n#\n"
+    c = parse_atom_site_columns(text)
+    assert list(c["residue_id"]) == [1]
+
+
+def test_missing_required_header_skips_block():
+    text = HDR.replace("_atom_site.Cartn_x\n", "_atom_site.other\n")
+    c = parse_atom_site_columns(text + row() + "\n#\n")
+    assert list(c["residue_id"]) == []
+
+
+def test_overlong_identifier_survives_via_fallback():
+    """An atom name longer than the fast path's fixed UCS4 width must
+    come through INTACT (truncation check demotes to the per-line
+    path), including one exactly at the width."""
+    lines = [
+        row(atom="UNUSUALLYLONGATOM", seq=1),
+        row(atom="EXACTLY8", seq=2),
+        row(seq=3),
+    ]
+    c = parse_atom_site_columns(doc(lines))
+    assert c["atom_name"] == ["UNUSUALLYLONGATOM", "EXACTLY8", "CA"]
+
+
+def test_read_block_fast_rejects_each_malformation():
+    """Unit pins for the fast path's demotion triggers (None => the
+    caller re-derives bounds and runs the per-line path)."""
+    nh, ic, ir, inm, ia, ix, iy, iz = 9, 8, 4, 2, 1, 5, 6, 7
+    ok = "ATOM CA ALA L 1 1.000 2.000 3.000 A\n"
+
+    def fast(block):
+        return _read_block_fast(block, nh, ic, ir, inm, ia, ix, iy, iz)
+
+    parsed = fast(ok)
+    assert parsed is not None and parsed[0] == 1
+    assert fast("ATOM CA ALA L 1 1.000 2.000 3.000\n") is None  # short
+    assert fast(ok + "_stray.header\n") is None                 # header line
+    assert fast(ok.replace("1.000", "abc")) is None             # bad float
+    assert fast(ok.replace("L 1", "L 1.5")) is None             # bad int
+    assert fast(ok.replace("CA", "VERYLONGNAME")) is None       # truncation
+    # blank-line skip is caught by the CALLER's line-count guard:
+    out = fast(ok + "\n" + ok)
+    assert out is not None and out[0] == 2  # 2 rows for 3 physical lines
+
+
+def test_hash_mid_token_is_literal():
+    """'#' inside a token is data, not a comment (parity with the
+    per-line tokenizer)."""
+    lines = [row(seq=1).replace("ALA", "AL#"), row(seq=2)]
+    c = parse_atom_site_columns(doc(lines))
+    assert c["residue_name"] == ["AL#", "ALA"]
+    assert c["is_aa"] == [False, True]
