@@ -15,6 +15,7 @@ that prevent a recurrence:
 from __future__ import annotations
 
 import json
+import re
 
 import bench
 import __spark_entry__ as entry_mod
@@ -57,6 +58,29 @@ def test_line_queries_are_registered():
     benched = set(bench.HEADLINE) | {"af3_flagship"}
     missing = [q for q in bench.LINE_QUERIES if q not in benched]
     assert not missing, f"LINE_QUERIES not benched: {missing}"
+
+
+def test_bench_deferred_discipline():
+    """BENCH_DEFERRED mirrors the correctness registry's _DEFERRED
+    rules: deferred rows stay registered (still runnable + oracle-
+    mirrored), never ALSO appear in HEADLINE, every representative
+    named in the reason is itself benched, and the headline count
+    stays under the driver's timeout ceiling."""
+    from process_alphafold3_outputs_spark.plans import driver_queries as dq
+
+    assert not set(bench.BENCH_DEFERRED) & set(bench.HEADLINE)
+    unregistered = [q for q in bench.BENCH_DEFERRED if q not in dq._QUERIES]
+    assert not unregistered, f"deferred but unregistered: {unregistered}"
+    benched = set(bench.HEADLINE) | {"af3_flagship"}
+    for name, reason in bench.BENCH_DEFERRED.items():
+        reps = [
+            r for r in re.findall(r"[a-z0-9_]{4,}", reason) if r in dq._QUERIES
+        ]
+        assert reps, f"{name}: reason names no registered representative"
+        not_benched = [r for r in reps if r not in benched]
+        assert not not_benched, f"{name}: representatives {not_benched} " \
+                                f"not in HEADLINE"
+    assert len(bench.HEADLINE) + 1 <= 140  # +1 = af3_flagship
 
 
 def test_driver_window_order_and_cap():
