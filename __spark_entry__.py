@@ -327,6 +327,21 @@ _DEFERRED: set[str] = {
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
+    "text_mix_unimax",       # UniMax waterfill allocation (new r9);
+                             # prefix-sum window mechanics evidenced by
+                             # green text_mix_budget/sessionize rows
+                             # (deferred: headroom)
+    "privacy_k_anonymity",   # k-anonymity violation screen (new r9);
+                             # hash-agg + HAVING mechanics evidenced by
+                             # green dedup_exact/distinct_agg rows
+                             # (deferred: headroom)
+    "privacy_l_diversity",   # l-diversity screen (new r9); distinct-agg
+                             # mechanics evidenced by green
+                             # collect_set_sorted/distinct_agg rows
+                             # (deferred: headroom)
+    "privacy_risk",          # re-identification exposure report (new
+                             # r9); two chained bounded aggs (deferred:
+                             # headroom)
     "quality_expectations",  # Deequ-style constraint report; the
                              # conditional-sum mechanics are the green
                              # conditional_sum/distinct_agg rows

@@ -187,6 +187,10 @@ HEADLINE = [
     "similarity_mmr_many",
     "sketch_hll_overlap",
     "sketch_cms_join_size",
+    "text_mix_unimax",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_risk",
 ]
 
 

@@ -50,6 +50,9 @@ line to stdout):
                  split_by_language)
   expect         Deequ-style constraint report over ANY parquet table
                  (operators.expect.check_expectations)
+  privacy        k-anonymity / l-diversity violations or the one-row
+                 re-identification risk report over ANY parquet table
+                 (operators.privacy)
   join-size      pre-flight equi-join cardinality estimate by CMS inner
                  product (sketches.cms_join_size)
   vocab-overlap  crawl-vs-crawl distinct-vocabulary overlap by HLL
@@ -316,6 +319,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--regex", action="append", default=[],
                     metavar="COL:PATTERN", dest="regex_rules")
 
+    sp = sub.add_parser("privacy")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table to audit")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--quasi", action="append", required=True,
+                    metavar="COL", help="quasi-identifier column "
+                    "(repeat per column)")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--sensitive", default=None,
+                    help="also report groups not --l-diverse in this "
+                    "column")
+    sp.add_argument("--l", type=int, default=2, dest="l_div")
+    sp.add_argument("--report", action="store_true",
+                    help="emit the one-row risk report instead of the "
+                    "violating groups")
+
     sp = sub.add_parser("join-size")
     sp.add_argument("--left", required=True, help="left parquet path")
     sp.add_argument("--left-key", required=True)
@@ -542,6 +561,22 @@ def _result(
 
         both = toks(args.left, "left").unionByName(toks(args.right, "right"))
         return hll_overlap(both, "side", "tok", m=args.registers)
+    if args.command == "privacy":
+        from .operators.privacy import (
+            k_anonymity_violations,
+            l_diversity_violations,
+            reidentification_risk,
+        )
+
+        tbl = spark.read.parquet(args.input)
+        if args.report:
+            return reidentification_risk(tbl, args.quasi, k=args.k)
+        if args.sensitive:
+            return l_diversity_violations(
+                tbl, args.quasi, args.sensitive, l=args.l_div
+            )
+        return k_anonymity_violations(tbl, args.quasi, k=args.k)
+
     if args.command == "expect":
         from .operators.expect import check_expectations
 

@@ -1,0 +1,131 @@
+"""Privacy auditing for training-data pipelines: k-anonymity,
+l-diversity, and re-identification risk over any table.
+
+Why this belongs in a 100 TB data engine: curated corpora increasingly
+carry structured sidecars (user metadata, provenance, demographics),
+and shipping a training set whose quasi-identifier combinations single
+out individuals is a release-blocking defect, not a nicety. The checks
+here are the standard formal screens (Sweeney 2002, k-anonymity;
+Machanavajjhala et al. 2007, l-diversity) expressed as ONE hash
+aggregation each — the same shape as ``operators/expect.py``'s
+constraint compiler, and exactly as scale-safe: the shuffle is keyed
+on the quasi-identifier tuple and collapses map-side, the output is
+bounded by the number of DISTINCT quasi-tuples, never by row count.
+
+All outputs are deterministic and integer/ratio-exact, so every
+operator here is oracle-paired bit-for-bit in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """(quasi..., group_size) — every quasi-identifier combination
+    shared by FEWER than ``k`` rows (the groups whose members a linker
+    can re-identify). Empty result == the table is k-anonymous.
+
+    One groupBy on the quasi tuple: partial aggregation collapses each
+    partition to its distinct quasi-tuples before the shuffle, and the
+    violation filter prunes the (already small) group table — no row
+    of the base table survives the aggregation boundary."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 — the literature's name
+) -> DataFrame:
+    """(quasi..., group_size, n_sensitive) — quasi-groups whose
+    sensitive attribute takes FEWER than ``l`` distinct values
+    (k-anonymity without diversity still leaks: if every member of a
+    5-row group shares one diagnosis, group membership IS disclosure).
+    NULL sensitive values count as one value (a group of all-NULL
+    sensitives is 1-diverse, i.e. flagged for l ≥ 2)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            # count_distinct ignores NULLs entirely; fold the NULL
+            # bucket back in as one value so all-NULL groups read 1
+            (
+                F.countDistinct(sensitive_col)
+                + F.max(F.when(F.col(sensitive_col).isNull(), 1).otherwise(0))
+            ).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )
+
+
+def reidentification_risk(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """One-row release gate: (n_rows, n_groups, n_unique_rows,
+    n_rows_at_risk, at_risk_frac, k) — how exposed the table is under
+    ``k``. ``n_unique_rows`` counts records whose quasi-tuple is
+    globally unique (prosecutor-model certainty); ``n_rows_at_risk``
+    counts records in groups smaller than ``k``; ``at_risk_frac`` is
+    the release metric (rows, not groups — one 10k-row safe group must
+    not launder a thousand singletons). Two chained aggregations over
+    the group table, both bounded by distinct-quasi-tuple count."""
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_gs")
+    )
+    return groups.agg(
+        F.sum("_gs").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("_gs") == 1, 1)), F.lit(0)
+        ).cast("long").alias("n_unique_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_gs") < k, F.col("_gs"))), F.lit(0)
+        ).cast("long").alias("n_rows_at_risk"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("_gs") < k, F.col("_gs"))), F.lit(0))
+            / F.sum("_gs"),
+            6,
+        ).alias("at_risk_frac"),
+        F.lit(k).cast("int").alias("k"),
+    )
+
+
+def generalize_until_k(
+    df: DataFrame,
+    quasi_cols: list[str],
+    ladder: list[list],
+    k: int = 5,
+) -> tuple[DataFrame, int]:
+    """(generalized_df, level) — the MINIMAL generalization level at
+    which the table becomes k-anonymous, applied. ``ladder`` is a list
+    of levels; each level is a list of Column expressions replacing
+    ``quasi_cols`` (level 0 = identity). Classic domain-generalization
+    repair (Sweeney's full-domain scheme, greedy global recoding):
+    instead of DROPPING at-risk rows (which biases the corpus), coarsen
+    the quasi-identifiers until every group reaches size k.
+
+    The level search is a driver-side loop over ``len(ladder)``
+    candidates (a handful — e.g. zip→zip3→state→country), each costing
+    one bounded-output aggregation; the data itself is rewritten once,
+    with the winning level's projection. Raises ValueError when even
+    the last level leaks."""
+    for level, exprs in enumerate(ladder):
+        gen = df.select(
+            *[e.alias(c) for e, c in zip(exprs, quasi_cols)],
+            *[c for c in df.columns if c not in quasi_cols],
+        )
+        if not k_anonymity_violations(gen, quasi_cols, k).head(1):
+            return gen, level
+    raise ValueError(
+        f"no ladder level reaches {k}-anonymity on {quasi_cols} "
+        f"({len(ladder)} levels tried)"
+    )

@@ -1870,6 +1870,96 @@ def mix_by_temperature(
     )
 
 
+def unimax_allocation(
+    docs: DataFrame,
+    total_tokens: int,
+    max_epochs: float = 4.0,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_tokens, cap_tokens, alloc_tokens, epochs, saturated)
+    — the UniMax budget allocation (Chung et al. 2023): distribute
+    ``total_tokens`` as UNIFORMLY across sources as possible, subject
+    to no source repeating more than ``max_epochs`` times. This is the
+    principled alternative to temperature tuning: temperature trades
+    head-source dilution against tail-source over-epoching GLOBALLY,
+    while UniMax gives every source the same water level and lets only
+    genuinely small sources saturate at their epoch cap.
+
+    Closed-form waterfilling, no iteration: sort sources by capacity
+    (``cap = max_epochs·n_tokens``) ascending; source j saturates iff
+    funding every source before it fully AND giving all remaining
+    sources cap_j still fits the budget
+    (``prefix_{j-1} + cap_j·(m-j+1) <= B`` — the standard level
+    condition); unsaturated sources share the leftover equally. Both
+    the condition and the shares are window/prefix-sum expressions —
+    identical in ANSI SQL, so the oracle is bit-exact (the only
+    division is exact-int/exact-int, rounded to 4 dp on both engines).
+
+    Scale shape: one corpus aggregation to the SOURCES-sized token
+    table; everything after runs on m rows. Pair with the
+    :func:`mix_by_budget` prefix draw to materialize the corpus
+    (epochs > 1 ⇒ repeat the source's draw ``floor(epochs)`` times +
+    a fractional prefix — :func:`epoch_expand`)."""
+    if total_tokens <= 0 or max_epochs <= 0:
+        raise ValueError("total_tokens and max_epochs must be positive")
+    from ..operators.dedup import normalized
+
+    d = normalized(docs, text_col).withColumn(
+        "n_tokens", F.size(F.split("_norm", " ")).cast("long")
+    )
+    totals = d.groupBy(domain_col).agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens")
+    )
+    cap = F.round(F.col("n_tokens") * F.lit(float(max_epochs))).cast("long")
+    t = totals.withColumn("cap_tokens", cap)
+    w_ord = Window.orderBy("cap_tokens", domain_col)
+    t = (
+        t.withColumn("_j", F.row_number().over(w_ord))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_m", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "saturated",
+            F.col("_prefix")
+            + F.col("cap_tokens") * (F.col("_m") - F.col("_j") + 1)
+            <= F.lit(int(total_tokens)),
+        )
+    )
+    agg = Window.partitionBy()
+    sat_cap = F.coalesce(
+        F.sum(F.when(F.col("saturated"), F.col("cap_tokens"))).over(agg),
+        F.lit(0).cast("long"),
+    )
+    n_unsat = F.sum(F.when(F.col("saturated"), 0).otherwise(1)).over(agg)
+    level = F.round(
+        (F.lit(int(total_tokens)) - sat_cap)
+        / F.when(n_unsat > 0, n_unsat).otherwise(F.lit(1)),
+        4,
+    )
+    return (
+        t.withColumn(
+            "alloc_tokens",
+            F.when(F.col("saturated"), F.col("cap_tokens").cast("double"))
+            .otherwise(level),
+        )
+        .withColumn(
+            "epochs", F.round(F.col("alloc_tokens") / F.col("n_tokens"), 6)
+        )
+        .select(
+            domain_col, "n_tokens", "cap_tokens",
+            "alloc_tokens", "epochs", "saturated",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling"): select raw-corpus

@@ -6404,3 +6404,160 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_join_size"))
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# UniMax budget allocation (Chung et al. 2023): uniform-as-possible
+# source budgets under a per-source epoch cap — closed-form
+# waterfilling by prefix sums, no iteration, identical windows in SQL.
+# --------------------------------------------------------------------------
+_UNIMAX_B, _UNIMAX_E = 48_000, 2.0
+
+
+@register(
+    "text_mix_unimax",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    tok AS (SELECT n.doc_id, d.source,
+                   CAST(len(string_split(n.t, ' ')) AS BIGINT) AS nt
+            FROM norm n JOIN documents d USING (doc_id)),
+    totals AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+               FROM tok GROUP BY source),
+    caps AS (SELECT source, n_tokens,
+                    CAST(round(n_tokens * {_UNIMAX_E!r}) AS BIGINT)
+                        AS cap_tokens
+             FROM totals),
+    ord AS (SELECT *,
+                   row_number() OVER (ORDER BY cap_tokens, source) AS j,
+                   CAST(coalesce(sum(cap_tokens) OVER (
+                       ORDER BY cap_tokens, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS prefix,
+                   count(*) OVER () AS m
+            FROM caps),
+    sat AS (SELECT *,
+                   (prefix + cap_tokens * (m - j + 1)) <= {_UNIMAX_B}
+                       AS saturated
+            FROM ord),
+    lvl AS (SELECT *,
+                   CAST(coalesce(sum(CASE WHEN saturated THEN cap_tokens END)
+                                 OVER (), 0) AS BIGINT) AS sat_cap,
+                   sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER ()
+                       AS n_unsat
+            FROM sat)
+    SELECT source, n_tokens, cap_tokens,
+           CASE WHEN saturated THEN cap_tokens::DOUBLE
+                ELSE round(({_UNIMAX_B} - sat_cap)
+                           / (CASE WHEN n_unsat > 0 THEN n_unsat ELSE 1 END),
+                           4)
+           END AS alloc_tokens,
+           round((CASE WHEN saturated THEN cap_tokens::DOUBLE
+                       ELSE round(({_UNIMAX_B} - sat_cap)
+                                  / (CASE WHEN n_unsat > 0 THEN n_unsat
+                                          ELSE 1 END), 4)
+                  END) / n_tokens, 6) AS epochs,
+           saturated
+    FROM lvl
+    """,
+)
+def text_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax source allocation — waterfill the token budget uniformly
+    under a 2-epoch cap (deferred — pytest-mirrored; the draw that
+    materializes an allocation is the green text_mix_budget row)."""
+    return text.unimax_allocation(
+        load_table(spark, sf_dir, "documents"),
+        total_tokens=_UNIMAX_B,
+        max_epochs=_UNIMAX_E,
+    )
+
+
+# --------------------------------------------------------------------------
+# privacy auditing (Sweeney 2002; Machanavajjhala et al. 2007): formal
+# re-identification screens as single hash aggregations — the release
+# gate a curated corpus with structured sidecars needs.
+# --------------------------------------------------------------------------
+_PRIV_K = 10
+
+
+@register(
+    "privacy_k_anonymity",
+    sql=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer GROUP BY 1, 2 HAVING count(*) < {_PRIV_K}
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier groups smaller than k=10 on the customer
+    sidecar (deferred — pytest-mirrored; one hash agg + HAVING)."""
+    from ..operators.privacy import k_anonymity_violations
+
+    return k_anonymity_violations(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=_PRIV_K,
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    sql=f"""
+    WITH q AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer)
+    SELECT c_nationkey, bal_band,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+    FROM q GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 2
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-groups whose sensitive attribute (market segment) is not
+    even 2-diverse (deferred — pytest-mirrored). The quasi tuple bands
+    the account balance to exercise a derived quasi-identifier."""
+    from ..operators.privacy import l_diversity_violations
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return l_diversity_violations(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", l=2
+    )
+
+
+@register(
+    "privacy_risk",
+    sql=f"""
+    WITH g AS (
+        SELECT count(*) AS gs
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0))
+    SELECT CAST(sum(gs) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(coalesce(sum(CASE WHEN gs = 1 THEN 1 END), 0) AS BIGINT)
+               AS n_unique_rows,
+           CAST(coalesce(sum(CASE WHEN gs < {_PRIV_K} THEN gs END), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           round(coalesce(sum(CASE WHEN gs < {_PRIV_K} THEN gs END), 0)
+                 / sum(gs), 6) AS at_risk_frac,
+           CAST({_PRIV_K} AS INT) AS k
+    FROM g
+    """,
+)
+def privacy_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row re-identification exposure report over the banded
+    customer quasi-tuple (deferred — pytest-mirrored)."""
+    from ..operators.privacy import reidentification_risk
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return reidentification_risk(
+        cust, ["c_nationkey", "bal_band", "c_mktsegment"], k=_PRIV_K
+    )

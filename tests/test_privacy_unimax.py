@@ -1,0 +1,141 @@
+"""Unit pins for the r9 additions: privacy auditing (k-anonymity /
+l-diversity / re-identification risk / generalization repair) and the
+UniMax waterfilling allocation. The oracle rows
+(privacy_k_anonymity/_l_diversity/_risk, text_mix_unimax) carry the
+cross-engine evidence; these tests pin the semantic edges the fixture
+tables don't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from process_alphafold3_outputs_spark.operators.privacy import (
+    generalize_until_k,
+    k_anonymity_violations,
+    l_diversity_violations,
+    reidentification_risk,
+)
+from process_alphafold3_outputs_spark.operators.text import unimax_allocation
+
+SCHEMA = "zip string, age int, diagnosis string"
+ROWS = [
+    # a 3-row group, a 2-row group, and a singleton
+    ("02139", 30, "flu"), ("02139", 30, "flu"), ("02139", 30, "cold"),
+    ("02140", 40, "flu"), ("02140", 40, "flu"),
+    ("94110", 50, "rare"),
+]
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    v = {
+        (r.zip, r.age): r.group_size
+        for r in k_anonymity_violations(df, ["zip", "age"], k=3).collect()
+    }
+    assert v == {("02140", 40): 2, ("94110", 50): 1}
+    # k=1 can never be violated (every row is in a group of >= 1)
+    assert not k_anonymity_violations(df, ["zip", "age"], k=1).collect()
+
+
+def test_l_diversity_counts_null_as_one_value(spark):
+    df = spark.createDataFrame(
+        ROWS + [("02141", 60, None), ("02141", 60, None)], SCHEMA
+    )
+    v = {
+        (r.zip, r.age): (r.group_size, r.n_sensitive)
+        for r in l_diversity_violations(
+            df, ["zip", "age"], "diagnosis", l=2
+        ).collect()
+    }
+    # 02139 has {flu, cold} -> 2-diverse -> absent; all-NULL group is
+    # 1-diverse (group membership discloses the value), not 0-diverse
+    assert v == {
+        ("02140", 40): (2, 1),
+        ("94110", 50): (1, 1),
+        ("02141", 60): (2, 1),
+    }
+
+
+def test_reidentification_risk_counts_rows_not_groups(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    r = reidentification_risk(df, ["zip", "age"], k=3).collect()[0]
+    assert (r.n_rows, r.n_groups) == (6, 3)
+    assert r.n_unique_rows == 1        # the 94110 singleton
+    assert r.n_rows_at_risk == 3       # 2-row group + singleton, BY ROWS
+    assert r.at_risk_frac == 0.5
+    # empty table: exposure is defined and zero
+    empty = spark.createDataFrame([], SCHEMA)
+    r0 = reidentification_risk(empty, ["zip", "age"], k=3).collect()[0]
+    assert (r0.n_rows, r0.n_rows_at_risk) == (None, 0) or (
+        r0.n_rows in (0, None) and r0.n_rows_at_risk == 0
+    )
+
+
+def test_generalize_until_k_picks_minimal_level(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    ladder = [
+        [F.col("zip"), F.col("age")],                      # identity
+        [F.substring("zip", 1, 3), F.col("age")],          # zip3
+        [F.lit("*"), (F.col("age") / 100).cast("int")],    # suppress
+    ]
+    gen, level = generalize_until_k(df, ["zip", "age"], ladder, k=3)
+    # zip3 merges 02139+02140 (5 rows) but leaves 941 a singleton, so
+    # the minimal satisfying level is full suppression
+    assert level == 2
+    assert not k_anonymity_violations(gen, ["zip", "age"], k=3).collect()
+    assert gen.count() == 6  # repair coarsens, never drops rows
+    # non-quasi columns survive untouched
+    assert {r.diagnosis for r in gen.collect()} == {"flu", "cold", "rare"}
+    with pytest.raises(ValueError, match="no ladder level"):
+        generalize_until_k(df, ["zip", "age"], ladder[:2], k=3)
+
+
+def _docs(spark, sizes: dict[str, int]):
+    rows = []
+    i = 0
+    for src, n_tokens in sizes.items():
+        rows.append((i, " ".join(f"w{j}" for j in range(n_tokens)), src))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_unimax_waterfills_uniformly_under_epoch_cap(spark):
+    # capacities at 2 epochs: a=200, b=800, c=4000; budget 2000:
+    # a saturates (200*3=600 <= 2000; check: prefix 0 + 600),
+    # b: 200 + 800*2 = 1800 <= 2000 -> saturates,
+    # c: 1000 + 4000 = 5000 > 2000 -> level = (2000-1000)/1 = 1000
+    out = {
+        r.source: r
+        for r in unimax_allocation(
+            _docs(spark, {"a": 100, "b": 400, "c": 2000}),
+            total_tokens=2000,
+            max_epochs=2.0,
+        ).collect()
+    }
+    assert out["a"].saturated and out["a"].alloc_tokens == 200.0
+    assert out["b"].saturated and out["b"].alloc_tokens == 800.0
+    assert not out["c"].saturated and out["c"].alloc_tokens == 1000.0
+    assert out["a"].epochs == 2.0 and out["c"].epochs == 0.5
+    # budget conserved exactly when someone is unsaturated
+    assert sum(r.alloc_tokens for r in out.values()) == 2000.0
+
+
+def test_unimax_budget_exceeding_capacity_caps_everyone(spark):
+    out = unimax_allocation(
+        _docs(spark, {"a": 100, "b": 400}), total_tokens=10_000,
+        max_epochs=2.0,
+    ).collect()
+    assert all(r.saturated for r in out)
+    assert sum(r.alloc_tokens for r in out) == 1000.0  # full capacity
+    assert all(r.epochs == 2.0 for r in out)
+
+
+def test_unimax_uniform_when_nobody_saturates(spark):
+    out = unimax_allocation(
+        _docs(spark, {"a": 1000, "b": 1000, "c": 1000}), total_tokens=900,
+        max_epochs=2.0,
+    ).collect()
+    assert all(not r.saturated and r.alloc_tokens == 300.0 for r in out)
+    with pytest.raises(ValueError):
+        unimax_allocation(_docs(spark, {"a": 10}), total_tokens=0)
