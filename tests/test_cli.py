@@ -848,6 +848,37 @@ def test_corpus_cli_expect_roundtrip(spark, tmp_path):
         corpus_cli.run(bad, spark)
 
 
+def test_corpus_cli_privacy_roundtrip(spark, tmp_path):
+    """Roundtrip the privacy CLI: violation-groups mode, l-diversity
+    mode, and the one-row --report mode over the same table."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    cust = "/root/testdata/sf0.001/customer.parquet"
+
+    def run(extra, out_name):
+        out = str(tmp_path / out_name)
+        args = corpus_cli.build_parser().parse_args(
+            ["privacy", "--input", cust, "--quasi", "c_nationkey",
+             "--quasi", "c_mktsegment", "--k", "10", "--out", out] + extra
+        )
+        res = corpus_cli.run(args, spark)
+        return res, spark.read.parquet(out)
+
+    res, got = run([], "kanon")
+    assert res["rows"] == got.count() > 0
+    assert got.filter("group_size >= 10").count() == 0
+
+    res2, got2 = run(["--sensitive", "c_acctbal", "--l", "2"], "ldiv")
+    assert res2["rows"] == got2.count()
+    assert "n_sensitive" in got2.columns
+
+    res3, got3 = run(["--report"], "risk")
+    r = got3.collect()[0]
+    assert res3["rows"] == 1 and r.k == 10
+    assert 0.0 <= r.at_risk_frac <= 1.0
+    assert r.n_rows_at_risk <= r.n_rows
+
+
 def test_corpus_cli_join_size_roundtrip(spark, tmp_path):
     """Roundtrip the join-size CLI: one-row estimate table, estimate
     bounded below by the exact join size."""
