@@ -327,6 +327,9 @@ _DEFERRED: set[str] = {
     "text_mix_temperature",  # T-scaled mixture; window/broadcast
                              # mechanics evidenced by green
                              # text_mix_budget row (deferred: headroom)
+    "text_mix_unimax_draw",  # UniMax end-to-end multiset (new r9);
+                             # composes the unimax + epoch_expand
+                             # oracles (deferred: headroom)
     "text_mix_unimax",       # UniMax waterfill allocation (new r9);
                              # prefix-sum window mechanics evidenced by
                              # green text_mix_budget/sessionize rows

@@ -188,6 +188,7 @@ HEADLINE = [
     "sketch_hll_overlap",
     "sketch_cms_join_size",
     "text_mix_unimax",
+    "text_mix_unimax_draw",
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_risk",

@@ -1960,6 +1960,36 @@ def unimax_allocation(
     )
 
 
+def unimax_draw(
+    docs: DataFrame,
+    total_tokens: int,
+    max_epochs: float = 4.0,
+    domain_col: str = "source",
+    text_col: str = "text",
+    seed: str = "epoch-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, source, copy_idx) — the UniMax TRAINING MULTISET:
+    :func:`unimax_allocation` decides each source's epoch factor, then
+    :func:`epoch_expand` materializes it (⌊e⌋ full copies + a
+    deterministic-hash fractional slice). The complete Chung et al.
+    2023 recipe from budget to repeatable training set in two kernels.
+
+    The allocation collect is the DoReMi-weights pattern: an m-row
+    (sources-sized) bounded table, never corpus rows."""
+    alloc = unimax_allocation(
+        docs,
+        total_tokens=total_tokens,
+        max_epochs=max_epochs,
+        domain_col=domain_col,
+        text_col=text_col,
+    ).select(domain_col, "epochs").collect()
+    factors = {r[domain_col]: float(r["epochs"]) for r in alloc}
+    return epoch_expand(
+        docs, factors, seed=seed, source_col=domain_col, id_col=id_col
+    )
+
+
 # --------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling"): select raw-corpus

@@ -6561,3 +6561,73 @@ def privacy_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reidentification_risk(
         cust, ["c_nationkey", "bal_band", "c_mktsegment"], k=_PRIV_K
     )
+
+
+# --------------------------------------------------------------------------
+# UniMax end-to-end: allocation epochs -> fractional-epoch training
+# multiset. The oracle composes the waterfilling CTEs with the
+# epoch-expand hash-draw arithmetic, joined on source — drift in
+# either kernel breaks this row too.
+# --------------------------------------------------------------------------
+@register(
+    "text_mix_unimax_draw",
+    sql=f"""
+    WITH norm AS ({_NORM}),
+    tok AS (SELECT n.doc_id, d.source,
+                   CAST(len(string_split(n.t, ' ')) AS BIGINT) AS nt
+            FROM norm n JOIN documents d USING (doc_id)),
+    totals AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+               FROM tok GROUP BY source),
+    caps AS (SELECT source, n_tokens,
+                    CAST(round(n_tokens * {_UNIMAX_E!r}) AS BIGINT)
+                        AS cap_tokens
+             FROM totals),
+    ord AS (SELECT *,
+                   row_number() OVER (ORDER BY cap_tokens, source) AS j,
+                   CAST(coalesce(sum(cap_tokens) OVER (
+                       ORDER BY cap_tokens, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS prefix,
+                   count(*) OVER () AS m
+            FROM caps),
+    sat AS (SELECT *,
+                   (prefix + cap_tokens * (m - j + 1)) <= {_UNIMAX_B}
+                       AS saturated
+            FROM ord),
+    lvl AS (SELECT *,
+                   CAST(coalesce(sum(CASE WHEN saturated THEN cap_tokens END)
+                                 OVER (), 0) AS BIGINT) AS sat_cap,
+                   sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER ()
+                       AS n_unsat
+            FROM sat),
+    eps AS (SELECT source,
+                   round((CASE WHEN saturated THEN cap_tokens::DOUBLE
+                               ELSE round(({_UNIMAX_B} - sat_cap)
+                                          / (CASE WHEN n_unsat > 0
+                                                  THEN n_unsat ELSE 1 END),
+                                          4)
+                          END) / n_tokens, 6) AS ep
+            FROM lvl),
+    d AS (
+        SELECT doc_id, d.source,
+               CAST(floor(ep) + CASE WHEN
+                   CAST(('0x' || substr(md5('{_EPOCH_SEED}:'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 < ep - floor(ep)
+                   THEN 1 ELSE 0 END AS INT) AS n
+        FROM documents d JOIN eps ON eps.source = d.source)
+    SELECT doc_id, source, CAST(i AS INT) AS copy_idx
+    FROM d, unnest(generate_series(0, n - 1)) s(i)
+    WHERE n > 0
+    """,
+)
+def text_mix_unimax_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax end-to-end: waterfilled epoch factors materialized as the
+    deterministic training multiset (deferred — pytest-mirrored; the
+    allocation and the expand kernels are separately oracle-paired)."""
+    return text.unimax_draw(
+        load_table(spark, sf_dir, "documents"),
+        total_tokens=_UNIMAX_B,
+        max_epochs=_UNIMAX_E,
+        seed=_EPOCH_SEED,
+    )

@@ -131,6 +131,28 @@ def test_unimax_budget_exceeding_capacity_caps_everyone(spark):
     assert all(r.epochs == 2.0 for r in out)
 
 
+def test_unimax_draw_materializes_allocation(spark):
+    """End-to-end draw: every doc of a saturated source appears exactly
+    max_epochs times; an unsaturated source's copy count matches its
+    fractional epoch factor's floor/ceil, and expected token mass
+    tracks the budget."""
+    from process_alphafold3_outputs_spark.operators.text import unimax_draw
+
+    docs = _docs(spark, {"a": 100, "b": 400, "c": 2000})
+    out = unimax_draw(docs, total_tokens=2000, max_epochs=2.0).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.copy_idx)
+    # a, b saturated at 2 epochs -> exactly 2 copies of their one doc
+    assert sorted(by_src["a"]) == [0, 1]
+    assert sorted(by_src["b"]) == [0, 1]
+    # c: epochs = 1000/2000 = 0.5 -> 0 or 1 copies of its one doc
+    assert len(by_src.get("c", [])) in (0, 1)
+    # determinism: same seed -> identical multiset
+    out2 = unimax_draw(docs, total_tokens=2000, max_epochs=2.0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_unimax_uniform_when_nobody_saturates(spark):
     out = unimax_allocation(
         _docs(spark, {"a": 1000, "b": 1000, "c": 1000}), total_tokens=900,
