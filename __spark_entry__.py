@@ -345,6 +345,9 @@ _DEFERRED: set[str] = {
     "privacy_risk",          # re-identification exposure report (new
                              # r9); two chained bounded aggs (deferred:
                              # headroom)
+    "privacy_t_closeness",   # ordered-EMD distribution screen (new
+                             # r9); grid join is bounded-dim × bounded-
+                             # dim, integer EMD (deferred: headroom)
     "quality_expectations",  # Deequ-style constraint report; the
                              # conditional-sum mechanics are the green
                              # conditional_sum/distinct_agg rows

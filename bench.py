@@ -192,6 +192,7 @@ HEADLINE = [
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_risk",
+    "privacy_t_closeness",
 ]
 
 

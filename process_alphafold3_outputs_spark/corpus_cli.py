@@ -334,6 +334,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--report", action="store_true",
                     help="emit the one-row risk report instead of the "
                     "violating groups")
+    sp.add_argument("--t-close", type=float, default=None, dest="t_close",
+                    metavar="T", help="with --sensitive: flag groups "
+                    "whose ordered sensitive distribution drifts > T "
+                    "from the global one (t-closeness EMD)")
 
     sp = sub.add_parser("join-size")
     sp.add_argument("--left", required=True, help="left parquet path")
@@ -571,6 +575,12 @@ def _result(
         tbl = spark.read.parquet(args.input)
         if args.report:
             return reidentification_risk(tbl, args.quasi, k=args.k)
+        if args.sensitive and args.t_close is not None:
+            from .operators.privacy import t_closeness_violations
+
+            return t_closeness_violations(
+                tbl, args.quasi, args.sensitive, t=args.t_close
+            )
         if args.sensitive:
             return l_diversity_violations(
                 tbl, args.quasi, args.sensitive, l=args.l_div

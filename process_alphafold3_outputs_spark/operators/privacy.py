@@ -18,7 +18,7 @@ operator here is oracle-paired bit-for-bit in ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,7 +81,19 @@ def reidentification_risk(
     groups = df.groupBy(*quasi_cols).agg(
         F.count(F.lit(1)).alias("_gs")
     )
-    return groups.agg(
+    return risk_from_group_sizes(groups, "_gs", k)
+
+
+def risk_from_group_sizes(
+    groups: DataFrame, size_col: str, k: int = 5
+) -> DataFrame:
+    """The :func:`reidentification_risk` report computed from an
+    ALREADY-AGGREGATED (quasi..., size) group table — the shared kernel
+    the streaming watcher calls over its rolling state (merging
+    per-epoch counts then reporting must equal reporting over the
+    union; sums are associative, so it does — pinned by the
+    stream==batch parity pytest)."""
+    return groups.select(F.col(size_col).alias("_gs")).agg(
         F.sum("_gs").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.coalesce(
@@ -96,6 +108,96 @@ def reidentification_risk(
             6,
         ).alias("at_risk_frac"),
         F.lit(k).cast("int").alias("k"),
+    )
+
+
+def t_closeness_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.25,
+) -> DataFrame:
+    """(quasi..., group_size, emd) — quasi-groups whose sensitive-value
+    distribution sits FURTHER than ``t`` from the table-wide
+    distribution, by the ordered-distance Earth Mover's Distance of Li
+    et al. 2007 (t-closeness): l-diversity counts values, but a 5-rows
+    group whose salaries are all in the top percentile leaks even with
+    5 distinct values. For an ORDERED sensitive attribute,
+    ``EMD = Σ_i |cumQ_i − cumP_i| / (v−1)`` over the v support values.
+
+    Exact integer arithmetic for cross-engine parity: the cumulative
+    terms are kept as ``|cum_g·N − cum_p·n_g|`` (BIGINT — no float
+    accumulation order to disagree on), divided once at the end and
+    rounded to 9 dp. NULL sensitive values are excluded (no position
+    in the order); v = 1 defines EMD 0 (a single-valued support has no
+    distance to move).
+
+    Scale shape: per-(group, value) and per-value aggregations bound
+    every intermediate by attribute cardinalities; the one
+    grid-completion join (groups × support — a group missing a support
+    value still steps the GLOBAL cumulative there) is
+    bounded-dimension × bounded-dimension, with the support side
+    broadcast. Corpus rows never survive the first aggregation."""
+    vals = df.filter(F.col(sensitive_col).isNotNull())
+    gv = vals.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    support = (
+        vals.groupBy(sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_cp"))
+    )
+    groups = gv.groupBy(*quasi_cols).agg(
+        F.sum("_c").cast("long").alias("group_size")
+    )
+    n_total = vals.count()
+    v_support = support.count()
+    if v_support <= 1 or n_total == 0:
+        return groups.filter(F.lit(False)).withColumn(
+            "emd", F.lit(0.0)
+        ).select(*quasi_cols, "group_size", "emd")
+    # grid: every group × every support value (both aggregate-bounded)
+    grid = groups.crossJoin(
+        F.broadcast(support.select(sensitive_col, "_cp"))
+    )
+    cells = grid.join(gv, [*quasi_cols, sensitive_col], "left").withColumn(
+        "_c", F.coalesce("_c", F.lit(0).cast("long"))
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        *quasi_cols,
+        "group_size",
+        F.sum("_c").over(w).alias("_cum_g"),
+        F.sum("_cp").over(w).alias("_cum_p"),
+    )
+    emd = (
+        cum.groupBy(*quasi_cols, "group_size")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("_cum_g") * F.lit(int(n_total))
+                    - F.col("_cum_p") * F.col("group_size")
+                )
+            ).alias("_num")
+        )
+        .withColumn(
+            "emd",
+            F.round(
+                F.col("_num")
+                / (
+                    F.col("group_size").cast("double")
+                    * F.lit(float(n_total))
+                    * F.lit(float(v_support - 1))
+                ),
+                9,
+            ),
+        )
+    )
+    return emd.filter(F.col("emd") > t).select(
+        *quasi_cols, "group_size", "emd"
     )
 
 

@@ -6631,3 +6631,66 @@ def text_mix_unimax_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_epochs=_UNIMAX_E,
         seed=_EPOCH_SEED,
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness (Li et al. 2007): quasi-groups whose ordered sensitive
+# distribution drifts > t from the global one, by exact-integer EMD —
+# the third classic screen (k bounds group size, l bounds value count,
+# t bounds the DISTRIBUTION skew a compliant group can still leak).
+# --------------------------------------------------------------------------
+_TCLOSE_T = 0.12
+
+
+@register(
+    "privacy_t_closeness",
+    sql=f"""
+    WITH vals AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+                  FROM customer WHERE c_acctbal IS NOT NULL),
+    gv AS (SELECT c_nationkey, c_mktsegment, bal_band,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM vals GROUP BY 1, 2, 3),
+    support AS (SELECT bal_band, CAST(count(*) AS BIGINT) AS cp
+                FROM vals GROUP BY 1),
+    groups AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(sum(c) AS BIGINT) AS group_size
+               FROM gv GROUP BY 1, 2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM support),
+    grid AS (SELECT g.*, s.bal_band, s.cp FROM groups g CROSS JOIN support s),
+    cells AS (SELECT grid.*, coalesce(gv.c, 0) AS c
+              FROM grid LEFT JOIN gv
+              USING (c_nationkey, c_mktsegment, bal_band)),
+    cum AS (SELECT c_nationkey, c_mktsegment, group_size,
+                   CAST(sum(c) OVER w AS BIGINT) AS cum_g,
+                   CAST(sum(cp) OVER w AS BIGINT) AS cum_p
+            FROM cells
+            WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+                         ORDER BY bal_band
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+    emd AS (SELECT c_nationkey, c_mktsegment, group_size,
+                   round(sum(abs(cum_g * tot.n - cum_p * group_size))
+                         / (group_size::DOUBLE * tot.n * (vs.v - 1)), 9)
+                       AS emd
+            FROM cum, tot, vs
+            GROUP BY c_nationkey, c_mktsegment, group_size, tot.n, vs.v)
+    SELECT c_nationkey, c_mktsegment, group_size, emd
+    FROM emd WHERE emd > {_TCLOSE_T!r}
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-groups whose banded-balance distribution drifts > t from
+    the table-wide one (deferred — pytest-mirrored). Exact-integer EMD
+    numerators, one division at the end — bit-exact across engines."""
+    from ..operators.privacy import t_closeness_violations
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    )
+    return t_closeness_violations(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", t=_TCLOSE_T
+    )

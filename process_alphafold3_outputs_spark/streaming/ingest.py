@@ -1118,6 +1118,82 @@ def watch_documents_doremi(
     )
 
 
+def watch_table_privacy(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    groups_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    quasi_cols: list[str],
+    k: int = 5,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming privacy release gate: every micro-batch of table drops
+    merges its quasi-identifier group counts into the rolling
+    ``groups_path`` state (versioned snapshot — the state is the
+    GROUP table, bounded by distinct quasi-tuples, never rows) and
+    emits the CURRENT re-identification risk report per epoch under
+    ``out_path`` — so "is the accumulating release still k-safe" is a
+    one-row read after every drop, without rescanning history. Sums
+    are associative, so the merged-state report equals the batch
+    report over the union (stream==batch parity pytest). Crash-replay
+    idempotent like every watcher here (state reads exclude the
+    replayed epoch; per-epoch overwrite output). Returns the
+    StreamingQuery."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _privacy_process_batch(
+            batch_df, epoch_id, groups_path, out_path, quasi_cols, k
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _privacy_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    groups_path: str,
+    out_path: str,
+    quasi_cols: list[str],
+    k: int,
+) -> None:
+    """One privacy-gate micro-batch (module-level for unit tests)."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.privacy import risk_from_group_sizes
+
+    ss = batch_df.sparkSession
+    qschema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in batch_df.select(*quasi_cols).schema
+    ) + ", group_size long"
+    prev = read_state(ss, groups_path, qschema, before_epoch=epoch_id)
+    cur = batch_df.groupBy(*quasi_cols).agg(
+        SF.count(SF.lit(1)).cast("long").alias("group_size")
+    )
+    merged = (
+        prev.unionByName(cur)
+        .groupBy(*quasi_cols)
+        .agg(SF.sum("group_size").cast("long").alias("group_size"))
+    )
+    # one pass feeds BOTH the snapshot and the report
+    merged = merged.localCheckpoint()
+    roll_state(merged, groups_path, epoch_id)
+    _write_epoch_output(
+        risk_from_group_sizes(merged, "group_size", k), out_path, epoch_id
+    )
+
+
 def watch_documents_langs(
     spark: SparkSession,
     inbox_dir: str,

@@ -72,6 +72,47 @@ def test_reidentification_risk_counts_rows_not_groups(spark):
     )
 
 
+def test_t_closeness_flags_skewed_groups(spark):
+    """A group matching the global distribution reads EMD 0; a group
+    concentrated at one extreme of an ordered sensitive attribute is
+    flagged even though it is l-diverse enough to pass that screen."""
+    from process_alphafold3_outputs_spark.operators.privacy import (
+        t_closeness_violations,
+    )
+
+    # global salaries uniform over {1,2,3,4}; group 'skew' all at 4,
+    # group 'fair' mirrors the global mix exactly
+    rows = (
+        [("fair", s) for s in (1, 2, 3, 4) * 3]
+        + [("skew", 4)] * 12
+        + [("mid", 2)] * 6 + [("mid", 3)] * 6
+    )
+    df = spark.createDataFrame(rows, "grp string, salary int")
+    out = {
+        r.grp: r.emd
+        for r in t_closeness_violations(df, ["grp"], "salary", t=0.0).collect()
+    }
+    assert "fair" not in out or out.get("fair", 0.0) <= 0.21
+    assert out["skew"] > out.get("mid", 0.0) > 0.0
+    # skew group: cumQ = (0,0,0,1) vs global cumP = (.083,.333,.583,1)
+    # -> EMD = (0.083+0.333+0.583)/3 = 0.333...
+    assert out["skew"] == 0.333333333
+    # NULL sensitive rows are excluded, not a support point
+    with_null = df.union(
+        spark.createDataFrame([("fair", None)], "grp string, salary int")
+    )
+    out2 = {
+        r.grp: r.emd
+        for r in t_closeness_violations(
+            with_null, ["grp"], "salary", t=0.0
+        ).collect()
+    }
+    assert out2 == out
+    # single-valued support: EMD defined as 0 -> nothing flagged
+    one = spark.createDataFrame([("a", 1), ("b", 1)], "grp string, salary int")
+    assert not t_closeness_violations(one, ["grp"], "salary", t=0.0).collect()
+
+
 def test_generalize_until_k_picks_minimal_level(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     ladder = [
@@ -89,6 +130,53 @@ def test_generalize_until_k_picks_minimal_level(spark):
     assert {r.diagnosis for r in gen.collect()} == {"flu", "cold", "rare"}
     with pytest.raises(ValueError, match="no ladder level"):
         generalize_until_k(df, ["zip", "age"], ladder[:2], k=3)
+
+
+def test_watch_table_privacy_stream_equals_batch(spark, tmp_path):
+    """The streaming privacy gate's epoch-1 report (rolling merged
+    state) equals the batch risk report over BOTH drops, and the
+    rolling state is the group table, not rows."""
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        read_state,
+        watch_table_privacy,
+    )
+
+    schema = "zip string, age int, diagnosis string"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "reports")
+    groups = str(tmp_path / "groups")
+    ckpt = str(tmp_path / "ckpt")
+
+    e0 = ROWS[:4]
+    e1 = ROWS[4:]
+    spark.createDataFrame(e0, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    q = watch_table_privacy(
+        spark, inbox, out, groups, ckpt, schema, ["zip", "age"], k=3
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(e1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os
+
+    latest = spark.read.parquet(os.path.join(out, "epoch_id=1")).collect()[0]
+    batch = reidentification_risk(
+        spark.createDataFrame(ROWS, schema), ["zip", "age"], k=3
+    ).collect()[0]
+    assert latest.asDict() == batch.asDict()
+    state = read_state(
+        spark, groups, "zip string, age int, group_size long"
+    )
+    assert state.count() == 3  # GROUP table, not 6 rows
+    assert {
+        (r.zip, r.age): r.group_size for r in state.collect()
+    } == {("02139", 30): 3, ("02140", 40): 2, ("94110", 50): 1}
 
 
 def _docs(spark, sizes: dict[str, int]):
