@@ -116,6 +116,7 @@ def t_closeness_violations(
     quasi_cols: list[str],
     sensitive_col: str,
     t: float = 0.25,
+    max_support: int = 10_000,
 ) -> DataFrame:
     """(quasi..., group_size, emd) — quasi-groups whose sensitive-value
     distribution sits FURTHER than ``t`` from the table-wide
@@ -151,6 +152,16 @@ def t_closeness_violations(
     )
     n_total = vals.count()
     v_support = support.count()
+    if v_support > max_support:
+        raise ValueError(
+            f"t-closeness support has {v_support} distinct "
+            f"{sensitive_col!r} values (> max_support={max_support}); the "
+            "groups x support completion grid would dominate the plan. "
+            "Band the sensitive attribute first (e.g. "
+            "floor(value / width)) — the EMD over bands is the screen's "
+            "standard form for high-cardinality attributes — or raise "
+            "max_support deliberately."
+        )
     if v_support <= 1 or n_total == 0:
         return groups.filter(F.lit(False)).withColumn(
             "emd", F.lit(0.0)

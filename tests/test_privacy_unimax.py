@@ -111,6 +111,14 @@ def test_t_closeness_flags_skewed_groups(spark):
     # single-valued support: EMD defined as 0 -> nothing flagged
     one = spark.createDataFrame([("a", 1), ("b", 1)], "grp string, salary int")
     assert not t_closeness_violations(one, ["grp"], "salary", t=0.0).collect()
+    # high-cardinality support refuses loudly (grid would dominate)
+    import pytest
+
+    wide = spark.createDataFrame(
+        [("a", i) for i in range(40)], "grp string, salary int"
+    )
+    with pytest.raises(ValueError, match="max_support"):
+        t_closeness_violations(wide, ["grp"], "salary", max_support=10)
 
 
 def test_generalize_until_k_picks_minimal_level(spark):
