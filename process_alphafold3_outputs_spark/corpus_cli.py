@@ -43,6 +43,9 @@ line to stdout):
                  (text.hybrid_search_rrf)
   mix-doremi     DoReMi EG domain weights; --total-tokens draws documents
                  to the learned budgets (text.doremi_mixture/_sample)
+  mix-unimax     UniMax waterfilled per-source allocation under an epoch
+                 cap; --draw emits the training multiset
+                 (text.unimax_allocation/_draw)
   compare        Fightin'-Words log-odds of a lang/source slice vs the
                  rest (text.log_odds_terms)
   langs          paragraph-level language profile; --split emits
@@ -280,6 +283,14 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="SOURCE=TOKENS",
         help="repeatable per-source token budget, e.g. --budget web=4000000",
     )
+
+    sp = sub.add_parser("mix-unimax")
+    common(sp)
+    sp.add_argument("--total-tokens", type=int, required=True)
+    sp.add_argument("--max-epochs", type=float, default=4.0)
+    sp.add_argument("--draw", action="store_true",
+                    help="emit the (doc_id, source, copy_idx) training "
+                    "multiset instead of the per-source allocation")
 
     sp = sub.add_parser("mix-doremi")
     common(sp)
@@ -692,6 +703,18 @@ def _result(
             src, _, tok = spec.partition("=")
             budgets[src] = int(tok)
         return text.mix_by_budget(docs, budgets)
+    if args.command == "mix-unimax":
+        if args.draw:
+            return text.unimax_draw(
+                docs,
+                total_tokens=args.total_tokens,
+                max_epochs=args.max_epochs,
+            )
+        return text.unimax_allocation(
+            docs,
+            total_tokens=args.total_tokens,
+            max_epochs=args.max_epochs,
+        )
     if args.command == "mix-doremi":
         if args.total_tokens is not None:
             return text.doremi_sample(
