@@ -121,6 +121,48 @@ def test_t_closeness_flags_skewed_groups(spark):
         t_closeness_violations(wide, ["grp"], "salary", max_support=10)
 
 
+def test_t_closeness_emd_invariants_property(spark):
+    """Property sweep (deterministic grid, hypothesis-style bounds):
+    for ANY group composition over an ordered support, 0 <= EMD <= 1
+    (the ordered-distance EMD is normalized by v-1), and the two
+    fully-concentrated extremes bound every same-size composition
+    that lies between them in cumulative order."""
+    from process_alphafold3_outputs_spark.operators.privacy import (
+        t_closeness_violations,
+    )
+
+    import itertools
+
+    cases = []
+    for comp in itertools.product([0, 2, 4], repeat=3):
+        if sum(comp) == 0:
+            continue
+        cases.append(comp)
+    # one Spark job for the whole sweep: each composition is a group
+    rows = []
+    for gi, comp in enumerate(cases):
+        for val, cnt in enumerate(comp):
+            rows.extend([(f"g{gi}", val)] * cnt)
+    # plus a background group that fixes the global distribution shape
+    rows.extend([("bg", v) for v in (0, 1, 2) * 20])
+    df = spark.createDataFrame(rows, "grp string, v int")
+    out = {
+        r.grp: r.emd
+        for r in t_closeness_violations(df, ["grp"], "v", t=-1.0).collect()
+    }
+    for gi, comp in enumerate(cases):
+        emd = out[f"g{gi}"]
+        assert 0.0 <= emd <= 1.0, (comp, emd)
+    # one of the two fully-concentrated extremes is the maximum over
+    # every same-mass composition (cumulative vectors of mixtures lie
+    # between the extremes' cumulative vectors pointwise)
+    four = [c for c in cases if sum(c) == 4]
+    bound = max(out[f"g{cases.index((4, 0, 0))}"],
+                out[f"g{cases.index((0, 0, 4))}"])
+    for comp in four:
+        assert out[f"g{cases.index(comp)}"] <= bound + 1e-9, comp
+
+
 def test_generalize_until_k_picks_minimal_level(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     ladder = [
