@@ -394,6 +394,10 @@ _DEFERRED: set[str] = {
                              # file_sink_* rows (deferred: headroom)
     "skew_salted_join",      # salting demo; result-identical to the
                              # plain join oracle (deferred: headroom)
+    "skew_report_events",    # hot-key pre-flight (new r9); count/rank
+                             # mechanics evidenced by green
+                             # topk_per_group/distinct_agg rows
+                             # (deferred: headroom)
     "text_fingerprint",      # md5 doc fingerprint; mechanics subsumed by
                              # the green dedup_exact row (rotated OUT in
                              # r8 for sketch_hll_distinct; stays benched

@@ -193,6 +193,7 @@ HEADLINE = [
     "privacy_l_diversity",
     "privacy_risk",
     "privacy_t_closeness",
+    "skew_report_events",
 ]
 
 

@@ -58,6 +58,9 @@ line to stdout):
                  (operators.privacy)
   join-size      pre-flight equi-join cardinality estimate by CMS inner
                  product (sketches.cms_join_size)
+  skew           pre-flight hot-key diagnostic for a planned groupBy/
+                 join: top keys, imbalance, recommended salt factor
+                 (util.skew_report)
   vocab-overlap  crawl-vs-crawl distinct-vocabulary overlap by HLL
                  inclusion-exclusion (sketches.hll_overlap)
 
@@ -350,6 +353,18 @@ def build_parser() -> argparse.ArgumentParser:
                     "whose ordered sensitive distribution drifts > T "
                     "from the global one (t-closeness EMD)")
 
+    sp = sub.add_parser("skew")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table to diagnose")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--key", action="append", required=True,
+                    metavar="COL", help="grouping/join key column "
+                    "(repeat per column)")
+    sp.add_argument("--top-k", type=int, default=10)
+    sp.add_argument("--partitions", type=int, default=32,
+                    help="target shuffle partition count the salt "
+                    "recommendation is sized for")
+
     sp = sub.add_parser("join-size")
     sp.add_argument("--left", required=True, help="left parquet path")
     sp.add_argument("--left-key", required=True)
@@ -550,6 +565,14 @@ def _result(
             k=args.k,
             n_probe=args.n_probe,
             m=args.subspaces,
+        )
+
+    if args.command == "skew":
+        from .operators.util import skew_report
+
+        return skew_report(
+            spark.read.parquet(args.input), args.key,
+            top_k=args.top_k, n_partitions=args.partitions,
         )
 
     if args.command == "join-size":

@@ -122,3 +122,62 @@ def skew_salted_join(
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))),
     )
     return big_s.join(small_s, [*keys, "_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df: "DataFrame",
+    keys: list[str],
+    top_k: int = 10,
+    n_partitions: int = 32,
+) -> "DataFrame":
+    """(keys..., cnt, share, rank, n_rows, n_keys, imbalance,
+    recommended_salts) — the pre-flight SKEW diagnostic for a planned
+    groupBy/join on ``keys``: the ``top_k`` hottest key tuples with
+    their row share, plus the global figures that decide the physical
+    strategy BEFORE the 100 TB shuffle runs: ``imbalance`` =
+    hottest-key count / mean key count (1.0 == perfectly uniform), and
+    ``recommended_salts`` = ceil(hottest · n_partitions / n_rows) —
+    the minimum split factor under which the hottest key no longer
+    exceeds an average reducer's row budget (1 == no salting needed).
+    Feed it :func:`two_phase_agg`'s / :func:`skew_salted_join`'s
+    ``n_salts``. Note the recommendation also fires for UNIFORM but
+    LOW-CARDINALITY keys (n_keys < n_partitions): even with zero skew,
+    that shuffle idles most reducers, and salting is the same fix.
+
+    One key-grouped aggregation (map-side combine; output bounded by
+    key cardinality), one 3-long-column global roll-up of THAT table,
+    and a TakeOrderedAndProject top-k — corpus rows never reach the
+    driver or the sort. Exact integer counts; ratios rounded once —
+    bit-reproducible in ANSI SQL."""
+    from pyspark.sql import Window, functions as F
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("_max_cnt"),
+    )
+    top = counts.orderBy(F.desc("cnt"), *keys).limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), *keys)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            *keys,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            "rank",
+            "n_rows",
+            "n_keys",
+            F.round(
+                F.col("_max_cnt") * F.col("n_keys") / F.col("n_rows"), 4
+            ).alias("imbalance"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(
+                    F.col("_max_cnt") * F.lit(int(n_partitions))
+                    / F.col("n_rows")
+                ),
+            ).cast("long").alias("recommended_salts"),
+        )
+    )

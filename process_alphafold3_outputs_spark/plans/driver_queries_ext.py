@@ -6694,3 +6694,41 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness_violations(
         cust, ["c_nationkey", "c_mktsegment"], "bal_band", t=_TCLOSE_T
     )
+
+
+# --------------------------------------------------------------------------
+# skew pre-flight: the hottest keys + the imbalance / salt-factor
+# figures that pick the physical strategy (broadcast / AQE / salting)
+# BEFORE the shuffle runs. Exact counts; ratios rounded once.
+# --------------------------------------------------------------------------
+@register(
+    "skew_report_events",
+    sql="""
+    WITH counts AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1),
+    stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(max(cnt) AS BIGINT) AS mc
+              FROM counts),
+    top AS (SELECT * FROM counts ORDER BY cnt DESC, event_type LIMIT 10)
+    SELECT event_type, cnt,
+           round(cnt / s.n_rows, 6) AS share,
+           CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS INT)
+               AS rank,
+           s.n_rows, s.n_keys,
+           round(s.mc * s.n_keys / s.n_rows, 4) AS imbalance,
+           CAST(greatest(1, ceil(s.mc * 32 / s.n_rows)) AS BIGINT)
+               AS recommended_salts
+    FROM top, stats s
+    """,
+)
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic over the events stream's type column
+    (deferred — pytest-mirrored; the salting consumers are the green
+    skew_safe_agg / skew_salted_join rows)."""
+    from ..operators.util import skew_report
+
+    return skew_report(
+        load_table(spark, sf_dir, "events"), ["event_type"],
+        top_k=10, n_partitions=32,
+    )

@@ -291,6 +291,42 @@ def test_unimax_draw_materializes_allocation(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_skew_report_uniform_and_hot_key(spark):
+    """Uniform keys read imbalance 1.0 / salts 1; one dominant key
+    yields the exact split factor that fits it into an average
+    reducer's row budget."""
+    from process_alphafold3_outputs_spark.operators.util import skew_report
+
+    uniform = spark.createDataFrame(
+        [(f"k{i % 64:02d}",) for i in range(640)], "k string"
+    )
+    rows = skew_report(uniform, ["k"], top_k=2, n_partitions=32).collect()
+    assert len(rows) == 2 and all(
+        r.imbalance == 1.0 and r.recommended_salts == 1
+        and r.share == round(1 / 64, 6)
+        for r in rows
+    )
+    assert [r.rank for r in rows] == [1, 2]
+    # uniform but LOW-CARDINALITY keys (4 keys, 32 partitions): the
+    # salt recommendation correctly says "split 8x" — the shuffle would
+    # otherwise use 4 of 32 reducers even with zero skew
+    few = spark.createDataFrame(
+        [(f"k{i % 4}",) for i in range(400)], "k string"
+    )
+    r0 = skew_report(few, ["k"], top_k=1, n_partitions=32).collect()[0]
+    assert r0.imbalance == 1.0 and r0.recommended_salts == 8
+
+    # 900 rows of one key + 100 spread over 10: hottest=900, n=1000,
+    # mean=1000/11 -> imbalance 9.9; budget=1000/32 -> salts=ceil(28.8)=29
+    hot = spark.createDataFrame(
+        [("hot",)] * 900 + [(f"c{i % 10}",) for i in range(100)], "k string"
+    )
+    top = skew_report(hot, ["k"], top_k=1, n_partitions=32).collect()[0]
+    assert top.k == "hot" and top.cnt == 900 and top.rank == 1
+    assert top.imbalance == 9.9 and top.recommended_salts == 29
+    assert top.n_rows == 1000 and top.n_keys == 11
+
+
 def test_unimax_uniform_when_nobody_saturates(spark):
     out = unimax_allocation(
         _docs(spark, {"a": 1000, "b": 1000, "c": 1000}), total_tokens=900,
