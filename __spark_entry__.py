@@ -348,6 +348,10 @@ _DEFERRED: set[str] = {
     "privacy_t_closeness",   # ordered-EMD distribution screen (new
                              # r9); grid join is bounded-dim × bounded-
                              # dim, integer EMD (deferred: headroom)
+    "privacy_quasi_subsets", # all-subsets exposure in ONE cube pass
+                             # (new r9); CUBE lattice mechanics
+                             # evidenced by cube_customer_segments'
+                             # oracle (deferred: headroom)
     "quality_expectations",  # Deequ-style constraint report; the
                              # conditional-sum mechanics are the green
                              # conditional_sum/distinct_agg rows

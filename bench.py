@@ -194,6 +194,7 @@ HEADLINE = [
     "privacy_risk",
     "privacy_t_closeness",
     "skew_report_events",
+    "privacy_quasi_subsets",
 ]
 
 

@@ -212,6 +212,69 @@ def t_closeness_violations(
     )
 
 
+def quasi_risk_by_subset(
+    df: DataFrame, candidate_cols: list[str], k: int = 5
+) -> DataFrame:
+    """(quasi_set, n_quasi_cols, n_rows, n_groups, n_unique_rows,
+    n_rows_at_risk, at_risk_frac) — the re-identification exposure of
+    EVERY subset of ``candidate_cols`` used as the quasi-identifier,
+    in ONE corpus pass: the discovery step before
+    :func:`generalize_until_k` ("which columns do I actually need to
+    coarsen?"). Linkage risk is famously non-obvious across
+    combinations (Sweeney's zip+birthdate+sex); enumerating subsets
+    naively costs 2^m corpus scans — here ``cube`` computes all 2^m
+    group-size tables in one shuffle (Spark expands the grouping sets
+    map-side), and a second, cube-table-sized aggregation rolls each
+    subset up to its risk report.
+
+    Subsets are labeled by the engine-portable ``grouping(col)``
+    predicate (never grouping_id bit order, which differs across
+    engines). Real NULL values group as a value, consistent with the
+    other screens. ``candidate_cols`` should be a handful — the cube
+    is 2^m grouping sets by design."""
+    if not (1 <= len(candidate_cols) <= 10):
+        raise ValueError("candidate_cols must have 1..10 columns")
+    label = F.concat_ws(
+        ",",
+        *[
+            F.when(F.grouping(c) == 0, F.lit(c)) for c in candidate_cols
+        ],
+    )
+    sizes = (
+        df.cube(*candidate_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_gs"),
+            label.alias("quasi_set"),
+            sum(
+                (F.lit(1) - F.grouping(c)) for c in candidate_cols
+            ).cast("int").alias("n_quasi_cols"),
+        )
+        # the empty subset (all columns aggregated away) is the trivial
+        # one-group view — drop it
+        .filter(F.col("n_quasi_cols") > 0)
+    )
+    return (
+        sizes.groupBy("quasi_set", "n_quasi_cols")
+        .agg(
+            F.sum("_gs").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("_gs") == 1, 1)), F.lit(0)
+            ).cast("long").alias("n_unique_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("_gs") < k, F.col("_gs"))), F.lit(0)
+            ).cast("long").alias("n_rows_at_risk"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("_gs") < k, F.col("_gs"))), F.lit(0)
+                )
+                / F.sum("_gs"),
+                6,
+            ).alias("at_risk_frac"),
+        )
+    )
+
+
 def generalize_until_k(
     df: DataFrame,
     quasi_cols: list[str],

@@ -6732,3 +6732,58 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"), ["event_type"],
         top_k=10, n_partitions=32,
     )
+
+
+# --------------------------------------------------------------------------
+# quasi-identifier discovery: every column-subset's re-identification
+# exposure in ONE cube pass (2^m grouping sets, one shuffle) — the
+# "which columns must I generalize" step before repair. Subsets are
+# labeled via grouping(col), which is engine-portable (grouping_id bit
+# order is not).
+# --------------------------------------------------------------------------
+@register(
+    "privacy_quasi_subsets",
+    sql=f"""
+    WITH q AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer),
+    sizes AS (
+        SELECT concat_ws(',',
+                   CASE WHEN grouping(c_nationkey) = 0
+                        THEN 'c_nationkey' END,
+                   CASE WHEN grouping(bal_band) = 0 THEN 'bal_band' END,
+                   CASE WHEN grouping(c_mktsegment) = 0
+                        THEN 'c_mktsegment' END) AS quasi_set,
+               CAST((1 - grouping(c_nationkey)) + (1 - grouping(bal_band))
+                    + (1 - grouping(c_mktsegment)) AS INT) AS n_quasi_cols,
+               count(*) AS gs
+        FROM q
+        GROUP BY CUBE (c_nationkey, bal_band, c_mktsegment))
+    SELECT quasi_set, n_quasi_cols,
+           CAST(sum(gs) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(coalesce(sum(CASE WHEN gs = 1 THEN 1 END), 0) AS BIGINT)
+               AS n_unique_rows,
+           CAST(coalesce(sum(CASE WHEN gs < {_PRIV_K} THEN gs END), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           round(coalesce(sum(CASE WHEN gs < {_PRIV_K} THEN gs END), 0)
+                 / sum(gs), 6) AS at_risk_frac
+    FROM sizes WHERE n_quasi_cols > 0
+    GROUP BY quasi_set, n_quasi_cols
+    """,
+)
+def privacy_quasi_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure of all 7 non-empty subsets of the banded customer
+    quasi-candidates, one cube pass (deferred — pytest-mirrored)."""
+    from ..operators.privacy import quasi_risk_by_subset
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return quasi_risk_by_subset(
+        cust, ["c_nationkey", "bal_band", "c_mktsegment"], k=_PRIV_K
+    )

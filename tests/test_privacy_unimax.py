@@ -72,6 +72,33 @@ def test_reidentification_risk_counts_rows_not_groups(spark):
     )
 
 
+def test_quasi_risk_by_subset_one_pass_lattice(spark):
+    """All non-empty column subsets get an exposure row; refinement
+    monotonicity holds (adding a quasi column can only split groups,
+    so rows-at-risk never decreases); exact values on the fixture."""
+    from process_alphafold3_outputs_spark.operators.privacy import (
+        quasi_risk_by_subset,
+    )
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = {
+        r.quasi_set: r
+        for r in quasi_risk_by_subset(df, ["zip", "age"], k=3).collect()
+    }
+    assert set(out) == {"zip", "age", "zip,age"}
+    assert all(r.n_rows == 6 for r in out.values())
+    # zip and (zip,age) partition identically on this fixture
+    assert out["zip"].n_rows_at_risk == out["zip,age"].n_rows_at_risk == 3
+    assert out["zip,age"].n_quasi_cols == 2
+    # refinement monotonicity: supersets never reduce exposure
+    for single in ("zip", "age"):
+        assert (
+            out["zip,age"].n_rows_at_risk >= out[single].n_rows_at_risk
+        )
+    with pytest.raises(ValueError):
+        quasi_risk_by_subset(df, [], k=3)
+
+
 def test_t_closeness_flags_skewed_groups(spark):
     """A group matching the global distribution reads EMD 0; a group
     concentrated at one extreme of an ordered sensitive attribute is
