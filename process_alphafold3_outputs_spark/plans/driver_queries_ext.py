@@ -6509,8 +6509,12 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer)
     SELECT c_nationkey, bal_band,
            CAST(count(*) AS BIGINT) AS group_size,
-           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
-    FROM q GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 2
+           CAST(count(DISTINCT c_mktsegment)
+                + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sensitive
+    FROM q GROUP BY 1, 2
+    HAVING count(DISTINCT c_mktsegment)
+           + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) < 2
     """,
 )
 def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:

