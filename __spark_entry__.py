@@ -87,6 +87,17 @@ _PRIORITY: list[str] = [
     #    pipeline_corpus_to_training)
     "entity_resolution",
     "text_mix_doremi",
+    # -- round-10 rotation (NOTES rotation table): the versioned-
+    #    snapshot streaming-state twin (the only batch twin exercising
+    #    the full history-table-in/updated-history-out round trip) and
+    #    the temperature-scaled mixture draw get driver evidence. The
+    #    r9 table's planned out-rows (multimodal_summary,
+    #    tumbling_window) were ALREADY deferred, so the r11 picks are
+    #    pulled forward: skew_safe_agg (salted-agg mechanics pinned in
+    #    pytest) + asof_join (stays benched; the event family keeps
+    #    sessionize + session_window_batch driver rows)
+    "dedup_incremental_near",
+    "text_mix_temperature",
 ]
 
 #: driver-visible queries DELIBERATELY registered without a SQL oracle —
@@ -301,11 +312,6 @@ _DEFERRED: set[str] = {
                              # shingle-df mechanics evidenced by green
                              # dedup_boilerplate row (deferred:
                              # headroom)
-    "dedup_incremental_near",  # shipment-over-history NEAR-dedup via
-                             # the rolling band table; band mechanics
-                             # evidenced by green dedup_minhash_lsh +
-                             # dedup_incremental rows (deferred:
-                             # headroom)
     "text_bm25_search",      # BM25 ranked retrieval; tf/df/top-k
                              # mechanics evidenced by green
                              # text_tfidf_topterms row (deferred:
@@ -324,9 +330,15 @@ _DEFERRED: set[str] = {
                              # family keeps pytest-mirror + bench
                              # coverage; its IVF/PQ twins were always
                              # deferred)
-    "text_mix_temperature",  # T-scaled mixture; window/broadcast
-                             # mechanics evidenced by green
-                             # text_mix_budget row (deferred: headroom)
+    "skew_safe_agg",         # rotated OUT in r10 for
+                             # dedup_incremental_near (salted-agg
+                             # mechanics pinned in pytest; stays
+                             # benched + oracle-mirrored)
+    "asof_join",             # rotated OUT in r10 for
+                             # text_mix_temperature (stays benched +
+                             # oracle-mirrored; the event family keeps
+                             # sessionize + session_window_batch
+                             # driver rows)
     "text_mix_unimax_draw",  # UniMax end-to-end multiset (new r9);
                              # composes the unimax + epoch_expand
                              # oracles (deferred: headroom)
