@@ -330,6 +330,22 @@ _DEFERRED: set[str] = {
                              # family keeps pytest-mirror + bench
                              # coverage; its IVF/PQ twins were always
                              # deferred)
+    "table_merge_upsert",    # MERGE upsert (new r10); union+max_by agg
+                             # mechanics evidenced by green dedup_exact
+                             # min_by row (deferred: headroom)
+    "table_apply_changelog", # CDC latest-wins fold (new r10); the
+                             # merge half shares table_merge_upsert's
+                             # kernel (deferred: headroom)
+    "table_scd2",            # SCD2 history (new r10); key-equi join +
+                             # union mechanics evidenced by green
+                             # af3_*/semi_join rows (deferred: headroom)
+    "table_snapshot_diff",   # snapshot churn diff (new r10); full-outer
+                             # join form of the same key-compare
+                             # (deferred: headroom)
+    "table_compaction_plan", # small-file rewrite planner (new r10);
+                             # prefix-sum window mechanics evidenced by
+                             # green sessionize/af3 rows (deferred:
+                             # headroom)
     "skew_safe_agg",         # rotated OUT in r10 for
                              # dedup_incremental_near (salted-agg
                              # mechanics pinned in pytest; stays

@@ -195,6 +195,11 @@ HEADLINE = [
     "privacy_t_closeness",
     "skew_report_events",
     "privacy_quasi_subsets",
+    "table_merge_upsert",
+    "table_apply_changelog",
+    "table_scd2",
+    "table_snapshot_diff",
+    "table_compaction_plan",
 ]
 
 

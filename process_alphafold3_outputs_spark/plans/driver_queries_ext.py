@@ -6791,3 +6791,331 @@ def privacy_quasi_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quasi_risk_by_subset(
         cust, ["c_nationkey", "bal_band", "c_mktsegment"], k=_PRIV_K
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental table maintenance (operators/maintenance.py): the merge
+# family a 100 TB pipeline runs between ingest and training — MERGE
+# upsert (union + one max_by hash agg, never a full-outer join of two
+# big sides), CDC latest-wins changelog application, SCD2 dimension
+# history, snapshot diff, and the small-file compaction planner. Each
+# derives a deterministic update batch from the driver tables so the
+# oracle restates the exact semantics in ANSI SQL.
+# --------------------------------------------------------------------------
+@register(
+    "table_merge_upsert",
+    sql="""
+    WITH base AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+                         c_mktsegment
+                  FROM customer),
+    upd AS (
+        SELECT c_custkey, c_name, round(acctbal + 100, 2) AS acctbal,
+               'UPDATED' AS c_mktsegment, FALSE AS del
+        FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey, NULL, NULL, NULL, TRUE
+        FROM base WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW', 0.0, 'NEW', FALSE
+        FROM base WHERE c_custkey % 97 = 0
+    )
+    SELECT b.c_custkey, b.c_name, b.acctbal, b.c_mktsegment
+    FROM base b WHERE b.c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_name, acctbal, c_mktsegment FROM upd WHERE NOT del
+    """,
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the customer table: %7 keys updated (whole-row),
+    %13 keys deleted, %97 keys re-inserted under new ids (deferred —
+    pytest-mirrored). One union + max_by hash aggregation — no join."""
+    from ..operators.maintenance import merge_upsert
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+    k = F.col("c_custkey")
+    upd = (
+        base.filter((k % 7 == 0) & (k % 13 != 0)).select(
+            k.alias("c_custkey"),
+            "c_name",
+            F.round(F.col("acctbal") + 100, 2).alias("acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+            F.lit(False).alias("del"),
+        )
+        .unionByName(
+            base.filter(k % 13 == 0).select(
+                k.alias("c_custkey"),
+                F.lit(None).cast("string").alias("c_name"),
+                F.lit(None).cast("double").alias("acctbal"),
+                F.lit(None).cast("string").alias("c_mktsegment"),
+                F.lit(True).alias("del"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 97 == 0).select(
+                (k + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_name"),
+                F.lit(0.0).alias("acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(False).alias("del"),
+            )
+        )
+    )
+    return merge_upsert(base, upd, ["c_custkey"], delete_col="del")
+
+
+@register(
+    "table_apply_changelog",
+    sql="""
+    WITH snap AS (SELECT o_orderkey, o_orderstatus,
+                         round(o_totalprice, 2) AS price
+                  FROM orders),
+    ch AS (
+        SELECT o_orderkey, o_orderstatus, round(price + 1, 2) AS price,
+               1 AS seq, 'U' AS op
+        FROM snap WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, NULL, 2, 'D'
+        FROM snap WHERE o_orderkey % 8 = 0
+        UNION ALL
+        SELECT o_orderkey, 'R', 0.0, 3, 'I'
+        FROM snap WHERE o_orderkey % 16 = 0
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM ch
+    ),
+    fin AS (SELECT o_orderkey, o_orderstatus, price, op
+            FROM latest WHERE rn = 1)
+    SELECT s.o_orderkey, s.o_orderstatus, s.price
+    FROM snap s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM fin)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price FROM fin WHERE op <> 'D'
+    """,
+)
+def table_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins fold over orders: %4 keys updated at seq 1, %8
+    deleted at seq 2, %16 re-inserted at seq 3 — so the fold, not the
+    row order, decides each key's fate (deferred — pytest-mirrored)."""
+    from ..operators.maintenance import apply_changelog
+
+    snap = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    k = F.col("o_orderkey")
+    ch = (
+        snap.filter(k % 4 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("price") + 1, 2).alias("price"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            snap.filter(k % 8 == 0).select(
+                "o_orderkey",
+                F.lit(None).cast("string").alias("o_orderstatus"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            snap.filter(k % 16 == 0).select(
+                "o_orderkey",
+                F.lit("R").alias("o_orderstatus"),
+                F.lit(0.0).alias("price"),
+                F.lit(3).cast("long").alias("seq"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    return apply_changelog(snap, ch, ["o_orderkey"], seq_col="seq", op_col="op")
+
+
+@register(
+    "table_scd2",
+    sql="""
+    WITH cur AS (SELECT c_custkey, c_mktsegment AS seg,
+                        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+                 FROM customer),
+    upd AS (
+        SELECT c_custkey, 'MOVED' AS seg, bal_band,
+               CAST(100 AS BIGINT) AS eff
+        FROM cur WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW', CAST(0 AS BIGINT),
+               CAST(100 AS BIGINT)
+        FROM cur WHERE c_custkey % 89 = 0
+    ),
+    closed AS (
+        SELECT c.c_custkey, c.seg, c.bal_band,
+               CAST(0 AS BIGINT) AS valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL
+                         AND (u.seg IS DISTINCT FROM c.seg
+                              OR u.bal_band IS DISTINCT FROM c.bal_band)
+                    THEN u.eff END AS valid_to,
+               NOT (u.c_custkey IS NOT NULL
+                    AND (u.seg IS DISTINCT FROM c.seg
+                         OR u.bal_band IS DISTINCT FROM c.bal_band))
+                   AS is_current
+        FROM cur c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+    ),
+    opens AS (
+        SELECT u.c_custkey, u.seg, u.bal_band, u.eff AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+        FROM upd u LEFT JOIN cur c ON u.c_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+              OR u.seg IS DISTINCT FROM c.seg
+              OR u.bal_band IS DISTINCT FROM c.bal_band
+    )
+    SELECT * FROM closed UNION ALL SELECT * FROM opens
+    """,
+)
+def table_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over a customer dimension snapshot: %3 keys move segment
+    (current row closed at effective=100, new open version appended),
+    %89 keys appear as brand-new members (deferred — pytest-mirrored).
+    History bypasses the join; only the current slice meets the batch."""
+    from ..operators.maintenance import scd2_apply
+
+    cur = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    dim = cur.select(
+        "c_custkey",
+        "seg",
+        "bal_band",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    k = F.col("c_custkey")
+    upd = cur.filter(k % 3 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("seg"),
+        "bal_band",
+        F.lit(100).cast("long").alias("eff"),
+    ).unionByName(
+        cur.filter(k % 89 == 0).select(
+            (k + 1000000).alias("c_custkey"),
+            F.lit("NEW").alias("seg"),
+            F.lit(0).cast("long").alias("bal_band"),
+            F.lit(100).cast("long").alias("eff"),
+        )
+    )
+    return scd2_apply(
+        dim, upd, ["c_custkey"], ["seg", "bal_band"], effective_col="eff"
+    )
+
+
+@register(
+    "table_snapshot_diff",
+    sql="""
+    SELECT c_custkey, 'deleted' AS change_type
+    FROM customer WHERE c_custkey % 17 = 0
+    UNION ALL
+    SELECT c_custkey, 'changed'
+    FROM customer
+    WHERE c_custkey % 5 = 0 AND c_custkey % 17 <> 0
+          AND c_acctbal IS NOT NULL
+    UNION ALL
+    SELECT c_custkey + 2000000, 'added'
+    FROM customer WHERE c_custkey % 23 = 0
+    """,
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """added/deleted/changed churn between a customer snapshot and its
+    mutated successor (%17 dropped, %5 balance-changed, %23 cloned
+    under new ids) — one full-outer key join with null-safe attr
+    compares; unchanged keys are omitted (deferred — pytest-mirrored).
+    The oracle restates the diff from the mutation rules directly."""
+    from ..operators.maintenance import snapshot_diff
+
+    old = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    new = (
+        old.filter(k % 17 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(k % 5 == 0, F.col("c_acctbal") + 50).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            old.filter(k % 23 == 0).select(
+                (k + 2000000).alias("c_custkey"),
+                F.lit("NEWC").alias("c_name"),
+                F.lit(1.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["c_custkey"])
+
+
+@register(
+    "table_compaction_plan",
+    sql="""
+    WITH files AS (
+        SELECT l_returnflag AS part,
+               'part-' || lpad(CAST(l_linenumber * 10 + l_partkey % 10
+                                    AS VARCHAR), 3, '0') AS file_name,
+               CAST(sum(l_quantity) AS BIGINT) % 9000 + 1000 AS bytes
+        FROM lineitem GROUP BY 1, 2),
+    binned AS (
+        SELECT part, file_name, bytes,
+               CAST(floor((sum(bytes) OVER w - bytes) / 20000.0) AS BIGINT)
+                   AS compaction_group
+        FROM files
+        WINDOW w AS (PARTITION BY part ORDER BY file_name
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    grp AS (
+        SELECT *, CAST(sum(bytes) OVER g AS BIGINT) AS group_bytes,
+               CAST(count(*) OVER g AS BIGINT) AS group_files
+        FROM binned
+        WINDOW g AS (PARTITION BY part, compaction_group))
+    SELECT part, file_name, bytes, compaction_group, group_bytes,
+           group_files
+    FROM grp WHERE group_files > 1
+    """,
+)
+def table_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file rewrite plan over a synthetic per-partition file
+    listing derived from lineitem (exact-integer byte sizes, so the
+    prefix-sum binning is bit-identical cross-engine); singleton groups
+    are dropped — rewriting one file merges nothing (deferred —
+    pytest-mirrored). The stats table is metadata-sized: windows run
+    over file counts, never data rows."""
+    from ..operators.maintenance import compaction_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_returnflag").alias("part"),
+        F.concat(
+            F.lit("part-"),
+            F.lpad(
+                (F.col("l_linenumber") * 10 + F.col("l_partkey") % 10).cast(
+                    "string"
+                ),
+                3,
+                "0",
+            ),
+        ).alias("file_name"),
+    ).agg(
+        (F.sum("l_quantity").cast("long") % 9000 + 1000).alias("bytes")
+    )
+    return compaction_plan(
+        files, ["part"], target_bytes=20000, small_threshold=None
+    )

@@ -1,0 +1,203 @@
+"""Incremental table maintenance — MERGE/CDC/SCD2/diff/compaction.
+
+Each operator is pinned against a hand-computed expected state, with
+the NULL-semantics edge cases spelled out (null-safe attr compares;
+presence markers, not attr NULL-ness)."""
+
+from __future__ import annotations
+
+import pytest
+
+from process_alphafold3_outputs_spark.operators.maintenance import (
+    apply_changelog,
+    compaction_plan,
+    merge_upsert,
+    scd2_apply,
+    snapshot_diff,
+)
+
+TGT = "k long, name string, v long"
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_merge_upsert_update_insert_delete_passthrough(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], TGT
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99, False), (4, "d", 40, False), (3, None, None, True)],
+        TGT + ", is_deleted boolean",
+    )
+    out = merge_upsert(target, updates, ["k"], delete_col="is_deleted")
+    assert rows(out, "k", "name", "v") == [
+        (1, "a", 10),   # untouched passes through
+        (2, "B", 99),   # updated (whole-row replace)
+        (4, "d", 40),   # inserted
+    ]                   # 3 deleted
+    assert out.columns == ["k", "name", "v"]
+
+
+def test_merge_upsert_null_delete_flag_means_keep(spark):
+    target = spark.createDataFrame([(1, "a", 10)], TGT)
+    updates = spark.createDataFrame(
+        [(1, "A", 11, None)], TGT + ", is_deleted boolean"
+    )
+    out = merge_upsert(target, updates, ["k"], delete_col="is_deleted")
+    assert rows(out, "k", "name", "v") == [(1, "A", 11)]
+
+
+def test_merge_upsert_missing_column_raises(spark):
+    target = spark.createDataFrame([(1, "a", 10)], TGT)
+    updates = spark.createDataFrame([(1, "a")], "k long, name string")
+    with pytest.raises(ValueError, match="missing target columns"):
+        merge_upsert(target, updates, ["k"])
+
+
+def test_apply_changelog_latest_wins(spark):
+    snap = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], TGT)
+    ch = spark.createDataFrame(
+        [
+            # key 1: U then D -> deleted
+            (1, "a1", 11, 1, "U"),
+            (1, None, None, 2, "D"),
+            # key 2: three updates -> highest seq wins
+            (2, "b1", 21, 1, "U"),
+            (2, "b3", 23, 3, "U"),
+            (2, "b2", 22, 2, "U"),
+            # key 3: D then re-insert -> resurrected
+            (3, None, None, 1, "D"),
+            (3, "c", 33, 2, "I"),
+            # key 4: plain insert of a new key
+            (4, "d", 44, 1, "I"),
+        ],
+        TGT + ", seq long, op string",
+    )
+    out = apply_changelog(snap, ch, ["k"], seq_col="seq", op_col="op")
+    assert rows(out, "k", "name", "v") == [
+        (2, "b3", 23),
+        (3, "c", 33),
+        (4, "d", 44),
+    ]
+
+
+def test_apply_changelog_seq_tie_delete_wins(spark):
+    snap = spark.createDataFrame([(1, "a", 10)], TGT)
+    ch = spark.createDataFrame(
+        [(1, "a1", 11, 5, "U"), (1, None, None, 5, "D")],
+        TGT + ", seq long, op string",
+    )
+    out = apply_changelog(snap, ch, ["k"])
+    assert rows(out, "k") == []
+
+
+DIM = (
+    "k long, seg string, bal double, valid_from long, valid_to long, "
+    "is_current boolean"
+)
+
+
+def test_scd2_close_open_passthrough_and_noop(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "AUTO", 1.0, 0, 50, False),   # closed history: untouched
+            (1, "BIKE", 2.0, 50, None, True),  # current, update CHANGES it
+            (2, "SHIP", 3.0, 0, None, True),   # current, update matches: noop
+            (3, "RAIL", 4.0, 0, None, True),   # current, no update row
+        ],
+        DIM,
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "MOVED", 2.5, 100),
+            (2, "SHIP", 3.0, 100),   # identical attrs -> no new version
+            (9, "NEW", 9.0, 100),    # brand-new key -> first version
+        ],
+        "k long, seg string, bal double, effective long",
+    )
+    out = scd2_apply(dim, upd, ["k"], ["seg", "bal"], "effective")
+    got = rows(out, "k", "seg", "bal", "valid_from", "valid_to", "is_current")
+    assert got == [
+        (1, "AUTO", 1.0, 0, 50, False),
+        (1, "BIKE", 2.0, 50, 100, False),     # closed at effective
+        (1, "MOVED", 2.5, 100, None, True),   # new open version
+        (2, "SHIP", 3.0, 0, None, True),
+        (3, "RAIL", 4.0, 0, None, True),
+        (9, "NEW", 9.0, 100, None, True),
+    ]
+
+
+def test_scd2_null_attrs_are_null_safe(spark):
+    dim = spark.createDataFrame([(1, None, None, 0, None, True)], DIM)
+    upd = spark.createDataFrame(
+        [(1, None, None, 10)], "k long, seg string, bal double, effective long"
+    )
+    out = scd2_apply(dim, upd, ["k"], ["seg", "bal"], "effective")
+    # NULL == NULL is a NON-change: no close, no new version
+    assert rows(out, "k", "valid_to", "is_current") == [(1, None, True)]
+
+
+def test_snapshot_diff_added_deleted_changed_null_safe(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", None)], TGT
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 20), (3, None, 30), (4, "d", 40), (5, "e", 50)], TGT
+    )
+    out = snapshot_diff(old, new, ["k"])
+    assert rows(out, "k", "change_type") == [
+        (1, "deleted"),
+        (2, "changed"),
+        # 3 unchanged (NULL <=> NULL) -> omitted
+        (4, "changed"),  # NULL -> 40 IS a change
+        (5, "added"),
+    ]
+
+
+def test_compaction_plan_bins_small_files_per_partition(spark):
+    files = spark.createDataFrame(
+        [
+            ("p1", "f1", 40), ("p1", "f2", 40), ("p1", "f3", 40),
+            ("p1", "f4", 40),
+            ("p1", "big", 500),         # right-sized: excluded
+            ("p2", "g1", 10), ("p2", "g2", 10),
+            ("p3", "lone", 10),         # singleton group: dropped
+        ],
+        "part string, file_name string, bytes long",
+    )
+    out = compaction_plan(
+        files, ["part"], target_bytes=100, small_threshold=100
+    )
+    got = rows(out, "part", "file_name", "compaction_group", "group_files")
+    # p1 prefix sums: 40,80,120,160 -> groups floor((cum-size)/100):
+    # f1:0 f2:0 f3:0 f4:1 -> group 1 is a singleton -> dropped
+    assert got == [
+        ("p1", "f1", 0, 3),
+        ("p1", "f2", 0, 3),
+        ("p1", "f3", 0, 3),
+        ("p2", "g1", 0, 2),
+        ("p2", "g2", 0, 2),
+    ]
+    gb = {tuple(r[:2]): r.group_bytes for r in out.collect()}
+    assert gb[("p1", "f1")] == 120 and gb[("p2", "g1")] == 20
+
+
+def test_merge_is_idempotent_and_composes_with_diff(spark):
+    """Applying the same update batch twice equals once, and
+    snapshot_diff(target, merged) reports exactly the batch's effect."""
+    target = spark.createDataFrame(
+        [(i, f"n{i}", i * 10) for i in range(1, 8)], TGT
+    )
+    updates = spark.createDataFrame(
+        [(2, "X", 0, False), (9, "new", 90, False), (5, None, None, True)],
+        TGT + ", is_deleted boolean",
+    )
+    once = merge_upsert(target, updates, ["k"], delete_col="is_deleted")
+    twice = merge_upsert(once, updates, ["k"], delete_col="is_deleted")
+    assert rows(once, "k", "name", "v") == rows(twice, "k", "name", "v")
+    d = snapshot_diff(target, once, ["k"])
+    assert rows(d, "k", "change_type") == [
+        (2, "changed"), (5, "deleted"), (9, "added")
+    ]
