@@ -1194,6 +1194,95 @@ def _privacy_process_batch(
     )
 
 
+def watch_table_cdc(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming CDC materialization (the 19th watcher): every
+    micro-batch of change rows (table columns + ``seq`` + ``op`` in
+    I/U/D) folds latest-wins per key (:func:`..operators.maintenance.
+    apply_changelog` — the batch twin is the oracle-paired
+    ``table_apply_changelog`` row) and merges into the rolling table
+    snapshot at ``snapshot_path`` (versioned state — the state IS the
+    materialized table, bounded by LIVE keys: deletes tombstone out,
+    so the snapshot never accumulates dead history the way a raw log
+    does). Ordering contract: ``seq`` orders changes WITHIN a
+    micro-batch; across batches, arrival order wins (the change stream
+    is the log). Per epoch, ``out_path`` receives a churn report —
+    (change_type, n) for added/deleted/changed plus the live row
+    count — computed from the same one-pass checkpointed merge that
+    feeds the snapshot. Crash-replay idempotent like every watcher
+    here (state reads exclude the replayed epoch; per-epoch overwrite
+    output). ``schema`` is the CHANGE schema (table columns + seq +
+    op). Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _cdc_process_batch(
+            batch_df, epoch_id, snapshot_path, out_path, keys,
+            seq_col, op_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _cdc_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    snapshot_path: str,
+    out_path: str,
+    keys: list[str],
+    seq_col: str,
+    op_col: str,
+) -> None:
+    """One CDC micro-batch (module-level for unit tests)."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.maintenance import apply_changelog, snapshot_diff
+
+    ss = batch_df.sparkSession
+    table_cols = [
+        f for f in batch_df.schema if f.name not in (seq_col, op_col)
+    ]
+    tschema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in table_cols
+    )
+    prev = read_state(ss, snapshot_path, tschema, before_epoch=epoch_id)
+    merged = apply_changelog(
+        prev, batch_df, keys, seq_col=seq_col, op_col=op_col
+    )
+    # one pass feeds the snapshot, the churn report, and the row count
+    merged = merged.localCheckpoint()
+    roll_state(merged, snapshot_path, epoch_id)
+    churn = (
+        snapshot_diff(prev, merged, keys)
+        .groupBy("change_type")
+        .agg(SF.count(SF.lit(1)).cast("long").alias("n"))
+        .unionByName(
+            merged.agg(SF.count(SF.lit(1)).cast("long").alias("n")).select(
+                SF.lit("live_rows").alias("change_type"), "n"
+            )
+        )
+    )
+    _write_epoch_output(churn, out_path, epoch_id)
+
+
 def watch_documents_langs(
     spark: SparkSession,
     inbox_dir: str,

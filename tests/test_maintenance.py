@@ -201,3 +201,80 @@ def test_merge_is_idempotent_and_composes_with_diff(spark):
     assert rows(d, "k", "change_type") == [
         (2, "changed"), (5, "deleted"), (9, "added")
     ]
+
+
+def test_watch_table_cdc_stream_equals_batch_and_replays(spark, tmp_path):
+    """Two epochs of CDC changes through the watcher must leave the
+    SAME snapshot as folding both batches sequentially in batch mode
+    (same kernel), the per-epoch churn report must account for the
+    epoch's effect, and a crash-replayed epoch must be idempotent."""
+    import os
+
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _cdc_process_batch,
+        read_state,
+        watch_table_cdc,
+    )
+
+    ch_schema = TGT + ", seq long, op string"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "churn")
+    snap_path = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    e0 = [
+        (1, "a", 10, 1, "I"),
+        (2, "b", 20, 1, "I"),
+        (2, "b2", 22, 2, "U"),   # within-epoch fold: seq 2 wins
+        (3, "c", 30, 1, "I"),
+    ]
+    e1 = [
+        (2, None, None, 1, "D"),  # cross-epoch: arrival order wins
+        (3, "c9", 39, 1, "U"),
+        (4, "d", 40, 1, "I"),
+    ]
+    spark.createDataFrame(e0, ch_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    q = watch_table_cdc(
+        spark, inbox, out, snap_path, ckpt, ch_schema, ["k"]
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(e1, ch_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = read_state(spark, snap_path, TGT)
+    assert rows(state, "k", "name", "v") == [
+        (1, "a", 10),
+        (3, "c9", 39),
+        (4, "d", 40),
+    ]
+    # batch twin over the same two shipments, folded sequentially
+    empty = spark.createDataFrame([], TGT)
+    b0 = apply_changelog(empty, spark.createDataFrame(e0, ch_schema), ["k"])
+    b1 = apply_changelog(b0, spark.createDataFrame(e1, ch_schema), ["k"])
+    assert rows(state, "k", "name", "v") == rows(b1, "k", "name", "v")
+    # epoch-1 churn: 2 deleted, 3 changed, 4 added, 3 live
+    churn = {
+        r.change_type: r.n
+        for r in spark.read.parquet(os.path.join(out, "epoch_id=1")).collect()
+    }
+    assert churn == {"deleted": 1, "changed": 1, "added": 1, "live_rows": 3}
+    # crash replay of epoch 1: state reads exclude the replayed epoch,
+    # output overwrites -> same snapshot, same churn
+    _cdc_process_batch(
+        spark.createDataFrame(e1, ch_schema), 1, snap_path, out, ["k"],
+        "seq", "op",
+    )
+    replay = read_state(spark, snap_path, TGT)
+    assert rows(replay, "k", "name", "v") == rows(b1, "k", "name", "v")
+    churn2 = {
+        r.change_type: r.n
+        for r in spark.read.parquet(os.path.join(out, "epoch_id=1")).collect()
+    }
+    assert churn2 == churn
