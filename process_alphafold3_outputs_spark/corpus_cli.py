@@ -365,6 +365,64 @@ def build_parser() -> argparse.ArgumentParser:
                     help="target shuffle partition count the salt "
                     "recommendation is sized for")
 
+    sp = sub.add_parser("merge")
+    sp.add_argument("--target", required=True,
+                    help="current table parquet")
+    sp.add_argument("--updates", required=True,
+                    help="key-unique update batch parquet (the target's "
+                    "columns, plus an optional boolean delete flag)")
+    sp.add_argument("--key", action="append", required=True,
+                    metavar="COL", help="merge key column (repeat)")
+    sp.add_argument("--delete-col", default=None,
+                    help="boolean column on --updates: true rows "
+                    "tombstone their key")
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser("cdc-apply")
+    sp.add_argument("--snapshot", required=True,
+                    help="table snapshot parquet")
+    sp.add_argument("--changes", required=True,
+                    help="change rows: table columns + --seq-col + "
+                    "--op-col (I/U/D)")
+    sp.add_argument("--key", action="append", required=True,
+                    metavar="COL")
+    sp.add_argument("--seq-col", default="seq")
+    sp.add_argument("--op-col", default="op")
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser("scd2-apply")
+    sp.add_argument("--dim", required=True,
+                    help="SCD2 dimension parquet (keys + attrs + "
+                    "valid_from/valid_to/is_current)")
+    sp.add_argument("--updates", required=True,
+                    help="key-unique observed states (keys + attrs + "
+                    "--effective-col)")
+    sp.add_argument("--key", action="append", required=True,
+                    metavar="COL")
+    sp.add_argument("--attr", action="append", required=True,
+                    metavar="COL", help="tracked attribute (repeat)")
+    sp.add_argument("--effective-col", default="effective")
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser("table-diff")
+    sp.add_argument("--old", required=True, help="old snapshot parquet")
+    sp.add_argument("--new", required=True, help="new snapshot parquet")
+    sp.add_argument("--key", action="append", required=True,
+                    metavar="COL")
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser("compact-plan")
+    sp.add_argument("--files", required=True,
+                    help="file-stats parquet: partition cols + "
+                    "file_name + bytes")
+    sp.add_argument("--partition-col", action="append", required=True,
+                    metavar="COL")
+    sp.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    sp.add_argument("--small-threshold", type=int, default=None,
+                    help="only files below this participate "
+                    "(default: the target)")
+    sp.add_argument("--out", required=True)
+
     sp = sub.add_parser("join-size")
     sp.add_argument("--left", required=True, help="left parquet path")
     sp.add_argument("--left-key", required=True)
@@ -573,6 +631,53 @@ def _result(
         return skew_report(
             spark.read.parquet(args.input), args.key,
             top_k=args.top_k, n_partitions=args.partitions,
+        )
+
+    if args.command == "merge":
+        from .operators.maintenance import merge_upsert
+
+        return merge_upsert(
+            spark.read.parquet(args.target),
+            spark.read.parquet(args.updates),
+            args.key,
+            delete_col=args.delete_col,
+        )
+    if args.command == "cdc-apply":
+        from .operators.maintenance import apply_changelog
+
+        return apply_changelog(
+            spark.read.parquet(args.snapshot),
+            spark.read.parquet(args.changes),
+            args.key,
+            seq_col=args.seq_col,
+            op_col=args.op_col,
+        )
+    if args.command == "scd2-apply":
+        from .operators.maintenance import scd2_apply
+
+        return scd2_apply(
+            spark.read.parquet(args.dim),
+            spark.read.parquet(args.updates),
+            args.key,
+            args.attr,
+            effective_col=args.effective_col,
+        )
+    if args.command == "table-diff":
+        from .operators.maintenance import snapshot_diff
+
+        return snapshot_diff(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            args.key,
+        )
+    if args.command == "compact-plan":
+        from .operators.maintenance import compaction_plan
+
+        return compaction_plan(
+            spark.read.parquet(args.files),
+            args.partition_col,
+            target_bytes=args.target_bytes,
+            small_threshold=args.small_threshold,
         )
 
     if args.command == "join-size":

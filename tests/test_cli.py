@@ -925,3 +925,79 @@ def test_corpus_cli_vocab_overlap_roundtrip(spark, tmp_path):
     r = got[0]
     assert r.est_a == r.est_b == r.est_union
     assert abs(r.est_overlap - r.est_a) < 0.01
+
+
+def test_corpus_cli_maintenance_roundtrip(spark, tmp_path):
+    """Roundtrip the five table-maintenance commands: merge upsert,
+    CDC apply, SCD2, snapshot diff, and the compaction plan."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    def run(argv):
+        args = corpus_cli.build_parser().parse_args(argv)
+        res = corpus_cli.run(args, spark)
+        return res, spark.read.parquet(res["out"])
+
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, name string, v long"
+    ).write.parquet(tgt)
+    upd = str(tmp_path / "upd")
+    spark.createDataFrame(
+        [(2, "B", 99, False), (3, "c", 30, False), (1, None, None, True)],
+        "k long, name string, v long, del boolean",
+    ).write.parquet(upd)
+    res, got = run(
+        ["merge", "--target", tgt, "--updates", upd, "--key", "k",
+         "--delete-col", "del", "--out", str(tmp_path / "merged")]
+    )
+    assert sorted((r.k, r.name) for r in got.collect()) == [
+        (2, "B"), (3, "c")
+    ]
+
+    ch = str(tmp_path / "ch")
+    spark.createDataFrame(
+        [(1, "a2", 12, 1, "U"), (1, None, None, 2, "D"), (4, "d", 40, 1, "I")],
+        "k long, name string, v long, seq long, op string",
+    ).write.parquet(ch)
+    res2, got2 = run(
+        ["cdc-apply", "--snapshot", tgt, "--changes", ch, "--key", "k",
+         "--out", str(tmp_path / "applied")]
+    )
+    assert sorted(r.k for r in got2.collect()) == [2, 4]
+
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "X", 0, None, True)],
+        "k long, seg string, valid_from long, valid_to long, "
+        "is_current boolean",
+    ).write.parquet(dim)
+    sup = str(tmp_path / "sup")
+    spark.createDataFrame(
+        [(1, "Y", 5)], "k long, seg string, effective long"
+    ).write.parquet(sup)
+    res3, got3 = run(
+        ["scd2-apply", "--dim", dim, "--updates", sup, "--key", "k",
+         "--attr", "seg", "--out", str(tmp_path / "scd2")]
+    )
+    assert sorted(
+        (r.seg, r.is_current, r.valid_to) for r in got3.collect()
+    ) == [("X", False, 5), ("Y", True, None)]
+
+    res4, got4 = run(
+        ["table-diff", "--old", tgt, "--new", str(tmp_path / "merged"),
+         "--key", "k", "--out", str(tmp_path / "diffd")]
+    )
+    assert sorted((r.k, r.change_type) for r in got4.collect()) == [
+        (1, "deleted"), (2, "changed"), (3, "added")
+    ]
+
+    fstats = str(tmp_path / "fstats")
+    spark.createDataFrame(
+        [("p", "f1", 10), ("p", "f2", 10), ("p", "f3", 10)],
+        "part string, file_name string, bytes long",
+    ).write.parquet(fstats)
+    res5, got5 = run(
+        ["compact-plan", "--files", fstats, "--partition-col", "part",
+         "--target-bytes", "100", "--out", str(tmp_path / "plan")]
+    )
+    assert got5.count() == 3 and got5.collect()[0].group_files == 3
