@@ -827,6 +827,70 @@ def _scale_probe_sketches(spark, sf_dir: str) -> dict:
     }
 
 
+def _scale_probe_maintenance(spark, sf_dir: str) -> dict:
+    """Two datapoints for the r10 merge family (operators/maintenance):
+    ``apply_changelog`` at 10x SNAPSHOT with a fixed change batch should
+    read ≲ linear (a whole-row merge must move every surviving row once
+    — linear is the floor, superlinear is the bug), and at 10x CHANGES
+    with a fixed snapshot it should read ≈ flat (the latest-wins fold is
+    batch-bounded with map-side combine; a hot key's pile of updates
+    collapses before the wire). Deterministic synthetic input
+    (spark.range) so both axes are exact."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators.maintenance import (
+        apply_changelog,
+    )
+
+    n_snap, n_ch = 200_000, 20_000
+
+    def snap(n):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("name"), F.col("id")).alias("name"),
+            (F.col("id") * 10).alias("v"),
+        )
+
+    def changes(n, key_space):
+        # keys spread over the snapshot's key space; ~1/8 deletes,
+        # multiple seqs per key so the fold has work to do
+        return spark.range(n).select(
+            (F.col("id") % key_space).alias("k"),
+            F.lit("upd").alias("name"),
+            F.col("id").alias("v"),
+            F.col("id").alias("seq"),
+            F.when(F.col("id") % 8 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+
+    def action(ns, nc):
+        return lambda: _noop_write(
+            apply_changelog(snap(ns), changes(nc, ns), ["k"])
+        )
+
+    base = _probed_wall(spark, action(n_snap, n_ch))
+    snap10 = _probed_wall(spark, action(n_snap * 10, n_ch))
+    ch10 = _probed_wall(spark, action(n_snap, n_ch * 10))
+    return {
+        "n_snapshot": n_snap,
+        "n_changes": n_ch,
+        "base_1x": base,
+        "snapshot_10x": {
+            **snap10,
+            "wall_ratio_10x_snapshot": round(
+                snap10["wall_sec"] / base["wall_sec"], 2
+            ) if base["wall_sec"] > 0 else None,
+        },
+        "changes_10x": {
+            **ch10,
+            "wall_ratio_10x_changes": round(
+                ch10["wall_sec"] / base["wall_sec"], 2
+            ) if base["wall_sec"] > 0 else None,
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -1008,6 +1072,17 @@ def main() -> None:
             scale_probe["sketches"] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"bench: sketches scale probe failed: "
                   f"{scale_probe['sketches']['error'][:200]}", file=sys.stderr)
+        try:
+            scale_probe["maintenance"] = _scale_probe_maintenance(
+                spark, sf_dir
+            )
+        except Exception as exc:  # noqa: BLE001
+            scale_probe["maintenance"] = {
+                "error": f"{type(exc).__name__}: {exc}"
+            }
+            print(f"bench: maintenance scale probe failed: "
+                  f"{scale_probe['maintenance']['error'][:200]}",
+                  file=sys.stderr)
         try:
             scale_probe["ann"] = _scale_probe_ann(
                 spark, sf_dir, timings.get("similarity_topk_lsh_multiprobe")
