@@ -330,6 +330,12 @@ _DEFERRED: set[str] = {
                              # family keeps pytest-mirror + bench
                              # coverage; its IVF/PQ twins were always
                              # deferred)
+    "ranking_eval",          # IR metrics of the LSH run vs exact graded
+                             # truth (new r10); both retrieval legs are
+                             # separately driver-green (deferred:
+                             # headroom)
+    "ranking_eval_summary",  # macro-average row over ranking_eval
+                             # (deferred: headroom)
     "table_merge_upsert",    # MERGE upsert (new r10); union+max_by agg
                              # mechanics evidenced by green dedup_exact
                              # min_by row (deferred: headroom)

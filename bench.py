@@ -200,6 +200,8 @@ HEADLINE = [
     "table_scd2",
     "table_snapshot_diff",
     "table_compaction_plan",
+    "ranking_eval",
+    "ranking_eval_summary",
 ]
 
 

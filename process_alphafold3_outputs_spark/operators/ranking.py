@@ -1,0 +1,159 @@
+"""Retrieval-quality evaluation — the standard IR metrics that grade a
+ranked retrieval run (BM25, hybrid RRF, any ANN index here) against
+graded relevance judgments: precision@k, recall@k, reciprocal rank,
+average precision, and nDCG (Järvelin & Kekäläinen 2002).
+
+The engine ships four retrieval families (BM25 / hybrid / LSH / IVF /
+PQ) and a raw recall row per ANN path; this module turns any of their
+outputs into the metrics an offline eval actually reports, so "did the
+cheaper index hurt ranked quality" is one join away from the run table.
+
+Scale shape: both inputs are EVALUATION-sized — ``hits`` is queries × k
+rows (the output of a top-k retrieval, never the corpus) and ``qrels``
+is queries × judged-docs. One equi-join on (query, doc), two windows
+partitioned by query, and two query-keyed aggregations; the corpus is
+never touched. Metrics are ratios of exact integers except the DCG
+log2 terms, rounded once at the end (the repo's standard libm-drift
+defusal).
+
+Conventions (standard trec_eval semantics):
+- ``rank`` is 1-based; rows with rank > k are ignored.
+- relevance grades are integers >= 1; a (query, doc) pair absent from
+  ``qrels`` is irrelevant. Gain is 2^rel − 1.
+- queries with no qrels row are dropped (undefined denominators), like
+  trec_eval; queries with qrels but no hits score 0 across the board.
+- precision@k divides by k (a run that returns fewer than k rows is
+  penalized); AP@k divides by min(n_rel, k); nDCG's ideal ranking
+  breaks gain ties by doc id so both engines agree on IDCG exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranking_metrics(
+    hits: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """(query, n_rel, n_hits, n_rel_hit, precision_k, recall_k, rr,
+    ap_k, ndcg_k) — one row per judged query.
+
+    ``hits``: (query, doc, rank) — a retrieval run. ``qrels``: (query,
+    doc, rel>=1) — graded judgments. See the module docstring for the
+    exact trec_eval-style conventions."""
+    h = hits.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("long").alias("_rank"),
+    ).filter(F.col("_rank") <= k)
+    r = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("long").alias("_rel"),
+    ).filter(F.col("_rel") >= 1)
+
+    # judged hits: rel joined onto the run (absent -> 0)
+    jh = h.join(r, ["_q", "_d"], "left").withColumn(
+        "_rel", F.coalesce("_rel", F.lit(0))
+    )
+    w_cum = (
+        Window.partitionBy("_q")
+        .orderBy("_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    jh = jh.withColumn(
+        "_cum_rel", F.sum((F.col("_rel") >= 1).cast("long")).over(w_cum)
+    )
+    run = jh.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum((F.col("_rel") >= 1).cast("long")).alias("n_rel_hit"),
+        F.min(
+            F.when(F.col("_rel") >= 1, F.col("_rank"))
+        ).alias("_first_rel_rank"),
+        # AP numerator: precision@r summed at each relevant rank —
+        # exact integers until the division
+        F.sum(
+            F.when(
+                F.col("_rel") >= 1,
+                F.col("_cum_rel") / F.col("_rank"),
+            )
+        ).alias("_ap_num"),
+        F.sum(
+            F.when(
+                F.col("_rel") >= 1,
+                (F.pow(F.lit(2.0), F.col("_rel")) - 1)
+                / F.log2(F.col("_rank") + 1),
+            )
+        ).alias("_dcg"),
+    )
+    # ideal DCG: judgments sorted by gain desc (doc id breaks ties so
+    # both engines rank identically), truncated at k
+    w_ideal = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_d")
+    )
+    ideal = (
+        r.withColumn("_irank", F.row_number().over(w_ideal))
+        .filter(F.col("_irank") <= k)
+        .groupBy("_q")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("_rel")) - 1)
+                / F.log2(F.col("_irank") + 1)
+            ).alias("_idcg")
+        )
+    )
+    judged = r.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    out = (
+        judged.join(ideal, "_q")
+        .join(run, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_rel",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_rel_hit", F.lit(0)).cast("long").alias(
+                "n_rel_hit"
+            ),
+            F.round(
+                F.coalesce("n_rel_hit", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("precision_k"),
+            F.round(
+                F.coalesce("n_rel_hit", F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("_first_rel_rank"), F.lit(0.0)), 6
+            ).alias("rr"),
+            F.round(
+                F.coalesce("_ap_num", F.lit(0.0))
+                / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+                6,
+            ).alias("ap_k"),
+            F.round(
+                F.coalesce("_dcg", F.lit(0.0)) / F.col("_idcg"), 6
+            ).alias("ndcg_k"),
+        )
+    )
+    return out
+
+
+def ranking_summary(metrics: DataFrame, query_col: str = "query_id") -> DataFrame:
+    """One macro-averaged row over :func:`ranking_metrics` output —
+    (n_queries, mean_precision_k, mean_recall_k, mrr, map_k,
+    mean_ndcg_k). Macro = every judged query weighs the same,
+    regardless of its judgment count (the trec_eval convention)."""
+    return metrics.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("precision_k"), 6).alias("mean_precision_k"),
+        F.round(F.avg("recall_k"), 6).alias("mean_recall_k"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("ap_k"), 6).alias("map_k"),
+        F.round(F.avg("ndcg_k"), 6).alias("mean_ndcg_k"),
+    )

@@ -7119,3 +7119,140 @@ def table_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(
         files, ["part"], target_bytes=20000, small_threshold=None
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-quality evaluation (operators/ranking.py): the standard IR
+# metrics — precision@k / recall@k / MRR / AP / nDCG (Järvelin &
+# Kekäläinen 2002) — grading the multi-probe LSH run against graded
+# ground truth derived from the EXACT top-20 (grade 2 for true top-5,
+# grade 1 for 6-20). Both inputs are evaluation-sized (queries × k);
+# the corpus is never touched by the metric computation itself.
+# --------------------------------------------------------------------------
+def _register_ranking_eval() -> None:
+    approx_sql = _ORACLE["similarity_topk_lsh_multiprobe"]
+    qrels_sql = f"""
+        SELECT query_id, neighbor_id AS doc_id,
+               CASE WHEN rk <= {_TOPK_K} THEN 2 ELSE 1 END AS rel
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id) AS rk
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {_COS.format(a="q.v", b="c.v")} AS s
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings WHERE vec_id < {_N_QUERIES}) q,
+                     (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings) c
+                WHERE q.vec_id <> c.vec_id))
+        WHERE rk <= 20
+    """
+    metrics_sql = f"""
+    WITH hits AS (SELECT query_id, neighbor_id AS doc_id, rk AS rank
+                  FROM ({approx_sql})),
+    qrels AS ({qrels_sql}),
+    jh AS (
+        SELECT h.query_id, h.rank, coalesce(r.rel, 0) AS rel
+        FROM hits h LEFT JOIN qrels r
+          ON h.query_id = r.query_id AND h.doc_id = r.doc_id
+        WHERE h.rank <= {_TOPK_K}),
+    cum AS (
+        SELECT *, sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY query_id ORDER BY rank
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_rel
+        FROM jh),
+    run AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rel_hit,
+               min(CASE WHEN rel >= 1 THEN rank END) AS first_rel_rank,
+               sum(CASE WHEN rel >= 1
+                        THEN cum_rel / CAST(rank AS DOUBLE) END) AS ap_num,
+               sum(CASE WHEN rel >= 1
+                        THEN (power(2, rel) - 1) / log2(rank + 1) END)
+                   AS dcg
+        FROM cum GROUP BY query_id),
+    ideal AS (
+        SELECT query_id,
+               sum((power(2, rel) - 1) / log2(irank + 1)) AS idcg
+        FROM (SELECT query_id, rel,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, doc_id)
+                         AS irank
+              FROM qrels)
+        WHERE irank <= {_TOPK_K} GROUP BY query_id),
+    judged AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+               FROM qrels GROUP BY query_id)
+    SELECT j.query_id, j.n_rel,
+           CAST(coalesce(run.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(run.n_rel_hit, 0) AS BIGINT) AS n_rel_hit,
+           round(coalesce(run.n_rel_hit, 0) / {float(_TOPK_K)}, 6)
+               AS precision_k,
+           round(coalesce(run.n_rel_hit, 0) / j.n_rel, 6) AS recall_k,
+           round(coalesce(1.0 / run.first_rel_rank, 0.0), 6) AS rr,
+           round(coalesce(run.ap_num, 0.0)
+                 / CAST(least(j.n_rel, {_TOPK_K}) AS DOUBLE), 6) AS ap_k,
+           round(coalesce(run.dcg, 0.0) / ideal.idcg, 6) AS ndcg_k
+    FROM judged j
+    JOIN ideal ON ideal.query_id = j.query_id
+    LEFT JOIN run ON run.query_id = j.query_id
+    """
+    register("ranking_eval", sql=metrics_sql)(_ranking_eval)
+    register(
+        "ranking_eval_summary",
+        sql=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               round(avg(precision_k), 6) AS mean_precision_k,
+               round(avg(recall_k), 6) AS mean_recall_k,
+               round(avg(rr), 6) AS mrr,
+               round(avg(ap_k), 6) AS map_k,
+               round(avg(ndcg_k), 6) AS mean_ndcg_k
+        FROM ({metrics_sql})
+        """,
+    )(_ranking_eval_summary)
+
+
+def _ranking_hits_qrels(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    hits = similarity.topk_lsh_multiprobe(
+        emb, F.col("vec_id") < _N_QUERIES, k=_TOPK_K,
+        n_planes=_LSH_PLANES, n_probe=_LSH_NPROBE,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    qrels = similarity.topk_bruteforce(
+        emb, F.col("vec_id") < _N_QUERIES, k=20
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.when(F.col("rk") <= _TOPK_K, 2).otherwise(1).alias("rel"),
+    )
+    return hits, qrels
+
+
+def _ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IR metrics of the multi-probe LSH run against exact
+    graded truth (deferred — pytest-mirrored). A real ANN-quality
+    statement: nDCG/AP say what the raw recall row cannot — whether the
+    misses were the HIGH-GAIN neighbors."""
+    from ..operators.ranking import ranking_metrics
+
+    hits, qrels = _ranking_hits_qrels(spark, sf_dir)
+    return ranking_metrics(
+        hits, qrels, k=_TOPK_K, doc_col="doc_id", rank_col="rk"
+    )
+
+
+def _ranking_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged one-row eval report over the same run (deferred —
+    pytest-mirrored)."""
+    from ..operators.ranking import ranking_metrics, ranking_summary
+
+    hits, qrels = _ranking_hits_qrels(spark, sf_dir)
+    return ranking_summary(
+        ranking_metrics(hits, qrels, k=_TOPK_K, doc_col="doc_id",
+                        rank_col="rk")
+    )
+
+
+_register_ranking_eval()
