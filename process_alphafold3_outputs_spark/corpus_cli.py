@@ -365,6 +365,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="target shuffle partition count the salt "
                     "recommendation is sized for")
 
+    sp = sub.add_parser("rank-eval")
+    sp.add_argument("--hits", required=True,
+                    help="retrieval run parquet: query/doc/rank columns")
+    sp.add_argument("--qrels", required=True,
+                    help="graded judgments parquet: query/doc/rel")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--query-col", default="query_id")
+    sp.add_argument("--doc-col", default="doc_id")
+    sp.add_argument("--rank-col", default="rank")
+    sp.add_argument("--rel-col", default="rel")
+    sp.add_argument("--summary", action="store_true",
+                    help="emit the one-row macro-average instead of "
+                    "per-query metrics")
+    sp.add_argument("--out", required=True)
+
     sp = sub.add_parser("merge")
     sp.add_argument("--target", required=True,
                     help="current table parquet")
@@ -633,6 +648,19 @@ def _result(
             top_k=args.top_k, n_partitions=args.partitions,
         )
 
+    if args.command == "rank-eval":
+        from .operators.ranking import ranking_metrics, ranking_summary
+
+        m = ranking_metrics(
+            spark.read.parquet(args.hits),
+            spark.read.parquet(args.qrels),
+            k=args.k,
+            query_col=args.query_col,
+            doc_col=args.doc_col,
+            rank_col=args.rank_col,
+            rel_col=args.rel_col,
+        )
+        return ranking_summary(m, query_col=args.query_col) if args.summary else m
     if args.command == "merge":
         from .operators.maintenance import merge_upsert
 

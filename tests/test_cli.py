@@ -1001,3 +1001,38 @@ def test_corpus_cli_maintenance_roundtrip(spark, tmp_path):
          "--target-bytes", "100", "--out", str(tmp_path / "plan")]
     )
     assert got5.count() == 3 and got5.collect()[0].group_files == 3
+
+
+def test_corpus_cli_rank_eval_roundtrip(spark, tmp_path):
+    """Roundtrip rank-eval: per-query metrics and the --summary row."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    hits = str(tmp_path / "hits")
+    spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 12, 1)],
+        "query_id long, doc_id long, rank int",
+    ).write.parquet(hits)
+    qrels = str(tmp_path / "qrels")
+    spark.createDataFrame(
+        [(1, 10, 2), (1, 13, 1), (2, 14, 1)],
+        "query_id long, doc_id long, rel int",
+    ).write.parquet(qrels)
+
+    args = corpus_cli.build_parser().parse_args(
+        ["rank-eval", "--hits", hits, "--qrels", qrels, "-k", "2",
+         "--out", str(tmp_path / "m")]
+    )
+    res = corpus_cli.run(args, spark)
+    got = {r.query_id: r for r in spark.read.parquet(res["out"]).collect()}
+    assert res["rows"] == 2
+    assert got[1].n_rel_hit == 1 and got[1].rr == 1.0
+    assert got[2].n_rel_hit == 0 and got[2].ndcg_k == 0.0
+
+    args2 = corpus_cli.build_parser().parse_args(
+        ["rank-eval", "--hits", hits, "--qrels", qrels, "-k", "2",
+         "--summary", "--out", str(tmp_path / "s")]
+    )
+    res2 = corpus_cli.run(args2, spark)
+    s = spark.read.parquet(res2["out"]).collect()[0]
+    assert res2["rows"] == 1 and s.n_queries == 2
+    assert s.mrr == 0.5
