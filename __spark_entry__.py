@@ -330,6 +330,15 @@ _DEFERRED: set[str] = {
                              # family keeps pytest-mirror + bench
                              # coverage; its IVF/PQ twins were always
                              # deferred)
+    "drift_psi",             # PSI over frozen reference bins (new r10);
+                             # hash-agg + broadcast-bounds mechanics
+                             # evidenced by green text_quality rows
+                             # (deferred: headroom)
+    "drift_ks",              # exact-integer two-sample KS (new r10);
+                             # the t-closeness EMD's integer-numerator
+                             # discipline (deferred: headroom)
+    "drift_chi2",            # chi-square categorical drift (new r10);
+                             # (deferred: headroom)
     "ranking_eval",          # IR metrics of the LSH run vs exact graded
                              # truth (new r10); both retrieval legs are
                              # separately driver-green (deferred:

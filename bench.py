@@ -202,6 +202,8 @@ HEADLINE = [
     "table_compaction_plan",
     "ranking_eval",
     "ranking_eval_summary",
+    "drift_psi",
+    "drift_ks",
 ]
 
 

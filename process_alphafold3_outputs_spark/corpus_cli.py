@@ -365,6 +365,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="target shuffle partition count the salt "
                     "recommendation is sized for")
 
+    sp = sub.add_parser("drift")
+    sp.add_argument("--ref", required=True,
+                    help="reference snapshot parquet")
+    sp.add_argument("--cur", required=True,
+                    help="current snapshot parquet")
+    sp.add_argument("--col", required=True,
+                    help="column to compare across snapshots")
+    sp.add_argument("--stat", choices=["psi", "ks", "chi2"],
+                    default="psi")
+    sp.add_argument("--bins", type=int, default=10,
+                    help="psi only: reference-range bin count")
+    sp.add_argument("--out", required=True)
+
     sp = sub.add_parser("rank-eval")
     sp.add_argument("--hits", required=True,
                     help="retrieval run parquet: query/doc/rank columns")
@@ -648,6 +661,16 @@ def _result(
             top_k=args.top_k, n_partitions=args.partitions,
         )
 
+    if args.command == "drift":
+        from .operators.drift import chi2_drift, ks_distance, psi_report
+
+        ref = spark.read.parquet(args.ref)
+        cur = spark.read.parquet(args.cur)
+        if args.stat == "psi":
+            return psi_report(ref, cur, args.col, n_bins=args.bins)
+        if args.stat == "ks":
+            return ks_distance(ref, cur, args.col)
+        return chi2_drift(ref, cur, args.col)
     if args.command == "rank-eval":
         from .operators.ranking import ranking_metrics, ranking_summary
 

@@ -1,0 +1,215 @@
+"""Distribution-drift monitoring between two snapshots of the same
+column — the "did last week's data move" check a production training
+pipeline runs before every refresh: PSI (population stability index,
+the credit-scoring standard), the exact two-sample Kolmogorov–Smirnov
+distance, and the chi-square statistic for categorical frequency drift.
+
+Complements the existing drift surfaces: ``text_vocab_drift`` watches
+the TOKEN distribution; these watch any numeric or categorical COLUMN
+(quality scores, document lengths, source mix, embedding norms).
+
+Scale shape: every statistic reduces each side to an
+aggregate-bounded table first (bins, distinct values, categories) —
+one scan per side, then arithmetic on the small tables. The KS
+numerator is kept in exact integers (|cum_r·n_c − cum_c·n_r| over the
+merged value grid) with ONE division at the end, so the oracle
+comparison has no float-accumulation order to disagree on — the same
+exact-integer discipline as the t-closeness EMD screen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _all() -> Window:
+    """Whole-frame window for totals over an ALREADY-AGGREGATED small
+    table (bins / distinct values / categories) — never over raw rows.
+    Built lazily: constructing a WindowSpec needs an active session."""
+    return Window.partitionBy()
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row report: (column, n_bins, n_ref, n_cur, psi) — the
+    population stability index of ``cur`` against ``ref`` over
+    fixed-width bins spanning the REFERENCE range (the production
+    convention: the scorecard's bins are frozen at training time;
+    values outside the reference range clamp into the edge bins).
+    NULLs are excluded on both sides. Laplace-smoothed proportions
+    ((count + 0.5) / (n + 0.5·bins)) keep empty bins finite without
+    dropping them — an empty-vs-full bin is exactly the drift PSI
+    must see. Rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted.
+
+    The bin edges derive from ref min/max with identical arithmetic on
+    both engines (no quantile estimation — fixed-width is
+    deterministic cross-engine where quantile interpolation is not)."""
+    r = ref.select(F.col(col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    c = cur.select(F.col(col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    bounds = r.agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
+
+    def binned(side: DataFrame, label: str) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(bounds))
+            .select(
+                F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.lit(n_bins - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col("_x") - F.col("_mn"))
+                                * n_bins
+                                / (F.col("_mx") - F.col("_mn"))
+                            ).cast("int"),
+                        ),
+                    )
+                )
+                .alias("_bin")
+            )
+            .groupBy("_bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"_c_{label}"))
+        )
+
+    grid = (
+        ref.sparkSession.range(n_bins)
+        .select(F.col("id").cast("int").alias("_bin"))
+        .join(binned(r, "ref"), "_bin", "left")
+        .join(binned(c, "cur"), "_bin", "left")
+        .select(
+            F.coalesce("_c_ref", F.lit(0)).alias("_c_ref"),
+            F.coalesce("_c_cur", F.lit(0)).alias("_c_cur"),
+        )
+        .withColumn("_n_ref", F.sum("_c_ref").over(_all()))
+        .withColumn("_n_cur", F.sum("_c_cur").over(_all()))
+    )
+    p_ref = (F.col("_c_ref") + 0.5) / (F.col("_n_ref") + 0.5 * n_bins)
+    p_cur = (F.col("_c_cur") + 0.5) / (F.col("_n_cur") + 0.5 * n_bins)
+    return grid.agg(
+        F.max("_n_ref").cast("long").alias("n_ref"),
+        F.max("_n_cur").cast("long").alias("n_cur"),
+        F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias(
+            "psi"
+        ),
+    ).select(
+        F.lit(col).alias("col_name"),
+        F.lit(n_bins).cast("int").alias("n_bins"),
+        "n_ref",
+        "n_cur",
+        "psi",
+    )
+
+
+def ks_distance(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """One-row report: (column, n_ref, n_cur, ks) — the exact
+    two-sample Kolmogorov–Smirnov distance
+    ``max_x |F_ref(x) − F_cur(x)|`` evaluated over the merged observed
+    value grid (where the step functions can differ; between observed
+    values both CDFs are flat). NULLs excluded.
+
+    Exact integers until the end: the maximized quantity is
+    ``|cum_ref·n_cur − cum_cur·n_ref|`` (BIGINT — no float CDF
+    accumulation), divided once by ``n_ref·n_cur``. Each side
+    collapses to its distinct-value count table first; the merge and
+    the running sums are bounded by distinct values, not rows."""
+    def counts(side: DataFrame, label: str) -> DataFrame:
+        return (
+            side.select(F.col(col).cast("double").alias("_x"))
+            .filter(F.col("_x").isNotNull())
+            .groupBy("_x")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"_c_{label}"))
+        )
+
+    merged = counts(ref, "ref").join(
+        counts(cur, "cur"), "_x", "full_outer"
+    ).select(
+        "_x",
+        F.coalesce("_c_ref", F.lit(0)).alias("_c_ref"),
+        F.coalesce("_c_cur", F.lit(0)).alias("_c_cur"),
+    )
+    w = Window.orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = (
+        merged.select(
+            F.sum("_c_ref").over(w).alias("_cum_ref"),
+            F.sum("_c_cur").over(w).alias("_cum_cur"),
+        )
+        .withColumn("_n_ref", F.max("_cum_ref").over(_all()))
+        .withColumn("_n_cur", F.max("_cum_cur").over(_all()))
+        .withColumn(
+            "_num",
+            F.abs(
+                F.col("_cum_ref") * F.col("_n_cur")
+                - F.col("_cum_cur") * F.col("_n_ref")
+            ),
+        )
+    )
+    return stepped.agg(
+        F.max("_n_ref").cast("long").alias("n_ref"),
+        F.max("_n_cur").cast("long").alias("n_cur"),
+        F.round(
+            F.max("_num")
+            / (F.max("_n_ref").cast("double") * F.max("_n_cur")),
+            6,
+        ).alias("ks"),
+    ).select(F.lit(col).alias("col_name"), "n_ref", "n_cur", "ks")
+
+
+def chi2_drift(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """One-row report: (column, n_ref, n_cur, n_categories, chi2) —
+    Pearson's chi-square statistic of the CURRENT category counts
+    against frequencies expected from the REFERENCE proportions
+    (``e_i = n_cur · ref_i / n_ref``; ``χ² = Σ (o_i − e_i)²/e_i``).
+    Categories absent from the reference contribute via a 0.5 Laplace
+    floor on the reference count (a brand-new category is
+    infinite-surprise otherwise); NULL is a category of its own (a
+    NULL-rate shift is drift). Compare against the chi-square quantile
+    for (categories − 1) dof, or track the raw statistic over time."""
+    def counts(side: DataFrame, label: str) -> DataFrame:
+        return (
+            side.select(
+                F.coalesce(F.col(col).cast("string"), F.lit(" NULL"))
+                .alias("_v")
+            )
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"_c_{label}"))
+        )
+
+    merged = (
+        counts(ref, "ref")
+        .join(counts(cur, "cur"), "_v", "full_outer")
+        .select(
+            F.coalesce("_c_ref", F.lit(0)).alias("_c_ref"),
+            F.coalesce("_c_cur", F.lit(0)).alias("_c_cur"),
+        )
+        .withColumn("_n_ref", F.sum("_c_ref").over(_all()))
+        .withColumn("_n_cur", F.sum("_c_cur").over(_all()))
+    )
+    e = (
+        F.greatest(F.col("_c_ref").cast("double"), F.lit(0.5))
+        * F.col("_n_cur")
+        / F.col("_n_ref")
+    )
+    return merged.agg(
+        F.max("_n_ref").cast("long").alias("n_ref"),
+        F.max("_n_cur").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.round(
+            F.sum((F.col("_c_cur") - e) * (F.col("_c_cur") - e) / e), 6
+        ).alias("chi2"),
+    ).select(
+        F.lit(col).alias("col_name"), "n_ref", "n_cur", "n_categories",
+        "chi2",
+    )

@@ -7256,3 +7256,142 @@ def _ranking_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_ranking_eval()
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift monitoring (operators/drift.py): PSI over frozen
+# reference bins, exact-integer two-sample KS, chi-square categorical
+# drift. Each reduces both snapshots to aggregate-bounded tables (bins /
+# distinct values / categories) before any cross-side arithmetic. The
+# "current" snapshot is a deterministic mutation of the same driver
+# table so the oracle restates the statistic from first principles.
+# --------------------------------------------------------------------------
+@register(
+    "drift_psi",
+    sql="""
+    WITH r AS (SELECT c_acctbal::DOUBLE AS x FROM customer
+               WHERE c_acctbal IS NOT NULL),
+    c AS (SELECT (c_acctbal + CASE WHEN c_custkey % 3 = 0
+                                   THEN 2000 ELSE 0 END)::DOUBLE AS x
+          FROM customer WHERE c_acctbal IS NOT NULL),
+    b AS (SELECT min(x) AS mn, max(x) AS mx FROM r),
+    rb AS (SELECT CASE WHEN b.mx = b.mn THEN 0
+                       ELSE least(9, greatest(0,
+                            CAST(floor((x - b.mn) * 10 / (b.mx - b.mn))
+                                 AS INT))) END AS bin,
+                  count(*) AS cr
+           FROM r, b GROUP BY 1),
+    cb AS (SELECT CASE WHEN b.mx = b.mn THEN 0
+                       ELSE least(9, greatest(0,
+                            CAST(floor((x - b.mn) * 10 / (b.mx - b.mn))
+                                 AS INT))) END AS bin,
+                  count(*) AS cc
+           FROM c, b GROUP BY 1),
+    grid AS (SELECT coalesce(rb.cr, 0) AS cr, coalesce(cb.cc, 0) AS cc
+             FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+             LEFT JOIN rb ON rb.bin = g.bin
+             LEFT JOIN cb ON cb.bin = g.bin),
+    tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(cc) AS BIGINT) AS nc FROM grid)
+    SELECT 'c_acctbal' AS col_name, 10 AS n_bins,
+           t.nr AS n_ref, t.nc AS n_cur,
+           round(sum(((cc + 0.5) / (t.nc + 5.0)
+                      - (cr + 0.5) / (t.nr + 5.0))
+                     * ln(((cc + 0.5) / (t.nc + 5.0))
+                          / ((cr + 0.5) / (t.nr + 5.0)))), 6) AS psi
+    FROM grid, tot t GROUP BY t.nr, t.nc
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of a %3-shifted balance column against the original
+    (deferred — pytest-mirrored): frozen reference bins, Laplace
+    smoothing, out-of-range clamping exercised by the +2000 shift."""
+    from ..operators.drift import psi_report
+
+    cust = load_table(spark, sf_dir, "customer")
+    cur = cust.select(
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 3 == 0, 2000).otherwise(0)
+        ).alias("c_acctbal")
+    )
+    return psi_report(cust, cur, "c_acctbal", n_bins=10)
+
+
+@register(
+    "drift_ks",
+    sql="""
+    WITH r AS (SELECT o_totalprice::DOUBLE AS x FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    c AS (SELECT (o_totalprice + CASE WHEN o_orderkey % 4 = 0
+                                      THEN 500 ELSE 0 END)::DOUBLE AS x
+          FROM orders WHERE o_totalprice IS NOT NULL),
+    rv AS (SELECT x, CAST(count(*) AS BIGINT) AS cr FROM r GROUP BY x),
+    cv AS (SELECT x, CAST(count(*) AS BIGINT) AS cc FROM c GROUP BY x),
+    m AS (SELECT coalesce(rv.x, cv.x) AS x,
+                 coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+          FROM rv FULL OUTER JOIN cv ON rv.x = cv.x),
+    s AS (SELECT sum(cr) OVER w AS cum_r, sum(cc) OVER w AS cum_c
+          FROM m WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW)),
+    t AS (SELECT CAST(max(cum_r) AS BIGINT) AS nr,
+                 CAST(max(cum_c) AS BIGINT) AS nc FROM s)
+    SELECT 'o_totalprice' AS col_name, t.nr AS n_ref, t.nc AS n_cur,
+           round(max(abs(cum_r * t.nc - cum_c * t.nr))
+                 / (t.nr::DOUBLE * t.nc), 6) AS ks
+    FROM s, t GROUP BY t.nr, t.nc
+    """,
+)
+def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance between order totals and a %4
+    +500 shift of them (deferred — pytest-mirrored): integer
+    |cum_r·n_c − cum_c·n_r| numerators, one division."""
+    from ..operators.drift import ks_distance
+
+    o = load_table(spark, sf_dir, "orders")
+    cur = o.select(
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 4 == 0, 500).otherwise(0)
+        ).alias("o_totalprice")
+    )
+    return ks_distance(o, cur, "o_totalprice")
+
+
+@register(
+    "drift_chi2",
+    sql="""
+    WITH r AS (SELECT coalesce(c_mktsegment, ' NULL') AS v
+               FROM customer),
+    c AS (SELECT coalesce(CASE WHEN c_custkey % 6 = 0 THEN 'NEWSEG'
+                               ELSE c_mktsegment END, ' NULL') AS v
+          FROM customer),
+    rc AS (SELECT v, CAST(count(*) AS BIGINT) AS cr FROM r GROUP BY v),
+    cc AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM c GROUP BY v),
+    m AS (SELECT coalesce(rc.cr, 0) AS cr, coalesce(cc.cv, 0) AS cv
+          FROM rc FULL OUTER JOIN cc ON rc.v = cc.v),
+    t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                 CAST(sum(cv) AS BIGINT) AS nc,
+                 CAST(count(*) AS BIGINT) AS ncat FROM m)
+    SELECT 'c_mktsegment' AS col_name, t.nr AS n_ref, t.nc AS n_cur,
+           t.ncat AS n_categories,
+           round(sum((cv - greatest(cr::DOUBLE, 0.5) * t.nc / t.nr)
+                     * (cv - greatest(cr::DOUBLE, 0.5) * t.nc / t.nr)
+                     / (greatest(cr::DOUBLE, 0.5) * t.nc / t.nr)), 6)
+               AS chi2
+    FROM m, t GROUP BY t.nr, t.nc, t.ncat
+    """,
+)
+def drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift of the segment mix after a %6 remap to a
+    brand-new category (deferred — pytest-mirrored): the Laplace floor
+    on the unseen-in-reference category is exercised by NEWSEG."""
+    from ..operators.drift import chi2_drift
+
+    cust = load_table(spark, sf_dir, "customer")
+    cur = cust.select(
+        F.when(F.col("c_custkey") % 6 == 0, "NEWSEG")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment")
+    )
+    return chi2_drift(cust, cur, "c_mktsegment")

@@ -1036,3 +1036,34 @@ def test_corpus_cli_rank_eval_roundtrip(spark, tmp_path):
     s = spark.read.parquet(res2["out"]).collect()[0]
     assert res2["rows"] == 1 and s.n_queries == 2
     assert s.mrr == 0.5
+
+
+def test_corpus_cli_drift_roundtrip(spark, tmp_path):
+    """Roundtrip drift: psi, ks, and chi2 over two written snapshots."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    ref = str(tmp_path / "ref")
+    cur = str(tmp_path / "cur")
+    spark.createDataFrame(
+        [(float(i), "a" if i % 2 else "b") for i in range(20)],
+        "x double, g string",
+    ).write.parquet(ref)
+    spark.createDataFrame(
+        [(float(i) + 5.0, "a") for i in range(20)],
+        "x double, g string",
+    ).write.parquet(cur)
+
+    def run(extra, name):
+        args = corpus_cli.build_parser().parse_args(
+            ["drift", "--ref", ref, "--cur", cur,
+             "--out", str(tmp_path / name)] + extra
+        )
+        res = corpus_cli.run(args, spark)
+        return spark.read.parquet(res["out"]).collect()[0]
+
+    p = run(["--col", "x", "--stat", "psi", "--bins", "5"], "psi")
+    assert p.n_bins == 5 and p.psi > 0
+    k = run(["--col", "x", "--stat", "ks"], "ks")
+    assert k.ks == 0.25  # shift of 5 over 20 consecutive values
+    c = run(["--col", "g", "--stat", "chi2"], "chi2")
+    assert c.n_categories == 2 and c.chi2 > 0

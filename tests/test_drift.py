@@ -1,0 +1,100 @@
+"""Drift-statistic pins — PSI / exact KS / chi-square, each against an
+independent plain-Python restatement of the formula."""
+
+from __future__ import annotations
+
+import math
+
+from process_alphafold3_outputs_spark.operators.drift import (
+    chi2_drift,
+    ks_distance,
+    psi_report,
+)
+
+ONE = "v double"
+
+
+def _df(spark, vals, schema=ONE):
+    return spark.createDataFrame([(float(v),) for v in vals], schema)
+
+
+def test_psi_identical_distributions_is_near_zero(spark):
+    ref = _df(spark, range(100))
+    out = psi_report(ref, ref, "v", n_bins=10).collect()[0]
+    assert out.col_name == "v" and out.n_ref == out.n_cur == 100
+    assert out.psi == 0.0  # identical smoothed proportions, term by term
+
+
+def test_psi_hand_computed_shift(spark):
+    """ref uniform over bins 0..9 (one value per bin after clamping);
+    cur concentrated in the top bin."""
+    ref = _df(spark, range(10))       # x=9 -> bin floor(10)=10 -> clamp 9
+    cur = _df(spark, [9.0] * 5)
+    out = psi_report(ref, cur, "v", n_bins=10).collect()[0]
+    n_r, n_c, b = 10, 5, 10
+    cr = [1] * 10
+    cc = [0] * 9 + [5]
+    psi = sum(
+        (
+            (cc[i] + 0.5) / (n_c + 0.5 * b)
+            - (cr[i] + 0.5) / (n_r + 0.5 * b)
+        )
+        * math.log(
+            ((cc[i] + 0.5) / (n_c + 0.5 * b))
+            / ((cr[i] + 0.5) / (n_r + 0.5 * b))
+        )
+        for i in range(b)
+    )
+    assert out.psi == round(psi, 6)
+    # out-of-range values clamp into the edge bins, never vanish
+    wide = psi_report(ref, _df(spark, [-100.0, 100.0]), "v", n_bins=10)
+    assert wide.collect()[0].n_cur == 2
+
+
+def test_ks_hand_computed(spark):
+    """ref {1,2,3,4} vs cur {3,4,5,6}: D = |F_r(2) - F_c(2)| = 0.5."""
+    out = ks_distance(
+        _df(spark, [1, 2, 3, 4]), _df(spark, [3, 4, 5, 6]), "v"
+    ).collect()[0]
+    assert (out.n_ref, out.n_cur, out.ks) == (4, 4, 0.5)
+    # identical samples -> 0; disjoint -> 1
+    same = ks_distance(_df(spark, [1, 2]), _df(spark, [1, 2]), "v")
+    assert same.collect()[0].ks == 0.0
+    disj = ks_distance(_df(spark, [1, 2]), _df(spark, [5, 6]), "v")
+    assert disj.collect()[0].ks == 1.0
+
+
+def test_ks_unequal_sizes_exact_rational(spark):
+    """n_ref=3 vs n_cur=2: D must be an exact multiple of 1/6."""
+    out = ks_distance(
+        _df(spark, [1, 2, 3]), _df(spark, [2, 3]), "v"
+    ).collect()[0]
+    # F_r(1)=1/3, F_c(1)=0 -> 1/3 is the max
+    assert out.ks == round(1 / 3, 6)
+
+
+CAT = "v string"
+
+
+def test_chi2_hand_computed_and_new_category(spark):
+    ref = spark.createDataFrame([("a",), ("a",), ("b",), ("b",)], CAT)
+    cur = spark.createDataFrame([("a",), ("a",), ("a",), ("b",)], CAT)
+    out = chi2_drift(ref, cur, "v").collect()[0]
+    # e_a = 2, e_b = 2 -> (3-2)^2/2 + (1-2)^2/2 = 1.0
+    assert (out.n_ref, out.n_cur, out.n_categories) == (4, 4, 2)
+    assert out.chi2 == 1.0
+    # brand-new category: Laplace floor 0.5 on the ref count
+    cur2 = spark.createDataFrame([("a",), ("c",)], CAT)
+    out2 = chi2_drift(ref, cur2, "v").collect()[0]
+    e_a, e_b, e_c = 2 * 2 / 4, 2 * 2 / 4, 0.5 * 2 / 4
+    chi2 = (1 - e_a) ** 2 / e_a + (0 - e_b) ** 2 / e_b + (1 - e_c) ** 2 / e_c
+    assert out2.n_categories == 3 and out2.chi2 == round(chi2, 6)
+
+
+def test_chi2_null_is_a_category(spark):
+    ref = spark.createDataFrame([("a",), (None,)], CAT)
+    cur = spark.createDataFrame([(None,), (None,)], CAT)
+    out = chi2_drift(ref, cur, "v").collect()[0]
+    # categories: 'a' and NULL; e_a = 1, e_null = 1
+    # chi2 = (0-1)^2/1 + (2-1)^2/1 = 2
+    assert out.n_categories == 2 and out.chi2 == 2.0
