@@ -427,3 +427,108 @@ def test_decontaminate_multi_broadcasts_benchmark_union(spark, sf_dir):
     plan = formatted_plan(decontaminate_multi(docs, benchmarks))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_upsert_is_one_agg_no_join(spark):
+    """MERGE must stay a union + one hash aggregation: a join-based
+    rewrite would sort/shuffle the 100 TB target against the batch; the
+    agg form moves the target once with map-side combine (SURVEY §4)."""
+    from process_alphafold3_outputs_spark.operators.maintenance import (
+        merge_upsert,
+    )
+
+    t = spark.range(1000).selectExpr("id AS k", "'a' AS name", "id AS v")
+    u = spark.range(10).selectExpr(
+        "id AS k", "'b' AS name", "id AS v", "id % 2 = 0 AS d"
+    )
+    import re
+
+    plan = formatted_plan(merge_upsert(t, u, ["k"], delete_col="d"))
+    assert "Join type:" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_max_by" in plan  # map-side combine before the wire
+    assert "Union" in plan
+
+
+def test_apply_changelog_two_keyed_exchanges(spark):
+    """Fold + merge: exactly two key-hashed shuffles, both partial
+    (map-side combined), no join anywhere."""
+    from process_alphafold3_outputs_spark.operators.maintenance import (
+        apply_changelog,
+    )
+
+    s = spark.range(1000).selectExpr("id AS k", "'a' AS name", "id AS v")
+    c = spark.range(100).selectExpr(
+        "id % 50 AS k", "'b' AS name", "id AS v", "id AS seq",
+        "CASE WHEN id % 7 = 0 THEN 'D' ELSE 'U' END AS op",
+    )
+    import re
+
+    plan = formatted_plan(apply_changelog(s, c, ["k"]))
+    assert "Join type:" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "partial_max_by" in plan
+
+
+def test_scd2_history_bypasses_the_join(spark):
+    """Only the current slice meets the update batch: the is_current
+    filter must be pushed into both join legs' scans so closed history
+    rows never enter a join."""
+    from process_alphafold3_outputs_spark.operators.maintenance import (
+        scd2_apply,
+    )
+
+    dim = spark.range(1000).selectExpr(
+        "id AS k", "'x' AS seg", "CAST(0 AS LONG) AS valid_from",
+        "CAST(NULL AS LONG) AS valid_to", "id % 2 = 0 AS is_current",
+    )
+    upd = spark.range(10).selectExpr(
+        "id AS k", "'y' AS seg", "CAST(5 AS LONG) AS effective"
+    )
+    plan = formatted_plan(scd2_apply(dim, upd, ["k"], ["seg"]))
+    # both join inputs carry the is_current predicate; the history
+    # branch carries NOT is_current and reaches the output join-free
+    assert "is_current" in plan
+    # the two joins (close-side left join + open-side left join) are
+    # the ONLY joins, and each joins the filtered current slice
+    assert plan.count("Join type:") == 2
+
+
+def test_ranking_metrics_joins_are_eval_sized(spark):
+    """The metric computation never touches a corpus: its plan is
+    joins/windows over the two eval-sized inputs only (no Exchange of
+    anything larger than the hits/qrels tables — structurally, no scan
+    appears beyond the two inputs)."""
+    from process_alphafold3_outputs_spark.operators.ranking import (
+        ranking_metrics,
+    )
+
+    hits = spark.range(100).selectExpr(
+        "id % 10 AS query_id", "id AS doc_id",
+        "CAST(id % 10 + 1 AS INT) AS rank"
+    )
+    qrels = spark.range(50).selectExpr(
+        "id % 10 AS query_id", "id AS doc_id", "CAST(1 AS INT) AS rel"
+    )
+    plan = formatted_plan(ranking_metrics(hits, qrels, k=5))
+    assert plan.count("Scan ExistingRDD") == 0  # pure Range inputs
+    assert "Window" in plan
+
+
+def test_drift_sides_reduce_before_meeting(spark, sf_dir):
+    """KS: each snapshot collapses to its distinct-value counts BEFORE
+    the cross-side full-outer join — the join keys are aggregate
+    outputs, so the shuffle that matters is the per-side groupBy, and
+    the meeting table is value-bounded."""
+    from process_alphafold3_outputs_spark.operators.drift import (
+        ks_distance,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = formatted_plan(ks_distance(o, o, "o_totalprice"))
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("Join")
+    # the aggregation nodes appear below (later in formatted text than)
+    # the join header only if they feed it; assert both sides aggregated
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
