@@ -57,46 +57,65 @@ def psi_report(
         F.col("_x").isNotNull()
     )
     bounds = r.agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
-
-    def binned(side: DataFrame, label: str) -> DataFrame:
-        return (
-            side.crossJoin(F.broadcast(bounds))
-            .select(
-                F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
-                .otherwise(
-                    F.least(
-                        F.lit(n_bins - 1),
-                        F.greatest(
-                            F.lit(0),
-                            F.floor(
-                                (F.col("_x") - F.col("_mn"))
-                                * n_bins
-                                / (F.col("_mx") - F.col("_mn"))
-                            ).cast("int"),
-                        ),
-                    )
-                )
-                .alias("_bin")
-            )
-            .groupBy("_bin")
-            .agg(F.count(F.lit(1)).cast("long").alias(f"_c_{label}"))
-        )
-
     grid = (
         ref.sparkSession.range(n_bins)
         .select(F.col("id").cast("int").alias("_bin"))
-        .join(binned(r, "ref"), "_bin", "left")
-        .join(binned(c, "cur"), "_bin", "left")
+        .join(binned_counts(r, bounds, n_bins, "ref"), "_bin", "left")
+        .join(binned_counts(c, bounds, n_bins, "cur"), "_bin", "left")
         .select(
+            "_bin",
             F.coalesce("_c_ref", F.lit(0)).alias("_c_ref"),
             F.coalesce("_c_cur", F.lit(0)).alias("_c_cur"),
         )
-        .withColumn("_n_ref", F.sum("_c_ref").over(_all()))
+    )
+    return psi_from_binned(grid, col, n_bins)
+
+
+def binned_counts(
+    side: DataFrame, bounds: DataFrame, n_bins: int, label: str
+) -> DataFrame:
+    """(_bin, _c_{label}) — fixed-width bin counts of ``side``'s ``_x``
+    column against a 1-row ``bounds`` (_mn, _mx) frame. The bin
+    arithmetic is the cross-engine-deterministic form shared by the
+    oracle SQL; the streaming watcher bins each micro-batch against the
+    FROZEN reference bounds it persisted at epoch 0."""
+    return (
+        side.crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("_x") - F.col("_mn"))
+                            * n_bins
+                            / (F.col("_mx") - F.col("_mn"))
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .alias("_bin")
+        )
+        .groupBy("_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias(f"_c_{label}"))
+    )
+
+
+def psi_from_binned(grid: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """The grid→PSI half of :func:`psi_report`: ``grid`` holds one row
+    per bin 0..n_bins−1 with ``_c_ref``/``_c_cur`` counts (the
+    streaming drift watcher keeps exactly this grid as its rolling
+    state and calls here per epoch — stream and batch share the
+    kernel)."""
+    g = (
+        grid.withColumn("_n_ref", F.sum("_c_ref").over(_all()))
         .withColumn("_n_cur", F.sum("_c_cur").over(_all()))
     )
     p_ref = (F.col("_c_ref") + 0.5) / (F.col("_n_ref") + 0.5 * n_bins)
     p_cur = (F.col("_c_cur") + 0.5) / (F.col("_n_cur") + 0.5 * n_bins)
-    return grid.agg(
+    return g.agg(
         F.max("_n_ref").cast("long").alias("n_ref"),
         F.max("_n_cur").cast("long").alias("n_cur"),
         F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias(

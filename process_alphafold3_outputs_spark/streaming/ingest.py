@@ -1242,6 +1242,114 @@ def watch_table_cdc(
     )
 
 
+def watch_table_drift(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    col: str,
+    ref_path: str,
+    n_bins: int = 10,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming drift gate (the 20th watcher): the reference snapshot
+    at ``ref_path`` freezes the PSI bins ONCE (epoch 0 persists bin
+    counts + bounds as the versioned state — n_bins rows, never data
+    rows); every micro-batch bins its values against those frozen
+    bounds, merges the counts into the rolling CURRENT side of the
+    state, and emits the cumulative one-row PSI report per epoch
+    (:func:`..operators.drift.psi_from_binned` — the same kernel the
+    oracle-paired ``drift_psi`` batch row evidences). So "has the
+    accumulating stream drifted from the reference" is a one-row read
+    after every drop. Crash-replay idempotent like every watcher here.
+    Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _drift_process_batch(
+            batch_df, epoch_id, state_path, out_path, col, ref_path,
+            n_bins,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _drift_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    col: str,
+    ref_path: str,
+    n_bins: int,
+) -> None:
+    """One drift micro-batch (module-level for unit tests)."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.drift import binned_counts, psi_from_binned
+
+    ss = batch_df.sparkSession
+    state_schema = (
+        "_bin int, _c_ref long, _c_cur long, _mn double, _mx double"
+    )
+    prev = read_state(ss, state_path, state_schema, before_epoch=epoch_id)
+    if prev.isEmpty():
+        # epoch 0: freeze the reference bins + bounds into the state
+        ref = ss.read.parquet(ref_path).select(
+            SF.col(col).cast("double").alias("_x")
+        ).filter(SF.col("_x").isNotNull())
+        bounds = ref.agg(
+            SF.min("_x").alias("_mn"), SF.max("_x").alias("_mx")
+        )
+        prev = (
+            ss.range(n_bins)
+            .select(SF.col("id").cast("int").alias("_bin"))
+            .join(binned_counts(ref, bounds, n_bins, "ref"), "_bin", "left")
+            .crossJoin(SF.broadcast(bounds))
+            .select(
+                "_bin",
+                SF.coalesce("_c_ref", SF.lit(0)).alias("_c_ref"),
+                SF.lit(0).cast("long").alias("_c_cur"),
+                "_mn",
+                "_mx",
+            )
+        )
+    bounds = prev.select("_mn", "_mx").limit(1)
+    batch = batch_df.select(
+        SF.col(col).cast("double").alias("_x")
+    ).filter(SF.col("_x").isNotNull())
+    cur = binned_counts(batch, bounds, n_bins, "new")
+    merged = (
+        prev.join(cur, "_bin", "left")
+        .select(
+            "_bin",
+            "_c_ref",
+            (
+                SF.col("_c_cur") + SF.coalesce("_c_new", SF.lit(0))
+            ).cast("long").alias("_c_cur"),
+            "_mn",
+            "_mx",
+        )
+    )
+    merged = merged.localCheckpoint()
+    roll_state(merged, state_path, epoch_id)
+    _write_epoch_output(
+        psi_from_binned(merged.select("_bin", "_c_ref", "_c_cur"), col, n_bins),
+        out_path,
+        epoch_id,
+    )
+
+
 def _cdc_process_batch(
     batch_df: DataFrame,
     epoch_id: int,

@@ -98,3 +98,54 @@ def test_chi2_null_is_a_category(spark):
     # categories: 'a' and NULL; e_a = 1, e_null = 1
     # chi2 = (0-1)^2/1 + (2-1)^2/1 = 2
     assert out.n_categories == 2 and out.chi2 == 2.0
+
+
+def test_watch_table_drift_stream_equals_batch_and_replays(spark, tmp_path):
+    """Two epochs of rows through the watcher must produce the SAME
+    cumulative PSI as the batch kernel over ref vs (epoch0 ∪ epoch1),
+    the state must be bin-bounded, and a replayed epoch idempotent."""
+    import os
+
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _drift_process_batch,
+        read_state,
+        watch_table_drift,
+    )
+
+    schema = "v double"
+    ref_path = str(tmp_path / "ref")
+    _df(spark, range(50)).write.parquet(ref_path)
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "psi")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    e0 = [float(v) for v in range(0, 30)]
+    e1 = [40.0] * 10 + [200.0] * 5   # skew + out-of-range clamp
+    _df(spark, e0).coalesce(1).write.mode("append").parquet(inbox)
+    q = watch_table_drift(
+        spark, inbox, out, state, ckpt, schema, "v", ref_path, n_bins=10
+    )
+    try:
+        q.processAllAvailable()
+        _df(spark, e1).coalesce(1).write.mode("append").parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = spark.read.parquet(os.path.join(out, "epoch_id=1")).collect()[0]
+    batch = psi_report(
+        spark.read.parquet(ref_path), _df(spark, e0 + e1), "v", n_bins=10
+    ).collect()[0]
+    assert latest.asDict() == batch.asDict()
+    st = read_state(
+        spark, state,
+        "_bin int, _c_ref long, _c_cur long, _mn double, _mx double",
+    )
+    assert st.count() == 10  # bin-bounded state, never rows
+    # crash replay of epoch 1: same state, same report
+    _drift_process_batch(
+        _df(spark, e1), 1, state, out, "v", ref_path, 10
+    )
+    again = spark.read.parquet(os.path.join(out, "epoch_id=1")).collect()[0]
+    assert again.asDict() == latest.asDict()
