@@ -35,6 +35,12 @@ cannot drift:
   ids stable across epochs.
 - ``watch_queries_hybrid``: hybrid-search SERVING — query drops run
   the batched RRF fusion against frozen corpus/embeddings snapshots.
+- ``watch_table_cdc``: CDC materialization — I/U/D change batches fold
+  latest-wins (the batch ``apply_changelog`` kernel) into a rolling
+  versioned TABLE snapshot (state = live keys; per-epoch churn report).
+- ``watch_table_drift``: drift gate — reference PSI bins frozen at
+  epoch 0 (bin-bounded state), cumulative one-row PSI per epoch on the
+  shared ``psi_from_binned`` kernel.
 """
 
 from __future__ import annotations
