@@ -440,9 +440,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", required=True)
 
     sp = sub.add_parser("compact-plan")
-    sp.add_argument("--files", required=True,
+    sp.add_argument("--files", default=None,
                     help="file-stats parquet: partition cols + "
                     "file_name + bytes")
+    sp.add_argument("--path", default=None,
+                    help="alternatively, a data directory to LIST "
+                    "(Hadoop FS metadata walk; hive-style k=v "
+                    "segments become the partition columns)")
     sp.add_argument("--partition-col", action="append", required=True,
                     metavar="COL")
     sp.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
@@ -723,9 +727,19 @@ def _result(
         )
     if args.command == "compact-plan":
         from .operators.maintenance import compaction_plan
+        from .sources.layout import file_stats
 
+        if (args.files is None) == (args.path is None):
+            raise SystemExit(
+                "compact-plan needs exactly one of --files / --path"
+            )
+        stats = (
+            spark.read.parquet(args.files)
+            if args.files is not None
+            else file_stats(spark, args.path, args.partition_col)
+        )
         return compaction_plan(
-            spark.read.parquet(args.files),
+            stats,
             args.partition_col,
             target_bytes=args.target_bytes,
             small_threshold=args.small_threshold,

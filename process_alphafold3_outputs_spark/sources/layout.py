@@ -239,3 +239,49 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def file_stats(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """(partition..., file_name, bytes) — one row per DATA file under
+    ``path`` via the Hadoop FS API (local, ``hdfs://``, ``s3a://`` —
+    the same recursive listing Spark's own file index performs), with
+    hive-style ``k=v`` path segments surfaced as columns for the
+    requested ``partition_cols``. Control files (``_SUCCESS``,
+    ``_metadata``, dotfiles) are skipped.
+
+    This is the input side of
+    :func:`..operators.maintenance.compaction_plan` for plain parquet
+    directories. The listing is driver-side but METADATA-only — one
+    RPC-paged iterator, no data read; at table-format scale (Delta /
+    Iceberg) the manifest table replaces this listing and feeds the
+    same planner."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    root = fs.getFileStatus(hpath).getPath().toString()
+    it = fs.listFiles(hpath, True)
+    pcols = partition_cols or []
+    rows = []
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        full = p.toString()
+        rel = full[len(root):].lstrip("/")
+        parts = {}
+        for seg in rel.split("/")[:-1]:
+            k, eq, v = seg.partition("=")
+            if eq:
+                parts[k] = v
+        rows.append(
+            tuple(parts.get(k) for k in pcols) + (rel, int(st.getLen()))
+        )
+    schema = ", ".join(f"`{k}` string" for k in pcols)
+    schema = (schema + ", " if schema else "") + "file_name string, bytes long"
+    return spark.createDataFrame(rows, schema)

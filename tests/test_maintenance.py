@@ -278,3 +278,49 @@ def test_watch_table_cdc_stream_equals_batch_and_replays(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "epoch_id=1")).collect()
     }
     assert churn2 == churn
+
+
+def test_file_stats_lists_real_partitioned_layout(spark, tmp_path):
+    """file_stats walks a real partitioned parquet directory via the
+    Hadoop FS API: hive k=v segments become columns, control files are
+    skipped, and the listing feeds compaction_plan directly."""
+    from process_alphafold3_outputs_spark.sources.layout import file_stats
+
+    d = str(tmp_path / "tbl")
+    spark.range(300).selectExpr("id", "id % 2 AS g").write.partitionBy(
+        "g"
+    ).parquet(d)
+    stats = file_stats(spark, d, ["g"])
+    got = stats.collect()
+    assert all(r.bytes > 0 for r in got)
+    assert {r.g for r in got} == {"0", "1"}
+    assert not any("_SUCCESS" in r.file_name for r in got)
+    plan = compaction_plan(stats, ["g"], target_bytes=10_000_000)
+    # every small file lands in a (per-partition) rewrite group
+    assert plan.count() == len(got)
+    assert plan.select("g").distinct().count() == 2
+
+
+def test_cli_compact_plan_path_mode(spark, tmp_path):
+    """compact-plan --path lists the directory itself; --files and
+    --path are mutually exclusive."""
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    d = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "id % 2 AS g").write.partitionBy(
+        "g"
+    ).parquet(d)
+    args = corpus_cli.build_parser().parse_args(
+        ["compact-plan", "--path", d, "--partition-col", "g",
+         "--target-bytes", "10000000", "--out", str(tmp_path / "plan")]
+    )
+    res = corpus_cli.run(args, spark)
+    assert res["rows"] > 0
+    bad = corpus_cli.build_parser().parse_args(
+        ["compact-plan", "--partition-col", "g",
+         "--out", str(tmp_path / "nope")]
+    )
+    with _pytest.raises(SystemExit):
+        corpus_cli.run(bad, spark)
