@@ -127,6 +127,9 @@ def apply_changelog(
     for extra in (seq_col, op_col):
         if extra not in changes.columns:
             raise ValueError(f"changes is missing {extra!r}")
+    missing = [c for c in cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing snapshot columns: {missing}")
     # op precedence only breaks exact seq ties deterministically
     op_rank = (
         F.when(F.col(op_col) == "D", 2)

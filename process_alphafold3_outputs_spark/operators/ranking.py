@@ -46,8 +46,10 @@ def ranking_metrics(
     ap_k, ndcg_k) — one row per judged query.
 
     ``hits``: (query, doc, rank) — a retrieval run. ``qrels``: (query,
-    doc, rel>=1) — graded judgments. See the module docstring for the
-    exact trec_eval-style conventions."""
+    doc, rel>=1) — graded judgments, ONE row per (query, doc) pair
+    (duplicate judgments would fan out the join and inflate n_rel —
+    dedup to max-grade upstream, as trec_eval requires). See the
+    module docstring for the exact trec_eval-style conventions."""
     h = hits.select(
         F.col(query_col).alias("_q"),
         F.col(doc_col).alias("_d"),
