@@ -330,6 +330,10 @@ _DEFERRED: set[str] = {
                              # family keeps pytest-mirror + bench
                              # coverage; its IVF/PQ twins were always
                              # deferred)
+    "pipeline_incremental_refresh",  # daily-ingest capstone (new r10):
+                             # gates + incremental dedup + MERGE; each
+                             # kernel separately driver/mirror-green
+                             # (deferred: headroom)
     "drift_psi",             # PSI over frozen reference bins (new r10);
                              # hash-agg + broadcast-bounds mechanics
                              # evidenced by green text_quality rows

@@ -62,6 +62,8 @@ BENCH_DEFERRED = {
                             "text_char_entropy/text_gopher_quality)",
     "multimodal_summary": "multimodal_features (same scan; summary is a "
                           "pure-relational agg over it)",
+    "ranking_eval_summary": "ranking_eval (same metric plan; the "
+                            "summary is a one-row macro agg over it)",
 }
 
 HEADLINE = [
@@ -201,9 +203,9 @@ HEADLINE = [
     "table_snapshot_diff",
     "table_compaction_plan",
     "ranking_eval",
-    "ranking_eval_summary",
     "drift_psi",
     "drift_ks",
+    "pipeline_incremental_refresh",
 ]
 
 
