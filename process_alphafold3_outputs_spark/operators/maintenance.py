@@ -53,6 +53,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     delete_col: str | None = None,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """MERGE INTO semantics as one hash aggregation: per key, an update
     row REPLACES the target row (whole-row semantics — both frames must
@@ -63,7 +64,10 @@ def merge_upsert(
     ``updates`` must be key-unique (one intended final state per key —
     fold an ordered change stream with :func:`apply_changelog` first);
     with duplicate update keys the survivor would be nondeterministic,
-    exactly the ambiguity SQL MERGE rejects at runtime.
+    exactly the ambiguity SQL MERGE rejects at runtime. Pass
+    ``assert_unique=True`` to get MERGE's loud behavior — one EAGER
+    aggregate over the update batch (batch-sized, not target-sized)
+    raising with the duplicate-key count before anything merges.
 
     Scale shape: union + ``max_by(row, precedence)`` groupBy — a single
     key-hashed shuffle with map-side partial combine. No join: the
@@ -78,6 +82,19 @@ def merge_upsert(
     for k in keys:
         if k not in cols:
             raise ValueError(f"key column {k!r} not in target")
+    if assert_unique:
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"updates has {dup} duplicate merge key(s); MERGE "
+                "semantics require one final state per key — fold an "
+                "ordered stream with apply_changelog first"
+            )
     if delete_col is not None:
         dels = F.coalesce(F.col(delete_col), F.lit(False))
     else:

@@ -324,3 +324,24 @@ def test_cli_compact_plan_path_mode(spark, tmp_path):
     )
     with _pytest.raises(SystemExit):
         corpus_cli.run(bad, spark)
+
+
+def test_merge_assert_unique_rejects_ambiguous_batch(spark):
+    """assert_unique=True gives SQL MERGE's loud behavior on duplicate
+    update keys; unique batches pass through unchanged."""
+    target = spark.createDataFrame([(1, "a", 10)], TGT)
+    dup = spark.createDataFrame(
+        [(1, "x", 1, False), (1, "y", 2, False)],
+        TGT + ", is_deleted boolean",
+    )
+    with pytest.raises(ValueError, match="duplicate merge key"):
+        merge_upsert(
+            target, dup, ["k"], delete_col="is_deleted", assert_unique=True
+        )
+    ok = spark.createDataFrame(
+        [(1, "x", 1, False)], TGT + ", is_deleted boolean"
+    )
+    out = merge_upsert(
+        target, ok, ["k"], delete_col="is_deleted", assert_unique=True
+    )
+    assert rows(out, "k", "name", "v") == [(1, "x", 1)]
