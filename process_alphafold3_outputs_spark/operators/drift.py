@@ -130,7 +130,12 @@ def psi_from_binned(grid: DataFrame, col: str, n_bins: int) -> DataFrame:
     )
 
 
-def ks_distance(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+def ks_distance(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    max_values: int = 1_000_000,
+) -> DataFrame:
     """One-row report: (column, n_ref, n_cur, ks) — the exact
     two-sample Kolmogorov–Smirnov distance
     ``max_x |F_ref(x) − F_cur(x)|`` evaluated over the merged observed
@@ -141,7 +146,35 @@ def ks_distance(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     ``|cum_ref·n_cur − cum_cur·n_ref|`` (BIGINT — no float CDF
     accumulation), divided once by ``n_ref·n_cur``. Each side
     collapses to its distinct-value count table first; the merge and
-    the running sums are bounded by distinct values, not rows."""
+    the running sums are bounded by DISTINCT VALUES — which for a
+    discrete/banded column is small, but for a continuous column at
+    100 TB approaches the row count, and the running sum is one
+    ordered pass. ``max_values`` is the same guard discipline as
+    t-closeness's ``max_support``: the merged-grid size is counted
+    first (two aggregate-bounded counts) and the exact statistic
+    refuses to run past it with guidance to band first (KS over bands
+    is the standard high-cardinality form, and banding bounds the
+    error by the band width) — or to raise the cap deliberately."""
+    v_grid = (
+        ref.select(F.col(col).cast("double").alias("_x"))
+        .filter(F.col("_x").isNotNull())
+        .union(
+            cur.select(F.col(col).cast("double").alias("_x")).filter(
+                F.col("_x").isNotNull()
+            )
+        )
+        .agg(F.countDistinct("_x").alias("_v"))
+        .collect()[0][0]
+    )
+    if v_grid > max_values:
+        raise ValueError(
+            f"ks_distance merged grid has {v_grid} distinct {col!r} "
+            f"values (> max_values={max_values}); the exact statistic "
+            "runs one ordered pass over the grid. Band the column "
+            "first (e.g. floor(value / width) — KS over bands bounds "
+            "the error by the band width) or raise max_values "
+            "deliberately."
+        )
     def counts(side: DataFrame, label: str) -> DataFrame:
         return (
             side.select(F.col(col).cast("double").alias("_x"))

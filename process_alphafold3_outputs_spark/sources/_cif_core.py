@@ -212,7 +212,7 @@ def parse_atom_site_columns(text: str) -> dict[str, list]:
             continue
         nh = len(headers)
 
-        def _try_fast(block: str):
+        def _try_fast(block: str, check_terminators: bool = True):
             """loadtxt fast path + the physical-line-count guard: loadtxt
             silently SKIPS blank/whitespace-only lines, but in CIF such a
             line legitimately TERMINATES the block — any skip means the
@@ -223,18 +223,24 @@ def parse_atom_site_columns(text: str) -> dict[str, list]:
             starting with '_'/'loop_'/'data_' whose tokens happen to
             parse as a numeric grid row can never be consumed as atoms —
             any line matching the block-end grammar rejects the block
-            outright (one C-speed regex scan; blocks sliced by the
-            authoritative search contain no such line by construction,
-            so only wrong optimistic guesses are demoted)."""
+            outright (one C-speed regex scan). Blocks sliced by the
+            authoritative search contain no such line BY CONSTRUCTION
+            (their end is the first grammar match), so the caller skips
+            the scan there (``check_terminators=False``) and pays it
+            only on optimistic guesses — equivalence is preserved, the
+            well-formed-file cost is not."""
             if "'" in block or '"' in block:
                 return None
-            # endpos excludes the zero-width ^$ match AFTER the trailing
-            # newline (a well-formed block always ends with one); every
-            # interior terminator — including an interior blank line —
-            # still matches and rejects.
-            scan_end = len(block) - 1 if block.endswith("\n") else len(block)
-            if _BLOCK_END_RE.search(block, 0, scan_end):
-                return None
+            if check_terminators:
+                # endpos excludes the zero-width ^$ match AFTER the
+                # trailing newline (a well-formed block always ends
+                # with one); every interior terminator — including an
+                # interior blank line — still matches and rejects.
+                scan_end = (
+                    len(block) - 1 if block.endswith("\n") else len(block)
+                )
+                if _BLOCK_END_RE.search(block, 0, scan_end):
+                    return None
             out = _read_block_fast(block, nh, ic, ir, inm, ia, ix, iy, iz)
             if out is None:
                 return None
@@ -280,7 +286,9 @@ def parse_atom_site_columns(text: str) -> dict[str, list]:
         pos = end
         if not block.strip():
             continue
-        parsed = _try_fast(block)
+        # check_terminators=False: this block's end IS the first
+        # grammar match from pos, so no terminator line can be inside
+        parsed = _try_fast(block, check_terminators=False)
         if parsed is not None:
             _consume(parsed)
             continue

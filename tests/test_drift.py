@@ -149,3 +149,15 @@ def test_watch_table_drift_stream_equals_batch_and_replays(spark, tmp_path):
     )
     again = spark.read.parquet(os.path.join(out, "epoch_id=1")).collect()[0]
     assert again.asDict() == latest.asDict()
+
+
+def test_ks_max_values_guard(spark):
+    """The exact KS refuses a grid larger than max_values with banding
+    guidance (the t-closeness max_support discipline)."""
+    import pytest as _pytest
+
+    a = _df(spark, range(30))
+    with _pytest.raises(ValueError, match="Band the column"):
+        ks_distance(a, a, "v", max_values=10)
+    # at the cap it runs
+    assert ks_distance(a, a, "v", max_values=30).collect()[0].ks == 0.0
