@@ -370,8 +370,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reference snapshot parquet")
     sp.add_argument("--cur", required=True,
                     help="current snapshot parquet")
-    sp.add_argument("--col", required=True,
-                    help="column to compare across snapshots")
+    sp.add_argument("--col", action="append", required=True,
+                    metavar="COL",
+                    help="column to compare across snapshots; repeat "
+                    "with --stat psi for the fused one-scan "
+                    "multi-column report")
     sp.add_argument("--stat", choices=["psi", "ks", "chi2"],
                     default="psi")
     sp.add_argument("--bins", type=int, default=10,
@@ -666,15 +669,24 @@ def _result(
         )
 
     if args.command == "drift":
-        from .operators.drift import chi2_drift, ks_distance, psi_report
+        from .operators.drift import (
+            chi2_drift,
+            ks_distance,
+            psi_report,
+            psi_report_many,
+        )
 
         ref = spark.read.parquet(args.ref)
         cur = spark.read.parquet(args.cur)
         if args.stat == "psi":
-            return psi_report(ref, cur, args.col, n_bins=args.bins)
+            if len(args.col) > 1:
+                return psi_report_many(ref, cur, args.col, n_bins=args.bins)
+            return psi_report(ref, cur, args.col[0], n_bins=args.bins)
+        if len(args.col) != 1:
+            raise SystemExit(f"--stat {args.stat} takes exactly one --col")
         if args.stat == "ks":
-            return ks_distance(ref, cur, args.col)
-        return chi2_drift(ref, cur, args.col)
+            return ks_distance(ref, cur, args.col[0])
+        return chi2_drift(ref, cur, args.col[0])
     if args.command == "rank-eval":
         from .operators.ranking import ranking_metrics, ranking_summary
 

@@ -265,3 +265,125 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         F.lit(col).alias("col_name"), "n_ref", "n_cur", "n_categories",
         "chi2",
     )
+
+
+def psi_report_many(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """One row per column: (col_name, n_bins, n_ref, n_cur, psi) — PSI
+    for MANY numeric columns in ONE scan per side: a single min/max
+    aggregation freezes every column's reference bins, then each side
+    unpivots to (col_name, value) rows and bins in one pass (the
+    fused-projection discipline every per-column loop here follows —
+    N columns must never cost N corpus scans). Per-column semantics
+    identical to :func:`psi_report` (NULLs excluded per column;
+    out-of-range clamps; Laplace smoothing)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    bounds = ref.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+    )
+    # long-form bounds: (col_name, _mn, _mx) — built from the one-row
+    # agg, broadcast everywhere
+    bounds_long = bounds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"_mn_{c}").alias("_mn"),
+                        F.col(f"_mx_{c}").alias("_mx"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_b")
+    ).select("_b.col_name", "_b._mn", "_b._mx")
+
+    def long_form(side: DataFrame) -> DataFrame:
+        return side.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(c).cast("double").alias("_x"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("_v")
+        ).select("_v.col_name", "_v._x").filter(F.col("_x").isNotNull())
+
+    def binned(side: DataFrame, label: str) -> DataFrame:
+        return (
+            long_form(side)
+            .join(F.broadcast(bounds_long), "col_name")
+            .select(
+                "col_name",
+                F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.lit(n_bins - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col("_x") - F.col("_mn"))
+                                * n_bins
+                                / (F.col("_mx") - F.col("_mn"))
+                            ).cast("int"),
+                        ),
+                    )
+                )
+                .alias("_bin"),
+            )
+            .groupBy("col_name", "_bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"_c_{label}"))
+        )
+
+    spark = ref.sparkSession
+    grid = (
+        spark.range(n_bins)
+        .select(F.col("id").cast("int").alias("_bin"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(c,) for c in cols], "col_name string"
+            )
+        )
+        .join(binned(ref, "ref"), ["col_name", "_bin"], "left")
+        .join(binned(cur, "cur"), ["col_name", "_bin"], "left")
+        .select(
+            "col_name",
+            "_bin",
+            F.coalesce("_c_ref", F.lit(0)).alias("_c_ref"),
+            F.coalesce("_c_cur", F.lit(0)).alias("_c_cur"),
+        )
+    )
+    wc = Window.partitionBy("col_name")
+    g = (
+        grid.withColumn("_n_ref", F.sum("_c_ref").over(wc))
+        .withColumn("_n_cur", F.sum("_c_cur").over(wc))
+    )
+    p_ref = (F.col("_c_ref") + 0.5) / (F.col("_n_ref") + 0.5 * n_bins)
+    p_cur = (F.col("_c_cur") + 0.5) / (F.col("_n_cur") + 0.5 * n_bins)
+    return (
+        g.groupBy("col_name")
+        .agg(
+            F.max("_n_ref").cast("long").alias("n_ref"),
+            F.max("_n_cur").cast("long").alias("n_cur"),
+            F.round(
+                F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6
+            ).alias("psi"),
+        )
+        .select(
+            "col_name",
+            F.lit(n_bins).cast("int").alias("n_bins"),
+            "n_ref",
+            "n_cur",
+            "psi",
+        )
+    )

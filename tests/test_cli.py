@@ -1067,3 +1067,33 @@ def test_corpus_cli_drift_roundtrip(spark, tmp_path):
     assert k.ks == 0.25  # shift of 5 over 20 consecutive values
     c = run(["--col", "g", "--stat", "chi2"], "chi2")
     assert c.n_categories == 2 and c.chi2 > 0
+
+
+def test_corpus_cli_drift_many_columns(spark, tmp_path):
+    """Repeated --col with --stat psi runs the fused one-scan report;
+    ks/chi2 reject multiple columns."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    ref = str(tmp_path / "r2")
+    cur = str(tmp_path / "c2")
+    spark.createDataFrame(
+        [(float(i), float(i % 3)) for i in range(20)], "x double, y double"
+    ).write.parquet(ref)
+    spark.createDataFrame(
+        [(float(i) + 8.0, float(i % 3)) for i in range(20)],
+        "x double, y double",
+    ).write.parquet(cur)
+    args = corpus_cli.build_parser().parse_args(
+        ["drift", "--ref", ref, "--cur", cur, "--col", "x", "--col", "y",
+         "--stat", "psi", "--out", str(tmp_path / "m2")]
+    )
+    res = corpus_cli.run(args, spark)
+    got = {r.col_name: r.psi for r in spark.read.parquet(res["out"]).collect()}
+    assert set(got) == {"x", "y"} and got["x"] > got["y"]
+    bad = corpus_cli.build_parser().parse_args(
+        ["drift", "--ref", ref, "--cur", cur, "--col", "x", "--col", "y",
+         "--stat", "ks", "--out", str(tmp_path / "nope2")]
+    )
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        corpus_cli.run(bad, spark)

@@ -161,3 +161,34 @@ def test_ks_max_values_guard(spark):
         ks_distance(a, a, "v", max_values=10)
     # at the cap it runs
     assert ks_distance(a, a, "v", max_values=30).collect()[0].ks == 0.0
+
+
+def test_psi_report_many_equals_per_column(spark):
+    """The fused multi-column form reproduces psi_report per column
+    exactly (including a column with NULLs and one that drifted)."""
+    ref = spark.createDataFrame(
+        [(float(i), float(i % 7), None if i % 5 == 0 else float(i))
+         for i in range(40)],
+        "a double, b double, c double",
+    )
+    cur = spark.createDataFrame(
+        [(float(i) + 10.0, float(i % 7), float(i * 2))
+         for i in range(25)],
+        "a double, b double, c double",
+    )
+    from process_alphafold3_outputs_spark.operators.drift import (
+        psi_report_many,
+    )
+
+    many = {
+        r.col_name: r for r in psi_report_many(
+            ref, cur, ["a", "b", "c"], n_bins=8
+        ).collect()
+    }
+    for c in ["a", "b", "c"]:
+        single = psi_report(ref, cur, c, n_bins=8).collect()[0]
+        got = many[c]
+        assert (got.n_ref, got.n_cur, got.psi) == (
+            single.n_ref, single.n_cur, single.psi
+        ), c
+    assert many["a"].psi > many["b"].psi  # drifted vs identical-mix
