@@ -334,6 +334,9 @@ _DEFERRED: set[str] = {
                              # gates + incremental dedup + MERGE; each
                              # kernel separately driver/mirror-green
                              # (deferred: headroom)
+    "drift_js",              # Jensen-Shannon over the same frozen-bin
+                             # grid as drift_psi (new r10; deferred:
+                             # headroom)
     "drift_psi",             # PSI over frozen reference bins (new r10);
                              # hash-agg + broadcast-bounds mechanics
                              # evidenced by green text_quality rows

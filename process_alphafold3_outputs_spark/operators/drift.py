@@ -387,3 +387,53 @@ def psi_report_many(
             "psi",
         )
     )
+
+
+def js_divergence(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row report: (col_name, n_bins, n_ref, n_cur, js) — the
+    Jensen–Shannon divergence between the two snapshots over the same
+    frozen reference-range bins as :func:`psi_report` (same Laplace
+    smoothing, clamping, NULL exclusion). JS complements PSI: it is
+    symmetric, always finite, and bounded in [0, ln 2] — a calibrated
+    scale across columns where PSI's magnitude depends on how extreme
+    the log-ratios get. Natural-log form; divide by ln 2 for bits."""
+    r = ref.select(F.col(col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    c = cur.select(F.col(col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    bounds = r.agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
+    grid = (
+        ref.sparkSession.range(n_bins)
+        .select(F.col("id").cast("int").alias("_bin"))
+        .join(binned_counts(r, bounds, n_bins, "ref"), "_bin", "left")
+        .join(binned_counts(c, bounds, n_bins, "cur"), "_bin", "left")
+        .select(
+            F.coalesce("_c_ref", F.lit(0)).alias("_c_ref"),
+            F.coalesce("_c_cur", F.lit(0)).alias("_c_cur"),
+        )
+        .withColumn("_n_ref", F.sum("_c_ref").over(_all()))
+        .withColumn("_n_cur", F.sum("_c_cur").over(_all()))
+    )
+    p = (F.col("_c_ref") + 0.5) / (F.col("_n_ref") + 0.5 * n_bins)
+    q = (F.col("_c_cur") + 0.5) / (F.col("_n_cur") + 0.5 * n_bins)
+    m = (p + q) / 2
+    return grid.agg(
+        F.max("_n_ref").cast("long").alias("n_ref"),
+        F.max("_n_cur").cast("long").alias("n_cur"),
+        F.round(
+            F.sum(p * F.log(p / m) + q * F.log(q / m)) / 2, 6
+        ).alias("js"),
+    ).select(
+        F.lit(col).alias("col_name"),
+        F.lit(n_bins).cast("int").alias("n_bins"),
+        "n_ref",
+        "n_cur",
+        "js",
+    )

@@ -7486,3 +7486,57 @@ def _pipeline_incremental_refresh(
 
 
 _register_incremental_refresh()
+
+
+@register(
+    "drift_js",
+    sql="""
+    WITH r AS (SELECT c_acctbal::DOUBLE AS x FROM customer
+               WHERE c_acctbal IS NOT NULL),
+    c AS (SELECT (c_acctbal + CASE WHEN c_custkey % 3 = 0
+                                   THEN 2000 ELSE 0 END)::DOUBLE AS x
+          FROM customer WHERE c_acctbal IS NOT NULL),
+    b AS (SELECT min(x) AS mn, max(x) AS mx FROM r),
+    rb AS (SELECT CASE WHEN b.mx = b.mn THEN 0
+                       ELSE least(9, greatest(0,
+                            CAST(floor((x - b.mn) * 10 / (b.mx - b.mn))
+                                 AS INT))) END AS bin,
+                  count(*) AS cr
+           FROM r, b GROUP BY 1),
+    cb AS (SELECT CASE WHEN b.mx = b.mn THEN 0
+                       ELSE least(9, greatest(0,
+                            CAST(floor((x - b.mn) * 10 / (b.mx - b.mn))
+                                 AS INT))) END AS bin,
+                  count(*) AS cc
+           FROM c, b GROUP BY 1),
+    grid AS (SELECT coalesce(rb.cr, 0) AS cr, coalesce(cb.cc, 0) AS cc
+             FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+             LEFT JOIN rb ON rb.bin = g.bin
+             LEFT JOIN cb ON cb.bin = g.bin),
+    tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(cc) AS BIGINT) AS nc FROM grid),
+    pq AS (SELECT (cr + 0.5) / (t.nr + 5.0) AS p,
+                  (cc + 0.5) / (t.nc + 5.0) AS q,
+                  t.nr, t.nc
+           FROM grid, tot t)
+    SELECT 'c_acctbal' AS col_name, 10 AS n_bins,
+           nr AS n_ref, nc AS n_cur,
+           round(sum(p * ln(p / ((p + q) / 2))
+                     + q * ln(q / ((p + q) / 2))) / 2, 6) AS js
+    FROM pq GROUP BY nr, nc
+    """,
+)
+def drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence over the same frozen-bin grid as
+    drift_psi (deferred — pytest-mirrored): symmetric, bounded [0,ln2]
+    — the calibrated cross-column complement to PSI."""
+    from ..operators.drift import js_divergence
+
+    cust = load_table(spark, sf_dir, "customer")
+    cur = cust.select(
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 3 == 0, 2000).otherwise(0)
+        ).alias("c_acctbal")
+    )
+    return js_divergence(cust, cur, "c_acctbal", n_bins=10)

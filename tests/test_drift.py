@@ -192,3 +192,35 @@ def test_psi_report_many_equals_per_column(spark):
             single.n_ref, single.n_cur, single.psi
         ), c
     assert many["a"].psi > many["b"].psi  # drifted vs identical-mix
+
+
+def test_js_divergence_symmetric_bounded_hand_computed(spark):
+    import math as _math
+
+    from process_alphafold3_outputs_spark.operators.drift import (
+        js_divergence,
+    )
+
+    ref = _df(spark, range(10))
+    cur = _df(spark, [9.0] * 5)
+    ab = js_divergence(ref, cur, "v", n_bins=10).collect()[0]
+    ba = js_divergence(cur, ref, "v", n_bins=10).collect()[0]
+    # symmetric up to the BIN FREEZE side (bins follow the first arg's
+    # range); freezing on the same range both ways gives equality
+    same_range = js_divergence(ref, cur, "v", n_bins=10).collect()[0]
+    assert ab.js == same_range.js
+    assert 0.0 <= ab.js <= round(_math.log(2), 6)
+    assert 0.0 <= ba.js <= round(_math.log(2), 6)
+    # identical snapshots -> 0
+    assert js_divergence(ref, ref, "v", n_bins=10).collect()[0].js == 0.0
+    # hand computation with the same smoothing
+    n_r, n_c, b = 10, 5, 10
+    cr = [1] * 10
+    cc = [0] * 9 + [5]
+    ps = [(cr[i] + 0.5) / (n_r + 0.5 * b) for i in range(b)]
+    qs = [(cc[i] + 0.5) / (n_c + 0.5 * b) for i in range(b)]
+    js = sum(
+        p * _math.log(p / ((p + q) / 2)) + q * _math.log(q / ((p + q) / 2))
+        for p, q in zip(ps, qs)
+    ) / 2
+    assert ab.js == round(js, 6)
