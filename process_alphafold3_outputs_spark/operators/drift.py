@@ -56,7 +56,7 @@ def psi_report(
     c = cur.select(F.col(col).cast("double").alias("_x")).filter(
         F.col("_x").isNotNull()
     )
-    bounds = r.agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
+    bounds = _checked_bounds(r, col)
     grid = (
         ref.sparkSession.range(n_bins)
         .select(F.col("id").cast("int").alias("_bin"))
@@ -69,6 +69,27 @@ def psi_report(
         )
     )
     return psi_from_binned(grid, col, n_bins)
+
+
+def _checked_bounds(r: DataFrame, col: str) -> DataFrame:
+    """One-row (_mn, _mx) frame from the non-NULL reference values —
+    refusing loudly when the reference side is empty or all-NULL. An
+    unguarded degenerate reference makes every current-side value bin
+    to NULL and drop, so the report reads psi=0.0 ("stable") on no
+    evidence at all; the guard follows :func:`ks_distance`'s
+    loud-refusal discipline. The bounds are collected (two scalars)
+    and re-emitted as a literal one-row frame, so downstream binning
+    keeps the same broadcast-join shape."""
+    row = r.agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx")).collect()[0]
+    if row["_mn"] is None:
+        raise ValueError(
+            f"drift reference side has no non-NULL {col!r} values; "
+            "reference bins are undefined. Check the reference "
+            "snapshot before gating on this report."
+        )
+    return r.sparkSession.createDataFrame(
+        [(float(row["_mn"]), float(row["_mx"]))], "_mn double, _mx double"
+    )
 
 
 def binned_counts(
@@ -201,10 +222,16 @@ def ks_distance(
         .withColumn("_n_ref", F.max("_cum_ref").over(_all()))
         .withColumn("_n_cur", F.max("_cum_cur").over(_all()))
         .withColumn(
+            # decimal(38,0) before the cross-multiplication: BIGINT
+            # cums wrap silently under ANSI-off once each side passes
+            # ~3e9 rows (cum·n → 9.2e18) — max_values bounds DISTINCT
+            # values, not row counts. Same overflow fix as the
+            # t-closeness EMD numerators.
             "_num",
             F.abs(
-                F.col("_cum_ref") * F.col("_n_cur")
-                - F.col("_cum_cur") * F.col("_n_ref")
+                F.col("_cum_ref").cast("decimal(38,0)") * F.col("_n_cur")
+                - F.col("_cum_cur").cast("decimal(38,0)")
+                * F.col("_n_ref")
             ),
         )
     )
@@ -228,20 +255,25 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     floor on the reference count (a brand-new category is
     infinite-surprise otherwise); NULL is a category of its own (a
     NULL-rate shift is drift). Compare against the chi-square quantile
-    for (categories − 1) dof, or track the raw statistic over time."""
+    for (categories − 1) dof, or track the raw statistic over time.
+
+    NULL is keyed as the pair (is_null=true, '') rather than a string
+    sentinel — a sentinel like ' NULL' silently merges the NULL bucket
+    with a genuine category holding that exact string."""
     def counts(side: DataFrame, label: str) -> DataFrame:
         return (
             side.select(
-                F.coalesce(F.col(col).cast("string"), F.lit(" NULL"))
-                .alias("_v")
+                F.col(col).cast("string").isNull().alias("_is_null"),
+                F.coalesce(F.col(col).cast("string"), F.lit(""))
+                .alias("_v"),
             )
-            .groupBy("_v")
+            .groupBy("_is_null", "_v")
             .agg(F.count(F.lit(1)).cast("long").alias(f"_c_{label}"))
         )
 
     merged = (
         counts(ref, "ref")
-        .join(counts(cur, "cur"), "_v", "full_outer")
+        .join(counts(cur, "cur"), ["_is_null", "_v"], "full_outer")
         .select(
             F.coalesce("_c_ref", F.lit(0)).alias("_c_ref"),
             F.coalesce("_c_cur", F.lit(0)).alias("_c_cur"),
@@ -283,26 +315,30 @@ def psi_report_many(
     out-of-range clamps; Laplace smoothing)."""
     if not cols:
         raise ValueError("cols must be non-empty")
-    bounds = ref.agg(
+    # ONE min/max scan freezes every column's bins; the collected row
+    # doubles as the degenerate-reference guard (same loud refusal as
+    # _checked_bounds — an all-NULL reference column would silently
+    # drop every current-side value and read "stable").
+    brow = ref.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    bad = [c for c in cols if brow[f"_mn_{c}"] is None]
+    if bad:
+        raise ValueError(
+            f"drift reference side has no non-NULL values for {bad}; "
+            "reference bins are undefined for those columns. Check "
+            "the reference snapshot before gating on this report."
+        )
+    # long-form bounds: (col_name, _mn, _mx) — literal one-row-per-col
+    # frame, broadcast everywhere
+    bounds_long = ref.sparkSession.createDataFrame(
+        [
+            (c, float(brow[f"_mn_{c}"]), float(brow[f"_mx_{c}"]))
+            for c in cols
+        ],
+        "col_name string, _mn double, _mx double",
     )
-    # long-form bounds: (col_name, _mn, _mx) — built from the one-row
-    # agg, broadcast everywhere
-    bounds_long = bounds.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.col(f"_mn_{c}").alias("_mn"),
-                        F.col(f"_mx_{c}").alias("_mx"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("_b")
-    ).select("_b.col_name", "_b._mn", "_b._mx")
 
     def long_form(side: DataFrame) -> DataFrame:
         return side.select(
@@ -408,7 +444,7 @@ def js_divergence(
     c = cur.select(F.col(col).cast("double").alias("_x")).filter(
         F.col("_x").isNotNull()
     )
-    bounds = r.agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
+    bounds = _checked_bounds(r, col)
     grid = (
         ref.sparkSession.range(n_bins)
         .select(F.col("id").cast("int").alias("_bin"))

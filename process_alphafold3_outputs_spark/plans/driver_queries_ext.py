@@ -7361,15 +7361,20 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "drift_chi2",
     sql="""
-    WITH r AS (SELECT coalesce(c_mktsegment, ' NULL') AS v
+    WITH r AS (SELECT c_mktsegment IS NULL AS isn,
+                      coalesce(c_mktsegment, '') AS v
                FROM customer),
-    c AS (SELECT coalesce(CASE WHEN c_custkey % 6 = 0 THEN 'NEWSEG'
-                               ELSE c_mktsegment END, ' NULL') AS v
-          FROM customer),
-    rc AS (SELECT v, CAST(count(*) AS BIGINT) AS cr FROM r GROUP BY v),
-    cc AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM c GROUP BY v),
+    c AS (SELECT x IS NULL AS isn, coalesce(x, '') AS v
+          FROM (SELECT CASE WHEN c_custkey % 6 = 0 THEN 'NEWSEG'
+                            ELSE c_mktsegment END AS x
+                FROM customer)),
+    rc AS (SELECT isn, v, CAST(count(*) AS BIGINT) AS cr
+           FROM r GROUP BY isn, v),
+    cc AS (SELECT isn, v, CAST(count(*) AS BIGINT) AS cv
+           FROM c GROUP BY isn, v),
     m AS (SELECT coalesce(rc.cr, 0) AS cr, coalesce(cc.cv, 0) AS cv
-          FROM rc FULL OUTER JOIN cc ON rc.v = cc.v),
+          FROM rc FULL OUTER JOIN cc
+          ON rc.v = cc.v AND rc.isn = cc.isn),
     t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
                  CAST(sum(cv) AS BIGINT) AS nc,
                  CAST(count(*) AS BIGINT) AS ncat FROM m)

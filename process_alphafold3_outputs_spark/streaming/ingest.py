@@ -1309,6 +1309,22 @@ def _drift_process_batch(
         "_bin int, _c_ref long, _c_cur long, _mn double, _mx double"
     )
     prev = read_state(ss, state_path, state_schema, before_epoch=epoch_id)
+    if not prev.isEmpty():
+        # lineage guard: the state grid has exactly one row per frozen
+        # bin. A restart with a different n_bins would otherwise
+        # mis-report silently — new-bin counts drop in the left join
+        # and the Laplace denominator 0.5·n_bins stops matching the
+        # grid — the same mismatch class read_state's type-clash guard
+        # exists for.
+        state_bins = prev.count()
+        if state_bins != n_bins:
+            raise ValueError(
+                f"watch_table_drift state at {state_path!r} froze "
+                f"{state_bins} bins but the watcher was restarted "
+                f"with n_bins={n_bins}; the reference grid is "
+                "immutable for the lineage. Restart with the "
+                "original n_bins or point at a fresh state path."
+            )
     if prev.isEmpty():
         # epoch 0: freeze the reference bins + bounds into the state
         ref = ss.read.parquet(ref_path).select(

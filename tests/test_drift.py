@@ -224,3 +224,79 @@ def test_js_divergence_symmetric_bounded_hand_computed(spark):
         for p, q in zip(ps, qs)
     ) / 2
     assert ab.js == round(js, 6)
+
+
+# ---------------------------------------------------------------------------
+# r11 advice regressions
+# ---------------------------------------------------------------------------
+
+def test_ks_numerator_is_decimal(spark):
+    """The KS cross-multiplication runs in decimal(38,0), not BIGINT —
+    BIGINT cums wrap silently under ANSI-off once each side passes
+    ~3e9 rows (max_values bounds distinct VALUES, not row counts)."""
+    plan = ks_distance(
+        _df(spark, [1, 2]), _df(spark, [1, 2]), "v"
+    )._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" in plan
+
+
+def test_chi2_null_does_not_collide_with_sentinel_string(spark):
+    """A genuine category whose value is the string ' NULL' must stay
+    distinct from the NULL bucket (the old sentinel merged them)."""
+    ref = spark.createDataFrame([(" NULL",), (None,)], CAT)
+    cur = spark.createDataFrame([(" NULL",), (" NULL",), (None,)], CAT)
+    out = chi2_drift(ref, cur, "v").collect()[0]
+    assert out.n_categories == 2
+    # e_sentinel = 1*3/2 = 1.5, e_null = 1*3/2 = 1.5
+    chi2 = (2 - 1.5) ** 2 / 1.5 + (1 - 1.5) ** 2 / 1.5
+    assert out.chi2 == round(chi2, 6)
+
+
+def test_psi_and_js_refuse_degenerate_reference(spark):
+    """An empty or all-NULL reference must fail loudly, not report
+    psi=0.0 'stable' after every current value drops to the NULL bin."""
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark.operators.drift import (
+        js_divergence,
+        psi_report_many,
+    )
+
+    empty = spark.createDataFrame([], ONE)
+    all_null = spark.createDataFrame([(None,), (None,)], ONE)
+    cur = _df(spark, [1.0, 2.0])
+    for bad_ref in (empty, all_null):
+        with _pytest.raises(ValueError, match="no non-NULL"):
+            psi_report(bad_ref, cur, "v")
+        with _pytest.raises(ValueError, match="no non-NULL"):
+            js_divergence(bad_ref, cur, "v")
+    # fused form: names the offending column, passes the healthy one
+    two = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "a double, b double"
+    )
+    with _pytest.raises(ValueError, match=r"\['b'\]"):
+        psi_report_many(two, two, ["a", "b"])
+    ok = psi_report_many(two, two, ["a"]).collect()[0]
+    assert ok.psi == 0.0
+
+
+def test_watch_table_drift_rejects_n_bins_change(spark, tmp_path):
+    """Restarting the watcher with a different n_bins than the frozen
+    state grid must fail loudly, not mis-bin against a stale grid."""
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _drift_process_batch,
+    )
+
+    ref_path = str(tmp_path / "ref")
+    _df(spark, range(20)).write.parquet(ref_path)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "psi")
+    _drift_process_batch(_df(spark, [1.0]), 0, state, out, "v", ref_path, 10)
+    with _pytest.raises(ValueError, match="froze 10 bins"):
+        _drift_process_batch(
+            _df(spark, [2.0]), 1, state, out, "v", ref_path, 5
+        )
+    # same n_bins continues fine
+    _drift_process_batch(_df(spark, [2.0]), 1, state, out, "v", ref_path, 10)
