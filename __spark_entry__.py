@@ -98,6 +98,15 @@ _PRIORITY: list[str] = [
     #    sessionize + session_window_batch driver rows)
     "dedup_incremental_near",
     "text_mix_temperature",
+    # -- round-11 rotation (NOTES rotation table): TrustRank's seeded
+    #    power iteration (the one graph family variant whose
+    #    teleport-to-seeds arithmetic differs from the r7 PageRank row)
+    #    and the Deequ-style one-scan constraint report get driver
+    #    evidence; freed slots: range_threshold (O18 keeps the green
+    #    af3_interacting_residues row) + collect_set_sorted (O22 keeps
+    #    the green af3_contacts/af3_interaction_report rows)
+    "graph_source_trustrank",
+    "quality_expectations",
 ]
 
 #: driver-visible queries DELIBERATELY registered without a SQL oracle —
@@ -402,10 +411,6 @@ _DEFERRED: set[str] = {
                              # (new r9); CUBE lattice mechanics
                              # evidenced by cube_customer_segments'
                              # oracle (deferred: headroom)
-    "quality_expectations",  # Deequ-style constraint report; the
-                             # conditional-sum mechanics are the green
-                             # conditional_sum/distinct_agg rows
-                             # (deferred: headroom)
     "text_split_by_language",  # same-language segment split; islands
                              # mechanics are the green sessionize row
                              # (deferred: headroom)
@@ -429,10 +434,16 @@ _DEFERRED: set[str] = {
                              # tokenize-count-broadcast mechanics are
                              # the green text_quality/tfidf rows
                              # (deferred: headroom)
-    "graph_source_trustrank",  # seeded (personalized) PageRank; the
-                             # power-iteration mechanics are the green
-                             # graph_source_pagerank row
-                             # (deferred: headroom)
+    "range_threshold",       # O18 — rotated OUT in r11 for
+                             # graph_source_trustrank (the matrix-slice
+                             # count-threshold agg keeps its green
+                             # af3_interacting_residues end-to-end row;
+                             # stays benched + oracle-mirrored)
+    "collect_set_sorted",    # O22 — rotated OUT in r11 for
+                             # quality_expectations (the contact-map
+                             # distinct collection keeps its green
+                             # af3_contacts/af3_interaction_report rows;
+                             # stays benched + oracle-mirrored)
     "dedup_decontaminate_multi",  # per-benchmark attribution; the
                              # single-benchmark mechanics are the
                              # green dedup_decontaminate row
