@@ -64,6 +64,9 @@ BENCH_DEFERRED = {
                           "pure-relational agg over it)",
     "ranking_eval_summary": "ranking_eval (same metric plan; the "
                             "summary is a one-row macro agg over it)",
+    "drift_ks": "drift_ks_banded (floor-band + the SAME exact-integer "
+                "KS kernel; the banded form adds the band projection "
+                "on top, so it strictly supersets the benched plan)",
 }
 
 HEADLINE = [
@@ -204,7 +207,7 @@ HEADLINE = [
     "table_compaction_plan",
     "ranking_eval",
     "drift_psi",
-    "drift_ks",
+    "drift_ks_banded",
     "pipeline_incremental_refresh",
 ]
 

@@ -246,6 +246,51 @@ def ks_distance(
     ).select(F.lit(col).alias("col_name"), "n_ref", "n_cur", "ks")
 
 
+def ks_distance_banded(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    width: float,
+    max_values: int = 1_000_000,
+) -> DataFrame:
+    """One-row report: (col_name, band_width, n_ref, n_cur, ks) — the
+    exact two-sample KS statistic over FLOOR-BANDED values
+    (``floor(x / width) · width``): the 100 TB path for a continuous
+    column, where :func:`ks_distance`'s merged grid of distinct raw
+    values approaches the row count and the exact form refuses past
+    ``max_values``.
+
+    Banding is the standard high-cardinality KS form: both empirical
+    CDFs are evaluated on the shared band grid, so the banded statistic
+    differs from the true KS by at most the largest probability mass
+    either side places strictly inside one band — shrink ``width`` to
+    tighten, at the cost of grid size (still bounded by
+    range / width, never by rows). Same exact-integer numerator
+    discipline as the exact form (the banded values feed the identical
+    kernel)."""
+    if not width > 0:
+        raise ValueError(f"width must be > 0 (got {width})")
+
+    def band(side: DataFrame) -> DataFrame:
+        return side.select(
+            (
+                F.floor(F.col(col).cast("double") / F.lit(float(width)))
+                * F.lit(float(width))
+            ).alias(col)
+        )
+
+    return (
+        ks_distance(band(ref), band(cur), col, max_values=max_values)
+        .select(
+            "col_name",
+            F.lit(float(width)).alias("band_width"),
+            "n_ref",
+            "n_cur",
+            "ks",
+        )
+    )
+
+
 def chi2_drift(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     """One-row report: (column, n_ref, n_cur, n_categories, chi2) —
     Pearson's chi-square statistic of the CURRENT category counts

@@ -153,14 +153,45 @@ def test_watch_table_drift_stream_equals_batch_and_replays(spark, tmp_path):
 
 def test_ks_max_values_guard(spark):
     """The exact KS refuses a grid larger than max_values with banding
-    guidance (the t-closeness max_support discipline)."""
+    guidance (the t-closeness max_support discipline) — and the banded
+    wrapper succeeds on the SAME inputs under the SAME cap."""
     import pytest as _pytest
+
+    from process_alphafold3_outputs_spark.operators.drift import (
+        ks_distance_banded,
+    )
 
     a = _df(spark, range(30))
     with _pytest.raises(ValueError, match="Band the column"):
         ks_distance(a, a, "v", max_values=10)
     # at the cap it runs
     assert ks_distance(a, a, "v", max_values=30).collect()[0].ks == 0.0
+    # the banded convenience form: width-10 bands -> 3-value grid,
+    # structurally under the cap the exact form refused
+    out = ks_distance_banded(a, a, "v", width=10.0, max_values=10)
+    row = out.collect()[0]
+    assert (row.band_width, row.ks) == (10.0, 0.0)
+    with _pytest.raises(ValueError, match="width must be > 0"):
+        ks_distance_banded(a, a, "v", width=0.0)
+
+
+def test_ks_banded_matches_hand_banding_and_bounds_error(spark):
+    """Banded KS == exact KS over pre-banded values, and on a shifted
+    sample the banded reading converges to the exact KS as the width
+    shrinks (|banded − exact| ≤ max within-band mass)."""
+    ref = _df(spark, range(100))
+    cur = _df(spark, [v + 30 for v in range(100)])
+    from process_alphafold3_outputs_spark.operators.drift import (
+        ks_distance_banded,
+    )
+
+    exact = ks_distance(ref, cur, "v").collect()[0].ks
+    banded10 = ks_distance_banded(ref, cur, "v", width=10.0).collect()[0].ks
+    banded1 = ks_distance_banded(ref, cur, "v", width=1.0).collect()[0].ks
+    # width 1 on integer data is lossless
+    assert banded1 == exact == 0.3
+    # width 10: each band holds 10/100 of either side's mass
+    assert abs(banded10 - exact) <= 10 / 100
 
 
 def test_psi_report_many_equals_per_column(spark):
