@@ -9,6 +9,8 @@ its bucket and prune every other directory.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -247,41 +249,56 @@ def file_stats(
     partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """(partition..., file_name, bytes) — one row per DATA file under
-    ``path`` via the Hadoop FS API (local, ``hdfs://``, ``s3a://`` —
-    the same recursive listing Spark's own file index performs), with
-    hive-style ``k=v`` path segments surfaced as columns for the
-    requested ``partition_cols``. Control files (``_SUCCESS``,
-    ``_metadata``, dotfiles) are skipped.
+    ``path`` (local, ``hdfs://``, ``s3a://``), with hive-style ``k=v``
+    path segments surfaced as columns for the requested
+    ``partition_cols``. Control files (``_SUCCESS``, ``_metadata``,
+    dotfiles) are skipped.
+
+    Implemented as a ``binaryFile`` scan with the ``content`` column
+    PRUNED AWAY: Spark's own file index performs the recursive listing
+    JVM-side (parallelized across executors past the
+    ``parallelPartitionDiscovery`` threshold), and ``BinaryFileFormat``
+    only opens a file when the ``content`` column is required — so the
+    scan is metadata-only, one row per file, at listing speed. The
+    prior implementation iterated a Hadoop ``listFiles`` handle from
+    Python, paying ~4 Py4J round trips per file: the bench layout probe
+    measured it at 51 s for a 10 K-file tree vs sub-second for this
+    form. Path segments are parsed relationally (regexp on the
+    directory part), so the whole operator stays in the JVM.
 
     This is the input side of
     :func:`..operators.maintenance.compaction_plan` for plain parquet
-    directories. The listing is driver-side but METADATA-only — one
-    RPC-paged iterator, no data read; at table-format scale (Delta /
-    Iceberg) the manifest table replaces this listing and feeds the
-    same planner."""
+    directories; at table-format scale (Delta / Iceberg) the manifest
+    table replaces this listing and feeds the same planner."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     root = fs.getFileStatus(hpath).getPath().toString()
-    it = fs.listFiles(hpath, True)
     pcols = partition_cols or []
-    rows = []
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath()
-        name = p.getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        full = p.toString()
-        rel = full[len(root):].lstrip("/")
-        parts = {}
-        for seg in rel.split("/")[:-1]:
-            k, eq, v = seg.partition("=")
-            if eq:
-                parts[k] = v
-        rows.append(
-            tuple(parts.get(k) for k in pcols) + (rel, int(st.getLen()))
-        )
-    schema = ", ".join(f"`{k}` string" for k in pcols)
-    schema = (schema + ", " if schema else "") + "file_name string, bytes long"
-    return spark.createDataFrame(rows, schema)
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", F.col("length").alias("bytes"))
+    )
+    # relative path under the canonical root; the listing already hides
+    # _/.-prefixed names (Spark's file-index convention), the filter is
+    # a defensive restatement of the contract
+    rel = F.regexp_replace(
+        "path", "^" + re.escape(root) + "/?", ""
+    ).alias("file_name")
+    base = listing.select(rel, "bytes").filter(
+        ~F.element_at(F.split("file_name", "/"), -1).rlike("^[_.]")
+    )
+    dirpart = F.regexp_extract("file_name", r"^(.*/)?[^/]+$", 1)
+    return base.select(
+        *[
+            F.when(
+                dirpart.rlike(f"(^|/){re.escape(k)}="),
+                F.regexp_extract(dirpart, f"(^|/){re.escape(k)}=([^/]*)", 2),
+            ).alias(k)
+            for k in pcols
+        ],
+        "file_name",
+        "bytes",
+    )

@@ -532,3 +532,21 @@ def test_drift_sides_reduce_before_meeting(spark, sf_dir):
     # the aggregation nodes appear below (later in formatted text than)
     # the join header only if they feed it; assert both sides aggregated
     assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_file_stats_listing_prunes_content(spark, tmp_path):
+    """file_stats is a binaryFile scan whose ReadSchema carries ONLY
+    path+length — the content column is pruned, so BinaryFileFormat
+    never opens a file: the listing stays metadata-sized at any file
+    count (the per-file Py4J walk it replaced read 51 s at 10 K
+    files)."""
+    from process_alphafold3_outputs_spark.sources.layout import file_stats
+
+    d = str(tmp_path / "tbl")
+    spark.range(10).selectExpr("id", "id % 2 AS g").write.partitionBy(
+        "g"
+    ).parquet(d)
+    plan = formatted_plan(file_stats(spark, d, ["g"]))
+    assert "binaryFile" in plan
+    assert "content" not in plan  # pruned: never reads file bytes
+    assert "path" in plan and "length" in plan
