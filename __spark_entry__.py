@@ -357,6 +357,16 @@ _DEFERRED: set[str] = {
                              # (new r11, judge item 7); same kernel as
                              # drift_ks over a width-bounded grid
                              # (deferred: headroom)
+    "profile_table",         # one-scan per-column profile (new r11
+                             # axis); fused-agg mechanics evidenced by
+                             # green quality_expectations driver row
+                             # (deferred: headroom; r12+ rotation
+                             # candidate)
+    "profile_top_values",    # per-column heavy hitters in one unpivot
+                             # pass (new r11 axis); explode + keyed agg
+                             # + bounded window mechanics evidenced by
+                             # green topk_per_group/chi2 family rows
+                             # (deferred: headroom)
     "drift_chi2",            # chi-square categorical drift (new r10);
                              # (deferred: headroom)
     "ranking_eval",          # IR metrics of the LSH run vs exact graded

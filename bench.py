@@ -67,6 +67,14 @@ BENCH_DEFERRED = {
     "drift_ks": "drift_ks_banded (floor-band + the SAME exact-integer "
                 "KS kernel; the banded form adds the band projection "
                 "on top, so it strictly supersets the benched plan)",
+    "text_mix_unimax_draw": "text_mix_unimax (the waterfill allocation "
+                            "is the novel plan; the draw composes it "
+                            "with the separately-benched epoch-expand "
+                            "md5 gate)",
+    "similarity_mmr_many": "similarity_mmr (single-query greedy; the "
+                           "many form is the same per-query plan keyed "
+                           "by query_id — single==many parity "
+                           "pytest-pinned)",
 }
 
 HEADLINE = [
@@ -189,11 +197,11 @@ HEADLINE = [
     "text_paragraph_langs",
     "text_split_by_language",
     "quality_expectations",
-    "similarity_mmr_many",
+    "profile_table",
+    "profile_top_values",
     "sketch_hll_overlap",
     "sketch_cms_join_size",
     "text_mix_unimax",
-    "text_mix_unimax_draw",
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_risk",

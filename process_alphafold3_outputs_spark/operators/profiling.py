@@ -1,0 +1,146 @@
+"""One-scan table profiling — the DISCOVERY dual of the Deequ-style
+constraint report in ``quality.expectation_report``: before you can
+write expectations for a new 100 TB table, you profile it. Two
+operators, each a single corpus scan regardless of column count (the
+fused-projection discipline every per-column loop in this engine
+follows — N columns must never cost N scans):
+
+- :func:`profile_table` — one row per column with row/null/distinct
+  counts, null fraction, and lexicographic-on-string min/max, computed
+  in ONE global aggregation (per-column expressions fused into one
+  agg; the exchange moves a single partial row per task).
+- :func:`top_values` — per-column heavy hitters: one unpivot pass,
+  one keyed aggregation, one bounded window (top-k per column).
+
+``n_distinct`` is exact by default (one-scan exact distincts for many
+columns rewrite to an OptimizeDistinctAggregates expand — still one
+scan of the data); pass ``approx=True`` for the HLL++ sketch form at
+scale, where exact per-column distincts on a 100 TB fact table are a
+shuffle you usually don't want for a profile. The approx form is
+Spark's JVM-side estimator, so it carries no SQL oracle — the driver
+query uses the exact form; the approx path is pinned by a relative-
+error pytest instead.
+
+Everything lands as STRINGS in the min/max slots so one report schema
+covers heterogenous columns (the profile is a reviewer artifact, not
+an input to arithmetic); numeric semantics stay correct because the
+min/max are computed on the NATIVE type and cast after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """One row per column: (col_name, dtype, n_rows, n_null,
+    null_frac, n_distinct, min_value, max_value) — the whole profile
+    in ONE aggregation over ONE scan. NULLs count toward ``n_rows``
+    and ``n_null`` but not ``n_distinct`` (SQL COUNT(DISTINCT)
+    semantics); ``min/max`` are NULL for an all-NULL column.
+
+    ``approx=True`` swaps exact distincts for ``approx_count_distinct``
+    (HLL++, default rsd 5%) — the scale form for wide fact tables where
+    the exact rewrite's expand multiplies shuffle rows by the column
+    count."""
+    dtypes = dict(df.dtypes)
+    if cols is None:
+        cols = [c for c, _ in df.dtypes]
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[F.count(c).cast("long").alias(f"_nn_{c}") for c in cols],
+        *[distinct(c).cast("long").alias(f"_nd_{c}") for c in cols],
+        *[F.min(c).cast("string").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("string").alias(f"_mx_{c}") for c in cols],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.lit(dtypes[c]).alias("dtype"),
+                        F.col("_n").alias("n_rows"),
+                        (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                        F.when(F.col("_n") > 0,
+                               F.round(
+                                   (F.col("_n") - F.col(f"_nn_{c}"))
+                                   / F.col("_n"), 6
+                               ))
+                        .otherwise(F.lit(None).cast("double"))
+                        .alias("null_frac"),
+                        F.col(f"_nd_{c}").alias("n_distinct"),
+                        F.col(f"_mn_{c}").alias("min_value"),
+                        F.col(f"_mx_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.*")
+
+
+def top_values(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """(col_name, value, n, rank) — the ``k`` most frequent values per
+    column (the reviewer's "what is actually in this column" view, and
+    the skew pre-flight for join/groupBy keys): ONE unpivot pass over
+    the corpus, one (col, value)-keyed aggregation with map-side
+    combine, one window bounded at k rows per column. NULL appears as
+    a value (a dominant-NULL column is exactly what a profile must
+    surface) under the key pair (is_null, value) — the same
+    collision-proof keying as chi2_drift — and renders as NULL in the
+    output. Ties break by value string for cross-engine determinism."""
+    if cols is None:
+        cols = [c for c, _ in df.dtypes]
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    long = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").isNull().alias("_is_null"),
+                        F.coalesce(F.col(c).cast("string"), F.lit(""))
+                        .alias("_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.*")
+    counts = long.groupBy("col_name", "_is_null", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.desc("n"), F.asc("_is_null"), F.asc("_v")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "col_name",
+            F.when(F.col("_is_null"), F.lit(None).cast("string"))
+            .otherwise(F.col("_v"))
+            .alias("value"),
+            "n",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -7590,3 +7590,115 @@ def drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c_acctbal")
     )
     return js_divergence(cust, cur, "c_acctbal", n_bins=10)
+
+
+# --------------------------------------------------------------------------
+# One-scan table profiling (operators/profiling.py) — the discovery dual
+# of quality_expectations: per-column null/distinct/min/max in ONE fused
+# aggregation, and per-column heavy hitters in one unpivot pass. The
+# driver queries profile the documents table with deterministically
+# induced NULLs so the null accounting is exercised; columns are
+# bigint/varchar only (float→string rendering differs across engines).
+# --------------------------------------------------------------------------
+@register(
+    "profile_table",
+    sql="""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END
+                          AS lang,
+                      source, n_chars
+               FROM documents),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(doc_id) AS BIGINT) AS nn_doc_id,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_doc_id,
+                 CAST(min(doc_id) AS VARCHAR) AS mn_doc_id,
+                 CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+                 CAST(count(lang) AS BIGINT) AS nn_lang,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang,
+                 min(lang) AS mn_lang, max(lang) AS mx_lang,
+                 CAST(count(source) AS BIGINT) AS nn_source,
+                 CAST(count(DISTINCT source) AS BIGINT) AS nd_source,
+                 min(source) AS mn_source, max(source) AS mx_source,
+                 CAST(count(n_chars) AS BIGINT) AS nn_n_chars,
+                 CAST(count(DISTINCT n_chars) AS BIGINT) AS nd_n_chars,
+                 CAST(min(n_chars) AS VARCHAR) AS mn_n_chars,
+                 CAST(max(n_chars) AS VARCHAR) AS mx_n_chars
+          FROM d)
+    SELECT 'doc_id' AS col_name, 'bigint' AS dtype, n AS n_rows,
+           n - nn_doc_id AS n_null,
+           round((n - nn_doc_id) / CAST(n AS DOUBLE), 6) AS null_frac,
+           nd_doc_id AS n_distinct, mn_doc_id AS min_value,
+           mx_doc_id AS max_value
+    FROM a
+    UNION ALL
+    SELECT 'lang', 'string', n, n - nn_lang,
+           round((n - nn_lang) / CAST(n AS DOUBLE), 6),
+           nd_lang, mn_lang, mx_lang FROM a
+    UNION ALL
+    SELECT 'source', 'string', n, n - nn_source,
+           round((n - nn_source) / CAST(n AS DOUBLE), 6),
+           nd_source, mn_source, mx_source FROM a
+    UNION ALL
+    SELECT 'n_chars', 'bigint', n, n - nn_n_chars,
+           round((n - nn_n_chars) / CAST(n AS DOUBLE), 6),
+           nd_n_chars, mn_n_chars, mx_n_chars FROM a
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan per-column profile of the documents table with lang
+    NULLed every %5 (deferred — pytest-mirrored): row/null/distinct
+    counts, null fraction, native-typed min/max rendered as strings —
+    the discovery report a pipeline runs before writing
+    quality_expectations for a new table."""
+    from ..operators.profiling import profile_table as _profile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    )
+    return _profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
+    "profile_top_values",
+    sql="""
+    WITH d AS (SELECT CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END
+                          AS lang,
+                      source
+               FROM documents),
+    long AS (
+        SELECT 'lang' AS col_name, lang IS NULL AS isn,
+               coalesce(lang, '') AS v FROM d
+        UNION ALL
+        SELECT 'source', source IS NULL, coalesce(source, '') FROM d),
+    c AS (SELECT col_name, isn, v, CAST(count(*) AS BIGINT) AS n
+          FROM long GROUP BY col_name, isn, v),
+    r AS (SELECT col_name, isn, v, n,
+                 row_number() OVER (PARTITION BY col_name
+                                    ORDER BY n DESC, isn ASC, v ASC)
+                     AS rank
+          FROM c)
+    SELECT col_name, CASE WHEN isn THEN NULL ELSE v END AS value, n,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 values per column over (lang-with-NULLs, source)
+    (deferred — pytest-mirrored): ONE unpivot pass + keyed agg +
+    bounded window; NULL is keyed collision-proof as (is_null, value)
+    and surfaces as a ranked value — a dominant-NULL column is what a
+    profile exists to show."""
+    from ..operators.profiling import top_values
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 5 == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+    )
+    return top_values(docs, ["lang", "source"], k=3)

@@ -550,3 +550,37 @@ def test_file_stats_listing_prunes_content(spark, tmp_path):
     assert "binaryFile" in plan
     assert "content" not in plan  # pruned: never reads file bytes
     assert "path" in plan and "length" in plan
+
+
+def test_profile_table_is_one_scan(spark, sf_dir):
+    """The per-column profile fuses EVERY column's stats into one
+    aggregation over ONE scan — N columns must never cost N corpus
+    scans. The exact-distinct rewrite (Expand) multiplies rows
+    AFTER the scan, map-side."""
+    import re
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        profile_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(profile_table(docs, ["doc_id", "lang", "source"]))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan  # one-scan exact multi-distinct form
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_top_values_is_one_scan_bounded_window(spark, sf_dir):
+    """Heavy hitters: one unpivot scan, keyed agg with map-side
+    combine, window only over aggregate-bounded (col, value) rows."""
+    import re
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        top_values,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(top_values(docs, ["lang", "source"], k=5))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_count" in plan  # map-side combine before the wire
+    assert "Window" in plan
