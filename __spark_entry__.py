@@ -367,6 +367,10 @@ _DEFERRED: set[str] = {
                              # + bounded window mechanics evidenced by
                              # green topk_per_group/chi2 family rows
                              # (deferred: headroom)
+    "profile_diff",          # schema+stats drift between snapshots
+                             # (new r11 axis); composes two profile
+                             # scans + a column-count-bounded
+                             # full-outer join (deferred: headroom)
     "drift_chi2",            # chi-square categorical drift (new r10);
                              # (deferred: headroom)
     "ranking_eval",          # IR metrics of the LSH run vs exact graded

@@ -333,6 +333,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--regex", action="append", default=[],
                     metavar="COL:PATTERN", dest="regex_rules")
 
+    sp = sub.add_parser("profile")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table to profile")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--col", action="append", default=None,
+                    metavar="COL", help="limit to these columns "
+                    "(repeat per column; default: all)")
+    sp.add_argument("--top-k", type=int, default=None, metavar="K",
+                    help="emit per-column top-K heavy hitters instead "
+                    "of the stats profile")
+    sp.add_argument("--approx", action="store_true",
+                    help="HLL++ distinct counts (the wide-fact-table "
+                    "scale form)")
+    sp.add_argument("--compare", default=None, metavar="PARQUET",
+                    help="diff the profile against this CURRENT "
+                    "snapshot (schema adds/removes/retypes, null-rate "
+                    "and distinct-count drift)")
+
     sp = sub.add_parser("privacy")
     sp.add_argument("--input", required=True,
                     help="any parquet table to audit")
@@ -802,6 +820,22 @@ def _result(
                 tbl, args.quasi, args.sensitive, l=args.l_div
             )
         return k_anonymity_violations(tbl, args.quasi, k=args.k)
+
+    if args.command == "profile":
+        from .operators.profiling import (
+            profile_diff,
+            profile_table,
+            top_values,
+        )
+
+        tbl = spark.read.parquet(args.input)
+        if args.compare is not None:
+            return profile_diff(
+                tbl, spark.read.parquet(args.compare), args.col
+            )
+        if args.top_k is not None:
+            return top_values(tbl, args.col, k=args.top_k)
+        return profile_table(tbl, args.col, approx=args.approx)
 
     if args.command == "expect":
         from .operators.expect import check_expectations

@@ -144,3 +144,56 @@ def top_values(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def profile_diff(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """(col_name, status, dtype_ref, dtype_cur, null_frac_ref,
+    null_frac_cur, null_frac_delta, n_distinct_ref, n_distinct_cur) —
+    schema-and-stats drift between two snapshots of the same table:
+    columns ``added``/``removed``/``retyped``/``kept``, plus the two
+    profile signals that most often break a downstream consumer (a
+    null-rate jump, a distinct-count collapse). One scan per side
+    (:func:`profile_table`), then a full-outer join over the
+    COLUMN-COUNT-bounded profile rows — the cross-snapshot dual of the
+    value-level drift statistics in ``operators.drift``.
+
+    ``cols=None`` profiles each side's own full schema, which is what
+    lets added/removed columns surface."""
+    p_ref = profile_table(ref, cols).select(
+        "col_name",
+        F.col("dtype").alias("dtype_ref"),
+        F.col("null_frac").alias("null_frac_ref"),
+        F.col("n_distinct").alias("n_distinct_ref"),
+    )
+    p_cur = profile_table(cur, cols).select(
+        "col_name",
+        F.col("dtype").alias("dtype_cur"),
+        F.col("null_frac").alias("null_frac_cur"),
+        F.col("n_distinct").alias("n_distinct_cur"),
+    )
+    j = p_ref.join(p_cur, "col_name", "full_outer")
+    status = (
+        F.when(F.col("dtype_ref").isNull(), F.lit("added"))
+        .when(F.col("dtype_cur").isNull(), F.lit("removed"))
+        .when(F.col("dtype_ref") != F.col("dtype_cur"), F.lit("retyped"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "col_name",
+        status.alias("status"),
+        "dtype_ref",
+        "dtype_cur",
+        "null_frac_ref",
+        "null_frac_cur",
+        F.when(
+            F.col("null_frac_ref").isNotNull()
+            & F.col("null_frac_cur").isNotNull(),
+            F.round(F.col("null_frac_cur") - F.col("null_frac_ref"), 6),
+        ).alias("null_frac_delta"),
+        "n_distinct_ref",
+        "n_distinct_cur",
+    )

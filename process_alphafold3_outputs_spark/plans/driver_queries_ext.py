@@ -7702,3 +7702,78 @@ def profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     return top_values(docs, ["lang", "source"], k=3)
+
+
+@register(
+    "profile_diff",
+    sql="""
+    WITH r AS (SELECT doc_id, lang, source FROM documents),
+    c AS (SELECT CAST(doc_id AS INTEGER) AS doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS lang,
+                 n_chars
+          FROM documents),
+    pr AS (
+        SELECT 'doc_id' AS col_name, 'bigint' AS dtype,
+               round(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+        FROM r
+        UNION ALL
+        SELECT 'lang', 'string',
+               round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6),
+               CAST(count(DISTINCT lang) AS BIGINT) FROM r
+        UNION ALL
+        SELECT 'source', 'string',
+               round(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6),
+               CAST(count(DISTINCT source) AS BIGINT) FROM r),
+    pc AS (
+        SELECT 'doc_id' AS col_name, 'int' AS dtype,
+               round(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+        FROM c
+        UNION ALL
+        SELECT 'lang', 'string',
+               round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6),
+               CAST(count(DISTINCT lang) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'n_chars', 'bigint',
+               round(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6),
+               CAST(count(DISTINCT n_chars) AS BIGINT) FROM c)
+    SELECT coalesce(pr.col_name, pc.col_name) AS col_name,
+           CASE WHEN pr.dtype IS NULL THEN 'added'
+                WHEN pc.dtype IS NULL THEN 'removed'
+                WHEN pr.dtype <> pc.dtype THEN 'retyped'
+                ELSE 'kept' END AS status,
+           pr.dtype AS dtype_ref, pc.dtype AS dtype_cur,
+           pr.null_frac AS null_frac_ref, pc.null_frac AS null_frac_cur,
+           CASE WHEN pr.null_frac IS NOT NULL AND pc.null_frac IS NOT NULL
+                THEN round(pc.null_frac - pr.null_frac, 6) END
+               AS null_frac_delta,
+           pr.n_distinct AS n_distinct_ref,
+           pc.n_distinct AS n_distinct_cur
+    FROM pr FULL OUTER JOIN pc ON pr.col_name = pc.col_name
+    """,
+)
+def profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-and-stats drift between two snapshot shapes of the
+    documents table (deferred — pytest-mirrored): the cur side drops
+    ``source`` (removed), adds ``n_chars`` (added), narrows doc_id to
+    int (retyped), and NULLs lang every %4 (null_frac_delta) — one
+    profile scan per side, column-count-bounded join."""
+    from ..operators.profiling import profile_diff as _diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.select("doc_id", "lang", "source")
+    cur = docs.select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "n_chars",
+    )
+    return _diff(ref, cur)

@@ -95,3 +95,52 @@ def test_top_values_tie_break_deterministic(spark):
     )
     got = top_values(df, ["v"], k=3).collect()
     assert [(r.value, r.rank) for r in got] == [("a", 1), ("b", 2), (None, 3)]
+
+
+def test_profile_diff_statuses_and_deltas(spark):
+    ref = spark.createDataFrame(
+        [(1, "x", "s"), (2, None, "s")], "a bigint, b string, c string"
+    )
+    cur = spark.createDataFrame(
+        [(1, None, 9), (2, None, 9), (3, None, 9)],
+        "a int, b string, d bigint",
+    )
+    out = {
+        r.col_name: r
+        for r in __import__(
+            "process_alphafold3_outputs_spark.operators.profiling",
+            fromlist=["profile_diff"],
+        ).profile_diff(ref, cur).collect()
+    }
+    assert out["a"].status == "retyped"
+    assert (out["a"].dtype_ref, out["a"].dtype_cur) == ("bigint", "int")
+    assert out["b"].status == "kept"
+    assert out["b"].null_frac_delta == 0.5  # 0.5 -> 1.0
+    assert out["c"].status == "removed" and out["c"].dtype_cur is None
+    assert out["d"].status == "added" and out["d"].dtype_ref is None
+    assert out["d"].n_distinct_cur == 1
+
+
+def test_cli_profile_modes(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    d = str(tmp_path / "t")
+    spark.range(20).selectExpr(
+        "id", "CASE WHEN id % 4 = 0 THEN NULL ELSE 'v' || id % 3 END AS v"
+    ).write.parquet(d)
+    out = str(tmp_path / "o")
+
+    def run(extra):
+        args = corpus_cli.build_parser().parse_args(
+            ["profile", "--input", d, "--out", out] + extra
+        )
+        res = corpus_cli.run(args, spark)
+        assert res["rows"] > 0
+        return spark.read.parquet(out)
+
+    prof = {r.col_name: r for r in run([]).collect()}
+    assert prof["v"].n_null == 5 and prof["v"].n_distinct == 3
+    top = run(["--top-k", "2", "--col", "v"]).collect()
+    assert len(top) == 2 and top[0].rank == 1
+    diff = {r.col_name: r for r in run(["--compare", d]).collect()}
+    assert all(r.status == "kept" for r in diff.values())
