@@ -1290,6 +1290,188 @@ def watch_table_drift(
     )
 
 
+def watch_table_profile(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    cols: list[str],
+    m: int = 256,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming table profile (the 21st watcher): every micro-batch
+    folds its per-column row/null counts and deterministic-md5 HLL
+    registers (``operators.sketches._hll_filled_registers`` — the same
+    construction the oracle-green ``sketch_hll_distinct`` row
+    evidences) into a versioned state of exactly
+    ``len(cols) · (m + 1)`` rows, and emits the cumulative profile
+    (col_name, n_rows, n_null, null_frac, raw_est, n_empty) per epoch
+    — "what does the accumulating table look like" as a
+    len(cols)-row read after every drop.
+
+    The state is REGISTER-bounded, never value-bounded: exact distinct
+    counting over a stream needs the value set, which is unbounded; the
+    max-mergeable HLL registers are the 100 TB form, and the md5
+    construction keeps stream==batch parity EXACT (register max-merge
+    over any batch split equals the one-shot registers — pinned in
+    pytest). Deliberately NO min/max in the streaming profile: a
+    uniform state schema would have to merge heterogenous types as
+    strings, and lexicographic "min" on a numeric column is a silent
+    lie — run the batch profiler for min/max. Crash-replay idempotent;
+    restarting with different ``cols``/``m`` than the frozen state
+    fails loudly (the drift watcher's lineage-guard discipline)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _profile_process_batch(
+            batch_df, epoch_id, state_path, out_path, cols, m
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _profile_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    cols: list[str],
+    m: int,
+) -> None:
+    """One profile micro-batch (module-level for unit tests). State
+    rows: (col_name, reg, M, n_rows, n_null) — reg >= 0 rows are HLL
+    registers (counters zero), the reg = -1 row per column carries the
+    counters."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.sketches import _hll_filled_registers
+
+    ss = batch_df.sparkSession
+    state_schema = (
+        "col_name string, reg int, M int, n_rows long, n_null long"
+    )
+    expected = len(cols) * (m + 1)
+    prev = read_state(ss, state_path, state_schema, before_epoch=epoch_id)
+    if not prev.isEmpty():
+        got = prev.count()
+        if got != expected:
+            raise ValueError(
+                f"watch_table_profile state at {state_path!r} holds "
+                f"{got} rows but cols={cols!r}, m={m} expects "
+                f"{expected}; the register grid is immutable for the "
+                "lineage. Restart with the original cols/m or point "
+                "at a fresh state path."
+            )
+    else:
+        # epoch 0: freeze the full (col x register) grid at zero
+        prev = (
+            ss.createDataFrame([(c,) for c in cols], "col_name string")
+            .select(
+                "col_name",
+                SF.explode(
+                    SF.sequence(SF.lit(-1), SF.lit(m - 1))
+                ).alias("reg"),
+            )
+            .select(
+                "col_name",
+                "reg",
+                SF.lit(0).alias("M"),
+                SF.lit(0).cast("long").alias("n_rows"),
+                SF.lit(0).cast("long").alias("n_null"),
+            )
+        )
+    long = batch_df.select(
+        SF.explode(
+            SF.array(
+                *[
+                    SF.struct(
+                        SF.lit(c).alias("col_name"),
+                        SF.col(c).cast("string").alias("_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.*")
+    counters = long.groupBy("col_name").agg(
+        SF.lit(-1).alias("reg"),
+        SF.lit(0).alias("M"),
+        SF.count(SF.lit(1)).cast("long").alias("n_rows"),
+        SF.sum(
+            SF.when(SF.col("_v").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_null"),
+    ).select("col_name", "reg", "M", "n_rows", "n_null")
+    regs, _max_rho, _scale = _hll_filled_registers(
+        long.filter(SF.col("_v").isNotNull()), "col_name", "_v", m,
+        "hll-v1",
+    )
+    batch_rows = counters.unionByName(
+        regs.select(
+            SF.col("g").alias("col_name"),
+            SF.col("reg").cast("int").alias("reg"),
+            SF.col("M").cast("int").alias("M"),
+            SF.lit(0).cast("long").alias("n_rows"),
+            SF.lit(0).cast("long").alias("n_null"),
+        )
+    )
+    merged = (
+        prev.unionByName(batch_rows)
+        .groupBy("col_name", "reg")
+        .agg(
+            SF.max("M").cast("int").alias("M"),
+            SF.sum("n_rows").cast("long").alias("n_rows"),
+            SF.sum("n_null").cast("long").alias("n_null"),
+        )
+    )
+    merged = merged.localCheckpoint()
+    roll_state(merged, state_path, epoch_id)
+    _write_epoch_output(_profile_from_state(merged, m), out_path, epoch_id)
+
+
+def _profile_from_state(state: DataFrame, m: int) -> DataFrame:
+    """(col_name, n_rows, n_null, null_frac, raw_est, n_empty) from the
+    merged register+counter state — the same integer-harmonic-sum
+    arithmetic as ``hll_deterministic`` (shared max_rho for m
+    power-of-two: 60 − log2(m) + 2)."""
+    from pyspark.sql import functions as SF
+
+    wbits = 60 - m.bit_length() + 1
+    max_rho = wbits + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    scale = float(alpha * m * m * (1 << max_rho))
+    counters = state.filter(SF.col("reg") == -1).select(
+        "col_name", "n_rows", "n_null"
+    )
+    regs = state.filter(SF.col("reg") >= 0)
+    est = regs.groupBy("col_name").agg(
+        SF.sum(SF.expr(f"shiftleft(1L, {max_rho} - M)")).alias("_z"),
+        SF.sum(SF.when(SF.col("M") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+    )
+    return counters.join(est, "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        SF.when(
+            SF.col("n_rows") > 0,
+            SF.round(SF.col("n_null") / SF.col("n_rows"), 6),
+        ).alias("null_frac"),
+        SF.round(SF.lit(scale) / SF.col("_z"), 3).alias("raw_est"),
+        "n_empty",
+    )
+
+
 def _drift_process_batch(
     batch_df: DataFrame,
     epoch_id: int,

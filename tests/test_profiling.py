@@ -144,3 +144,92 @@ def test_cli_profile_modes(spark, tmp_path):
     assert len(top) == 2 and top[0].rank == 1
     diff = {r.col_name: r for r in run(["--compare", d]).collect()}
     assert all(r.status == "kept" for r in diff.values())
+
+
+def test_watch_table_profile_stream_equals_batch_and_replays(spark, tmp_path):
+    """Two epochs through the 21st watcher == the batch profile kernel
+    over the union (counters exact; HLL raw_est EXACTLY equal because
+    md5 register max-merge is split-invariant); state stays
+    register-bounded; replay idempotent; cols/m restart mismatch fails
+    loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        hll_deterministic,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _profile_process_batch,
+        read_state,
+        watch_table_profile,
+    )
+
+    schema = "k bigint, v string"
+    rows0 = [(i, f"v{i % 7}" if i % 4 else None) for i in range(40)]
+    rows1 = [(i + 100, f"v{i % 11}") for i in range(25)]
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "prof")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows0, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    q = watch_table_profile(
+        spark, inbox, out, state, ckpt, schema, ["k", "v"], m=64
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = {
+        r.col_name: r
+        for r in spark.read.parquet(os.path.join(out, "epoch_id=1")).collect()
+    }
+    union = spark.createDataFrame(rows0 + rows1, schema)
+    assert latest["k"].n_rows == 65 and latest["k"].n_null == 0
+    assert latest["v"].n_null == 10
+    assert latest["v"].null_frac == round(10 / 65, 6)
+    # exact parity with the batch HLL on the union, per column
+    long = union.selectExpr(
+        "stack(2, 'k', CAST(k AS STRING), 'v', CAST(v AS STRING)) "
+        "AS (col_name, val)"
+    ).filter("val IS NOT NULL")
+    batch = {
+        r.col_name: r
+        for r in hll_deterministic(long, "col_name", "val", m=64).collect()
+    }
+    for c in ("k", "v"):
+        assert latest[c].raw_est == batch[c].raw_est, c
+        assert latest[c].n_empty == batch[c].n_empty, c
+    st = read_state(
+        spark, state,
+        "col_name string, reg int, M int, n_rows long, n_null long",
+    )
+    assert st.count() == 2 * 65  # 2 cols x (m + 1) rows, never values
+    # crash replay of epoch 1: same state, same report
+    _profile_process_batch(
+        spark.createDataFrame(rows1, schema), 1, state, out, ["k", "v"], 64
+    )
+    again = {
+        r.col_name: r
+        for r in spark.read.parquet(os.path.join(out, "epoch_id=1")).collect()
+    }
+    assert {c: r.asDict() for c, r in again.items()} == {
+        c: r.asDict() for c, r in latest.items()
+    }
+    # lineage guard: different m or cols than the frozen grid
+    with _pytest.raises(ValueError, match="register grid is immutable"):
+        _profile_process_batch(
+            spark.createDataFrame(rows1, schema), 2, state, out,
+            ["k", "v"], 128,
+        )
+    with _pytest.raises(ValueError, match="register grid is immutable"):
+        _profile_process_batch(
+            spark.createDataFrame(rows1, schema), 2, state, out, ["k"], 64
+        )
