@@ -868,6 +868,58 @@ def _scale_probe_sketches(spark, sf_dir: str) -> dict:
     }
 
 
+def _scale_probe_profile(spark, sf_dir: str) -> dict:
+    """10x datapoint for the one-scan profiler: profile_table +
+    top_values over 10 id-shifted copies of the documents table,
+    measured 1x and 10x back-to-back in one load window (the ANN
+    probe's discipline). The profile output is COLUMN-bounded (4 rows
+    / 12 rows) at any corpus size, so the wall must track the scan,
+    not the result."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        profile_table,
+        top_values,
+    )
+    from process_alphafold3_outputs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    n = docs.count()
+    big = docs
+    for i in range(1, 10):
+        big = big.unionByName(
+            docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+
+    def action(frame):
+        return lambda: (
+            _noop_write(
+                profile_table(frame, ["doc_id", "lang", "source", "n_chars"])
+            ),
+            _noop_write(top_values(frame, ["lang", "source"], k=5)),
+        )
+
+    one = _probed_wall(spark, action(docs))
+    out = _probed_wall(spark, action(big))
+    return {
+        "n_docs": n * 10,
+        **out,
+        "wall_1x_same_window": one["wall_sec"],
+        "wall_1x_spread": one["wall_spread"],
+        "wall_ratio_10x_data": round(out["wall_sec"] / one["wall_sec"], 2),
+        "wall_ratio_min_vs_min": round(
+            out["wall_spread"][0] / one["wall_spread"][0], 2
+        ),
+    }
+
+
 def _scale_probe_layout(spark) -> dict:
     """≥10K-file datapoint for the compaction planner's Hadoop-FS
     listing path (judge r10 item 6): 10,000 small files across 20
@@ -1185,6 +1237,12 @@ def main() -> None:
             scale_probe["ann"] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"bench: ann scale probe failed: "
                   f"{scale_probe['ann']['error'][:200]}", file=sys.stderr)
+        try:
+            scale_probe["profile"] = _scale_probe_profile(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            scale_probe["profile"] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"bench: profile scale probe failed: "
+                  f"{scale_probe['profile']['error'][:200]}", file=sys.stderr)
         try:
             scale_probe["layout"] = _scale_probe_layout(spark)
         except Exception as exc:  # noqa: BLE001
