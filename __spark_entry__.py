@@ -118,6 +118,9 @@ _NO_ORACLE_OK = {
                          # tests/test_structures_rmsd.py
     "pipeline_train_bpe",  # iterative data-dependent merge selection —
                            # pure-Python differential in tests/test_bpe.py
+    "text_compression_ratio",  # DEFLATE is not SQL-expressible —
+                               # differential vs direct python zlib in
+                               # tests/test_profiling.py
 }
 
 # Shape queries whose SURVEY §2 operator is already evidenced end-to-end
@@ -366,6 +369,10 @@ _DEFERRED: set[str] = {
                              # pass (new r11 axis); explode + keyed agg
                              # + bounded window mechanics evidenced by
                              # green topk_per_group/chi2 family rows
+                             # (deferred: headroom)
+    "text_compression_ratio",  # zlib compressibility screen (new r11);
+                             # Arrow-island boundary like the codecs,
+                             # lint-whitelisted; no SQL oracle possible
                              # (deferred: headroom)
     "profile_diff",          # schema+stats drift between snapshots
                              # (new r11 axis); composes two profile

@@ -3368,3 +3368,63 @@ def split_by_language(
             "seg_text",
         )
     )
+
+
+def compression_ratios(
+    docs: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, compression_ratio) — the zlib
+    compressibility screen (DEFLATE at ``level``): boilerplate-heavy
+    or template-stamped text compresses far below prose
+    (ratio ≈ 0.2–0.35 vs ≈ 0.4–0.6), and random/encoded garbage
+    barely compresses at all (ratio → 1.0), so one cheap scalar flags
+    BOTH failure tails that n-gram repetition and character entropy
+    each only half-see. Gate low-AND-high: keep
+    lo < compression_ratio < hi.
+
+    DEFLATE is an inherently sequential bit-level format, so this is a
+    documented Arrow-island boundary (``mapInPandas``, zlib's C
+    implementation per batch — the multimodal codec discipline, lint-
+    whitelisted), NOT a row-at-a-time Python UDF. The per-doc work is
+    O(len); nothing shuffles — the plan is scan → island → rows.
+    Ratio is rounded to 6 places; bytes are UTF-8."""
+    import pandas as pd  # noqa: F401 — signature of the island
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_field = [f for f in docs.schema.fields if f.name == "doc_id"]
+    if not id_field:
+        raise ValueError("compression_ratios needs a doc_id column")
+    out_schema = StructType(
+        [
+            id_field[0],
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("compression_ratio", DoubleType()),
+        ]
+    )
+
+    def island(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            n_comp = raw.map(
+                lambda b: len(zlib.compress(b, level))
+            ).astype("int64")
+            ratio = (n_comp / n_bytes.where(n_bytes > 0)).round(6)
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = n_bytes
+            out["n_compressed"] = n_comp
+            out["compression_ratio"] = ratio
+            yield out
+
+    return docs.select("doc_id", text_col).mapInPandas(island, out_schema)

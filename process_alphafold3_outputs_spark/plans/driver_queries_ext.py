@@ -7777,3 +7777,16 @@ def profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return _diff(ref, cur)
+
+
+@register("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility screen over documents (deferred; NO SQL
+    oracle possible — DEFLATE is not expressible in DuckDB SQL; the
+    kernel is differential-pinned against direct python zlib in
+    tests/test_profiling.py). Both failure tails gate on one scalar:
+    template spam compresses too well, encoded garbage not at all."""
+    from ..operators.text import compression_ratios
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratios(docs).orderBy("doc_id")

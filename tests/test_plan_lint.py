@@ -46,6 +46,7 @@ ARROW_PYTHON_OK = {
     "multimodal_near_dup_real",    # asset synthesis + real decode
     "multimodal_frame_sample",     # codec boundary
     "af3_rmsd_overlay",            # Kabsch 3x3 SVD per (job, model)
+    "text_compression_ratio",      # zlib DEFLATE island (C impl per batch)
 }
 
 
