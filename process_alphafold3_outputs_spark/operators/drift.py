@@ -326,18 +326,40 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         .withColumn("_n_ref", F.sum("_c_ref").over(_all()))
         .withColumn("_n_cur", F.sum("_c_cur").over(_all()))
     )
+    # NULL-safe denominator: with an empty reference the per-row terms
+    # go NULL (never a DIVIDE_BY_ZERO under ANSI — aggregates evaluate
+    # eagerly, so the outer guard alone can't prevent it) and the outer
+    # raise_error below converts the degenerate total into a loud
+    # failure.
     e = (
         F.greatest(F.col("_c_ref").cast("double"), F.lit(0.5))
         * F.col("_n_cur")
-        / F.col("_n_ref")
+        / F.when(F.col("_n_ref") > 0, F.col("_n_ref"))
+    )
+    # lazy loud guard (no extra driver action): an empty reference has
+    # no expected frequencies — raise at execution instead of emitting
+    # NULL chi2 that a gate could misread as "no drift" (the
+    # _checked_bounds discipline, in assert-form because the category
+    # table is already execution-side here)
+    chi2_expr = F.when(
+        F.max("_n_ref") > 0,
+        F.round(
+            F.sum((F.col("_c_cur") - e) * (F.col("_c_cur") - e) / e), 6
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "chi2_drift reference side is empty; expected "
+                "frequencies are undefined. Check the reference "
+                "snapshot before gating on this report."
+            )
+        ).cast("double")
     )
     return merged.agg(
         F.max("_n_ref").cast("long").alias("n_ref"),
         F.max("_n_cur").cast("long").alias("n_cur"),
         F.count(F.lit(1)).cast("long").alias("n_categories"),
-        F.round(
-            F.sum((F.col("_c_cur") - e) * (F.col("_c_cur") - e) / e), 6
-        ).alias("chi2"),
+        chi2_expr.alias("chi2"),
     ).select(
         F.lit(col).alias("col_name"), "n_ref", "n_cur", "n_categories",
         "chi2",

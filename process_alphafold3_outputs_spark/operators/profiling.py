@@ -59,12 +59,37 @@ def profile_table(
         if approx
         else (lambda c: F.countDistinct(c))
     )
+
+    def orderable(c: str) -> bool:
+        # map columns are neither orderable nor group-able in Spark:
+        # min/max/COUNT(DISTINCT) on them fail at analysis. Profile
+        # their counts and leave the order/distinct slots NULL rather
+        # than crash the whole report on one column.
+        return not dtypes[c].startswith("map<")
+
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
     agg = df.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         *[F.count(c).cast("long").alias(f"_nn_{c}") for c in cols],
-        *[distinct(c).cast("long").alias(f"_nd_{c}") for c in cols],
-        *[F.min(c).cast("string").alias(f"_mn_{c}") for c in cols],
-        *[F.max(c).cast("string").alias(f"_mx_{c}") for c in cols],
+        *[
+            (distinct(c).cast("long") if orderable(c) else null_l).alias(
+                f"_nd_{c}"
+            )
+            for c in cols
+        ],
+        *[
+            (F.min(c).cast("string") if orderable(c) else null_s).alias(
+                f"_mn_{c}"
+            )
+            for c in cols
+        ],
+        *[
+            (F.max(c).cast("string") if orderable(c) else null_s).alias(
+                f"_mx_{c}"
+            )
+            for c in cols
+        ],
     )
     return agg.select(
         F.explode(

@@ -331,3 +331,16 @@ def test_watch_table_drift_rejects_n_bins_change(spark, tmp_path):
         )
     # same n_bins continues fine
     _drift_process_batch(_df(spark, [2.0]), 1, state, out, "v", ref_path, 10)
+
+
+def test_chi2_refuses_empty_reference(spark):
+    """Empty reference -> expected frequencies undefined -> loud
+    execution-time failure, not a NULL chi2 a gate reads as stable."""
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], CAT)
+    cur = spark.createDataFrame([("a",)], CAT)
+    with _pytest.raises(Exception, match="reference side is empty"):
+        chi2_drift(empty, cur, "v").collect()
+    # non-empty ref unaffected
+    assert chi2_drift(cur, cur, "v").collect()[0].chi2 == 0.0

@@ -301,3 +301,20 @@ def test_compression_ratios_differential_vs_zlib(spark):
     assert lvl9[0].n_compressed == len(
         zlib.compress(prose.encode("utf-8"), 9)
     )
+
+
+def test_profile_map_column_counts_only(spark):
+    """Map columns are neither orderable nor group-able: the profile
+    keeps their counts and NULLs the distinct/min/max slots instead of
+    crashing the whole report."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, None)],
+        "k bigint, m map<string,int>",
+    )
+    out = {r.col_name: r for r in profile_table(df).collect()}
+    m = out["m"]
+    assert (m.n_rows, m.n_null) == (2, 1)
+    assert m.n_distinct is None
+    assert m.min_value is None and m.max_value is None
+    k = out["k"]
+    assert k.n_distinct == 2 and k.min_value == "1"
