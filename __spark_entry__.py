@@ -380,6 +380,10 @@ _DEFERRED: set[str] = {
                              # full-outer join (deferred: headroom)
     "drift_chi2",            # chi-square categorical drift (new r10);
                              # (deferred: headroom)
+    "drift_chi2_many",       # fused multi-column chi-square (new r11);
+                             # one scan per side for N categorical
+                             # columns — the psi_report_many discipline
+                             # (deferred: headroom)
     "ranking_eval",          # IR metrics of the LSH run vs exact graded
                              # truth (new r10); both retrieval legs are
                              # separately driver-green (deferred:

@@ -540,3 +540,82 @@ def js_divergence(
         "n_cur",
         "js",
     )
+
+
+def chi2_drift_many(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """One row per column: (col_name, n_ref, n_cur, n_categories,
+    chi2) — the chi-square categorical drift of MANY columns in ONE
+    scan per side (the fused-projection discipline :func:`psi_report_many`
+    applies to the numeric columns): each side unpivots to
+    (col_name, is_null, value) rows and aggregates once; the per-column
+    semantics are exactly :func:`chi2_drift` (collision-proof NULL
+    keying, 0.5 Laplace floor for unseen categories, loud failure on
+    an empty reference)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+
+    def counts(side: DataFrame, label: str) -> DataFrame:
+        long = side.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(c).cast("string").isNull()
+                            .alias("_is_null"),
+                            F.coalesce(F.col(c).cast("string"), F.lit(""))
+                            .alias("_v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("_e")
+        ).select("_e.*")
+        return long.groupBy("col_name", "_is_null", "_v").agg(
+            F.count(F.lit(1)).cast("long").alias(f"_c_{label}")
+        )
+
+    merged = (
+        counts(ref, "ref")
+        .join(counts(cur, "cur"), ["col_name", "_is_null", "_v"],
+              "full_outer")
+        .select(
+            "col_name",
+            F.coalesce("_c_ref", F.lit(0)).alias("_c_ref"),
+            F.coalesce("_c_cur", F.lit(0)).alias("_c_cur"),
+        )
+    )
+    wc = Window.partitionBy("col_name")
+    merged = (
+        merged.withColumn("_n_ref", F.sum("_c_ref").over(wc))
+        .withColumn("_n_cur", F.sum("_c_cur").over(wc))
+    )
+    e = (
+        F.greatest(F.col("_c_ref").cast("double"), F.lit(0.5))
+        * F.col("_n_cur")
+        / F.when(F.col("_n_ref") > 0, F.col("_n_ref"))
+    )
+    chi2_expr = F.when(
+        F.max("_n_ref") > 0,
+        F.round(
+            F.sum((F.col("_c_cur") - e) * (F.col("_c_cur") - e) / e), 6
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "chi2_drift_many: a reference column is empty; "
+                "expected frequencies are undefined. Check the "
+                "reference snapshot before gating on this report."
+            )
+        ).cast("double")
+    )
+    return merged.groupBy("col_name").agg(
+        F.max("_n_ref").cast("long").alias("n_ref"),
+        F.max("_n_cur").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        chi2_expr.alias("chi2"),
+    )

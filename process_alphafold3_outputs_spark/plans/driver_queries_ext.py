@@ -7790,3 +7790,73 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_ratios(docs).orderBy("doc_id")
+
+
+@register(
+    "drift_chi2_many",
+    sql="""
+    WITH r1 AS (SELECT c_mktsegment IS NULL AS isn,
+                       coalesce(c_mktsegment, '') AS v
+                FROM customer),
+    c1 AS (SELECT x IS NULL AS isn, coalesce(x, '') AS v
+           FROM (SELECT CASE WHEN c_custkey % 6 = 0 THEN 'NEWSEG'
+                             ELSE c_mktsegment END AS x
+                 FROM customer)),
+    r2 AS (SELECT CAST(c_nationkey AS VARCHAR) IS NULL AS isn,
+                  coalesce(CAST(c_nationkey AS VARCHAR), '') AS v
+           FROM customer),
+    c2 AS (SELECT x IS NULL AS isn, coalesce(x, '') AS v
+           FROM (SELECT CAST(CASE WHEN c_custkey % 5 = 0 THEN NULL
+                                  ELSE c_nationkey END AS VARCHAR) AS x
+                 FROM customer)),
+    chi AS (
+        SELECT 'c_mktsegment' AS col_name, rc.isn, rc.v,
+               coalesce(rc.cr, 0) AS cr, coalesce(cc.cv, 0) AS cv
+        FROM (SELECT isn, v, CAST(count(*) AS BIGINT) AS cr
+              FROM r1 GROUP BY isn, v) rc
+        FULL OUTER JOIN (SELECT isn, v, CAST(count(*) AS BIGINT) AS cv
+                         FROM c1 GROUP BY isn, v) cc
+        ON rc.v = cc.v AND rc.isn = cc.isn
+        UNION ALL
+        SELECT 'c_nationkey', coalesce(rc.isn, cc.isn),
+               coalesce(rc.v, cc.v),
+               coalesce(rc.cr, 0), coalesce(cc.cv, 0)
+        FROM (SELECT isn, v, CAST(count(*) AS BIGINT) AS cr
+              FROM r2 GROUP BY isn, v) rc
+        FULL OUTER JOIN (SELECT isn, v, CAST(count(*) AS BIGINT) AS cv
+                         FROM c2 GROUP BY isn, v) cc
+        ON rc.v = cc.v AND rc.isn = cc.isn),
+    tot AS (SELECT col_name, cr, cv,
+                   sum(cr) OVER (PARTITION BY col_name) AS nr,
+                   sum(cv) OVER (PARTITION BY col_name) AS nc
+            FROM chi)
+    SELECT col_name, CAST(max(nr) AS BIGINT) AS n_ref,
+           CAST(max(nc) AS BIGINT) AS n_cur,
+           CAST(count(*) AS BIGINT) AS n_categories,
+           round(sum((cv - greatest(cr::DOUBLE, 0.5) * nc / nr)
+                     * (cv - greatest(cr::DOUBLE, 0.5) * nc / nr)
+                     / (greatest(cr::DOUBLE, 0.5) * nc / nr)), 6) AS chi2
+    FROM tot GROUP BY col_name
+    """,
+)
+def drift_chi2_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused chi-square drift of TWO categorical columns in one scan
+    per side (deferred — pytest-mirrored): segment remap exercises the
+    brand-new-category floor, the %5 nationkey NULLing exercises the
+    collision-proof NULL bucket; per-column semantics == drift_chi2."""
+    from ..operators.drift import chi2_drift_many
+
+    cust = load_table(spark, sf_dir, "customer")
+    ref = cust.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("string").alias("c_nationkey"),
+    )
+    cur = cust.select(
+        F.when(F.col("c_custkey") % 6 == 0, "NEWSEG")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_nationkey").cast("string"))
+        .alias("c_nationkey"),
+    )
+    return chi2_drift_many(ref, cur, ["c_mktsegment", "c_nationkey"])

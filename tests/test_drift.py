@@ -344,3 +344,36 @@ def test_chi2_refuses_empty_reference(spark):
         chi2_drift(empty, cur, "v").collect()
     # non-empty ref unaffected
     assert chi2_drift(cur, cur, "v").collect()[0].chi2 == 0.0
+
+
+def test_chi2_drift_many_equals_per_column(spark):
+    """The fused multi-column form reproduces chi2_drift per column
+    exactly (incl. a NULL-bearing column and a brand-new category)."""
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark.operators.drift import (
+        chi2_drift_many,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", "y"), ("b", "x")],
+        "p string, q string",
+    )
+    cur = spark.createDataFrame(
+        [("a", "x"), ("c", None), ("a", "z")], "p string, q string"
+    )
+    many = {
+        r.col_name: r
+        for r in chi2_drift_many(ref, cur, ["p", "q"]).collect()
+    }
+    for c in ("p", "q"):
+        single = chi2_drift(ref, cur, c).collect()[0]
+        got = many[c]
+        assert (got.n_ref, got.n_cur, got.n_categories, got.chi2) == (
+            single.n_ref, single.n_cur, single.n_categories, single.chi2
+        ), c
+    with _pytest.raises(ValueError, match="non-empty"):
+        chi2_drift_many(ref, cur, [])
+    empty = spark.createDataFrame([], "p string, q string")
+    with _pytest.raises(Exception, match="reference column is empty"):
+        chi2_drift_many(empty, cur, ["p"]).collect()
