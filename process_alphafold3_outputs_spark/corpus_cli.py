@@ -332,6 +332,11 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="COL:V1,V2,...", dest="inset_rules")
     sp.add_argument("--regex", action="append", default=[],
                     metavar="COL:PATTERN", dest="regex_rules")
+    sp.add_argument("--predicate", action="append", default=[],
+                    metavar="LABEL:SQL", dest="predicate_rules",
+                    help="free-form boolean SQL constraint (may "
+                    "reference several columns); false-or-NULL rows "
+                    "count as violations")
 
     sp = sub.add_parser("profile")
     sp.add_argument("--input", required=True,
@@ -854,6 +859,10 @@ def _result(
         for spec in args.regex_rules:
             col, _, pat = spec.partition(":")
             rules.append({"column": col, "check": "regex", "pattern": pat})
+        for spec in args.predicate_rules:
+            label, _, sql = spec.partition(":")
+            rules.append({"column": label, "check": "predicate",
+                          "sql": sql})
         if not rules:
             raise SystemExit("expect: give at least one rule flag")
         return check_expectations(spark.read.parquet(args.input), rules)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CHECKS = ("not_null", "unique", "range", "in_set", "regex")
+_CHECKS = ("not_null", "unique", "range", "in_set", "regex", "predicate")
 
 
 def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
@@ -30,9 +30,16 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         {"column": "x", "check": "range", "min": lo, "max": hi}
         {"column": "x", "check": "in_set", "values": [...]}
         {"column": "x", "check": "regex", "pattern": r"..."}
+        {"column": "x", "check": "predicate", "sql": "x < y * 2"}
 
     ``unique`` counts duplicate EXTRAS among non-null values
-    (``count(x) − count(DISTINCT x)``)."""
+    (``count(x) − count(DISTINCT x)``). ``predicate`` evaluates an
+    arbitrary boolean SQL expression (may reference several columns —
+    ``column`` is only the report label); rows where it is false OR
+    NULL count as violations — a constraint that cannot be evaluated
+    is not satisfied (set-semantics differ from the per-column checks
+    because a multi-column predicate has no single null-owning
+    column)."""
     aggs = []
     for i, r in enumerate(rules):
         check = r["check"]
@@ -49,8 +56,12 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
             )
         elif check == "in_set":
             v = F.sum((~c.isin(list(r["values"]))).cast("long"))
-        else:  # regex
+        elif check == "regex":
             v = F.sum((~c.rlike(r["pattern"])).cast("long"))
+        else:  # predicate
+            v = F.sum(
+                (~F.coalesce(F.expr(r["sql"]), F.lit(False))).cast("long")
+            )
         aggs.append(F.coalesce(v, F.lit(0)).cast("long").alias(f"_v{i}"))
     row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
     reports = F.array(

@@ -318,3 +318,33 @@ def test_profile_map_column_counts_only(spark):
     assert m.min_value is None and m.max_value is None
     k = out["k"]
     assert k.n_distinct == 2 and k.min_value == "1"
+
+
+def test_expect_predicate_rule(spark, tmp_path):
+    """Free-form boolean SQL constraint: false OR NULL rows are
+    violations (a constraint that cannot be evaluated is not
+    satisfied); works cross-column and through the CLI."""
+    from process_alphafold3_outputs_spark import corpus_cli
+    from process_alphafold3_outputs_spark.operators.expect import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (5, 4), (None, 3), (2, None)], "a bigint, b bigint"
+    )
+    out = check_expectations(
+        df, [{"column": "a", "check": "predicate", "sql": "a < b"}]
+    ).collect()[0]
+    # (1,10) ok; (5,4) false; (None,3) NULL; (2,None) NULL -> 3
+    assert (out.n_violations, out.n_rows, out.passed) == (3, 4, False)
+    d = str(tmp_path / "t")
+    df.write.parquet(d)
+    args = corpus_cli.build_parser().parse_args(
+        ["expect", "--input", d, "--out", str(tmp_path / "o"),
+         "--predicate", "a_lt_b:a < b", "--not-null", "a"]
+    )
+    res = corpus_cli.run(args, spark)
+    rows = {r.check: r for r in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert rows["predicate"].n_violations == 3
+    assert rows["predicate"].column == "a_lt_b"
+    assert rows["not_null"].n_violations == 1
