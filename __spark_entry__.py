@@ -374,6 +374,8 @@ _DEFERRED: set[str] = {
                              # Arrow-island boundary like the codecs,
                              # lint-whitelisted; no SQL oracle possible
                              # (deferred: headroom)
+    "profile_numeric",       # fused exact quartiles+mean, one agg one
+                             # scan (new r11 axis; deferred: headroom)
     "profile_diff",          # schema+stats drift between snapshots
                              # (new r11 axis); composes two profile
                              # scans + a column-count-bounded

@@ -7860,3 +7860,43 @@ def drift_chi2_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_nationkey"),
     )
     return chi2_drift_many(ref, cur, ["c_mktsegment", "c_nationkey"])
+
+
+@register(
+    "profile_numeric",
+    sql="""
+    WITH d AS (SELECT c_acctbal::DOUBLE AS bal,
+                      CASE WHEN c_custkey % 7 = 0 THEN NULL
+                           ELSE c_custkey END::DOUBLE AS key
+               FROM customer)
+    SELECT 'c_acctbal' AS col_name,
+           CAST(count(bal) AS BIGINT) AS n,
+           round(avg(bal), 6) AS mean,
+           round(quantile_cont(bal, 0.25), 6) AS p25,
+           round(quantile_cont(bal, 0.50), 6) AS p50,
+           round(quantile_cont(bal, 0.75), 6) AS p75
+    FROM d
+    UNION ALL
+    SELECT 'c_custkey', CAST(count(key) AS BIGINT),
+           round(avg(key), 6),
+           round(quantile_cont(key, 0.25), 6),
+           round(quantile_cont(key, 0.50), 6),
+           round(quantile_cont(key, 0.75), 6)
+    FROM d
+    """,
+)
+def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused exact quartiles + mean for two numeric columns in ONE
+    aggregation (deferred — pytest-mirrored); the %7 NULLing exercises
+    per-column NULL exclusion inside the shared scan."""
+    from ..operators.profiling import profile_numeric as _pn
+
+    cust = load_table(spark, sf_dir, "customer")
+    d = cust.select(
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .cast("double")
+        .alias("c_custkey"),
+    )
+    return _pn(d, ["c_acctbal", "c_custkey"])

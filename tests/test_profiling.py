@@ -348,3 +348,26 @@ def test_expect_predicate_rule(spark, tmp_path):
     assert rows["predicate"].n_violations == 3
     assert rows["predicate"].column == "a_lt_b"
     assert rows["not_null"].n_violations == 1
+
+
+def test_profile_numeric_hand_computed(spark):
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        profile_numeric,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None), (4.0, None)],
+        "x double, y double",
+    )
+    out = {r.col_name: r for r in profile_numeric(df, ["x", "y"]).collect()}
+    x = out["x"]
+    # linear interpolation: p25 of [1,2,3,4] = 1.75, p50 = 2.5, p75 = 3.25
+    assert (x.n, x.mean, x.p25, x.p50, x.p75) == (4, 2.5, 1.75, 2.5, 3.25)
+    y = out["y"]
+    assert y.n == 0 and y.mean is None and y.p50 is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        profile_numeric(df, [])
+    with _pytest.raises(ValueError, match="not in the frame"):
+        profile_numeric(df, ["zz"])
