@@ -355,6 +355,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="diff the profile against this CURRENT "
                     "snapshot (schema adds/removes/retypes, null-rate "
                     "and distinct-count drift)")
+    sp.add_argument("--numeric", action="store_true",
+                    help="fused exact quartiles + mean for the given "
+                    "--col list (requires --col)")
 
     sp = sub.add_parser("privacy")
     sp.add_argument("--input", required=True,
@@ -838,6 +841,12 @@ def _result(
             return profile_diff(
                 tbl, spark.read.parquet(args.compare), args.col
             )
+        if args.numeric:
+            if not args.col:
+                raise SystemExit("profile --numeric requires --col")
+            from .operators.profiling import profile_numeric
+
+            return profile_numeric(tbl, args.col)
         if args.top_k is not None:
             return top_values(tbl, args.col, k=args.top_k)
         return profile_table(tbl, args.col, approx=args.approx)

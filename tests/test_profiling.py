@@ -371,3 +371,24 @@ def test_profile_numeric_hand_computed(spark):
         profile_numeric(df, [])
     with _pytest.raises(ValueError, match="not in the frame"):
         profile_numeric(df, ["zz"])
+
+
+def test_cli_profile_numeric_mode(spark, tmp_path):
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    d = str(tmp_path / "t")
+    spark.range(4).selectExpr("CAST(id + 1 AS DOUBLE) AS x").write.parquet(d)
+    args = corpus_cli.build_parser().parse_args(
+        ["profile", "--input", d, "--out", str(tmp_path / "o"),
+         "--numeric", "--col", "x"]
+    )
+    corpus_cli.run(args, spark)
+    row = spark.read.parquet(str(tmp_path / "o")).collect()[0]
+    assert (row.p50, row.mean) == (2.5, 2.5)
+    bad = corpus_cli.build_parser().parse_args(
+        ["profile", "--input", d, "--out", str(tmp_path / "o2"), "--numeric"]
+    )
+    with _pytest.raises(SystemExit, match="requires --col"):
+        corpus_cli.run(bad, spark)
