@@ -336,22 +336,23 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         * F.col("_n_cur")
         / F.when(F.col("_n_ref") > 0, F.col("_n_ref"))
     )
-    # lazy loud guard (no extra driver action): an empty reference has
-    # no expected frequencies — raise at execution instead of emitting
-    # NULL chi2 that a gate could misread as "no drift" (the
-    # _checked_bounds discipline, in assert-form because the category
-    # table is already execution-side here)
+    # lazy loud guard (no extra driver action): an empty side has no
+    # defined statistic — raise at execution instead of emitting a
+    # NULL chi2 a gate could misread as "no drift" (the _checked_bounds
+    # discipline, in assert-form because the category table is already
+    # execution-side here). e == 0 exactly when the CURRENT side is
+    # empty (hypothesis-found): NULL the term so the aggregate survives
+    # ANSI mode long enough for the guard to fire.
+    term = (F.col("_c_cur") - e) * (F.col("_c_cur") - e) / F.when(e > 0, e)
     chi2_expr = F.when(
-        F.max("_n_ref") > 0,
-        F.round(
-            F.sum((F.col("_c_cur") - e) * (F.col("_c_cur") - e) / e), 6
-        ),
+        (F.max("_n_ref") > 0) & (F.max("_n_cur") > 0),
+        F.round(F.sum(term), 6),
     ).otherwise(
         F.raise_error(
             F.lit(
-                "chi2_drift reference side is empty; expected "
-                "frequencies are undefined. Check the reference "
-                "snapshot before gating on this report."
+                "chi2_drift: a side is empty (reference or current); "
+                "the statistic is undefined. Check both snapshots "
+                "before gating on this report."
             )
         ).cast("double")
     )
@@ -599,17 +600,16 @@ def chi2_drift_many(
         * F.col("_n_cur")
         / F.when(F.col("_n_ref") > 0, F.col("_n_ref"))
     )
+    term = (F.col("_c_cur") - e) * (F.col("_c_cur") - e) / F.when(e > 0, e)
     chi2_expr = F.when(
-        F.max("_n_ref") > 0,
-        F.round(
-            F.sum((F.col("_c_cur") - e) * (F.col("_c_cur") - e) / e), 6
-        ),
+        (F.max("_n_ref") > 0) & (F.max("_n_cur") > 0),
+        F.round(F.sum(term), 6),
     ).otherwise(
         F.raise_error(
             F.lit(
-                "chi2_drift_many: a reference column is empty; "
-                "expected frequencies are undefined. Check the "
-                "reference snapshot before gating on this report."
+                "chi2_drift_many: a column is empty on one side "
+                "(reference or current); the statistic is undefined. "
+                "Check both snapshots before gating on this report."
             )
         ).cast("double")
     )

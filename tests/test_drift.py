@@ -340,9 +340,13 @@ def test_chi2_refuses_empty_reference(spark):
 
     empty = spark.createDataFrame([], CAT)
     cur = spark.createDataFrame([("a",)], CAT)
-    with _pytest.raises(Exception, match="reference side is empty"):
+    with _pytest.raises(Exception, match="a side is empty"):
         chi2_drift(empty, cur, "v").collect()
-    # non-empty ref unaffected
+    # empty CURRENT side is equally undefined (hypothesis-found: the
+    # e=0 expected counts divide by zero under ANSI)
+    with _pytest.raises(Exception, match="a side is empty"):
+        chi2_drift(cur, empty, "v").collect()
+    # non-empty both sides unaffected
     assert chi2_drift(cur, cur, "v").collect()[0].chi2 == 0.0
 
 
@@ -375,5 +379,7 @@ def test_chi2_drift_many_equals_per_column(spark):
     with _pytest.raises(ValueError, match="non-empty"):
         chi2_drift_many(ref, cur, [])
     empty = spark.createDataFrame([], "p string, q string")
-    with _pytest.raises(Exception, match="reference column is empty"):
+    with _pytest.raises(Exception, match="empty on one side"):
         chi2_drift_many(empty, cur, ["p"]).collect()
+    with _pytest.raises(Exception, match="empty on one side"):
+        chi2_drift_many(ref, empty, ["p"]).collect()
