@@ -399,12 +399,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--col", action="append", required=True,
                     metavar="COL",
                     help="column to compare across snapshots; repeat "
-                    "with --stat psi for the fused one-scan "
+                    "with --stat psi/chi2 for the fused one-scan "
                     "multi-column report")
-    sp.add_argument("--stat", choices=["psi", "ks", "chi2"],
+    sp.add_argument("--stat", choices=["psi", "ks", "chi2", "js"],
                     default="psi")
     sp.add_argument("--bins", type=int, default=10,
-                    help="psi only: reference-range bin count")
+                    help="psi/js only: reference-range bin count")
+    sp.add_argument("--band-width", type=float, default=None,
+                    help="ks only: floor-band both sides by this width "
+                    "before the exact statistic (the high-cardinality "
+                    "path the exact form's guard points at)")
     sp.add_argument("--out", required=True)
 
     sp = sub.add_parser("rank-eval")
@@ -702,17 +706,31 @@ def _result(
             psi_report_many,
         )
 
+        from .operators.drift import (
+            chi2_drift_many,
+            js_divergence,
+            ks_distance_banded,
+        )
+
         ref = spark.read.parquet(args.ref)
         cur = spark.read.parquet(args.cur)
         if args.stat == "psi":
             if len(args.col) > 1:
                 return psi_report_many(ref, cur, args.col, n_bins=args.bins)
             return psi_report(ref, cur, args.col[0], n_bins=args.bins)
+        if args.stat == "chi2":
+            if len(args.col) > 1:
+                return chi2_drift_many(ref, cur, args.col)
+            return chi2_drift(ref, cur, args.col[0])
         if len(args.col) != 1:
             raise SystemExit(f"--stat {args.stat} takes exactly one --col")
-        if args.stat == "ks":
-            return ks_distance(ref, cur, args.col[0])
-        return chi2_drift(ref, cur, args.col[0])
+        if args.stat == "js":
+            return js_divergence(ref, cur, args.col[0], n_bins=args.bins)
+        if args.band_width is not None:
+            return ks_distance_banded(
+                ref, cur, args.col[0], width=args.band_width
+            )
+        return ks_distance(ref, cur, args.col[0])
     if args.command == "rank-eval":
         from .operators.ranking import ranking_metrics, ranking_summary
 

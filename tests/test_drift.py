@@ -383,3 +383,35 @@ def test_chi2_drift_many_equals_per_column(spark):
         chi2_drift_many(empty, cur, ["p"]).collect()
     with _pytest.raises(Exception, match="empty on one side"):
         chi2_drift_many(ref, empty, ["p"]).collect()
+
+
+def test_cli_drift_fused_and_banded_modes(spark, tmp_path):
+    """CLI drift exposes the fused chi2 form, JS, and the banded KS."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    ref = str(tmp_path / "ref")
+    cur = str(tmp_path / "cur")
+    spark.createDataFrame(
+        [(float(i), "a" if i % 2 else "b") for i in range(20)],
+        "v double, s string",
+    ).write.parquet(ref)
+    spark.createDataFrame(
+        [(float(i) + 5, "a") for i in range(20)], "v double, s string"
+    ).write.parquet(cur)
+
+    def run(extra, out):
+        args = corpus_cli.build_parser().parse_args(
+            ["drift", "--ref", ref, "--cur", cur,
+             "--out", str(tmp_path / out)] + extra
+        )
+        corpus_cli.run(args, spark)
+        return spark.read.parquet(str(tmp_path / out)).collect()
+
+    many = run(["--stat", "chi2", "--col", "s", "--col", "v"], "chi")
+    assert {r.col_name for r in many} == {"s", "v"}
+    js = run(["--stat", "js", "--col", "v"], "js")[0]
+    assert 0.0 <= js.js <= 0.6932
+    banded = run(
+        ["--stat", "ks", "--col", "v", "--band-width", "5"], "ksb"
+    )[0]
+    assert banded.band_width == 5.0 and banded.ks > 0
