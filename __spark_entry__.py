@@ -601,6 +601,13 @@ _DEFERRED: set[str] = {
     "text_search_hybrid_many",  # query-table form of the hybrid RRF
                              # row (single==many parity pytest-pinned;
                              # deferred: headroom)
+    "event_gapfill",         # hypertable gapfill+interpolate; bucket-agg
+                             # + spine + keyed-window mechanics evidenced
+                             # by green sessionize/tumbling rows
+                             # (deferred: headroom)
+    "event_ohlc",            # OHLC downsample; min_by/max_by hash-agg
+                             # mechanics evidenced by green dedup_exact
+                             # min_by row (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

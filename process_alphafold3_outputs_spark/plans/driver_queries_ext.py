@@ -7900,3 +7900,118 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_custkey"),
     )
     return _pn(d, ["c_acctbal", "c_custkey"])
+
+
+# --------------------------------------------------------------------------
+# Time-series resampling (operators/temporal.py) — the hypertable-rollup
+# family: dense gapfilled downsamples (a GROUP BY only emits buckets
+# that HAVE rows; monitoring charts, rate math, and as-of consumers
+# need the empty buckets to exist under an explicit fill policy) and
+# the OHLC downsample. Raw events collapse to (key, bucket) grain in
+# ONE map-side-combined aggregation before any spine/fill work.
+# --------------------------------------------------------------------------
+@register(
+    "event_gapfill",
+    sql="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+               FROM events),
+    b AS (SELECT event_type,
+                 t - ((t % 3600 + 3600) % 3600) AS bucket,
+                 CAST(count(value) AS BIGINT) AS n,
+                 round(avg(value), 6) AS v
+          FROM e GROUP BY 1, 2),
+    s AS (SELECT event_type,
+                 unnest(generate_series(min(bucket), max(bucket),
+                                        CAST(3600 AS BIGINT))) AS bucket
+          FROM b GROUP BY event_type),
+    j AS (SELECT s.event_type, s.bucket,
+                 coalesce(b.n, 0) AS n, b.v
+          FROM s LEFT JOIN b
+            ON s.event_type = b.event_type AND s.bucket = b.bucket),
+    w AS (SELECT event_type, bucket, n, v,
+                 last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                            IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pb,
+                 first_value(v IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN bucket END
+                             IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nb
+          FROM j)
+    SELECT event_type, bucket, n,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * (bucket - pb) / (nb - pb)
+                 END, 6) AS value
+    FROM w
+    """,
+)
+def event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly mean of event value per event_type with EVERY bucket
+    between each type's first and last observation present — gaps
+    linearly interpolated between the neighboring observed buckets
+    (TimescaleDB time_bucket_gapfill + interpolate re-expressed as one
+    bucket agg + a bucket-bounded spine + two keyed windows)."""
+    from ..operators.temporal import time_bucket_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", event_seconds(ev).alias("t"), "value"
+    )
+    return time_bucket_gapfill(
+        e, ["event_type"], "t", "value", width=3600,
+        agg="avg", fill="linear",
+    )
+
+
+@register(
+    "event_ohlc",
+    sql="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      event_id, value
+               FROM events),
+    b AS (SELECT event_type,
+                 t - ((t % 86400 + 86400) % 86400) AS bucket,
+                 t, event_id, value
+          FROM e),
+    w AS (SELECT event_type, bucket, value,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                                    ORDER BY t, event_id) AS rf,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                                    ORDER BY t DESC, event_id DESC) AS rl
+          FROM b)
+    SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+           round(max(CASE WHEN rf = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rl = 1 THEN value END), 6) AS close
+    FROM w GROUP BY 1, 2
+    """,
+)
+def event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open/high/low/close + count of event value per event_type
+    — ONE hash aggregation (min_by/max_by on the (ts, event_id) order
+    key; the oracle restates open/close via row_number because DuckDB's
+    arg_min has no struct-ordered form). Deterministic under duplicate
+    timestamps by the event_id tiebreak."""
+    from ..operators.temporal import ohlc_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", event_seconds(ev).alias("t"), "event_id", "value"
+    )
+    return ohlc_downsample(
+        e, ["event_type"], "t", "value", width=86400, seq_col="event_id"
+    )

@@ -584,3 +584,60 @@ def test_top_values_is_one_scan_bounded_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "partial_count" in plan  # map-side combine before the wire
     assert "Window" in plan
+
+
+def test_gapfill_collapses_raw_stream_before_spine(spark, sf_dir):
+    """time_bucket_gapfill: the raw event stream must collapse to
+    (key, bucket) grain in ONE map-side-combined aggregation before any
+    spine/fill work — the spine join and fill windows then run on
+    bucket-bounded rows. No cartesian anywhere; the fill windows are
+    key-partitioned (never a global single-partition sort)."""
+    import re
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        time_bucket_gapfill,
+    )
+    from process_alphafold3_outputs_spark.sources.tables import (
+        event_seconds,
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", event_seconds(ev).alias("t"), "value")
+    plan = formatted_plan(
+        time_bucket_gapfill(
+            e, ["event_type"], "t", "value", 3600, fill="linear"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial_avg" in plan or "partial_count" in plan  # map-side
+    # fill windows are key-partitioned, not a global sort
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ohlc_is_one_keyed_agg_no_window_no_join(spark, sf_dir):
+    """ohlc_downsample: ONE hash aggregation (partial min_by/max_by
+    below the single keyed exchange) — never a window over raw events,
+    never a join."""
+    import re
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        ohlc_downsample,
+    )
+    from process_alphafold3_outputs_spark.sources.tables import (
+        event_seconds,
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", event_seconds(ev).alias("t"), "event_id", "value"
+    )
+    plan = formatted_plan(
+        ohlc_downsample(e, ["event_type"], "t", "value", 86400,
+                        seq_col="event_id")
+    )
+    assert "Window" not in plan
+    assert "Join type:" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_min_by" in plan  # map-side combine before the wire
