@@ -608,6 +608,13 @@ _DEFERRED: set[str] = {
     "event_ohlc",            # OHLC downsample; min_by/max_by hash-agg
                              # mechanics evidenced by green dedup_exact
                              # min_by row (deferred: headroom)
+    "profile_candidate_keys",  # fused key discovery; one-scan multi-
+                             # distinct mechanics evidenced by green
+                             # profile_table row (deferred: headroom)
+    "profile_fk_containment",  # inclusion-dependency containment;
+                             # distinct-collapse + keyed-join mechanics
+                             # evidenced by green semi_join/dedup rows
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -63,6 +63,13 @@ line to stdout):
                  (util.skew_report)
   vocab-overlap  crawl-vs-crawl distinct-vocabulary overlap by HLL
                  inclusion-exclusion (sketches.hll_overlap)
+  resample       time-bucket downsample of any (key, ts, value) table:
+                 gapfilled locf/linear/zero series or --ohlc bars
+                 (operators.temporal)
+
+The ``profile`` command also runs structural discovery: ``--keys``
+(candidate-key uniqueness for columns and pairs, one aggregation) and
+``--fk COL:PARQUET:PARENT_COL`` (inclusion-dependency containment).
 
 Every command is a thin shell over the library operators — no query
 logic lives here, so CLI behavior cannot drift from the tested kernels.
@@ -358,6 +365,38 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--numeric", action="store_true",
                     help="fused exact quartiles + mean for the given "
                     "--col list (requires --col)")
+    sp.add_argument("--keys", action="store_true",
+                    help="candidate-key discovery: uniqueness of every "
+                    "--col (or all columns) and their pairs in ONE "
+                    "aggregation")
+    sp.add_argument("--max-arity", type=int, default=2,
+                    help="with --keys: 1 = single columns only, "
+                    "2 = also pairs (default)")
+    sp.add_argument("--fk", action="append", default=[],
+                    metavar="COL:PARQUET:PARENT_COL", dest="fk_rules",
+                    help="foreign-key containment of --input's COL in "
+                    "PARQUET's PARENT_COL (repeatable; one report row "
+                    "each)")
+
+    sp = sub.add_parser("resample")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table with a time column")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--key", action="append", default=[],
+                    metavar="COL", help="series key column (repeat)")
+    sp.add_argument("--ts-col", required=True)
+    sp.add_argument("--value-col", required=True)
+    sp.add_argument("--width", type=int, required=True,
+                    help="bucket width in seconds")
+    sp.add_argument("--agg", default="avg",
+                    choices=["avg", "sum", "min", "max", "count"])
+    sp.add_argument("--fill", default="locf",
+                    choices=["none", "zero", "locf", "linear"])
+    sp.add_argument("--ohlc", action="store_true",
+                    help="open/high/low/close downsample instead of "
+                    "gapfill (no spine; --seq-col breaks ts ties)")
+    sp.add_argument("--seq-col", default=None)
+    sp.add_argument("--max-buckets", type=int, default=1_000_000)
 
     sp = sub.add_parser("privacy")
     sp.add_argument("--input", required=True,
@@ -855,6 +894,30 @@ def _result(
         )
 
         tbl = spark.read.parquet(args.input)
+        if args.fk_rules:
+            from .operators.profiling import fk_containment
+
+            reports = []
+            for spec in args.fk_rules:
+                col, parent_path, parent_col = spec.split(":")
+                reports.append(
+                    fk_containment(
+                        tbl, col, spark.read.parquet(parent_path),
+                        parent_col,
+                        label=f"{col}->{parent_path}:{parent_col}",
+                    )
+                )
+            out = reports[0]
+            for r in reports[1:]:
+                out = out.unionByName(r)
+            return out
+        if args.keys:
+            from .operators.profiling import candidate_keys
+
+            return candidate_keys(
+                tbl, args.col, max_arity=args.max_arity,
+                approx=args.approx,
+            )
         if args.compare is not None:
             return profile_diff(
                 tbl, spark.read.parquet(args.compare), args.col
@@ -868,6 +931,34 @@ def _result(
         if args.top_k is not None:
             return top_values(tbl, args.col, k=args.top_k)
         return profile_table(tbl, args.col, approx=args.approx)
+
+    if args.command == "resample":
+        from pyspark.sql import functions as _F
+
+        from .operators.temporal import ohlc_downsample, time_bucket_gapfill
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tbl = spark.read.parquet(args.input)
+        # timestamp/timestamp_ntz -> epoch seconds via an intermediate
+        # timestamp cast (NTZ cannot cast straight to BIGINT; session tz
+        # pinned UTC above); an already-numeric column passes through
+        ts_dtype = dict(tbl.dtypes).get(args.ts_col, "")
+        ts_expr = (
+            _F.col(args.ts_col).cast("timestamp").cast("long")
+            if ts_dtype.startswith("timestamp")
+            else _F.col(args.ts_col).cast("long")
+        )
+        tbl = tbl.withColumn("_ts_sec", ts_expr)
+        if args.ohlc:
+            return ohlc_downsample(
+                tbl, args.key, "_ts_sec", args.value_col,
+                width=args.width, seq_col=args.seq_col,
+            )
+        return time_bucket_gapfill(
+            tbl, args.key, "_ts_sec", args.value_col,
+            width=args.width, agg=args.agg, fill=args.fill,
+            max_buckets=args.max_buckets,
+        )
 
     if args.command == "expect":
         from .operators.expect import check_expectations

@@ -277,3 +277,136 @@ def profile_numeric(
             )
         ).alias("_p")
     ).select("_p.*")
+
+
+def candidate_keys(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    max_arity: int = 2,
+    approx: bool = False,
+) -> DataFrame:
+    """(columns, arity, n_rows, n_distinct, uniqueness, is_key) — which
+    columns (and, at ``max_arity=2``, column pairs) uniquely identify a
+    row: the discovery step before declaring a ``unique`` expectation,
+    choosing a MERGE key, or bucketing a table. ALL combinations are
+    measured in ONE aggregation over ONE scan (the fusion discipline —
+    m columns + C(m,2) pairs never cost more scans).
+
+    ``n_distinct`` uses COUNT(DISTINCT ...) semantics: a row with a
+    NULL in ANY member column is skipped — so ``is_key``
+    (n_distinct == n_rows) is true only when the combination is both
+    complete and unique, which is exactly the key contract.
+
+    ``approx=True`` swaps exact distincts for HLL++ (rsd ~5%) and
+    reports ``is_key=NULL`` (a sketch cannot certify a key, only rule
+    one out) — the scale form for a first pass over a wide 100 TB
+    table; certify the survivors with a second exact pass over the few
+    candidate combinations.
+    """
+    if cols is None:
+        cols = [c for c, _ in df.dtypes]
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    if max_arity not in (1, 2):
+        raise ValueError(f"max_arity must be 1 or 2 (got {max_arity})")
+    combos: list[tuple[str, ...]] = [(c,) for c in cols]
+    if max_arity == 2:
+        combos += [
+            (cols[i], cols[j])
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+
+    def distinct_expr(combo: tuple[str, ...]):
+        if not approx:
+            return F.count_distinct(*[F.col(c) for c in combo])
+        nonnull = F.lit(True)
+        for c in combo:
+            nonnull = nonnull & F.col(c).isNotNull()
+        return F.approx_count_distinct(
+            F.when(nonnull, F.struct(*[F.col(c) for c in combo]))
+        )
+
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[
+            distinct_expr(combo).cast("long").alias(f"_nd_{i}")
+            for i, combo in enumerate(combos)
+        ],
+    )
+    is_key = (
+        (lambda i: F.lit(None).cast("boolean"))
+        if approx
+        else (lambda i: F.col(f"_nd_{i}") == F.col("_n"))
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(",".join(combo)).alias("columns"),
+                        F.lit(len(combo)).alias("arity"),
+                        F.col("_n").alias("n_rows"),
+                        F.col(f"_nd_{i}").alias("n_distinct"),
+                        F.when(
+                            F.col("_n") > 0,
+                            F.round(F.col(f"_nd_{i}") / F.col("_n"), 6),
+                        ).alias("uniqueness"),
+                        is_key(i).alias("is_key"),
+                    )
+                    for i, combo in enumerate(combos)
+                ]
+            )
+        ).alias("_k")
+    ).select("_k.*")
+
+
+def fk_containment(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    label: str | None = None,
+) -> DataFrame:
+    """One row — (relation, n_child_distinct, n_matched, containment,
+    is_contained): what fraction of the child column's DISTINCT
+    non-NULL values exist in the parent column (inclusion-dependency
+    discovery — ``containment = 1.0`` is the foreign-key contract;
+    anything lower quantifies referential breakage for a
+    ``snapshot_diff``/expectations follow-up).
+
+    Both sides collapse to their distinct values map-side BEFORE the
+    join, so the join touches vocabulary-sized tables, never raw rows
+    — at 100 TB the shuffle moves each distinct key once. NULL child
+    values are excluded (SQL FK semantics: NULL references nothing).
+    """
+    rel = label or f"{child_col}->{parent_col}"
+    cd = (
+        child.select(F.col(child_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+    )
+    pdv = (
+        parent.select(F.col(parent_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    j = cd.join(pdv, "_v", "left")
+    return j.agg(
+        F.lit(rel).alias("relation"),
+        F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_matched"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
+            ),
+        ).alias("containment"),
+        F.coalesce(
+            F.coalesce(F.sum("_hit"), F.lit(0)) == F.count(F.lit(1)),
+            F.lit(False),
+        ).alias("is_contained"),
+    )

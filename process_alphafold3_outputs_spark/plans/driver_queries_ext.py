@@ -8015,3 +8015,139 @@ def event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_downsample(
         e, ["event_type"], "t", "value", width=86400, seq_col="event_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Key / foreign-key discovery (operators/profiling.py) — the structural
+# complement to profile_table: which column combinations are keys (ONE
+# fused aggregation for all combos), and which cross-table inclusion
+# dependencies hold (distinct-collapsed containment join). The
+# discovery step before declaring `unique` expectations, choosing MERGE
+# keys, or trusting a join.
+# --------------------------------------------------------------------------
+@register(
+    "profile_candidate_keys",
+    sql="""
+    WITH d AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                           ELSE o_custkey END AS o_custkey,
+                      o_orderstatus
+               FROM orders),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+                 CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+                 CAST(count(DISTINCT CASE
+                     WHEN o_orderkey IS NOT NULL
+                      AND o_custkey IS NOT NULL
+                     THEN ROW(o_orderkey, o_custkey) END) AS BIGINT)
+                     AS nd12,
+                 CAST(count(DISTINCT CASE
+                     WHEN o_orderkey IS NOT NULL
+                      AND o_orderstatus IS NOT NULL
+                     THEN ROW(o_orderkey, o_orderstatus) END) AS BIGINT)
+                     AS nd13,
+                 CAST(count(DISTINCT CASE
+                     WHEN o_custkey IS NOT NULL
+                      AND o_orderstatus IS NOT NULL
+                     THEN ROW(o_custkey, o_orderstatus) END) AS BIGINT)
+                     AS nd23
+          FROM d)
+    SELECT 'o_orderkey' AS columns, CAST(1 AS INT) AS arity, n AS n_rows,
+           nd1 AS n_distinct, round(nd1 / CAST(n AS DOUBLE), 6)
+               AS uniqueness, nd1 = n AS is_key FROM a
+    UNION ALL
+    SELECT 'o_custkey', 1, n, nd2, round(nd2 / CAST(n AS DOUBLE), 6),
+           nd2 = n FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', 1, n, nd3,
+           round(nd3 / CAST(n AS DOUBLE), 6), nd3 = n FROM a
+    UNION ALL
+    SELECT 'o_orderkey,o_custkey', 2, n, nd12,
+           round(nd12 / CAST(n AS DOUBLE), 6), nd12 = n FROM a
+    UNION ALL
+    SELECT 'o_orderkey,o_orderstatus', 2, n, nd13,
+           round(nd13 / CAST(n AS DOUBLE), 6), nd13 = n FROM a
+    UNION ALL
+    SELECT 'o_custkey,o_orderstatus', 2, n, nd23,
+           round(nd23 / CAST(n AS DOUBLE), 6), nd23 = n FROM a
+    """,
+)
+def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key discovery over orders with o_custkey NULLed every %11
+    (deferred — pytest-mirrored): all single columns and pairs measured
+    in ONE aggregation; COUNT(DISTINCT) NULL-skip semantics make
+    is_key = complete AND unique. The NULL injection pins the rule that
+    a pair containing a NULL never counts toward a key."""
+    from ..operators.profiling import candidate_keys
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderstatus",
+    )
+    return candidate_keys(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+
+
+@register(
+    "profile_fk_containment",
+    sql="""
+    SELECT 'orders.o_custkey->customer.c_custkey' AS relation,
+           CAST(count(*) AS BIGINT) AS n_child_distinct,
+           CAST(count(p.v) AS BIGINT) AS n_matched,
+           round(count(p.v) / CAST(count(*) AS DOUBLE), 6) AS containment,
+           coalesce(count(p.v) = count(*), FALSE) AS is_contained
+    FROM (SELECT DISTINCT o_custkey AS v FROM orders
+          WHERE o_custkey IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT c_custkey AS v FROM customer
+               WHERE c_custkey IS NOT NULL) p ON c.v = p.v
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+           CAST(count(*) AS BIGINT), CAST(count(p.v) AS BIGINT),
+           round(count(p.v) / CAST(count(*) AS DOUBLE), 6),
+           coalesce(count(p.v) = count(*), FALSE)
+    FROM (SELECT DISTINCT l_suppkey AS v FROM lineitem
+          WHERE l_suppkey IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT s_suppkey AS v FROM supplier
+               WHERE s_suppkey IS NOT NULL) p ON c.v = p.v
+    UNION ALL
+    SELECT 'customer.c_custkey->events.user_id',
+           CAST(count(*) AS BIGINT), CAST(count(p.v) AS BIGINT),
+           round(count(p.v) / CAST(count(*) AS DOUBLE), 6),
+           coalesce(count(p.v) = count(*), FALSE)
+    FROM (SELECT DISTINCT c_custkey AS v FROM customer
+          WHERE c_custkey IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT user_id AS v FROM events
+               WHERE user_id IS NOT NULL) p ON c.v = p.v
+    """,
+)
+def profile_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery across the star schema (deferred
+    — pytest-mirrored): two true foreign keys (containment 1.0) and one
+    deliberate non-FK (customer keys mostly absent from the 150-user
+    events stream) — both sides distinct-collapse map-side before the
+    vocabulary-sized containment join."""
+    from ..operators.profiling import fk_containment
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    ev = load_table(spark, sf_dir, "events")
+    r1 = fk_containment(
+        orders, "o_custkey", cust, "c_custkey",
+        label="orders.o_custkey->customer.c_custkey",
+    )
+    r2 = fk_containment(
+        li, "l_suppkey", supp, "s_suppkey",
+        label="lineitem.l_suppkey->supplier.s_suppkey",
+    )
+    r3 = fk_containment(
+        cust, "c_custkey", ev, "user_id",
+        label="customer.c_custkey->events.user_id",
+    )
+    return r1.unionByName(r2).unionByName(r3)

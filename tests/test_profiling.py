@@ -392,3 +392,151 @@ def test_cli_profile_numeric_mode(spark, tmp_path):
     )
     with _pytest.raises(SystemExit, match="requires --col"):
         corpus_cli.run(bad, spark)
+
+
+# --------------------------------------------------------------------------
+# key / FK discovery
+# --------------------------------------------------------------------------
+def test_candidate_keys_hand_computed(spark):
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        candidate_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5), (3, "b", 5), (4, "b", None)],
+        "id long, g string, v long",
+    )
+    got = {
+        r["columns"]: (r["n_distinct"], r["uniqueness"], r["is_key"])
+        for r in candidate_keys(df).collect()
+    }
+    assert got["id"] == (4, 1.0, True)
+    assert got["g"] == (2, 0.5, False)
+    assert got["v"] == (1, 0.25, False)  # NULLs never count
+    assert got["id,g"] == (4, 1.0, True)
+    # (id, v): NULL v rows skipped by COUNT(DISTINCT) -> not a key even
+    # though id alone is — completeness is part of the key contract
+    assert got["id,v"] == (2, 0.5, False)
+    assert len(got) == 6  # 3 singles + C(3,2) pairs
+
+
+def test_candidate_keys_arity_one_and_validation(spark):
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        candidate_keys,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    assert candidate_keys(df, max_arity=1).count() == 2
+    with _pt.raises(ValueError, match="max_arity"):
+        candidate_keys(df, max_arity=3)
+    with _pt.raises(ValueError, match="not in the frame"):
+        candidate_keys(df, cols=["nope"])
+
+
+def test_candidate_keys_approx_is_null_verdict_within_rsd(spark):
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        candidate_keys,
+    )
+
+    df = spark.range(2000).selectExpr("id", "id % 7 AS m")
+    rows = {
+        r["columns"]: r
+        for r in candidate_keys(df, ["id", "m"], approx=True).collect()
+    }
+    for r in rows.values():
+        assert r["is_key"] is None  # a sketch cannot certify a key
+    assert abs(rows["id"]["n_distinct"] - 2000) / 2000 < 0.15
+    assert abs(rows["m"]["n_distinct"] - 7) <= 1
+
+
+def test_fk_containment_partial_full_and_null_child(spark):
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        fk_containment,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    r = fk_containment(child, "k", parent, "k").collect()[0]
+    # NULL child value excluded; 2 of 3 distinct values contained
+    assert (
+        r["n_child_distinct"],
+        r["n_matched"],
+        r["containment"],
+        r["is_contained"],
+    ) == (3, 2, 0.666667, False)
+    full = fk_containment(parent, "k", parent, "k").collect()[0]
+    assert full["is_contained"] is True and full["containment"] == 1.0
+
+
+def test_fk_containment_collapses_before_join(spark, sf_dir):
+    """Scale posture: the containment join must see DISTINCT values,
+    never raw rows — both sides carry a partial/final HashAggregate
+    below the join."""
+    import re
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        fk_containment,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plan = (
+        fk_containment(orders, "o_custkey", cust, "c_custkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 4  # 2 sides x partial+final
+
+
+def test_cli_profile_keys_and_fk(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    d = str(tmp_path / "kt")
+    spark.range(30).selectExpr("id", "id % 5 AS g").write.parquet(d)
+    parent = str(tmp_path / "kp")
+    spark.range(3).selectExpr("id AS pid").write.parquet(parent)
+    out = str(tmp_path / "ko")
+
+    def run(extra):
+        args = corpus_cli.build_parser().parse_args(
+            ["profile", "--input", d, "--out", out] + extra
+        )
+        assert corpus_cli.run(args, spark)["rows"] > 0
+        return spark.read.parquet(out)
+
+    keys = {r.columns: r for r in run(["--keys"]).collect()}
+    assert keys["id"].is_key is True and keys["g"].is_key is False
+    assert keys["id,g"].is_key is True
+    fk = run(["--fk", f"g:{parent}:pid"]).collect()[0]
+    assert fk.n_child_distinct == 5 and fk.n_matched == 3
+    assert fk.is_contained is False
+
+
+def test_cli_resample_gapfill_and_ohlc(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    d = str(tmp_path / "rt")
+    spark.createDataFrame(
+        [("a", 0, 0, 1.0), ("a", 25, 1, 3.0), ("b", 5, 2, 9.0)],
+        "k string, t long, seq long, v double",
+    ).write.parquet(d)
+    out = str(tmp_path / "ro")
+
+    def run(extra):
+        args = corpus_cli.build_parser().parse_args(
+            ["resample", "--input", d, "--ts-col", "t", "--value-col",
+             "v", "--key", "k", "--width", "10", "--out", out] + extra
+        )
+        assert corpus_cli.run(args, spark)["rows"] > 0
+        return spark.read.parquet(out)
+
+    lin = {(r.k, r.bucket): r.value for r in run(["--fill", "linear"]).collect()}
+    # observed buckets 0 (v=1) and 20 (v=3); gap at 10 interpolates to 2
+    assert lin[("a", 10)] == 2.0
+    ohlc = {(r.k, r.bucket): (r.open, r.close)
+            for r in run(["--ohlc", "--seq-col", "seq"]).collect()}
+    assert ohlc[("a", 0)] == (1.0, 1.0)
