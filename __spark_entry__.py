@@ -615,6 +615,12 @@ _DEFERRED: set[str] = {
                              # distinct-collapse + keyed-join mechanics
                              # evidenced by green semi_join/dedup rows
                              # (deferred: headroom)
+    "text_strip_markup",     # markup extraction projection; regex-chain
+                             # mechanics evidenced by green
+                             # text_redact_pii row (deferred: headroom)
+    "text_normalize",        # pre-hash Unicode canonicalization; same
+                             # projection family as text_redact_pii
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

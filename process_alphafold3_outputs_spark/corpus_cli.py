@@ -66,6 +66,9 @@ line to stdout):
   resample       time-bucket downsample of any (key, ts, value) table:
                  gapfilled locf/linear/zero series or --ohlc bars
                  (operators.temporal)
+  normalize      pre-hash Unicode canonicalization (quotes/dashes/NBSP/
+                 zero-width folds); --markup strips HTML first
+                 (text.normalize_text / strip_markup)
 
 The ``profile`` command also runs structural discovery: ``--keys``
 (candidate-key uniqueness for columns and pairs, one aggregation) and
@@ -377,6 +380,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="foreign-key containment of --input's COL in "
                     "PARQUET's PARENT_COL (repeatable; one report row "
                     "each)")
+
+    sp = sub.add_parser("normalize")
+    sp.add_argument("--documents", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--markup", action="store_true",
+                    help="strip HTML/XML markup (script/style blocks "
+                    "deleted, tags unwrapped, entities decoded) BEFORE "
+                    "the Unicode fold")
 
     sp = sub.add_parser("resample")
     sp.add_argument("--input", required=True,
@@ -931,6 +942,15 @@ def _result(
         if args.top_k is not None:
             return top_values(tbl, args.col, k=args.top_k)
         return profile_table(tbl, args.col, approx=args.approx)
+
+    if args.command == "normalize":
+        docs = spark.read.parquet(args.documents)
+        if args.markup:
+            stripped = text.strip_markup(docs).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+            return text.normalize_text(stripped)
+        return text.normalize_text(docs)
 
     if args.command == "resample":
         from pyspark.sql import functions as _F

@@ -3428,3 +3428,104 @@ def compression_ratios(
             yield out
 
     return docs.select("doc_id", text_col).mapInPandas(island, out_schema)
+
+
+#: Markup patterns — Java-regex (Spark) / RE2 (DuckDB) common subset:
+#: (?is)-flagged non-greedy blocks and character classes only, no
+#: backreferences or lookaround (the PII_* discipline). script/style
+#: bodies are CONTENT to delete, not markup to unwrap, so they go
+#: first; the generic tag pattern then unwraps what remains.
+MARKUP_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+MARKUP_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+MARKUP_COMMENT_RE = r"(?s)<!--.*?-->"
+MARKUP_TAG_RE = r"(?i)</?[a-z][^>]*>"
+
+#: entity decode order is load-bearing: &amp; decodes LAST so
+#: double-encoded text ("&amp;lt;") never turns into live markup
+MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_tags) — HTML/XML markup removal for
+    web-crawl corpora (the extraction step C4/CCNet assume upstream):
+    script/style/comment blocks deleted wholesale, remaining tags
+    unwrapped (their text kept), the six standard entities decoded
+    (&amp; last, so double-encoding can't re-create markup), whitespace
+    collapsed. ``n_tags`` counts the unwrapped tags (markup inside
+    deleted blocks doesn't count — it was never going to contribute
+    text). All JVM-side regexp/replace — no Python in the row path, no
+    shuffle: a pure projection the scan absorbs."""
+    t = F.col(text_col)
+    deblocked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, MARKUP_SCRIPT_RE, " "),
+            MARKUP_STYLE_RE,
+            " ",
+        ),
+        MARKUP_COMMENT_RE,
+        " ",
+    )
+    n_tags = F.regexp_count(deblocked, F.lit(MARKUP_TAG_RE)).cast("long")
+    untagged = F.regexp_replace(deblocked, MARKUP_TAG_RE, " ")
+    decoded = untagged
+    for ent, ch in MARKUP_ENTITIES:
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return docs.select(
+        "doc_id", clean.alias("clean_text"), n_tags.alias("n_tags")
+    )
+
+
+#: control characters (keep \t \n \r — they are whitespace, and the
+#: final collapse owns them)
+NORM_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+#: 1:1 codepoint folds: curly/low-9 quotes -> straight, en/em/figure
+#: dashes -> hyphen, NBSP -> space; zero-widths/BOM appended with no
+#: destination = deleted (translate drops unmapped source chars)
+NORM_TRANSLATE_SRC = (
+    "\u2018\u2019\u201a"  # curly/low-9 single quotes -> '
+    "\u201c\u201d\u201e"  # curly/low-9 double quotes -> "
+    "\u2013\u2014\u2012"  # en/em/figure dashes       -> -
+    "\u00a0"              # NBSP                      -> space
+    "\u200b\u200c\u200d\ufeff"  # zero-widths + BOM   -> deleted
+)
+NORM_TRANSLATE_DST = "'''\"\"\"--- "
+#: the DST table as a ready-made SQL literal (ASCII quotes doubled)
+#: so oracle SQL can inject the IDENTICAL fold table
+_NORM_DST_SQL = "'" + NORM_TRANSLATE_DST.replace("'", "''") + "'"
+#: the DST table as a ready-made SQL literal (ASCII quotes doubled)
+#: so oracle SQL can inject the IDENTICAL fold table
+_NORM_DST_SQL = "'" + NORM_TRANSLATE_DST.replace("'", "''") + "'"
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_chars_before, n_chars_after) — Unicode
+    hygiene BEFORE hashing/shingling (ftfy-lite): dedup operators key
+    on exact bytes, so ``“smart” quotes``, NBSP, zero-width joiners and
+    stray control characters make identical prose hash differently —
+    normalize first and the exact/MinHash/substring families all get
+    strictly better recall. Folds: control chars stripped, curly
+    quotes/dashes/NBSP folded to ASCII (1:1 codepoint ``translate``),
+    zero-widths and BOM deleted, ``…`` -> ``...``, whitespace
+    collapsed + trimmed. Pure JVM projection — no Python, no shuffle.
+    """
+    t = F.col(text_col)
+    no_ctrl = F.regexp_replace(t, NORM_CONTROL_RE, "")
+    folded = F.translate(
+        no_ctrl, NORM_TRANSLATE_SRC, NORM_TRANSLATE_DST
+    )
+    dotted = F.replace(folded, F.lit("…"), F.lit("..."))
+    clean = F.trim(F.regexp_replace(dotted, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(t).cast("long").alias("n_chars_before"),
+        F.length(clean).cast("long").alias("n_chars_after"),
+    )

@@ -8151,3 +8151,121 @@ def profile_fk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         label="customer.c_custkey->events.user_id",
     )
     return r1.unionByName(r2).unionByName(r3)
+
+
+# --------------------------------------------------------------------------
+# Markup stripping + Unicode normalization (operators/text.py) — the
+# extraction/canonicalization stages upstream of every hash-keyed dedup
+# operator. Deterministic markup/mojibake is injected from doc_id (the
+# text_redact_pii discipline: the synthetic corpus carries neither), and
+# the oracle restates injection + the same Java/RE2-common chains, so
+# the cleaned text itself is value-hashed.
+# --------------------------------------------------------------------------
+_ENT_SQL = (
+    "replace(replace(replace(replace(replace(replace({t}, "
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+    "'&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
+)
+
+
+@register(
+    "text_strip_markup",
+    sql=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               '<p class="x">' || text || '</p> <script a=1>var d='
+                   || CAST(doc_id AS VARCHAR) || ';</script>'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<!-- c --> &amp;lt; <br/>ok'
+                           ELSE ' <b>&quot;q&#39;</b>' END AS t
+        FROM documents),
+    deblocked AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{text.MARKUP_SCRIPT_RE}', ' ', 'g'),
+                   '{text.MARKUP_STYLE_RE}', ' ', 'g'),
+                   '{text.MARKUP_COMMENT_RE}', ' ', 'g') AS t
+        FROM injected),
+    counted AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{text.MARKUP_TAG_RE}'))
+                    AS BIGINT) AS n_tags,
+               regexp_replace(t, '{text.MARKUP_TAG_RE}', ' ', 'g') AS t
+        FROM deblocked)
+    SELECT doc_id,
+           trim(regexp_replace({_ENT_SQL.format(t='t')}, '\\s+', ' ',
+                               'g')) AS clean_text,
+           n_tags
+    FROM counted
+    """,
+)
+def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal over documents wrapped in deterministic
+    doc_id-derived HTML (deferred — pytest-mirrored): script bodies
+    deleted wholesale, tags unwrapped and counted, entities decoded
+    (&amp; last), whitespace collapsed — a pure JVM projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="x">'),
+            F.col("text"),
+            F.lit("</p> <script a=1>var d="),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("<!-- c --> &amp;lt; <br/>ok"),
+            ).otherwise(F.lit(" <b>&quot;q&#39;</b>")),
+        ).alias("text"),
+    )
+    return text.strip_markup(injected)
+
+
+@register(
+    "text_normalize",
+    sql=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               chr(8220) || text || chr(8221) || chr(8211) || ' x'
+                   || chr(1) || chr(8230) || chr(160) || 'end'
+                   || chr(8203) AS t
+        FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(
+               replace(
+                   translate(
+                       regexp_replace(t, '{text.NORM_CONTROL_RE}', '',
+                                      'g'),
+                       '{text.NORM_TRANSLATE_SRC}',
+                       {text._NORM_DST_SQL}),
+                   chr(8230), '...'),
+               '\\s+', ' ', 'g')) AS clean_text,
+           CAST(length(t) AS BIGINT) AS n_chars_before,
+           CAST(length(trim(regexp_replace(
+               replace(
+                   translate(
+                       regexp_replace(t, '{text.NORM_CONTROL_RE}', '',
+                                      'g'),
+                       '{text.NORM_TRANSLATE_SRC}',
+                       {text._NORM_DST_SQL}),
+                   chr(8230), '...'),
+               '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_after
+    FROM injected
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization over documents wrapped in deterministic
+    mojibake (curly quotes, en dash, a control byte, ellipsis, NBSP,
+    zero-width space — deferred, pytest-mirrored): the pre-hash hygiene
+    pass that makes byte-keyed dedup see identical prose identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("\u201c"),
+            F.col("text"),
+            F.lit("\u201d\u2013 x\x01\u2026\u00a0end\u200b"),
+        ).alias("text"),
+    )
+    return text.normalize_text(injected)
