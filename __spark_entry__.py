@@ -621,6 +621,17 @@ _DEFERRED: set[str] = {
     "text_normalize",        # pre-hash Unicode canonicalization; same
                              # projection family as text_redact_pii
                              # (deferred: headroom)
+    "event_rate",            # derivative w/ counter resets; lag-window
+                             # mechanics evidenced by green sessionize
+                             # row (deferred: headroom)
+    "event_zscore",          # prior-window level-shift score; frame-
+                             # window mechanics evidenced by green
+                             # sessionize/range_frame rows (deferred:
+                             # headroom)
+    "event_seasonal",        # phase-of-period baseline + join-back;
+                             # agg+broadcast mechanics evidenced by
+                             # green tumbling/semi_join rows (deferred:
+                             # headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

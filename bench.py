@@ -75,6 +75,36 @@ BENCH_DEFERRED = {
                            "many form is the same per-query plan keyed "
                            "by query_id — single==many parity "
                            "pytest-pinned)",
+    "dedup_simhash": "dedup_simhash64 (the 64-bit two-word superset of "
+                     "the same n-parallel-vote-sum plan; the 16-bit "
+                     "form was already deferred from the correctness "
+                     "window for the same reason)",
+    "text_fingerprint": "dedup_exact (md5 hash-agg) + "
+                        "text_winnow_fingerprints (the windowed-min "
+                        "fingerprint superset of the 1-hash MinHash "
+                        "leg)",
+    "pivot_event_values": "cube_customer_segments (grouping-sets "
+                          "superset of the conditional-sum pivot) + "
+                          "pricing_summary (conditional aggs)",
+    "event_ohlc": "dedup_exact (the min_by/max_by keyed hash-agg "
+                  "family) + event_gapfill (the temporal bucket "
+                  "kernel, benched)",
+    "profile_fk_containment": "semi_join (value-keyed membership) + "
+                              "dedup_exact (distinct-collapse "
+                              "mechanics); containment joins "
+                              "vocabulary-sized sides by construction",
+    "text_normalize": "text_strip_markup (the regex-chain projection "
+                      "family twin, benched) + text_redact_pii "
+                      "(benched)",
+    "event_rate": "sessionize (the key-partitioned lag-window family) "
+                  "+ event_gapfill (the benched temporal "
+                  "representative)",
+    "event_zscore": "sessionize (key-partitioned ordered windows; the "
+                    "z-score adds frame sums on the same exchange) + "
+                    "event_gapfill",
+    "event_seasonal": "event_gapfill (the benched temporal "
+                      "representative; the seasonal profile is one "
+                      "keyed agg + a types-x-phases bounded join-back)",
 }
 
 HEADLINE = [
@@ -92,14 +122,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard",
-    "dedup_simhash",
     "dedup_simhash64",
     "similarity_topk",
     "similarity_recall",
     "text_language_id",
     "text_quality",
     "text_token_count",
-    "text_fingerprint",
     "pipeline_corpus_clean",
     "pipeline_corpus_to_training",
     "pipeline_pack_sequences",
@@ -135,7 +163,6 @@ HEADLINE = [
     "text_pmi_pairs",
     "event_funnel",
     "event_cohort_retention",
-    "pivot_event_values",
     "multimodal_features_real",
     "multimodal_phash_real",
     "multimodal_near_dup_real",
@@ -217,6 +244,9 @@ HEADLINE = [
     "drift_psi",
     "drift_ks_banded",
     "pipeline_incremental_refresh",
+    "event_gapfill",
+    "profile_candidate_keys",
+    "text_strip_markup",
 ]
 
 
@@ -920,6 +950,63 @@ def _scale_probe_profile(spark, sf_dir: str) -> dict:
     }
 
 
+def _scale_probe_resample(spark, sf_dir: str) -> dict:
+    """10x datapoint for the temporal gapfill kernel: linear-fill
+    hourly gapfill over 10 time-shifted copies of the events table,
+    1x and 10x back-to-back in one load window. The spine is bounded
+    by (time span / width) per key — 10x EVENTS in the SAME span means
+    10x scan but identical output rows, so the wall must track the
+    bucket aggregation's scan, never the fill windows."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        time_bucket_gapfill,
+    )
+    from process_alphafold3_outputs_spark.sources.tables import (
+        event_seconds,
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", event_seconds(ev).alias("t"), "value")
+    n = e.count()
+    big = e
+    for i in range(1, 10):
+        # shift WITHIN the hour so the span (and thus output) is fixed
+        big = big.unionByName(
+            e.select(
+                "event_type",
+                (F.col("t") + (i * 7) % 60).alias("t"),
+                "value",
+            )
+        )
+
+    def action(frame):
+        return lambda: _noop_write(
+            time_bucket_gapfill(
+                frame, ["event_type"], "t", "value", 3600,
+                agg="avg", fill="linear",
+            )
+        )
+
+    out_rows = time_bucket_gapfill(
+        big, ["event_type"], "t", "value", 3600, fill="linear"
+    ).count()
+    one = _probed_wall(spark, action(e))
+    ten = _probed_wall(spark, action(big))
+    return {
+        "n_events_10x": n * 10,
+        "out_rows_1x_and_10x": out_rows,
+        **ten,
+        "wall_1x_same_window": one["wall_sec"],
+        "wall_1x_spread": one["wall_spread"],
+        "wall_ratio_10x_data": round(ten["wall_sec"] / one["wall_sec"], 2),
+        "wall_ratio_min_vs_min": round(
+            min(ten["wall_spread"]) / max(min(one["wall_spread"]), 1e-9), 2
+        ),
+    }
+
+
 def _scale_probe_layout(spark) -> dict:
     """≥10K-file datapoint for the compaction planner's Hadoop-FS
     listing path (judge r10 item 6): 10,000 small files across 20
@@ -1243,6 +1330,12 @@ def main() -> None:
             scale_probe["profile"] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"bench: profile scale probe failed: "
                   f"{scale_probe['profile']['error'][:200]}", file=sys.stderr)
+        try:
+            scale_probe["resample"] = _scale_probe_resample(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            scale_probe["resample"] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"bench: resample scale probe failed: "
+                  f"{scale_probe['resample']['error'][:200]}", file=sys.stderr)
         try:
             scale_probe["layout"] = _scale_probe_layout(spark)
         except Exception as exc:  # noqa: BLE001

@@ -41,6 +41,18 @@ _FILLS = ("none", "zero", "locf", "linear")
 _AGGS = ("avg", "sum", "min", "max", "count")
 
 
+def _r6(c: Column) -> Column:
+    """Cross-engine-EXACT 6-dp round: floor(x*1e6 + 0.5)/1e6 is the
+    same IEEE op sequence on every engine. Engines' native round()
+    disagree on half-boundary doubles (Spark routes through BigDecimal
+    of the shortest decimal repr; DuckDB multiplies) — a real
+    event_rate value, 0.21056249999999999, rounded .562 on Spark and
+    .563 on DuckDB. Semantics: half-up toward +inf (not away from
+    zero); |x| must stay below ~9e12 (long floor range), which every
+    rate/score here does."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def _bucket(ts_sec: Column, width: int) -> Column:
     # floor-div then re-scale: exact integer math (never double floor)
     return (ts_sec - (((ts_sec % width) + width) % width)).cast("long")
@@ -98,7 +110,7 @@ def time_bucket_gapfill(
     )
     bucketed = b.groupBy(*keys, "bucket").agg(
         F.count(F.col(value_col).cast("double")).cast("long").alias("n"),
-        F.round(_agg_expr(agg, value_col), 6).alias("_v"),
+        _r6(_agg_expr(agg, value_col)).alias("_v"),
     )
 
     spans = bucketed.groupBy(*keys).agg(
@@ -168,7 +180,7 @@ def time_bucket_gapfill(
         *keys,
         "bucket",
         "n",
-        F.round(value, 6).alias("value"),
+        _r6(value).alias("value"),
     )
 
 
@@ -207,9 +219,250 @@ def ohlc_downsample(
         .groupBy(*keys, "bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.min_by("_v", "_o"), 6).alias("open"),
-            F.round(F.max("_v"), 6).alias("high"),
-            F.round(F.min("_v"), 6).alias("low"),
-            F.round(F.max_by("_v", "_o"), 6).alias("close"),
+            _r6(F.min_by("_v", "_o")).alias("open"),
+            _r6(F.max("_v")).alias("high"),
+            _r6(F.min("_v")).alias("low"),
+            _r6(F.max_by("_v", "_o")).alias("close"),
         )
+    )
+
+
+def ohlc_components(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_sec_col: str,
+    value_col: str,
+    width: int,
+    seq_col: str,
+) -> DataFrame:
+    """Mergeable OHLC partials per (keys, bucket): ``n`` plus each
+    extreme WITH its (ts, seq) order key — the carry that makes OHLC a
+    true mergeable aggregate (open/close of a union = min/max-keyed
+    pick across partials; high/low/n fold by max/min/sum). This is the
+    shipment/stream form of :func:`ohlc_downsample`: components from
+    any split of the data merge (:func:`merge_ohlc`) to EXACTLY the
+    one-shot bars (:func:`ohlc_from_components` parity is
+    pytest-pinned), so a streaming state table can hold one bounded
+    row per bucket and stay exact across epochs and restarts."""
+    keys = list(keys)
+    if width <= 0:
+        raise ValueError(f"width must be positive seconds (got {width})")
+    ts = F.col(ts_sec_col).cast("long")
+    v = F.col(value_col).cast("double")
+    row = F.struct(
+        ts.alias("t"), F.col(seq_col).cast("long").alias("s"), v.alias("v")
+    )
+    return (
+        df.select(*keys, _bucket(ts, width).alias("bucket"), row.alias("_r"))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("_r").getField("t").alias("open_t"),
+            F.min("_r").getField("s").alias("open_s"),
+            F.min("_r").getField("v").alias("open"),
+            F.max(F.col("_r").getField("v")).alias("high"),
+            F.min(F.col("_r").getField("v")).alias("low"),
+            F.max("_r").getField("t").alias("close_t"),
+            F.max("_r").getField("s").alias("close_s"),
+            F.max("_r").getField("v").alias("close"),
+        )
+    )
+
+
+def merge_ohlc(a: DataFrame, b: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold two OHLC component tables (same grain) into one — the
+    state-merge kernel: n adds, high/low fold by max/min, open/close
+    re-pick by their carried (t, seq) order keys. Exact and
+    split-invariant (hash-agg over bucket-bounded rows)."""
+    keys = list(keys)
+    u = a.unionByName(b)
+    op = F.struct("open_t", "open_s", "open")
+    cl = F.struct("close_t", "close_s", "close")
+    return u.groupBy(*keys, "bucket").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.min(op).getField("open_t").alias("open_t"),
+        F.min(op).getField("open_s").alias("open_s"),
+        F.min(op).getField("open").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max(cl).getField("close_t").alias("close_t"),
+        F.max(cl).getField("close_s").alias("close_s"),
+        F.max(cl).getField("close").alias("close"),
+    )
+
+
+def ohlc_from_components(comp: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Render a component table as the public bar schema — identical
+    columns (and 6-dp rounding) to :func:`ohlc_downsample`."""
+    keys = list(keys)
+    return comp.select(
+        *keys,
+        "bucket",
+        "n",
+        _r6(F.col("open")).alias("open"),
+        _r6(F.col("high")).alias("high"),
+        _r6(F.col("low")).alias("low"),
+        _r6(F.col("close")).alias("close"),
+    )
+
+
+def rate_of_change(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_sec_col: str,
+    value_col: str,
+    seq_col: str,
+    counter: bool = False,
+) -> DataFrame:
+    """(keys..., t, value, rate) — per-second first derivative between
+    consecutive observations of each series (ONE key-partitioned lag
+    window ordered by (ts, seq) — the explicit tiebreak keeps duplicate
+    timestamps deterministic on every engine; zero-dt pairs yield NULL
+    rather than ±inf). ``counter=True`` applies Prometheus counter
+    semantics: a value DROP means the counter reset, so the rate is
+    ``value / dt`` (the post-reset accumulation), never negative —
+    without it (gauge semantics) negative rates pass through. First
+    observation per key: NULL rate. Rounds to 6 dp."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_sec_col).cast("long"), F.col(seq_col)
+    )
+    t = F.col(ts_sec_col).cast("long")
+    v = F.col(value_col).cast("double")
+    pt = F.lag(t).over(w)
+    pv = F.lag(v).over(w)
+    dt = (t - pt).cast("double")
+    delta = v - pv
+    raw = F.when(dt > 0, delta / dt)
+    if counter:
+        raw = F.when(dt > 0, F.when(delta < 0, v / dt).otherwise(delta / dt))
+    return df.select(
+        *keys,
+        t.alias("t"),
+        v.alias("value"),
+        _r6(raw).alias("rate"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_sec_col: str,
+    value_col: str,
+    seq_col: str,
+    window: int = 24,
+    min_obs: int = 6,
+) -> DataFrame:
+    """(keys..., t, value, mean_prev, z) — each observation scored
+    against the PRIOR ``window`` observations of its own series
+    (rows between -window and -1: the current value never contaminates
+    its own baseline — the level-shift detector's contract). NULL when
+    fewer than ``min_obs`` priors exist or their variance is 0.
+    Variance from windowed sum/sum-of-squares (n·Σx² − (Σx)² form kept
+    in one expression; 6-dp rounds defuse summation-order ulp drift
+    cross-engine). One key-partitioned window — the time-axis
+    complement of the two-snapshot statistics in ``operators.drift``.
+    """
+    keys = list(keys)
+    frame = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_sec_col).cast("long"), F.col(seq_col))
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col).cast("double")
+    n = F.count(v).over(frame).cast("double")
+    s = F.sum(v).over(frame)
+    s2 = F.sum(v * v).over(frame)
+    mean = s / n
+    var = (s2 - s * s / n) / (n - 1)
+    # guard on var > 0 (not sqrt(var) > 0): sqrt of a tiny negative
+    # variance is NaN on Spark and NULL on DuckDB — comparing the
+    # variance itself keeps both engines on the same branch
+    std = F.sqrt(var)
+    z = F.when(
+        (n >= F.lit(float(min_obs))) & (var > 0), (v - mean) / std
+    )
+    return df.select(
+        *keys,
+        F.col(ts_sec_col).cast("long").alias("t"),
+        v.alias("value"),
+        _r6(F.when(n >= F.lit(float(min_obs)), mean)).alias(
+            "mean_prev"
+        ),
+        _r6(z).alias("z"),
+    )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_sec_col: str,
+    value_col: str,
+    period: int = 86400,
+    n_buckets: int = 24,
+) -> DataFrame:
+    """(keys..., phase, baseline, n) — the per-series seasonal profile:
+    mean of ``value_col`` per phase-of-period bucket (hour-of-day under
+    the defaults). ONE hash aggregation to a (keys × n_buckets)-bounded
+    table; join it back to score live values against "normal for this
+    hour" (:func:`seasonal_deviations` does exactly that). Rounds 6 dp.
+    """
+    keys = list(keys)
+    if period <= 0 or n_buckets <= 0 or period % n_buckets != 0:
+        raise ValueError(
+            f"period must be a positive multiple of n_buckets (got "
+            f"period={period}, n_buckets={n_buckets})"
+        )
+    t = F.col(ts_sec_col).cast("long")
+    phase = (((t % period) + period) % period) / F.lit(
+        period // n_buckets
+    )
+    return (
+        df.select(
+            *keys,
+            phase.cast("long").alias("phase"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy(*keys, "phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _r6(F.avg("_v")).alias("baseline"),
+        )
+    )
+
+
+def seasonal_deviations(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_sec_col: str,
+    value_col: str,
+    period: int = 86400,
+    n_buckets: int = 24,
+) -> DataFrame:
+    """(keys..., t, value, phase, baseline, deviation) — every
+    observation against its series' own phase-of-period mean ("is this
+    normal for 3am"): the baseline table is (keys × n_buckets)-bounded,
+    so the join back to the stream broadcasts under AQE at any corpus
+    size. Deviation = value − baseline, rounded 6 dp."""
+    keys = list(keys)
+    base = seasonal_baseline(
+        df, keys, ts_sec_col, value_col, period, n_buckets
+    )
+    t = F.col(ts_sec_col).cast("long")
+    phase = ((((t % period) + period) % period) / F.lit(
+        period // n_buckets
+    )).cast("long")
+    scored = df.select(
+        *keys,
+        t.alias("t"),
+        F.col(value_col).cast("double").alias("value"),
+        phase.alias("phase"),
+    )
+    return scored.join(base.drop("n"), [*keys, "phase"], "left").select(
+        *keys,
+        "t",
+        "value",
+        "phase",
+        "baseline",
+        _r6(F.col("value") - F.col("baseline")).alias("deviation"),
     )

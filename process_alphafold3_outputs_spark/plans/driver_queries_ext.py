@@ -7919,7 +7919,7 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT event_type,
                  t - ((t % 3600 + 3600) % 3600) AS bucket,
                  CAST(count(value) AS BIGINT) AS n,
-                 round(avg(value), 6) AS v
+                 floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS v
           FROM e GROUP BY 1, 2),
     s AS (SELECT event_type,
                  unnest(generate_series(min(bucket), max(bucket),
@@ -7950,10 +7950,10 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS nb
           FROM j)
     SELECT event_type, bucket, n,
-           round(CASE WHEN v IS NOT NULL THEN v
+           floor((CASE WHEN v IS NOT NULL THEN v
                       WHEN pv IS NOT NULL AND nv IS NOT NULL
                       THEN pv + (nv - pv) * (bucket - pb) / (nb - pb)
-                 END, 6) AS value
+                 END) * 1000000.0 + 0.5) / 1000000.0 AS value
     FROM w
     """,
 )
@@ -7993,10 +7993,10 @@ def event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY t DESC, event_id DESC) AS rl
           FROM b)
     SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
-           round(max(CASE WHEN rf = 1 THEN value END), 6) AS open,
-           round(max(value), 6) AS high,
-           round(min(value), 6) AS low,
-           round(max(CASE WHEN rl = 1 THEN value END), 6) AS close
+           floor((max(CASE WHEN rf = 1 THEN value END)) * 1000000.0 + 0.5) / 1000000.0 AS open,
+           floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 AS high,
+           floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 AS low,
+           floor((max(CASE WHEN rl = 1 THEN value END)) * 1000000.0 + 0.5) / 1000000.0 AS close
     FROM w GROUP BY 1, 2
     """,
 )
@@ -8269,3 +8269,115 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.normalize_text(injected)
+
+
+# --------------------------------------------------------------------------
+# Time-series monitoring (operators/temporal.py, continued): derivative
+# with counter semantics, prior-window level-shift scoring, and the
+# phase-of-period seasonal profile — the time-axis complement of the
+# two-snapshot statistics in operators/drift.py. All windows order by
+# (t, event_id): the explicit tiebreak keeps duplicate timestamps
+# deterministic on every engine.
+# --------------------------------------------------------------------------
+@register(
+    "event_rate",
+    sql="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      event_id, value
+               FROM events),
+    l AS (SELECT event_type, t, value,
+                 lag(t) OVER (PARTITION BY event_type
+                              ORDER BY t, event_id) AS pt,
+                 lag(value) OVER (PARTITION BY event_type
+                                  ORDER BY t, event_id) AS pv
+          FROM e)
+    SELECT event_type, t, value,
+           floor((CASE WHEN t - pt > 0
+                      THEN (value - pv) / (t - pt) END) * 1000000.0 + 0.5) / 1000000.0 AS rate
+    FROM l
+    """,
+)
+def event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-second derivative of event value per event_type (deferred —
+    pytest-mirrored): one key-partitioned lag window, (t, event_id)
+    tiebreak, zero-dt pairs NULL (never ±inf); the counter=True reset
+    branch is pytest-pinned."""
+    from ..operators.temporal import rate_of_change
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", event_seconds(ev).alias("t"), "event_id", "value"
+    )
+    return rate_of_change(e, ["event_type"], "t", "value", "event_id")
+
+
+@register(
+    "event_zscore",
+    sql="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      event_id, value
+               FROM events),
+    w AS (SELECT event_type, t, value,
+                 CAST(count(value) OVER fr AS DOUBLE) AS n,
+                 sum(value) OVER fr AS s,
+                 sum(value * value) OVER fr AS s2
+          FROM e
+          WINDOW fr AS (PARTITION BY event_type ORDER BY t, event_id
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, t, value,
+           floor((CASE WHEN n >= 6 THEN s / n END) * 1000000.0 + 0.5) / 1000000.0 AS mean_prev,
+           floor((CASE WHEN n >= 6
+                       AND (s2 - s * s / n) / (n - 1) > 0
+                      THEN (value - s / n)
+                           / sqrt((s2 - s * s / n) / (n - 1)) END) * 1000000.0 + 0.5) / 1000000.0 AS z
+    FROM w
+    """,
+)
+def event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each observation scored against its own series' PRIOR 24
+    observations (deferred — pytest-mirrored): the current value never
+    contaminates its baseline; variance from the windowed sum/sum-sq
+    form, identical expression tree both engines."""
+    from ..operators.temporal import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", event_seconds(ev).alias("t"), "event_id", "value"
+    )
+    return rolling_zscore(
+        e, ["event_type"], "t", "value", "event_id", window=24, min_obs=6
+    )
+
+
+@register(
+    "event_seasonal",
+    sql="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+               FROM events),
+    p AS (SELECT event_type, t, value,
+                 CAST(floor((((t % 86400) + 86400) % 86400) / 3600.0)
+                      AS BIGINT) AS phase
+          FROM e),
+    b AS (SELECT event_type, phase, floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS baseline
+          FROM p GROUP BY 1, 2)
+    SELECT p.event_type, p.t, p.value, p.phase, b.baseline,
+           floor((p.value - b.baseline) * 1000000.0 + 0.5) / 1000000.0 AS deviation
+    FROM p LEFT JOIN b
+      ON p.event_type = b.event_type AND p.phase = b.phase
+    """,
+)
+def event_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event against its type's hour-of-day mean (deferred —
+    pytest-mirrored): the baseline is a (types x 24)-bounded table the
+    join back broadcasts at any corpus size — "is this value normal
+    for 3am"."""
+    from ..operators.temporal import seasonal_deviations
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", event_seconds(ev).alias("t"), "value")
+    return seasonal_deviations(
+        e, ["event_type"], "t", "value", period=86400, n_buckets=24
+    )

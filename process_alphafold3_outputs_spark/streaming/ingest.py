@@ -1695,3 +1695,81 @@ def watch_documents_expect(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def _ohlc_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    keys: list[str],
+    ts_sec_col: str,
+    value_col: str,
+    width: int,
+    seq_col: str,
+) -> None:
+    """One OHLC micro-batch (module-level for unit tests)."""
+    from ..operators.temporal import (
+        merge_ohlc,
+        ohlc_components,
+        ohlc_from_components,
+    )
+
+    ss = batch_df.sparkSession
+    comp = ohlc_components(
+        batch_df, keys, ts_sec_col, value_col, width, seq_col
+    )
+    state_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in comp.schema
+    )
+    prev = read_state(ss, state_path, state_schema, before_epoch=epoch_id)
+    merged = merge_ohlc(prev, comp, keys).localCheckpoint()
+    roll_state(merged, state_path, epoch_id)
+    _write_epoch_output(ohlc_from_components(merged, keys), out_path, epoch_id)
+
+
+def watch_events_ohlc(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    keys: list[str],
+    ts_sec_col: str,
+    value_col: str,
+    width: int,
+    seq_col: str,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming OHLC bars (the 22nd watcher): every micro-batch of
+    (key, ts, value) events collapses to mergeable per-bucket
+    components (``operators.temporal.ohlc_components`` — n plus each
+    extreme WITH its (ts, seq) order key, which is what makes OHLC a
+    true mergeable aggregate), folds into the rolling versioned state
+    (ONE bounded row per (key, bucket) — never raw events), and emits
+    the rendered bar table per epoch. Stream == batch is EXACT, not
+    approximate: components from any split of the events merge to
+    bit-identical bars (pytest-pinned against the oracle-paired
+    ``event_ohlc`` batch kernel), and crash-replayed epochs are
+    idempotent like every watcher here (state reads exclude the
+    replayed epoch; per-epoch overwrite output). ``ts_sec_col`` must be
+    epoch seconds (BIGINT), the engine-portable event-time encoding.
+    Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _ohlc_process_batch(
+            batch_df, epoch_id, state_path, out_path, keys,
+            ts_sec_col, value_col, width, seq_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -150,3 +150,219 @@ def test_ohlc_hand_computed_with_tiebreak(spark):
 def test_ohlc_width_validation(spark, gappy):
     with pytest.raises(ValueError, match="width"):
         ohlc_downsample(gappy, ["k"], "t", "v", -5)
+
+
+# --------------------------------------------------------------------------
+# mergeable OHLC components + the 22nd watcher
+# --------------------------------------------------------------------------
+def test_ohlc_components_merge_equals_one_shot(spark):
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        merge_ohlc,
+        ohlc_components,
+        ohlc_from_components,
+    )
+
+    rows = [
+        ("a", 1, 0, 5.0), ("a", 1, 1, 3.0), ("a", 9, 2, 7.0),
+        ("a", 12, 3, 42.0), ("b", 2, 4, 1.0), ("b", 8, 5, -4.0),
+    ]
+    schema = "k string, t long, seq long, v double"
+    full = spark.createDataFrame(rows, schema)
+    # split so bucket (a, 0) STRADDLES the shipments — the merge must
+    # re-pick open from shipment 1 and close from shipment 2
+    s1 = spark.createDataFrame(rows[:2] + rows[4:5], schema)
+    s2 = spark.createDataFrame(rows[2:4] + rows[5:], schema)
+    merged = ohlc_from_components(
+        merge_ohlc(
+            ohlc_components(s1, ["k"], "t", "v", 10, "seq"),
+            ohlc_components(s2, ["k"], "t", "v", 10, "seq"),
+            ["k"],
+        ),
+        ["k"],
+    )
+    one_shot = ohlc_downsample(full, ["k"], "t", "v", 10, seq_col="seq")
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(merged) == key(one_shot)
+
+
+def test_watch_events_ohlc_stream_equals_batch_and_replays(spark, tmp_path):
+    """Two epochs through the 22nd watcher == the batch ohlc_downsample
+    over the union (EXACT), and a crash-replayed epoch is idempotent."""
+    import os
+
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _ohlc_process_batch,
+        read_state,
+        watch_events_ohlc,
+    )
+
+    schema = "k string, t long, seq long, v double"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "bars")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    e0 = [("a", 1, 0, 5.0), ("a", 9, 1, 7.0), ("b", 2, 2, 1.0)]
+    e1 = [("a", 4, 3, -9.0), ("a", 19, 4, 2.0), ("b", 3, 5, 8.0)]
+    spark.createDataFrame(e0, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    q = watch_events_ohlc(
+        spark, inbox, out, state, ckpt, schema, ["k"], "t", "v", 10,
+        "seq",
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(e1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(out, "epoch_id=1")).select(
+                "k", "bucket", "n", "open", "high", "low", "close"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ohlc_downsample(
+                spark.createDataFrame(e0 + e1, schema),
+                ["k"], "t", "v", 10, seq_col="seq",
+            ).select(
+                "k", "bucket", "n", "open", "high", "low", "close"
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the epoch-0 bucket (a, 0) was REOPENED by epoch 1's t=4 low
+    a0 = [r for r in got if r[0] == "a" and r[1] == 0][0]
+    assert a0[2:] == (3, 5.0, 7.0, -9.0, 7.0)
+    # crash replay of epoch 1: identical state and output
+    _ohlc_process_batch(
+        spark.createDataFrame(e1, schema), 1, state, out, ["k"], "t",
+        "v", 10, "seq",
+    )
+    replay = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(out, "epoch_id=1")).select(
+                "k", "bucket", "n", "open", "high", "low", "close"
+            ).collect(),
+        )
+    )
+    assert replay == want
+
+
+# --------------------------------------------------------------------------
+# monitoring kernels: rate / rolling z-score / seasonal baseline
+# --------------------------------------------------------------------------
+def test_rate_gauge_vs_counter_semantics(spark):
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        rate_of_change,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 0, 10.0),
+            ("a", 10, 1, 30.0),   # +2/s
+            ("a", 20, 2, 4.0),    # drop: gauge -2.6/s; counter resets -> 0.4/s
+            ("a", 20, 3, 6.0),    # dt=0 -> NULL either way
+        ],
+        "k string, t long, seq long, v double",
+    )
+    gauge = {
+        (r["t"], r["value"]): r["rate"]
+        for r in rate_of_change(df, ["k"], "t", "v", "seq").collect()
+    }
+    assert gauge[(0, 10.0)] is None
+    assert gauge[(10, 30.0)] == 2.0
+    assert gauge[(20, 4.0)] == -2.6
+    assert gauge[(20, 6.0)] is None
+    counter = {
+        (r["t"], r["value"]): r["rate"]
+        for r in rate_of_change(
+            df, ["k"], "t", "v", "seq", counter=True
+        ).collect()
+    }
+    assert counter[(20, 4.0)] == 0.4  # post-reset accumulation / dt
+    assert counter[(10, 30.0)] == 2.0
+
+
+def test_rolling_zscore_excludes_current_and_respects_min_obs(spark):
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        rolling_zscore,
+    )
+
+    rows = [("a", i, i, 10.0) for i in range(6)] + [("a", 6, 6, 16.0)]
+    df = spark.createDataFrame(rows, "k string, t long, seq long, v double")
+    out = {r["t"]: (r["mean_prev"], r["z"]) for r in rolling_zscore(
+        df, ["k"], "t", "v", "seq", window=10, min_obs=3
+    ).collect()}
+    # first 3 rows: < min_obs priors -> NULL
+    assert out[0] == (None, None)
+    assert out[2] == (None, None)
+    # constant prior window: variance 0 -> z NULL but mean present
+    assert out[5] == (10.0, None)
+    # t=6 scores against six 10.0 priors: mean 10, var 0 -> NULL z
+    assert out[6] == (10.0, None)
+    # a varying series produces a real z, and the current value never
+    # contaminates its own baseline
+    rows2 = [("b", i, i, float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+    df2 = spark.createDataFrame(rows2, "k string, t long, seq long, v double")
+    z = {r["t"]: r for r in rolling_zscore(
+        df2, ["k"], "t", "v", "seq", window=10, min_obs=3
+    ).collect()}
+    assert z[4]["mean_prev"] == 2.5  # mean of 1..4, NOT including 100
+    assert z[4]["z"] > 50  # (100-2.5)/1.29
+
+
+def test_seasonal_baseline_and_deviations(spark):
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        seasonal_baseline,
+        seasonal_deviations,
+    )
+    import pytest as _pt
+
+    # two days, same two phases (hour 0 and hour 1 of a 2-bucket,
+    # 7200-second "day")
+    rows = [
+        ("a", 0, 10.0), ("a", 3600, 20.0),       # day 1
+        ("a", 7200, 14.0), ("a", 10800, 26.0),   # day 2
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    base = {
+        r["phase"]: (r["baseline"], r["n"])
+        for r in seasonal_baseline(
+            df, ["k"], "t", "v", period=7200, n_buckets=2
+        ).collect()
+    }
+    assert base[0] == (12.0, 2) and base[1] == (23.0, 2)
+    dev = {
+        r["t"]: (r["phase"], r["deviation"])
+        for r in seasonal_deviations(
+            df, ["k"], "t", "v", period=7200, n_buckets=2
+        ).collect()
+    }
+    assert dev[0] == (0, -2.0) and dev[7200] == (0, 2.0)
+    assert dev[3600] == (1, -3.0) and dev[10800] == (1, 3.0)
+    with _pt.raises(ValueError, match="multiple"):
+        seasonal_baseline(df, ["k"], "t", "v", period=100, n_buckets=7)
+
+
+def test_seasonal_negative_timestamps_phase_positive(spark):
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        seasonal_baseline,
+    )
+
+    # t = -3600 is hour 23 of the previous day, never hour -1
+    df = spark.createDataFrame(
+        [("a", -3600, 5.0)], "k string, t long, v double"
+    )
+    r = seasonal_baseline(df, ["k"], "t", "v").collect()[0]
+    assert r["phase"] == 23
