@@ -632,6 +632,10 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "asof_join_nearest",     # merge_asof direction+tolerance surface;
+                             # union-carry kernel evidenced by the
+                             # benched asof_join row (deferred:
+                             # headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -105,6 +105,9 @@ BENCH_DEFERRED = {
     "event_seasonal": "event_gapfill (the benched temporal "
                       "representative; the seasonal profile is one "
                       "keyed agg + a types-x-phases bounded join-back)",
+    "asof_join_nearest": "asof_join (the benched union-and-carry "
+                         "kernel; nearest/tolerance adds the second "
+                         "direction's window on the same exchange)",
 }
 
 HEADLINE = [

@@ -8381,3 +8381,61 @@ def event_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_deviations(
         e, ["event_type"], "t", "value", period=86400, n_buckets=24
     )
+
+
+# --------------------------------------------------------------------------
+# Full merge_asof surface: nearest-with-tolerance attribution ("the
+# purchase closest in time to each click, within an hour") — the
+# union-and-carry kernel run in BOTH directions; the oracle
+# cross-validates against DuckDB's native ASOF JOIN twice (>= backward,
+# <= forward) composed with the same nearest/tolerance CASE.
+# --------------------------------------------------------------------------
+@register(
+    "asof_join_nearest",
+    sql="""
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                 max(event_id) AS purchase_id
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    b AS (SELECT e.event_id, e.user_id, e.t,
+                 p.t AS bt, p.purchase_id AS bv
+          FROM e ASOF LEFT JOIN p
+            ON e.user_id = p.user_id AND e.t >= p.t),
+    f AS (SELECT e.event_id, p.t AS ft, p.purchase_id AS fv
+          FROM e ASOF LEFT JOIN p
+            ON e.user_id = p.user_id AND e.t <= p.t)
+    SELECT b.event_id, b.user_id, b.t,
+           CASE WHEN bt IS NOT NULL AND b.t - bt <= 3600
+                     AND (ft IS NULL OR ft - b.t > 3600
+                          OR b.t - bt <= ft - b.t)
+                THEN bv
+                WHEN ft IS NOT NULL AND ft - b.t <= 3600 THEN fv
+           END AS asof_purchase_id
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest purchase to each click per user within 3600 s, ties
+    backward (deferred — pytest-mirrored): the merge_asof surface
+    (direction + tolerance) over the union-and-carry kernel, validated
+    against DuckDB's native ASOF in both directions."""
+    from ..operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", event_seconds(ev).alias("t"), "event_type"
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t"
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "t")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return as_of_join(
+        clicks, purchases, ["user_id"], "t", "t", ["purchase_id"],
+        direction="nearest", tolerance=3600,
+    )

@@ -366,3 +366,63 @@ def test_seasonal_negative_timestamps_phase_positive(spark):
     )
     r = seasonal_baseline(df, ["k"], "t", "v").collect()[0]
     assert r["phase"] == 23
+
+
+# --------------------------------------------------------------------------
+# merge_asof surface: direction + tolerance
+# --------------------------------------------------------------------------
+def test_asof_directions_and_tolerance_hand_computed(spark):
+    from process_alphafold3_outputs_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 35), (3, "x", 100), (4, "y", 5)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("x", 8, 80.0), ("x", 12, 120.0), ("x", 40, 400.0)],
+        "k string, t long, v double",
+    )
+
+    def run(**kw):
+        return {
+            r["id"]: r["asof_v"]
+            for r in as_of_join(
+                left, right, ["k"], "t", "t", ["v"], **kw
+            ).collect()
+        }
+
+    back = run()
+    assert back == {1: 80.0, 2: 120.0, 3: 400.0, 4: None}
+    fwd = run(direction="forward")
+    assert fwd == {1: 120.0, 2: 400.0, 3: None, 4: None}
+    near = run(direction="nearest")
+    # id=1: backward 8 (d=2) vs forward 12 (d=2) -> TIE -> backward
+    # id=2: backward 12 (d=23) vs forward 40 (d=5) -> forward
+    assert near == {1: 80.0, 2: 400.0, 3: 400.0, 4: None}
+    tol = run(direction="nearest", tolerance=10)
+    # id=3: nearest is 40 at distance 60 > 10 -> NULL
+    assert tol == {1: 80.0, 2: 400.0, 3: None, 4: None}
+    btol = run(tolerance=1)
+    assert btol == {1: None, 2: None, 3: None, 4: None}
+
+
+def test_asof_inclusive_at_equality_all_directions(spark):
+    from process_alphafold3_outputs_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, "x", 50)], "id long, k string, t long")
+    right = spark.createDataFrame([("x", 50, 5.0)], "k string, t long, v double")
+    for d in ("backward", "forward", "nearest"):
+        got = as_of_join(
+            left, right, ["k"], "t", "t", ["v"], direction=d, tolerance=0
+        ).collect()[0]["asof_v"]
+        assert got == 5.0, d
+
+
+def test_asof_validation(spark):
+    from process_alphafold3_outputs_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, "x", 50)], "id long, k string, t long")
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(left, left, ["k"], "t", "t", ["id"], direction="up")
+    with pytest.raises(ValueError, match="tolerance"):
+        as_of_join(left, left, ["k"], "t", "t", ["id"], tolerance=-1)
