@@ -69,6 +69,10 @@ line to stdout):
   normalize      pre-hash Unicode canonicalization (quotes/dashes/NBSP/
                  zero-width folds); --markup strips HTML first
                  (text.normalize_text / strip_markup)
+  monitor        time-axis monitoring over any (key, ts, value) table:
+                 --stat rate (counter resets) | zscore (prior-window
+                 level shifts) | seasonal (phase-of-period deviation)
+                 (operators.temporal)
 
 The ``profile`` command also runs structural discovery: ``--keys``
 (candidate-key uniqueness for columns and pairs, one aggregation) and
@@ -408,6 +412,29 @@ def build_parser() -> argparse.ArgumentParser:
                     "gapfill (no spine; --seq-col breaks ts ties)")
     sp.add_argument("--seq-col", default=None)
     sp.add_argument("--max-buckets", type=int, default=1_000_000)
+
+    sp = sub.add_parser("monitor")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table with a time column")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--key", action="append", default=[],
+                    metavar="COL", help="series key column (repeat)")
+    sp.add_argument("--ts-col", required=True)
+    sp.add_argument("--value-col", required=True)
+    sp.add_argument("--seq-col", default=None,
+                    help="timestamp tiebreak column (required for "
+                    "rate/zscore)")
+    sp.add_argument("--stat", default="rate",
+                    choices=["rate", "zscore", "seasonal"])
+    sp.add_argument("--counter", action="store_true",
+                    help="rate: Prometheus counter-reset semantics")
+    sp.add_argument("--window", type=int, default=24,
+                    help="zscore: prior observations per baseline")
+    sp.add_argument("--min-obs", type=int, default=6)
+    sp.add_argument("--period", type=int, default=86400,
+                    help="seasonal: cycle length in seconds")
+    sp.add_argument("--phases", type=int, default=24,
+                    help="seasonal: buckets per cycle")
 
     sp = sub.add_parser("privacy")
     sp.add_argument("--input", required=True,
@@ -978,6 +1005,45 @@ def _result(
             tbl, args.key, "_ts_sec", args.value_col,
             width=args.width, agg=args.agg, fill=args.fill,
             max_buckets=args.max_buckets,
+        )
+
+    if args.command == "monitor":
+        from pyspark.sql import functions as _F
+
+        from .operators.temporal import (
+            rate_of_change,
+            rolling_zscore,
+            seasonal_deviations,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tbl = spark.read.parquet(args.input)
+        ts_dtype = dict(tbl.dtypes).get(args.ts_col, "")
+        ts_expr = (
+            _F.col(args.ts_col).cast("timestamp").cast("long")
+            if ts_dtype.startswith("timestamp")
+            else _F.col(args.ts_col).cast("long")
+        )
+        tbl = tbl.withColumn("_ts_sec", ts_expr)
+        if args.stat == "seasonal":
+            return seasonal_deviations(
+                tbl, args.key, "_ts_sec", args.value_col,
+                period=args.period, n_buckets=args.phases,
+            )
+        if args.seq_col is None:
+            raise SystemExit(
+                f"monitor --stat {args.stat} requires --seq-col (the "
+                "timestamp tiebreak that keeps duplicate-ts windows "
+                "deterministic)"
+            )
+        if args.stat == "rate":
+            return rate_of_change(
+                tbl, args.key, "_ts_sec", args.value_col, args.seq_col,
+                counter=args.counter,
+            )
+        return rolling_zscore(
+            tbl, args.key, "_ts_sec", args.value_col, args.seq_col,
+            window=args.window, min_obs=args.min_obs,
         )
 
     if args.command == "expect":

@@ -641,3 +641,31 @@ def test_ohlc_is_one_keyed_agg_no_window_no_join(spark, sf_dir):
     assert "Join type:" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "partial_min_by" in plan  # map-side combine before the wire
+
+
+def test_rate_and_zscore_are_one_exchange(spark, sf_dir):
+    """The monitoring windows partition by series key: ONE keyed
+    exchange, no join, never a global single-partition sort."""
+    import re
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        rate_of_change,
+        rolling_zscore,
+    )
+    from process_alphafold3_outputs_spark.sources.tables import (
+        event_seconds,
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", event_seconds(ev).alias("t"), "event_id", "value"
+    )
+    for op in (
+        lambda: rate_of_change(e, ["event_type"], "t", "value", "event_id"),
+        lambda: rolling_zscore(e, ["event_type"], "t", "value", "event_id"),
+    ):
+        plan = formatted_plan(op())
+        assert "Join type:" not in plan
+        assert "Exchange SinglePartition" not in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

@@ -426,3 +426,36 @@ def test_asof_validation(spark):
         as_of_join(left, left, ["k"], "t", "t", ["id"], direction="up")
     with pytest.raises(ValueError, match="tolerance"):
         as_of_join(left, left, ["k"], "t", "t", ["id"], tolerance=-1)
+
+
+def test_cli_monitor_modes(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    d = str(tmp_path / "mt")
+    spark.createDataFrame(
+        [("a", 0, 0, 10.0), ("a", 10, 1, 30.0), ("a", 20, 2, 4.0)],
+        "k string, t long, seq long, v double",
+    ).write.parquet(d)
+    out = str(tmp_path / "mo")
+
+    def run(extra):
+        args = corpus_cli.build_parser().parse_args(
+            ["monitor", "--input", d, "--ts-col", "t", "--value-col",
+             "v", "--key", "k", "--out", out] + extra
+        )
+        assert corpus_cli.run(args, spark)["rows"] == 3
+        return spark.read.parquet(out)
+
+    rate = {r.t: r.rate for r in run(
+        ["--stat", "rate", "--seq-col", "seq", "--counter"]
+    ).collect()}
+    assert rate[20] == 0.4  # counter reset
+    seas = run(["--stat", "seasonal", "--period", "86400"]).collect()
+    assert all(r.phase == 0 for r in seas)
+    import pytest as _pt
+    with _pt.raises(SystemExit, match="seq-col"):
+        args = corpus_cli.build_parser().parse_args(
+            ["monitor", "--input", d, "--ts-col", "t", "--value-col",
+             "v", "--key", "k", "--out", out, "--stat", "zscore"]
+        )
+        corpus_cli.run(args, spark)
