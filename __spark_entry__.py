@@ -636,6 +636,10 @@ _DEFERRED: set[str] = {
                              # union-carry kernel evidenced by the
                              # benched asof_join row (deferred:
                              # headroom)
+    "file_roundtrip_csv",    # CSV interchange round trip; file-boundary
+                             # mechanics evidenced by the green
+                             # file_sink_* rows + benched
+                             # file_roundtrip_orc (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -108,6 +108,10 @@ BENCH_DEFERRED = {
     "asof_join_nearest": "asof_join (the benched union-and-carry "
                          "kernel; nearest/tolerance adds the second "
                          "direction's window on the same exchange)",
+    "file_roundtrip_csv": "file_roundtrip_orc (the benched "
+                          "format-round-trip representative; CSV adds "
+                          "the RFC-4180 quote/escape path, "
+                          "oracle-pinned)",
 }
 
 HEADLINE = [

@@ -496,3 +496,31 @@ def file_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "file_roundtrip_csv",
+    sql="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def file_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write + read identity over the documents table — the
+    text-format interchange row next to parquet/ORC/JSONL: header +
+    explicit schema on re-read (never inferSchema — a schema probe is
+    an extra scan and a type lottery at 100 TB), quoting/escaping left
+    to Spark's RFC-4180 writer, round-trip mangling (embedded quotes,
+    commas, newlines in text) breaks the value hash. Deferred —
+    pytest-mirrored."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = os.path.join(
+        OUT_DIR, "documents_csv", os.path.basename(os.path.normpath(sf_dir))
+    )
+    docs.write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("header", True)
+        .csv(out)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
