@@ -74,6 +74,7 @@ def time_bucket_gapfill(
     agg: str = "avg",
     fill: str = "locf",
     max_buckets: int = 1_000_000,
+    checkpoint_buckets: bool = True,
 ) -> DataFrame:
     """(keys..., bucket, n, value) — ``agg`` of ``value_col`` per
     ``width``-second bucket, with EVERY bucket between each key's first
@@ -94,6 +95,13 @@ def time_bucket_gapfill(
     One aggregation over the raw stream, then bucket-bounded work only.
     Refuses loudly if any key's span would emit more than
     ``max_buckets`` buckets — re-bucket coarser rather than explode.
+
+    ``checkpoint_buckets`` (default True) materializes the
+    bucket-bounded aggregate once (``localCheckpoint``) so the guard,
+    the spine, and the fill all read it — the raw stream is scanned
+    exactly ONCE. With False the plan stays fully lazy but the guard's
+    counting job and the main plan each rescan the source (2 scans of
+    100 TB vs 1 plus a bounded cache — the default is the scale shape).
     """
     keys = list(keys)
     if width <= 0:
@@ -112,6 +120,10 @@ def time_bucket_gapfill(
         F.count(F.col(value_col).cast("double")).cast("long").alias("n"),
         _r6(_agg_expr(agg, value_col)).alias("_v"),
     )
+    if checkpoint_buckets:
+        # materialize the bucket-bounded table ONCE: guard + spine +
+        # fill all read it, so the raw stream is scanned exactly once
+        bucketed = bucketed.localCheckpoint()
 
     spans = bucketed.groupBy(*keys).agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")

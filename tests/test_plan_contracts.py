@@ -604,15 +604,27 @@ def test_gapfill_collapses_raw_stream_before_spine(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("event_type", event_seconds(ev).alias("t"), "value")
-    plan = formatted_plan(
+    lazy = formatted_plan(
+        time_bucket_gapfill(
+            e, ["event_type"], "t", "value", 3600, fill="linear",
+            checkpoint_buckets=False,
+        )
+    )
+    assert "CartesianProduct" not in lazy
+    assert "partial_avg" in lazy or "partial_count" in lazy  # map-side
+    # fill windows are key-partitioned, not a global sort
+    assert "Exchange SinglePartition" not in lazy
+    # the DEFAULT form checkpoints the bucket-bounded aggregate, so the
+    # returned plan must read the materialized table — the raw source
+    # is scanned exactly ONCE (by the checkpoint job), never re-read by
+    # the guard or the fill
+    dflt = formatted_plan(
         time_bucket_gapfill(
             e, ["event_type"], "t", "value", 3600, fill="linear"
         )
     )
-    assert "CartesianProduct" not in plan
-    assert "partial_avg" in plan or "partial_count" in plan  # map-side
-    # fill windows are key-partitioned, not a global sort
-    assert "Exchange SinglePartition" not in plan
+    assert "Scan parquet" not in dflt
+    assert "ExistingRDD" in dflt
 
 
 def test_ohlc_is_one_keyed_agg_no_window_no_join(spark, sf_dir):
