@@ -640,6 +640,10 @@ _DEFERRED: set[str] = {
                              # mechanics evidenced by the green
                              # file_sink_* rows + benched
                              # file_roundtrip_orc (deferred: headroom)
+    "profile_correlations",  # fused pairwise Pearson; one-agg fusion
+                             # mechanics evidenced by green
+                             # profile_table/profile_numeric rows
+                             # (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -112,6 +112,10 @@ BENCH_DEFERRED = {
                           "format-round-trip representative; CSV adds "
                           "the RFC-4180 quote/escape path, "
                           "oracle-pinned)",
+    "profile_correlations": "profile_candidate_keys (the benched "
+                            "fused one-agg discovery representative; "
+                            "the correlation form swaps distincts for "
+                            "sum/sumsq slots in the same shape)",
 }
 
 HEADLINE = [

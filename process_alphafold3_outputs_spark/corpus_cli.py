@@ -384,6 +384,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="foreign-key containment of --input's COL in "
                     "PARQUET's PARENT_COL (repeatable; one report row "
                     "each)")
+    sp.add_argument("--corr", action="store_true",
+                    help="fused Pearson correlation matrix over the "
+                    "--col list (pairwise-complete NULLs; one "
+                    "aggregation)")
 
     sp = sub.add_parser("normalize")
     sp.add_argument("--documents", required=True)
@@ -949,6 +953,12 @@ def _result(
             for r in reports[1:]:
                 out = out.unionByName(r)
             return out
+        if args.corr:
+            if not args.col or len(args.col) < 2:
+                raise SystemExit("profile --corr requires >= 2 --col")
+            from .operators.profiling import correlation_matrix
+
+            return correlation_matrix(tbl, args.col)
         if args.keys:
             from .operators.profiling import candidate_keys
 

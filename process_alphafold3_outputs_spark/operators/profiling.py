@@ -410,3 +410,82 @@ def fk_containment(
             F.lit(False),
         ).alias("is_contained"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """(col_a, col_b, n, corr) — Pearson correlation for EVERY column
+    pair in ONE aggregation over ONE scan (the fusion discipline:
+    C(m,2) pairs never cost C(m,2) passes). NULL policy is
+    pairwise-complete: each pair uses exactly the rows where BOTH
+    columns are non-NULL (the same contract pandas ``DataFrame.corr``
+    ships), so per-pair n is part of the report — a correlation over
+    3% of the rows should not read like one over all of them.
+
+    corr is computed from the five fused sums
+    (n·Σab − Σa·Σb) / sqrt(n·Σa² − (Σa)²) / sqrt(n·Σb² − (Σb)²),
+    the identical expression tree the SQL oracle restates — engine
+    library corr() implementations (Welford variants) differ in the
+    last ulp, this form cannot. NULL when either side is constant or
+    n < 2. Rounded via the cross-engine-exact floor form."""
+    from .temporal import _r6
+
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least 2 columns")
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    exprs = []
+    for i, (a, b) in enumerate(pairs):
+        both = d(a).isNotNull() & d(b).isNotNull()
+        va = F.when(both, d(a))
+        vb = F.when(both, d(b))
+        exprs += [
+            F.count(va).cast("double").alias(f"_n_{i}"),
+            F.sum(va).alias(f"_sa_{i}"),
+            F.sum(vb).alias(f"_sb_{i}"),
+            F.sum(va * vb).alias(f"_sab_{i}"),
+            F.sum(va * va).alias(f"_saa_{i}"),
+            F.sum(vb * vb).alias(f"_sbb_{i}"),
+        ]
+    agg = df.agg(*exprs)
+
+    def corr_expr(i):
+        n = F.col(f"_n_{i}")
+        sa, sb = F.col(f"_sa_{i}"), F.col(f"_sb_{i}")
+        sab = F.col(f"_sab_{i}")
+        saa, sbb = F.col(f"_saa_{i}"), F.col(f"_sbb_{i}")
+        va = n * saa - sa * sa
+        vb = n * sbb - sb * sb
+        return F.when(
+            (n >= 2) & (va > 0) & (vb > 0),
+            (n * sab - sa * sb) / F.sqrt(va) / F.sqrt(vb),
+        )
+
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"_n_{i}").cast("long").alias("n"),
+                        _r6(corr_expr(i)).alias("corr"),
+                    )
+                    for i, (a, b) in enumerate(pairs)
+                ]
+            )
+        ).alias("_c")
+    ).select("_c.*")

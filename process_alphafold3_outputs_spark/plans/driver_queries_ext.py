@@ -8439,3 +8439,98 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, ["user_id"], "t", "t", ["purchase_id"],
         direction="nearest", tolerance=3600,
     )
+
+
+# --------------------------------------------------------------------------
+# Fused correlation matrix — every numeric column pair in ONE
+# aggregation; pairwise-complete NULL policy (pandas DataFrame.corr
+# contract) exercised by NULLing c_custkey every %7. corr restated from
+# the same five fused sums (never the engines' own corr(): Welford
+# variants drift in the last ulp), rounded by the floor form.
+# --------------------------------------------------------------------------
+@register(
+    "profile_correlations",
+    sql="""
+    WITH d AS (SELECT CAST(c_acctbal AS DOUBLE) AS a,
+                      CAST(CASE WHEN c_custkey % 7 = 0 THEN NULL
+                                ELSE c_custkey END AS DOUBLE) AS b,
+                      CAST(c_nationkey AS DOUBLE) AS c
+               FROM customer),
+    s AS (SELECT
+        CAST(count(CASE WHEN a IS NOT NULL AND b IS NOT NULL
+                        THEN 1 END) AS DOUBLE) AS n0,
+        sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN a END) AS sa0,
+        sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN b END) AS sb0,
+        sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN a * b END)
+            AS sab0,
+        sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN a * a END)
+            AS saa0,
+        sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN b * b END)
+            AS sbb0,
+        CAST(count(CASE WHEN a IS NOT NULL AND c IS NOT NULL
+                        THEN 1 END) AS DOUBLE) AS n1,
+        sum(CASE WHEN a IS NOT NULL AND c IS NOT NULL THEN a END) AS sa1,
+        sum(CASE WHEN a IS NOT NULL AND c IS NOT NULL THEN c END) AS sb1,
+        sum(CASE WHEN a IS NOT NULL AND c IS NOT NULL THEN a * c END)
+            AS sab1,
+        sum(CASE WHEN a IS NOT NULL AND c IS NOT NULL THEN a * a END)
+            AS saa1,
+        sum(CASE WHEN a IS NOT NULL AND c IS NOT NULL THEN c * c END)
+            AS sbb1,
+        CAST(count(CASE WHEN b IS NOT NULL AND c IS NOT NULL
+                        THEN 1 END) AS DOUBLE) AS n2,
+        sum(CASE WHEN b IS NOT NULL AND c IS NOT NULL THEN b END) AS sa2,
+        sum(CASE WHEN b IS NOT NULL AND c IS NOT NULL THEN c END) AS sb2,
+        sum(CASE WHEN b IS NOT NULL AND c IS NOT NULL THEN b * c END)
+            AS sab2,
+        sum(CASE WHEN b IS NOT NULL AND c IS NOT NULL THEN b * b END)
+            AS saa2,
+        sum(CASE WHEN b IS NOT NULL AND c IS NOT NULL THEN c * c END)
+            AS sbb2
+      FROM d)
+    SELECT 'c_acctbal' AS col_a, 'c_custkey' AS col_b,
+           CAST(n0 AS BIGINT) AS n,
+           floor((CASE WHEN n0 >= 2 AND n0 * saa0 - sa0 * sa0 > 0
+                        AND n0 * sbb0 - sb0 * sb0 > 0
+                       THEN (n0 * sab0 - sa0 * sb0)
+                            / sqrt(n0 * saa0 - sa0 * sa0)
+                            / sqrt(n0 * sbb0 - sb0 * sb0) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr
+    FROM s
+    UNION ALL
+    SELECT 'c_acctbal', 'c_nationkey', CAST(n1 AS BIGINT),
+           floor((CASE WHEN n1 >= 2 AND n1 * saa1 - sa1 * sa1 > 0
+                        AND n1 * sbb1 - sb1 * sb1 > 0
+                       THEN (n1 * sab1 - sa1 * sb1)
+                            / sqrt(n1 * saa1 - sa1 * sa1)
+                            / sqrt(n1 * sbb1 - sb1 * sb1) END)
+                 * 1000000.0 + 0.5) / 1000000.0
+    FROM s
+    UNION ALL
+    SELECT 'c_custkey', 'c_nationkey', CAST(n2 AS BIGINT),
+           floor((CASE WHEN n2 >= 2 AND n2 * saa2 - sa2 * sa2 > 0
+                        AND n2 * sbb2 - sb2 * sb2 > 0
+                       THEN (n2 * sab2 - sa2 * sb2)
+                            / sqrt(n2 * saa2 - sa2 * sa2)
+                            / sqrt(n2 * sbb2 - sb2 * sb2) END)
+                 * 1000000.0 + 0.5) / 1000000.0
+    FROM s
+    """,
+)
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three column-pair Pearson correlations of the customer
+    table in ONE fused aggregation (deferred — pytest-mirrored);
+    c_custkey NULLed every %7 pins the pairwise-complete policy (each
+    pair's n differs)."""
+    from ..operators.profiling import correlation_matrix
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("c_custkey"),
+        "c_nationkey",
+    )
+    return correlation_matrix(
+        cust, ["c_acctbal", "c_custkey", "c_nationkey"]
+    )

@@ -540,3 +540,55 @@ def test_cli_resample_gapfill_and_ohlc(spark, tmp_path):
     ohlc = {(r.k, r.bucket): (r.open, r.close)
             for r in run(["--ohlc", "--seq-col", "seq"]).collect()}
     assert ohlc[("a", 0)] == (1.0, 1.0)
+
+
+def test_correlation_matrix_hand_computed_and_pairwise_complete(spark):
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        correlation_matrix,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, 5.0),
+            (2.0, 4.0, None),
+            (3.0, 6.0, 5.0),
+            (4.0, None, 5.0),
+        ],
+        "a double, b double, c double",
+    )
+    got = {
+        (r.col_a, r.col_b): (r.n, r.corr)
+        for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    # a,b over 3 complete rows: exactly linear -> 1.0
+    assert got[("a", "b")] == (3, 1.0)
+    # a,c: c constant over its complete rows -> NULL corr, n visible
+    assert got[("a", "c")] == (3, None)
+    assert got[("b", "c")][0] == 2  # pairwise-complete n differs
+    # anti-correlation
+    df2 = spark.createDataFrame(
+        [(1.0, 9.0), (2.0, 7.0), (3.0, 5.0)], "x double, y double"
+    )
+    r = correlation_matrix(df2, ["x", "y"]).collect()[0]
+    assert r.corr == -1.0
+    with _pt.raises(ValueError, match="at least 2"):
+        correlation_matrix(df2, ["x"])
+
+
+def test_correlation_matrix_is_one_scan(spark, sf_dir):
+    import re
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        correlation_matrix,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plan = (
+        correlation_matrix(cust, ["c_acctbal", "c_custkey", "c_nationkey"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
