@@ -325,6 +325,7 @@ def rate_of_change(
     value_col: str,
     seq_col: str,
     counter: bool = False,
+    keep: Sequence[str] = (),
 ) -> DataFrame:
     """(keys..., t, value, rate) — per-second first derivative between
     consecutive observations of each series (ONE key-partitioned lag
@@ -353,6 +354,7 @@ def rate_of_change(
         t.alias("t"),
         v.alias("value"),
         _r6(raw).alias("rate"),
+        *[F.col(c) for c in keep],
     )
 
 

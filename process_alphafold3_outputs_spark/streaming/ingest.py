@@ -1773,3 +1773,102 @@ def watch_events_ohlc(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def _rate_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    keys: list[str],
+    ts_sec_col: str,
+    value_col: str,
+    seq_col: str,
+    counter: bool,
+) -> None:
+    """One rate micro-batch (module-level for unit tests)."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.temporal import rate_of_change
+
+    ss = batch_df.sparkSession
+    proj = batch_df.select(
+        *keys,
+        SF.col(ts_sec_col).cast("long").alias("t"),
+        SF.col(seq_col).cast("long").alias("s"),
+        SF.col(value_col).cast("double").alias("v"),
+    )
+    state_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in proj.schema
+    )
+    prev = read_state(ss, state_path, state_schema, before_epoch=epoch_id)
+    # phantom rows: each key's LAST observation from history seeds the
+    # lag window, so the batch's first row rates against the stream's
+    # true predecessor — not NULL. Emit only this batch's rows.
+    tagged = proj.withColumn("_new", SF.lit(1)).unionByName(
+        prev.withColumn("_new", SF.lit(0))
+    )
+    rated = rate_of_change(
+        tagged, keys, "t", "v", "s", counter=counter, keep=["_new"]
+    )
+    emit = rated.filter(SF.col("_new") == 1).select(
+        *keys, "t", "value", "rate"
+    )
+    # state: one row per key — the max-(t, seq) observation
+    merged = (
+        tagged.select(*keys, "t", "s", "v")
+        .groupBy(*keys)
+        .agg(
+            SF.max(SF.struct("t", "s", "v")).alias("_m"),
+        )
+        .select(
+            *keys,
+            SF.col("_m.t").alias("t"),
+            SF.col("_m.s").alias("s"),
+            SF.col("_m.v").alias("v"),
+        )
+    ).localCheckpoint()
+    roll_state(merged, state_path, epoch_id)
+    _write_epoch_output(emit, out_path, epoch_id)
+
+
+def watch_events_rate(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    keys: list[str],
+    ts_sec_col: str,
+    value_col: str,
+    seq_col: str,
+    counter: bool = False,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming rate-of-change (the 23rd watcher): each micro-batch
+    of (key, ts, value) observations is rated with the batch
+    ``temporal.rate_of_change`` kernel, seeded by ONE phantom row per
+    key from the versioned state (the stream's true predecessor), so
+    cross-epoch rates are EXACTLY what the batch kernel computes over
+    the whole history — stream == batch pinned in pytest. State is one
+    bounded row per key (the max-(ts, seq) observation), crash-replay
+    idempotent like every watcher here. ``counter=True`` applies the
+    Prometheus reset semantics. Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _rate_process_batch(
+            batch_df, epoch_id, state_path, out_path, keys,
+            ts_sec_col, value_col, seq_col, counter,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -459,3 +459,82 @@ def test_cli_monitor_modes(spark, tmp_path):
              "v", "--key", "k", "--out", out, "--stat", "zscore"]
         )
         corpus_cli.run(args, spark)
+
+
+def test_watch_events_rate_stream_equals_batch_and_replays(spark, tmp_path):
+    """Epoch rows rated through the 23rd watcher == the batch
+    rate_of_change over the WHOLE history (the phantom-row seed makes
+    each epoch's first observation rate against the stream's true
+    predecessor); state is one row per key; crash replay idempotent."""
+    import os
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        rate_of_change,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _rate_process_batch,
+        read_state,
+        watch_events_rate,
+    )
+
+    schema = "k string, t long, seq long, v double"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "rates")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    e0 = [("a", 0, 0, 10.0), ("a", 10, 1, 30.0), ("b", 5, 2, 1.0)]
+    e1 = [("a", 20, 3, 4.0), ("b", 15, 4, 3.0)]
+    spark.createDataFrame(e0, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    q = watch_events_rate(
+        spark, inbox, out, state, ckpt, schema, ["k"], "t", "v", "seq",
+        counter=True,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(e1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def rows(path):
+        return sorted(
+            (r.k, r.t, r.value, r.rate)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    got = rows(os.path.join(out, "epoch_id=0")) + rows(
+        os.path.join(out, "epoch_id=1")
+    )
+    batch = rate_of_change(
+        spark.createDataFrame(e0 + e1, schema), ["k"], "t", "v", "seq",
+        counter=True,
+    )
+    want = sorted((r.k, r.t, r.value, r.rate) for r in batch.collect())
+    assert sorted(got) == want
+    # epoch 1's first "a" row rated against epoch 0's last (30.0 at
+    # t=10): counter reset -> 4/10
+    assert ("a", 20, 4.0, 0.4) in got
+    # state: one row per key, the max-(t, seq) observation
+    st = {
+        r.k: (r.t, r.v)
+        for r in read_state(
+            spark, state, "k string, t long, s long, v double"
+        ).collect()
+    }
+    assert st == {"a": (20, 4.0), "b": (15, 3.0)}
+    # crash replay of epoch 1
+    _rate_process_batch(
+        spark.createDataFrame(e1, schema), 1, state, out, ["k"], "t",
+        "v", "seq", True,
+    )
+    assert rows(os.path.join(out, "epoch_id=1")) == rows(
+        os.path.join(out, "epoch_id=1")
+    ) and sorted(
+        rows(os.path.join(out, "epoch_id=0"))
+        + rows(os.path.join(out, "epoch_id=1"))
+    ) == want
