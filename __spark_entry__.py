@@ -644,6 +644,13 @@ _DEFERRED: set[str] = {
                              # mechanics evidenced by green
                              # profile_table/profile_numeric rows
                              # (deferred: headroom)
+    "event_xcorr",           # lead-lag cross-correlation; lag fan-out
+                             # + sums-tree mechanics evidenced by green
+                             # profile_* rows (deferred: headroom)
+    "event_sliding_users",   # trailing-window HLL rollup; register
+                             # max-merge mechanics evidenced by green
+                             # sketch_hll_distinct row (deferred:
+                             # headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -116,6 +116,14 @@ BENCH_DEFERRED = {
                             "fused one-agg discovery representative; "
                             "the correlation form swaps distincts for "
                             "sum/sumsq slots in the same shape)",
+    "event_xcorr": "event_gapfill (benched temporal representative) "
+                   "+ profile_correlations family (same sums tree); "
+                   "the lag fan-out touches bucket-bounded tables "
+                   "only",
+    "event_sliding_users": "sketch_hll_distinct (benched register "
+                           "kernel) + event_gapfill (temporal "
+                           "representative); the range-frame merge "
+                           "moves register rows, never raw events",
 }
 
 HEADLINE = [

@@ -480,3 +480,140 @@ def seasonal_deviations(
         "baseline",
         _r6(F.col("value") - F.col("baseline")).alias("deviation"),
     )
+
+
+def cross_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    width: int,
+    max_lag: int,
+) -> DataFrame:
+    """(keys..., lag, n, corr) — Pearson correlation between series
+    ``a`` and series ``b`` shifted by ``lag`` buckets, for every lag in
+    [-max_lag, +max_lag]: the lead-lag diagnostic ("errors rise N
+    hours before purchases drop"). A positive-lag peak means ``a``
+    LEADS ``b`` by that many buckets.
+
+    Inputs are bucket-grain series (keys..., bucket, value) — the
+    output of a bucket aggregation or :func:`time_bucket_gapfill` —
+    so the lag fan-out (2·max_lag+1 copies) and the shifted join touch
+    bucket-BOUNDED tables only, never raw events. corr uses the same
+    five-sums expression tree as ``profiling.correlation_matrix``
+    (pairs where either side lacks the bucket are excluded — n per lag
+    is part of the report), rounded by the cross-engine-exact floor
+    form. NULL corr when a side is constant or n < 2."""
+    keys = list(keys)
+    if width <= 0:
+        raise ValueError(f"width must be positive seconds (got {width})")
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0 (got {max_lag})")
+    fan = a.select(
+        *keys,
+        F.col("bucket"),
+        F.col("value").cast("double").alias("_va"),
+        F.explode(
+            F.sequence(F.lit(-max_lag), F.lit(max_lag))
+        ).alias("lag"),
+    ).withColumn("_tb", F.col("bucket") + F.col("lag") * width)
+    bb = b.select(
+        *keys,
+        F.col("bucket").alias("_tb"),
+        F.col("value").cast("double").alias("_vb"),
+    )
+    j = fan.join(bb, [*keys, "_tb"], "inner").filter(
+        F.col("_va").isNotNull() & F.col("_vb").isNotNull()
+    )
+    agg = j.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_va").alias("_sa"),
+        F.sum("_vb").alias("_sb"),
+        F.sum(F.col("_va") * F.col("_vb")).alias("_sab"),
+        F.sum(F.col("_va") * F.col("_va")).alias("_saa"),
+        F.sum(F.col("_vb") * F.col("_vb")).alias("_sbb"),
+    )
+    n = F.col("_n")
+    va = n * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    vb = n * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    corr = F.when(
+        (n >= 2) & (va > 0) & (vb > 0),
+        (n * F.col("_sab") - F.col("_sa") * F.col("_sb"))
+        / F.sqrt(va)
+        / F.sqrt(vb),
+    )
+    return agg.select(
+        *keys,
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n"),
+        _r6(corr).alias("corr"),
+    )
+
+
+def sliding_distinct_estimate(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_sec_col: str,
+    value_col: str,
+    width: int,
+    trailing: int,
+    m: int = 64,
+    seed: str = "hll-v1",
+) -> DataFrame:
+    """(keys..., bucket, raw_est, n_empty) — HLL distinct estimate of
+    ``value_col`` over the TRAILING ``trailing`` buckets ending at each
+    bucket ("distinct users per trailing 7 days, daily"): the
+    continuous-aggregate rollup that is unpayable exactly at 100 TB
+    (every row would count toward ``trailing`` overlapping windows) but
+    costs one register table here. Construction: the deterministic-md5
+    register table per (key, bucket) (``sketches._hll_filled_registers``
+    — the oracle-checkable HLL this engine already ships), then ONE
+    range-frame window per (key, register) max-merges registers across
+    the trailing time range — HLL's defining mergeability, applied on
+    the time axis. ``rangeBetween`` on bucket VALUES (not rows) keeps
+    empty buckets from silently widening the window. Register rows
+    crossing the shuffle: observed-buckets x m per key — never raw
+    rows. Same integer harmonic sum as ``hll_deterministic``
+    (bit-exact in ANSI SQL); ``n_empty`` ships for consumer-side
+    linear-counting correction."""
+    from .sketches import _hll_filled_registers
+
+    keys = list(keys)
+    if width <= 0 or trailing < 1:
+        raise ValueError(
+            f"width must be positive and trailing >= 1 (got width="
+            f"{width}, trailing={trailing})"
+        )
+    bucketed = df.select(
+        F.struct(
+            *[F.col(k) for k in keys],
+            _bucket(F.col(ts_sec_col).cast("long"), width).alias("bucket"),
+        ).alias("_g"),
+        F.col(value_col),
+    )
+    filled, max_rho, scale = _hll_filled_registers(
+        bucketed, "_g", value_col, m, seed
+    )
+    flat = filled.select(
+        *[F.col("g").getField(k).alias(k) for k in keys],
+        F.col("g").getField("bucket").alias("bucket"),
+        "reg",
+        "M",
+    )
+    w = (
+        Window.partitionBy(*keys, "reg")
+        .orderBy("bucket")
+        .rangeBetween(-(trailing - 1) * width, 0)
+    )
+    merged = flat.withColumn("_Mw", F.max("M").over(w))
+    z = merged.groupBy(*keys, "bucket").agg(
+        F.sum(F.expr(f"shiftleft(1L, {max_rho} - _Mw)")).alias("_z"),
+        F.sum(F.when(F.col("_Mw") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+    )
+    return z.select(
+        *keys,
+        "bucket",
+        F.round(F.lit(scale) / F.col("_z"), 3).alias("raw_est"),
+        "n_empty",
+    )

@@ -8534,3 +8534,140 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
         cust, ["c_acctbal", "c_custkey", "c_nationkey"]
     )
+
+
+# --------------------------------------------------------------------------
+# Lead-lag cross-correlation + trailing-window distinct rollup — the
+# last two time-axis kernels: "does click volume LEAD purchase volume"
+# (bucket-bounded lag fan-out + the correlation_matrix sums tree) and
+# "distinct users per trailing 3 days, daily" (HLL register max-merge
+# along a RANGE frame — mergeability applied to the time axis; the
+# exact form is unpayable at 100 TB because every row feeds `trailing`
+# overlapping windows).
+# --------------------------------------------------------------------------
+@register(
+    "event_xcorr",
+    sql="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t
+               FROM events),
+    a AS (SELECT t - ((t % 3600 + 3600) % 3600) AS bucket,
+                 CAST(count(*) AS DOUBLE) AS va
+          FROM e WHERE event_type = 'click' GROUP BY 1),
+    b AS (SELECT t - ((t % 3600 + 3600) % 3600) AS bucket,
+                 CAST(count(*) AS DOUBLE) AS vb
+          FROM e WHERE event_type = 'purchase' GROUP BY 1),
+    fan AS (SELECT a.bucket, a.va, l.lag,
+                   a.bucket + l.lag * 3600 AS tb
+            FROM a CROSS JOIN
+                 (SELECT unnest(generate_series(-3, 3)) AS lag) l),
+    j AS (SELECT f.lag, f.va, b.vb
+          FROM fan f JOIN b ON f.tb = b.bucket),
+    s AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+                 sum(va) AS sa, sum(vb) AS sb, sum(va * vb) AS sab,
+                 sum(va * va) AS saa, sum(vb * vb) AS sbb
+          FROM j GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+           floor((CASE WHEN n >= 2 AND n * saa - sa * sa > 0
+                        AND n * sbb - sb * sb > 0
+                       THEN (n * sab - sa * sb)
+                            / sqrt(n * saa - sa * sa)
+                            / sqrt(n * sbb - sb * sb) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr
+    FROM s
+    """,
+)
+def event_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly click-volume vs purchase-volume cross-correlation at
+    lags -3..+3 (deferred — pytest-mirrored): integer counts as the
+    series values keep every sum exact cross-engine; the corr division
+    is the one float step, floor-rounded."""
+    from ..operators.temporal import cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", event_seconds(ev).alias("t"))
+
+    def series(etype: str) -> DataFrame:
+        t = F.col("t")
+        return (
+            base.filter(F.col("event_type") == etype)
+            .select(
+                (t - (((t % 3600) + 3600) % 3600)).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        )
+
+    return cross_correlation(
+        series("click"), series("purchase"), [], width=3600, max_lag=3
+    )
+
+
+_SLW_M = 64
+_SLW_WBITS = 60 - _SLW_M.bit_length() + 1  # 54
+_SLW_MAXRHO = _SLW_WBITS + 1  # 55
+_SLW_SCALE = float(
+    (0.7213 / (1 + 1.079 / _SLW_M)) * _SLW_M * _SLW_M * (1 << _SLW_MAXRHO)
+)
+
+
+@register(
+    "event_sliding_users",
+    sql=f"""
+    WITH e AS (SELECT event_type AS k,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      user_id AS val
+               FROM events),
+    v AS (SELECT k, t - ((t % 86400 + 86400) % 86400) AS bucket, val
+          FROM e),
+    h AS (SELECT k, bucket,
+                 CAST(('0x' || substr(md5('hll-v1:'
+                       || CAST(val AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+          FROM v),
+    r AS (SELECT k, bucket, hh % {_SLW_M} AS reg,
+                 hh // {_SLW_M} AS w FROM h),
+    rho AS (SELECT k, bucket, reg,
+                   CASE WHEN w = 0 THEN {_SLW_MAXRHO}
+                        ELSE {_SLW_WBITS} - length(bin(w)) + 1 END AS rho
+            FROM r),
+    mx AS (SELECT k, bucket, reg, max(rho) AS M
+           FROM rho GROUP BY 1, 2, 3),
+    allg AS (SELECT DISTINCT k, bucket FROM v),
+    regs AS (SELECT k, bucket, CAST(s.r AS BIGINT) AS reg
+             FROM allg, unnest(generate_series(0, {_SLW_M - 1})) s(r)),
+    filled AS (SELECT regs.k, regs.bucket, regs.reg,
+                      coalesce(mx.M, 0) AS M
+               FROM regs LEFT JOIN mx
+                 ON mx.k = regs.k AND mx.bucket = regs.bucket
+                AND mx.reg = regs.reg),
+    win AS (SELECT k, bucket, reg,
+                   max(M) OVER (PARTITION BY k, reg ORDER BY bucket
+                                RANGE BETWEEN 172800 PRECEDING
+                                AND CURRENT ROW) AS Mw
+            FROM filled),
+    z AS (SELECT k, bucket,
+                 sum(1::BIGINT << CAST({_SLW_MAXRHO} - Mw AS INT))
+                     AS zint,
+                 CAST(sum(CASE WHEN Mw = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_empty
+          FROM win GROUP BY 1, 2)
+    SELECT k AS event_type, bucket,
+           round({_SLW_SCALE!r} / zint, 3) AS raw_est, n_empty
+    FROM z
+    """,
+)
+def event_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per trailing 3 days, daily, per event_type
+    (deferred — pytest-mirrored): the deterministic-md5 HLL register
+    table max-merged along a RANGE frame — bit-exact in SQL like every
+    sketch row in this engine."""
+    from ..operators.temporal import sliding_distinct_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", event_seconds(ev).alias("t"), "user_id"
+    )
+    return sliding_distinct_estimate(
+        e, ["event_type"], "t", "user_id", width=86400, trailing=3,
+        m=_SLW_M,
+    )

@@ -6,6 +6,7 @@ tie-break determinism."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from process_alphafold3_outputs_spark.operators.temporal import (
     ohlc_downsample,
@@ -538,3 +539,115 @@ def test_watch_events_rate_stream_equals_batch_and_replays(spark, tmp_path):
         rows(os.path.join(out, "epoch_id=0"))
         + rows(os.path.join(out, "epoch_id=1"))
     ) == want
+
+
+# --------------------------------------------------------------------------
+# cross-correlation + sliding HLL distincts
+# --------------------------------------------------------------------------
+def test_cross_correlation_finds_planted_lag(spark):
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        cross_correlation,
+    )
+
+    vals = [1, 5, 2, 8, 3, 9, 4, 7, 6, 2]
+    a = spark.createDataFrame(
+        [("k", i * 10, float(v)) for i, v in enumerate(vals)],
+        "k string, bucket long, value double",
+    )
+    # b is a delayed copy of a: a LEADS b by 2 buckets
+    b = spark.createDataFrame(
+        [("k", (i + 2) * 10, float(v)) for i, v in enumerate(vals)],
+        "k string, bucket long, value double",
+    )
+    out = {
+        r.lag: (r.n, r.corr)
+        for r in cross_correlation(a, b, ["k"], 10, 3).collect()
+    }
+    assert out[2] == (10, 1.0)  # perfect at the planted lag, full n
+    assert len(out) == 7  # every lag in [-3, 3] reported
+    assert all(c is None or c < 1.0 for lag, (n, c) in out.items()
+               if lag != 2)
+    # n shrinks as the overlap shrinks
+    assert out[-3][0] == 5
+
+
+def test_cross_correlation_constant_side_null_and_validation(spark):
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        cross_correlation,
+    )
+
+    a = spark.createDataFrame(
+        [("k", 0, 1.0), ("k", 10, 2.0)], "k string, bucket long, value double"
+    )
+    c = spark.createDataFrame(
+        [("k", 0, 7.0), ("k", 10, 7.0)], "k string, bucket long, value double"
+    )
+    out = cross_correlation(a, c, ["k"], 10, 0).collect()[0]
+    assert out.corr is None and out.n == 2
+    with pytest.raises(ValueError, match="max_lag"):
+        cross_correlation(a, c, ["k"], 10, -1)
+
+
+def test_sliding_distinct_estimate_tracks_windows(spark):
+    import math
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        sliding_distinct_estimate,
+    )
+
+    m = 64
+    rows = (
+        [("k", 0, str(v)) for v in range(10)]
+        + [("k", 10, str(v)) for v in range(10, 20)]
+        + [("k", 30, "x")]
+    )
+    df = spark.createDataFrame(rows, "k string, t long, v string")
+    est = {
+        r.bucket: r
+        for r in sliding_distinct_estimate(
+            df, ["k"], "t", "v", 10, trailing=2, m=m
+        ).collect()
+    }
+
+    def lc(r):  # linear-counting correction (the documented consumer step)
+        return m * math.log(m / r.n_empty)
+
+    # trailing-2 windows: bucket 0 sees 10 distincts, bucket 10 sees
+    # all 20, bucket 30's window (20..30) sees only its own 1 — the
+    # range frame did NOT leak bucket 10 across the empty gap
+    assert abs(lc(est[0]) - 10) < 3
+    assert abs(lc(est[10]) - 20) < 5
+    assert abs(lc(est[30]) - 1) < 1
+    # trailing=1 degenerates to the per-bucket estimate
+    one = {
+        r.bucket: r
+        for r in sliding_distinct_estimate(
+            df, ["k"], "t", "v", 10, trailing=1, m=m
+        ).collect()
+    }
+    assert abs(lc(one[10]) - 10) < 3
+
+
+def test_sliding_distinct_equals_batch_hll_on_union(spark):
+    """The trailing-window register merge must equal the one-shot HLL
+    over the union of the covered buckets — mergeability on the time
+    axis, EXACT (same md5 registers)."""
+    from process_alphafold3_outputs_spark.operators.sketches import (
+        hll_deterministic,
+    )
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        sliding_distinct_estimate,
+    )
+
+    rows = [("k", t, f"v{t}_{i}") for t in (0, 10) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, t long, v string")
+    win = {
+        r.bucket: (r.raw_est, r.n_empty)
+        for r in sliding_distinct_estimate(
+            df, ["k"], "t", "v", 10, trailing=2, m=64
+        ).collect()
+    }
+    batch = hll_deterministic(
+        df.select(F.lit("k").alias("g"), "v"), "g", "v", m=64
+    ).collect()[0]
+    assert win[10] == (batch.raw_est, batch.n_empty)
