@@ -117,9 +117,10 @@ BENCH_DEFERRED = {
                             "the correlation form swaps distincts for "
                             "sum/sumsq slots in the same shape)",
     "event_xcorr": "event_gapfill (benched temporal representative) "
-                   "+ profile_correlations family (same sums tree); "
-                   "the lag fan-out touches bucket-bounded tables "
-                   "only",
+                   "+ profile_candidate_keys (the benched fused-agg "
+                   "discovery family; the corr sums tree rides the "
+                   "same shape); the lag fan-out touches "
+                   "bucket-bounded tables only",
     "event_sliding_users": "sketch_hll_distinct (benched register "
                            "kernel) + event_gapfill (temporal "
                            "representative); the range-frame merge "
