@@ -651,6 +651,9 @@ _DEFERRED: set[str] = {
                              # max-merge mechanics evidenced by green
                              # sketch_hll_distinct row (deferred:
                              # headroom)
+    "drift_psi_timeline",    # per-bucket PSI vs frozen bins; binning
+                             # mechanics evidenced by green drift_psi
+                             # row (deferred: headroom)
     # Spark-freebie breadth beyond the reference surface (kept in the
     # pytest mirror; not §2 operators):
     "topk_per_group",

@@ -125,6 +125,9 @@ BENCH_DEFERRED = {
                            "kernel) + event_gapfill (temporal "
                            "representative); the range-frame merge "
                            "moves register rows, never raw events",
+    "drift_psi_timeline": "drift_psi (the benched frozen-bin PSI "
+                          "kernel) + event_gapfill (the benched "
+                          "bucket-grain representative)",
 }
 
 HEADLINE = [

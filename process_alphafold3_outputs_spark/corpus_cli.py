@@ -351,6 +351,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="free-form boolean SQL constraint (may "
                     "reference several columns); false-or-NULL rows "
                     "count as violations")
+    sp.add_argument("--freshness", action="append", default=[],
+                    metavar="COL:MAX_AGE_S:AS_OF_EPOCH",
+                    dest="freshness_rules",
+                    help="rows whose COL is older than AS_OF - MAX_AGE "
+                    "are violations (as_of is explicit — the caller "
+                    "owns 'now')")
 
     sp = sub.add_parser("profile")
     sp.add_argument("--input", required=True,
@@ -490,6 +496,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ks only: floor-band both sides by this width "
                     "before the exact statistic (the high-cardinality "
                     "path the exact form's guard points at)")
+    sp.add_argument("--timeline", type=int, default=None,
+                    metavar="WIDTH_S",
+                    help="psi only: per-time-bucket PSI of --cur "
+                    "against the frozen reference bins (needs "
+                    "--ts-col); localizes WHEN the drift started")
+    sp.add_argument("--ts-col", default=None,
+                    help="with --timeline: --cur's time column")
     sp.add_argument("--out", required=True)
 
     sp = sub.add_parser("rank-eval")
@@ -796,6 +809,26 @@ def _result(
         ref = spark.read.parquet(args.ref)
         cur = spark.read.parquet(args.cur)
         if args.stat == "psi":
+            if args.timeline is not None:
+                if args.ts_col is None or len(args.col) != 1:
+                    raise SystemExit(
+                        "drift --timeline needs --ts-col and exactly "
+                        "one --col"
+                    )
+                from .operators.drift import psi_timeline
+
+                tcur = cur.withColumn(
+                    "_ts_sec",
+                    F.col(args.ts_col).cast("timestamp").cast("long")
+                    if dict(cur.dtypes)
+                    .get(args.ts_col, "")
+                    .startswith("timestamp")
+                    else F.col(args.ts_col).cast("long"),
+                )
+                return psi_timeline(
+                    ref, tcur, args.col[0], "_ts_sec",
+                    width=args.timeline, n_bins=args.bins,
+                )
             if len(args.col) > 1:
                 return psi_report_many(ref, cur, args.col, n_bins=args.bins)
             return psi_report(ref, cur, args.col[0], n_bins=args.bins)
@@ -1077,6 +1110,11 @@ def _result(
             label, _, sql = spec.partition(":")
             rules.append({"column": label, "check": "predicate",
                           "sql": sql})
+        for spec in args.freshness_rules:
+            col, max_age, as_of = spec.split(":")
+            rules.append({"column": col, "check": "freshness",
+                          "max_age_s": int(max_age),
+                          "as_of": int(as_of)})
         if not rules:
             raise SystemExit("expect: give at least one rule flag")
         return check_expectations(spark.read.parquet(args.input), rules)

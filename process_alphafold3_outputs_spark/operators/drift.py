@@ -93,16 +93,21 @@ def _checked_bounds(r: DataFrame, col: str) -> DataFrame:
 
 
 def binned_counts(
-    side: DataFrame, bounds: DataFrame, n_bins: int, label: str
+    side: DataFrame, bounds: DataFrame, n_bins: int, label: str,
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """(_bin, _c_{label}) — fixed-width bin counts of ``side``'s ``_x``
     column against a 1-row ``bounds`` (_mn, _mx) frame. The bin
     arithmetic is the cross-engine-deterministic form shared by the
     oracle SQL; the streaming watcher bins each micro-batch against the
-    FROZEN reference bounds it persisted at epoch 0."""
+    FROZEN reference bounds it persisted at epoch 0. ``extra_keys``
+    carries grouping columns (e.g. a time bucket) through the count —
+    the :func:`psi_timeline` grain."""
+    extra = list(extra_keys or [])
     return (
         side.crossJoin(F.broadcast(bounds))
         .select(
+            *extra,
             F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
             .otherwise(
                 F.least(
@@ -119,7 +124,7 @@ def binned_counts(
             )
             .alias("_bin")
         )
-        .groupBy("_bin")
+        .groupBy(*extra, "_bin")
         .agg(F.count(F.lit(1)).cast("long").alias(f"_c_{label}"))
     )
 
@@ -618,4 +623,83 @@ def chi2_drift_many(
         F.max("_n_cur").cast("long").alias("n_cur"),
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         chi2_expr.alias("chi2"),
+    )
+
+
+def psi_timeline(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    ts_sec_col: str,
+    width: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(col_name, bucket, n_bins, n_ref, n_cur, psi) — the PSI of each
+    ``width``-second bucket of ``cur`` against the FROZEN reference
+    bins: the "WHEN did the distribution move" table between the
+    two-snapshot :func:`psi_report` and the streaming
+    ``watch_table_drift``. Bins and bounds freeze from the reference
+    exactly as in :func:`psi_report` (same loud empty-reference guard,
+    same Laplace smoothing and edge-bin clamping); the current side
+    collapses to (bucket, bin) grain in ONE scan, so every downstream
+    row count is buckets x n_bins — never raw events.
+
+    Rising psi across buckets localizes drift onset to a time window;
+    gate on the latest bucket, chart the rest."""
+    if width <= 0:
+        raise ValueError(f"width must be positive seconds (got {width})")
+    r = ref.select(F.col(col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    bounds = _checked_bounds(r, col)
+    rb = binned_counts(r, bounds, n_bins, "ref")
+    t = F.col(ts_sec_col).cast("long")
+    c = cur.select(
+        (t - (((t % width) + width) % width)).alias("_bucket"),
+        F.col(col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    cb = binned_counts(c, bounds, n_bins, "cur", extra_keys=["_bucket"])
+    spine = (
+        cb.select("_bucket")
+        .distinct()
+        .select(
+            "_bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias(
+                "_bin"
+            ),
+        )
+    )
+    grid = (
+        spine.join(cb, ["_bucket", "_bin"], "left")
+        .join(F.broadcast(rb), "_bin", "left")
+        .select(
+            "_bucket",
+            "_bin",
+            F.coalesce("_c_ref", F.lit(0)).alias("_c_ref"),
+            F.coalesce("_c_cur", F.lit(0)).alias("_c_cur"),
+        )
+    )
+    wb = Window.partitionBy("_bucket")
+    g = grid.withColumn("_n_ref", F.sum("_c_ref").over(wb)).withColumn(
+        "_n_cur", F.sum("_c_cur").over(wb)
+    )
+    p_ref = (F.col("_c_ref") + 0.5) / (F.col("_n_ref") + 0.5 * n_bins)
+    p_cur = (F.col("_c_cur") + 0.5) / (F.col("_n_cur") + 0.5 * n_bins)
+    return (
+        g.groupBy("_bucket")
+        .agg(
+            F.max("_n_ref").cast("long").alias("n_ref"),
+            F.max("_n_cur").cast("long").alias("n_cur"),
+            F.round(
+                F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6
+            ).alias("psi"),
+        )
+        .select(
+            F.lit(col).alias("col_name"),
+            F.col("_bucket").alias("bucket"),
+            F.lit(n_bins).cast("int").alias("n_bins"),
+            "n_ref",
+            "n_cur",
+            "psi",
+        )
     )

@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CHECKS = ("not_null", "unique", "range", "in_set", "regex", "predicate")
+_CHECKS = ("not_null", "unique", "range", "in_set", "regex", "predicate",
+           "freshness")
 
 
 def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
@@ -31,6 +32,8 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         {"column": "x", "check": "in_set", "values": [...]}
         {"column": "x", "check": "regex", "pattern": r"..."}
         {"column": "x", "check": "predicate", "sql": "x < y * 2"}
+        {"column": "ts", "check": "freshness", "max_age_s": 3600,
+         "as_of": <epoch seconds>}       # rows older than the horizon
 
     ``unique`` counts duplicate EXTRAS among non-null values
     (``count(x) − count(DISTINCT x)``). ``predicate`` evaluates an
@@ -39,7 +42,14 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     NULL count as violations — a constraint that cannot be evaluated
     is not satisfied (set-semantics differ from the per-column checks
     because a multi-column predicate has no single null-owning
-    column)."""
+    column). ``freshness`` counts rows whose (timestamp-castable)
+    column is older than ``as_of − max_age_s`` — ``as_of`` is an
+    EXPLICIT epoch-seconds parameter, never wall-clock inside the
+    plan (a query that reads the clock is unreproducible and breaks
+    retry idempotence; the caller owns "now"). A table whose newest
+    row is stale fails with n_violations = n_rows of the stale
+    region, which is also the right gate signal ("how much is
+    late"), not just a boolean."""
     aggs = []
     for i, r in enumerate(rules):
         check = r["check"]
@@ -58,9 +68,16 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
             v = F.sum((~c.isin(list(r["values"]))).cast("long"))
         elif check == "regex":
             v = F.sum((~c.rlike(r["pattern"])).cast("long"))
-        else:  # predicate
+        elif check == "predicate":
             v = F.sum(
                 (~F.coalesce(F.expr(r["sql"]), F.lit(False))).cast("long")
+            )
+        else:  # freshness
+            horizon = int(r["as_of"]) - int(r["max_age_s"])
+            v = F.sum(
+                (
+                    c.cast("timestamp").cast("long") < F.lit(horizon)
+                ).cast("long")
             )
         aggs.append(F.coalesce(v, F.lit(0)).cast("long").alias(f"_v{i}"))
     row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)

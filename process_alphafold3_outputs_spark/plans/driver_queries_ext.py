@@ -8671,3 +8671,74 @@ def event_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ["event_type"], "t", "user_id", width=86400, trailing=3,
         m=_SLW_M,
     )
+
+
+# --------------------------------------------------------------------------
+# PSI timeline — "WHEN did the distribution move": per-time-bucket PSI
+# against the frozen reference bins, the batch table between the
+# two-snapshot drift_psi row and the streaming watch_table_drift. The
+# fixture injects a drift that GROWS by day (value + day_index * 50),
+# so the timeline must show rising psi.
+# --------------------------------------------------------------------------
+@register(
+    "drift_psi_timeline",
+    sql="""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+               FROM events WHERE value IS NOT NULL),
+    r AS (SELECT value::DOUBLE AS x FROM e),
+    c AS (SELECT t - ((t % 86400 + 86400) % 86400) AS bucket,
+                 (value + floor((t - 1704067200) / 86400.0) * 50)::DOUBLE
+                     AS x
+          FROM e),
+    b AS (SELECT min(x) AS mn, max(x) AS mx FROM r),
+    rb AS (SELECT CASE WHEN b.mx = b.mn THEN 0
+                       ELSE least(9, greatest(0,
+                            CAST(floor((x - b.mn) * 10 / (b.mx - b.mn))
+                                 AS INT))) END AS bin,
+                  count(*) AS cr
+           FROM r, b GROUP BY 1),
+    cb AS (SELECT bucket,
+                  CASE WHEN b.mx = b.mn THEN 0
+                       ELSE least(9, greatest(0,
+                            CAST(floor((x - b.mn) * 10 / (b.mx - b.mn))
+                                 AS INT))) END AS bin,
+                  count(*) AS cc
+           FROM c, b GROUP BY 1, 2),
+    spine AS (SELECT DISTINCT cb.bucket, g.bin
+              FROM cb, (SELECT unnest(generate_series(0, 9)) AS bin) g),
+    grid AS (SELECT s.bucket, s.bin,
+                    coalesce(rb.cr, 0) AS cr, coalesce(cb.cc, 0) AS cc
+             FROM spine s
+             LEFT JOIN rb ON rb.bin = s.bin
+             LEFT JOIN cb ON cb.bucket = s.bucket AND cb.bin = s.bin),
+    tot AS (SELECT bucket, CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(cc) AS BIGINT) AS nc
+            FROM grid GROUP BY bucket)
+    SELECT 'value' AS col_name, g.bucket, 10 AS n_bins,
+           t.nr AS n_ref, t.nc AS n_cur,
+           round(sum(((cc + 0.5) / (t.nc + 5.0)
+                      - (cr + 0.5) / (t.nr + 5.0))
+                     * ln(((cc + 0.5) / (t.nc + 5.0))
+                          / ((cr + 0.5) / (t.nr + 5.0)))), 6) AS psi
+    FROM grid g JOIN tot t ON t.bucket = g.bucket
+    GROUP BY g.bucket, t.nr, t.nc
+    """,
+)
+def drift_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily PSI of a day-growing value shift against the frozen
+    reference bins (deferred — pytest-mirrored): drift onset localizes
+    to the day axis — early days stable, late days shifted."""
+    from ..operators.drift import psi_timeline
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(event_seconds(ev).alias("t"), "value").filter(
+        F.col("value").isNotNull()
+    )
+    cur = base.select(
+        "t",
+        (
+            F.col("value")
+            + F.floor((F.col("t") - 1704067200) / 86400.0) * 50
+        ).alias("value"),
+    )
+    return psi_timeline(base, cur, "value", "t", width=86400, n_bins=10)

@@ -415,3 +415,65 @@ def test_cli_drift_fused_and_banded_modes(spark, tmp_path):
         ["--stat", "ks", "--col", "v", "--band-width", "5"], "ksb"
     )[0]
     assert banded.band_width == 5.0 and banded.ks > 0
+
+
+# --------------------------------------------------------------------------
+# PSI timeline
+# --------------------------------------------------------------------------
+def test_psi_timeline_localizes_drift_onset(spark):
+    from process_alphafold3_outputs_spark.operators.drift import (
+        psi_report,
+        psi_timeline,
+    )
+
+    # ref: uniform-ish 0..99; cur: bucket 0 identical, bucket 100
+    # shifted far out of range
+    ref = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "value double"
+    )
+    cur = spark.createDataFrame(
+        [(0, float(v)) for v in range(100)]
+        + [(100, float(v + 500)) for v in range(100)],
+        "t long, value double",
+    )
+    out = {
+        r.bucket: r
+        for r in psi_timeline(
+            ref, cur, "value", "t", width=100, n_bins=10
+        ).collect()
+    }
+    assert set(out) == {0, 100}
+    assert out[0].psi < 0.01  # identical bucket: stable
+    assert out[100].psi > 1.0  # everything clamped to the edge bin
+    assert out[0].n_ref == 100 and out[0].n_cur == 100
+    # the identical bucket's psi equals the two-snapshot kernel's
+    same = psi_report(
+        ref,
+        spark.createDataFrame([(float(v),) for v in range(100)],
+                              "value double"),
+        "value",
+        n_bins=10,
+    ).collect()[0]
+    assert out[0].psi == same.psi
+
+
+def test_psi_timeline_guards_and_nulls(spark):
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.drift import (
+        psi_timeline,
+    )
+
+    ref = spark.createDataFrame([(None,)], "value double")
+    cur = spark.createDataFrame([(0, 1.0)], "t long, value double")
+    with _pt.raises(ValueError, match="no non-NULL"):
+        psi_timeline(ref, cur, "value", "t", width=10)
+    ok = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    with _pt.raises(ValueError, match="width"):
+        psi_timeline(ok, cur, "value", "t", width=0)
+    # NULL current values excluded, not binned
+    cur2 = spark.createDataFrame(
+        [(0, 1.0), (0, None)], "t long, value double"
+    )
+    r = psi_timeline(ok, cur2, "value", "t", width=10).collect()[0]
+    assert r.n_cur == 1
