@@ -107,6 +107,16 @@ _PRIORITY: list[str] = [
     #    the green af3_contacts/af3_interaction_report rows)
     "graph_source_trustrank",
     "quality_expectations",
+    # -- round-12 rotation (NOTES rotation table): the maintenance-axis
+    #    capstone (gates + incremental near-dedup + MERGE in one daily-
+    #    ingest DAG — the axis was mirror-green but had zero driver
+    #    rows) and the IR-metrics evaluator (P/R@k, MRR, AP, nDCG of
+    #    the LSH run vs exact graded truth) get driver evidence; freed
+    #    slots: semi_join (O21 keeps the green af3_contacts end-to-end
+    #    row) + session_window_batch (O23 keeps the green sessionize
+    #    row)
+    "pipeline_incremental_refresh",
+    "ranking_eval",
 ]
 
 #: driver-visible queries DELIBERATELY registered without a SQL oracle —
@@ -342,10 +352,6 @@ _DEFERRED: set[str] = {
                              # family keeps pytest-mirror + bench
                              # coverage; its IVF/PQ twins were always
                              # deferred)
-    "pipeline_incremental_refresh",  # daily-ingest capstone (new r10):
-                             # gates + incremental dedup + MERGE; each
-                             # kernel separately driver/mirror-green
-                             # (deferred: headroom)
     "drift_js",              # Jensen-Shannon over the same frozen-bin
                              # grid as drift_psi (new r10; deferred:
                              # headroom)
@@ -386,10 +392,6 @@ _DEFERRED: set[str] = {
                              # one scan per side for N categorical
                              # columns — the psi_report_many discipline
                              # (deferred: headroom)
-    "ranking_eval",          # IR metrics of the LSH run vs exact graded
-                             # truth (new r10); both retrieval legs are
-                             # separately driver-green (deferred:
-                             # headroom)
     "ranking_eval_summary",  # macro-average row over ranking_eval
                              # (deferred: headroom)
     "table_merge_upsert",    # MERGE upsert (new r10); union+max_by agg
@@ -670,6 +672,16 @@ _DEFERRED: set[str] = {
     "sliding_window_batch",  # sliding F.window; tumbling row + streaming
                              # parity tests cover the mechanics
     "revenue_per_nation",
+    "semi_join",             # O21 — rotated OUT in r12 for
+                             # pipeline_incremental_refresh (the
+                             # interacting-residue semi-join keeps its
+                             # green af3_contacts end-to-end row; stays
+                             # benched + oracle-mirrored)
+    "session_window_batch",  # O23 — rotated OUT in r12 for
+                             # ranking_eval (gaps-and-islands keeps its
+                             # green sessionize driver row; stream
+                             # parity pytest-pinned on the same code
+                             # path; stays benched + oracle-mirrored)
 }
 
 # Hard cap matched to the observed driver window.
