@@ -672,6 +672,18 @@ _DEFERRED: set[str] = {
     "sliding_window_batch",  # sliding F.window; tumbling row + streaming
                              # parity tests cover the mechanics
     "revenue_per_nation",
+    "profile_top_values_timeline",  # per-bucket heavy hitters (new
+                             # r12): the categorical WHEN-axis next to
+                             # drift_psi_timeline; unpivot + keyed agg
+                             # + bounded window mechanics evidenced by
+                             # the benched profile_top_values row
+                             # (deferred: headroom)
+    "dedup_edit_distance",   # lossless q-gram edit-distance join (new
+                             # r12); inverted-index join mechanics
+                             # evidenced by the green dedup_jaccard
+                             # row, brute-force oracle + multiset
+                             # differential pytest (deferred: headroom;
+                             # benched)
     "semi_join",             # O21 — rotated OUT in r12 for
                              # pipeline_incremental_refresh (the
                              # interacting-residue semi-join keeps its

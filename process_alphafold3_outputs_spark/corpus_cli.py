@@ -13,7 +13,9 @@ line to stdout):
                  of the cleaned text (plans.corpus.curate_corpus)
   training       full clean → chunk → split DAG (corpus_to_training)
   pack           clean → chunk → split → fixed-token packing
-  dedup          exact | paragraphs | minhash | simhash | clusters
+  dedup          exact | paragraphs | minhash | simhash | clusters |
+                 substrings | containment | editdist (lossless q-gram
+                 Levenshtein similarity join, dedup.edit_distance_pairs)
   decontaminate  n-gram screen vs a benchmark set (--bloom for the
                  fixed-size-bitmap scale path)
   kmeans         deterministic Lloyd clustering of an embeddings table
@@ -76,7 +78,9 @@ line to stdout):
 
 The ``profile`` command also runs structural discovery: ``--keys``
 (candidate-key uniqueness for columns and pairs, one aggregation) and
-``--fk COL:PARQUET:PARENT_COL`` (inclusion-dependency containment).
+``--fk COL:PARQUET:PARENT_COL`` (inclusion-dependency containment);
+``--top-k K --timeline TS_COL`` emits per-time-bucket heavy hitters
+(profiling.top_values_timeline — WHEN did the category mix shift).
 
 Every command is a thin shell over the library operators — no query
 logic lives here, so CLI behavior cannot drift from the tested kernels.
@@ -161,7 +165,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--mode",
         choices=["exact", "paragraphs", "boilerplate", "minhash", "simhash",
-                 "clusters", "substrings", "containment"],
+                 "clusters", "substrings", "containment", "editdist"],
         default="exact",
     )
     sp.add_argument("--seg-words", type=int, default=20)
@@ -175,6 +179,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--containment-threshold", type=float, default=0.9,
         help="containment mode: drop threshold on |A∩B|/|A| — the "
         "asymmetric subset-duplication screen",
+    )
+    sp.add_argument(
+        "--max-dist", type=int, default=12,
+        help="editdist mode: Levenshtein radius of the lossless "
+        "q-gram similarity join",
+    )
+    sp.add_argument(
+        "--prefix-chars", type=int, default=60,
+        help="editdist mode: fixed text prefix length compared "
+        "(equal lengths tighten the q-gram count bound; must be "
+        ">= 3*(max_dist+1))",
     )
 
     sp = sub.add_parser("script-profile")
@@ -394,6 +409,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fused Pearson correlation matrix over the "
                     "--col list (pairwise-complete NULLs; one "
                     "aggregation)")
+    sp.add_argument("--timeline", default=None, metavar="TS_COL",
+                    help="with --top-k: per-time-bucket heavy hitters "
+                    "(WHEN did the category mix shift); TS_COL is "
+                    "epoch seconds or a timestamp column")
+    sp.add_argument("--width", type=int, default=86400,
+                    help="with --timeline: bucket width in seconds "
+                    "(default 1 day)")
 
     sp = sub.add_parser("normalize")
     sp.add_argument("--documents", required=True)
@@ -1010,6 +1032,27 @@ def _result(
 
             return profile_numeric(tbl, args.col)
         if args.top_k is not None:
+            if args.timeline is not None:
+                from pyspark.sql import functions as _F
+
+                from .operators.profiling import top_values_timeline
+
+                if not args.col:
+                    raise SystemExit(
+                        "profile --timeline requires --col"
+                    )
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+                ts_dtype = dict(tbl.dtypes).get(args.timeline, "")
+                ts_expr = (
+                    _F.col(args.timeline).cast("timestamp").cast("long")
+                    if ts_dtype.startswith("timestamp")
+                    else _F.col(args.timeline).cast("long")
+                )
+                return top_values_timeline(
+                    tbl.withColumn("_ts_sec", ts_expr),
+                    args.col, "_ts_sec", width=args.width,
+                    k=args.top_k,
+                )
             return top_values(tbl, args.col, k=args.top_k)
         return profile_table(tbl, args.col, approx=args.approx)
 
@@ -1315,6 +1358,14 @@ def _result(
         if args.mode == "containment":
             return dedup.containment_pairs(
                 docs, threshold=args.containment_threshold
+            )
+        if args.mode == "editdist":
+            prefixed = docs.select(
+                "doc_id",
+                F.substring("text", 1, args.prefix_chars).alias("text"),
+            )
+            return dedup.edit_distance_pairs(
+                prefixed, max_dist=args.max_dist, q=3
             )
         # clusters: transitive components over the Jaccard pair graph
         pairs = dedup.jaccard_pairs(docs, threshold=args.jaccard_threshold)

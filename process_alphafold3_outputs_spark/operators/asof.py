@@ -77,7 +77,23 @@ def as_of_join(
     need_b = direction in ("backward", "nearest")
     need_f = direction in ("forward", "nearest")
     carried = combined
-    r_ts = F.when(F.col("_is_left") == 0, F.col("_ts"))
+    # The carry is ONE struct of (ts, payload...) per right row, not a
+    # per-column carry: a struct with NULL fields is still non-NULL, so
+    # last/first(ignorenulls) always lands on the MATCHED right row. A
+    # per-column carry skips a NULL payload value and surfaces an
+    # older/farther right row's value while _bts/_fts (and the
+    # tolerance check) still point at the nearest row — pandas
+    # merge_asof returns NULL there, and now so do we.
+    r_struct = F.when(
+        F.col("_is_left") == 0,
+        F.struct(
+            F.col("_ts").alias("t"),
+            *[
+                F.col(f"_p_{p}").alias(f"p{i}")
+                for i, p in enumerate(payload)
+            ],
+        ),
+    )
     if need_b:
         # right rows at the same ts sort BEFORE left rows -> inclusive
         wb = (
@@ -86,14 +102,15 @@ def as_of_join(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         carried = carried.select(
+            "*", F.last(r_struct, ignorenulls=True).over(wb).alias("_b")
+        ).select(
             "*",
-            F.last(r_ts, ignorenulls=True).over(wb).alias("_bts"),
+            F.col("_b.t").alias("_bts"),
             *[
-                F.last(F.when(F.col("_is_left") == 0, F.col(f"_p_{p}")),
-                       ignorenulls=True).over(wb).alias(f"_b_{p}")
-                for p in payload
+                F.col(f"_b.p{i}").alias(f"_b_{p}")
+                for i, p in enumerate(payload)
             ],
-        )
+        ).drop("_b")
     if need_f:
         # left rows sort BEFORE right rows at the same ts -> the right
         # row lands inside the left row's following frame (inclusive)
@@ -103,14 +120,15 @@ def as_of_join(
             .rowsBetween(0, Window.unboundedFollowing)
         )
         carried = carried.select(
+            "*", F.first(r_struct, ignorenulls=True).over(wf).alias("_f")
+        ).select(
             "*",
-            F.first(r_ts, ignorenulls=True).over(wf).alias("_fts"),
+            F.col("_f.t").alias("_fts"),
             *[
-                F.first(F.when(F.col("_is_left") == 0, F.col(f"_p_{p}")),
-                        ignorenulls=True).over(wf).alias(f"_f_{p}")
-                for p in payload
+                F.col(f"_f.p{i}").alias(f"_f_{p}")
+                for i, p in enumerate(payload)
             ],
-        )
+        ).drop("_f")
 
     out = carried.filter(F.col("_is_left") == 1)
 

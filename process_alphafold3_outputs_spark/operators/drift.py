@@ -296,7 +296,12 @@ def ks_distance_banded(
     )
 
 
-def chi2_drift(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+def chi2_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    max_values: int = 100_000,
+) -> DataFrame:
     """One-row report: (column, n_ref, n_cur, n_categories, chi2) —
     Pearson's chi-square statistic of the CURRENT category counts
     against frequencies expected from the REFERENCE proportions
@@ -309,7 +314,31 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
 
     NULL is keyed as the pair (is_null=true, '') rather than a string
     sentinel — a sentinel like ' NULL' silently merges the NULL bucket
-    with a genuine category holding that exact string."""
+    with a genuine category holding that exact string.
+
+    ``max_values`` is the :func:`ks_distance` cardinality discipline:
+    the totals flow through one unpartitioned window over the category
+    table, which is fine for true categoricals but unbounded if a
+    caller passes a high-cardinality column (an id, a free-text field).
+    Cardinality is counted first (one aggregate-bounded scan of both
+    sides) and the statistic refuses to run past the cap with guidance
+    — bucket/band the column first, or raise the cap deliberately."""
+    v_cats = (
+        ref.select(F.col(col).cast("string").alias("_x"))
+        .union(cur.select(F.col(col).cast("string").alias("_x")))
+        .agg(F.countDistinct("_x").alias("_v"))
+        .collect()[0][0]
+    )
+    if v_cats > max_values:
+        raise ValueError(
+            f"chi2_drift merged category table has {v_cats} distinct "
+            f"{col!r} values (> max_values={max_values}); chi-square "
+            "is a CATEGORICAL statistic and the totals run through one "
+            "unpartitioned window over the category table. Bucket or "
+            "band the column first (for numerics use psi_report / "
+            "ks_distance_banded) or raise max_values deliberately."
+        )
+
     def counts(side: DataFrame, label: str) -> DataFrame:
         return (
             side.select(
@@ -552,6 +581,7 @@ def chi2_drift_many(
     ref: DataFrame,
     cur: DataFrame,
     cols: list[str],
+    max_values: int = 100_000,
 ) -> DataFrame:
     """One row per column: (col_name, n_ref, n_cur, n_categories,
     chi2) — the chi-square categorical drift of MANY columns in ONE
@@ -560,9 +590,38 @@ def chi2_drift_many(
     (col_name, is_null, value) rows and aggregates once; the per-column
     semantics are exactly :func:`chi2_drift` (collision-proof NULL
     keying, 0.5 Laplace floor for unseen categories, loud failure on
-    an empty reference)."""
+    an empty reference).
+
+    ``max_values`` caps PER-COLUMN category cardinality (counted for
+    every column in the same fused scan pair, so the guard adds no
+    per-column cost); the refusal names every offending column — the
+    :func:`ks_distance` loud-refusal discipline applied to the fused
+    form."""
     if not cols:
         raise ValueError("cols must be non-empty")
+    # one fused cardinality scan per side (no per-column loop): distinct
+    # category count for EVERY column before the real work runs
+    crow = (
+        ref.select(
+            *[F.col(c).cast("string").alias(c) for c in cols]
+        )
+        .union(
+            cur.select(*[F.col(c).cast("string").alias(c) for c in cols])
+        )
+        .agg(
+            *[F.countDistinct(F.col(c)).alias(f"_v_{c}") for c in cols]
+        )
+        .collect()[0]
+    )
+    over = {c: crow[f"_v_{c}"] for c in cols if crow[f"_v_{c}"] > max_values}
+    if over:
+        raise ValueError(
+            f"chi2_drift_many: columns over max_values={max_values} "
+            f"distinct categories: {over}; chi-square is a CATEGORICAL "
+            "statistic — bucket or band these columns first (for "
+            "numerics use psi_report_many / ks_distance_banded) or "
+            "raise max_values deliberately."
+        )
 
     def counts(side: DataFrame, label: str) -> DataFrame:
         long = side.select(
@@ -633,6 +692,7 @@ def psi_timeline(
     ts_sec_col: str,
     width: int,
     n_bins: int = 10,
+    max_buckets: int = 1_000_000,
 ) -> DataFrame:
     """(col_name, bucket, n_bins, n_ref, n_cur, psi) — the PSI of each
     ``width``-second bucket of ``cur`` against the FROZEN reference
@@ -645,7 +705,15 @@ def psi_timeline(
     row count is buckets x n_bins — never raw events.
 
     Rising psi across buckets localizes drift onset to a time window;
-    gate on the latest bucket, chart the rest."""
+    gate on the latest bucket, chart the rest.
+
+    The bucket spine is DENSE between the first and last observed
+    bucket: a bucket with ZERO current rows — a total data outage, the
+    strongest drift signal of all — emits an ``n_cur=0`` row (psi NULL;
+    0 rows have no distribution) instead of silently vanishing from
+    the timeline (advice r11). Refuses loudly past ``max_buckets``
+    spine rows — the gapfill counted-guard discipline; re-bucket
+    coarser rather than explode."""
     if width <= 0:
         raise ValueError(f"width must be positive seconds (got {width})")
     r = ref.select(F.col(col).cast("double").alias("_x")).filter(
@@ -659,16 +727,46 @@ def psi_timeline(
         F.col(col).cast("double").alias("_x"),
     ).filter(F.col("_x").isNotNull())
     cb = binned_counts(c, bounds, n_bins, "cur", extra_keys=["_bucket"])
-    spine = (
-        cb.select("_bucket")
-        .distinct()
-        .select(
-            "_bucket",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias(
-                "_bin"
-            ),
+    # Materialize the bucket-bounded aggregate once so the spine-bounds
+    # read and the grid join share it — the raw current stream is
+    # scanned exactly once (the gapfill checkpoint discipline).
+    cb = cb.localCheckpoint(eager=True)
+    # DENSE spine between first and last observed bucket: an empty
+    # bucket emits an n_cur=0 row (outage == drift signal) instead of
+    # vanishing. The collected bounds are two scalars off the
+    # checkpointed aggregate, doubling as the counted loud-refusal
+    # guard.
+    brow = cb.agg(
+        F.min("_bucket").alias("_mn"), F.max("_bucket").alias("_mx")
+    ).collect()[0]
+    spark_ = ref.sparkSession
+    if brow["_mn"] is None:
+        # empty current side: no observed buckets, empty timeline
+        spine = cb.select(
+            "_bucket", F.lit(0).alias("_bin")
+        ).limit(0)
+    else:
+        n_spine = (brow["_mx"] - brow["_mn"]) // width + 1
+        if n_spine > max_buckets:
+            raise ValueError(
+                f"psi_timeline spine spans {n_spine} buckets "
+                f"(> max_buckets={max_buckets}); widen `width` or "
+                "raise the cap deliberately."
+            )
+        spine = (
+            spark_.range(int(n_spine))
+            .select(
+                (F.lit(int(brow["_mn"])) + F.col("id") * width)
+                .cast("long")
+                .alias("_bucket")
+            )
+            .select(
+                "_bucket",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_bins - 1))
+                ).alias("_bin"),
+            )
         )
-    )
     grid = (
         spine.join(cb, ["_bucket", "_bin"], "left")
         .join(F.broadcast(rb), "_bin", "left")
@@ -690,8 +788,14 @@ def psi_timeline(
         .agg(
             F.max("_n_ref").cast("long").alias("n_ref"),
             F.max("_n_cur").cast("long").alias("n_cur"),
-            F.round(
-                F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6
+            # an outage bucket (n_cur=0) has NO distribution: psi NULL
+            # with the zero count alongside — never a smoothed
+            # uniform-vs-ref number a gate could misread as measured
+            F.when(
+                F.max("_n_cur") > 0,
+                F.round(
+                    F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6
+                ),
             ).alias("psi"),
         )
         .select(

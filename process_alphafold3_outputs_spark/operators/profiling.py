@@ -284,6 +284,7 @@ def candidate_keys(
     cols: list[str] | None = None,
     max_arity: int = 2,
     approx: bool = False,
+    max_exact_combos: int = 45,
 ) -> DataFrame:
     """(columns, arity, n_rows, n_distinct, uniqueness, is_key) — which
     columns (and, at ``max_arity=2``, column pairs) uniquely identify a
@@ -302,6 +303,17 @@ def candidate_keys(
     one out) — the scale form for a first pass over a wide 100 TB
     table; certify the survivors with a second exact pass over the few
     candidate combinations.
+
+    ``max_exact_combos`` guards the exact form's plan shape: Spark
+    rewrites N distinct aggregates in one agg via Expand — every input
+    row is REPLICATED N times (one copy per distinct group) before the
+    shuffle, so m columns cost an (m + m·(m−1)/2)-way row
+    multiplication of the whole scan. The default cap of 45 combos
+    (m = 9 columns at ``max_arity=2``) bounds that factor; a wider
+    table refuses loudly and routes to ``approx=True`` (HLL++ sketches
+    fuse WITHOUT Expand — one pass at any width), whose few survivors
+    can then be certified exactly. Raise the cap deliberately if you
+    have the cluster for the multiplication.
     """
     if cols is None:
         cols = [c for c, _ in df.dtypes]
@@ -318,6 +330,17 @@ def candidate_keys(
             for i in range(len(cols))
             for j in range(i + 1, len(cols))
         ]
+    if not approx and len(combos) > max_exact_combos:
+        raise ValueError(
+            f"candidate_keys(approx=False) over {len(cols)} columns "
+            f"plans {len(combos)} exact COUNT DISTINCTs as one "
+            f"{len(combos)}-way Expand — every scanned row is "
+            f"replicated {len(combos)}x before the shuffle "
+            f"(> max_exact_combos={max_exact_combos}). Use "
+            "approx=True for the first pass (HLL++ fuses without "
+            "Expand) and certify the few survivors exactly, or raise "
+            "max_exact_combos deliberately."
+        )
 
     def distinct_expr(combo: tuple[str, ...]):
         if not approx:
@@ -489,3 +512,65 @@ def correlation_matrix(
             )
         ).alias("_c")
     ).select("_c.*")
+
+
+def top_values_timeline(
+    df: DataFrame,
+    cols: list[str],
+    ts_sec_col: str,
+    width: int,
+    k: int = 5,
+) -> DataFrame:
+    """(bucket, col_name, value, n, rank) — :func:`top_values` per
+    ``width``-second time bucket: WHEN did a column's category mix
+    shift (a new dominant source appearing mid-crawl, a language mix
+    flip after an ingest change) — the categorical companion to
+    ``drift.psi_timeline``'s numeric when-axis. Same contract as
+    top_values: ONE unpivot pass, one (bucket, col, value)-keyed
+    aggregation with map-side combine, one window bounded at k rows
+    per (bucket, col); NULL is a value under the collision-proof
+    (is_null, value) key pair; ties break by value string for
+    cross-engine determinism. Downstream row counts are
+    buckets x cols x k — never raw events."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if width <= 0:
+        raise ValueError(f"width must be positive seconds (got {width})")
+    t = F.col(ts_sec_col).cast("long")
+    long = df.select(
+        (t - (((t % width) + width) % width)).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").isNull().alias("_is_null"),
+                        F.coalesce(F.col(c).cast("string"), F.lit(""))
+                        .alias("_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_e"),
+    ).select("bucket", "_e.*")
+    counts = long.groupBy("bucket", "col_name", "_is_null", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("bucket", "col_name").orderBy(
+        F.desc("n"), F.asc("_is_null"), F.asc("_v")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "bucket",
+            "col_name",
+            F.when(F.col("_is_null"), F.lit(None).cast("string"))
+            .otherwise(F.col("_v"))
+            .alias("value"),
+            "n",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -3500,9 +3500,6 @@ NORM_TRANSLATE_DST = "'''\"\"\"--- "
 #: the DST table as a ready-made SQL literal (ASCII quotes doubled)
 #: so oracle SQL can inject the IDENTICAL fold table
 _NORM_DST_SQL = "'" + NORM_TRANSLATE_DST.replace("'", "''") + "'"
-#: the DST table as a ready-made SQL literal (ASCII quotes doubled)
-#: so oracle SQL can inject the IDENTICAL fold table
-_NORM_DST_SQL = "'" + NORM_TRANSLATE_DST.replace("'", "''") + "'"
 
 
 def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -8704,11 +8704,17 @@ def event_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  AS INT))) END AS bin,
                   count(*) AS cc
            FROM c, b GROUP BY 1, 2),
-    spine AS (SELECT DISTINCT cb.bucket, g.bin
-              FROM cb, (SELECT unnest(generate_series(0, 9)) AS bin) g),
+    -- DENSE bucket spine between first and last observed bucket: an
+    -- empty bucket (outage) emits an n_cur=0 row with psi NULL
+    spine AS (SELECT unnest(generate_series(
+                  (SELECT min(bucket) FROM cb),
+                  (SELECT max(bucket) FROM cb), 86400)) AS bucket),
+    spinebins AS (SELECT s.bucket, g.bin
+                  FROM spine s,
+                       (SELECT unnest(generate_series(0, 9)) AS bin) g),
     grid AS (SELECT s.bucket, s.bin,
                     coalesce(rb.cr, 0) AS cr, coalesce(cb.cc, 0) AS cc
-             FROM spine s
+             FROM spinebins s
              LEFT JOIN rb ON rb.bin = s.bin
              LEFT JOIN cb ON cb.bucket = s.bucket AND cb.bin = s.bin),
     tot AS (SELECT bucket, CAST(sum(cr) AS BIGINT) AS nr,
@@ -8716,10 +8722,12 @@ def event_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM grid GROUP BY bucket)
     SELECT 'value' AS col_name, g.bucket, 10 AS n_bins,
            t.nr AS n_ref, t.nc AS n_cur,
+           CASE WHEN t.nc > 0 THEN
            round(sum(((cc + 0.5) / (t.nc + 5.0)
                       - (cr + 0.5) / (t.nr + 5.0))
                      * ln(((cc + 0.5) / (t.nc + 5.0))
-                          / ((cr + 0.5) / (t.nr + 5.0)))), 6) AS psi
+                          / ((cr + 0.5) / (t.nr + 5.0)))), 6)
+           END AS psi
     FROM grid g JOIN tot t ON t.bucket = g.bucket
     GROUP BY g.bucket, t.nr, t.nc
     """,
@@ -8742,3 +8750,88 @@ def drift_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
     )
     return psi_timeline(base, cur, "value", "t", width=86400, n_bins=10)
+
+
+# --------------------------------------------------------------------------
+# edit-distance similarity join (NEW r12): lossless q-gram count filter
+# + banded-DP Levenshtein verify. The oracle is the DEFINITION — the
+# full O(N^2) brute force (DuckDB's native levenshtein is the same
+# classic edit distance as Spark's) — so the kernel's q-gram candidate
+# pruning is value-proven lossless at sf0.01, not just pytest-scale.
+# 60-char prefixes equalize lengths (tightening the count bound) and
+# satisfy the min-length contract len >= q*(d+1) = 39.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_edit_distance",
+    sql="""
+    WITH p AS (SELECT doc_id, substr(text, 1, 60) AS t
+               FROM documents WHERE text IS NOT NULL)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.t, b.t) AS INT) AS edit_distance
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= 12
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within Levenshtein distance 12 over their
+    60-char prefixes (deferred — pytest-mirrored): the metric-ball
+    similarity join the first-token-blocked ER row does not cover.
+    Kernel: operators/dedup.edit_distance_pairs (q-gram multiset count
+    filter -> inverted-index candidates -> banded-DP verify)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    return dedup.edit_distance_pairs(docs, max_dist=12, q=3)
+
+
+# --------------------------------------------------------------------------
+# heavy-hitter timeline (NEW r12): top_values per time bucket — the
+# categorical WHEN-axis companion to drift_psi_timeline. The oracle
+# restates the bucket floor, the (is_null, value) keying, and the
+# deterministic (n DESC, is_null ASC, value ASC) tie order.
+# --------------------------------------------------------------------------
+@register(
+    "profile_top_values_timeline",
+    sql="""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      event_type, props
+               FROM events),
+    long AS (
+        SELECT t - ((t % 86400 + 86400) % 86400) AS bucket,
+               'event_type' AS col_name,
+               event_type IS NULL AS is_null,
+               coalesce(event_type, '') AS v
+        FROM e
+        UNION ALL
+        SELECT t - ((t % 86400 + 86400) % 86400) AS bucket,
+               'props' AS col_name,
+               props IS NULL AS is_null,
+               coalesce(props, '') AS v
+        FROM e),
+    counts AS (SELECT bucket, col_name, is_null, v,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM long GROUP BY 1, 2, 3, 4),
+    ranked AS (SELECT *,
+                      row_number() OVER (
+                          PARTITION BY bucket, col_name
+                          ORDER BY n DESC, is_null ASC, v ASC
+                      ) AS rank
+               FROM counts)
+    SELECT bucket, col_name,
+           CASE WHEN is_null THEN NULL ELSE v END AS value,
+           n, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def profile_top_values_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily top-3 heavy hitters of event_type and props over the
+    events stream (deferred — pytest-mirrored): WHEN did the category
+    mix shift. Kernel: operators/profiling.top_values_timeline (one
+    unpivot scan; downstream rows are buckets x cols x k)."""
+    from ..operators.profiling import top_values_timeline
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(event_seconds(ev).alias("t"), "event_type", "props")
+    return top_values_timeline(
+        e, ["event_type", "props"], "t", width=86400, k=3
+    )

@@ -508,8 +508,14 @@ def file_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema on re-read (never inferSchema — a schema probe is
     an extra scan and a type lottery at 100 TB), quoting/escaping left
     to Spark's RFC-4180 writer, round-trip mangling (embedded quotes,
-    commas, newlines in text) breaks the value hash. Deferred —
-    pytest-mirrored."""
+    commas, newlines in text) breaks the value hash. The re-read sets
+    ``multiLine`` + the writer's escape char so a quoted value holding
+    an embedded NEWLINE parses back as one row — without it the reader
+    splits records on raw line breaks and a newline-bearing text field
+    silently becomes two rows (advice r11; multiLine costs
+    per-file-splittable parallelism, which is the honest price of
+    newline-bearing CSV at any scale — prefer parquet/ORC there).
+    Deferred — pytest-mirrored."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     out = os.path.join(
         OUT_DIR, "documents_csv", os.path.basename(os.path.normpath(sf_dir))
@@ -521,6 +527,7 @@ def file_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars long"
         )
         .option("header", True)
+        .option("multiLine", True)
         .csv(out)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )

@@ -1854,7 +1854,17 @@ def watch_events_rate(
     the whole history — stream == batch pinned in pytest. State is one
     bounded row per key (the max-(ts, seq) observation), crash-replay
     idempotent like every watcher here. ``counter=True`` applies the
-    Prometheus reset semantics. Returns the StreamingQuery."""
+    Prometheus reset semantics. Returns the StreamingQuery.
+
+    The stream == batch EXACT claim assumes IN-ORDER event-time
+    arrival per key: state keeps only each key's max-(ts, seq) row, so
+    an observation arriving in a LATER epoch than a higher-ts sibling
+    rates as NULL (batch would rate it against its true predecessor),
+    and the rate already emitted for its successor is never revised.
+    Feeds that can deliver late must be compacted/re-sorted upstream,
+    or rated in batch. (The OHLC watcher has no such caveat — min/max/
+    first/last-by-ts merge order-independently; a derivative against
+    the previous row does not.)"""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

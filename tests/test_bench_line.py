@@ -30,7 +30,11 @@ def test_driver_line_bounded_for_huge_suite():
         timings[q] = 9999.999
     errors = {f"failing_query_with_a_long_name_{i:03d}": "boom " * 200
               for i in range(40)}
-    line = bench.build_driver_line(timings, errors, sf=0.1, n_runs=6)
+    # worst-case-width spread for every timed query: the line embeds
+    # only the LINE_QUERIES subset of mins, but hand it everything
+    spread = {q: [9999.999, 99999.999] for q in timings}
+    line = bench.build_driver_line(
+        timings, errors, sf=0.1, n_runs=6, spread=spread)
     assert len(line) <= bench.MAX_LINE_LEN
     doc = json.loads(line)
     assert doc["metric"] == "headline_queries_total_runtime"
@@ -38,6 +42,11 @@ def test_driver_line_bounded_for_huge_suite():
     assert doc["stat"] == "median"
     assert doc["n_queries"] == len(timings)
     assert doc["n_failed"] == 40
+    # the noise-attribution channel: per-query min + suite loadavg
+    assert set(doc["queries_min"]) == set(doc["queries"])
+    assert all(doc["queries_min"][q] <= 9999.999 + 1e-9
+               for q in doc["queries_min"])
+    assert isinstance(doc["loadavg_1m"], float)
     assert len(doc["failed"]) == 10  # capped, count preserved above
     # every embedded query is from the fixed subset
     assert set(doc["queries"]) <= set(bench.LINE_QUERIES)

@@ -1,0 +1,99 @@
+"""Lossless q-gram edit-distance join — differential vs the O(N^2)
+brute force (the definitional oracle) plus contract guards."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from process_alphafold3_outputs_spark.operators.dedup import (
+    edit_distance_pairs,
+)
+
+
+def _brute(spark, docs, max_dist):
+    a = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("text").alias("_tb"))
+    return {
+        (r.doc_a, r.doc_b): r.d
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("_ta", "_tb").alias("d"),
+        )
+        .filter(F.col("d") <= max_dist)
+        .collect()
+    }
+
+
+def _pairs(spark, docs, max_dist, q=3):
+    return {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in edit_distance_pairs(docs, max_dist, q=q).collect()
+    }
+
+
+def test_edit_distance_matches_brute_force_randomized(spark):
+    """60 strings over a 4-letter alphabet with heavy gram repetition
+    (the multiset-count edge: distinct-gram counting over-prunes
+    repetitive text) — kernel == brute force at several (d, q)."""
+    rng = random.Random(77)
+    base = ["".join(rng.choice("abcd") for _ in range(30))
+            for _ in range(12)]
+    rows = []
+    i = 0
+    for s in base:
+        for _ in range(5):
+            t = list(s)
+            for _ in range(rng.randrange(0, 5)):
+                op = rng.randrange(3)
+                pos = rng.randrange(len(t))
+                if op == 0:
+                    t[pos] = rng.choice("abcd")
+                elif op == 1 and len(t) > 25:
+                    del t[pos]
+                else:
+                    t.insert(pos, rng.choice("abcd"))
+            rows.append((i, "".join(t)))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for d, q in ((3, 3), (5, 2), (0, 3)):
+        got = _pairs(spark, docs, d, q=q)
+        want = _brute(spark, docs, d)
+        assert got == want, (d, q)
+    assert any(v > 0 for v in _brute(spark, docs, 5).values())
+
+
+def test_edit_distance_repeated_gram_multiset_edge(spark):
+    """Two strings built almost entirely of ONE repeated gram: their
+    distinct-gram overlap is 1 but the multiset overlap is large — a
+    distinct-count bound would drop the pair; the multiset bound must
+    keep it."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 30), (2, "a" * 29 + "b")], "doc_id long, text string"
+    )
+    assert _pairs(spark, docs, 2, q=3) == {(1, 2): 1}
+
+
+def test_edit_distance_guards(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, None)], "doc_id long, text string"
+    )
+    # 6 < q*(d+1) = 3*3: refused loudly, not silently lossy
+    with pytest.raises(ValueError, match="shorter than"):
+        edit_distance_pairs(docs, 2, q=3)
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(docs, -1)
+    with pytest.raises(ValueError, match="q must"):
+        edit_distance_pairs(docs, 2, q=0)
+    # at d=0 on exactly-min-length strings it runs (NULL text dropped)
+    ok = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, None)], "doc_id long, text string"
+    )
+    assert _pairs(spark, ok, 0, q=3) == {(1, 2): 0}

@@ -681,3 +681,27 @@ def test_rate_and_zscore_are_one_exchange(spark, sf_dir):
         assert "Join type:" not in plan
         assert "Exchange SinglePartition" not in plan
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_candidate_keys_expand_factor_is_bounded(spark):
+    """The exact candidate_keys plan replicates every scanned row once
+    per distinct group via Expand — for m columns at max_arity=2 that
+    is 1 + m + C(m,2) copies (the +1 is the plain row count's group).
+    This pins the factor the max_exact_combos guard bounds: default cap
+    45 combos == a 46-way Expand, the plan shape a 9-column exact pass
+    ships to the cluster; anything wider must take approx=True (HLL++,
+    no Expand)."""
+    import re
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        candidate_keys,
+    )
+
+    df = spark.range(5).selectExpr("id AS a", "id AS b", "id AS c")
+    plan = formatted_plan(candidate_keys(df))
+    expand = re.search(r"\(\d+\) Expand\n(?:.*\n)*?Arguments: (\[\[.*)", plan)
+    assert expand, "exact form must plan multi-distinct via Expand"
+    # one [..., gid] sub-list per distinct group: 1 + 3 cols + 3 pairs
+    assert len(re.findall(r", \d+\]", expand.group(1))) == 7
+    # the sketch path carries NO Expand at any width
+    assert "Expand" not in formatted_plan(candidate_keys(df, approx=True))

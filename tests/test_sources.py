@@ -226,3 +226,33 @@ def test_fallback_parse_coerces_bad_types_instead_of_aborting(spark, tmp_path):
     assert rows["stringy_job"].ptm == 0.5
     m = rows["stringy_job"].chain_pair_pae_min
     assert m[0][0] == 1.0 and m[0][1] is None and m[1][1] == 3.0
+
+
+def test_csv_roundtrip_survives_embedded_newlines(spark, tmp_path):
+    """file_roundtrip_csv's re-read must parse a QUOTED value holding
+    an embedded newline as one row (advice r11: without multiLine the
+    reader splits records on raw line breaks — a newline-bearing text
+    value silently became two rows). Hostile values: newline, CRLF,
+    quote, comma, all in one corpus."""
+    from process_alphafold3_outputs_spark.plans.driver_queries_files import (
+        file_roundtrip_csv,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    rows = [
+        (1, "plain", "en", "web", 5),
+        (2, "line one\nline two", "en", "web", 17),
+        (3, "crlf\r\nafter", "de", "book", 11),
+        (4, 'quoted "middle" text', "fr", "web", 20),
+        (5, "comma, separated, stuff", "en", "code", 23),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.text, r.lang, r.source, r.n_chars)
+        for r in file_roundtrip_csv(spark, sf_dir).collect()
+    }
+    want = {d: (t, la, s, n) for d, t, la, s, n in rows}
+    assert got == want
