@@ -1149,6 +1149,70 @@ def _scale_probe_layout(spark) -> dict:
     }
 
 
+def _scale_probe_editdist(spark, sf_dir: str) -> dict:
+    """10x datapoint for the r12 PassJoin edit-distance join: 1x and
+    10x back-to-back in one load window, min-vs-min + out_rows
+    attribution. The 10 copies remap characters with DISTINCT
+    bijections ("aeiou" -> ten different 5-letter targets): a
+    bijective char map preserves within-copy Levenshtein distances
+    EXACTLY (out_rows_10x must be exactly 10x out_rows_1x) while any
+    cross-copy pair differs at every vowel (>> max_dist) — so the
+    output is linear by construction and a superlinear wall is
+    candidate-generation cost, never result volume."""
+    from pyspark.sql import functions as F
+
+    from process_alphafold3_outputs_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+    from process_alphafold3_outputs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    n = docs.count()
+    maps = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
+            "xyzqj", "yzqjx", "zqjxy", "qjxyz", "jxyzq"]
+    copies = [
+        docs.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.translate("text", "aeiou", maps[i]).alias("text"),
+        )
+        for i in range(10)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+
+    def action(frame):
+        return lambda: _noop_write(
+            edit_distance_pairs(frame, max_dist=6, q=3, mode="passjoin")
+        )
+
+    one = _probed_wall(spark, action(docs))
+    ten = _probed_wall(spark, action(big))
+    out_1x = edit_distance_pairs(
+        docs, max_dist=6, q=3, mode="passjoin"
+    ).count()
+    out_10x = edit_distance_pairs(
+        big, max_dist=6, q=3, mode="passjoin"
+    ).count()
+    return {
+        "n_docs": n * 10,
+        **ten,
+        "out_rows_1x": out_1x,
+        "out_rows_10x": out_10x,
+        "out_ratio_10x": round(out_10x / out_1x, 2) if out_1x else None,
+        "wall_1x_same_window": one["wall_sec"],
+        "wall_1x_spread": one["wall_spread"],
+        "wall_ratio_10x_data": round(
+            ten["wall_sec"] / one["wall_sec"], 2
+        ) if one["wall_sec"] > 0 else None,
+        "wall_ratio_min_vs_min": round(
+            ten["wall_spread"][0] / max(one["wall_spread"][0], 1e-9), 2
+        ),
+    }
+
+
 def _scale_probe_maintenance(spark, sf_dir: str) -> dict:
     """Two datapoints for the r10 merge family (operators/maintenance):
     ``apply_changelog`` at 10x SNAPSHOT with a fixed change batch should
@@ -1394,6 +1458,12 @@ def main() -> None:
             scale_probe["sketches"] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"bench: sketches scale probe failed: "
                   f"{scale_probe['sketches']['error'][:200]}", file=sys.stderr)
+        try:
+            scale_probe["editdist"] = _scale_probe_editdist(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            scale_probe["editdist"] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"bench: editdist scale probe failed: "
+                  f"{scale_probe['editdist']['error'][:200]}", file=sys.stderr)
         try:
             scale_probe["maintenance"] = _scale_probe_maintenance(
                 spark, sf_dir

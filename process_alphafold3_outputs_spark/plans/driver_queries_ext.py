@@ -8759,7 +8759,7 @@ def drift_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classic edit distance as Spark's) — so the kernel's q-gram candidate
 # pruning is value-proven lossless at sf0.01, not just pytest-scale.
 # 60-char prefixes equalize lengths (tightening the count bound) and
-# satisfy the min-length contract len >= q*(d+1) = 39.
+# satisfy the min-length contract len >= q*(d+1) = 21.
 # --------------------------------------------------------------------------
 @register(
     "dedup_edit_distance",
@@ -8769,19 +8769,23 @@ def drift_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.t, b.t) AS INT) AS edit_distance
     FROM p a JOIN p b ON a.doc_id < b.doc_id
-    WHERE levenshtein(a.t, b.t) <= 12
+    WHERE levenshtein(a.t, b.t) <= 6
     """,
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs within Levenshtein distance 12 over their
+    """All document pairs within Levenshtein distance 6 over their
     60-char prefixes (deferred — pytest-mirrored): the metric-ball
     similarity join the first-token-blocked ER row does not cover.
-    Kernel: operators/dedup.edit_distance_pairs (q-gram multiset count
-    filter -> inverted-index candidates -> banded-DP verify)."""
+    Kernel: operators/dedup.edit_distance_pairs; mode="passjoin"
+    pinned — the word-salad corpus is exactly the hot-gram case the
+    segment/substring index exists for (the auto-gate picks it too;
+    pinning keeps the bench row's plan deterministic)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 60).alias("text")
     )
-    return dedup.edit_distance_pairs(docs, max_dist=12, q=3)
+    return dedup.edit_distance_pairs(
+        docs, max_dist=6, q=3, mode="passjoin"
+    )
 
 
 # --------------------------------------------------------------------------

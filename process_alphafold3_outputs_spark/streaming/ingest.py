@@ -41,6 +41,10 @@ cannot drift:
 - ``watch_table_drift``: drift gate — reference PSI bins frozen at
   epoch 0 (bin-bounded state), cumulative one-row PSI per epoch on the
   shared ``psi_from_binned`` kernel.
+- ``watch_top_values``: streaming heavy hitters — mergeable
+  (col, value) counts in versioned state (cardinality-capped with a
+  loud refusal), cumulative ``profiling.top_values`` report per epoch;
+  stream == batch EXACT with no arrival-order caveat.
 """
 
 from __future__ import annotations
@@ -1882,3 +1886,143 @@ def watch_events_rate(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def watch_top_values(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    cols: list[str],
+    k: int = 5,
+    max_values: int = 10_000,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming heavy hitters (the 24th watcher): every micro-batch
+    folds its per-(column, value) counts into the versioned state and
+    emits the cumulative ``profiling.top_values`` report
+    (col_name, value, n, rank) — "what dominates each column of the
+    accumulating table" as a ``len(cols) · k``-row read after every
+    drop. Counts are mergeable, so stream == batch-over-whole-history
+    is EXACT with NO arrival-order caveat (unlike the rate watcher's
+    in-order assumption): sum over any batch split equals the one-shot
+    count, pinned in pytest alongside crash replay.
+
+    State is one row per OBSERVED (column, value) pair — bounded only
+    for genuinely categorical columns, which is why ``max_values``
+    counts each column's state cardinality after every merge and fails
+    the query LOUDLY past the cap (the chi2_drift/ks_distance refusal
+    discipline, streamed): an id-like column would otherwise grow the
+    state without bound and every epoch would re-shuffle it. NULL is a
+    value under the collision-proof (is_null, value) key pair;
+    ``cols`` is frozen into the state lineage (the n_bins guard
+    discipline) — restarting with different columns fails loudly."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _top_values_process_batch(
+            batch_df, epoch_id, state_path, out_path, cols, k,
+            max_values,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _top_values_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    cols: list[str],
+    k: int,
+    max_values: int,
+) -> None:
+    """One heavy-hitter micro-batch (module-level for unit tests).
+    State rows: (col_name, is_null, v, n)."""
+    from pyspark.sql import Window as SW
+    from pyspark.sql import functions as SF
+
+    ss = batch_df.sparkSession
+    state_schema = "col_name string, is_null boolean, v string, n long"
+    prev = read_state(ss, state_path, state_schema, before_epoch=epoch_id)
+    if not prev.isEmpty():
+        state_cols = {
+            r.col_name for r in prev.select("col_name").distinct().collect()
+        }
+        if state_cols - set(cols):
+            raise ValueError(
+                f"watch_top_values state at {state_path!r} tracks "
+                f"columns {sorted(state_cols)} but the watcher was "
+                f"restarted with cols={cols!r}; the column set is "
+                "frozen for the lineage. Restart with the original "
+                "cols or point at a fresh state path."
+            )
+    long = batch_df.select(
+        SF.explode(
+            SF.array(
+                *[
+                    SF.struct(
+                        SF.lit(c).alias("col_name"),
+                        SF.col(c).cast("string").isNull().alias("is_null"),
+                        SF.coalesce(SF.col(c).cast("string"), SF.lit(""))
+                        .alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.*")
+    batch_counts = long.groupBy("col_name", "is_null", "v").agg(
+        SF.count(SF.lit(1)).cast("long").alias("n")
+    )
+    merged = (
+        prev.unionByName(batch_counts)
+        .groupBy("col_name", "is_null", "v")
+        .agg(SF.sum("n").cast("long").alias("n"))
+    )
+    merged = merged.localCheckpoint()
+    # counted loud-refusal AFTER the merge (one agg over the bounded
+    # state): an id-like column must kill the query, not grow the
+    # state forever
+    over = (
+        merged.groupBy("col_name")
+        .agg(SF.count(SF.lit(1)).alias("_nv"))
+        .filter(SF.col("_nv") > max_values)
+        .collect()
+    )
+    if over:
+        raise ValueError(
+            f"watch_top_values: columns over max_values={max_values} "
+            f"distinct state values: "
+            f"{ {r.col_name: r._nv for r in over} }; heavy hitters "
+            "over a stream need a bounded category set — drop the "
+            "column, bucket it upstream, or raise max_values "
+            "deliberately."
+        )
+    roll_state(merged, state_path, epoch_id)
+    w = SW.partitionBy("col_name").orderBy(
+        SF.desc("n"), SF.asc("is_null"), SF.asc("v")
+    )
+    report = (
+        merged.withColumn("rank", SF.row_number().over(w))
+        .filter(SF.col("rank") <= k)
+        .select(
+            "col_name",
+            SF.when(SF.col("is_null"), SF.lit(None).cast("string"))
+            .otherwise(SF.col("v"))
+            .alias("value"),
+            "n",
+            SF.col("rank").cast("int").alias("rank"),
+        )
+    )
+    _write_epoch_output(report, out_path, epoch_id)

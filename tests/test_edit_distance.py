@@ -32,10 +32,12 @@ def _brute(spark, docs, max_dist):
     }
 
 
-def _pairs(spark, docs, max_dist, q=3):
+def _pairs(spark, docs, max_dist, q=3, mode="auto"):
     return {
         (r.doc_a, r.doc_b): r.edit_distance
-        for r in edit_distance_pairs(docs, max_dist, q=q).collect()
+        for r in edit_distance_pairs(
+            docs, max_dist, q=q, mode=mode
+        ).collect()
     }
 
 
@@ -64,9 +66,17 @@ def test_edit_distance_matches_brute_force_randomized(spark):
             i += 1
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     for d, q in ((3, 3), (5, 2), (0, 3)):
-        got = _pairs(spark, docs, d, q=q)
         want = _brute(spark, docs, d)
-        assert got == want, (d, q)
+        # BOTH candidate paths must equal the brute force: the PassJoin
+        # segment/substring index and the full inverted-index count
+        # filter (the 4-letter alphabet makes every gram hot — the
+        # selective path's reason to exist). The corpus has VARIED
+        # lengths (insert/delete mutations), so the PassJoin partner-
+        # length probe grid is genuinely exercised.
+        assert _pairs(spark, docs, d, q=q, mode="passjoin") == want, (
+            d, q, "passjoin")
+        assert _pairs(spark, docs, d, q=q, mode="countfilter") == want, (
+            d, q, "countfilter")
     assert any(v > 0 for v in _brute(spark, docs, 5).values())
 
 
@@ -78,7 +88,8 @@ def test_edit_distance_repeated_gram_multiset_edge(spark):
     docs = spark.createDataFrame(
         [(1, "a" * 30), (2, "a" * 29 + "b")], "doc_id long, text string"
     )
-    assert _pairs(spark, docs, 2, q=3) == {(1, 2): 1}
+    assert _pairs(spark, docs, 2, q=3, mode="passjoin") == {(1, 2): 1}
+    assert _pairs(spark, docs, 2, q=3, mode="countfilter") == {(1, 2): 1}
 
 
 def test_edit_distance_guards(spark):
@@ -92,6 +103,8 @@ def test_edit_distance_guards(spark):
         edit_distance_pairs(docs, -1)
     with pytest.raises(ValueError, match="q must"):
         edit_distance_pairs(docs, 2, q=0)
+    with pytest.raises(ValueError, match="mode must"):
+        edit_distance_pairs(docs, 2, mode="nope")
     # at d=0 on exactly-min-length strings it runs (NULL text dropped)
     ok = spark.createDataFrame(
         [(1, "abc"), (2, "abc"), (3, None)], "doc_id long, text string"

@@ -711,3 +711,85 @@ def test_cli_profile_timeline_and_dedup_editdist(spark, tmp_path):
     assert res["rows"] == 1
     row = spark.read.parquet(out2).collect()[0]
     assert (row.doc_a, row.doc_b, row.edit_distance) == (1, 2, 1)
+
+
+def test_watch_top_values_stream_equals_batch_and_replays(spark, tmp_path):
+    """Two epochs through the 24th watcher == profiling.top_values over
+    the union (counts are mergeable — EXACT with no arrival-order
+    caveat); NULL keyed collision-proof; crash replay idempotent;
+    max_values and restart-cols guards fail loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        top_values,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _top_values_process_batch,
+        read_state,
+        watch_top_values,
+    )
+
+    schema = "g string, h string"
+    rows0 = [(f"g{i % 3}", None if i % 5 == 0 else f"h{i % 4}")
+             for i in range(30)]
+    rows1 = [(f"g{i % 2}", f"h{i % 6}") for i in range(20)]
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "tv")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows0, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    q = watch_top_values(
+        spark, inbox, out, state, ckpt, schema, ["g", "h"], k=3
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "epoch_id=1"))
+        .collect()
+    )
+    union = spark.createDataFrame(rows0 + rows1, schema)
+    batch = sorted(
+        tuple(r) for r in top_values(union, ["g", "h"], k=3).collect()
+    )
+    assert latest == batch
+    # crash replay of epoch 1: same state, same report
+    _top_values_process_batch(
+        spark.createDataFrame(rows1, schema), 1, state, out,
+        ["g", "h"], 3, 10_000,
+    )
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "epoch_id=1"))
+        .collect()
+    )
+    assert again == latest
+    # state is (col, value)-bounded: 3+1 g values (g2 only in rows0),
+    # 6 h values + NULL
+    st = read_state(
+        spark, state, "col_name string, is_null boolean, v string, n long"
+    )
+    assert st.count() == 3 + 7
+    # cardinality guard: cap below the observed h cardinality
+    with _pytest.raises(ValueError, match="max_values=5"):
+        _top_values_process_batch(
+            spark.createDataFrame(rows1, schema), 2, state, out,
+            ["g", "h"], 3, 5,
+        )
+    # lineage guard: restart without a tracked column
+    with _pytest.raises(ValueError, match="frozen for the lineage"):
+        _top_values_process_batch(
+            spark.createDataFrame([("a",)], "g string"), 2, state, out,
+            ["g"], 3, 10_000,
+        )
