@@ -672,6 +672,12 @@ _DEFERRED: set[str] = {
     "sliding_window_batch",  # sliding F.window; tumbling row + streaming
                              # parity tests cover the mechanics
     "revenue_per_nation",
+    "quality_infer_expectations",  # inferred expectation suite (new
+                             # r12): the discovery->contract bridge;
+                             # fused-agg mechanics evidenced by the
+                             # green quality_expectations driver row,
+                             # self-consistency pytest-pinned
+                             # (deferred: headroom)
     "profile_top_values_timeline",  # per-bucket heavy hitters (new
                              # r12): the categorical WHEN-axis next to
                              # drift_psi_timeline; unpivot + keyed agg

@@ -128,6 +128,13 @@ BENCH_DEFERRED = {
     "drift_psi_timeline": "drift_psi (the benched frozen-bin PSI "
                           "kernel) + event_gapfill (the benched "
                           "bucket-grain representative)",
+    "quality_infer_expectations": "quality_expectations (the benched "
+                                  "one-scan fused constraint check — "
+                                  "inference is the same agg shape "
+                                  "with the rule emission driver-side "
+                                  "over a column-bounded row) + "
+                                  "profile_table (the benched fused "
+                                  "profile pass)",
     "profile_top_values_timeline": "profile_top_values (the benched "
                                    "unpivot + keyed-agg + bounded-"
                                    "window heavy-hitter kernel; the "

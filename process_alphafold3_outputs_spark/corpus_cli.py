@@ -54,7 +54,9 @@ line to stdout):
                  same-language segments (text.paragraph_language_profile /
                  split_by_language)
   expect         Deequ-style constraint report over ANY parquet table
-                 (operators.expect.check_expectations)
+                 (operators.expect.check_expectations); --infer emits
+                 a PROPOSED suite learned from the table itself
+                 (expect.infer_expectations — persist, then gate)
   privacy        k-anonymity / l-diversity violations or the one-row
                  re-identification risk report over ANY parquet table
                  (operators.privacy)
@@ -372,6 +374,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rows whose COL is older than AS_OF - MAX_AGE "
                     "are violations (as_of is explicit — the caller "
                     "owns 'now')")
+    sp.add_argument("--infer", action="store_true",
+                    help="emit a PROPOSED suite inferred from the "
+                    "table itself (not_null/unique/range/in_set) "
+                    "instead of checking rules — persist it, then "
+                    "gate later drops against it")
+    sp.add_argument("--infer-col", action="append", default=None,
+                    metavar="COL", help="with --infer: limit "
+                    "inference to these columns")
+    sp.add_argument("--max-set-values", type=int, default=20,
+                    help="with --infer: in_set proposed only up to "
+                    "this cardinality")
 
     sp = sub.add_parser("profile")
     sp.add_argument("--input", required=True,
@@ -1135,6 +1148,14 @@ def _result(
     if args.command == "expect":
         from .operators.expect import check_expectations
 
+        if args.infer:
+            from .operators.expect import infer_expectations
+
+            return infer_expectations(
+                spark.read.parquet(args.input),
+                cols=args.infer_col,
+                max_set_values=args.max_set_values,
+            )
         rules: list[dict] = []
         rules += [{"column": c, "check": "not_null"} for c in args.not_null]
         rules += [{"column": c, "check": "unique"} for c in args.unique]

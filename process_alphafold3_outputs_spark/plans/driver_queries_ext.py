@@ -8839,3 +8839,73 @@ def profile_top_values_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_values_timeline(
         e, ["event_type", "props"], "t", width=86400, k=3
     )
+
+
+# --------------------------------------------------------------------------
+# expectation-suite inference (NEW r12): the discovery -> contract
+# bridge. The oracle restates every inference rule per column (gated
+# UNION ALL branches over one stats CTE); at sf0.01 the documents table
+# exercises each rule class: doc_id (not_null+unique+range), text
+# (not_null+unique), lang (not_null+in_set), source (not_null+in_set at
+# EXACTLY the max_set_values boundary), n_chars (not_null+range).
+# --------------------------------------------------------------------------
+_INFER_COLS = [
+    ("doc_id", True), ("text", False), ("lang", False),
+    ("source", False), ("n_chars", True),
+]
+
+
+def _infer_oracle_sql() -> str:
+    stats = ", ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}, "
+        + (
+            f"CAST(min({c}) AS DOUBLE) AS mn_{c}, "
+            f"CAST(max({c}) AS DOUBLE) AS mx_{c}"
+            if num
+            else f"NULL::DOUBLE AS mn_{c}, NULL::DOUBLE AS mx_{c}"
+        )
+        for c, num in _INFER_COLS
+    )
+    branches = []
+    for c, num in _INFER_COLS:
+        branches.append(
+            f"SELECT '{c}' AS col_name, 'not_null' AS \"check\", "
+            f"NULL::DOUBLE AS min_value, NULL::DOUBLE AS max_value, "
+            f"NULL::VARCHAR AS allowed_values FROM stats "
+            f"WHERE nn_{c} = n AND n > 0"
+        )
+        branches.append(
+            f"SELECT '{c}', 'unique', NULL::DOUBLE, NULL::DOUBLE, "
+            f"NULL::VARCHAR FROM stats WHERE nd_{c} = n AND n > 0"
+        )
+        if num:
+            branches.append(
+                f"SELECT '{c}', 'range', mn_{c}, mx_{c}, "
+                f"NULL::VARCHAR FROM stats WHERE nn_{c} > 0"
+            )
+        branches.append(
+            f"SELECT '{c}', 'in_set', NULL::DOUBLE, NULL::DOUBLE, "
+            f"(SELECT string_agg(DISTINCT CAST({c} AS VARCHAR), ',' "
+            f"ORDER BY CAST({c} AS VARCHAR)) FROM documents "
+            f"WHERE {c} IS NOT NULL) "
+            f"FROM stats WHERE nd_{c} BETWEEN 1 AND 20"
+        )
+    return (
+        "WITH stats AS (SELECT count(*) AS n, " + stats
+        + " FROM documents) " + " UNION ALL ".join(branches)
+    )
+
+
+@register("quality_infer_expectations", sql=_infer_oracle_sql())
+def quality_infer_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inferred expectation suite over the documents table (deferred —
+    pytest-mirrored): operators/expect.infer_expectations — profile
+    once, freeze the suite, gate later drops. Self-consistency (the
+    inferred suite passes check_expectations on the same table) is
+    pytest-pinned."""
+    from ..operators.expect import infer_expectations
+
+    return infer_expectations(
+        load_table(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
