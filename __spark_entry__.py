@@ -672,6 +672,11 @@ _DEFERRED: set[str] = {
     "sliding_window_batch",  # sliding F.window; tumbling row + streaming
                              # parity tests cover the mechanics
     "revenue_per_nation",
+    "dedup_edit_clusters",   # spelling-variant CC over the edit-
+                             # distance graph (new r12); composes the
+                             # benched dedup_edit_distance pairs with
+                             # the CC kernel the green dedup_clusters
+                             # row evidences (deferred: headroom)
     "quality_infer_expectations",  # inferred expectation suite (new
                              # r12): the discovery->contract bridge;
                              # fused-agg mechanics evidenced by the

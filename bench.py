@@ -128,6 +128,10 @@ BENCH_DEFERRED = {
     "drift_psi_timeline": "drift_psi (the benched frozen-bin PSI "
                           "kernel) + event_gapfill (the benched "
                           "bucket-grain representative)",
+    "dedup_edit_clusters": "dedup_edit_distance (the benched PassJoin "
+                           "pair kernel) + dedup_clusters (the benched "
+                           "pointer-propagation CC kernel the closure "
+                           "rides)",
     "quality_infer_expectations": "quality_expectations (the benched "
                                   "one-scan fused constraint check — "
                                   "inference is the same agg shape "

@@ -8909,3 +8909,50 @@ def quality_infer_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         ["doc_id", "text", "lang", "source", "n_chars"],
     )
+
+
+# --------------------------------------------------------------------------
+# spelling-variant canonicalization (NEW r12): transitive closure over
+# the edit-distance metric-ball graph — edit matches are not transitive
+# ("aa"~"ab"~"bb" at d=1 but "aa"!~"bb"), so canonical groups are the
+# CONNECTED COMPONENTS of the pair graph (the dedup_clusters kernel
+# over the dedup_edit_distance edges). The oracle composes the brute-
+# force pair definition into the same recursive closure CTE.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_edit_clusters",
+    sql="""
+    WITH RECURSIVE p AS (
+        SELECT doc_id, substr(text, 1, 60) AS t
+        FROM documents WHERE text IS NOT NULL),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM p a JOIN p b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.t, b.t) <= 6),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant groups: connected components over the
+    distance-6 edit-distance pair graph of 60-char prefixes (deferred
+    — pytest-mirrored). Composes the PassJoin pair kernel with the
+    pointer-propagation CC kernel the dedup_clusters driver row
+    evidences."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    pairs = dedup.edit_distance_pairs(
+        docs, max_dist=6, q=3, mode="passjoin"
+    ).select("doc_a", "doc_b")
+    return dedup.connected_components(pairs, check_every=2)
