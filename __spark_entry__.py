@@ -672,6 +672,12 @@ _DEFERRED: set[str] = {
     "sliding_window_batch",  # sliding F.window; tumbling row + streaming
                              # parity tests cover the mechanics
     "revenue_per_nation",
+    "event_lttb",            # LTTB chart decimation (new r12),
+                             # parallel fixed-anchor form; rank-window
+                             # + bucket-agg + bounded-top-1 mechanics
+                             # evidenced by green sessionize +
+                             # topk_per_group-family rows (deferred:
+                             # headroom)
     "dedup_edit_clusters",   # spelling-variant CC over the edit-
                              # distance graph (new r12); composes the
                              # benched dedup_edit_distance pairs with

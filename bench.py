@@ -128,6 +128,11 @@ BENCH_DEFERRED = {
     "drift_psi_timeline": "drift_psi (the benched frozen-bin PSI "
                           "kernel) + event_gapfill (the benched "
                           "bucket-grain representative)",
+    "event_lttb": "sessionize (the benched per-key ordered-window "
+                  "family — the rank pass is the same shape) + "
+                  "event_gapfill (the benched bucket-grain "
+                  "representative; anchors/top-1 touch bucket-bounded "
+                  "tables only)",
     "dedup_edit_clusters": "dedup_edit_distance (the benched PassJoin "
                            "pair kernel) + dedup_clusters (the benched "
                            "pointer-propagation CC kernel the closure "

@@ -8956,3 +8956,81 @@ def dedup_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, max_dist=6, q=3, mode="passjoin"
     ).select("doc_a", "doc_b")
     return dedup.connected_components(pairs, check_every=2)
+
+
+# --------------------------------------------------------------------------
+# LTTB chart decimation (NEW r12): fixed-anchor parallel form. Values
+# are pre-scaled to exact integers (floor(v*100 + 0.5) — the cross-
+# engine-exact floor form) so every bucket average is an exact-integer
+# sum divided by a count: the area argmax then compares identical
+# doubles on both engines and the pick is deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "event_lttb",
+    sql="""
+    WITH pts AS (
+        SELECT event_type AS k,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    ranked AS (
+        SELECT k, t, v,
+               row_number() OVER (PARTITION BY k ORDER BY t, v) - 1 AS r,
+               count(*) OVER (PARTITION BY k) AS n
+        FROM pts),
+    big AS (SELECT * FROM ranked WHERE n > 20),
+    interior AS (
+        SELECT *, CAST(floor((r - 1) * 18 / CAST(n - 2 AS DOUBLE))
+                       AS BIGINT) AS b
+        FROM big WHERE r > 0 AND r < n - 1),
+    ends AS (SELECT * FROM big WHERE r = 0 OR r = n - 1),
+    anchors AS (
+        SELECT k, b, avg(t) AS at, avg(v) AS av
+        FROM interior GROUP BY k, b
+        UNION ALL
+        SELECT k, CASE WHEN r = 0 THEN -1 ELSE 18 END AS b,
+               CAST(t AS DOUBLE) AS at, CAST(v AS DOUBLE) AS av
+        FROM ends),
+    spans AS (
+        SELECT k, b,
+               lag(at) OVER w AS pt, lag(av) OVER w AS pv,
+               lead(at) OVER w AS nt, lead(av) OVER w AS nv
+        FROM anchors
+        WINDOW w AS (PARTITION BY k ORDER BY b)),
+    scored AS (
+        SELECT i.k, i.t, i.v,
+               abs((s.pt - s.nt) * (i.v - s.pv)
+                   - (s.pt - i.t) * (s.nv - s.pv)) AS area,
+               row_number() OVER (
+                   PARTITION BY i.k, i.b
+                   ORDER BY abs((s.pt - s.nt) * (i.v - s.pv)
+                                - (s.pt - i.t) * (s.nv - s.pv)) DESC,
+                            i.t ASC, i.v ASC) AS rk
+        FROM interior i
+        JOIN spans s ON s.k = i.k AND s.b = i.b
+        WHERE s.b >= 0 AND s.b < 18)
+    SELECT k AS event_type, t, CAST(v AS DOUBLE) AS value
+    FROM ranked WHERE n <= 20
+    UNION ALL
+    SELECT k AS event_type, t, CAST(v AS DOUBLE) AS value FROM ends
+    UNION ALL
+    SELECT k AS event_type, t, CAST(v AS DOUBLE) AS value
+    FROM scored WHERE rk = 1
+    """,
+)
+def event_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-point LTTB decimation of each event_type's value series
+    (deferred — pytest-mirrored): operators/temporal.lttb_downsample,
+    the parallel fixed-anchor form, on exact-integer-scaled values so
+    the area argmax is cross-engine deterministic."""
+    from ..operators.temporal import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        event_seconds(ev).alias("t"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("value"),
+    )
+    return lttb_downsample(
+        pts, ["event_type"], "t", "value", 20
+    ).select("event_type", "t", "value")

@@ -651,3 +651,72 @@ def test_sliding_distinct_equals_batch_hll_on_union(spark):
         df.select(F.lit("k").alias("g"), "v"), "g", "v", m=64
     ).collect()[0]
     assert win[10] == (batch.raw_est, batch.n_empty)
+
+
+def test_lttb_downsample_matches_python_reference(spark):
+    """The fixed-anchor LTTB kernel == an independent pure-Python
+    restatement (endpoints kept, equal-count rank buckets, neighbor-
+    average anchors, deterministic tie order) on a seeded series, per
+    key; small keys pass through complete; guard refuses n_out < 3."""
+    import random
+
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        lttb_downsample,
+    )
+
+    rng = random.Random(123)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(97 if k == "a" else 5):
+            rows.append((k, i * 10 + (3 if k == "b" else 0),
+                         float(rng.randrange(-50, 50))))
+    df = spark.createDataFrame(rows, "k string, t long, value double")
+    n_out = 12
+    got = {
+        (r.k, r.t, r.value)
+        for r in lttb_downsample(df, ["k"], "t", "value", n_out).collect()
+    }
+
+    def ref_one(pts, n_out):
+        pts = sorted(pts)
+        n = len(pts)
+        if n <= n_out:
+            return set(pts)
+        b = n_out - 2
+        out = {pts[0], pts[-1]}
+        buckets = {}
+        for r in range(1, n - 1):
+            buckets.setdefault((r - 1) * b // (n - 2), []).append(pts[r])
+        anchors = {-1: pts[0], b: pts[-1]}
+        for bi, members in buckets.items():
+            anchors[bi] = (
+                sum(p[0] for p in members) / len(members),
+                sum(p[1] for p in members) / len(members),
+            )
+        for bi, members in buckets.items():
+            pt, pv = anchors[bi - 1]
+            nt, nv = anchors.get(bi + 1, anchors[b] if bi + 1 == b else None)
+            best = max(
+                members,
+                key=lambda p: (
+                    abs((pt - nt) * (p[1] - pv) - (pt - p[0]) * (nv - pv)),
+                    -p[0], -p[1],
+                ),
+            )
+            out.add(best)
+        return out
+
+    want = set()
+    for k in ("a", "b"):
+        pts = [(t, v) for kk, t, v in rows if kk == k]
+        want |= {(k, t, v) for t, v in ref_one(pts, n_out)}
+    assert got == want
+    # per-key sizes: dense key decimated to exactly n_out, small key whole
+    from collections import Counter
+
+    sizes = Counter(k for k, _, _ in got)
+    assert sizes["a"] == n_out and sizes["b"] == 5
+    with _pt.raises(ValueError, match="n_out"):
+        lttb_downsample(df, ["k"], "t", "value", 2)
