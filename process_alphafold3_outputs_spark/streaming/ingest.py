@@ -1959,7 +1959,11 @@ def _top_values_process_batch(
         state_cols = {
             r.col_name for r in prev.select("col_name").distinct().collect()
         }
-        if state_cols - set(cols):
+        # exact equality both ways: a REMOVED column would silently
+        # stop updating but keep reporting stale counts, and an ADDED
+        # column would report counts missing its entire history —
+        # both are silent lies, so both refuse
+        if state_cols != set(cols):
             raise ValueError(
                 f"watch_top_values state at {state_path!r} tracks "
                 f"columns {sorted(state_cols)} but the watcher was "

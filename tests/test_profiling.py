@@ -787,9 +787,17 @@ def test_watch_top_values_stream_equals_batch_and_replays(spark, tmp_path):
             spark.createDataFrame(rows1, schema), 2, state, out,
             ["g", "h"], 3, 5,
         )
-    # lineage guard: restart without a tracked column
+    # lineage guard: restart without a tracked column — AND with an
+    # extra one (stale counts / missing history are both silent lies)
     with _pytest.raises(ValueError, match="frozen for the lineage"):
         _top_values_process_batch(
             spark.createDataFrame([("a",)], "g string"), 2, state, out,
             ["g"], 3, 10_000,
+        )
+    with _pytest.raises(ValueError, match="frozen for the lineage"):
+        _top_values_process_batch(
+            spark.createDataFrame(
+                [("a", "b", "c")], "g string, h string, extra string"
+            ),
+            2, state, out, ["g", "h", "extra"], 3, 10_000,
         )
