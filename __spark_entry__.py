@@ -672,6 +672,12 @@ _DEFERRED: set[str] = {
     "sliding_window_batch",  # sliding F.window; tumbling row + streaming
                              # parity tests cover the mechanics
     "revenue_per_nation",
+    "event_attribution",     # conversion attribution (new r12):
+                             # first/last/linear credit in a lookback;
+                             # user-keyed join + bounded-window
+                             # mechanics evidenced by green sessionize
+                             # + semi_join-family rows (deferred:
+                             # headroom)
     "event_lttb",            # LTTB chart decimation (new r12),
                              # parallel fixed-anchor form; rank-window
                              # + bucket-agg + bounded-top-1 mechanics

@@ -128,6 +128,11 @@ BENCH_DEFERRED = {
     "drift_psi_timeline": "drift_psi (the benched frozen-bin PSI "
                           "kernel) + event_gapfill (the benched "
                           "bucket-grain representative)",
+    "event_attribution": "sessionize (the benched user-keyed event "
+                         "family) + asof_join (the benched time-"
+                         "conditioned user-keyed join; attribution's "
+                         "window filter rides the same equi-key "
+                         "shuffle)",
     "event_lttb": "sessionize (the benched per-key ordered-window "
                   "family — the rank pass is the same shape) + "
                   "event_gapfill (the benched bucket-grain "

@@ -11,6 +11,8 @@ later stages inherit the NULL through the join condition (monotone).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -196,4 +198,103 @@ def transition_matrix(
             "n",
             F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
         )
+    )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    user_col: str,
+    ts_sec_col: str,
+    type_col: str,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    lookback_s: int,
+    model: str = "last",
+) -> DataFrame:
+    """(user, conversion_ts, touch_type, touch_ts, credit) — which
+    touch gets credit for each conversion: the attribution kernel
+    every growth/ads pipeline runs next to the funnel and retention
+    tables. For every ``conversion_type`` event, the user's
+    ``touch_types`` events inside ``(conversion_ts − lookback_s,
+    conversion_ts]`` are credited per ``model``:
+
+    - ``last``   — the latest touch gets credit 1.0 (ties on equal
+      timestamps break to the lexicographically smallest touch type —
+      deterministic, documented)
+    - ``first``  — the earliest such touch gets 1.0 (same tie rule)
+    - ``linear`` — every touch in the window gets 1/n
+
+    Conversions with NO touch in the window emit one row with NULL
+    touch columns and credit 1.0 ("unattributed") — dropping them
+    silently would overstate every channel's share.
+
+    Scale shape: touches join conversions on the USER equi-key with
+    the window range as a join-time filter — one user-keyed shuffle,
+    never a time-range explosion (per-user touch history × that user's
+    conversions is the honest output grain); credits are a bounded
+    window over each conversion's own touch set. A touch at exactly
+    the conversion instant counts; a touch at exactly
+    ``conversion_ts − lookback_s`` does not (half-open window,
+    documented)."""
+    if model not in ("last", "first", "linear"):
+        raise ValueError(f"model must be last|first|linear (got {model!r})")
+    if lookback_s <= 0:
+        raise ValueError(f"lookback_s must be > 0 (got {lookback_s})")
+    touch_types = list(touch_types)
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if conversion_type in touch_types:
+        raise ValueError(
+            f"conversion_type {conversion_type!r} cannot also be a "
+            "touch type (a conversion would credit itself)"
+        )
+    t = F.col(ts_sec_col).cast("long")
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user"), t.alias("conversion_ts")
+    )
+    touch = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("touch_type"),
+        t.alias("touch_ts"),
+    )
+    joined = conv.join(
+        touch,
+        (conv["user"] == touch["user"])
+        & (F.col("touch_ts") <= F.col("conversion_ts"))
+        & (F.col("touch_ts") > F.col("conversion_ts") - lookback_s),
+        "left",
+    ).select(
+        conv["user"].alias("user"),
+        "conversion_ts",
+        "touch_type",
+        "touch_ts",
+    )
+    w = Window.partitionBy("user", "conversion_ts")
+    if model == "linear":
+        credited = joined.select(
+            "user", "conversion_ts", "touch_type", "touch_ts",
+            F.when(
+                F.col("touch_ts").isNull(), F.lit(1.0)
+            ).otherwise(
+                F.lit(1.0) / F.count("touch_ts").over(w)
+            ).alias("credit"),
+        )
+    else:
+        order = (
+            [F.desc("touch_ts"), F.asc("touch_type")]
+            if model == "last"
+            else [F.asc("touch_ts"), F.asc("touch_type")]
+        )
+        ww = w.orderBy(*order)
+        credited = (
+            joined.withColumn("_rk", F.row_number().over(ww))
+            .filter(F.col("_rk") == 1)
+            .select(
+                "user", "conversion_ts", "touch_type", "touch_ts",
+                F.lit(1.0).alias("credit"),
+            )
+        )
+    return credited.select(
+        "user", "conversion_ts", "touch_type", "touch_ts",
+        F.round("credit", 6).alias("credit"),
     )

@@ -9034,3 +9034,53 @@ def event_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb_downsample(
         pts, ["event_type"], "t", "value", 20
     ).select("event_type", "t", "value")
+
+
+# --------------------------------------------------------------------------
+# conversion attribution (NEW r12): linear-credit attribution of
+# purchases to click/view touches inside a 1-day lookback. The oracle
+# restates the half-open window, the unattributed NULL row, and the
+# 1/n credit split.
+# --------------------------------------------------------------------------
+@register(
+    "event_attribution",
+    sql="""
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      event_type
+               FROM events),
+    conv AS (SELECT user_id, t AS conversion_ts FROM e
+             WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, event_type AS touch_type, t AS touch_ts
+              FROM e WHERE event_type IN ('click', 'view')),
+    joined AS (
+        SELECT c.user_id, c.conversion_ts, tt.touch_type, tt.touch_ts
+        FROM conv c LEFT JOIN touch tt
+          ON tt.user_id = c.user_id
+         AND tt.touch_ts <= c.conversion_ts
+         AND tt.touch_ts > c.conversion_ts - 86400)
+    SELECT user_id, conversion_ts, touch_type, touch_ts,
+           round(CASE WHEN touch_ts IS NULL THEN 1.0
+                 ELSE 1.0 / count(touch_ts) OVER (
+                     PARTITION BY user_id, conversion_ts) END,
+                 6) AS credit
+    FROM joined
+    """,
+)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-credit attribution of purchases to click/view touches in
+    a 1-day lookback (deferred — pytest-mirrored):
+    operators/funnel.attribute_conversions — user-keyed equi join with
+    the window as a join-time filter, credits over each conversion's
+    own bounded touch set; unattributed conversions kept as NULL rows
+    with credit 1.0."""
+    from ..operators.funnel import attribute_conversions
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", event_seconds(ev).alias("t"), "event_type")
+    return attribute_conversions(
+        e, "user_id", "t", "event_type",
+        ["click", "view"], "purchase", 86400, model="linear",
+    ).select(
+        F.col("user").alias("user_id"),
+        "conversion_ts", "touch_type", "touch_ts", "credit",
+    )

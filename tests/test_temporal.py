@@ -720,3 +720,64 @@ def test_lttb_downsample_matches_python_reference(spark):
     assert sizes["a"] == n_out and sizes["b"] == 5
     with _pt.raises(ValueError, match="n_out"):
         lttb_downsample(df, ["k"], "t", "value", 2)
+
+
+def test_attribute_conversions_models_and_edges(spark):
+    """Attribution kernel pins: half-open lookback (touch AT the
+    conversion counts, touch at conversion - lookback does not),
+    last/first tie on equal timestamps breaks to the smaller touch
+    type, linear splits 1/n, unattributed conversions emit one NULL
+    row with credit 1.0, and the guards refuse."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        attribute_conversions,
+    )
+
+    rows = [
+        # user 1: touches at 0 (outside: == conv-100), 10, 50, and a
+        # tie pair at 90; conversion at 100
+        (1, 0, "click"), (1, 10, "view"), (1, 50, "click"),
+        (1, 90, "view"), (1, 90, "click"), (1, 100, "purchase"),
+        # user 2: conversion with NO touch in window
+        (2, 500, "purchase"), (2, 100, "click"),
+        # user 3: touch exactly AT the conversion instant counts
+        (3, 200, "view"), (3, 200, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, event_type string")
+
+    def run(model):
+        return {
+            (r.user, r.conversion_ts, r.touch_type, r.touch_ts): r.credit
+            for r in attribute_conversions(
+                df, "u", "t", "event_type", ["click", "view"],
+                "purchase", 100, model=model,
+            ).collect()
+        }
+
+    last = run("last")
+    # tie at t=90: click < view lexicographically
+    assert last[(1, 100, "click", 90)] == 1.0
+    assert last[(2, 500, None, None)] == 1.0
+    assert last[(3, 200, "view", 200)] == 1.0
+    assert len(last) == 3
+    first = run("first")
+    # t=0 is EXCLUDED (> conv - lookback is strict): first is t=10
+    assert first[(1, 100, "view", 10)] == 1.0
+    linear = run("linear")
+    # user 1 has 4 in-window touches -> 0.25 each
+    assert linear[(1, 100, "view", 10)] == 0.25
+    assert linear[(1, 100, "click", 90)] == 0.25
+    assert linear[(2, 500, None, None)] == 1.0
+    assert linear[(3, 200, "view", 200)] == 1.0
+    with _pt.raises(ValueError, match="model"):
+        run("u_shaped")
+    with _pt.raises(ValueError, match="lookback"):
+        attribute_conversions(
+            df, "u", "t", "event_type", ["click"], "purchase", 0)
+    with _pt.raises(ValueError, match="non-empty"):
+        attribute_conversions(
+            df, "u", "t", "event_type", [], "purchase", 10)
+    with _pt.raises(ValueError, match="credit itself"):
+        attribute_conversions(
+            df, "u", "t", "event_type", ["purchase"], "purchase", 10)
