@@ -672,6 +672,12 @@ _DEFERRED: set[str] = {
     "sliding_window_batch",  # sliding F.window; tumbling row + streaming
                              # parity tests cover the mechanics
     "revenue_per_nation",
+    "profile_histogram",     # fused equi-width histograms (new r12):
+                             # the distribution-shape profiling view;
+                             # binning mechanics evidenced by the
+                             # drift_psi family + green
+                             # quality_expectations rows (deferred:
+                             # headroom)
     "event_attribution",     # conversion attribution (new r12):
                              # first/last/linear credit in a lookback;
                              # user-keyed join + bounded-window

@@ -128,6 +128,10 @@ BENCH_DEFERRED = {
     "drift_psi_timeline": "drift_psi (the benched frozen-bin PSI "
                           "kernel) + event_gapfill (the benched "
                           "bucket-grain representative)",
+    "profile_histogram": "profile_table (the benched fused one-scan "
+                         "profile pass) + drift_psi (the benched "
+                         "frozen-bounds binning kernel — the histogram "
+                         "is its descriptive form)",
     "event_attribution": "sessionize (the benched user-keyed event "
                          "family) + asof_join (the benched time-"
                          "conditioned user-keyed join; attribution's "

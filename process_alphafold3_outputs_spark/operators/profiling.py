@@ -574,3 +574,111 @@ def top_values_timeline(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def profile_histogram(
+    df: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """(col_name, bin, lo, hi, n) — equi-width histogram of MANY
+    numeric columns, the shape-of-the-distribution view between
+    :func:`profile_table`'s min/max and :func:`top_values`'s discrete
+    hitters. Fused: ONE bounds aggregation (collected as a
+    column-bounded row — the psi_report_many discipline) + ONE binning
+    scan for every column together; N columns never cost N scans.
+
+    Every (column, bin) row is PRESENT (n=0 for empty bins — a gap in
+    the middle of a distribution is a finding, not a missing row);
+    bin edges come from the observed [min, max] with the last bin
+    right-closed (the value at max lands in bin n_bins−1, the
+    psi/drift clamp rule); a constant column puts everything in bin 0
+    with lo == hi. NULLs are excluded (profile_table owns null
+    accounting); an all-NULL or empty column contributes NO rows
+    rather than fabricating edges — its absence from the output IS
+    the report. Edges round to 6 dp by the cross-engine-exact floor
+    form."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1 (got {n_bins})")
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in the frame: {missing}")
+    brow = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    live = [c for c in cols if brow[f"_mn_{c}"] is not None]
+    if not live:
+        return df.sparkSession.createDataFrame(
+            [], "col_name string, bin int, lo double, hi double, n long"
+        )
+
+    def r6(x: float) -> float:
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    grid_rows = []
+    for c in live:
+        mn, mx = float(brow[f"_mn_{c}"]), float(brow[f"_mx_{c}"])
+        w = (mx - mn) / n_bins
+        for b in range(n_bins):
+            grid_rows.append(
+                (c, b, r6(mn + b * w), r6(mn + (b + 1) * w))
+            )
+    grid = df.sparkSession.createDataFrame(
+        grid_rows, "col_name string, bin int, lo double, hi double"
+    )
+    long = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("_x"),
+                        F.lit(float(brow[f"_mn_{c}"]))
+                        .alias("_mn"),
+                        F.lit(float(brow[f"_mx_{c}"]))
+                        .alias("_mx"),
+                    )
+                    for c in live
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.*").filter(F.col("_x").isNotNull())
+    binned = long.select(
+        "col_name",
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("_x") - F.col("_mn"))
+                        * n_bins
+                        / (F.col("_mx") - F.col("_mn"))
+                    ).cast("int"),
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    ).groupBy("col_name", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    # hint on the RIGHT side: a left join can only broadcast its build
+    # side, and binned is (cols x bins)-bounded by the aggregation
+    return (
+        grid.join(F.broadcast(binned), ["col_name", "bin"], "left")
+        .select(
+            "col_name",
+            "bin",
+            "lo",
+            "hi",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n"),
+        )
+    )

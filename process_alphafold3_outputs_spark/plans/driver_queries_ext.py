@@ -9084,3 +9084,66 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user").alias("user_id"),
         "conversion_ts", "touch_type", "touch_ts", "credit",
     )
+
+
+# --------------------------------------------------------------------------
+# fused equi-width histograms (NEW r12): the distribution-shape view of
+# the profiling axis. The oracle restates the two-scan construction —
+# bounds CTE, clamped floor binning, dense per-column bin spine with
+# n=0 rows, last bin right-closed, 6-dp floor-form edges.
+# --------------------------------------------------------------------------
+@register(
+    "profile_histogram",
+    sql="""
+    WITH b AS (
+        SELECT min(CAST(n_chars AS DOUBLE)) AS mn_nc,
+               max(CAST(n_chars AS DOUBLE)) AS mx_nc,
+               min(CAST(doc_id AS DOUBLE)) AS mn_id,
+               max(CAST(doc_id AS DOUBLE)) AS mx_id
+        FROM documents),
+    grid AS (
+        SELECT 'n_chars' AS col_name, g.bin,
+               floor((mn_nc + g.bin * (mx_nc - mn_nc) / 10) * 1e6
+                     + 0.5) / 1e6 AS lo,
+               floor((mn_nc + (g.bin + 1) * (mx_nc - mn_nc) / 10) * 1e6
+                     + 0.5) / 1e6 AS hi,
+               mn_nc AS mn, mx_nc AS mx
+        FROM b, (SELECT unnest(generate_series(0, 9)) AS bin) g
+        UNION ALL
+        SELECT 'doc_id', g.bin,
+               floor((mn_id + g.bin * (mx_id - mn_id) / 10) * 1e6
+                     + 0.5) / 1e6,
+               floor((mn_id + (g.bin + 1) * (mx_id - mn_id) / 10) * 1e6
+                     + 0.5) / 1e6,
+               mn_id, mx_id
+        FROM b, (SELECT unnest(generate_series(0, 9)) AS bin) g),
+    long AS (
+        SELECT 'n_chars' AS col_name, CAST(n_chars AS DOUBLE) AS x,
+               b.mn_nc AS mn, b.mx_nc AS mx
+        FROM documents, b WHERE n_chars IS NOT NULL
+        UNION ALL
+        SELECT 'doc_id', CAST(doc_id AS DOUBLE), b.mn_id, b.mx_id
+        FROM documents, b WHERE doc_id IS NOT NULL),
+    binned AS (
+        SELECT col_name,
+               CASE WHEN mx = mn THEN 0
+                    ELSE least(9, greatest(0,
+                         CAST(floor((x - mn) * 10 / (mx - mn)) AS INT)))
+               END AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM long GROUP BY 1, 2)
+    SELECT g.col_name, CAST(g.bin AS INT) AS bin, g.lo, g.hi,
+           coalesce(c.cnt, 0) AS n
+    FROM grid g LEFT JOIN binned c
+      ON c.col_name = g.col_name AND c.bin = g.bin
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bin equi-width histograms of n_chars and doc_id over the
+    documents table in one fused binning scan (deferred —
+    pytest-mirrored): operators/profiling.profile_histogram."""
+    from ..operators.profiling import profile_histogram as hist
+
+    return hist(
+        load_table(spark, sf_dir, "documents"), ["n_chars", "doc_id"]
+    )

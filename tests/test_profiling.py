@@ -801,3 +801,45 @@ def test_watch_top_values_stream_equals_batch_and_replays(spark, tmp_path):
             ),
             2, state, out, ["g", "h", "extra"], 3, 10_000,
         )
+
+
+def test_profile_histogram_hand_computed(spark):
+    """Histogram pins: dense spine with n=0 gap bins, last bin
+    right-closed (the max value lands in the last bin), constant
+    column all in bin 0 with lo == hi, NULLs excluded, all-NULL column
+    absent, guards refuse."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        profile_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, 7.0, None), (1.0, 7.0, None), (9.0, 7.0, None),
+         (10.0, 7.0, None), (None, 7.0, None)],
+        "x double, c double, z double",
+    )
+    out = {
+        (r.col_name, r.bin): (r.lo, r.hi, r.n)
+        for r in profile_histogram(df, ["x", "c", "z"], n_bins=5).collect()
+    }
+    # x: [0,10] in 5 bins of width 2: 0,1 -> bin 0; 9 -> bin 4;
+    # 10 (== max) -> bin 4 (right-closed); bins 1-3 present with n=0
+    assert out[("x", 0)] == (0.0, 2.0, 2)
+    assert out[("x", 4)] == (8.0, 10.0, 2)
+    assert out[("x", 2)][2] == 0
+    assert sum(1 for k in out if k[0] == "x") == 5
+    # constant column: everything in bin 0, lo == hi
+    assert out[("c", 0)] == (7.0, 7.0, 5)
+    assert all(out[("c", b)][2] == 0 for b in range(1, 5))
+    # all-NULL column contributes no rows
+    assert not any(k[0] == "z" for k in out)
+    with _pt.raises(ValueError, match="non-empty"):
+        profile_histogram(df, [])
+    with _pt.raises(ValueError, match="n_bins"):
+        profile_histogram(df, ["x"], n_bins=0)
+    with _pt.raises(ValueError, match="not in the frame"):
+        profile_histogram(df, ["nope"])
+    # fully-empty frame: empty output, not an error
+    empty = spark.createDataFrame([], "x double")
+    assert profile_histogram(empty, ["x"]).count() == 0
