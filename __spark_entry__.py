@@ -70,9 +70,7 @@ _PRIORITY: list[str] = [
     # (similarity_recall rotated out in r7 — see _DEFERRED)
     # -- round-5 additions
     "af3_rmsd_overlay",    # Kabsch RMSD (rows-only: SVD not SQL-expressible)
-    # -- round-7 rotation (NOTES.md rotation table): PageRank's
-    #    iterative keyed-join shape gets its first driver evidence
-    "graph_source_pagerank",
+    # (graph_source_pagerank rotated out in r13 — see _DEFERRED)
     # -- round-8 rotation: the deterministic-md5 HLL sketch (bit-exact
     #    integer-harmonic-sum oracle) gets driver evidence; the freed
     #    slot comes from text_fingerprint (r9's planned out-row, pulled
@@ -97,7 +95,7 @@ _PRIORITY: list[str] = [
     #    pytest) + asof_join (stays benched; the event family keeps
     #    sessionize + session_window_batch driver rows)
     "dedup_incremental_near",
-    "text_mix_temperature",
+    # (text_mix_temperature rotated out in r13 — see _DEFERRED)
     # -- round-11 rotation (NOTES rotation table): TrustRank's seeded
     #    power iteration (the one graph family variant whose
     #    teleport-to-seeds arithmetic differs from the r7 PageRank row)
@@ -117,6 +115,17 @@ _PRIORITY: list[str] = [
     #    row)
     "pipeline_incremental_refresh",
     "ranking_eval",
+    # -- round-13 rotation (NOTES rotation table): the temporal-axis
+    #    capstone (bucket-agg + dense spine + keyed gapfill/interpolate
+    #    under the 1-raw-scan plan contract — the axis's first driver
+    #    row) and the fused multi-distinct key discovery (the profiling
+    #    axis's first driver row; its oracle restates the CASE-ROW pair
+    #    distincts non-trivially); freed slots: graph_source_pagerank
+    #    (graph family keeps the green graph_source_trustrank row) +
+    #    text_mix_temperature (mixture family keeps the green
+    #    text_mix_doremi row)
+    "event_gapfill",
+    "profile_candidate_keys",
 ]
 
 #: driver-visible queries DELIBERATELY registered without a SQL oracle —
@@ -148,6 +157,17 @@ _DEFERRED: set[str] = {
     "dedup_simhash",         # superseded by dedup_simhash64
     "dedup_simhash64",       # rotated OUT in r9 for entity_resolution
                              # (Hamming banding recall pinned in pytest;
+                             # stays benched + oracle-mirrored)
+    "graph_source_pagerank",  # rotated OUT in r13 for event_gapfill
+                             # (graph family keeps the green
+                             # graph_source_trustrank driver row — same
+                             # edge-keyed join + node-keyed sum per
+                             # round; stays benched + oracle-mirrored)
+    "text_mix_temperature",  # rotated OUT in r13 for
+                             # profile_candidate_keys (mixture family
+                             # keeps the green text_mix_doremi driver
+                             # row — the EG loop subsumes the
+                             # temperature draw's prefix-fill mechanics;
                              # stays benched + oracle-mirrored)
     "text_split_assign",     # rotated OUT in r9 for text_mix_doremi
                              # (split mechanics subsumed by the green
@@ -529,8 +549,8 @@ _DEFERRED: set[str] = {
                              # variant of the green similarity_topk row
                              # (deferred: headroom)
     "graph_source_hits",     # HITS hubs/authorities; keyed-join-per-
-                             # round mechanics evidenced by the r7
-                             # graph_source_pagerank driver row
+                             # round mechanics evidenced by the green
+                             # graph_source_trustrank driver row
                              # (deferred: headroom)
     "pipeline_corpus_report",  # per-source dashboard composing the
                              # green quality/dedup/decontaminate
@@ -603,16 +623,9 @@ _DEFERRED: set[str] = {
     "text_search_hybrid_many",  # query-table form of the hybrid RRF
                              # row (single==many parity pytest-pinned;
                              # deferred: headroom)
-    "event_gapfill",         # hypertable gapfill+interpolate; bucket-agg
-                             # + spine + keyed-window mechanics evidenced
-                             # by green sessionize/tumbling rows
-                             # (deferred: headroom)
     "event_ohlc",            # OHLC downsample; min_by/max_by hash-agg
                              # mechanics evidenced by green dedup_exact
                              # min_by row (deferred: headroom)
-    "profile_candidate_keys",  # fused key discovery; one-scan multi-
-                             # distinct mechanics evidenced by green
-                             # profile_table row (deferred: headroom)
     "profile_fk_containment",  # inclusion-dependency containment;
                              # distinct-collapse + keyed-join mechanics
                              # evidenced by green semi_join/dedup rows
