@@ -210,30 +210,45 @@ def attribute_conversions(
     conversion_type: str,
     lookback_s: int,
     model: str = "last",
+    max_touches_per_conversion: int | None = 100_000,
 ) -> DataFrame:
     """(user, conversion_ts, touch_type, touch_ts, credit) — which
     touch gets credit for each conversion: the attribution kernel
     every growth/ads pipeline runs next to the funnel and retention
-    tables. For every ``conversion_type`` event, the user's
-    ``touch_types`` events inside ``(conversion_ts − lookback_s,
-    conversion_ts]`` are credited per ``model``:
+    tables. For every ``conversion_type`` EVENT (not per distinct
+    timestamp — duplicate conversions at the same instant each get
+    their own full credit assignment, tracked by an internal
+    per-conversion id), the user's ``touch_types`` events inside
+    ``(conversion_ts − lookback_s, conversion_ts]`` are credited per
+    ``model``:
 
     - ``last``   — the latest touch gets credit 1.0 (ties on equal
       timestamps break to the lexicographically smallest touch type —
       deterministic, documented)
     - ``first``  — the earliest such touch gets 1.0 (same tie rule)
-    - ``linear`` — every touch in the window gets 1/n
+    - ``linear`` — every touch in the window gets 1/n, where n counts
+      THAT conversion's touches (each conversion's credits sum to 1.0
+      even when another conversion shares its timestamp)
 
     Conversions with NO touch in the window emit one row with NULL
     touch columns and credit 1.0 ("unattributed") — dropping them
-    silently would overstate every channel's share.
+    silently would overstate every channel's share. N duplicate
+    conversions at one timestamp therefore emit N identical credited
+    row sets — the per-EVENT grain; callers who want per-instant
+    credit should dedupe conversions upstream, deliberately.
 
     Scale shape: touches join conversions on the USER equi-key with
     the window range as a join-time filter — one user-keyed shuffle,
-    never a time-range explosion (per-user touch history × that user's
-    conversions is the honest output grain); credits are a bounded
-    window over each conversion's own touch set. A touch at exactly
-    the conversion instant counts; a touch at exactly
+    never a time-range explosion; credits are a bounded window over
+    each conversion's own touch set. The grain is per-user
+    conversions × in-window touches, so ONE hot user (a bot with K
+    conversions × M touches in the lookback) lands K·M rows on a
+    single key: ``max_touches_per_conversion`` bounds M with an
+    in-path ``raise_error`` (the count rides the credit window the
+    plan already computes — no extra scan, same discipline as
+    ks_distance's counted refusal). Pass ``None`` to disable after
+    pre-aggregating or salting the hot user upstream. A touch at
+    exactly the conversion instant counts; a touch at exactly
     ``conversion_ts − lookback_s`` does not (half-open window,
     documented)."""
     if model not in ("last", "first", "linear"):
@@ -249,8 +264,21 @@ def attribute_conversions(
             "touch type (a conversion would credit itself)"
         )
     t = F.col(ts_sec_col).cast("long")
-    conv = events.filter(F.col(type_col) == conversion_type).select(
-        F.col(user_col).alias("user"), t.alias("conversion_ts")
+    # per-conversion id: duplicates at one (user, ts) are
+    # indistinguishable rows, so ANY deterministic numbering among them
+    # yields identical output rows — the id only keeps their credit
+    # windows apart.
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .select(F.col(user_col).alias("user"), t.alias("conversion_ts"))
+        .withColumn(
+            "_cid",
+            F.row_number().over(
+                Window.partitionBy("user", "conversion_ts").orderBy(
+                    "conversion_ts"
+                )
+            ),
+        )
     )
     touch = events.filter(F.col(type_col).isin(touch_types)).select(
         F.col(user_col).alias("user"),
@@ -266,17 +294,35 @@ def attribute_conversions(
     ).select(
         conv["user"].alias("user"),
         "conversion_ts",
+        "_cid",
         "touch_type",
         "touch_ts",
     )
-    w = Window.partitionBy("user", "conversion_ts")
+    w = Window.partitionBy("user", "conversion_ts", "_cid")
+    n_touches = F.count("touch_ts").over(w)
+    if max_touches_per_conversion is not None:
+        n_touches = F.when(
+            n_touches <= F.lit(max_touches_per_conversion), n_touches
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "attribute_conversions: %s touches inside one "
+                    "conversion window exceed max_touches_per_conversion="
+                    + str(max_touches_per_conversion)
+                    + " — a hot user materialises conversions x touches "
+                    "rows on one key; pre-aggregate or salt that user "
+                    "upstream, or pass max_touches_per_conversion=None",
+                    n_touches,
+                )
+            )
+        )
     if model == "linear":
         credited = joined.select(
             "user", "conversion_ts", "touch_type", "touch_ts",
             F.when(
                 F.col("touch_ts").isNull(), F.lit(1.0)
             ).otherwise(
-                F.lit(1.0) / F.count("touch_ts").over(w)
+                F.lit(1.0) / n_touches
             ).alias("credit"),
         )
     else:
@@ -288,10 +334,14 @@ def attribute_conversions(
         ww = w.orderBy(*order)
         credited = (
             joined.withColumn("_rk", F.row_number().over(ww))
+            .withColumn("_n", n_touches)
             .filter(F.col("_rk") == 1)
             .select(
                 "user", "conversion_ts", "touch_type", "touch_ts",
-                F.lit(1.0).alias("credit"),
+                # _n >= 0 is always true; referencing the guarded count
+                # keeps the refusal in the plan (a dead column would be
+                # pruned — the topk_lsh in-path-guard pattern).
+                F.when(F.col("_n") >= 0, F.lit(1.0)).alias("credit"),
             )
         )
     return credited.select(

@@ -9048,12 +9048,15 @@ def event_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
                       event_type
                FROM events),
-    conv AS (SELECT user_id, t AS conversion_ts FROM e
-             WHERE event_type = 'purchase'),
+    conv AS (SELECT user_id, t AS conversion_ts,
+                    row_number() OVER (PARTITION BY user_id, t
+                                       ORDER BY t) AS conv_id
+             FROM e WHERE event_type = 'purchase'),
     touch AS (SELECT user_id, event_type AS touch_type, t AS touch_ts
               FROM e WHERE event_type IN ('click', 'view')),
     joined AS (
-        SELECT c.user_id, c.conversion_ts, tt.touch_type, tt.touch_ts
+        SELECT c.user_id, c.conversion_ts, c.conv_id,
+               tt.touch_type, tt.touch_ts
         FROM conv c LEFT JOIN touch tt
           ON tt.user_id = c.user_id
          AND tt.touch_ts <= c.conversion_ts
@@ -9061,7 +9064,7 @@ def event_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, conversion_ts, touch_type, touch_ts,
            round(CASE WHEN touch_ts IS NULL THEN 1.0
                  ELSE 1.0 / count(touch_ts) OVER (
-                     PARTITION BY user_id, conversion_ts) END,
+                     PARTITION BY user_id, conversion_ts, conv_id) END,
                  6) AS credit
     FROM joined
     """,

@@ -781,3 +781,78 @@ def test_attribute_conversions_models_and_edges(spark):
     with _pt.raises(ValueError, match="credit itself"):
         attribute_conversions(
             df, "u", "t", "event_type", ["purchase"], "purchase", 10)
+
+
+def test_attribute_conversions_duplicate_ts_grain(spark):
+    """Per-conversion-EVENT grain (r12 advice, medium): N duplicate
+    conversions at one (user, ts) each get a FULL credit assignment —
+    last/first emits N identical credited rows (not one), and linear
+    counts each conversion's own touches so each conversion's credits
+    sum to 1.0 (not 1/N)."""
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        attribute_conversions,
+    )
+
+    rows = [
+        # user 1: TWO purchases at t=100, two in-window touches
+        (1, 10, "view"), (1, 50, "click"),
+        (1, 100, "purchase"), (1, 100, "purchase"),
+        # user 2: three purchases at t=9, no touches at all
+        (2, 9, "purchase"), (2, 9, "purchase"), (2, 9, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, event_type string")
+
+    def run(model):
+        return sorted(
+            (r.user, r.conversion_ts, r.touch_type, r.touch_ts, r.credit)
+            for r in attribute_conversions(
+                df, "u", "t", "event_type", ["click", "view"],
+                "purchase", 100, model=model,
+            ).collect()
+        )
+
+    # last: each duplicate conversion credits its own last touch
+    assert run("last") == [
+        (1, 100, "click", 50, 1.0), (1, 100, "click", 50, 1.0),
+        (2, 9, None, None, 1.0), (2, 9, None, None, 1.0),
+        (2, 9, None, None, 1.0),
+    ]
+    # linear: 2 touches per conversion -> 0.5 each, PER conversion
+    # (4 credited rows for user 1, each conversion summing to 1.0)
+    assert run("linear") == [
+        (1, 100, "click", 50, 0.5), (1, 100, "click", 50, 0.5),
+        (1, 100, "view", 10, 0.5), (1, 100, "view", 10, 0.5),
+        (2, 9, None, None, 1.0), (2, 9, None, None, 1.0),
+        (2, 9, None, None, 1.0),
+    ]
+
+
+def test_attribute_conversions_hot_user_guard(spark):
+    """max_touches_per_conversion refuses loudly in-path when one
+    conversion window holds more touches than the cap (the hot-user
+    K x M blowup), and None disables the guard."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        attribute_conversions,
+    )
+
+    rows = [(1, i, "click") for i in range(1, 6)] + [(1, 10, "purchase")]
+    df = spark.createDataFrame(rows, "u long, t long, event_type string")
+    args = (df, "u", "t", "event_type", ["click"], "purchase", 100)
+    for model in ("last", "linear"):
+        with _pt.raises(Exception, match="max_touches_per_conversion"):
+            attribute_conversions(
+                *args, model=model, max_touches_per_conversion=4
+            ).collect()
+        got = attribute_conversions(
+            *args, model=model, max_touches_per_conversion=None
+        ).collect()
+        assert len(got) == (1 if model == "last" else 5)
+    # cap == count passes
+    assert (
+        attribute_conversions(
+            *args, model="linear", max_touches_per_conversion=5
+        ).count()
+        == 5
+    )
