@@ -2281,11 +2281,14 @@ def edit_distance_pairs(
     pair could be silently dropped), and the PassJoin partition needs
     ``max_dist + 1`` non-empty segments (a weaker bound, but one
     uniform loud contract beats two mode-dependent ones). Shorter rows
-    are REFUSED loudly (one aggregate-bounded count doubling as the
-    guard, the ks_distance discipline): truncate/pad upstream, or
-    lower ``q``/``max_dist``. A FIXED prefix slice upstream also
-    equalizes lengths, which shrinks both the probe window grid and
-    the count bound."""
+    are REFUSED loudly by a ``raise_error`` INSIDE the text projection
+    (the topk_lsh in-path-guard pattern): plan construction is fully
+    lazy and the check costs one length compare per row on the scan
+    the candidate build already makes — the previous eager ``.count()``
+    guard paid one extra full corpus scan per CALL at plan-build time.
+    Truncate/pad upstream, or lower ``q``/``max_dist``. A FIXED prefix
+    slice upstream also equalizes lengths, which shrinks both the
+    probe window grid and the count bound."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0 (got {max_dist})")
     if q < 1:
@@ -2295,18 +2298,31 @@ def edit_distance_pairs(
             f"mode must be auto|passjoin|countfilter (got {mode!r})"
         )
     min_len = q * (max_dist + 1)
-    s = docs.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
-    ).filter(F.col("_t").isNotNull())
-    n_short = s.filter(F.length("_t") < min_len).count()
-    if n_short:
-        raise ValueError(
-            f"edit_distance_pairs: {n_short} strings shorter than "
-            f"q*(max_dist+1) = {min_len} chars; the q-gram count "
-            "filter cannot guarantee a shared gram for them (a true "
-            "pair could be silently dropped). Truncate/pad to a fixed "
-            "length upstream, or lower q/max_dist."
+    # in-path min-length refusal: NULLs are filtered BEFORE the guard
+    # (length(NULL) is NULL, which would fall through to the error
+    # branch), and the guard lives inside the _t projection every
+    # downstream path reads — a standalone assert column would be
+    # pruned as unused. No Spark job fires at plan-build time.
+    s = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.when(
+            F.length(F.col(text_col)) >= F.lit(min_len), F.col(text_col)
         )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "edit_distance_pairs: string of length %s is shorter "
+                    "than q*(max_dist+1) = " + str(min_len) + " chars; "
+                    "the q-gram count filter cannot guarantee a shared "
+                    "gram for it (a true pair could be silently "
+                    "dropped). Truncate/pad to a fixed length upstream, "
+                    "or lower q/max_dist.",
+                    F.length(F.col(text_col)),
+                )
+            )
+        )
+        .alias("_t"),
+    )
     if mode == "auto":
         sample_grams = s.select(
             F.col("_id").alias("doc_id"),

@@ -8758,14 +8758,19 @@ def drift_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full O(N^2) brute force (DuckDB's native levenshtein is the same
 # classic edit distance as Spark's) — so the kernel's q-gram candidate
 # pruning is value-proven lossless at sf0.01, not just pytest-scale.
-# 60-char prefixes equalize lengths (tightening the count bound) and
-# satisfy the min-length contract len >= q*(d+1) = 21.
+# 60-char prefixes equalize lengths (tightening the count bound);
+# prefixes shorter than the q*(d+1) = 21-char min-length contract are
+# filtered IDENTICALLY on both the kernel input and the oracle, so the
+# row is corpus-independent (a sub-21-char document would otherwise
+# make the kernel refuse while the brute force kept it).
 # --------------------------------------------------------------------------
 @register(
     "dedup_edit_distance",
     sql="""
     WITH p AS (SELECT doc_id, substr(text, 1, 60) AS t
-               FROM documents WHERE text IS NOT NULL)
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND length(substr(text, 1, 60)) >= 21)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.t, b.t) AS INT) AS edit_distance
     FROM p a JOIN p b ON a.doc_id < b.doc_id
@@ -8780,8 +8785,10 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned — the word-salad corpus is exactly the hot-gram case the
     segment/substring index exists for (the auto-gate picks it too;
     pinning keeps the bench row's plan deterministic)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 60).alias("text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, 60).alias("text"))
+        .filter(F.length("text") >= 21)
     )
     return dedup.edit_distance_pairs(
         docs, max_dist=6, q=3, mode="passjoin"
@@ -8924,7 +8931,9 @@ def quality_infer_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH RECURSIVE p AS (
         SELECT doc_id, substr(text, 1, 60) AS t
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents
+        WHERE text IS NOT NULL
+          AND length(substr(text, 1, 60)) >= 21),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM p a JOIN p b ON a.doc_id < b.doc_id
@@ -8949,8 +8958,10 @@ def dedup_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     — pytest-mirrored). Composes the PassJoin pair kernel with the
     pointer-propagation CC kernel the dedup_clusters driver row
     evidences."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 60).alias("text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, 60).alias("text"))
+        .filter(F.length("text") >= 21)
     )
     pairs = dedup.edit_distance_pairs(
         docs, max_dist=6, q=3, mode="passjoin"

@@ -96,9 +96,16 @@ def test_edit_distance_guards(spark):
     docs = spark.createDataFrame(
         [(1, "abcdef"), (2, None)], "doc_id long, text string"
     )
-    # 6 < q*(d+1) = 3*3: refused loudly, not silently lossy
-    with pytest.raises(ValueError, match="shorter than"):
-        edit_distance_pairs(docs, 2, q=3)
+    # 6 < q*(d+1) = 3*3: refused loudly IN-PATH at action time (the
+    # former eager .count() guard cost one extra corpus scan per call);
+    # plan construction itself must NOT raise
+    for mode in ("passjoin", "countfilter"):
+        plan = edit_distance_pairs(docs, 2, q=3, mode=mode)
+        with pytest.raises(Exception, match="shorter than"):
+            plan.collect()
+    # auto mode hits the guard during its (by-design) gate probe
+    with pytest.raises(Exception, match="shorter than"):
+        edit_distance_pairs(docs, 2, q=3, mode="auto").collect()
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_pairs(docs, -1)
     with pytest.raises(ValueError, match="q must"):
@@ -110,3 +117,24 @@ def test_edit_distance_guards(spark):
         [(1, "abc"), (2, "abc"), (3, None)], "doc_id long, text string"
     )
     assert _pairs(spark, ok, 0, q=3) == {(1, 2): 0}
+
+
+def test_edit_distance_plan_build_is_lazy(spark):
+    """Explicit-mode plan construction fires NO Spark job (the r12
+    min-length guard ran an eager .count() — one extra full corpus
+    scan per CALL at plan-build time; the guard now rides the text
+    projection in-path, the topk_lsh pattern). mode='auto' is exempt:
+    its hot-gram gate probe is a documented plan-build action."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 30), (2, "a" * 29 + "b")], "doc_id long, text string"
+    )
+    sc = spark.sparkContext
+    for mode in ("passjoin", "countfilter"):
+        sc.setJobGroup(f"editdist-build-{mode}", "lazy-guard")
+        df = edit_distance_pairs(docs, 2, q=3, mode=mode)
+        ids = sc.statusTracker().getJobIdsForGroup(f"editdist-build-{mode}")
+        sc.setJobGroup(f"editdist-build-{mode}-done", "done")
+        assert list(ids) == [], mode
+        # and the plan still executes correctly afterwards
+        assert {(r.doc_a, r.doc_b, r.edit_distance)
+                for r in df.collect()} == {(1, 2, 1)}, mode
