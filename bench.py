@@ -1177,13 +1177,18 @@ def _scale_probe_layout(spark) -> dict:
 def _scale_probe_editdist(spark, sf_dir: str) -> dict:
     """10x datapoint for the r12 PassJoin edit-distance join: 1x and
     10x back-to-back in one load window, min-vs-min + out_rows
-    attribution. The 10 copies remap characters with DISTINCT
-    bijections ("aeiou" -> ten different 5-letter targets): a
-    bijective char map preserves within-copy Levenshtein distances
-    EXACTLY (out_rows_10x must be exactly 10x out_rows_1x) while any
-    cross-copy pair differs at every vowel (>> max_dist) — so the
-    output is linear by construction and a superlinear wall is
-    candidate-generation cost, never result volume."""
+    attribution. The 10 copies remap characters with the ten cyclic
+    ROTATIONS of one 10-letter subset — each a true permutation of
+    that subset, hence injective on the whole text alphabet (the r12
+    vowel→consonant maps could collide with consonants already in the
+    text, silently shrinking within-copy distances): a bijective char
+    map preserves within-copy Levenshtein distances EXACTLY
+    (out_rows_10x must be exactly 10x out_rows_1x), and distinct
+    rotations disagree at EVERY one of the 10 letters, so a same-doc
+    cross-copy pair differs at each of its many occurrences
+    (>> max_dist) — the output is linear by construction and a
+    superlinear wall is candidate-generation cost, never result
+    volume."""
     from pyspark.sql import functions as F
 
     from process_alphafold3_outputs_spark.operators.dedup import (
@@ -1191,16 +1196,20 @@ def _scale_probe_editdist(spark, sf_dir: str) -> dict:
     )
     from process_alphafold3_outputs_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 60).alias("text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, 60).alias("text"))
+        # the driver row's corpus-independence filter (min-length
+        # contract q*(d+1) = 21)
+        .filter(F.length("text") >= 21)
     )
     n = docs.count()
-    maps = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
-            "xyzqj", "yzqjx", "zqjxy", "qjxyz", "jxyzq"]
+    alpha = "aeioubcdfg"
+    maps = [alpha[i:] + alpha[:i] for i in range(10)]
     copies = [
         docs.select(
             (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-            F.translate("text", "aeiou", maps[i]).alias("text"),
+            F.translate("text", alpha, maps[i]).alias("text"),
         )
         for i in range(10)
     ]
