@@ -592,15 +592,23 @@ def chi2_drift_many(
     keying, 0.5 Laplace floor for unseen categories, loud failure on
     an empty reference).
 
-    ``max_values`` caps PER-COLUMN category cardinality (counted for
-    every column in the same fused scan pair, so the guard adds no
-    per-column cost); the refusal names every offending column — the
+    ``max_values`` caps PER-COLUMN category cardinality via
+    ``approx_count_distinct`` (rsd 1%): N EXACT multi-distincts in one
+    agg plan an N-way Expand — every ref+cur row replicated
+    ``len(cols)`` times, exactly the row-multiplication the
+    candidate_keys guard refuses past 45 combos — while N HLL
+    accumulators share ONE un-expanded scan pair. A cost guard needs
+    no exactness: a column within ~1% of the cap may land on either
+    side, and either outcome is safe (the chi2 statistic itself stays
+    exact; the cap only bounds the full-outer join's category fan).
+    The refusal names every offending column with its estimate — the
     :func:`ks_distance` loud-refusal discipline applied to the fused
     form."""
     if not cols:
         raise ValueError("cols must be non-empty")
-    # one fused cardinality scan per side (no per-column loop): distinct
-    # category count for EVERY column before the real work runs
+    # one fused cardinality scan per side (no per-column loop, no
+    # Expand): approximate distinct count for EVERY column before the
+    # real work runs
     crow = (
         ref.select(
             *[F.col(c).cast("string").alias(c) for c in cols]
@@ -609,7 +617,10 @@ def chi2_drift_many(
             cur.select(*[F.col(c).cast("string").alias(c) for c in cols])
         )
         .agg(
-            *[F.countDistinct(F.col(c)).alias(f"_v_{c}") for c in cols]
+            *[
+                F.approx_count_distinct(F.col(c), 0.01).alias(f"_v_{c}")
+                for c in cols
+            ]
         )
         .collect()[0]
     )
@@ -617,7 +628,8 @@ def chi2_drift_many(
     if over:
         raise ValueError(
             f"chi2_drift_many: columns over max_values={max_values} "
-            f"distinct categories: {over}; chi-square is a CATEGORICAL "
+            f"distinct categories (approx_count_distinct, rsd 1%): "
+            f"{over}; chi-square is a CATEGORICAL "
             "statistic — bucket or band these columns first (for "
             "numerics use psi_report_many / ks_distance_banded) or "
             "raise max_values deliberately."

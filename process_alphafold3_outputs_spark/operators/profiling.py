@@ -624,10 +624,18 @@ def profile_histogram(
     grid_rows = []
     for c in live:
         mn, mx = float(brow[f"_mn_{c}"]), float(brow[f"_mx_{c}"])
-        w = (mx - mn) / n_bins
+        # edges in the oracle's exact operand order mn + b*(mx-mn)/n —
+        # a precomputed w = (mx-mn)/n associates differently and can
+        # differ in the last ulp, surviving the 1e6 floor-round (the
+        # exact-floor-form cross-engine discipline)
         for b in range(n_bins):
             grid_rows.append(
-                (c, b, r6(mn + b * w), r6(mn + (b + 1) * w))
+                (
+                    c,
+                    b,
+                    r6(mn + b * (mx - mn) / n_bins),
+                    r6(mn + (b + 1) * (mx - mn) / n_bins),
+                )
             )
     grid = df.sparkSession.createDataFrame(
         grid_rows, "col_name string, bin int, lo double, hi double"

@@ -519,6 +519,34 @@ def test_chi2_many_max_values_guard_names_columns(spark):
     assert set(out) == {"hi", "lo"}
 
 
+def test_chi2_many_guard_plans_no_expand(spark):
+    """The fused cardinality guard uses approx_count_distinct (r12
+    advice): N exact multi-distincts in ONE agg plan an N-way Expand —
+    every ref+cur row replicated len(cols) times — while N HLL
+    accumulators share one un-expanded scan. Pin the mechanism: the
+    guard's agg shape has no Expand; the exact form it replaced does."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(str(i), str(i % 3), str(i % 5)) for i in range(20)],
+        "a string, b string, c string",
+    )
+    cols = ["a", "b", "c"]
+
+    def plan(aggs):
+        return df.union(df).agg(*aggs)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+
+    guard_plan = plan(
+        [F.approx_count_distinct(F.col(c), 0.01).alias(c) for c in cols]
+    )
+    exact_plan = plan([F.countDistinct(F.col(c)).alias(c) for c in cols])
+    assert "Expand" not in guard_plan
+    assert "Expand" in exact_plan
+
+
 def test_psi_timeline_outage_bucket_is_a_flagged_row(spark):
     """A bucket with ZERO current rows — a total data outage, itself a
     strong drift signal — emits an n_cur=0 row with psi NULL (no rows
