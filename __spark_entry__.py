@@ -612,6 +612,10 @@ _DEFERRED: set[str] = {
     "text_search_hybrid",    # RRF fusion of the green text_bm25_search
                              # + similarity_topk kernels (deferred:
                              # headroom)
+    "pipeline_cluster_split",  # leakage-safe split (NEW r13): CC +
+                             # md5 bucket on the cluster id; composes
+                             # the green dedup_clusters mechanics
+                             # (deferred: headroom)
     "pipeline_corpus_diff",  # crawl-to-crawl hash diff; full-outer
                              # hash-join mechanics evidenced by green
                              # dedup_exact + dedup_incremental rows
@@ -623,12 +627,20 @@ _DEFERRED: set[str] = {
     "text_search_hybrid_many",  # query-table form of the hybrid RRF
                              # row (single==many parity pytest-pinned;
                              # deferred: headroom)
+    "event_trends",          # per-key OLS trend (NEW r13); moment-sum
+                             # hash-agg mechanics evidenced by green
+                             # dedup_exact/sessionize agg rows
+                             # (deferred: headroom)
     "event_ohlc",            # OHLC downsample; min_by/max_by hash-agg
                              # mechanics evidenced by green dedup_exact
                              # min_by row (deferred: headroom)
     "profile_fk_containment",  # inclusion-dependency containment;
                              # distinct-collapse + keyed-join mechanics
                              # evidenced by green semi_join/dedup rows
+                             # (deferred: headroom)
+    "text_sample_pps",       # systematic PPS draw (NEW r13); domain-
+                             # keyed window mechanics evidenced by the
+                             # green text_sample_domains row
                              # (deferred: headroom)
     "text_strip_markup",     # markup extraction projection; regex-chain
                              # mechanics evidenced by green

@@ -142,6 +142,16 @@ BENCH_DEFERRED = {
                   "event_gapfill (the benched bucket-grain "
                   "representative; anchors/top-1 touch bucket-bounded "
                   "tables only)",
+    "text_sample_pps": "text_sample_domains (the benched deterministic "
+                       "md5 sampling family; PPS adds one domain-keyed "
+                       "window cum-sum of the sample_exact_k shape)",
+    "pipeline_cluster_split": "dedup_clusters (the benched CC kernel "
+                              "that dominates; the split itself is a "
+                              "pure column expression on the joined "
+                              "label table)",
+    "event_trends": "dedup_exact (the benched single-shuffle hash-agg "
+                    "shape — trend_ols is two keyed aggs of exact "
+                    "integer moment sums, group count = |event types|)",
     "dedup_edit_clusters": "dedup_edit_distance (the benched PassJoin "
                            "pair kernel) + dedup_clusters (the benched "
                            "pointer-propagation CC kernel the closure "

@@ -2505,3 +2505,72 @@ def _countfilter_candidates(s: DataFrame, d: int, q: int) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+
+
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_pct: int = 10,
+    seed: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, group_id, split) — LEAKAGE-SAFE train/validation
+    assignment: every member of a near-duplicate cluster lands in the
+    SAME split. A plain per-document hash split
+    (:func:`..operators.text.split_assign`) leaks: a near-duplicate
+    pair straddling train/val inflates eval scores by exactly the
+    memorization you meant to measure. Splitting on the CLUSTER id
+    instead makes straddling impossible by construction.
+
+    ``pairs`` is any near-dup edge set (doc_a, doc_b) — MinHash/LSH,
+    Jaccard, SimHash, edit-distance; ``group_id`` is the connected-
+    component label for clustered docs (min reachable id) and the
+    document's own id for singletons (docs in no pair). The split rule
+    is the same deterministic md5 bucket as ``text.split_col`` —
+    md5(seed ‖ ':' ‖ group_id) first-8-hex mod 100 < val_pct ⇒ 'val' —
+    so re-runs, retries, and the SQL oracle agree bit-for-bit and
+    changing ``seed`` re-draws the split without touching the data.
+
+    Scale shape: the CC label table is CLUSTERED-DOCS-sized (nodes
+    with >= 1 edge — typically a small fraction of the corpus), joined
+    back on the id key; the split itself is a pure column expression
+    (zero extra shuffle). O(log n) keyed rounds inside
+    :func:`connected_components` dominate, exactly as in the dedup
+    planner this composes with."""
+    if not (0 <= val_pct <= 100):
+        raise ValueError(f"val_pct must be in [0, 100] (got {val_pct})")
+    cc = connected_components(pairs, check_every=2).select(
+        F.col("doc_id").alias("_cc_id"),
+        F.col("cluster_id").alias("_cc_lbl"),
+    )
+    grp = F.coalesce(F.col("_cc_lbl"), F.col(id_col)).alias("group_id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"),
+                        F.coalesce(F.col("_cc_lbl"), F.col(id_col)).cast(
+                            "string"
+                        ),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.select(id_col)
+        .join(cc, docs[id_col] == cc["_cc_id"], "left")
+        .select(
+            id_col,
+            grp,
+            F.when(bucket < val_pct, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

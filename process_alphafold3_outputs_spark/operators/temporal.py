@@ -725,3 +725,73 @@ def lttb_downsample(
         *keys, F.col("_t").alias("t"), F.col("_v").alias("value")
     )
     return small.unionByName(kept_ends).unionByName(picked)
+
+
+def trend_ols(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """(keys..., n, slope, intercept, r2) — per-key ordinary
+    least-squares trend over INTEGER (x, y) points: the "is this
+    metric drifting" primitive behind every monitoring dashboard
+    (fit counts-per-bucket, alert on slope). NULL x or y rows are
+    excluded per key.
+
+    Exactness: x and y are cast to long (the integer contract — scale
+    floats upstream by the repo's floor-scale discipline), so the five
+    moment sums and the centered cross terms
+    ``Lxy = n·Σxy − Σx·Σy``, ``Lxx = n·Σx² − (Σx)²``,
+    ``Lyy = n·Σy² − (Σy)²`` are EXACT int64 arithmetic; the only
+    floating-point ops are the final divisions, written in one fixed
+    operand order so the oracle restates them bit-identically:
+    ``slope = double(Lxy)/double(Lxx)``,
+    ``intercept = (double(Σy) − slope·double(Σx))/double(n)``,
+    ``r2 = (double(Lxy)·double(Lxy))/(double(Lxx)·double(Lyy))``,
+    each then 6-dp floor-rounded. int64 bounds: |n·Σx²| and |n·Σy²|
+    must stay below 2^63 — rebase x to a small index and pre-aggregate
+    y upstream (a day index over years of data and counts per bucket
+    fit with 8+ orders of margin).
+
+    Degenerate keys stay PRESENT with NULL fits (absence hides the
+    finding): a single point or constant x (Lxx = 0) has no defined
+    slope/intercept/r2; constant y (Lyy = 0) fits slope 0 exactly but
+    r2 is NULL (0/0 — no variance to explain).
+
+    Scale shape: ONE groupBy(keys) aggregation — map-side combinable
+    partial sums, a single shuffle on the key, group count = |keys|.
+    Never a window, never a per-key sort: OLS needs only moments."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * y).alias("_sxy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(y * y).alias("_syy"),
+        )
+    )
+    lxy = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    lxx = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    lyy = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = lxy.cast("double") / lxx.cast("double")
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = (lxy.cast("double") * lxy.cast("double")) / (
+        lxx.cast("double") * lyy.cast("double")
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.when(lxx != 0, _r6(slope)).alias("slope"),
+        F.when(lxx != 0, _r6(intercept)).alias("intercept"),
+        F.when((lxx != 0) & (lyy != 0), _r6(r2)).alias("r2"),
+    )

@@ -3526,3 +3526,84 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(t).cast("long").alias("n_chars_before"),
         F.length(clean).cast("long").alias("n_chars_after"),
     )
+
+
+def sample_pps(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    domain_col: str = "source",
+    seed: str = "pps-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, domain, weight, n_picks) — deterministic SYSTEMATIC
+    probability-proportional-to-size draw of ``k`` picks per domain
+    ("sample documents proportional to token count"): lay every
+    domain's rows on a [0, W) number line in deterministic md5 order
+    (W = the domain's total weight), drop ``k`` equally-spaced pins,
+    and a row is picked once per pin inside its own weight interval —
+    the textbook systematic PPS design (inclusion probability
+    min(1, k·w/W); a heavy row with w > W/k is picked with CERTAINTY,
+    ``n_picks`` counting its multiplicity, and Σ n_picks == k exactly
+    per domain).
+
+    Everything is EXACT int64 arithmetic — weights are cast to long
+    (the integer contract; scale floats upstream), the pin test is
+    ``(cum·k) div W > ((cum−w)·k) div W`` with integer division — so
+    re-runs, retries, and the SQL oracle agree bit-for-bit; no
+    transcendental key (the exp/pow of A-ES weighted reservoirs is NOT
+    cross-engine reproducible in the last ulp). int64 bound: W·k <
+    2^63 per domain (a 10-billion-token domain leaves room for
+    k ≤ ~1e9).
+
+    NULL weights are excluded; zero weights are never picked (their
+    interval is empty); a NEGATIVE weight would silently corrupt every
+    later interval on the line, so it is refused loudly in-path (the
+    raise_error-in-projection discipline). Domains with W == 0 emit no
+    rows — there is nothing to draw from.
+
+    Scale shape: one domain-keyed window pass (ordered cum-sum + the
+    domain total over the same partition — one shuffle, one sort);
+    per-domain data must fit a task's spill budget, the
+    :func:`sample_exact_k` caveat — pre-filter heavy domains with the
+    rate gate first."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    w = F.col(weight_col).cast("long")
+    guarded_w = F.when(w >= 0, w).otherwise(
+        F.raise_error(
+            F.format_string(
+                "sample_pps: negative weight %s — a negative interval "
+                "corrupts every later pin test on the domain's number "
+                "line; filter or clamp upstream.",
+                w,
+            )
+        )
+    )
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
+    wd = Window.partitionBy("domain")
+    wo = (
+        wd.orderBy(h, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        docs.filter(w.isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+            guarded_w.alias("_w"),
+        )
+        .withColumn("_cum", F.sum("_w").over(wo))
+        .withColumn("_tot", F.sum("_w").over(wd))
+    )
+    picks = F.expr(f"(_cum * {k}) div _tot - ((_cum - _w) * {k}) div _tot")
+    return (
+        staged.filter(F.col("_tot") > 0)
+        .select(
+            "doc_id",
+            "domain",
+            F.col("_w").alias("weight"),
+            picks.cast("long").alias("n_picks"),
+        )
+        .filter(F.col("n_picks") >= 1)
+    )

@@ -9161,3 +9161,148 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist(
         load_table(spark, sf_dir, "documents"), ["n_chars", "doc_id"]
     )
+
+
+# --------------------------------------------------------------------------
+# per-key OLS trend (NEW r13): the "is this metric drifting" fit over
+# daily event counts. Integer (x, y) make every moment sum exact int64;
+# the oracle restates the centered cross terms and the three final
+# divisions in the identical operand order, then the exact floor-round
+# — so slope/intercept/r2 are bit-identical doubles cross-engine.
+# --------------------------------------------------------------------------
+@register(
+    "event_trends",
+    sql="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(day) AS sx, sum(y) AS sy, sum(day * y) AS sxy,
+               sum(day * day) AS sxx, sum(y * y) AS syy
+        FROM daily GROUP BY 1),
+    t AS (
+        SELECT event_type, n,
+               n * sxy - sx * sy AS lxy,
+               n * sxx - sx * sx AS lxx,
+               n * syy - sy * sy AS lyy,
+               sx, sy
+        FROM m)
+    SELECT event_type, n,
+           CASE WHEN lxx <> 0 THEN
+               floor((CAST(lxy AS DOUBLE) / CAST(lxx AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 END AS slope,
+           CASE WHEN lxx <> 0 THEN
+               floor(((CAST(sy AS DOUBLE)
+                       - (CAST(lxy AS DOUBLE) / CAST(lxx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 END AS intercept,
+           CASE WHEN lxx <> 0 AND lyy <> 0 THEN
+               floor(((CAST(lxy AS DOUBLE) * CAST(lxy AS DOUBLE))
+                      / (CAST(lxx AS DOUBLE) * CAST(lyy AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 END AS r2
+    FROM t
+    """,
+)
+def event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily event volume (deferred —
+    pytest-mirrored): operators/temporal.trend_ols over the
+    (event_type, day)-count table. Two keyed aggregations total: the
+    daily rollup shuffles on (type, day), the moment fit on type —
+    never a window or per-key sort."""
+    from ..operators.temporal import trend_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", event_seconds(ev).alias("_t"))
+        # integer div (exact), matching the oracle's BIGINT // 86400 —
+        # a double `/ 86400` could truncate one off at bucket edges
+        .select("event_type", F.expr("_t div 86400").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return trend_ols(daily, ["event_type"], "day", "y")
+
+
+# --------------------------------------------------------------------------
+# leakage-safe cluster split (NEW r13): near-dup clusters never straddle
+# train/val. The oracle composes the dedup_clusters recursive-CTE CC
+# definition with the text_split_assign md5 bucket rule, keyed on the
+# COALESCED group id (CC label for clustered docs, own id for
+# singletons).
+# --------------------------------------------------------------------------
+def _register_cluster_split() -> None:
+    clusters_sql = _ORACLE["dedup_clusters"]
+    register(
+        "pipeline_cluster_split",
+        sql=f"""
+        WITH g AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN ({clusters_sql}) c USING (doc_id))
+        SELECT doc_id, group_id,
+               CASE WHEN CAST(('0x' || substr(
+                        md5('split-v1:' || CAST(group_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 100 < 10
+                    THEN 'val' ELSE 'train' END AS split
+        FROM g
+        """,
+    )(_pipeline_cluster_split)
+
+
+def _pipeline_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (deferred — pytest-mirrored):
+    operators/dedup.cluster_split over the exact-Jaccard near-dup pair
+    graph — every member of a duplicate cluster lands in the same
+    split, so no near-dup pair straddles the eval boundary. Composes
+    the green dedup_clusters CC kernel with the split_assign md5 rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    return dedup.cluster_split(docs, pairs, val_pct=10)
+
+
+_register_cluster_split()
+
+
+# --------------------------------------------------------------------------
+# systematic PPS sampling (NEW r13): k picks per domain proportional to
+# n_chars, exact int64 pin arithmetic on a deterministic md5-ordered
+# number line. The oracle restates the cum-sum window, the domain
+# total, and the integer-division pin test verbatim.
+# --------------------------------------------------------------------------
+@register(
+    "text_sample_pps",
+    sql="""
+    WITH staged AS (
+        SELECT doc_id, source AS domain,
+               CAST(n_chars AS BIGINT) AS weight,
+               sum(CAST(n_chars AS BIGINT)) OVER (
+                   PARTITION BY source
+                   ORDER BY md5('pps-v1:' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(CAST(n_chars AS BIGINT)) OVER (
+                   PARTITION BY source) AS tot
+        FROM documents WHERE n_chars IS NOT NULL)
+    SELECT doc_id, domain, weight,
+           CAST((cum * 50) // tot - ((cum - weight) * 50) // tot
+                AS BIGINT) AS n_picks
+    FROM staged
+    WHERE tot > 0
+      AND (cum * 50) // tot - ((cum - weight) * 50) // tot >= 1
+    """,
+)
+def text_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 systematic PPS picks per source, weight = n_chars (deferred
+    — pytest-mirrored): operators/text.sample_pps — the deterministic
+    weighted draw between rate-based sample_by_domain and budgeted
+    sample_exact_k. One domain-keyed window pass."""
+    from ..operators.text import sample_pps
+
+    return sample_pps(
+        load_table(spark, sf_dir, "documents"), k=50,
+        weight_col="n_chars",
+    )

@@ -1926,3 +1926,47 @@ def test_mmr_many_matches_single_per_query(spark):
             (r.rk, r.vec_id, r.relevance, r.mmr_score) for r in single
         )
         assert got == want, qid
+
+
+def test_cluster_split_no_leakage_and_matches_plain_split(spark):
+    """cluster_split (r13): every near-dup cluster lands wholly in ONE
+    split (the leakage invariant, by construction); singletons get
+    exactly the plain per-doc split_assign answer (same md5 rule, group
+    id == own id); group_id is the CC min-label for clustered docs."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.dedup import (
+        cluster_split,
+    )
+    from process_alphafold3_outputs_spark.operators.text import (
+        split_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # chain 0-1-2 (transitive, no 0-2 edge), pair 5-6, plus a
+    # cross-chain edge 2-7; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (2, 7)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.group_id, r.split)
+           for r in cluster_split(docs, pairs, val_pct=30).collect()}
+    assert len(out) == 40
+    # clusters: {0,1,2,7} -> group 0, {5,6} -> group 5
+    for d in (0, 1, 2, 7):
+        assert out[d][0] == 0
+    assert out[5][0] == 5 and out[6][0] == 5
+    # leakage invariant: one split per cluster
+    assert len({out[d][1] for d in (0, 1, 2, 7)}) == 1
+    assert out[5][1] == out[6][1]
+    # singletons: group is own id, split equals plain split_assign
+    plain = {r.doc_id: r.split
+             for r in split_assign(docs, val_pct=30).collect()}
+    singles = set(range(40)) - {0, 1, 2, 5, 6, 7}
+    for d in singles:
+        assert out[d] == (d, plain[d])
+    # a 30% draw over 34 singleton groups lands both labels
+    assert {s for _, s in out.values()} == {"train", "val"}
+    with _pt.raises(ValueError, match="val_pct"):
+        cluster_split(docs, pairs, val_pct=101)

@@ -856,3 +856,59 @@ def test_attribute_conversions_hot_user_guard(spark):
         ).count()
         == 5
     )
+
+
+def test_trend_ols_matches_numpy_and_degenerates(spark):
+    """trend_ols == numpy lstsq on integer points (r2 via corrcoef²);
+    degenerate keys stay present with NULL fits; NULL x/y excluded;
+    the fit is ONE keyed aggregation (single Exchange, no Window)."""
+    import numpy as np
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.temporal import trend_ols
+
+    pts = {
+        "up": [(0, 10), (1, 13), (2, 15), (3, 20), (4, 21)],
+        "noisy": [(2, 7), (5, 3), (9, 11), (11, 2), (20, 9), (21, 14)],
+        "flat_y": [(0, 5), (1, 5), (2, 5)],
+        "const_x": [(7, 1), (7, 9), (7, 4)],
+        "single": [(3, 8)],
+    }
+    rows = [(k, x, y) for k, v in pts.items() for x, y in v]
+    rows.append(("up", None, 99))
+    rows.append(("up", 99, None))
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = {r.k: r for r in trend_ols(df, ["k"], "x", "y").collect()}
+    assert set(out) == set(pts)
+
+    def r6(v):
+        import math
+
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    for k in ("up", "noisy"):
+        xs = np.array([p[0] for p in pts[k]], dtype=float)
+        ys = np.array([p[1] for p in pts[k]], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r2 = float(np.corrcoef(xs, ys)[0, 1]) ** 2
+        assert out[k].n == len(pts[k])
+        assert out[k].slope == _pt.approx(r6(slope), abs=2e-6)
+        assert out[k].intercept == _pt.approx(r6(intercept), abs=2e-6)
+        assert out[k].r2 == _pt.approx(r6(r2), abs=2e-6)
+    # constant y: exact zero slope, r2 undefined
+    assert (out["flat_y"].slope, out["flat_y"].intercept,
+            out["flat_y"].r2) == (0.0, 5.0, None)
+    # constant x / single point: no defined fit, row still present
+    for k in ("const_x", "single"):
+        assert (out[k].slope, out[k].intercept, out[k].r2) == (
+            None, None, None)
+    with _pt.raises(ValueError, match="keys"):
+        trend_ols(df, [], "x", "y")
+    # plan: one Exchange (the key shuffle), no Window
+    plan = trend_ols(df, ["k"], "x", "y")._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1 and "Window" not in tree

@@ -2001,3 +2001,50 @@ def test_split_by_language_merges_adjacent_runs(spark):
     assert [(s.seg_id, s.lang) for s in d2] == [(1, "en")]
     # segments reassemble the full document losslessly
     assert " ".join(s.seg_text for s in d1) == " ".join([en1, en2, fr])
+
+
+def test_sample_pps_invariants_and_guards(spark):
+    """Systematic PPS (r13): per-domain Σ n_picks == k exactly; a heavy
+    row (w > W/k) is picked with certainty at multiplicity within 1 of
+    k·w/W; zero weights never picked; NULL weights excluded; W == 0
+    domains emit nothing; determinism across repartition; loud in-path
+    refusal on a negative weight."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.text import sample_pps
+
+    rows = (
+        # domain a: one heavy row (w=60 of W=100 -> certainty at k=5:
+        # k*w/W = 3 picks) + light tail
+        [(1, "a", 60)] + [(i, "a", 5) for i in range(2, 10)]
+        # domain b: uniform weights
+        + [(i, "b", 7) for i in range(100, 120)]
+        # domain c: all zero weight -> W == 0, nothing to draw
+        + [(200, "c", 0), (201, "c", 0)]
+        # domain d: NULL weights excluded, one real row
+        + [(300, "d", None), (301, "d", 3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = sample_pps(df, k=5, weight_col="w").collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert set(by_dom) == {"a", "b", "d"}
+    for dom in ("a", "b", "d"):
+        assert sum(r.n_picks for r in by_dom[dom]) == 5
+    heavy = [r for r in by_dom["a"] if r.doc_id == 1]
+    assert len(heavy) == 1 and heavy[0].n_picks in (3, 4)  # floor/ceil of 3.0
+    assert all(r.weight > 0 for r in out)
+    # single-row domain d: the lone positive row absorbs all k picks
+    assert by_dom["d"][0].doc_id == 301 and by_dom["d"][0].n_picks == 5
+    # determinism across partitioning
+    again = sample_pps(df.repartition(7), k=5, weight_col="w").collect()
+    key = lambda rs: sorted((r.doc_id, r.domain, r.n_picks) for r in rs)
+    assert key(again) == key(out)
+    with _pt.raises(ValueError, match="k must"):
+        sample_pps(df, k=0, weight_col="w")
+    bad = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", -3)], "doc_id long, source string, w long"
+    )
+    with _pt.raises(Exception, match="negative weight"):
+        sample_pps(bad, k=2, weight_col="w").collect()
