@@ -627,6 +627,14 @@ _DEFERRED: set[str] = {
     "text_search_hybrid_many",  # query-table form of the hybrid RRF
                              # row (single==many parity pytest-pinned;
                              # deferred: headroom)
+    "quality_kappa",         # Cohen's kappa inter-gate agreement (NEW
+                             # r13); confusion-count hash-agg mechanics
+                             # evidenced by green quality_expectations/
+                             # ranking_eval rows (deferred: headroom)
+    "event_top_paths",       # clickstream top-k opening paths (NEW
+                             # r13); rank-window + ordered-collect
+                             # mechanics evidenced by green sessionize
+                             # row (deferred: headroom)
     "event_trends",          # per-key OLS trend (NEW r13); moment-sum
                              # hash-agg mechanics evidenced by green
                              # dedup_exact/sessionize agg rows

@@ -142,6 +142,12 @@ BENCH_DEFERRED = {
                   "event_gapfill (the benched bucket-grain "
                   "representative; anchors/top-1 touch bucket-bounded "
                   "tables only)",
+    "quality_kappa": "quality_expectations (the benched one-scan fused "
+                     "agg family; kappa adds category-sized margin "
+                     "joins only)",
+    "event_top_paths": "sessionize (the benched per-user rank-window "
+                       "shape; the path agg touches <= n_steps rows "
+                       "per user after the early rn filter)",
     "text_sample_pps": "text_sample_domains (the benched deterministic "
                        "md5 sampling family; PPS adds one domain-keyed "
                        "window cum-sum of the sample_exact_k shape)",

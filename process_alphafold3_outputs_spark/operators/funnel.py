@@ -348,3 +348,71 @@ def attribute_conversions(
         "user", "conversion_ts", "touch_type", "touch_ts",
         F.round("credit", 6).alias("credit"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    n_steps: int,
+    k: int,
+    t: Column | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """(path, n_users, rank) — the k most common opening event paths:
+    each user's first ``n_steps`` event types in time order, joined
+    with '>' ("view>click>view"), counted across users — the
+    clickstream table behind "how do users actually reach checkout"
+    and funnel-design diagnosis (the funnel you SHOULD build, where
+    :func:`funnel` measures the one you did). Users with fewer than
+    ``n_steps`` events contribute their full (shorter) path — cutting
+    them would bias the table toward heavy users. Ordering ties on
+    equal timestamps break by ``order_tiebreak`` (the
+    :func:`transition_matrix` rule), and the top-k ties break by
+    (n_users DESC, path ASC) — both deterministic.
+
+    Scale shape: one rank window per user partition (user histories
+    are the natural partition) with an EARLY ``rn <= n_steps`` filter
+    — at most n_steps rows per user survive to the path aggregation;
+    path counting is a hash agg on the path key; the final top-k is a
+    rank-k filter the optimizer runs as parallel partial top-k, never
+    a global sort of all paths."""
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1 (got {n_steps})")
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if t is None:
+        from ..sources.tables import event_seconds
+
+        t = event_seconds(events)
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        t.alias("_t"),
+        F.col(order_tiebreak).alias("_id"),
+        F.col(type_col).alias("_ty"),
+    )
+    w = Window.partitionBy("_u").orderBy("_t", "_id")
+    paths = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_steps)
+        .groupBy("_u")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rn", "_ty"))
+                    ),
+                    lambda s: s["_ty"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    wr = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("path", "n_users", F.col("rank").cast("int").alias("rank"))
+    )

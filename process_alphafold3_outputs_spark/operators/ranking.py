@@ -159,3 +159,83 @@ def ranking_summary(metrics: DataFrame, query_col: str = "query_id") -> DataFram
         F.round(F.avg("ap_k"), 6).alias("map_k"),
         F.round(F.avg("ndcg_k"), 6).alias("mean_ndcg_k"),
     )
+
+
+def agreement_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """One row (n, po, pe, kappa) — multi-category Cohen's kappa
+    between two label columns: the chance-corrected agreement measure
+    behind every labeling-pipeline audit ("do my two quality gates /
+    annotators / model versions actually agree, beyond what their
+    marginals force?"). po is raw agreement, pe the expected agreement
+    of independent raters with the observed marginals, kappa =
+    (po − pe)/(1 − pe). Rows where EITHER label is NULL are excluded
+    (an unlabeled item has no agreement to measure); kappa is NULL
+    when pe == 1 (both raters constant — 0/0, no information) and the
+    row reports n = 0 with all-NULL stats on an empty input rather
+    than vanishing.
+
+    Exactness: the confusion table and both marginals are exact int64
+    counts; pe's numerator Σ_k row_k·col_k is summed in DECIMAL so it
+    is exact and ORDER-INDEPENDENT past the int64 bound (row·col ≤ n²
+    overflows int64 at n > 3.0e9 rows — real at corpus scale); the
+    only doubles are po = diag/n, pe = num/(n·n), and kappa, each in
+    one fixed operand order + the 6-dp floor round, so the SQL oracle
+    reproduces them bit-for-bit.
+
+    Scale shape: ONE groupBy(a, b) count — a single shuffle whose
+    group count is |A|·|B| (label cardinalities; this is a LABEL
+    statistic — profile cardinality first if a column might be
+    ID-like) — then margin joins on the category-sized table only."""
+    a, b = F.col(col_a).cast("string"), F.col(col_b).cast("string")
+    c = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tot = c.agg(
+        F.sum("_n").alias("_t"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))).alias(
+            "_diag"
+        ),
+    )
+    rows_m = c.groupBy(F.col("_a").alias("_k")).agg(
+        F.sum("_n").alias("_ra")
+    )
+    cols_m = c.groupBy(F.col("_b").alias("_k")).agg(
+        F.sum("_n").alias("_cb")
+    )
+    pe_num = (
+        rows_m.join(cols_m, "_k")
+        .agg(
+            F.sum(
+                F.col("_ra").cast("decimal(38,0)") * F.col("_cb")
+            ).alias("_pe_num")
+        )
+    )
+    r6 = lambda col: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    # zero-diagonal (no agreement at all) is po = 0.0, not NULL —
+    # sum(when) with no otherwise returns NULL on an empty match set
+    po = F.coalesce(F.col("_diag"), F.lit(0)).cast("double") / F.col(
+        "_t"
+    ).cast("double")
+    pe = F.col("_pe_num").cast("double") / (
+        F.col("_t").cast("double") * F.col("_t").cast("double")
+    )
+    kappa = (po - pe) / (F.lit(1.0) - pe)
+    return (
+        tot.crossJoin(pe_num)
+        .select(
+            F.coalesce(F.col("_t"), F.lit(0)).alias("n"),
+            F.when(F.col("_t") > 0, r6(po)).alias("po"),
+            F.when(F.col("_t") > 0, r6(pe)).alias("pe"),
+            F.when(
+                (F.col("_t") > 0) & (pe < 1.0), r6(kappa)
+            ).alias("kappa"),
+        )
+    )

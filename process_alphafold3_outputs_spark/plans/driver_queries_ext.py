@@ -9306,3 +9306,107 @@ def text_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), k=50,
         weight_col="n_chars",
     )
+
+
+# --------------------------------------------------------------------------
+# inter-gate agreement (NEW r13): multi-category Cohen's kappa between
+# two rule-based quality gates — the labeling-audit statistic. The
+# oracle restates the confusion counts, the DECIMAL/HUGEINT-exact pe
+# numerator, and the three fixed-order divisions + floor rounds.
+# --------------------------------------------------------------------------
+@register(
+    "quality_kappa",
+    sql="""
+    WITH lab AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 'pass' ELSE 'fail' END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                         + 1 >= 50
+                    THEN 'pass' ELSE 'fail' END AS b
+        FROM documents
+        WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+    c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+          FROM lab GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS t,
+                   coalesce(sum(CASE WHEN a = b THEN n END), 0) AS diag
+            FROM c),
+    rm AS (SELECT a AS k, sum(n) AS ra FROM c GROUP BY 1),
+    cm AS (SELECT b AS k, sum(n) AS cb FROM c GROUP BY 1),
+    pe_num AS (SELECT sum(CAST(ra AS HUGEINT) * cb) AS num
+               FROM rm JOIN cm USING (k)),
+    stats AS (
+        SELECT CAST(coalesce(t, 0) AS BIGINT) AS n,
+               CAST(diag AS DOUBLE) / CAST(t AS DOUBLE) AS po,
+               CAST(num AS DOUBLE)
+                   / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS pe
+        FROM tot, pe_num)
+    SELECT n,
+           CASE WHEN n > 0 THEN floor(po * 1e6 + 0.5) / 1e6 END AS po,
+           CASE WHEN n > 0 THEN floor(pe * 1e6 + 0.5) / 1e6 END AS pe,
+           CASE WHEN n > 0 AND pe < 1.0 THEN
+               floor(((po - pe) / (1.0 - pe)) * 1e6 + 0.5) / 1e6
+           END AS kappa
+    FROM stats
+    """,
+)
+def quality_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the length gate (n_chars >= 300) and the
+    word-count gate (>= 50 whitespace-split words) over documents
+    (deferred — pytest-mirrored): operators/ranking.agreement_kappa —
+    do two quality gates agree beyond their marginals."""
+    from ..operators.ranking import agreement_kappa
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    words = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    lab = d.select(
+        F.when(F.col("n_chars") >= 300, "pass").otherwise("fail").alias(
+            "gate_len"
+        ),
+        F.when(words >= 50, "pass").otherwise("fail").alias("gate_words"),
+    )
+    return agreement_kappa(lab, "gate_len", "gate_words")
+
+
+# --------------------------------------------------------------------------
+# clickstream top paths (NEW r13): each user's first-5 event types in
+# time order, counted, top-10. The oracle restates the rank window, the
+# early rn <= 5 filter, the ordered string_agg, and the deterministic
+# (n DESC, path ASC) tie order.
+# --------------------------------------------------------------------------
+@register(
+    "event_top_paths",
+    sql="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+               ) AS rn
+        FROM events),
+    p AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM e WHERE rn <= 5 GROUP BY user_id),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM p GROUP BY path)
+    SELECT path, n_users,
+           CAST(row_number() OVER (
+               ORDER BY n_users DESC, path ASC) AS INT) AS rank
+    FROM counted
+    QUALIFY rank <= 10
+    """,
+)
+def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 opening 5-step event paths across users (deferred —
+    pytest-mirrored): operators/funnel.top_paths — the clickstream
+    "how do users actually move" table next to transition_matrix's
+    one-step Markov view."""
+    from ..operators.funnel import top_paths
+
+    return top_paths(load_table(spark, sf_dir, "events"), 5, 10)

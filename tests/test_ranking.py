@@ -106,3 +106,46 @@ def test_ranking_summary_macro_average(spark):
     # q1 recall 1.0; q2 recall 1/3 -> macro mean
     assert s.mean_recall_k == round((1.0 + round(1 / 3, 6)) / 2, 6)
     assert s.mrr == round((1.0 + 0.5) / 2, 6)
+
+
+def test_agreement_kappa_hand_computed_and_edges(spark):
+    """Cohen's kappa (r13): hand-computed 2x2 and 3-category tables;
+    perfect agreement = 1; independence-shaped table ~ 0; constant
+    raters (pe == 1) -> NULL kappa; zero diagonal -> po = 0.0, kappa
+    < 0; NULL labels excluded; empty input -> n=0 all-NULL row."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.ranking import (
+        agreement_kappa,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = agreement_kappa(df, "a", "b").collect()
+        assert len(out) == 1
+        return out[0]
+
+    # classic textbook 2x2: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    r = run(rows)
+    # po = 35/50 = .7; pe = (25*30 + 25*20)/2500 = .5; kappa = .4
+    assert (r.n, r.po, r.pe, r.kappa) == (50, 0.7, 0.5, 0.4)
+    # perfect agreement, 3 categories
+    r = run([("a", "a")] * 3 + [("b", "b")] * 4 + [("c", "c")] * 5)
+    assert r.kappa == 1.0 and r.po == 1.0
+    # both raters constant and equal: pe == 1 -> kappa NULL (0/0)
+    r = run([("x", "x")] * 7)
+    assert (r.po, r.pe, r.kappa) == (1.0, 1.0, None)
+    # zero diagonal: po exactly 0.0 (not NULL), kappa negative
+    r = run([("y", "n")] * 5 + [("n", "y")] * 5)
+    assert r.po == 0.0 and r.kappa < 0
+    # NULL labels excluded from n
+    df = spark.createDataFrame(
+        [("y", "y"), ("y", None), (None, "n")], "a string, b string"
+    )
+    assert agreement_kappa(df, "a", "b").collect()[0].n == 1
+    # empty input: one row, n = 0, stats NULL
+    empty = spark.createDataFrame([], "a string, b string")
+    r = agreement_kappa(empty, "a", "b").collect()[0]
+    assert (r.n, r.po, r.pe, r.kappa) == (0, None, None, None)

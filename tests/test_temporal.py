@@ -912,3 +912,44 @@ def test_trend_ols_matches_numpy_and_degenerates(spark):
     )
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1 and "Window" not in tree
+
+
+def test_top_paths_hand_computed(spark):
+    """top_paths (r13): time-then-tiebreak ordering, short users keep
+    their full path, deterministic (n DESC, path ASC) top-k ties, and
+    the early rn filter truncates at n_steps."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.funnel import top_paths
+
+    rows = [
+        # user 1: a(1) b(2) c(3) d(4) -> truncated to a>b>c at n=3
+        (1, 1, 10, "a"), (1, 2, 11, "b"), (1, 3, 12, "c"), (1, 4, 13, "d"),
+        # user 2: same opening path, tie at t=1 broken by event_id
+        (2, 1, 21, "a"), (2, 1, 22, "b"), (2, 2, 23, "c"),
+        # user 3: short user keeps full 2-step path
+        (3, 5, 30, "b"), (3, 6, 31, "a"),
+        # user 4: single event
+        (4, 9, 40, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, t long, event_id long, event_type string"
+    )
+    from pyspark.sql import functions as F
+
+    got = [
+        (r.path, r.n_users, r.rank)
+        for r in top_paths(df, 3, 10, t=F.col("t")).collect()
+    ]
+    assert got == [
+        ("a>b>c", 2, 1), ("b>a", 1, 2), ("c", 1, 3),
+    ]
+    # k cuts deterministically on the (n DESC, path ASC) order
+    assert [
+        (r.path, r.rank)
+        for r in top_paths(df, 3, 2, t=F.col("t")).collect()
+    ] == [("a>b>c", 1), ("b>a", 2)]
+    with _pt.raises(ValueError, match="n_steps"):
+        top_paths(df, 0, 5, t=F.col("t"))
+    with _pt.raises(ValueError, match="k must"):
+        top_paths(df, 3, 0, t=F.col("t"))
