@@ -481,6 +481,50 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--phases", type=int, default=24,
                     help="seasonal: buckets per cycle")
 
+    sp = sub.add_parser("trend")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table with a time column")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--key", action="append", default=[],
+                    metavar="COL", help="series key column (repeat)")
+    sp.add_argument("--ts-col", required=True)
+    sp.add_argument("--width", type=int, default=86400,
+                    help="count-bucket width in seconds")
+
+    sp = sub.add_parser("kappa")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table with two label columns")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--col-a", required=True)
+    sp.add_argument("--col-b", required=True)
+
+    sp = sub.add_parser("sample-pps")
+    common(sp)
+    sp.add_argument("--k", type=int, required=True,
+                    help="picks per domain")
+    sp.add_argument("--weight-col", default="n_chars")
+    sp.add_argument("--domain-col", default="source")
+    sp.add_argument("--seed", default="pps-v1")
+
+    sp = sub.add_parser("top-paths")
+    sp.add_argument("--input", required=True,
+                    help="events parquet")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--user-col", default="user_id")
+    sp.add_argument("--type-col", default="event_type")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--seq-col", default="event_id",
+                    help="timestamp tiebreak column")
+    sp.add_argument("--n-steps", type=int, default=5)
+    sp.add_argument("-k", type=int, default=10)
+
+    sp = sub.add_parser("cluster-split")
+    common(sp)
+    sp.add_argument("--val-pct", type=int, default=10)
+    sp.add_argument("--seed", default="split-v1")
+    sp.add_argument("--threshold", type=float, default=0.5,
+                    help="Jaccard threshold for the near-dup edge set")
+
     sp = sub.add_parser("privacy")
     sp.add_argument("--input", required=True,
                     help="any parquet table to audit")
@@ -1106,6 +1150,74 @@ def _result(
             max_buckets=args.max_buckets,
         )
 
+    if args.command == "trend":
+        from pyspark.sql import functions as _F
+
+        from .operators.temporal import trend_ols
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tbl = spark.read.parquet(args.input)
+        ts_dtype = dict(tbl.dtypes).get(args.ts_col, "")
+        ts_expr = (
+            _F.col(args.ts_col).cast("timestamp").cast("long")
+            if ts_dtype.startswith("timestamp")
+            else _F.col(args.ts_col).cast("long")
+        )
+        # no --key: one whole-table trend under a constant key
+        keys = args.key or []
+        daily = (
+            tbl.select(*keys, ts_expr.alias("_t"))
+            .select(*keys, _F.expr(f"_t div {int(args.width)}").alias("x"))
+            .groupBy(*keys, "x")
+            .agg(_F.count(_F.lit(1)).alias("y"))
+        )
+        if keys:
+            return trend_ols(daily, keys, "x", "y")
+        return trend_ols(
+            daily.withColumn("_all", _F.lit("all")), ["_all"], "x", "y"
+        ).drop("_all")
+    if args.command == "kappa":
+        from .operators.ranking import agreement_kappa
+
+        return agreement_kappa(
+            spark.read.parquet(args.input), args.col_a, args.col_b
+        )
+    if args.command == "sample-pps":
+        from .operators.text import sample_pps
+
+        return sample_pps(
+            spark.read.parquet(args.documents),
+            k=args.k,
+            weight_col=args.weight_col,
+            domain_col=args.domain_col,
+            seed=args.seed,
+        )
+    if args.command == "top-paths":
+        from pyspark.sql import functions as _F
+
+        from .operators.funnel import top_paths
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tbl = spark.read.parquet(args.input)
+        ts_dtype = dict(tbl.dtypes).get(args.ts_col, "")
+        ts_expr = (
+            _F.col(args.ts_col).cast("timestamp").cast("long")
+            if ts_dtype.startswith("timestamp")
+            else _F.col(args.ts_col).cast("long")
+        )
+        return top_paths(
+            tbl, args.n_steps, args.k, t=ts_expr,
+            user_col=args.user_col, type_col=args.type_col,
+            order_tiebreak=args.seq_col,
+        )
+    if args.command == "cluster-split":
+        from .operators import dedup as _dedup
+
+        docs = spark.read.parquet(args.documents)
+        pairs = _dedup.jaccard_pairs(docs, threshold=args.threshold)
+        return _dedup.cluster_split(
+            docs, pairs, val_pct=args.val_pct, seed=args.seed
+        )
     if args.command == "monitor":
         from pyspark.sql import functions as _F
 

@@ -1097,3 +1097,62 @@ def test_corpus_cli_drift_many_columns(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         corpus_cli.run(bad, spark)
+
+
+def test_cli_r13_commands(spark, tmp_path):
+    """The five r13 CLI commands round-trip: trend (keyed + whole-table),
+    kappa, sample-pps, top-paths, cluster-split."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    def run_cmd(argv, out):
+        args = corpus_cli.build_parser().parse_args(
+            argv + ["--out", str(tmp_path / out)]
+        )
+        corpus_cli.run(args, spark)
+        return spark.read.parquet(str(tmp_path / out)).collect()
+
+    ev = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, i % 3, 100 + i * 50, "t" + str(i % 2)) for i in range(60)],
+        "event_id long, user_id long, ts long, event_type string",
+    ).write.parquet(ev)
+    trend = run_cmd(
+        ["trend", "--input", ev, "--ts-col", "ts", "--width", "1000",
+         "--key", "event_type"], "trend")
+    assert {r.event_type for r in trend} == {"t0", "t1"}
+    assert all(r.slope is not None for r in trend)
+    whole = run_cmd(
+        ["trend", "--input", ev, "--ts-col", "ts", "--width", "1000"],
+        "trend_all")
+    assert len(whole) == 1 and whole[0].n == 4
+
+    lab = str(tmp_path / "lab")
+    spark.createDataFrame(
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15,
+        "a string, b string",
+    ).write.parquet(lab)
+    kap = run_cmd(
+        ["kappa", "--input", lab, "--col-a", "a", "--col-b", "b"], "kap")
+    assert (kap[0].n, kap[0].kappa) == (50, 0.4)
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "s" + str(i % 2), "w " * (i + 1), (i + 1)) for i in range(30)],
+        "doc_id long, source string, text string, n_chars long",
+    ).write.parquet(docs)
+    pps = run_cmd(
+        ["sample-pps", "--documents", docs, "--k", "3"], "pps")
+    got = {}
+    for r in pps:
+        got[r.domain] = got.get(r.domain, 0) + r.n_picks
+    assert got == {"s0": 3, "s1": 3}
+
+    paths = run_cmd(
+        ["top-paths", "--input", ev, "--n-steps", "2", "-k", "3"], "paths")
+    assert all("&gt;" not in r.path for r in paths) and len(paths) >= 1
+
+    split = run_cmd(
+        ["cluster-split", "--documents", docs, "--val-pct", "20"], "spl")
+    assert len(split) == 30
+    assert {r.split for r in split} <= {"train", "val"}
