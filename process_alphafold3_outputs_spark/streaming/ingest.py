@@ -2030,3 +2030,116 @@ def _top_values_process_batch(
         )
     )
     _write_epoch_output(report, out_path, epoch_id)
+
+
+def watch_events_trend(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    keys: list[str],
+    ts_col: str,
+    width: int,
+    max_buckets: int = 100_000,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming volume trend (the 25th watcher): every micro-batch
+    folds its per-(key, bucket) event counts into the versioned state
+    and emits the cumulative per-key OLS fit
+    (keys..., n, slope, intercept, r2) — "is this stream's volume
+    drifting, as of this drop". Counts are mergeable (sum over any
+    batch split == the one-shot count) and :func:`~..operators.
+    temporal.trend_ols` reads only moment sums of the merged state, so
+    stream == batch-over-whole-history is EXACT with NO arrival-order
+    caveat — late events simply land in their own bucket, pinned in
+    pytest alongside crash replay.
+
+    State is one row per observed (key, bucket) — it grows one row per
+    key per width-seconds forever, which is why ``max_buckets`` counts
+    each key's bucket cardinality after every merge and fails LOUDLY
+    past the cap (the watch_top_values refusal discipline): at one-day
+    buckets the default cap is ~270 years per key, but a
+    milliseconds-wide ``width`` mistake must kill the query, not grow
+    the state unbounded. ``ts_col`` must be numeric epoch seconds (the
+    other event watchers' contract); key columns are stored as STRING
+    in the state, and the key SET is frozen into the state schema — a
+    restart with different keys fails fast on the snapshot schema
+    check."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1 (got {width})")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _trend_process_batch(
+            batch_df, epoch_id, state_path, out_path, keys, ts_col,
+            width, max_buckets,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _trend_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    keys: list[str],
+    ts_col: str,
+    width: int,
+    max_buckets: int,
+) -> None:
+    """One trend micro-batch (module-level for unit tests). State
+    rows: (keys... string, x long, y long)."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.temporal import trend_ols
+
+    ss = batch_df.sparkSession
+    state_schema = (
+        ", ".join(f"{k} string" for k in keys) + ", x long, y long"
+    )
+    prev = read_state(ss, state_path, state_schema, before_epoch=epoch_id)
+    batch_counts = (
+        batch_df.select(
+            *[SF.col(k).cast("string").alias(k) for k in keys],
+            SF.col(ts_col).cast("long").alias("_t"),
+        )
+        .select(*keys, SF.expr(f"_t div {int(width)}").alias("x"))
+        .groupBy(*keys, "x")
+        .agg(SF.count(SF.lit(1)).cast("long").alias("y"))
+    )
+    merged = (
+        prev.unionByName(batch_counts)
+        .groupBy(*keys, "x")
+        .agg(SF.sum("y").cast("long").alias("y"))
+    )
+    merged = merged.localCheckpoint()
+    # counted loud-refusal AFTER the merge (one agg over the bounded
+    # state): a too-fine width must kill the query, not grow the state
+    over = (
+        merged.groupBy(*keys)
+        .agg(SF.count(SF.lit(1)).alias("_nb"))
+        .filter(SF.col("_nb") > max_buckets)
+        .collect()
+    )
+    if over:
+        raise ValueError(
+            f"watch_events_trend: keys over max_buckets={max_buckets} "
+            f"state buckets: "
+            f"{ {tuple(r[k] for k in keys): r._nb for r in over} }; "
+            "widen `width`, or raise max_buckets deliberately."
+        )
+    roll_state(merged, state_path, epoch_id)
+    _write_epoch_output(trend_ols(merged, keys, "x", "y"), out_path, epoch_id)

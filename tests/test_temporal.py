@@ -953,3 +953,72 @@ def test_top_paths_hand_computed(spark):
         top_paths(df, 0, 5, t=F.col("t"))
     with _pt.raises(ValueError, match="k must"):
         top_paths(df, 3, 0, t=F.col("t"))
+
+
+def test_watch_events_trend_stream_equals_batch_and_replays(spark, tmp_path):
+    """Two epochs through the 25th watcher == the batch trend_ols over
+    the union (EXACT — mergeable counts, moment-only fit; no arrival-
+    order caveat), a crash-replayed epoch is idempotent, and the
+    bucket-cardinality guard refuses a too-fine width."""
+    import os
+
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.temporal import trend_ols
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _trend_process_batch,
+        watch_events_trend,
+    )
+    from pyspark.sql import functions as F
+
+    schema = "k string, t long"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "fits")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    # epoch 1 delivers OUT-OF-ORDER history (earlier buckets than
+    # epoch 0) — the fit must still equal the batch over the union
+    e0 = [("a", 25), ("a", 26), ("a", 35), ("b", 21)]
+    e1 = [("a", 5), ("a", 15), ("a", 36), ("b", 8), ("b", 9)]
+    spark.createDataFrame(e0, schema).coalesce(1).write.mode(
+        "append").parquet(inbox)
+    q = watch_events_trend(
+        spark, inbox, out, state, ckpt, schema, ["k"], "t", 10)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(e1, schema).coalesce(1).write.mode(
+            "append").parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def fits(path):
+        return sorted(map(tuple, spark.read.parquet(path).select(
+            "k", "n", "slope", "intercept", "r2").collect()))
+
+    union = spark.createDataFrame(e0 + e1, schema)
+    daily = (
+        union.select("k", F.expr("t div 10").alias("x"))
+        .groupBy("k", "x").agg(F.count(F.lit(1)).alias("y"))
+    )
+    want = sorted(map(tuple, trend_ols(daily, ["k"], "x", "y").select(
+        "k", "n", "slope", "intercept", "r2").collect()))
+    got = fits(os.path.join(out, "epoch_id=1"))
+    assert got == want
+    # crash replay of epoch 1: identical output (reads pre-epoch state)
+    _trend_process_batch(
+        spark.createDataFrame(e1, schema), 1, state, out, ["k"], "t",
+        10, 100_000)
+    assert fits(os.path.join(out, "epoch_id=1")) == want
+    # guard: width=1 over the same history exceeds a tiny cap, loudly
+    with _pt.raises(ValueError, match="max_buckets"):
+        _trend_process_batch(
+            spark.createDataFrame(e0 + e1, schema), 0,
+            str(tmp_path / "s2"), str(tmp_path / "o2"), ["k"], "t",
+            1, 3)
+    with _pt.raises(ValueError, match="width"):
+        watch_events_trend(
+            spark, inbox, out, state, ckpt, schema, ["k"], "t", 0)
+    with _pt.raises(ValueError, match="keys"):
+        watch_events_trend(
+            spark, inbox, out, state, ckpt, schema, [], "t", 10)
