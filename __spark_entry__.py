@@ -635,6 +635,11 @@ _DEFERRED: set[str] = {
                              # r13); rank-window + ordered-collect
                              # mechanics evidenced by green sessionize
                              # row (deferred: headroom)
+    "event_trends_robust",   # Theil-Sen robust trend (NEW r13); pair-
+                             # join + interpolating-median mechanics
+                             # evidenced by green event_value_outliers-
+                             # family percentile rows (deferred:
+                             # headroom)
     "event_trends",          # per-key OLS trend (NEW r13); moment-sum
                              # hash-agg mechanics evidenced by green
                              # dedup_exact/sessionize agg rows

@@ -155,6 +155,9 @@ BENCH_DEFERRED = {
                               "that dominates; the split itself is a "
                               "pure column expression on the joined "
                               "label table)",
+    "event_trends_robust": "dedup_jaccard (the benched bounded "
+                           "self-join fan-out shape; Theil-Sen pairs "
+                           "touch the bucket-grain table only)",
     "event_trends": "dedup_exact (the benched single-shuffle hash-agg "
                     "shape — trend_ols is two keyed aggs of exact "
                     "integer moment sums, group count = |event types|)",

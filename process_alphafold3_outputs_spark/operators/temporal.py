@@ -795,3 +795,113 @@ def trend_ols(
         F.when(lxx != 0, _r6(intercept)).alias("intercept"),
         F.when((lxx != 0) & (lyy != 0), _r6(r2)).alias("r2"),
     )
+
+
+def trend_theil_sen(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    max_points: int = 2_000,
+) -> DataFrame:
+    """(keys..., n, slope, intercept) — per-key THEIL–SEN trend: the
+    median of all pairwise slopes (y_j − y_i)/(x_j − x_i), intercept =
+    median(y − slope·x). The robust twin of :func:`trend_ols`: OLS has
+    breakdown point 0 (one bot-traffic spike day drags the fit),
+    Theil–Sen tolerates ~29% outliers — run both, and where they
+    disagree is exactly where the outliers are. NULL x/y rows are
+    excluded; keys with a single point or all-equal x stay PRESENT
+    with NULL slope/intercept.
+
+    Exactness: inputs are cast to long, every pair slope is ONE double
+    division of exact int64 differences, and both medians interpolate
+    midpoints exactly like DuckDB's ``quantile_cont`` (the
+    value_outliers cross-engine precedent); results take the 6-dp
+    floor round. Distinct x ties contribute every pair (x_i ≠ x_j
+    required — equal-x pairs have no slope and are skipped, the
+    standard Theil–Sen rule).
+
+    Scale shape: the pair fan-out is a per-key self-join — C(n,2) rows
+    per key, quadratic BY DEFINITION — so ``max_points`` refuses
+    oversized keys loudly with a ``raise_error`` riding a per-key
+    window count INSIDE the point projection (the in-path-guard
+    discipline — an eager pre-count would pay one extra input scan per
+    call, the edit_distance_pairs lesson; the window's key shuffle is
+    one the self-join needs anyway): this estimator is for
+    BUCKET-grain series (a decade of daily buckets is ~3.7k points —
+    raise deliberately), never raw events; pre-aggregate with the
+    bucket rollup first."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if max_points < 2:
+        raise ValueError(f"max_points must be >= 2 (got {max_points})")
+    n_key = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    guarded_x = F.when(
+        n_key <= F.lit(max_points), F.col(x_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "trend_theil_sen: a key holds %s points (> max_points="
+                + str(max_points)
+                + "); the pairwise-slope fan-out is C(n,2) per key BY "
+                "DEFINITION — pre-aggregate to bucket grain (the trend "
+                "contract) or raise max_points deliberately.",
+                n_key,
+            )
+        )
+    )
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *keys,
+        guarded_x.alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    sizes = pts.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    a = pts.select(
+        *[F.col(k).alias(f"_ka_{k}") for k in keys],
+        F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+    )
+    b = pts.select(
+        *[F.col(k).alias(f"_kb_{k}") for k in keys],
+        F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+    )
+    key_eq = [F.col(f"_ka_{k}") == F.col(f"_kb_{k}") for k in keys]
+    cond = key_eq[0]
+    for c in key_eq[1:]:
+        cond = cond & c
+    pair_slopes = (
+        a.join(b, cond & (F.col("_xa") < F.col("_xb")))
+        .select(
+            *[F.col(f"_ka_{k}").alias(k) for k in keys],
+            (
+                (F.col("_yb") - F.col("_ya")).cast("double")
+                / (F.col("_xb") - F.col("_xa")).cast("double")
+            ).alias("_s"),
+        )
+    )
+    slopes = pair_slopes.groupBy(*keys).agg(
+        F.percentile("_s", F.lit(0.5)).alias("_slope")
+    )
+    resid = pts.join(slopes, list(keys), "left").select(
+        *keys,
+        "_slope",
+        (
+            F.col("_y").cast("double")
+            - F.col("_slope") * F.col("_x").cast("double")
+        ).alias("_r"),
+    )
+    fits = resid.groupBy(*keys, "_slope").agg(
+        F.percentile("_r", F.lit(0.5)).alias("_icept")
+    )
+    return (
+        sizes.join(fits, list(keys), "left")
+        .select(
+            *keys,
+            "n",
+            _r6(F.col("_slope")).alias("slope"),
+            _r6(F.col("_icept")).alias("intercept"),
+        )
+    )

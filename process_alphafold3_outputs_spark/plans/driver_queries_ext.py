@@ -9410,3 +9410,57 @@ def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.funnel import top_paths
 
     return top_paths(load_table(spark, sf_dir, "events"), 5, 10)
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (NEW r13): median pairwise slope over the same
+# daily-count rollup as event_trends — where the two fits disagree is
+# where the outliers are. The oracle restates the pair join, both
+# interpolating medians (quantile_cont == percentile bit-for-bit, the
+# value_outliers precedent), and the floor rounds.
+# --------------------------------------------------------------------------
+@register(
+    "event_trends_robust",
+    sql="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.event_type,
+               (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+                   / (CAST(b.day AS DOUBLE) - CAST(a.day AS DOUBLE)) AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day),
+    slopes AS (SELECT event_type, quantile_cont(s, 0.5) AS slope
+               FROM pairs GROUP BY 1),
+    resid AS (
+        SELECT d.event_type, s.slope,
+               CAST(d.y AS DOUBLE) - s.slope * CAST(d.day AS DOUBLE) AS r
+        FROM daily d LEFT JOIN slopes s USING (event_type)),
+    fits AS (SELECT event_type, slope, quantile_cont(r, 0.5) AS icept
+             FROM resid GROUP BY 1, 2),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM daily GROUP BY 1)
+    SELECT s.event_type, s.n,
+           floor(f.slope * 1e6 + 0.5) / 1e6 AS slope,
+           floor(f.icept * 1e6 + 0.5) / 1e6 AS intercept
+    FROM sizes s LEFT JOIN fits f USING (event_type)
+    """,
+)
+def event_trends_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil-Sen trend of daily volume (deferred —
+    pytest-mirrored): operators/temporal.trend_theil_sen over the same
+    rollup as event_trends. The pair fan-out touches the bucket-grain
+    table only (days x days per type), never raw events."""
+    from ..operators.temporal import trend_theil_sen
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", event_seconds(ev).alias("_t"))
+        .select("event_type", F.expr("_t div 86400").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return trend_theil_sen(daily, ["event_type"], "day", "y")

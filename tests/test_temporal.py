@@ -1022,3 +1022,66 @@ def test_watch_events_trend_stream_equals_batch_and_replays(spark, tmp_path):
     with _pt.raises(ValueError, match="keys"):
         watch_events_trend(
             spark, inbox, out, state, ckpt, schema, [], "t", 10)
+
+
+def test_trend_theil_sen_robust_vs_numpy_and_guards(spark):
+    """Theil-Sen (r13): matches the numpy median-of-pairwise-slopes
+    reference; shrugs off the outlier that drags OLS; degenerate keys
+    present with NULL fits; the max_points guard refuses IN-PATH at
+    action time (plan build fires no job)."""
+    import numpy as np
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        trend_ols,
+        trend_theil_sen,
+    )
+
+    clean = [(x, 10 + 3 * x) for x in range(10)]
+    spiked = [(x, y) for x, y in clean[:9]] + [(9, 500)]  # one bot day
+    rows = (
+        [("clean", x, y) for x, y in clean]
+        + [("spiked", x, y) for x, y in spiked]
+        + [("single", 4, 7), ("const_x", 2, 1), ("const_x", 2, 9)]
+    )
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = {r.k: r for r in trend_theil_sen(df, ["k"], "x", "y").collect()}
+
+    def ts_ref(pts):
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+            if x2 != x1
+        ]
+        s = float(np.median(slopes))
+        icept = float(np.median([y - s * x for x, y in pts]))
+        import math
+
+        r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        return r6(s), r6(icept)
+
+    assert (out["clean"].slope, out["clean"].intercept) == (3.0, 10.0)
+    assert (out["spiked"].slope, out["spiked"].intercept) == ts_ref(spiked)
+    # the spike barely moves Theil-Sen but wrecks OLS
+    assert out["spiked"].slope == _pt.approx(3.0, abs=1.0)
+    ols = {r.k: r for r in trend_ols(df, ["k"], "x", "y").collect()}
+    assert ols["spiked"].slope > 20
+    # degenerate keys: present, NULL fits
+    for k in ("single", "const_x"):
+        assert (out[k].slope, out[k].intercept) == (None, None)
+    assert out["const_x"].n == 2
+    # guards: lazy plan build, loud in-path refusal at action time
+    sc = spark.sparkSession if hasattr(spark, "sparkSession") else spark
+    jg = spark.sparkContext
+    jg.setJobGroup("theil-build", "lazy-guard")
+    plan = trend_theil_sen(df, ["k"], "x", "y", max_points=5)
+    ids = jg.statusTracker().getJobIdsForGroup("theil-build")
+    jg.setJobGroup("theil-build-done", "done")
+    assert list(ids) == []
+    with _pt.raises(Exception, match="max_points"):
+        plan.collect()
+    with _pt.raises(ValueError, match="keys"):
+        trend_theil_sen(df, [], "x", "y")
+    with _pt.raises(ValueError, match="max_points"):
+        trend_theil_sen(df, ["k"], "x", "y", max_points=1)
