@@ -155,6 +155,9 @@ BENCH_DEFERRED = {
                               "that dominates; the split itself is a "
                               "pure column expression on the joined "
                               "label table)",
+    "event_trends_significance": "dedup_jaccard (the same bounded "
+                                 "bucket-grain pair fan-out as the "
+                                 "Theil-Sen twin)",
     "event_trends_robust": "dedup_jaccard (the benched bounded "
                            "self-join fan-out shape; Theil-Sen pairs "
                            "touch the bucket-grain table only)",

@@ -905,3 +905,120 @@ def trend_theil_sen(
             _r6(F.col("_icept")).alias("intercept"),
         )
     )
+
+
+def trend_mann_kendall(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """(keys..., n, s_stat, var_s, z, trend) — the MANN–KENDALL trend
+    significance test per key: is the monotone trend real, or noise?
+    The nonparametric companion to :func:`trend_ols` (how steep) and
+    :func:`trend_theil_sen` (how steep, robustly): S = Σ_{x_i<x_j}
+    sign(y_j − y_i) counts concordant minus discordant pairs,
+    var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 with the standard
+    tie correction over tied y-groups of size t, and the continuity-
+    corrected z = (S∓1)/√var classifies ``trend`` at the 5% two-sided
+    level: 'increasing' (z > 1.96), 'decreasing' (z < −1.96), else
+    'no_trend'. Keys with var(S) = 0 (fewer than 2 points, or all y
+    tied) stay PRESENT with NULL z/trend.
+
+    Exactness: S and var(S)'s numerator are exact int64 (inputs cast
+    to long); the only FP ops are the /18.0, the IEEE-exact sqrt
+    (correctly rounded on every engine), the z division, and the 6-dp
+    floor round — all in one fixed operand order, so the oracle is
+    bit-identical. int64 bound: n³ per key below 2^63 (n ≤ ~2e6 —
+    far past the bucket-grain contract).
+
+    Contract: x must be UNIQUE per key (the bucket-grain rollup
+    guarantees it; the tie-corrected variance above is the
+    distinct-time formula) — a duplicate x is refused loudly in-path
+    via a (key, x)-window count inside the y projection. Scale shape:
+    the C(n,2) pair join is the :func:`trend_theil_sen` fan-out —
+    bucket-grain by contract."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    n_dup = F.count(F.lit(1)).over(Window.partitionBy(*keys, x_col))
+    guarded_y = F.when(
+        n_dup == F.lit(1), F.col(y_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "trend_mann_kendall: %s rows share one (key, x) — the "
+                "tie-corrected variance is the distinct-time formula; "
+                "pre-aggregate to bucket grain so x is unique per key.",
+                n_dup,
+            )
+        )
+    )
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(x_col).cast("long").alias("_x"),
+        guarded_y.alias("_y"),
+    )
+    a = pts.select(
+        *[F.col(k).alias(f"_ka_{k}") for k in keys],
+        F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+    )
+    b = pts.select(
+        *[F.col(k).alias(f"_kb_{k}") for k in keys],
+        F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+    )
+    cond = F.col(f"_ka_{keys[0]}") == F.col(f"_kb_{keys[0]}")
+    for k in keys[1:]:
+        cond = cond & (F.col(f"_ka_{k}") == F.col(f"_kb_{k}"))
+    s_tab = (
+        a.join(b, cond & (F.col("_xa") < F.col("_xb")))
+        .groupBy(*[F.col(f"_ka_{k}").alias(k) for k in keys])
+        .agg(
+            F.sum(F.signum(F.col("_yb") - F.col("_ya")).cast("long"))
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        pts.groupBy(*keys, "_y")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_groups"),
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (2 * F.col("_t") + 5)
+            ).alias("_tie_term"),
+            F.sum("_t").alias("n"),
+        )
+    )
+    var_num = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("_tie_term")
+    )
+    var_s = var_num.cast("double") / F.lit(18.0)
+    s_d = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (s_d - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (s_d + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        ties.join(s_tab, list(keys), "left")
+        .select(
+            *keys,
+            "n",
+            F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+            _r6(var_s).alias("var_s"),
+            F.when(var_num > 0, _r6(z)).alias("z"),
+            F.when(
+                var_num > 0,
+                F.when(z > 1.96, "increasing")
+                .when(z < -1.96, "decreasing")
+                .otherwise("no_trend"),
+            ).alias("trend"),
+        )
+    )

@@ -9464,3 +9464,76 @@ def event_trends_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
     )
     return trend_theil_sen(daily, ["event_type"], "day", "y")
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend significance (NEW r13): is the monotone trend
+# real? S and the tie-corrected variance numerator are exact int64; FP
+# is the /18.0, the IEEE-exact sqrt, the z division, and the floor
+# round — the oracle restates each in the identical order, and
+# classifies trend on the UNROUNDED z exactly as the kernel does.
+# --------------------------------------------------------------------------
+@register(
+    "event_trends_significance",
+    sql="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    s_tab AS (
+        SELECT a.event_type,
+               sum(CAST(sign(b.y - a.y) AS BIGINT)) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1),
+    ties AS (
+        SELECT event_type,
+               sum(t * (t - 1) * (2 * t + 5)) AS tie_term,
+               sum(t) AS n
+        FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+              FROM daily GROUP BY 1, 2)
+        GROUP BY 1),
+    calc AS (
+        SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+               CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+               t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term AS var_num
+        FROM ties t LEFT JOIN s_tab s USING (event_type)),
+    zc AS (
+        SELECT event_type, n, s_stat, var_num,
+               CAST(var_num AS DOUBLE) / 18.0 AS var_s,
+               CASE WHEN s_stat > 0 THEN
+                        (CAST(s_stat AS DOUBLE) - 1.0)
+                        / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                    WHEN s_stat < 0 THEN
+                        (CAST(s_stat AS DOUBLE) + 1.0)
+                        / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                    ELSE 0.0 END AS zraw
+        FROM calc)
+    SELECT event_type, n, s_stat,
+           floor(var_s * 1e6 + 0.5) / 1e6 AS var_s,
+           CASE WHEN var_num > 0
+                THEN floor(zraw * 1e6 + 0.5) / 1e6 END AS z,
+           CASE WHEN var_num > 0 THEN
+               CASE WHEN zraw > 1.96 THEN 'increasing'
+                    WHEN zraw < -1.96 THEN 'decreasing'
+                    ELSE 'no_trend' END
+           END AS trend
+    FROM zc
+    """,
+)
+def event_trends_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Mann-Kendall test of daily volume (deferred —
+    pytest-mirrored): operators/temporal.trend_mann_kendall over the
+    same rollup as event_trends — the fit/robust-fit/significance
+    triad of the trend axis."""
+    from ..operators.temporal import trend_mann_kendall
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", event_seconds(ev).alias("_t"))
+        .select("event_type", F.expr("_t div 86400").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return trend_mann_kendall(daily, ["event_type"], "day", "y")

@@ -1085,3 +1085,54 @@ def test_trend_theil_sen_robust_vs_numpy_and_guards(spark):
         trend_theil_sen(df, [], "x", "y")
     with _pt.raises(ValueError, match="max_points"):
         trend_theil_sen(df, ["k"], "x", "y", max_points=1)
+
+
+def test_trend_mann_kendall_reference_and_guards(spark):
+    """Mann-Kendall (r13): hand/reference-computed S, tie-corrected
+    var, continuity-corrected z, 5% classification; all-tied-y and
+    single-point keys present with NULL z/trend; duplicate (key, x)
+    refused in-path; monotone key classifies 'increasing'."""
+    import math
+
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        trend_mann_kendall,
+    )
+
+    rows = (
+        # strictly increasing 10-pointer: S = 45, no ties
+        [("up", x, x * 2) for x in range(10)]
+        # classic tie case: y = 1,2,2,3 -> S = 5; tie group t=2
+        + [("tied", 0, 1), ("tied", 1, 2), ("tied", 2, 2), ("tied", 3, 3)]
+        # all y equal: var 0 -> NULL z/trend
+        + [("flat", x, 7) for x in range(4)]
+        + [("single", 0, 3)]
+    )
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = {r.k: r for r in
+           trend_mann_kendall(df, ["k"], "x", "y").collect()}
+
+    def r6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    up = out["up"]
+    var_up = 10 * 9 * 25 / 18.0
+    assert (up.n, up.s_stat) == (10, 45)
+    assert up.var_s == r6(var_up)
+    assert up.z == r6(44 / math.sqrt(var_up)) and up.trend == "increasing"
+    t = out["tied"]
+    # var = [4*3*13 - 2*1*9]/18 = (156-18)/18
+    assert (t.n, t.s_stat) == (4, 5)
+    assert t.var_s == r6(138 / 18.0)
+    assert t.z == r6(4 / math.sqrt(138 / 18.0)) and t.trend == "no_trend"
+    for k in ("flat", "single"):
+        assert (out[k].z, out[k].trend) == (None, None)
+    assert out["flat"].s_stat == 0
+    dup = spark.createDataFrame(
+        [("a", 1, 2), ("a", 1, 3)], "k string, x long, y long"
+    )
+    with _pt.raises(Exception, match="share one"):
+        trend_mann_kendall(dup, ["k"], "x", "y").collect()
+    with _pt.raises(ValueError, match="keys"):
+        trend_mann_kendall(df, [], "x", "y")
