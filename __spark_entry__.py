@@ -635,6 +635,9 @@ _DEFERRED: set[str] = {
                              # r13); rank-window + ordered-collect
                              # mechanics evidenced by green sessionize
                              # row (deferred: headroom)
+    "event_changepoints",    # CUSUM changepoint (NEW r13); ordered-
+                             # window mechanics evidenced by the green
+                             # sessionize row (deferred: headroom)
     "event_trends_significance",  # Mann-Kendall test (NEW r13); same
                              # pair-join fan-out as the robust twin
                              # (deferred: headroom)

@@ -155,6 +155,8 @@ BENCH_DEFERRED = {
                               "that dominates; the split itself is a "
                               "pure column expression on the joined "
                               "label table)",
+    "event_changepoints": "sessionize (the benched per-key ordered-"
+                          "window shape over the bucket-grain table)",
     "event_trends_significance": "dedup_jaccard (the same bounded "
                                  "bucket-grain pair fan-out as the "
                                  "Theil-Sen twin)",

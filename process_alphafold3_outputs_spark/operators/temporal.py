@@ -1022,3 +1022,90 @@ def trend_mann_kendall(
             ).alias("trend"),
         )
     )
+
+
+def trend_changepoint(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """(keys..., n, cp_x, cusum_max) — offline CUSUM changepoint per
+    key: WHERE did the level shift. The companion question to the
+    trend triad (:func:`trend_ols` how steep, :func:`trend_theil_sen`
+    robustly, :func:`trend_mann_kendall` is it real): the changepoint
+    is the x maximizing |S_i|, where S_i = cum_i − (i/n)·total is the
+    cumulative deviation from a flat series — the classic offline
+    CUSUM estimator (Page 1954 / Pettitt's location form). ``cp_x``
+    is the LAST x of the before-segment; ``cusum_max`` = max|S_i|
+    (6-dp floor-rounded) is the shift magnitude in y-units·buckets —
+    compare across keys to rank the sharpest breaks.
+
+    Exactness: the argmax runs on n·cum_i − i·total — EXACT int64 (no
+    division inside the comparison, so ties are true ties and break
+    deterministically to the smallest x); the only FP is the single
+    final division S_max/n and the floor round. int64 bound:
+    n·Σy < 2^63. The trailing point is excluded (S_n ≡ 0, never a
+    candidate); keys with n < 2 stay PRESENT with NULL cp_x/cusum_max.
+    Duplicate (key, x) is refused in-path — cum over a non-unique
+    order is not well-defined (the :func:`trend_mann_kendall` guard).
+
+    Scale shape: one ordered window pass per key partition (cum-sum +
+    row_number + the per-key totals over the same partition — one
+    shuffle, one sort) and a rank-1 filter; bucket-grain inputs by
+    the trend-family contract."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    n_dup = F.count(F.lit(1)).over(Window.partitionBy(*keys, x_col))
+    guarded_y = F.when(
+        n_dup == F.lit(1), F.col(y_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "trend_changepoint: %s rows share one (key, x) — the "
+                "cumulative sum needs a unique order; pre-aggregate to "
+                "bucket grain.",
+                n_dup,
+            )
+        )
+    )
+    pts = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(x_col).cast("long").alias("_x"),
+        guarded_y.alias("_y"),
+    )
+    wk = Window.partitionBy(*keys)
+    wo = wk.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
+    staged = pts.select(
+        *keys,
+        "_x",
+        F.sum("_y").over(wo).alias("_cum"),
+        F.row_number().over(wk.orderBy("_x")).alias("_i"),
+        F.sum("_y").over(wk).alias("_tot"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    stat = F.col("n") * F.col("_cum") - F.col("_i") * F.col("_tot")
+    scored = staged.filter(F.col("_i") < F.col("n")).select(
+        *keys,
+        "_x",
+        "n",
+        F.abs(stat).alias("_astat"),
+    )
+    wr = wk.orderBy(F.desc("_astat"), F.asc("_x"))
+    best = (
+        scored.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *keys,
+            F.col("_x").alias("cp_x"),
+            _r6(
+                F.col("_astat").cast("double") / F.col("n").cast("double")
+            ).alias("cusum_max"),
+        )
+    )
+    sizes = pts.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.join(best, list(keys), "left").select(
+        *keys, "n", "cp_x", "cusum_max"
+    )

@@ -9537,3 +9537,63 @@ def event_trends_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
     )
     return trend_mann_kendall(daily, ["event_type"], "day", "y")
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint (NEW r13): WHERE did the level shift. The argmax
+# compares the EXACT int64 statistic n*cum - i*total (no division in
+# the comparison, ties break to the smallest x); the oracle restates
+# the window pass and the single final division + floor round.
+# --------------------------------------------------------------------------
+@register(
+    "event_changepoints",
+    sql="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    staged AS (
+        SELECT event_type, day,
+               sum(y) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i,
+               sum(y) OVER (PARTITION BY event_type) AS tot,
+               CAST(count(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n
+        FROM daily),
+    scored AS (
+        SELECT event_type, day, n,
+               abs(n * cum - i * tot) AS astat
+        FROM staged WHERE i < n),
+    best AS (
+        SELECT event_type, day AS cp_x, n,
+               floor((CAST(astat AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS cusum_max,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY astat DESC, day ASC) AS rk
+        FROM scored),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM daily GROUP BY 1)
+    SELECT s.event_type, s.n, b.cp_x, b.cusum_max
+    FROM sizes s LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+      USING (event_type)
+    """,
+)
+def event_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM changepoint of daily volume (deferred —
+    pytest-mirrored): operators/temporal.trend_changepoint over the
+    same rollup as event_trends — WHERE the level shifted, next to the
+    triad's how-steep/is-it-real."""
+    from ..operators.temporal import trend_changepoint
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", event_seconds(ev).alias("_t"))
+        .select("event_type", F.expr("_t div 86400").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return trend_changepoint(daily, ["event_type"], "day", "y")

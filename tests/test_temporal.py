@@ -1136,3 +1136,39 @@ def test_trend_mann_kendall_reference_and_guards(spark):
         trend_mann_kendall(dup, ["k"], "x", "y").collect()
     with _pt.raises(ValueError, match="keys"):
         trend_mann_kendall(df, [], "x", "y")
+
+
+def test_trend_changepoint_hand_computed_and_guards(spark):
+    """CUSUM changepoint (r13): a planted level shift is localized to
+    the exact boundary bucket; flat series report a deterministic
+    smallest-x tie with cusum_max 0; n < 2 keys present with NULLs;
+    duplicate (key, x) refused in-path."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        trend_changepoint,
+    )
+
+    rows = (
+        # level shift after x=4: 10,10,10,10,10 then 50,50,50,50,50
+        [("shift", x, 10) for x in range(5)]
+        + [("shift", x, 50) for x in range(5, 10)]
+        # flat: all stats 0 -> tie broken to smallest x
+        + [("flat", x, 7) for x in range(4)]
+        + [("single", 3, 9)]
+    )
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = {r.k: r for r in
+           trend_changepoint(df, ["k"], "x", "y").collect()}
+    s = out["shift"]
+    # S_i peaks at i=5 (x=4): |10*50 - 5*300|/10 = 100.0
+    assert (s.n, s.cp_x, s.cusum_max) == (10, 4, 100.0)
+    assert (out["flat"].cp_x, out["flat"].cusum_max) == (0, 0.0)
+    assert (out["single"].cp_x, out["single"].cusum_max) == (None, None)
+    dup = spark.createDataFrame(
+        [("a", 1, 2), ("a", 1, 3)], "k string, x long, y long"
+    )
+    with _pt.raises(Exception, match="share one"):
+        trend_changepoint(dup, ["k"], "x", "y").collect()
+    with _pt.raises(ValueError, match="keys"):
+        trend_changepoint(df, [], "x", "y")
