@@ -490,6 +490,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ts-col", required=True)
     sp.add_argument("--width", type=int, default=86400,
                     help="count-bucket width in seconds")
+    sp.add_argument("--stat", default="ols",
+                    choices=["ols", "theil-sen", "mann-kendall",
+                             "changepoint"],
+                    help="how steep (ols), robustly (theil-sen), is "
+                    "it real (mann-kendall), where did it shift "
+                    "(changepoint)")
+    sp.add_argument("--max-points", type=int, default=2_000,
+                    help="theil-sen: per-key C(n,2) fan-out cap")
 
     sp = sub.add_parser("kappa")
     sp.add_argument("--input", required=True,
@@ -1153,7 +1161,12 @@ def _result(
     if args.command == "trend":
         from pyspark.sql import functions as _F
 
-        from .operators.temporal import trend_ols
+        from .operators.temporal import (
+            trend_changepoint,
+            trend_mann_kendall,
+            trend_ols,
+            trend_theil_sen,
+        )
 
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         tbl = spark.read.parquet(args.input)
@@ -1171,10 +1184,22 @@ def _result(
             .groupBy(*keys, "x")
             .agg(_F.count(_F.lit(1)).alias("y"))
         )
+        fit = {
+            "ols": lambda d, k: trend_ols(d, k, "x", "y"),
+            "theil-sen": lambda d, k: trend_theil_sen(
+                d, k, "x", "y", max_points=args.max_points
+            ),
+            "mann-kendall": lambda d, k: trend_mann_kendall(
+                d, k, "x", "y"
+            ),
+            "changepoint": lambda d, k: trend_changepoint(
+                d, k, "x", "y"
+            ),
+        }[args.stat]
         if keys:
-            return trend_ols(daily, keys, "x", "y")
-        return trend_ols(
-            daily.withColumn("_all", _F.lit("all")), ["_all"], "x", "y"
+            return fit(daily, keys)
+        return fit(
+            daily.withColumn("_all", _F.lit("all")), ["_all"]
         ).drop("_all")
     if args.command == "kappa":
         from .operators.ranking import agreement_kappa

@@ -1125,6 +1125,19 @@ def test_cli_r13_commands(spark, tmp_path):
         ["trend", "--input", ev, "--ts-col", "ts", "--width", "1000"],
         "trend_all")
     assert len(whole) == 1 and whole[0].n == 4
+    # the r13 trend family rides the same command via --stat
+    robust = run_cmd(
+        ["trend", "--input", ev, "--ts-col", "ts", "--width", "1000",
+         "--stat", "theil-sen"], "trend_ts")
+    assert len(robust) == 1 and robust[0].slope is not None
+    mk = run_cmd(
+        ["trend", "--input", ev, "--ts-col", "ts", "--width", "1000",
+         "--stat", "mann-kendall"], "trend_mk")
+    assert mk[0].trend in ("increasing", "decreasing", "no_trend", None)
+    cp = run_cmd(
+        ["trend", "--input", ev, "--ts-col", "ts", "--width", "1000",
+         "--stat", "changepoint"], "trend_cp")
+    assert cp[0].cp_x is not None
 
     lab = str(tmp_path / "lab")
     spark.createDataFrame(
