@@ -657,6 +657,14 @@ _DEFERRED: set[str] = {
                              # distinct-collapse + keyed-join mechanics
                              # evidenced by green semi_join/dedup rows
                              # (deferred: headroom)
+    "profile_mutual_info",   # categorical MI/entropy (NEW r13); label-
+                             # stat hash-agg mechanics evidenced by
+                             # green profile/quality rows (deferred:
+                             # headroom)
+    "text_mix_apportion",    # largest-remainder quotas (NEW r13);
+                             # domain-sized exact-int planner table
+                             # next to the green text_mix_doremi row
+                             # (deferred: headroom)
     "text_sample_pps",       # systematic PPS draw (NEW r13); domain-
                              # keyed window mechanics evidenced by the
                              # green text_sample_domains row

@@ -142,6 +142,12 @@ BENCH_DEFERRED = {
                   "event_gapfill (the benched bucket-grain "
                   "representative; anchors/top-1 touch bucket-bounded "
                   "tables only)",
+    "profile_mutual_info": "profile_top_values (the benched unpivot/"
+                           "label-agg family; MI adds category-sized "
+                           "entropy sums only)",
+    "text_mix_apportion": "text_mix_doremi (the benched mixture-"
+                          "planner family; apportionment runs on the "
+                          "domain-sized weight table)",
     "quality_kappa": "quality_expectations (the benched one-scan fused "
                      "agg family; kappa adds category-sized margin "
                      "joins only)",

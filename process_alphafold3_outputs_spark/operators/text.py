@@ -3607,3 +3607,88 @@ def sample_pps(
         )
         .filter(F.col("n_picks") >= 1)
     )
+
+
+def apportion_budget(
+    weights: DataFrame,
+    k: int,
+    domain_col: str = "source",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """(domain, weight, quota) — LARGEST-REMAINDER (Hamilton)
+    apportionment of an integer budget ``k`` across domains
+    proportional to integer weights: the planner step that turns
+    mixture weights into actual per-domain document/token quotas
+    ("10 000 docs split 3:2:1") with Σ quota == k EXACTLY — naive
+    rounding of k·w/W drifts by up to |domains|/2. quota_i =
+    floor(k·w_i/W) plus one for the (k − Σ floors) LARGEST remainders
+    (k·w_i mod W), remainder ties breaking to the smaller domain —
+    fully deterministic, and a zero remainder never receives a +1
+    (Σ remainders = W·(k − Σ floors) with each remainder < W, so the
+    top-up count never reaches the zero-remainder rows; pinned).
+
+    Everything is exact int64 (k·w_i < 2^63 — a 10-billion-token
+    domain leaves room for k ≤ ~1e9); NULL weights are excluded, a
+    negative weight is refused loudly in-path, W == 0 yields every
+    quota 0 (an all-zero weight table buys nothing).
+
+    Scale shape: the weights table is DOMAIN-sized (the tiny output
+    of a per-domain rollup, never a corpus) — one global-window rank
+    over |domains| rows is the honest plan; composing with
+    :func:`sample_exact_k` (quota as per-domain k) or
+    :func:`mix_by_budget` turns the quotas into a drawn corpus."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0 (got {k})")
+    w = F.col(weight_col).cast("long")
+    guarded_w = F.when(w >= 0, w).otherwise(
+        F.raise_error(
+            F.format_string(
+                "apportion_budget: negative weight %s — proportional "
+                "shares of a negative weight are undefined; filter or "
+                "clamp upstream.",
+                w,
+            )
+        )
+    )
+    staged = (
+        weights.filter(w.isNotNull())
+        .select(
+            F.col(domain_col).alias("domain"),
+            guarded_w.alias("weight"),
+        )
+        .withColumn("_tot", F.sum("weight").over(Window.partitionBy()))
+    )
+    base = staged.select(
+        "domain",
+        "weight",
+        F.when(
+            F.col("_tot") > 0,
+            F.expr(f"(weight * {int(k)}) div _tot"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_floor"),
+        F.when(
+            F.col("_tot") > 0,
+            (F.col("weight") * F.lit(int(k))) % F.col("_tot"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_rem"),
+    )
+    wr = Window.orderBy(F.desc("_rem"), F.asc("domain"))
+    wall = Window.partitionBy()
+    return (
+        base.withColumn("_rk", F.row_number().over(wr))
+        .withColumn("_short", F.lit(int(k)) - F.sum("_floor").over(wall))
+        .select(
+            "domain",
+            "weight",
+            (
+                F.col("_floor")
+                + F.when(
+                    (F.col("_rk") <= F.col("_short"))
+                    & (F.col("_rem") > 0),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("quota"),
+        )
+    )

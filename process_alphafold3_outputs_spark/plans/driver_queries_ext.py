@@ -9597,3 +9597,109 @@ def event_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
     )
     return trend_changepoint(daily, ["event_type"], "day", "y")
+
+
+# --------------------------------------------------------------------------
+# categorical mutual information (NEW r13): the dependency detector
+# between candidate_keys (exact FD) and correlation_matrix (linear,
+# numeric). The oracle restates the (is_null, value) keying and the
+# ln(n) - sum(c*ln(c))/n entropy form in the identical operand order
+# (the drift_js ln-then-round-6 cross-engine discipline).
+# --------------------------------------------------------------------------
+@register(
+    "profile_mutual_info",
+    sql="""
+    WITH ab AS (
+        SELECT lang IS NULL AS an, coalesce(lang, '') AS av,
+               source IS NULL AS bn, coalesce(source, '') AS bv
+        FROM documents),
+    joint AS (SELECT an, av, bn, bv, CAST(count(*) AS BIGINT) AS c
+              FROM ab GROUP BY 1, 2, 3, 4),
+    sab AS (SELECT sum(c) AS n,
+                   sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+            FROM joint),
+    sa AS (SELECT sum(CAST(ca AS DOUBLE) * ln(CAST(ca AS DOUBLE))) AS s
+           FROM (SELECT an, av, sum(c) AS ca FROM joint GROUP BY 1, 2)),
+    sb AS (SELECT sum(CAST(cb AS DOUBLE) * ln(CAST(cb AS DOUBLE))) AS s
+           FROM (SELECT bn, bv, sum(c) AS cb FROM joint GROUP BY 1, 2)),
+    calc AS (
+        SELECT CAST(coalesce(sab.n, 0) AS BIGINT) AS n,
+               ln(CAST(sab.n AS DOUBLE)) - sa.s / CAST(sab.n AS DOUBLE)
+                   AS h_a,
+               ln(CAST(sab.n AS DOUBLE)) - sb.s / CAST(sab.n AS DOUBLE)
+                   AS h_b,
+               ln(CAST(sab.n AS DOUBLE)) - sab.s / CAST(sab.n AS DOUBLE)
+                   AS h_ab
+        FROM sab, sa, sb)
+    SELECT n,
+           CASE WHEN n > 0 THEN floor(h_a * 1e6 + 0.5) / 1e6 END AS h_a,
+           CASE WHEN n > 0 THEN floor(h_b * 1e6 + 0.5) / 1e6 END AS h_b,
+           CASE WHEN n > 0 THEN floor(h_ab * 1e6 + 0.5) / 1e6 END AS h_ab,
+           CASE WHEN n > 0 THEN
+               floor((h_a + h_b - h_ab) * 1e6 + 0.5) / 1e6 END AS mi,
+           CASE WHEN n > 0 AND (h_a + h_b) > 0 THEN
+               floor(((h_a + h_b - h_ab) / ((h_a + h_b) / 2.0))
+                     * 1e6 + 0.5) / 1e6 END AS nmi
+    FROM calc
+    """,
+)
+def profile_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between lang and source over documents
+    (deferred — pytest-mirrored): operators/profiling.
+    mutual_information — how much one categorical column determines
+    another, where candidate_keys sees only exact FDs and Pearson
+    sees only numeric linearity."""
+    from ..operators.profiling import mutual_information
+
+    return mutual_information(
+        load_table(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+# --------------------------------------------------------------------------
+# largest-remainder apportionment (NEW r13): mixture weights -> exact
+# integer quotas, sum == k by construction. The oracle restates the
+# floor/mod split, the (remainder DESC, domain ASC) top-up rank, and
+# the zero-remainder exclusion — all exact int64.
+# --------------------------------------------------------------------------
+@register(
+    "text_mix_apportion",
+    sql="""
+    WITH w AS (SELECT source AS domain,
+                      CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                          AS weight
+               FROM documents WHERE n_chars IS NOT NULL
+               GROUP BY 1),
+    t AS (SELECT sum(weight) AS tot FROM w),
+    base AS (
+        SELECT domain, weight,
+               CASE WHEN t.tot > 0
+                    THEN (weight * 10000) // t.tot ELSE 0 END AS fl,
+               CASE WHEN t.tot > 0
+                    THEN (weight * 10000) % t.tot ELSE 0 END AS rem
+        FROM w, t),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk,
+               10000 - sum(fl) OVER () AS short
+        FROM base)
+    SELECT domain, weight,
+           CAST(fl + CASE WHEN rk <= short AND rem > 0
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def text_mix_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10k-document budget apportioned across sources proportional to
+    total n_chars (deferred — pytest-mirrored): operators/text.
+    apportion_budget over the per-source rollup — Σ quota == k exactly
+    where naive rounding drifts."""
+    from ..operators.text import apportion_budget
+
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .groupBy(F.col("source").alias("source"))
+        .agg(F.sum(F.col("n_chars").cast("long")).alias("weight"))
+    )
+    return apportion_budget(w, 10_000)

@@ -843,3 +843,65 @@ def test_profile_histogram_hand_computed(spark):
     # fully-empty frame: empty output, not an error
     empty = spark.createDataFrame([], "x double")
     assert profile_histogram(empty, ["x"]).count() == 0
+
+
+def test_mutual_information_reference_and_edges(spark):
+    """MI (r13): scipy-free reference on a hand-built joint; perfect
+    dependency -> nmi == 1; independence -> mi ~ 0; NULL is a category
+    (a NULL-iff-'web' dependency is detected); constant columns ->
+    NULL nmi; empty input -> n=0 all-NULL row."""
+    import math
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        mutual_information,
+    )
+
+    def r6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    def ref(pairs):
+        from collections import Counter
+
+        n = len(pairs)
+        ja, ma, mb = Counter(pairs), Counter(), Counter()
+        for a, b in pairs:
+            ma[a] += 1
+            mb[b] += 1
+
+        def h(cnt):
+            return math.log(n) - sum(
+                c * math.log(c) for c in cnt.values()
+            ) / n
+
+        return h(ma), h(mb), h(ja)
+
+    # perfect dependency: b == a
+    pairs = [("x", "1")] * 5 + [("y", "2")] * 3 + [("z", "3")] * 2
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    ha, hb, hab = ref(pairs)
+    assert (r.n, r.h_a, r.h_b) == (10, r6(ha), r6(hb))
+    assert r.mi == r6(ha + hb - hab) and r.nmi == 1.0
+    # independence: every (a, b) combo equally likely -> mi == 0
+    ind = [(a, b) for a in "xy" for b in "12" for _ in range(3)]
+    r = mutual_information(
+        spark.createDataFrame(ind, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r.mi == 0.0 and r.nmi == 0.0
+    # NULL as a category: b is NULL exactly when a == 'web'
+    nulls = [("web", None)] * 4 + [("news", "k")] * 4
+    r = mutual_information(
+        spark.createDataFrame(nulls, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r.nmi == 1.0
+    # both constant: nothing to depend on
+    r = mutual_information(
+        spark.createDataFrame([("c", "d")] * 3, "a string, b string"),
+        "a", "b",
+    ).collect()[0]
+    assert (r.h_a, r.h_b, r.mi, r.nmi) == (0.0, 0.0, 0.0, None)
+    # empty input
+    r = mutual_information(
+        spark.createDataFrame([], "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert (r.n, r.mi, r.nmi) == (0, None, None)

@@ -2048,3 +2048,50 @@ def test_sample_pps_invariants_and_guards(spark):
     )
     with _pt.raises(Exception, match="negative weight"):
         sample_pps(bad, k=2, weight_col="w").collect()
+
+
+def test_apportion_budget_exact_sum_and_edges(spark):
+    """Hamilton apportionment (r13): sum(quota) == k EXACTLY on a case
+    where naive rounding drifts; remainder ties break to the smaller
+    domain; zero weights and zero remainders never receive the +1;
+    W == 0 -> all quotas 0; negative weight refused in-path."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.text import (
+        apportion_budget,
+    )
+
+    # k=10 over weights 3:3:3:1 -> floors 3,3,3,1 sum 10 exactly? No:
+    # 10*3/10=3 exact... use the classic drift case: 7 seats, weights
+    # 4:3:3 -> shares 2.8, 2.1, 2.1 -> floors 2,2,2 (sum 6), one +1 to
+    # the largest remainder (.8 -> domain with weight 4)
+    w = spark.createDataFrame(
+        [("a", 4), ("b", 3), ("c", 3)], "source string, weight long"
+    )
+    got = {r.domain: r.quota for r in apportion_budget(w, 7).collect()}
+    assert got == {"a": 3, "b": 2, "c": 2} and sum(got.values()) == 7
+    # remainder tie: k=5 over 1:1 -> floors 2,2, one top-up; equal
+    # remainders break to the smaller domain name
+    w2 = spark.createDataFrame(
+        [("x", 1), ("y", 1)], "source string, weight long"
+    )
+    got2 = {r.domain: r.quota for r in apportion_budget(w2, 5).collect()}
+    assert got2 == {"x": 3, "y": 2}
+    # zero weight: never topped up, even when short
+    w3 = spark.createDataFrame(
+        [("a", 1), ("z", 0)], "source string, weight long"
+    )
+    got3 = {r.domain: r.quota for r in apportion_budget(w3, 3).collect()}
+    assert got3 == {"a": 3, "z": 0}
+    # W == 0: all quotas 0
+    w4 = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "source string, weight long"
+    )
+    assert {r.quota for r in apportion_budget(w4, 9).collect()} == {0}
+    with _pt.raises(ValueError, match="k must"):
+        apportion_budget(w, -1)
+    bad = spark.createDataFrame(
+        [("a", -2)], "source string, weight long"
+    )
+    with _pt.raises(Exception, match="negative weight"):
+        apportion_budget(bad, 3).collect()
