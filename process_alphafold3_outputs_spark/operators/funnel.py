@@ -374,9 +374,13 @@ def top_paths(
     Scale shape: one rank window per user partition (user histories
     are the natural partition) with an EARLY ``rn <= n_steps`` filter
     — at most n_steps rows per user survive to the path aggregation;
-    path counting is a hash agg on the path key; the final top-k is a
-    rank-k filter the optimizer runs as parallel partial top-k, never
-    a global sort of all paths."""
+    path counting is a hash agg on the path key; the final top-k is
+    ``orderBy().limit(k)`` — compiled to TakeOrderedAndProject
+    (parallel per-partition partial top-k; distinct paths are
+    USER-bounded, so a global row_number window here would funnel
+    millions of rows through one partition — the ivf_centroids
+    lesson, plan-pinned) — with ``rank`` assigned on the k surviving
+    rows only."""
     if n_steps < 1:
         raise ValueError(f"n_steps must be >= 1 (got {n_steps})")
     if k < 1:
@@ -410,9 +414,10 @@ def top_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+    topk = paths.orderBy(F.desc("n_users"), F.asc("path")).limit(k)
     wr = Window.orderBy(F.desc("n_users"), F.asc("path"))
-    return (
-        paths.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select("path", "n_users", F.col("rank").cast("int").alias("rank"))
+    return topk.select(
+        "path",
+        "n_users",
+        F.row_number().over(wr).cast("int").alias("rank"),
     )

@@ -953,6 +953,16 @@ def test_top_paths_hand_computed(spark):
         top_paths(df, 0, 5, t=F.col("t"))
     with _pt.raises(ValueError, match="k must"):
         top_paths(df, 3, 0, t=F.col("t"))
+    # plan: the top-k compiles to TakeOrderedAndProject (parallel
+    # partial top-k over the user-bounded path table), never a global
+    # row_number window over ALL paths (the ivf_centroids lesson) —
+    # the only Window ops are the per-user rank and the k-row ranking
+    plan = top_paths(df, 3, 2, t=F.col("t"))._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_watch_events_trend_stream_equals_batch_and_replays(spark, tmp_path):
