@@ -696,6 +696,7 @@ def mutual_information(
     df: DataFrame,
     col_a: str,
     col_b: str,
+    checkpoint_joint: bool = True,
 ) -> DataFrame:
     """One row (n, h_a, h_b, h_ab, mi, nmi) — Shannon entropies and
     the mutual information of two categorical columns: the dependency
@@ -715,7 +716,13 @@ def mutual_information(
     double drift is ~1e-16·terms, five orders below the 5e-7 rounding
     threshold). Scale shape: ONE groupBy(a, b) shuffle (group count =
     |A|·|B| — the label-statistic contract, same as agreement_kappa);
-    margins and entropy sums aggregate the category-sized table."""
+    margins and entropy sums aggregate the category-sized table.
+    ``checkpoint_joint`` (default True) materializes the joint counts
+    once (``localCheckpoint``, the time_bucket_gapfill discipline) so
+    the three downstream entropy aggregations read the category-sized
+    table instead of each re-running the corpus groupBy — the raw
+    input is scanned exactly ONCE; False keeps the plan fully lazy at
+    the price of three scans."""
     ab = df.select(
         F.col(col_a).cast("string").isNull().alias("_an"),
         F.coalesce(F.col(col_a).cast("string"), F.lit("")).alias("_av"),
@@ -725,6 +732,8 @@ def mutual_information(
     joint = ab.groupBy("_an", "_av", "_bn", "_bv").agg(
         F.count(F.lit(1)).alias("_c")
     )
+    if checkpoint_joint:
+        joint = joint.localCheckpoint()
     cd = F.col("_c").cast("double")
     s_ab = joint.agg(
         F.sum("_c").alias("_n"),
