@@ -165,6 +165,7 @@ def agreement_kappa(
     df: DataFrame,
     col_a: str,
     col_b: str,
+    checkpoint_confusion: bool = True,
 ) -> DataFrame:
     """One row (n, po, pe, kappa) — multi-category Cohen's kappa
     between two label columns: the chance-corrected agreement measure
@@ -189,13 +190,20 @@ def agreement_kappa(
     Scale shape: ONE groupBy(a, b) count — a single shuffle whose
     group count is |A|·|B| (label cardinalities; this is a LABEL
     statistic — profile cardinality first if a column might be
-    ID-like) — then margin joins on the category-sized table only."""
+    ID-like) — then margin joins on the category-sized table only.
+    ``checkpoint_confusion`` (default True) materializes the confusion
+    table once (``localCheckpoint``) so the totals and both margins
+    read it instead of each re-running the corpus groupBy — the raw
+    input is scanned exactly ONCE; False keeps the plan fully lazy at
+    the price of three scans."""
     a, b = F.col(col_a).cast("string"), F.col(col_b).cast("string")
     c = (
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_n"))
     )
+    if checkpoint_confusion:
+        c = c.localCheckpoint()
     tot = c.agg(
         F.sum("_n").alias("_t"),
         F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))).alias(
