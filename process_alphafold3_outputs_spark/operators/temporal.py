@@ -803,6 +803,7 @@ def trend_theil_sen(
     x_col: str,
     y_col: str,
     max_points: int = 2_000,
+    checkpoint_points: bool = True,
 ) -> DataFrame:
     """(keys..., n, slope, intercept) — per-key THEIL–SEN trend: the
     median of all pairwise slopes (y_j − y_i)/(x_j − x_i), intercept =
@@ -830,7 +831,13 @@ def trend_theil_sen(
     one the self-join needs anyway): this estimator is for
     BUCKET-grain series (a decade of daily buckets is ~3.7k points —
     raise deliberately), never raw events; pre-aggregate with the
-    bucket rollup first."""
+    bucket rollup first. ``checkpoint_points`` (default True)
+    materializes the guarded point table once (``localCheckpoint``,
+    the time_bucket_gapfill discipline) — both self-join sides, the
+    sizes, and the residual pass read the bucket-grain table instead
+    of each re-running the upstream rollup (4 raw scans otherwise);
+    the guard fires at materialization, still loud. False keeps plan
+    construction fully lazy."""
     if not keys:
         raise ValueError("keys must be non-empty")
     if max_points < 2:
@@ -857,6 +864,8 @@ def trend_theil_sen(
         guarded_x.alias("_x"),
         F.col(y_col).cast("long").alias("_y"),
     )
+    if checkpoint_points:
+        pts = pts.localCheckpoint()
     sizes = pts.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     a = pts.select(
         *[F.col(k).alias(f"_ka_{k}") for k in keys],
@@ -912,6 +921,7 @@ def trend_mann_kendall(
     keys: Sequence[str],
     x_col: str,
     y_col: str,
+    checkpoint_points: bool = True,
 ) -> DataFrame:
     """(keys..., n, s_stat, var_s, z, trend) — the MANN–KENDALL trend
     significance test per key: is the monotone trend real, or noise?
@@ -937,7 +947,10 @@ def trend_mann_kendall(
     distinct-time formula) — a duplicate x is refused loudly in-path
     via a (key, x)-window count inside the y projection. Scale shape:
     the C(n,2) pair join is the :func:`trend_theil_sen` fan-out —
-    bucket-grain by contract."""
+    bucket-grain by contract; ``checkpoint_points`` (default True)
+    materializes the guarded point table once so both join sides and
+    the tie pass read it instead of re-running the upstream rollup
+    (the gapfill discipline); False keeps plan construction lazy."""
     if not keys:
         raise ValueError("keys must be non-empty")
     n_dup = F.count(F.lit(1)).over(Window.partitionBy(*keys, x_col))
@@ -960,6 +973,8 @@ def trend_mann_kendall(
         F.col(x_col).cast("long").alias("_x"),
         guarded_y.alias("_y"),
     )
+    if checkpoint_points:
+        pts = pts.localCheckpoint()
     a = pts.select(
         *[F.col(k).alias(f"_ka_{k}") for k in keys],
         F.col("_x").alias("_xa"),
@@ -1029,6 +1044,7 @@ def trend_changepoint(
     keys: Sequence[str],
     x_col: str,
     y_col: str,
+    checkpoint_points: bool = True,
 ) -> DataFrame:
     """(keys..., n, cp_x, cusum_max) — offline CUSUM changepoint per
     key: WHERE did the level shift. The companion question to the
@@ -1053,7 +1069,10 @@ def trend_changepoint(
     Scale shape: one ordered window pass per key partition (cum-sum +
     row_number + the per-key totals over the same partition — one
     shuffle, one sort) and a rank-1 filter; bucket-grain inputs by
-    the trend-family contract."""
+    the trend-family contract. ``checkpoint_points`` (default True)
+    materializes the guarded point table once so the window pass and
+    the sizes read it instead of re-running the upstream rollup (the
+    gapfill discipline); False keeps plan construction lazy."""
     if not keys:
         raise ValueError("keys must be non-empty")
     n_dup = F.count(F.lit(1)).over(Window.partitionBy(*keys, x_col))
@@ -1076,6 +1095,8 @@ def trend_changepoint(
         F.col(x_col).cast("long").alias("_x"),
         guarded_y.alias("_y"),
     )
+    if checkpoint_points:
+        pts = pts.localCheckpoint()
     wk = Window.partitionBy(*keys)
     wo = wk.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
     staged = pts.select(

@@ -1081,16 +1081,22 @@ def test_trend_theil_sen_robust_vs_numpy_and_guards(spark):
     for k in ("single", "const_x"):
         assert (out[k].slope, out[k].intercept) == (None, None)
     assert out["const_x"].n == 2
-    # guards: lazy plan build, loud in-path refusal at action time
-    sc = spark.sparkSession if hasattr(spark, "sparkSession") else spark
+    # guards: with checkpoint_points=False the plan builds with ZERO
+    # jobs and refuses in-path at action time; the default (eager
+    # bucket-table materialization, the gapfill discipline) refuses
+    # loudly at call time instead — both are loud, neither silent
     jg = spark.sparkContext
     jg.setJobGroup("theil-build", "lazy-guard")
-    plan = trend_theil_sen(df, ["k"], "x", "y", max_points=5)
+    plan = trend_theil_sen(
+        df, ["k"], "x", "y", max_points=5, checkpoint_points=False
+    )
     ids = jg.statusTracker().getJobIdsForGroup("theil-build")
     jg.setJobGroup("theil-build-done", "done")
     assert list(ids) == []
     with _pt.raises(Exception, match="max_points"):
         plan.collect()
+    with _pt.raises(Exception, match="max_points"):
+        trend_theil_sen(df, ["k"], "x", "y", max_points=5).collect()
     with _pt.raises(ValueError, match="keys"):
         trend_theil_sen(df, [], "x", "y")
     with _pt.raises(ValueError, match="max_points"):
