@@ -657,6 +657,9 @@ _DEFERRED: set[str] = {
                              # distinct-collapse + keyed-join mechanics
                              # evidenced by green semi_join/dedup rows
                              # (deferred: headroom)
+    "profile_concentration",  # Gini/HHI domain diversity (NEW r13);
+                             # domain-sized exact-int stats next to the
+                             # green profile rows (deferred: headroom)
     "profile_mutual_info",   # categorical MI/entropy (NEW r13); label-
                              # stat hash-agg mechanics evidenced by
                              # green profile/quality rows (deferred:

@@ -142,6 +142,9 @@ BENCH_DEFERRED = {
                   "event_gapfill (the benched bucket-grain "
                   "representative; anchors/top-1 touch bucket-bounded "
                   "tables only)",
+    "profile_concentration": "text_sample_domains (the benched domain-"
+                             "rollup family; the stats run on the "
+                             "domain-sized table)",
     "profile_mutual_info": "profile_top_values (the benched unpivot/"
                            "label-agg family; MI adds category-sized "
                            "entropy sums only)",

@@ -778,3 +778,91 @@ def mutual_information(
             ).alias("nmi"),
         )
     )
+
+
+def concentration(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One row (n_domains, total, top1_share, hhi, gini) — how
+    CONCENTRATED is the corpus across domains: the diversity
+    pre-flight every mixture planner runs before picking weights (a
+    Gini of 0.9 across sources means the "diverse web corpus" is one
+    crawl wearing twenty hostnames). ``weight_col=None`` counts rows;
+    otherwise integer weights (token/char counts) are summed per
+    domain.
+
+    - ``top1_share`` — the largest domain's share of the total
+    - ``hhi`` — Herfindahl index Σ share² in (0, 1]; 1/n_domains at
+      perfect uniformity, 1.0 at monopoly
+    - ``gini`` — Σ (2i − n − 1)·w_(i) / (n·W) over weights sorted
+      ascending (ties broken by domain for a deterministic i): 0 at
+      uniformity, → 1 at monopoly
+
+    Exactness: per-domain weights, the Gini numerator, and the HHI
+    numerator Σw² are exact int64 (HHI's Σw² summed in DECIMAL —
+    w² overflows int64 past w > 3e9); each statistic is ONE double
+    division in fixed operand order + the 6-dp floor round. Empty or
+    all-zero input reports n_domains/total with NULL shares (nothing
+    to concentrate).
+
+    Scale shape: one domain-keyed aggregation collapses the corpus,
+    then every pass runs on the DOMAIN-sized table (one global-order
+    window over |domains| rows — honest and tiny; the
+    :func:`~..operators.text.apportion_budget` posture)."""
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    per = (
+        df.filter(w.isNotNull())
+        .groupBy(F.col(domain_col).alias("_d"))
+        .agg(F.sum(w).alias("_w"))
+    )
+    wall = Window.partitionBy()
+    wo = Window.orderBy(F.asc("_w"), F.asc("_d"))
+    staged = per.select(
+        "_d",
+        "_w",
+        F.row_number().over(wo).alias("_i"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        F.sum("_w").over(wall).alias("_t"),
+        F.max("_w").over(wall).alias("_mx"),
+    )
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    # global agg, not groupBy(_n,_t,_mx): an empty input must still
+    # emit the one n=0 report row (groupBy on empty emits none)
+    agg = staged.agg(
+        F.max("_n").alias("_n"),
+        F.max("_t").alias("_t"),
+        F.max("_mx").alias("_mx"),
+        F.sum(
+            (2 * F.col("_i") - F.col("_n") - 1) * F.col("_w")
+        ).alias("_gnum"),
+        F.sum(
+            F.col("_w").cast("decimal(38,0)") * F.col("_w")
+        ).alias("_sq"),
+    )
+    td = F.col("_t").cast("double")
+    live = F.col("_t") > 0
+    return agg.select(
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_domains"),
+        F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("total"),
+        F.when(live, r6(F.col("_mx").cast("double") / td)).alias(
+            "top1_share"
+        ),
+        F.when(
+            live, r6(F.col("_sq").cast("double") / (td * td))
+        ).alias("hhi"),
+        F.when(
+            live,
+            r6(
+                F.col("_gnum").cast("double")
+                / (F.col("_n").cast("double") * td)
+            ),
+        ).alias("gini"),
+    )

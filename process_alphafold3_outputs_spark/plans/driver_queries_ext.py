@@ -9703,3 +9703,60 @@ def text_mix_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("n_chars").cast("long")).alias("weight"))
     )
     return apportion_budget(w, 10_000)
+
+
+# --------------------------------------------------------------------------
+# corpus concentration (NEW r13): Gini + HHI + top-1 share of the
+# domain distribution — the diversity pre-flight of the mixture
+# planner. Exact int64 Gini numerator, DECIMAL/HUGEINT HHI numerator,
+# three fixed-order divisions + floor rounds restated by the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "profile_concentration",
+    sql="""
+    WITH per AS (SELECT source AS d,
+                        CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                            AS w
+                 FROM documents WHERE n_chars IS NOT NULL
+                 GROUP BY 1),
+    staged AS (
+        SELECT d, w,
+               row_number() OVER (ORDER BY w ASC, d ASC) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(w) OVER () AS BIGINT) AS t,
+               CAST(max(w) OVER () AS BIGINT) AS mx
+        FROM per),
+    agg AS (
+        SELECT n, t, mx,
+               sum((2 * i - n - 1) * w) AS gnum,
+               sum(CAST(w AS HUGEINT) * w) AS sq
+        FROM staged GROUP BY 1, 2, 3)
+    SELECT n AS n_domains, t AS total,
+           CASE WHEN t > 0 THEN
+               floor((CAST(mx AS DOUBLE) / CAST(t AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 END AS top1_share,
+           CASE WHEN t > 0 THEN
+               floor((CAST(sq AS DOUBLE)
+                      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 END AS hhi,
+           CASE WHEN t > 0 THEN
+               floor((CAST(gnum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 END AS gini
+    FROM agg
+    """,
+)
+def profile_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini/HHI/top-1 concentration of n_chars across sources
+    (deferred — pytest-mirrored): operators/profiling.concentration —
+    how diverse the corpus actually is before mixture weights are
+    chosen."""
+    from ..operators.profiling import concentration
+
+    return concentration(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("n_chars").isNotNull()
+        ),
+        "source",
+        "n_chars",
+    )

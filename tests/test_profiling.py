@@ -905,3 +905,50 @@ def test_mutual_information_reference_and_edges(spark):
         spark.createDataFrame([], "a string, b string"), "a", "b"
     ).collect()[0]
     assert (r.n, r.mi, r.nmi) == (0, None, None)
+
+
+def test_concentration_reference_and_edges(spark):
+    """Concentration (r13): hand-computed Gini/HHI on a known split;
+    monopoly -> gini (n-1)/n, hhi 1.0, top1 1.0; uniformity -> gini 0,
+    hhi 1/n; count mode (weight_col=None); empty input -> NULL stats."""
+    import math
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        concentration,
+    )
+
+    def r6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    # weights 1, 3, 6 (W=10, n=3): sorted i=1,2,3 ->
+    # gnum = (2-4)*1 + (4-4)*3 + (6-4)*6 = 10 -> gini = 10/30
+    w = spark.createDataFrame(
+        [("a", 6), ("b", 1), ("c", 3)], "source string, w long"
+    )
+    r = concentration(w, "source", "w").collect()[0]
+    assert (r.n_domains, r.total, r.top1_share) == (3, 10, 0.6)
+    assert r.gini == r6(10 / 30)
+    assert r.hhi == r6((36 + 1 + 9) / 100)
+    # monopoly across 4 domains: one weight-bearing domain
+    m = spark.createDataFrame(
+        [("a", 9), ("b", 0), ("c", 0), ("d", 0)],
+        "source string, w long",
+    )
+    r = concentration(m, "source", "w").collect()[0]
+    assert (r.top1_share, r.hhi, r.gini) == (1.0, 1.0, 0.75)
+    # uniformity: gini 0, hhi 1/n
+    u = spark.createDataFrame(
+        [(c, 5) for c in "abcde"], "source string, w long"
+    )
+    r = concentration(u, "source", "w").collect()[0]
+    assert (r.gini, r.hhi) == (0.0, 0.2)
+    # count mode: weights = row counts
+    rows = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)], "source string"
+    )
+    r = concentration(rows, "source").collect()[0]
+    assert (r.n_domains, r.total, r.top1_share) == (2, 4, 0.75)
+    # empty: one row, NULL stats
+    e = spark.createDataFrame([], "source string, w long")
+    r = concentration(e, "source", "w").collect()[0]
+    assert (r.n_domains, r.total, r.gini) == (0, 0, None)
