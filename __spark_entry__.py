@@ -126,6 +126,24 @@ _PRIORITY: list[str] = [
     #    text_mix_doremi row)
     "event_gapfill",
     "profile_candidate_keys",
+    # -- round-14 rotation (NOTES rotation table): the asof family's
+    #    first driver row (two-direction union-carry merge_asof,
+    #    cross-validated against DuckDB's NATIVE ASOF JOIN — an
+    #    independent implementation, not a restatement), the
+    #    range-frame HLL register merge (trailing-window distinct
+    #    users), and the PassJoin edit-distance join vs the
+    #    brute-force DEFINITION oracle (the only similarity-join
+    #    family that had no driver row); freed slots:
+    #    similarity_topk_ivf_refined (ANN family keeps the green
+    #    similarity_topk exact baseline + similarity_topk_lsh_multiprobe
+    #    scale path), text_token_count (token mechanics evidenced by
+    #    the green pipeline_corpus_to_training packing row +
+    #    text_quality), dedup_embedding_cosine (cosine mechanics
+    #    evidenced by the green similarity_topk row; the dedup family
+    #    keeps 6 driver rows)
+    "asof_join_nearest",
+    "event_sliding_users",
+    "dedup_edit_distance",
 ]
 
 #: driver-visible queries DELIBERATELY registered without a SQL oracle —
@@ -689,10 +707,11 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
-    "asof_join_nearest",     # merge_asof direction+tolerance surface;
-                             # union-carry kernel evidenced by the
-                             # benched asof_join row (deferred:
-                             # headroom)
+    "similarity_topk_ivf_refined",  # rotated OUT in r14 for
+                             # asof_join_nearest (ANN family keeps the
+                             # green similarity_topk exact baseline +
+                             # similarity_topk_lsh_multiprobe scale
+                             # path; stays benched + oracle-mirrored)
     "file_roundtrip_csv",    # CSV interchange round trip; file-boundary
                              # mechanics evidenced by the green
                              # file_sink_* rows + benched
@@ -704,10 +723,12 @@ _DEFERRED: set[str] = {
     "event_xcorr",           # lead-lag cross-correlation; lag fan-out
                              # + sums-tree mechanics evidenced by green
                              # profile_* rows (deferred: headroom)
-    "event_sliding_users",   # trailing-window HLL rollup; register
-                             # max-merge mechanics evidenced by green
-                             # sketch_hll_distinct row (deferred:
-                             # headroom)
+    "text_token_count",      # rotated OUT in r14 for
+                             # event_sliding_users (token-count
+                             # mechanics evidenced by the green
+                             # pipeline_corpus_to_training packing row
+                             # + text_quality; stays benched +
+                             # oracle-mirrored)
     "drift_psi_timeline",    # per-bucket PSI vs frozen bins; binning
                              # mechanics evidenced by green drift_psi
                              # row (deferred: headroom)
@@ -762,12 +783,12 @@ _DEFERRED: set[str] = {
                              # + bounded window mechanics evidenced by
                              # the benched profile_top_values row
                              # (deferred: headroom)
-    "dedup_edit_distance",   # lossless q-gram edit-distance join (new
-                             # r12); inverted-index join mechanics
-                             # evidenced by the green dedup_jaccard
-                             # row, brute-force oracle + multiset
-                             # differential pytest (deferred: headroom;
-                             # benched)
+    "dedup_embedding_cosine",  # rotated OUT in r14 for
+                             # dedup_edit_distance (cosine mechanics
+                             # evidenced by the green similarity_topk
+                             # driver row; the dedup family keeps 6
+                             # driver rows; stays benched +
+                             # oracle-mirrored)
     "semi_join",             # O21 — rotated OUT in r12 for
                              # pipeline_incremental_refresh (the
                              # interacting-residue semi-join keeps its
