@@ -1178,9 +1178,21 @@ def _result(
         )
         # no --key: one whole-table trend under a constant key
         keys = args.key or []
+        # FLOOR division, exact int64: Spark `div` truncates toward
+        # zero while DuckDB `//` (the oracles/docs) floors, so a
+        # NEGATIVE epoch (pre-1970 ts via the generic --ts-col path)
+        # would land in the wrong bucket cross-engine. pmod rebases
+        # the remainder non-negative, so (t - pmod(t,w)) div w is the
+        # floor for any sign of t — no double round-trip.
+        w_int = int(args.width)
         daily = (
             tbl.select(*keys, ts_expr.alias("_t"))
-            .select(*keys, _F.expr(f"_t div {int(args.width)}").alias("x"))
+            .select(
+                *keys,
+                _F.expr(
+                    f"(_t - pmod(_t, {w_int})) div {w_int}"
+                ).alias("x"),
+            )
             .groupBy(*keys, "x")
             .agg(_F.count(_F.lit(1)).alias("y"))
         )

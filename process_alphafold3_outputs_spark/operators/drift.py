@@ -598,12 +598,15 @@ def chi2_drift_many(
     ``len(cols)`` times, exactly the row-multiplication the
     candidate_keys guard refuses past 45 combos — while N HLL
     accumulators share ONE un-expanded scan pair. A cost guard needs
-    no exactness: a column within ~1% of the cap may land on either
-    side, and either outcome is safe (the chi2 statistic itself stays
-    exact; the cap only bounds the full-outer join's category fan).
-    The refusal names every offending column with its estimate — the
-    :func:`ks_distance` loud-refusal discipline applied to the fused
-    form."""
+    no exactness: the refusal threshold carries a 2% tolerance
+    (refuse only past ``max_values * 1.02``) so a column genuinely
+    UNDER the cap cannot be spuriously refused by estimator noise
+    (rsd 1% ⇒ ±3σ ≈ 3%; a column within the tolerance band may land
+    on either side, and either outcome is safe — the chi2 statistic
+    itself stays exact; the cap only bounds the full-outer join's
+    category fan). The refusal names every offending column with its
+    estimate — the :func:`ks_distance` loud-refusal discipline
+    applied to the fused form."""
     if not cols:
         raise ValueError("cols must be non-empty")
     # one fused cardinality scan per side (no per-column loop, no
@@ -624,7 +627,13 @@ def chi2_drift_many(
         )
         .collect()[0]
     )
-    over = {c: crow[f"_v_{c}"] for c in cols if crow[f"_v_{c}"] > max_values}
+    # 2% estimator-noise tolerance: an under-cap column must never be
+    # refused by HLL jitter alone (advice r13)
+    over = {
+        c: crow[f"_v_{c}"]
+        for c in cols
+        if crow[f"_v_{c}"] > max_values * 1.02
+    }
     if over:
         raise ValueError(
             f"chi2_drift_many: columns over max_values={max_values} "

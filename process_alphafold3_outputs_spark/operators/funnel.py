@@ -250,7 +250,17 @@ def attribute_conversions(
     pre-aggregating or salting the hot user upstream. A touch at
     exactly the conversion instant counts; a touch at exactly
     ``conversion_ts − lookback_s`` does not (half-open window,
-    documented)."""
+    documented).
+
+    .. warning:: **Behavior change (r13).**
+       ``max_touches_per_conversion`` defaults to ``100_000`` (was
+       unbounded): a call whose single hottest conversion carries
+       more than 100k in-window touches — previously a silent K·M
+       single-key blowup that completed — now fails loudly at action
+       time. This is the deliberate hot-key guard default (a real
+       user does not produce 100k ad touches in one lookback; a bot
+       or a key-collapse bug does). Restore the old behavior
+       explicitly with ``max_touches_per_conversion=None``."""
     if model not in ("last", "first", "linear"):
         raise ValueError(f"model must be last|first|linear (got {model!r})")
     if lookback_s <= 0:

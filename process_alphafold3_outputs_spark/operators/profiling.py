@@ -784,6 +784,7 @@ def concentration(
     df: DataFrame,
     domain_col: str,
     weight_col: str | None = None,
+    max_domains: int | None = 1_000_000,
 ) -> DataFrame:
     """One row (n_domains, total, top1_share, hhi, gini) — how
     CONCENTRATED is the corpus across domains: the diversity
@@ -809,25 +810,66 @@ def concentration(
 
     Scale shape: one domain-keyed aggregation collapses the corpus,
     then every pass runs on the DOMAIN-sized table (one global-order
-    window over |domains| rows — honest and tiny; the
-    :func:`~..operators.text.apportion_budget` posture)."""
+    window over the collapsed rows). That window is honest only while
+    the DOMAIN grain is bounded — a Gini at raw-hostname granularity
+    would funnel millions of rows through one partition — so the
+    domain count is refused in-path past ``max_domains`` (default
+    1e6), riding the count the window pass already computes (no extra
+    scan; ``None`` is the documented escape hatch after collapsing the
+    grain upstream). A NEGATIVE weight would silently corrupt
+    gini/hhi/top1_share (negative per-row weights can cancel inside a
+    domain sum), so it is refused loudly in-path, the
+    :func:`~..operators.text.sample_pps` discipline. NULL domains
+    sort NULLS LAST on the tie-break (``asc_nulls_last``) — DuckDB's
+    ASC default — so a weight tie involving the NULL domain ranks
+    identically cross-engine."""
     w = (
         F.lit(1).cast("long")
         if weight_col is None
         else F.col(weight_col).cast("long")
     )
+    guarded_w = F.when(w >= 0, w).otherwise(
+        F.raise_error(
+            F.format_string(
+                "concentration: negative weight %s — negative per-row "
+                "weights cancel inside a domain sum and silently "
+                "corrupt gini/hhi/top1_share; filter or clamp "
+                "upstream.",
+                w,
+            )
+        )
+    )
     per = (
         df.filter(w.isNotNull())
         .groupBy(F.col(domain_col).alias("_d"))
-        .agg(F.sum(w).alias("_w"))
+        .agg(F.sum(guarded_w).alias("_w"))
     )
     wall = Window.partitionBy()
-    wo = Window.orderBy(F.asc("_w"), F.asc("_d"))
+    wo = Window.orderBy(F.asc("_w"), F.asc_nulls_last("_d"))
+    n_raw = F.count(F.lit(1)).over(wall)
+    n_guarded = (
+        n_raw
+        if max_domains is None
+        else F.when(n_raw <= F.lit(int(max_domains)), n_raw).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "concentration: domain count %s exceeds "
+                    f"max_domains={int(max_domains)} — a global-order "
+                    "window over that many rows funnels them through "
+                    "one partition; collapse the domain grain "
+                    "upstream (e.g. registrable domain, source "
+                    "bucket) or pass max_domains=None to accept the "
+                    "single-partition sort.",
+                    n_raw,
+                )
+            )
+        )
+    )
     staged = per.select(
         "_d",
         "_w",
         F.row_number().over(wo).alias("_i"),
-        F.count(F.lit(1)).over(wall).alias("_n"),
+        n_guarded.alias("_n"),
         F.sum("_w").over(wall).alias("_t"),
         F.max("_w").over(wall).alias("_mx"),
     )

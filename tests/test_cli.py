@@ -1138,6 +1138,20 @@ def test_cli_r13_commands(spark, tmp_path):
         ["trend", "--input", ev, "--ts-col", "ts", "--width", "1000",
          "--stat", "changepoint"], "trend_cp")
     assert cp[0].cp_x is not None
+    # r14 advice pin: bucketing is FLOOR division (DuckDB `//`), not
+    # Spark `div` truncation — negative epochs (pre-1970 via the
+    # generic --ts-col path) must land in floor buckets, so ts in
+    # [-1500, 2500) at width 1000 spans buckets {-2,-1,0,1,2} = n 5
+    # (truncation would collapse -1500..-1 into buckets {-1, 0} -> 4)
+    evneg = str(tmp_path / "evneg")
+    spark.createDataFrame(
+        [(i, -1500 + i * 100) for i in range(40)],
+        "event_id long, ts long",
+    ).write.parquet(evneg)
+    neg = run_cmd(
+        ["trend", "--input", evneg, "--ts-col", "ts", "--width", "1000"],
+        "trend_neg")
+    assert len(neg) == 1 and neg[0].n == 5
 
     lab = str(tmp_path / "lab")
     spark.createDataFrame(

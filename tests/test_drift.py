@@ -517,6 +517,29 @@ def test_chi2_many_max_values_guard_names_columns(spark):
         ).collect()
     }
     assert set(out) == {"hi", "lo"}
+    # r14 advice pin: the refusal threshold carries a 2% tolerance so
+    # a column genuinely under the cap cannot be refused by HLL
+    # estimator noise. Derive the deterministic estimate, then a
+    # max_values ONE below it must still run (est <= max_values*1.02
+    # for est >= 51) while max_values well under must refuse.
+    from pyspark.sql import functions as F
+
+    big_ref = spark.createDataFrame(
+        [(str(i),) for i in range(100)], "hi string"
+    )
+    est = (
+        big_ref.union(big_ref)
+        .agg(F.approx_count_distinct(F.col("hi"), 0.01).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est >= 51  # tolerance-band premise
+    ok = chi2_drift_many(
+        big_ref, big_ref, ["hi"], max_values=est - 1
+    ).collect()
+    assert len(ok) == 1  # within 2% band: runs, not refused
+    with _pytest.raises(ValueError, match="'hi'"):
+        chi2_drift_many(big_ref, big_ref, ["hi"], max_values=est // 2)
 
 
 def test_chi2_many_guard_plans_no_expand(spark):

@@ -952,3 +952,49 @@ def test_concentration_reference_and_edges(spark):
     e = spark.createDataFrame([], "source string, w long")
     r = concentration(e, "source", "w").collect()[0]
     assert (r.n_domains, r.total, r.gini) == (0, 0, None)
+
+
+def test_concentration_guards_and_null_domain(spark):
+    """r14 guards: the domain-count refusal is counted IN-PATH (rides
+    the window count — zero Spark jobs at plan-build), a negative
+    per-row weight is refused loudly (it can cancel inside a domain
+    sum and silently corrupt the stats), and a NULL domain tie-breaks
+    NULLS LAST (DuckDB's ASC default) so ranks match cross-engine."""
+    import math
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        concentration,
+    )
+
+    w = spark.createDataFrame(
+        [("a", 6), ("b", 1), ("c", 3)], "source string, w long"
+    )
+    # counted refusal: 3 domains > max_domains=2 dies loud AT ACTION
+    plan = concentration(w, "source", "w", max_domains=2)  # lazy: no jobs
+    with pytest.raises(Exception, match="max_domains=2"):
+        plan.collect()
+    # ... and plan construction fires ZERO Spark jobs (in-path guard,
+    # not an eager pre-scan)
+    sc = spark.sparkContext
+    sc.setJobGroup("conc-lazy", "concentration plan build")
+    concentration(w, "source", "w", max_domains=1).explain  # build only
+    _ = concentration(w, "source", "w", max_domains=1)
+    assert sc.statusTracker().getJobIdsForGroup("conc-lazy") == []
+    sc.setJobGroup("", "")
+    # escape hatch: None accepts any domain count
+    assert concentration(w, "source", "w", max_domains=None).count() == 1
+    # negative weight refused even when the domain SUM is non-negative
+    neg = spark.createDataFrame(
+        [("a", 5), ("a", -5), ("b", 3)], "source string, w long"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        concentration(neg, "source", "w").collect()
+    # NULL domain on a weight tie: NULLS LAST -> the NULL domain takes
+    # the HIGHER rank i. weights (None,5),('a',5),('b',2): sorted by
+    # (w, d NULLS LAST) -> ('b',2) i=1, ('a',5) i=2, (None,5) i=3;
+    # gnum = (2-4)*2 + (4-4)*5 + (6-4)*5 = 6 -> gini = 6/(3*12)
+    nd = spark.createDataFrame(
+        [(None, 5), ("a", 5), ("b", 2)], "source string, w long"
+    )
+    r = concentration(nd, "source", "w").collect()[0]
+    assert r.gini == math.floor(6 / 36 * 1e6 + 0.5) / 1e6
