@@ -707,6 +707,11 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "quality_fleiss_kappa",  # multi-rater panel kappa (new r14);
+                             # confusion/margin mechanics evidenced by
+                             # the mirror-green quality_kappa +
+                             # driver-green quality_expectations rows
+                             # (deferred: headroom)
     "similarity_topk_ivf_refined",  # rotated OUT in r14 for
                              # asof_join_nearest (ANN family keeps the
                              # green similarity_topk exact baseline +

@@ -154,6 +154,10 @@ BENCH_DEFERRED = {
     "quality_kappa": "quality_expectations (the benched one-scan fused "
                      "agg family; kappa adds category-sized margin "
                      "joins only)",
+    "quality_fleiss_kappa": "quality_expectations (the benched "
+                            "one-scan fused agg family; the panel "
+                            "stats run on item-/category-keyed "
+                            "rollups of one ratings groupBy)",
     "event_top_paths": "sessionize (the benched per-user rank-window "
                        "shape; the path agg touches <= n_steps rows "
                        "per user after the early rn filter)",

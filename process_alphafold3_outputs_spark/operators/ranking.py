@@ -247,3 +247,113 @@ def agreement_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    checkpoint_counts: bool = True,
+) -> DataFrame:
+    """One row (n_items, n_raters, n_categories, pbar, pe, kappa) —
+    Fleiss' kappa over a ratings table with one row per (item, rating):
+    the MULTI-rater generalization of :func:`agreement_kappa` ("do my
+    THREE quality gates / five annotators agree beyond chance?").
+    Every item must carry the same number of ratings r (the classic
+    Fleiss panel); a ragged panel is refused loudly at action time
+    with guidance (filter to the complete-panel subset first), as is
+    r == 1 (a single-rater panel has no agreement to measure). NULL
+    labels are excluded before panel-size checking; an empty input
+    reports n_items = 0 with all-NULL stats rather than vanishing.
+
+    Definitions (n items, r ratings each, n_ij ratings of category j
+    on item i, c_j = Σ_i n_ij): P̄ = (Σ_ij n_ij² − n·r) / (n·r·(r−1)),
+    P̄e = Σ_j c_j² / (n·r)², kappa = (P̄ − P̄e)/(1 − P̄e), NULL at
+    P̄e == 1 (all ratings one category — 0/0, no information).
+
+    Exactness: n_ij, Σ_ij n_ij² and the panel size are exact int64
+    (Σ n_ij² ≤ n·r² — int64-safe for any real panel); Σ_j c_j² is
+    summed in DECIMAL (c_j ≤ n·r, so c_j² overflows int64 past
+    n·r > 3e9 ratings); P̄, P̄e and kappa are each ONE double division
+    in fixed operand order + the 6-dp floor round, so the SQL oracle
+    reproduces them bit-for-bit.
+
+    Scale shape: ONE groupBy(item, label) count collapses the ratings
+    (the corpus-sized shuffle), then every later pass runs on that
+    counts table or its item-/category-keyed rollups.
+    ``checkpoint_counts`` (default True) materializes the counts table
+    once (``localCheckpoint`` — EAGER at call time, the README
+    localCheckpoint-contract trade) so the per-item and per-category
+    branches read it instead of re-running the corpus groupBy; False
+    keeps the plan fully lazy at the price of two scans. The ragged-
+    panel refusal is IN-PATH (min/max ride the same final agg — no
+    extra scan)."""
+    lab = F.col(label_col).cast("string")
+    c = (
+        df.filter(lab.isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(
+            F.col(item_col).alias("_i"), lab.alias("_j")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    if checkpoint_counts:
+        c = c.localCheckpoint()
+    per_item = c.groupBy("_i").agg(
+        F.sum("_n").alias("_r"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_s2"),
+    )
+    item_tot = per_item.agg(
+        F.count(F.lit(1)).alias("_n_items"),
+        F.min("_r").alias("_r_min"),
+        F.max("_r").alias("_r_max"),
+        F.sum("_s2").alias("_s"),
+    )
+    cat_tot = c.groupBy("_j").agg(F.sum("_n").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_n_cats"),
+        F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c")).alias(
+            "_sq"
+        ),
+    )
+    r6 = lambda col: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    # in-path panel guards: ride the min/max the final agg already
+    # computes — no extra scan, loud at action time
+    r_ok = F.when(
+        (F.col("_n_items") == 0)
+        | ((F.col("_r_min") == F.col("_r_max")) & (F.col("_r_min") >= 2)),
+        F.col("_r_min"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "fleiss_kappa: ratings per item range [%s, %s] — "
+                "Fleiss' kappa is defined for a CONSTANT panel of "
+                ">= 2 raters per item; filter to the complete-panel "
+                "subset (or drop single-rated items) first.",
+                F.col("_r_min"),
+                F.col("_r_max"),
+            )
+        )
+    )
+    n_i = F.col("_n_items").cast("double")
+    r_d = r_ok.cast("double")
+    nr = n_i * r_d
+    pbar = (
+        (F.col("_s") - F.col("_n_items") * r_ok).cast("double")
+        / (nr * (r_d - F.lit(1.0)))
+    )
+    pe = F.col("_sq").cast("double") / (nr * nr)
+    kappa = (pbar - pe) / (F.lit(1.0) - pe)
+    live = F.col("_n_items") > 0
+    return item_tot.crossJoin(cat_tot).select(
+        F.coalesce(F.col("_n_items"), F.lit(0)).cast("long").alias(
+            "n_items"
+        ),
+        F.when(live, r_ok).cast("long").alias("n_raters"),
+        F.coalesce(F.col("_n_cats"), F.lit(0)).cast("long").alias(
+            "n_categories"
+        ),
+        F.when(live, r6(pbar)).alias("pbar"),
+        F.when(live, r6(pe)).alias("pe"),
+        F.when(live & (pe < 1.0), r6(kappa)).alias("kappa"),
+    )

@@ -9760,3 +9760,103 @@ def profile_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
+
+
+# --------------------------------------------------------------------------
+# multi-rater agreement (NEW r14): Fleiss' kappa across THREE quality
+# gates — the panel generalization of quality_kappa. Exact int64 panel
+# sums, DECIMAL category-margin squares, three fixed-order divisions +
+# floor rounds restated by the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "quality_fleiss_kappa",
+    sql="""
+    WITH base AS (
+        SELECT doc_id, n_chars, text,
+               length(text) - length(replace(text, ' ', '')) + 1
+                   AS words
+        FROM documents
+        WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+    lab AS (
+        SELECT doc_id AS i,
+               CASE WHEN n_chars >= 300 THEN 'pass' ELSE 'fail' END AS j
+        FROM base
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN words >= 50 THEN 'pass' ELSE 'fail' END
+        FROM base
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN length(text) >= 800 THEN 'pass' ELSE 'fail' END
+        FROM base),
+    c AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n
+          FROM lab GROUP BY 1, 2),
+    per_item AS (SELECT i, sum(n) AS r, sum(n * n) AS s2
+                 FROM c GROUP BY 1),
+    it AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                  min(r) AS rr, sum(s2) AS s
+           FROM per_item),
+    cat AS (SELECT j, sum(n) AS cj FROM c GROUP BY 1),
+    ct AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+                  sum(CAST(cj AS HUGEINT) * cj) AS sq
+           FROM cat),
+    stats AS (
+        SELECT n_items, CAST(rr AS BIGINT) AS n_raters, n_cats,
+               CAST(s - n_items * rr AS DOUBLE)
+                   / ((CAST(n_items AS DOUBLE) * CAST(rr AS DOUBLE))
+                      * (CAST(rr AS DOUBLE) - 1.0)) AS pbar,
+               CAST(sq AS DOUBLE)
+                   / ((CAST(n_items AS DOUBLE) * CAST(rr AS DOUBLE))
+                      * (CAST(n_items AS DOUBLE) * CAST(rr AS DOUBLE)))
+                   AS pe
+        FROM it, ct)
+    SELECT n_items, n_raters, n_cats AS n_categories,
+           floor(pbar * 1e6 + 0.5) / 1e6 AS pbar,
+           floor(pe * 1e6 + 0.5) / 1e6 AS pe,
+           CASE WHEN pe < 1.0 THEN
+               floor(((pbar - pe) / (1.0 - pe)) * 1e6 + 0.5) / 1e6
+           END AS kappa
+    FROM stats
+    """,
+)
+def quality_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across a 3-gate quality panel (length / word
+    count / raw length-800) over documents (deferred —
+    pytest-mirrored): operators/ranking.fleiss_kappa — do the three
+    gates agree as a PANEL beyond what their marginals force. Constant
+    r = 3 by construction (every gate rates every doc)."""
+    from ..operators.ranking import fleiss_kappa
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    words = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    lab = (
+        d.select(
+            F.col("doc_id").alias("item"),
+            F.when(F.col("n_chars") >= 300, "pass")
+            .otherwise("fail")
+            .alias("rating"),
+        )
+        .unionAll(
+            d.select(
+                F.col("doc_id").alias("item"),
+                F.when(words >= 50, "pass").otherwise("fail").alias(
+                    "rating"
+                ),
+            )
+        )
+        .unionAll(
+            d.select(
+                F.col("doc_id").alias("item"),
+                F.when(F.length("text") >= 800, "pass")
+                .otherwise("fail")
+                .alias("rating"),
+            )
+        )
+    )
+    return fleiss_kappa(lab, "item", "rating")

@@ -149,3 +149,61 @@ def test_agreement_kappa_hand_computed_and_edges(spark):
     empty = spark.createDataFrame([], "a string, b string")
     r = agreement_kappa(empty, "a", "b").collect()[0]
     assert (r.n, r.po, r.pe, r.kappa) == (0, None, None, None)
+
+
+def test_fleiss_kappa_hand_computed_and_edges(spark):
+    """Fleiss' kappa (r14): hand-computed 2-item r=3 panel (exact
+    rationals pbar=2/3, pe=5/9, kappa=1/4); perfect panel agreement =
+    1.0; all-one-category panel (pe == 1) -> NULL kappa; ragged panel
+    and single-rater panel refused loudly; NULL labels excluded BEFORE
+    the panel check; empty input -> n_items=0 all-NULL row; lazy with
+    checkpoint_counts=False (zero jobs at plan build)."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.ranking import (
+        fleiss_kappa,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "i long, j string")
+        out = fleiss_kappa(df, "i", "j").collect()
+        assert len(out) == 1
+        return out[0]
+
+    # items: 1 -> a,a,a ; 2 -> a,b,b
+    # S = 9 + 5 = 14; pbar = (14-6)/(6*2) = 2/3; c_a=4, c_b=2;
+    # pe = 20/36 = 5/9; kappa = (2/3-5/9)/(4/9) = 1/4
+    r = run([(1, "a")] * 3 + [(2, "a")] + [(2, "b")] * 2)
+    assert (r.n_items, r.n_raters, r.n_categories) == (2, 3, 2)
+    assert (r.pbar, r.pe, r.kappa) == (0.666667, 0.555556, 0.25)
+    # perfect agreement across a 2-category panel
+    r = run([(1, "a")] * 3 + [(2, "b")] * 3 + [(3, "a")] * 3)
+    assert r.kappa == 1.0 and r.pbar == 1.0
+    # every rating one category: pe == 1 -> kappa NULL
+    r = run([(i, "x") for i in (1, 2)] * 2)
+    assert (r.pbar, r.pe, r.kappa) == (1.0, 1.0, None)
+    # ragged panel refused loudly with the observed range
+    with _pt.raises(Exception, match="range \\[2, 3\\]"):
+        run([(1, "a")] * 3 + [(2, "a")] * 2)
+    # single-rater panel refused (no agreement to measure)
+    with _pt.raises(Exception, match="CONSTANT panel"):
+        run([(1, "a"), (2, "b")])
+    # NULL labels excluded BEFORE the panel check: item 2 keeps r=3
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"),
+         (2, "a"), (2, "b"), (2, "b"), (2, None)],
+        "i long, j string",
+    )
+    r = fleiss_kappa(df, "i", "j").collect()[0]
+    assert (r.n_items, r.n_raters) == (2, 3)
+    # empty input: one row, all-NULL stats (not a refusal)
+    empty = spark.createDataFrame([], "i long, j string")
+    r = fleiss_kappa(empty, "i", "j").collect()[0]
+    assert (r.n_items, r.n_raters, r.kappa) == (0, None, None)
+    # lazy form: plan construction fires ZERO Spark jobs
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(1, "a")] * 2, "i long, j string")
+    sc.setJobGroup("fleiss-lazy", "plan build")
+    _ = fleiss_kappa(df, "i", "j", checkpoint_counts=False)
+    assert sc.statusTracker().getJobIdsForGroup("fleiss-lazy") == []
+    sc.setJobGroup("", "")
