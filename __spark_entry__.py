@@ -707,6 +707,12 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "profile_cramers_v",     # chi2 + Cramér's V effect size (new
+                             # r14); joint-count/margin mechanics
+                             # evidenced by the mirror-green
+                             # profile_mutual_info + driver-green
+                             # profile_candidate_keys rows (deferred:
+                             # headroom)
     "quality_fleiss_kappa",  # multi-rater panel kappa (new r14);
                              # confusion/margin mechanics evidenced by
                              # the mirror-green quality_kappa +

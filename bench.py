@@ -158,6 +158,10 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "profile_cramers_v": "profile_mutual_info's rep profile_top_values "
+                         "(the benched label-agg family; V adds "
+                         "broadcast margin joins on the category-"
+                         "sized table only)",
     "event_top_paths": "sessionize (the benched per-user rank-window "
                        "shape; the path agg touches <= n_steps rows "
                        "per user after the early rn filter)",

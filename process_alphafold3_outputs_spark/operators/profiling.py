@@ -780,6 +780,114 @@ def mutual_information(
     )
 
 
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 1_000_000,
+    checkpoint_joint: bool = True,
+) -> DataFrame:
+    """One row (n, a_levels, b_levels, chi2, v) — Pearson's chi-square
+    of the (col_a × col_b) contingency table and Cramér's V, its
+    [0, 1] effect size: the NORMALIZED dependency strength next to
+    :func:`mutual_information` ("is this association big, not just
+    nonzero" — chi2 alone grows with n, V does not). NULL is a
+    category (profiling semantics, the MI convention), keyed by the
+    collision-proof (is_null, value) pair. ``v = sqrt(φ²/min(r−1,
+    c−1))`` with ``φ² = χ²/n``; V is NULL when either column is
+    constant (min(r, c) = 1 — no association measurable).
+
+    Exactness: cell and margin counts are exact int64; each chi2 term
+    is ``(o·o)/(ra·cb)`` with the products exact (ra·cb in DECIMAL
+    past the int64 bound) and ONE double division in fixed operand
+    order; ``χ² = n·Σterms − n`` (the zero-cell-free identity
+    Σ(o−e)²/e = Σo²/e − n, so absent cells need never materialize);
+    the term sum's order drift is ~1e−16·cells, far under the 6-dp
+    floor round (the drift_js / mutual_information precedent). φ² is
+    clamped at 0 before the sqrt (FP cancellation on an exactly-
+    independent table can land at −1e−17, which would NaN the sqrt).
+
+    Scale shape: ONE groupBy(a, b) shuffle (group count = |A|·|B| —
+    the label-statistic contract); margins join the CATEGORY-sized
+    table (broadcast-scale sides). ``max_cells`` refuses an ID-like
+    column in-path (the count rides the same aggregate that computes
+    n — no extra scan; the chi2_drift_many guard discipline).
+    ``checkpoint_joint`` (default True) materializes the joint counts
+    once — EAGER at call time, the README localCheckpoint-contract
+    trade — so margins and totals read the category-sized table;
+    False keeps the plan fully lazy at the price of three scans."""
+    ab = df.select(
+        F.col(col_a).cast("string").isNull().alias("_an"),
+        F.coalesce(F.col(col_a).cast("string"), F.lit("")).alias("_av"),
+        F.col(col_b).cast("string").isNull().alias("_bn"),
+        F.coalesce(F.col(col_b).cast("string"), F.lit("")).alias("_bv"),
+    )
+    joint = ab.groupBy("_an", "_av", "_bn", "_bv").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    if checkpoint_joint:
+        joint = joint.localCheckpoint()
+    # fresh key aliases on the margin sides: both derive from `joint`,
+    # and same-name refs across a self-derived join resolve to ONE
+    # attribute (the trivially-true-predicate trap)
+    marg_a = joint.groupBy(
+        F.col("_an").alias("_man"), F.col("_av").alias("_mav")
+    ).agg(F.sum("_c").alias("_ra"))
+    marg_b = joint.groupBy(
+        F.col("_bn").alias("_mbn"), F.col("_bv").alias("_mbv")
+    ).agg(F.sum("_c").alias("_cb"))
+    cells = joint.join(
+        F.broadcast(marg_a),
+        (F.col("_an") == F.col("_man")) & (F.col("_av") == F.col("_mav")),
+    ).join(
+        F.broadcast(marg_b),
+        (F.col("_bn") == F.col("_mbn")) & (F.col("_bv") == F.col("_mbv")),
+    )
+    od = F.col("_c").cast("double")
+    denom = (
+        F.col("_ra").cast("decimal(38,0)") * F.col("_cb")
+    ).cast("double")
+    agg = cells.agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_cells"),
+        F.sum((od * od) / denom).alias("_st"),
+    )
+    lv = (
+        marg_a.agg(F.count(F.lit(1)).alias("_al"))
+        .crossJoin(marg_b.agg(F.count(F.lit(1)).alias("_bl")))
+    )
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    cells_ok = F.when(
+        F.coalesce(F.col("_cells"), F.lit(0)) <= F.lit(int(max_cells)),
+        F.col("_n"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "cramers_v: contingency table has %s cells (> "
+                f"max_cells={int(max_cells)}) — chi-square is a "
+                "CATEGORICAL statistic; bucket/band the columns first "
+                "or raise max_cells deliberately.",
+                F.col("_cells"),
+            )
+        )
+    )
+    nd = cells_ok.cast("double")
+    phi2 = F.greatest(F.col("_st") - F.lit(1.0), F.lit(0.0))
+    chi2 = nd * phi2
+    k = F.least(F.col("_al") - 1, F.col("_bl") - 1).cast("double")
+    v = F.sqrt(phi2 / k)
+    live = F.col("_n") > 0
+    return agg.crossJoin(lv).select(
+        F.coalesce(cells_ok, F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("_al"), F.lit(0)).cast("long").alias("a_levels"),
+        F.coalesce(F.col("_bl"), F.lit(0)).cast("long").alias("b_levels"),
+        F.when(live, r6(chi2)).alias("chi2"),
+        F.when(live & (k > 0), r6(v)).alias("v"),
+    )
+
+
 def concentration(
     df: DataFrame,
     domain_col: str,

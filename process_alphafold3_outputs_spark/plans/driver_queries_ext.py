@@ -9860,3 +9860,60 @@ def quality_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fleiss_kappa(lab, "item", "rating")
+
+
+# --------------------------------------------------------------------------
+# association effect size (NEW r14): chi-square + Cramér's V of the
+# (source × lang) contingency — the normalized dependency strength
+# next to profile_mutual_info. The oracle restates the margin joins,
+# the zero-cell-free Σo²/(ra·cb) identity, the φ² clamp, and the
+# fixed-order divisions + floor rounds.
+# --------------------------------------------------------------------------
+@register(
+    "profile_cramers_v",
+    sql="""
+    WITH ab AS (
+        SELECT (source IS NULL) AS an,
+               coalesce(CAST(source AS VARCHAR), '') AS av,
+               (lang IS NULL) AS bn,
+               coalesce(CAST(lang AS VARCHAR), '') AS bv
+        FROM documents),
+    joint AS (SELECT an, av, bn, bv, CAST(count(*) AS BIGINT) AS c
+              FROM ab GROUP BY 1, 2, 3, 4),
+    ma AS (SELECT an, av, sum(c) AS ra FROM joint GROUP BY 1, 2),
+    mb AS (SELECT bn, bv, sum(c) AS cb FROM joint GROUP BY 1, 2),
+    cells AS (SELECT j.c, ma.ra, mb.cb
+              FROM joint j
+              JOIN ma USING (an, av)
+              JOIN mb USING (bn, bv)),
+    agg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   sum((CAST(c AS DOUBLE) * CAST(c AS DOUBLE))
+                       / CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE))
+                       AS st
+            FROM cells),
+    lv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ma) AS al,
+                  (SELECT CAST(count(*) AS BIGINT) FROM mb) AS bl),
+    stats AS (SELECT n, al, bl,
+                     greatest(st - 1.0, 0.0) AS phi2,
+                     CAST(least(al - 1, bl - 1) AS DOUBLE) AS k
+              FROM agg, lv)
+    SELECT n, al AS a_levels, bl AS b_levels,
+           CASE WHEN n > 0 THEN
+               floor((CAST(n AS DOUBLE) * phi2) * 1e6 + 0.5) / 1e6
+           END AS chi2,
+           CASE WHEN n > 0 AND k > 0 THEN
+               floor(sqrt(phi2 / k) * 1e6 + 0.5) / 1e6
+           END AS v
+    FROM stats
+    """,
+)
+def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V of (source × lang) over documents (deferred —
+    pytest-mirrored): operators/profiling.cramers_v — how STRONGLY
+    does source determine language, on the same [0,1] scale for any
+    table size."""
+    from ..operators.profiling import cramers_v
+
+    return cramers_v(
+        load_table(spark, sf_dir, "documents"), "source", "lang"
+    )

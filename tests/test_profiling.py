@@ -998,3 +998,58 @@ def test_concentration_guards_and_null_domain(spark):
     )
     r = concentration(nd, "source", "w").collect()[0]
     assert r.gini == math.floor(6 / 36 * 1e6 + 0.5) / 1e6
+
+
+def test_cramers_v_reference_and_edges(spark):
+    """Cramér's V (r14): hand-computed 2x2 (chi2 matches the textbook
+    n(ad-bc)^2/(r1 r2 c1 c2) form), perfect association -> v 1.0,
+    exact independence -> chi2 0 (phi2 clamp), constant column -> v
+    NULL, NULL is a category, empty input, max_cells in-path refusal,
+    lazy with checkpoint_joint=False."""
+    import math
+
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        cramers_v,
+    )
+
+    def run(rows, **kw):
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = cramers_v(df, "a", "b", **kw).collect()
+        assert len(out) == 1
+        return out[0]
+
+    # [[10,20],[30,40]]: chi2 = 100*(10*40-20*30)^2/(30*70*40*60)
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 30 + [("b", "y")] * 40)
+    r = run(rows)
+    assert (r.n, r.a_levels, r.b_levels) == (100, 2, 2)
+    chi2 = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+    assert r.chi2 == math.floor(chi2 * 1e6 + 0.5) / 1e6
+    assert r.v == math.floor(math.sqrt(chi2 / 100) * 1e6 + 0.5) / 1e6
+    # perfect association
+    r = run([("a", "x")] * 3 + [("b", "y")] * 2)
+    assert (r.chi2, r.v) == (5.0, 1.0)
+    # exact independence: phi2 clamped, chi2 == 0.0 exactly
+    r = run([("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")])
+    assert (r.chi2, r.v) == (0.0, 0.0)
+    # constant column: k == 0 -> v NULL, chi2 0
+    r = run([("a", "x"), ("a", "y"), ("a", "y")])
+    assert (r.a_levels, r.chi2, r.v) == (1, 0.0, None)
+    # NULL is a category: b NULL exactly when a == 'w' -> perfect
+    r = run([("w", None)] * 4 + [("k", "y")] * 4)
+    assert (r.b_levels, r.v) == (2, 1.0)
+    # empty input: one row, zeros + NULL stats
+    r = run([], )
+    assert (r.n, r.a_levels, r.chi2, r.v) == (0, 0, None, None)
+    # max_cells: counted IN-PATH refusal at action time
+    with _pt.raises(Exception, match="max_cells=2"):
+        run([("a", "x"), ("b", "y"), ("c", "z")], max_cells=2)
+    # lazy form: zero jobs at plan build
+    sc = spark.sparkContext
+    df = spark.createDataFrame([("a", "x")], "a string, b string")
+    sc.setJobGroup("cv-lazy", "plan build")
+    _ = cramers_v(df, "a", "b", checkpoint_joint=False)
+    assert sc.statusTracker().getJobIdsForGroup("cv-lazy") == []
+    sc.setJobGroup("", "")
