@@ -707,6 +707,13 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "event_conversion_lag",  # per-channel time-to-convert quantiles
+                             # (new r14); attribution mechanics
+                             # evidenced by the mirror-green
+                             # event_attribution row; the quantile
+                             # pass runs on the lookback-bounded
+                             # (channel, lag) grain (deferred:
+                             # headroom)
     "profile_cramers_v",     # chi2 + Cramér's V effect size (new
                              # r14); joint-count/margin mechanics
                              # evidenced by the mirror-green

@@ -158,6 +158,9 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "event_conversion_lag": "sessionize (the benched user-keyed "
+                            "window family; the lag quantiles run on "
+                            "the lookback-bounded channel grain)",
     "profile_cramers_v": "profile_mutual_info's rep profile_top_values "
                          "(the benched label-agg family; V adds "
                          "broadcast margin joins on the category-"

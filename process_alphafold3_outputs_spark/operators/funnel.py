@@ -431,3 +431,97 @@ def top_paths(
         "n_users",
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+def conversion_lag(
+    events: DataFrame,
+    user_col: str,
+    ts_sec_col: str,
+    type_col: str,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    lookback_s: int,
+    max_touches_per_conversion: int | None = 100_000,
+) -> DataFrame:
+    """Per-channel time-to-convert: one row per attributed channel
+    (touch_type, n_conversions, mean_lag_s, p50_lag_s, p90_lag_s) plus
+    one NULL-channel row counting UNATTRIBUTED conversions (NULL lag
+    stats) — the latency profile next to
+    :func:`attribute_conversions`'s credit table ("how long does a
+    click take to become a purchase"). The lag of a conversion is
+    ``conversion_ts − touch_ts`` of its LAST-touch attribution (ties
+    on equal timestamps break to the lexicographically smallest touch
+    type — the attribute_conversions rule); p50/p90 are type-1
+    (discrete) quantiles — the smallest observed lag whose cumulative
+    count reaches ⌈q·n⌉ — so every reported value is an ACTUAL lag.
+
+    Exactness: lags and counts are exact int64; the quantile pick is
+    the integer comparison ``cum·b ≥ a·n`` (no ceil, no doubles);
+    mean is ONE double division + the 6-dp floor round.
+
+    Scale shape: rides :func:`attribute_conversions` (user-keyed
+    equi-join, bounded credit windows, the hot-user counted refusal),
+    then collapses conversions to the (channel, lag) GRAIN — at most
+    ``lookback_s + 1`` distinct integer lags per channel, so the
+    per-channel cumulative window runs over a PARAMETER-bounded table
+    (channels · lookback cells), never over per-conversion rows. The
+    half-open window bounds every lag to [0, lookback_s)."""
+    att = attribute_conversions(
+        events,
+        user_col,
+        ts_sec_col,
+        type_col,
+        touch_types,
+        conversion_type,
+        lookback_s,
+        model="last",
+        max_touches_per_conversion=max_touches_per_conversion,
+    )
+    lag = F.col("conversion_ts") - F.col("touch_ts")
+    grain = (
+        att.select(
+            F.col("touch_type"), lag.cast("long").alias("_lag")
+        )
+        .groupBy("touch_type", "_lag")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wch = (
+        Window.partitionBy("touch_type")
+        .orderBy(F.asc_nulls_last("_lag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall_ch = Window.partitionBy("touch_type")
+    staged = grain.select(
+        "touch_type",
+        "_lag",
+        "_c",
+        F.sum("_c").over(wch).alias("_cum"),
+        F.sum("_c").over(wall_ch).alias("_n"),
+        F.sum(F.col("_c") * F.col("_lag")).over(wall_ch).alias("_s"),
+    )
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    per = staged.groupBy("touch_type").agg(
+        F.max("_n").cast("long").alias("n_conversions"),
+        F.max("_s").alias("_sum"),
+        F.min(
+            F.when(F.col("_cum") * 2 >= F.col("_n"), F.col("_lag"))
+        ).alias("p50_lag_s"),
+        F.min(
+            F.when(F.col("_cum") * 10 >= F.col("_n") * 9, F.col("_lag"))
+        ).alias("p90_lag_s"),
+    )
+    return per.select(
+        "touch_type",
+        "n_conversions",
+        F.when(
+            F.col("_sum").isNotNull(),
+            r6(
+                F.col("_sum").cast("double")
+                / F.col("n_conversions").cast("double")
+            ),
+        ).alias("mean_lag_s"),
+        F.col("p50_lag_s").cast("long").alias("p50_lag_s"),
+        F.col("p90_lag_s").cast("long").alias("p90_lag_s"),
+    )

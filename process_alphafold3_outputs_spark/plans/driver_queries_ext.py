@@ -9917,3 +9917,82 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cramers_v(
         load_table(spark, sf_dir, "documents"), "source", "lang"
     )
+
+
+# --------------------------------------------------------------------------
+# time-to-convert profile (NEW r14): per-channel conversion-lag
+# distribution of the last-touch attribution — exact type-1 quantiles
+# on the (channel, lag) GRAIN (bounded by lookback_s, never
+# per-conversion rows). The oracle restates the last-touch rank, the
+# grain collapse, and the integer cum·b >= a·n quantile pick.
+# --------------------------------------------------------------------------
+@register(
+    "event_conversion_lag",
+    sql="""
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      event_type
+               FROM events),
+    conv AS (SELECT user_id, t AS conversion_ts,
+                    row_number() OVER (PARTITION BY user_id, t
+                                       ORDER BY t) AS conv_id
+             FROM e WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, event_type AS touch_type, t AS touch_ts
+              FROM e WHERE event_type IN ('click', 'view')),
+    joined AS (
+        SELECT c.user_id, c.conversion_ts, c.conv_id,
+               tt.touch_type, tt.touch_ts
+        FROM conv c LEFT JOIN touch tt
+          ON tt.user_id = c.user_id
+         AND tt.touch_ts <= c.conversion_ts
+         AND tt.touch_ts > c.conversion_ts - 86400),
+    ranked AS (
+        SELECT touch_type, conversion_ts, touch_ts,
+               CASE WHEN touch_ts IS NULL THEN 1
+                    ELSE row_number() OVER (
+                        PARTITION BY user_id, conversion_ts, conv_id
+                        ORDER BY touch_ts DESC, touch_type ASC)
+               END AS rn
+        FROM joined),
+    lastt AS (SELECT touch_type,
+                     CASE WHEN touch_ts IS NULL THEN NULL
+                          ELSE conversion_ts - touch_ts END AS lag
+              FROM ranked WHERE rn = 1),
+    grain AS (SELECT touch_type, lag, CAST(count(*) AS BIGINT) AS c
+              FROM lastt GROUP BY 1, 2),
+    staged AS (SELECT touch_type, lag, c,
+                      sum(c) OVER (PARTITION BY touch_type
+                                   ORDER BY lag ASC
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(c) OVER (PARTITION BY touch_type) AS n,
+                      sum(c * lag) OVER (PARTITION BY touch_type) AS s
+               FROM grain),
+    per AS (SELECT touch_type,
+                   CAST(max(n) AS BIGINT) AS n_conversions,
+                   max(s) AS s,
+                   min(CASE WHEN cum * 2 >= n THEN lag END) AS p50,
+                   min(CASE WHEN cum * 10 >= n * 9 THEN lag END) AS p90
+            FROM staged GROUP BY 1)
+    SELECT touch_type, n_conversions,
+           CASE WHEN s IS NOT NULL THEN
+               floor((CAST(s AS DOUBLE)
+                      / CAST(n_conversions AS DOUBLE)) * 1e6 + 0.5)
+                   / 1e6
+           END AS mean_lag_s,
+           CAST(p50 AS BIGINT) AS p50_lag_s,
+           CAST(p90 AS BIGINT) AS p90_lag_s
+    FROM per
+    """,
+)
+def event_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel click/view -> purchase latency profile in a 1-day
+    lookback (deferred — pytest-mirrored):
+    operators/funnel.conversion_lag — exact p50/p90/mean of the
+    last-touch lag on the lookback-bounded (channel, lag) grain."""
+    from ..operators.funnel import conversion_lag
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", event_seconds(ev).alias("t"), "event_type")
+    return conversion_lag(
+        e, "user_id", "t", "event_type",
+        ["click", "view"], "purchase", 86400,
+    )

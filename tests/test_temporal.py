@@ -1188,3 +1188,56 @@ def test_trend_changepoint_hand_computed_and_guards(spark):
         trend_changepoint(dup, ["k"], "x", "y").collect()
     with _pt.raises(ValueError, match="keys"):
         trend_changepoint(df, [], "x", "y")
+
+
+def test_conversion_lag_hand_computed(spark):
+    """conversion_lag (r14): last-touch lag per channel with exact
+    type-1 quantiles on the (channel, lag) grain — hand-computed
+    channels, the tie-to-smallest-type rule, the unattributed NULL
+    row, and the lower-median/p90 integer picks on a 0..9 lag fan."""
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        conversion_lag,
+    )
+
+    rows = (
+        # user 1: click@100, view@150, purchase@200 -> view lag 50
+        [(1, 100, "click"), (1, 150, "view"), (1, 200, "purchase")]
+        # user 2: click@90, purchase@100 -> click lag 10
+        + [(2, 90, "click"), (2, 100, "purchase")]
+        # user 3: unattributed purchase
+        + [(3, 500, "purchase")]
+        # user 4: click/view tie at 1000 -> smallest type wins: click, lag 10
+        + [(4, 1000, "click"), (4, 1000, "view"), (4, 1010, "purchase")]
+    )
+    df = spark.createDataFrame(rows, "user_id long, t long, event_type string")
+    out = {
+        r.touch_type: r
+        for r in conversion_lag(
+            df, "user_id", "t", "event_type",
+            ["click", "view"], "purchase", 86400,
+        ).collect()
+    }
+    assert set(out) == {"click", "view", None}
+    c = out["click"]
+    assert (c.n_conversions, c.mean_lag_s, c.p50_lag_s, c.p90_lag_s) == (
+        2, 10.0, 10, 10
+    )
+    v = out["view"]
+    assert (v.n_conversions, v.p50_lag_s, v.p90_lag_s) == (1, 50, 50)
+    u = out[None]
+    assert (u.n_conversions, u.mean_lag_s, u.p50_lag_s, u.p90_lag_s) == (
+        1, None, None, None
+    )
+    # 10 conversions with lags 0..9 on one channel: lower median 4, p90 8
+    fan = [(100 + i, 1000, "click") for i in range(10)] + [
+        (100 + i, 1000 + i, "purchase") for i in range(10)
+    ]
+    df2 = spark.createDataFrame(
+        fan, "user_id long, t long, event_type string"
+    )
+    r = conversion_lag(
+        df2, "user_id", "t", "event_type", ["click"], "purchase", 86400
+    ).collect()
+    assert [(x.p50_lag_s, x.p90_lag_s, x.mean_lag_s) for x in r] == [
+        (4, 8, 4.5)
+    ]
