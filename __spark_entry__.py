@@ -707,6 +707,13 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "quality_calibration",   # ECE/MCE/Brier classifier audit (new
+                             # r14); single-scan bin-agg mechanics
+                             # evidenced by the driver-green
+                             # quality_expectations fused-agg row
+                             # (deferred: headroom)
+    "quality_calibration_bins",  # reliability table form of the same
+                             # binned agg (deferred: headroom)
     "event_conversion_lag",  # per-channel time-to-convert quantiles
                              # (new r14); attribution mechanics
                              # evidenced by the mirror-green

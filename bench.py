@@ -158,6 +158,12 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "quality_calibration": "quality_expectations (the benched "
+                           "one-scan fused-agg family; the summary "
+                           "aggregates <= n_bins groups)",
+    "quality_calibration_bins": "quality_expectations (same binned "
+                                "agg; the report is its per-bin "
+                                "projection)",
     "event_conversion_lag": "sessionize (the benched user-keyed "
                             "window family; the lag quantiles run on "
                             "the lookback-bounded channel grain)",

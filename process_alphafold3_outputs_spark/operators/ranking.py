@@ -357,3 +357,153 @@ def fleiss_kappa(
         F.when(live, r6(pe)).alias("pe"),
         F.when(live & (pe < 1.0), r6(kappa)).alias("kappa"),
     )
+
+
+def _calibration_binned(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int
+) -> DataFrame:
+    """Shared per-bin aggregation: (_bin, _n, _pos, _sfp, _bnum) with
+    in-path domain guards. Scores are read at the repo's 6-dp
+    fixed-point precision (``floor(s·1e6 + 0.5)``) so every
+    confidence/Brier sum is EXACT int64/DECIMAL arithmetic."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1 (got {n_bins})")
+    s, y = F.col(score_col).cast("double"), F.col(label_col).cast("long")
+    s_ok = F.when((s >= 0.0) & (s <= 1.0), s).otherwise(
+        F.raise_error(
+            F.format_string(
+                "calibration: score %s outside [0, 1] — calibration "
+                "is defined on probabilities; clamp or normalize "
+                "upstream.",
+                s,
+            )
+        )
+    )
+    y_ok = F.when(y.isin(0, 1), y).otherwise(
+        F.raise_error(
+            F.format_string(
+                "calibration: label %s not in {0, 1} — binarize "
+                "upstream.",
+                y,
+            )
+        )
+    )
+    fp = F.floor(s_ok * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    binned = df.filter(s.isNotNull() & y.isNotNull()).select(
+        F.least(
+            F.floor(s_ok * F.lit(float(n_bins))).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("_bin"),
+        fp.alias("_fp"),
+        y_ok.alias("_y"),
+    )
+    d = F.col("_fp") - F.lit(1000000) * F.col("_y")
+    return binned.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_pos"),
+        F.sum("_fp").alias("_sfp"),
+        F.sum(d.cast("decimal(38,0)") * d).alias("_bnum"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table of a probabilistic classifier: one row per
+    OCCUPIED score bin — (bin, lo, hi, n, conf, acc) where ``conf``
+    is the mean predicted probability in the bin and ``acc`` the
+    observed positive rate ("when the model says 0.7, does it happen
+    70% of the time"). The quality-classifier audit that belongs next
+    to :func:`ranking_metrics` — a filtering pipeline that trusts
+    uncalibrated scores mis-sizes every quality gate built on them.
+    Scores outside [0, 1] and labels outside {0, 1} are refused
+    loudly in-path; NULL rows are excluded. The last bin is
+    right-closed (score 1.0 lands in bin n_bins − 1).
+
+    Exactness: per-bin counts and positives are exact int64; ``conf``
+    sums the 6-dp fixed-point scores exactly and divides ONCE;
+    ``acc`` is one division — each + the 6-dp floor round.
+
+    Scale shape: ONE corpus scan into a groupBy over ≤ n_bins groups
+    (map-side combinable) — nothing downstream touches row grain."""
+    agg = _calibration_binned(df, score_col, label_col, n_bins)
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    nb = F.lit(float(n_bins))
+    return agg.select(
+        F.col("_bin").alias("bin"),
+        r6(F.col("_bin").cast("double") / nb).alias("lo"),
+        r6((F.col("_bin") + 1).cast("double") / nb).alias("hi"),
+        F.col("_n").cast("long").alias("n"),
+        r6(
+            F.col("_sfp").cast("double")
+            / (F.col("_n").cast("double") * F.lit(1000000.0))
+        ).alias("conf"),
+        r6(F.col("_pos").cast("double") / F.col("_n").cast("double")).alias(
+            "acc"
+        ),
+    )
+
+
+def calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One row (n, n_bins, n_occupied, ece, mce, brier) over the same
+    binning as :func:`calibration_report`:
+
+    - ``ece``  — expected calibration error Σ_b (n_b/n)·|acc_b −
+      conf_b|, computed as the EXACT int64 numerator Σ_b |pos_b·1e6 −
+      sfp_b| over n·1e6 — one double division total;
+    - ``mce``  — max_b |acc_b − conf_b| (one division per bin, ≤
+      n_bins terms);
+    - ``brier`` — mean squared error of the 6-dp fixed-point score
+      against the label, numerator summed in DECIMAL (d² ≤ 1e12 per
+      row overflows int64 past ~9e6 rows).
+
+    Empty input reports n = 0 with NULL stats. Same single-scan
+    ≤ n_bins-group shape as the report."""
+    agg = _calibration_binned(df, score_col, label_col, n_bins)
+    diff = F.abs(
+        F.col("_pos") * F.lit(1000000) - F.col("_sfp")
+    )
+    tot = agg.agg(
+        F.sum("_n").alias("_nt"),
+        F.count(F.lit(1)).alias("_occ"),
+        F.sum(diff).alias("_enum"),
+        F.max(
+            diff.cast("double")
+            / (F.col("_n").cast("double") * F.lit(1000000.0))
+        ).alias("_mce"),
+        F.sum("_bnum").alias("_bsum"),
+    )
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    nd = F.col("_nt").cast("double")
+    live = F.col("_nt") > 0
+    return tot.select(
+        F.coalesce(F.col("_nt"), F.lit(0)).cast("long").alias("n"),
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        F.coalesce(F.col("_occ"), F.lit(0)).cast("long").alias(
+            "n_occupied"
+        ),
+        F.when(
+            live,
+            r6(F.col("_enum").cast("double") / (nd * F.lit(1000000.0))),
+        ).alias("ece"),
+        F.when(live, r6(F.col("_mce"))).alias("mce"),
+        F.when(
+            live,
+            r6(
+                F.col("_bsum").cast("double")
+                / (nd * F.lit(1e12))
+            ),
+        ).alias("brier"),
+    )

@@ -9996,3 +9996,122 @@ def event_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "t", "event_type",
         ["click", "view"], "purchase", 86400,
     )
+
+
+# --------------------------------------------------------------------------
+# classifier calibration (NEW r14): reliability bins + ECE/MCE/Brier of
+# a deterministic md5-derived probability (label drawn with P(y=1) ~
+# score, so the curve is near-diagonal and every stat non-trivial).
+# Scores are read at 6-dp fixed point, so conf/ECE/Brier numerators
+# are EXACT integer sums — the oracle restates them bit-for-bit.
+# --------------------------------------------------------------------------
+_CAL_SRC = """
+    WITH s AS (
+        SELECT (CAST(('0x' || substr(md5('cal-v1:'
+                      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 1024) AS k1,
+               (CAST(('0x' || substr(md5('lab-v1:'
+                      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 1024) AS k2
+        FROM documents),
+    b AS (SELECT CAST(k1 AS DOUBLE) / 1024.0 AS score,
+                 CASE WHEN k2 < k1 THEN 1 ELSE 0 END AS y
+          FROM s),
+    binned AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9)
+                          AS bin,
+                      CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS fp,
+                      y
+               FROM b),
+    agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS pos,
+                   CAST(sum(fp) AS BIGINT) AS sfp,
+                   sum(CAST(fp - 1000000 * y AS HUGEINT)
+                       * (fp - 1000000 * y)) AS bnum
+            FROM binned GROUP BY 1)
+"""
+
+
+@register(
+    "quality_calibration_bins",
+    sql=_CAL_SRC
+    + """
+    SELECT bin,
+           floor((CAST(bin AS DOUBLE) / 10.0) * 1e6 + 0.5) / 1e6 AS lo,
+           floor((CAST(bin + 1 AS DOUBLE) / 10.0) * 1e6 + 0.5) / 1e6
+               AS hi,
+           n,
+           floor((CAST(sfp AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 1000000.0)) * 1e6 + 0.5) / 1e6
+               AS conf,
+           floor((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6 AS acc
+    FROM agg
+    """,
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (10 bins) of the md5-derived score/label pair
+    over documents (deferred — pytest-mirrored):
+    operators/ranking.calibration_report."""
+    from ..operators.ranking import calibration_report
+
+    return calibration_report(_cal_frame(spark, sf_dir), "score", "y")
+
+
+@register(
+    "quality_calibration",
+    sql=_CAL_SRC
+    + """,
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(count(*) AS BIGINT) AS occ,
+                   CAST(sum(abs(pos * 1000000 - sfp)) AS BIGINT)
+                       AS enum_,
+                   max(CAST(abs(pos * 1000000 - sfp) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1000000.0)) AS mce,
+                   sum(bnum) AS bsum
+            FROM agg)
+    SELECT nt AS n, CAST(10 AS BIGINT) AS n_bins, occ AS n_occupied,
+           CASE WHEN nt > 0 THEN
+               floor((CAST(enum_ AS DOUBLE)
+                      / (CAST(nt AS DOUBLE) * 1000000.0)) * 1e6 + 0.5)
+                   / 1e6
+           END AS ece,
+           CASE WHEN nt > 0 THEN floor(mce * 1e6 + 0.5) / 1e6
+           END AS mce,
+           CASE WHEN nt > 0 THEN
+               floor((CAST(bsum AS DOUBLE)
+                      / (CAST(nt AS DOUBLE) * 1e12)) * 1e6 + 0.5) / 1e6
+           END AS brier
+    FROM tot
+    """,
+)
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE / MCE / Brier of the md5-derived score/label pair over
+    documents (deferred — pytest-mirrored):
+    operators/ranking.calibration_summary — is the quality
+    classifier's probability trustworthy before gates are sized on
+    it."""
+    from ..operators.ranking import calibration_summary
+
+    return calibration_summary(_cal_frame(spark, sf_dir), "score", "y")
+
+
+def _cal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (score, y) pair: score = (md5 % 1024)/1024 (exact
+    binary fraction), y ~ Bernoulli(score) via an independent md5."""
+    d = load_table(spark, sf_dir, "documents")
+    h = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1024
+    )
+    return d.select(
+        (h("cal-v1:").cast("double") / F.lit(1024.0)).alias("score"),
+        F.when(h("lab-v1:") < h("cal-v1:"), 1).otherwise(0).alias("y"),
+    )

@@ -207,3 +207,51 @@ def test_fleiss_kappa_hand_computed_and_edges(spark):
     _ = fleiss_kappa(df, "i", "j", checkpoint_counts=False)
     assert sc.statusTracker().getJobIdsForGroup("fleiss-lazy") == []
     sc.setJobGroup("", "")
+
+
+def test_calibration_hand_computed_and_edges(spark):
+    """Calibration (r14): hand-computed 3-bin reliability table and
+    exact-integer ECE/MCE/Brier; score 1.0 lands in the last bin
+    (right-closed); out-of-range score and non-binary label refused
+    loudly in-path; NULL rows excluded; empty input -> n=0 NULLs."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.ranking import (
+        calibration_report,
+        calibration_summary,
+    )
+
+    rows = (
+        [(0.95, 1)] * 3 + [(0.95, 0)]      # bin 9: conf .95, acc .75
+        + [(0.05, 0)] * 2                   # bin 0: conf .05, acc 0
+        + [(0.5, 1), (0.5, 0)]              # bin 5: perfectly calibrated
+    )
+    df = spark.createDataFrame(rows, "score double, y long")
+    rep = {r.bin: r for r in calibration_report(df, "score", "y").collect()}
+    assert set(rep) == {0, 5, 9}
+    assert (rep[9].n, rep[9].conf, rep[9].acc) == (4, 0.95, 0.75)
+    assert (rep[9].lo, rep[9].hi) == (0.9, 1.0)
+    assert (rep[0].conf, rep[0].acc) == (0.05, 0.0)
+    assert (rep[5].conf, rep[5].acc) == (0.5, 0.5)
+    s = calibration_summary(df, "score", "y").collect()[0]
+    # ece = (800000 + 100000 + 0) / 8e6; mce = .2; brier = 1.415e12/8e12
+    assert (s.n, s.n_bins, s.n_occupied) == (8, 10, 3)
+    assert (s.ece, s.mce, s.brier) == (0.1125, 0.2, 0.176875)
+    # score exactly 1.0 -> last bin (right-closed)
+    one = spark.createDataFrame([(1.0, 1)], "score double, y long")
+    assert calibration_report(one, "score", "y").collect()[0].bin == 9
+    # guards fire at action time
+    bad_s = spark.createDataFrame([(1.5, 1)], "score double, y long")
+    with _pt.raises(Exception, match="outside"):
+        calibration_report(bad_s, "score", "y").collect()
+    bad_y = spark.createDataFrame([(0.5, 2)], "score double, y long")
+    with _pt.raises(Exception, match="binarize"):
+        calibration_summary(bad_y, "score", "y").collect()
+    # NULL rows excluded; empty -> n 0, NULL stats
+    nulls = spark.createDataFrame(
+        [(0.5, 1), (None, 1), (0.5, None)], "score double, y long"
+    )
+    assert calibration_summary(nulls, "score", "y").collect()[0].n == 1
+    empty = spark.createDataFrame([], "score double, y long")
+    s = calibration_summary(empty, "score", "y").collect()[0]
+    assert (s.n, s.n_occupied, s.ece, s.brier) == (0, 0, None, None)
