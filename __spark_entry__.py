@@ -707,6 +707,12 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "entity_eval_pairwise",  # pairwise P/R/F1 + ARI clustering grade
+                             # (new r14); group-size combinatorics on
+                             # one joint groupBy — join/margin
+                             # mechanics evidenced by the driver-green
+                             # entity_resolution row (deferred:
+                             # headroom)
     "quality_calibration",   # ECE/MCE/Brier classifier audit (new
                              # r14); single-scan bin-agg mechanics
                              # evidenced by the driver-green

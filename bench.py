@@ -158,6 +158,9 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "entity_eval_pairwise": "dedup_exact (the benched corpus-collapse "
+                            "hash-agg; the eval aggregates the "
+                            "cluster-pair-sized joint table only)",
     "quality_calibration": "quality_expectations (the benched "
                            "one-scan fused-agg family; the summary "
                            "aggregates <= n_bins groups)",

@@ -300,3 +300,117 @@ def incremental_resolve(
         )
     )
     return labeled, updated
+
+
+def pairwise_cluster_eval(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+    checkpoint_joint: bool = True,
+) -> DataFrame:
+    """One row (n_items, pred_clusters, truth_clusters, tp, fp, fn,
+    precision, recall, f1, ari) — PAIRWISE evaluation of a predicted
+    clustering against a reference clustering: the standard grade for
+    entity resolution / near-dup grouping ("of all item pairs my
+    clusters put together, how many belong together?"). A pair of
+    items counts as tp when both clusterings co-cluster it, fp when
+    only the prediction does, fn when only the truth does; ``ari`` is
+    the adjusted Rand index (chance-corrected, 1.0 = identical
+    clusterings, ~0 = random, NULL when both sides are all-singletons
+    or one cluster — no information). Rows with a NULL in either label
+    are excluded (an unlabeled item has no pairs to grade).
+
+    The combinatorial identity does ALL the pair counting on group
+    SIZES — tp = Σ_{p,t} C(m_pt, 2), pred pairs = Σ_p C(m_p, 2),
+    truth pairs = Σ_t C(m_t, 2) — so no item-pair is ever
+    materialized: a 10M-item cluster contributes one row with
+    m = 10M, not 5·10¹³ join rows.
+
+    Exactness: every C(m, 2) = m·(m−1) div 2 is exact int64
+    (≤ C(3e9, 2) ≈ 4.5e18 at the int64 edge — the sum bound is
+    C(n, 2) by disjointness, same edge); ARI's cross product
+    pred_pairs·truth_pairs is taken in DECIMAL (n⁴-scale); precision/
+    recall/f1/ari are fixed-order double divisions + the 6-dp floor
+    round, restated by the SQL oracle bit-for-bit.
+
+    Scale shape: ONE groupBy(pred, truth) collapses the corpus; both
+    margins and every statistic aggregate that cluster-pair-sized
+    table. ``checkpoint_joint`` (default True) materializes it once
+    (``localCheckpoint`` — EAGER at call time, the README
+    localCheckpoint-contract trade); False keeps the plan fully lazy
+    at the price of three scans."""
+    p = F.col(pred_col).cast("string")
+    t = F.col(truth_col).cast("string")
+    joint = (
+        df.filter(p.isNotNull() & t.isNotNull())
+        .groupBy(p.alias("_p"), t.alias("_t"))
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    if checkpoint_joint:
+        joint = joint.localCheckpoint()
+
+    def c2(col: Column) -> Column:
+        # m(m−1) is even, so >> 1 IS the exact integer half (a double
+        # `/ 2` would silently round past 2^53)
+        return F.shiftright((col * (col - 1)).cast("long"), 1)
+
+    tp_tot = joint.agg(
+        F.sum("_m").alias("_n"),
+        F.sum(c2(F.col("_m"))).alias("_tp"),
+    )
+    pred_m = joint.groupBy("_p").agg(F.sum("_m").alias("_mp")).agg(
+        F.count(F.lit(1)).alias("_npred"),
+        F.sum(c2(F.col("_mp"))).alias("_pp"),
+    )
+    truth_m = joint.groupBy("_t").agg(F.sum("_m").alias("_mt")).agg(
+        F.count(F.lit(1)).alias("_ntruth"),
+        F.sum(c2(F.col("_mt"))).alias("_pt"),
+    )
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    tp = F.col("_tp")
+    pp, pt = F.col("_pp"), F.col("_pt")
+    fp, fn = pp - tp, pt - tp
+    prec = tp.cast("double") / pp.cast("double")
+    rec = tp.cast("double") / pt.cast("double")
+    f1 = (
+        F.lit(2.0) * (prec * rec) / (prec + rec)
+    )
+    npairs = c2(F.col("_n"))
+    # ARI on the unrounded terms: (tp − exp) / (max − exp) with
+    # exp = pp·pt / C(n,2) (DECIMAL product), max = (pp + pt)/2
+    exp_ = (
+        (pp.cast("decimal(38,0)") * pt).cast("double")
+        / npairs.cast("double")
+    )
+    max_ = (pp + pt).cast("double") / F.lit(2.0)
+    ari = (tp.cast("double") - exp_) / (max_ - exp_)
+    live = F.col("_n") > 0
+    return (
+        tp_tot.crossJoin(pred_m)
+        .crossJoin(truth_m)
+        .select(
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias(
+                "n_items"
+            ),
+            F.coalesce(F.col("_npred"), F.lit(0)).cast("long").alias(
+                "pred_clusters"
+            ),
+            F.coalesce(F.col("_ntruth"), F.lit(0)).cast("long").alias(
+                "truth_clusters"
+            ),
+            F.when(live, tp).cast("long").alias("tp"),
+            F.when(live, fp).cast("long").alias("fp"),
+            F.when(live, fn).cast("long").alias("fn"),
+            F.when(live & (pp > 0), r6(prec)).alias("precision"),
+            F.when(live & (pt > 0), r6(rec)).alias("recall"),
+            F.when(
+                live & (pp > 0) & (pt > 0) & ((prec + rec) > 0),
+                r6(f1),
+            ).alias("f1"),
+            F.when(
+                live & (npairs > 0) & (max_ != exp_), r6(ari)
+            ).alias("ari"),
+        )
+    )

@@ -10115,3 +10115,77 @@ def _cal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h("cal-v1:").cast("double") / F.lit(1024.0)).alias("score"),
         F.when(h("lab-v1:") < h("cal-v1:"), 1).otherwise(0).alias("y"),
     )
+
+
+# --------------------------------------------------------------------------
+# clustering evaluation (NEW r14): pairwise precision/recall/F1 + ARI
+# of the exact-dup clustering against the 60-char-prefix clustering —
+# all pair counting on GROUP SIZES via Σ C(m,2), no pair join. The
+# oracle restates the joint/margin rollups, the exact integer-half
+# C(m,2), the HUGEINT ARI cross product, and the fixed-order
+# divisions + floor rounds.
+# --------------------------------------------------------------------------
+@register(
+    "entity_eval_pairwise",
+    sql="""
+    WITH lab AS (
+        SELECT md5(lower(trim(text))) AS p,
+               md5(substr(lower(trim(text)), 1, 60)) AS t
+        FROM documents WHERE text IS NOT NULL),
+    joint AS (SELECT p, t, CAST(count(*) AS BIGINT) AS m
+              FROM lab GROUP BY 1, 2),
+    tp_tot AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+                      CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS tp
+               FROM joint),
+    pm AS (SELECT CAST(count(*) AS BIGINT) AS npred,
+                  CAST(sum((mp * (mp - 1)) // 2) AS BIGINT) AS pp
+           FROM (SELECT sum(m) AS mp FROM joint GROUP BY p)),
+    tm AS (SELECT CAST(count(*) AS BIGINT) AS ntruth,
+                  CAST(sum((mt * (mt - 1)) // 2) AS BIGINT) AS pt
+           FROM (SELECT sum(m) AS mt FROM joint GROUP BY t)),
+    stats AS (
+        SELECT n, npred, ntruth, tp, pp, pt,
+               pp - tp AS fp, pt - tp AS fn,
+               CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS prec,
+               CAST(tp AS DOUBLE) / CAST(pt AS DOUBLE) AS rec,
+               (n * (n - 1)) // 2 AS npairs,
+               CAST(CAST(pp AS HUGEINT) * pt AS DOUBLE)
+                   / CAST((n * (n - 1)) // 2 AS DOUBLE) AS exp_,
+               CAST(pp + pt AS DOUBLE) / 2.0 AS max_
+        FROM tp_tot, pm, tm)
+    SELECT n AS n_items, npred AS pred_clusters,
+           ntruth AS truth_clusters,
+           CASE WHEN n > 0 THEN tp END AS tp,
+           CASE WHEN n > 0 THEN fp END AS fp,
+           CASE WHEN n > 0 THEN fn END AS fn,
+           CASE WHEN n > 0 AND pp > 0 THEN
+               floor(prec * 1e6 + 0.5) / 1e6 END AS precision,
+           CASE WHEN n > 0 AND pt > 0 THEN
+               floor(rec * 1e6 + 0.5) / 1e6 END AS recall,
+           CASE WHEN n > 0 AND pp > 0 AND pt > 0
+                AND (prec + rec) > 0 THEN
+               floor((2.0 * (prec * rec) / (prec + rec)) * 1e6 + 0.5)
+                   / 1e6 END AS f1,
+           CASE WHEN n > 0 AND npairs > 0 AND max_ != exp_ THEN
+               floor(((CAST(tp AS DOUBLE) - exp_) / (max_ - exp_))
+                     * 1e6 + 0.5) / 1e6 END AS ari
+    FROM stats
+    """,
+)
+def entity_eval_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise P/R/F1 + ARI of exact-dup clusters vs 60-char-prefix
+    clusters over documents (deferred — pytest-mirrored):
+    operators/entity.pairwise_cluster_eval — how much a prefix-only
+    dedup key would over-merge, graded without materializing a single
+    pair."""
+    from ..operators.entity import pairwise_cluster_eval
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    norm = F.lower(F.trim(F.col("text")))
+    lab = d.select(
+        F.md5(norm).alias("pred"),
+        F.md5(F.substring(norm, 1, 60)).alias("truth"),
+    )
+    return pairwise_cluster_eval(lab, "pred", "truth")

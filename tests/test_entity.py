@@ -278,3 +278,53 @@ def test_auto_block_mode_routes_and_matches(spark):
         ).collect()
     }
     assert auto == {("the aaa", "the aab")}
+
+
+def test_pairwise_cluster_eval_hand_computed(spark):
+    """pairwise_cluster_eval (r14): textbook 6-item split (tp=2, fp=2,
+    fn=2, P=R=F1=0.5, ARI=(2-16/15)/(4-16/15)); identical clusterings
+    -> all 1.0; all-singletons -> NULL ratios (no pairs); NULL labels
+    excluded; empty input -> zero row; lazy form fires no jobs."""
+    import math
+
+    from process_alphafold3_outputs_spark.operators.entity import (
+        pairwise_cluster_eval,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "id long, p string, t string")
+        out = pairwise_cluster_eval(df, "p", "t").collect()
+        assert len(out) == 1
+        return out[0]
+
+    # truth {1,2,3},{4,5},{6}; pred {1,2},{3,4,5},{6}
+    rows = [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"),
+            (4, "b", "y"), (5, "b", "y"), (6, "c", "z")]
+    r = run(rows)
+    assert (r.n_items, r.pred_clusters, r.truth_clusters) == (6, 3, 3)
+    assert (r.tp, r.fp, r.fn) == (2, 2, 2)
+    assert (r.precision, r.recall, r.f1) == (0.5, 0.5, 0.5)
+    exp = 4 * 4 / 15
+    ari = (2 - exp) / (4 - exp)
+    assert r.ari == math.floor(ari * 1e6 + 0.5) / 1e6
+    # identical clusterings
+    r = run([(i, "g" + str(i % 2), "g" + str(i % 2)) for i in range(6)])
+    assert (r.precision, r.recall, r.f1, r.ari) == (1.0, 1.0, 1.0, 1.0)
+    # all singletons: no pairs anywhere -> NULL ratios
+    r = run([(i, str(i), str(i)) for i in range(4)])
+    assert (r.tp, r.precision, r.recall, r.f1, r.ari) == (
+        0, None, None, None, None
+    )
+    # NULL labels excluded
+    r = run([(1, "a", "x"), (2, "a", "x"), (3, None, "x"), (4, "a", None)])
+    assert r.n_items == 2
+    # empty input
+    r = run([])
+    assert (r.n_items, r.pred_clusters, r.tp, r.ari) == (0, 0, None, None)
+    # lazy form: zero jobs at plan build
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(1, "a", "x")], "id long, p string, t string")
+    sc.setJobGroup("pce-lazy", "plan build")
+    _ = pairwise_cluster_eval(df, "p", "t", checkpoint_joint=False)
+    assert sc.statusTracker().getJobIdsForGroup("pce-lazy") == []
+    sc.setJobGroup("", "")
