@@ -707,6 +707,12 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "event_freshness",       # per-key watermark/staleness audit (new
+                             # r14); key-grained min/max/count rollup
+                             # — hash-agg mechanics evidenced by the
+                             # driver-green sessionize + event_gapfill
+                             # rows; stream twin watch_freshness
+                             # (deferred: headroom)
     "entity_eval_pairwise",  # pairwise P/R/F1 + ARI clustering grade
                              # (new r14); group-size combinatorics on
                              # one joint groupBy — join/margin

@@ -158,6 +158,9 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "event_freshness": "dedup_exact (the benched single-shuffle "
+                       "hash-agg shape; the watermark window runs on "
+                       "the key-sized rollup)",
     "entity_eval_pairwise": "dedup_exact (the benched corpus-collapse "
                             "hash-agg; the eval aggregates the "
                             "cluster-pair-sized joint table only)",

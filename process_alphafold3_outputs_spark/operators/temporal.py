@@ -1130,3 +1130,63 @@ def trend_changepoint(
     return sizes.join(best, list(keys), "left").select(
         *keys, "n", "cp_x", "cusum_max"
     )
+
+
+def _freshness_finish(
+    roll: DataFrame, key_cols: Sequence[str], as_of: int | None
+) -> DataFrame:
+    """Shared finish over a per-key (n_events, first_ts, last_ts)
+    rollup — the batch kernel and the streaming watcher both end here,
+    so stream == batch is exact by construction. ``as_of=None``
+    derives the watermark as the global max last_ts (one honest
+    global window over the KEY-sized rollup, the concentration
+    posture)."""
+    wm = (
+        F.lit(int(as_of))
+        if as_of is not None
+        else F.max("last_ts").over(Window.partitionBy())
+    )
+    return roll.select(
+        *key_cols,
+        "n_events",
+        "first_ts",
+        "last_ts",
+        (wm - F.col("last_ts")).cast("long").alias("staleness_s"),
+    )
+
+
+def freshness_report(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Per-key data freshness: (keys..., n_events, first_ts, last_ts,
+    staleness_s) — which sources/partitions have gone QUIET: the
+    watermark audit every ingest pipeline reports before a training
+    snapshot is cut ("the forum crawl's last event is 3 days behind
+    the firehose"). ``staleness_s`` is ``as_of − last_ts``;
+    ``as_of=None`` (default) uses the stream's own observed watermark
+    (max last_ts across keys), so the freshest key reads 0. Rows with
+    a NULL timestamp are excluded.
+
+    Exactness: pure int64 min/max/count — no FP anywhere.
+
+    Scale shape: ONE key-grained aggregation collapses the stream
+    (map-side combinable); the derived watermark is a global window
+    over the KEY-sized rollup only. The same rollup merges in the
+    streaming form (:func:`~..streaming.ingest.watch_freshness`) —
+    min/max/sum are mergeable, so stream == batch is EXACT."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    t = F.col(ts_col).cast("long")
+    roll = (
+        events.filter(t.isNotNull())
+        .groupBy(*[F.col(k) for k in key_cols])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(t).alias("first_ts"),
+            F.max(t).alias("last_ts"),
+        )
+    )
+    return _freshness_finish(roll, key_cols, as_of)

@@ -10189,3 +10189,36 @@ def entity_eval_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.substring(norm, 1, 60)).alias("truth"),
     )
     return pairwise_cluster_eval(lab, "pred", "truth")
+
+
+# --------------------------------------------------------------------------
+# data freshness (NEW r14): per-event-type watermark audit — pure
+# int64 min/max/count with a derived as-of (global max over the
+# key-sized rollup). The streaming twin (watch_freshness, the 26th
+# watcher) merges the identical rollup and ends in the same finish.
+# --------------------------------------------------------------------------
+@register(
+    "event_freshness",
+    sql="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t
+               FROM events),
+    roll AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                    min(t) AS first_ts, max(t) AS last_ts
+             FROM e WHERE t IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_events, first_ts, last_ts,
+           CAST((SELECT max(last_ts) FROM roll) - last_ts AS BIGINT)
+               AS staleness_s
+    FROM roll
+    """,
+)
+def event_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness/staleness vs the stream's own
+    watermark (deferred — pytest-mirrored):
+    operators/temporal.freshness_report — which event families have
+    gone quiet before a snapshot is cut."""
+    from ..operators.temporal import freshness_report
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", event_seconds(ev).alias("t"))
+    return freshness_report(e, ["event_type"], "t")

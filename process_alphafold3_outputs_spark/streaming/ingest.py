@@ -2143,3 +2143,116 @@ def _trend_process_batch(
         )
     roll_state(merged, state_path, epoch_id)
     _write_epoch_output(trend_ols(merged, keys, "x", "y"), out_path, epoch_id)
+
+
+def watch_freshness(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    keys: list[str],
+    ts_col: str,
+    as_of: int | None = None,
+    max_keys: int = 1_000_000,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming freshness watermark (the 26th watcher): every
+    micro-batch folds its per-key (count, min_ts, max_ts) into the
+    versioned state and emits the cumulative
+    :func:`~..operators.temporal.freshness_report` — "which sources
+    have gone quiet, as of this drop". count/min/max are all
+    mergeable, and batch and stream END in the same
+    ``_freshness_finish``, so stream == batch-over-whole-history is
+    EXACT with no arrival-order caveat (a late event can only lower
+    first_ts or raise last_ts to its true value — pinned in pytest
+    alongside crash replay).
+
+    State is ONE row per key. ``max_keys`` counts the merged key
+    cardinality after every merge and fails LOUDLY past the cap (the
+    watch_events_trend refusal discipline): an ID-like key column
+    must kill the query, not grow the state unbounded. ``ts_col``
+    must be numeric epoch seconds; key columns are stored as STRING
+    in the state and the key SET is frozen into the state schema —
+    a restart with different keys fails fast on the snapshot schema
+    check. ``as_of=None`` derives the watermark from the merged
+    state itself (the freshest key reads staleness 0)."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _freshness_process_batch(
+            batch_df, epoch_id, state_path, out_path, keys, ts_col,
+            as_of, max_keys,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _freshness_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    keys: list[str],
+    ts_col: str,
+    as_of: int | None,
+    max_keys: int,
+) -> None:
+    """One freshness micro-batch (module-level for unit tests). State
+    rows: (keys... string, n_events long, first_ts long,
+    last_ts long)."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.temporal import _freshness_finish
+
+    ss = batch_df.sparkSession
+    state_schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_events long, first_ts long, last_ts long"
+    )
+    prev = read_state(ss, state_path, state_schema, before_epoch=epoch_id)
+    t = SF.col(ts_col).cast("long")
+    batch_roll = (
+        batch_df.filter(t.isNotNull())
+        .groupBy(*[SF.col(k).cast("string").alias(k) for k in keys])
+        .agg(
+            SF.count(SF.lit(1)).cast("long").alias("n_events"),
+            SF.min(t).alias("first_ts"),
+            SF.max(t).alias("last_ts"),
+        )
+    )
+    merged = (
+        prev.unionByName(batch_roll)
+        .groupBy(*keys)
+        .agg(
+            SF.sum("n_events").cast("long").alias("n_events"),
+            SF.min("first_ts").alias("first_ts"),
+            SF.max("last_ts").alias("last_ts"),
+        )
+    )
+    merged = merged.localCheckpoint()
+    # counted loud-refusal AFTER the merge (one count over the
+    # key-sized state): an ID-like key dies here, not at an OOM
+    n_keys = merged.count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"watch_freshness: {n_keys} state keys exceed "
+            f"max_keys={max_keys} — the key set must be a bounded "
+            "domain (source, partition), not an id; re-key or raise "
+            "max_keys deliberately."
+        )
+    roll_state(merged, state_path, epoch_id)
+    _write_epoch_output(
+        _freshness_finish(merged, keys, as_of), out_path, epoch_id
+    )

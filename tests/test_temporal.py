@@ -1241,3 +1241,98 @@ def test_conversion_lag_hand_computed(spark):
     assert [(x.p50_lag_s, x.p90_lag_s, x.mean_lag_s) for x in r] == [
         (4, 8, 4.5)
     ]
+
+
+def test_freshness_report_hand_computed(spark):
+    """freshness_report (r14): derived watermark = max last_ts (the
+    freshest key reads 0), explicit as_of override, NULL timestamps
+    excluded, empty keys refused."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        freshness_report,
+    )
+
+    rows = [("a", 100), ("a", 250), ("b", 40), ("b", 90), ("c", None)]
+    df = spark.createDataFrame(rows, "k string, t long")
+    out = {r.k: r for r in freshness_report(df, ["k"], "t").collect()}
+    assert set(out) == {"a", "b"}  # all-NULL key c excluded
+    a, b = out["a"], out["b"]
+    assert (a.n_events, a.first_ts, a.last_ts, a.staleness_s) == (
+        2, 100, 250, 0
+    )
+    assert (b.n_events, b.first_ts, b.last_ts, b.staleness_s) == (
+        2, 40, 90, 160
+    )
+    # explicit as_of
+    got = {
+        r.k: r.staleness_s
+        for r in freshness_report(df, ["k"], "t", as_of=1000).collect()
+    }
+    assert got == {"a": 750, "b": 910}
+    with _pt.raises(ValueError, match="key_cols"):
+        freshness_report(df, [], "t")
+
+
+def test_watch_freshness_stream_equals_batch_and_replays(spark, tmp_path):
+    """Two epochs through the 26th watcher == the batch
+    freshness_report over the union (EXACT — mergeable count/min/max,
+    shared finish; the late epoch-1 event only corrects first_ts),
+    a crash-replayed epoch is idempotent, and the key-cardinality
+    guard refuses an ID-like key."""
+    import os
+
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        freshness_report,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _freshness_process_batch,
+        watch_freshness,
+    )
+
+    schema = "k string, t long"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "fresh")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    e0 = [("a", 100), ("a", 250), ("b", 90)]
+    e1 = [("a", 20), ("b", 300), ("c", 280)]  # late 20 lands in first_ts
+    spark.createDataFrame(e0, schema).coalesce(1).write.mode(
+        "append").parquet(inbox)
+    q = watch_freshness(
+        spark, inbox, out, state, ckpt, schema, ["k"], "t")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(e1, schema).coalesce(1).write.mode(
+            "append").parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def rows(path):
+        return sorted(map(tuple, spark.read.parquet(path).select(
+            "k", "n_events", "first_ts", "last_ts", "staleness_s"
+        ).collect()))
+
+    union = spark.createDataFrame(e0 + e1, schema)
+    want = sorted(map(tuple, freshness_report(
+        union, ["k"], "t").collect()))
+    got = rows(os.path.join(out, "epoch_id=1"))
+    assert got == want
+    assert ("a", 3, 20, 250, 50) in got  # late event corrected first_ts
+    # crash replay of epoch 1: identical output
+    _freshness_process_batch(
+        spark.createDataFrame(e1, schema), 1, state, out, ["k"], "t",
+        None, 1_000_000)
+    assert rows(os.path.join(out, "epoch_id=1")) == want
+    # ID-like key refused loudly
+    with _pt.raises(ValueError, match="max_keys"):
+        _freshness_process_batch(
+            spark.createDataFrame(e0 + e1, schema), 0,
+            str(tmp_path / "s2"), str(tmp_path / "o2"), ["k"], "t",
+            None, 2)
+    with _pt.raises(ValueError, match="keys"):
+        watch_freshness(
+            spark, inbox, out, state, ckpt, schema, [], "t")
