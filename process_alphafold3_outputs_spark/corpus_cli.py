@@ -506,6 +506,60 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--col-a", required=True)
     sp.add_argument("--col-b", required=True)
 
+    sp = sub.add_parser("fleiss")
+    sp.add_argument("--input", required=True,
+                    help="ratings parquet, one row per (item, rating)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--item-col", required=True)
+    sp.add_argument("--label-col", required=True)
+
+    sp = sub.add_parser("cramers-v")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table with two categorical columns")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--col-a", required=True)
+    sp.add_argument("--col-b", required=True)
+    sp.add_argument("--max-cells", type=int, default=1_000_000)
+
+    sp = sub.add_parser("calibration")
+    sp.add_argument("--input", required=True,
+                    help="parquet with a probability and a 0/1 label")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--score-col", required=True)
+    sp.add_argument("--label-col", required=True)
+    sp.add_argument("--n-bins", type=int, default=10)
+    sp.add_argument("--bins", action="store_true",
+                    help="emit the per-bin reliability table instead "
+                    "of the one-row ECE/MCE/Brier summary")
+
+    sp = sub.add_parser("cluster-eval")
+    sp.add_argument("--input", required=True,
+                    help="parquet with predicted + truth cluster labels")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--pred-col", required=True)
+    sp.add_argument("--truth-col", required=True)
+
+    sp = sub.add_parser("conversion-lag")
+    sp.add_argument("--input", required=True, help="events parquet")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--user-col", default="user_id")
+    sp.add_argument("--type-col", default="event_type")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--touch", action="append", required=True,
+                    metavar="TYPE", help="touch event type (repeat)")
+    sp.add_argument("--conversion", required=True)
+    sp.add_argument("--lookback-s", type=int, default=86_400)
+
+    sp = sub.add_parser("freshness")
+    sp.add_argument("--input", required=True, help="events parquet")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--key", action="append", required=True,
+                    metavar="COL", help="freshness key column (repeat)")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--as-of", type=int, default=None,
+                    help="epoch-seconds watermark (default: derived "
+                    "from the data's own max)")
+
     sp = sub.add_parser("sample-pps")
     common(sp)
     sp.add_argument("--k", type=int, required=True,
@@ -1219,6 +1273,72 @@ def _result(
         return agreement_kappa(
             spark.read.parquet(args.input), args.col_a, args.col_b
         )
+    if args.command == "fleiss":
+        from .operators.ranking import fleiss_kappa
+
+        return fleiss_kappa(
+            spark.read.parquet(args.input), args.item_col, args.label_col
+        )
+    if args.command == "cramers-v":
+        from .operators.profiling import cramers_v
+
+        return cramers_v(
+            spark.read.parquet(args.input), args.col_a, args.col_b,
+            max_cells=args.max_cells,
+        )
+    if args.command == "calibration":
+        from .operators.ranking import (
+            calibration_report,
+            calibration_summary,
+        )
+
+        fn = calibration_report if args.bins else calibration_summary
+        return fn(
+            spark.read.parquet(args.input), args.score_col,
+            args.label_col, n_bins=args.n_bins,
+        )
+    if args.command == "cluster-eval":
+        from .operators.entity import pairwise_cluster_eval
+
+        return pairwise_cluster_eval(
+            spark.read.parquet(args.input), args.pred_col, args.truth_col
+        )
+    if args.command == "conversion-lag":
+        from pyspark.sql import functions as _F
+
+        from .operators.funnel import conversion_lag
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tbl = spark.read.parquet(args.input)
+        ts_dtype = dict(tbl.dtypes).get(args.ts_col, "")
+        ts_expr = (
+            _F.col(args.ts_col).cast("timestamp").cast("long")
+            if ts_dtype.startswith("timestamp")
+            else _F.col(args.ts_col).cast("long")
+        )
+        e = tbl.select(
+            _F.col(args.user_col), ts_expr.alias("_t"),
+            _F.col(args.type_col),
+        )
+        return conversion_lag(
+            e, args.user_col, "_t", args.type_col, args.touch,
+            args.conversion, args.lookback_s,
+        )
+    if args.command == "freshness":
+        from pyspark.sql import functions as _F
+
+        from .operators.temporal import freshness_report
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tbl = spark.read.parquet(args.input)
+        ts_dtype = dict(tbl.dtypes).get(args.ts_col, "")
+        ts_expr = (
+            _F.col(args.ts_col).cast("timestamp").cast("long")
+            if ts_dtype.startswith("timestamp")
+            else _F.col(args.ts_col).cast("long")
+        )
+        e = tbl.select(*args.key, ts_expr.alias("_t"))
+        return freshness_report(e, args.key, "_t", as_of=args.as_of)
     if args.command == "sample-pps":
         from .operators.text import sample_pps
 

@@ -1183,3 +1183,84 @@ def test_cli_r13_commands(spark, tmp_path):
         ["cluster-split", "--documents", docs, "--val-pct", "20"], "spl")
     assert len(split) == 30
     assert {r.split for r in split} <= {"train", "val"}
+
+
+def test_cli_r14_commands(spark, tmp_path):
+    """The six r14 CLI commands round-trip: fleiss, cramers-v,
+    calibration (summary + --bins), cluster-eval, conversion-lag,
+    freshness."""
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    def run_cmd(argv, out):
+        args = corpus_cli.build_parser().parse_args(
+            argv + ["--out", str(tmp_path / out)]
+        )
+        corpus_cli.run(args, spark)
+        return spark.read.parquet(str(tmp_path / out)).collect()
+
+    ratings = str(tmp_path / "ratings")
+    spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "a")] + [(2, "b")] * 2,
+        "item long, j string",
+    ).write.parquet(ratings)
+    fl = run_cmd(
+        ["fleiss", "--input", ratings, "--item-col", "item",
+         "--label-col", "j"], "fl")
+    assert (fl[0].n_items, fl[0].n_raters, fl[0].kappa) == (2, 3, 0.25)
+
+    lab = str(tmp_path / "lab")
+    spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "y")] * 2, "a string, b string"
+    ).write.parquet(lab)
+    cv = run_cmd(
+        ["cramers-v", "--input", lab, "--col-a", "a", "--col-b", "b"],
+        "cv")
+    assert (cv[0].v, cv[0].chi2) == (1.0, 5.0)
+
+    scored = str(tmp_path / "scored")
+    spark.createDataFrame(
+        [(0.95, 1)] * 3 + [(0.95, 0), (0.05, 0), (0.05, 0),
+                           (0.5, 1), (0.5, 0)],
+        "score double, y long",
+    ).write.parquet(scored)
+    cal = run_cmd(
+        ["calibration", "--input", scored, "--score-col", "score",
+         "--label-col", "y"], "cal")
+    assert (cal[0].n, cal[0].ece) == (8, 0.1125)
+    bins = run_cmd(
+        ["calibration", "--input", scored, "--score-col", "score",
+         "--label-col", "y", "--bins"], "calb")
+    assert {r.bin for r in bins} == {0, 5, 9}
+
+    clus = str(tmp_path / "clus")
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"),
+         (4, "b", "y"), (5, "b", "y"), (6, "c", "z")],
+        "id long, p string, t string",
+    ).write.parquet(clus)
+    ce = run_cmd(
+        ["cluster-eval", "--input", clus, "--pred-col", "p",
+         "--truth-col", "t"], "ce")
+    assert (ce[0].tp, ce[0].precision, ce[0].recall) == (2, 0.5, 0.5)
+
+    ev = str(tmp_path / "evl")
+    spark.createDataFrame(
+        [(1, 100, "click"), (1, 150, "view"), (1, 200, "purchase"),
+         (2, 90, "click"), (2, 100, "purchase")],
+        "user_id long, ts long, event_type string",
+    ).write.parquet(ev)
+    cl = {
+        r.touch_type: r
+        for r in run_cmd(
+            ["conversion-lag", "--input", ev, "--touch", "click",
+             "--touch", "view", "--conversion", "purchase"], "cl")
+    }
+    assert cl["view"].p50_lag_s == 50 and cl["click"].p50_lag_s == 10
+
+    fr = {
+        r.event_type: r
+        for r in run_cmd(
+            ["freshness", "--input", ev, "--key", "event_type"], "fr")
+    }
+    assert fr["purchase"].staleness_s == 0
+    assert fr["view"].staleness_s == 50
