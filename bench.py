@@ -173,8 +173,8 @@ BENCH_DEFERRED = {
     "event_conversion_lag": "sessionize (the benched user-keyed "
                             "window family; the lag quantiles run on "
                             "the lookback-bounded channel grain)",
-    "profile_cramers_v": "profile_mutual_info's rep profile_top_values "
-                         "(the benched label-agg family; V adds "
+    "profile_cramers_v": "profile_top_values (the benched label-agg "
+                         "family, same rep as the MI kernel; V adds "
                          "broadcast margin joins on the category-"
                          "sized table only)",
     "event_top_paths": "sessionize (the benched per-user rank-window "
