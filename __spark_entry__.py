@@ -707,6 +707,11 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "event_burstiness",      # per-user gap-moment bot screen (new
+                             # r14); user-partitioned lag window +
+                             # keyed agg — mechanics evidenced by the
+                             # driver-green sessionize row (deferred:
+                             # headroom)
     "event_freshness",       # per-key watermark/staleness audit (new
                              # r14); key-grained min/max/count rollup
                              # — hash-agg mechanics evidenced by the

@@ -158,6 +158,9 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "event_burstiness": "sessionize (the benched user-partitioned "
+                        "lag-window shape; the profile adds one "
+                        "user-keyed moment agg)",
     "event_freshness": "dedup_exact (the benched single-shuffle "
                        "hash-agg shape; the watermark window runs on "
                        "the key-sized rollup)",

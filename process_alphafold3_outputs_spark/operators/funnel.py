@@ -525,3 +525,100 @@ def conversion_lag(
         F.col("p50_lag_s").cast("long").alias("p50_lag_s"),
         F.col("p90_lag_s").cast("long").alias("p90_lag_s"),
     )
+
+
+def inter_event_profile(
+    events: DataFrame,
+    user_col: str,
+    ts_sec_col: str,
+    order_tiebreak: str = "event_id",
+    max_events_per_user: int | None = 1_000_000,
+) -> DataFrame:
+    """Per-user inter-event timing profile: (user, n_events, n_gaps,
+    mean_gap_s, var_gap_s, burstiness) — the BOT SCREEN for
+    user-generated training data: a human's gaps are bursty
+    (B → 1), a cron job's are metronomic (B → −1), where
+    ``burstiness = (σ − μ)/(σ + μ)`` over the user's consecutive-event
+    gaps (Goh & Barabási 2008). Events order by (ts, tiebreak) so
+    equal timestamps are deterministic; a user with < 2 events
+    reports n_gaps = 0 with NULL stats; duplicate-timestamp-only
+    users (all gaps 0 ⇒ σ + μ = 0) report burstiness NULL rather
+    than 0/0.
+
+    Exactness: gap sums Σd are exact int64 and Σd² is summed in
+    DECIMAL (a 292-year gap squares past int64); the population
+    variance is the DECIMAL-exact numerator ``n_g·Σd² − (Σd)²`` over
+    ``n_g²`` in ONE fixed-order double division, σ the IEEE sqrt, and
+    mean/burstiness one fixed-order division each + the 6-dp floor
+    round — the SQL oracle reproduces every double bit-for-bit.
+
+    Scale shape: one lag window per USER partition (the
+    transition_matrix posture — user histories are the natural
+    partition, never a global sort) feeding one user-keyed
+    aggregation. A single hot user funnels its whole history through
+    one partition, so ``max_events_per_user`` refuses in-path via
+    raise_error riding a count over the SAME window partition (no
+    extra scan; ``None`` after salting/sharding the bot upstream)."""
+    t = F.col(ts_sec_col).cast("long")
+    e = events.filter(t.isNotNull()).select(
+        F.col(user_col).alias("_u"),
+        t.alias("_t"),
+        F.col(order_tiebreak).alias("_id"),
+    )
+    w = Window.partitionBy("_u").orderBy("_t", "_id")
+    wu = Window.partitionBy("_u")
+    n_user = F.count(F.lit(1)).over(wu)
+    n_guarded = (
+        n_user
+        if max_events_per_user is None
+        else F.when(
+            n_user <= F.lit(int(max_events_per_user)), n_user
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "inter_event_profile: user %s has %s events (> "
+                    f"max_events_per_user={int(max_events_per_user)})"
+                    " — one user's history sorts in ONE partition; "
+                    "shard the bot upstream or raise the cap "
+                    "deliberately.",
+                    F.col("_u").cast("string"),
+                    n_user,
+                )
+            )
+        )
+    )
+    gaps = e.select(
+        "_u",
+        n_guarded.alias("_n"),
+        (F.col("_t") - F.lag("_t").over(w)).alias("_d"),
+    )
+    agg = gaps.groupBy("_u").agg(
+        F.max("_n").alias("_n_events"),
+        F.count("_d").alias("_ng"),
+        F.sum("_d").alias("_sd"),
+        F.sum(F.col("_d").cast("decimal(38,0)") * F.col("_d")).alias(
+            "_sd2"
+        ),
+    )
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    ngd = F.col("_ng").cast("double")
+    mean = F.col("_sd").cast("double") / ngd
+    # population variance: (n_g·Σd² − (Σd)²) exact in DECIMAL, ONE division
+    var_num = (
+        F.col("_sd2") * F.col("_ng")
+        - F.col("_sd").cast("decimal(38,0)") * F.col("_sd")
+    )
+    var = var_num.cast("double") / (ngd * ngd)
+    sigma = F.sqrt(var)
+    b = (sigma - mean) / (sigma + mean)
+    live = F.col("_ng") > 0
+    return agg.select(
+        F.col("_u").alias(user_col),
+        F.col("_n_events").cast("long").alias("n_events"),
+        F.col("_ng").cast("long").alias("n_gaps"),
+        F.when(live, r6(mean)).alias("mean_gap_s"),
+        F.when(live, r6(var)).alias("var_gap_s"),
+        F.when(live & ((sigma + mean) > 0), r6(b)).alias("burstiness"),
+    )

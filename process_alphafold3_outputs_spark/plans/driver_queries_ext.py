@@ -10222,3 +10222,56 @@ def event_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("event_type", event_seconds(ev).alias("t"))
     return freshness_report(e, ["event_type"], "t")
+
+
+# --------------------------------------------------------------------------
+# inter-event burstiness (NEW r14): the per-user bot screen — gap
+# moment sums exact int64/HUGEINT, population variance as ONE
+# fixed-order division, Goh-Barabási burstiness on the IEEE sqrt.
+# --------------------------------------------------------------------------
+@register(
+    "event_burstiness",
+    sql="""
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                      event_id
+               FROM events),
+    g AS (SELECT user_id,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 t - lag(t) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS d
+          FROM e),
+    agg AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+                   CAST(count(d) AS BIGINT) AS ng,
+                   CAST(sum(d) AS BIGINT) AS sd,
+                   sum(CAST(d AS HUGEINT) * d) AS sd2
+            FROM g GROUP BY 1),
+    st AS (SELECT user_id, n_events, ng,
+                  CAST(sd AS DOUBLE) / CAST(ng AS DOUBLE) AS mean,
+                  CAST(sd2 * ng - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+                      / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE))
+                      AS var
+           FROM agg)
+    SELECT user_id, n_events, ng AS n_gaps,
+           CASE WHEN ng > 0 THEN floor(mean * 1e6 + 0.5) / 1e6
+           END AS mean_gap_s,
+           CASE WHEN ng > 0 THEN floor(var * 1e6 + 0.5) / 1e6
+           END AS var_gap_s,
+           CASE WHEN ng > 0 AND (sqrt(var) + mean) > 0 THEN
+               floor(((sqrt(var) - mean) / (sqrt(var) + mean))
+                     * 1e6 + 0.5) / 1e6
+           END AS burstiness
+    FROM st
+    """,
+)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event burstiness over events (deferred —
+    pytest-mirrored): operators/funnel.inter_event_profile — the bot
+    screen a UGC training-data pipeline runs before trusting user
+    text."""
+    from ..operators.funnel import inter_event_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", event_seconds(ev).alias("t"), "event_id"
+    )
+    return inter_event_profile(e, "user_id", "t")

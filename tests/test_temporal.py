@@ -1336,3 +1336,50 @@ def test_watch_freshness_stream_equals_batch_and_replays(spark, tmp_path):
     with _pt.raises(ValueError, match="keys"):
         watch_freshness(
             spark, inbox, out, state, ckpt, schema, [], "t")
+
+
+def test_inter_event_profile_hand_computed_and_guard(spark):
+    """inter_event_profile (r14): hand-computed gap moments (gaps
+    [10,20] -> mean 15, var 25, B = -0.5), metronomic gaps -> B -1,
+    single event -> NULL stats, all-duplicate timestamps -> B NULL
+    (sigma+mean == 0), hot-user in-path refusal (lazy at plan build)."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        inter_event_profile,
+    )
+
+    rows = (
+        [(1, 0, 1), (1, 10, 2), (1, 30, 3)]       # gaps 10, 20
+        + [(2, 100, 4)]                            # single event
+        + [(3, 5, 5), (3, 5, 6), (3, 5, 7)]        # all-dup ts
+        + [(4, 0, 8), (4, 10, 9), (4, 20, 10)]     # metronomic
+    )
+    df = spark.createDataFrame(rows, "user_id long, t long, event_id long")
+    out = {
+        r.user_id: r
+        for r in inter_event_profile(df, "user_id", "t").collect()
+    }
+    a = out[1]
+    assert (a.n_events, a.n_gaps) == (3, 2)
+    assert (a.mean_gap_s, a.var_gap_s, a.burstiness) == (15.0, 25.0, -0.5)
+    b = out[2]
+    assert (b.n_gaps, b.mean_gap_s, b.burstiness) == (0, None, None)
+    c = out[3]
+    assert (c.mean_gap_s, c.var_gap_s, c.burstiness) == (0.0, 0.0, None)
+    assert out[4].burstiness == -1.0
+    # hot-user refusal is in-path: plan build fires zero jobs, action dies
+    sc = spark.sparkContext
+    sc.setJobGroup("iep-lazy", "plan build")
+    plan = inter_event_profile(df, "user_id", "t", max_events_per_user=2)
+    assert sc.statusTracker().getJobIdsForGroup("iep-lazy") == []
+    sc.setJobGroup("", "")
+    with _pt.raises(Exception, match="max_events_per_user=2"):
+        plan.collect()
+    # escape hatch
+    assert (
+        inter_event_profile(
+            df, "user_id", "t", max_events_per_user=None
+        ).count()
+        == 4
+    )
