@@ -707,6 +707,12 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "text_sample_stratified",  # Hamilton-quota stratified draw (new
+                             # r14); composes the mirror-green
+                             # text_mix_apportion planner with the
+                             # sample_exact_k rank draw evidenced by
+                             # the driver-green text_sample_domains
+                             # family (deferred: headroom)
     "event_burstiness",      # per-user gap-moment bot screen (new
                              # r14); user-partitioned lag window +
                              # keyed agg — mechanics evidenced by the

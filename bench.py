@@ -158,6 +158,10 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "text_sample_stratified": "text_sample_domains (the benched "
+                              "deterministic md5 sampling family; the "
+                              "quota plan runs on the domain-sized "
+                              "weight table)",
     "event_burstiness": "sessionize (the benched user-partitioned "
                         "lag-window shape; the profile adds one "
                         "user-keyed moment agg)",

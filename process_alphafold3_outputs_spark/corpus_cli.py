@@ -560,6 +560,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="epoch-seconds watermark (default: derived "
                     "from the data's own max)")
 
+    sp = sub.add_parser("sample-stratified")
+    common(sp)
+    sp.add_argument("--k", type=int, required=True,
+                    help="TOTAL budget, Hamilton-apportioned across "
+                    "domains")
+    sp.add_argument("--weight-col", default=None,
+                    help="integer weight column (default: row counts)")
+    sp.add_argument("--domain-col", default="source")
+    sp.add_argument("--seed", default="strat-v1")
+
     sp = sub.add_parser("sample-pps")
     common(sp)
     sp.add_argument("--k", type=int, required=True,
@@ -1339,6 +1349,16 @@ def _result(
         )
         e = tbl.select(*args.key, ts_expr.alias("_t"))
         return freshness_report(e, args.key, "_t", as_of=args.as_of)
+    if args.command == "sample-stratified":
+        from .operators.text import sample_stratified
+
+        return sample_stratified(
+            spark.read.parquet(args.documents),
+            k=args.k,
+            domain_col=args.domain_col,
+            weight_col=args.weight_col,
+            seed=args.seed,
+        )
     if args.command == "sample-pps":
         from .operators.text import sample_pps
 

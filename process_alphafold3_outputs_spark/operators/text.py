@@ -3692,3 +3692,62 @@ def apportion_budget(
             ).cast("long").alias("quota"),
         )
     )
+
+
+def sample_stratified(
+    docs: DataFrame,
+    k: int,
+    domain_col: str = "source",
+    weight_col: str | None = None,
+    seed: str = "strat-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proportional stratified sample: ONE total budget ``k``
+    apportioned across domains by Hamilton largest-remainder
+    (:func:`apportion_budget` — Σ quota == k exactly, where naive
+    per-domain rounding drifts), then exactly ``min(quota, |domain|)``
+    rows drawn per domain in the :func:`sample_exact_k` deterministic
+    md5 rank order — "give me 100k docs, split like the corpus's
+    token mass" as ONE composed DAG. ``weight_col=None`` weights
+    domains by row count; otherwise by the integer weight sum
+    (token/char counts). Domains whose weights are all NULL receive
+    no quota and emit nothing (inner join on the quota table —
+    documented).
+
+    Exactness: the quota arithmetic is apportion_budget's exact int64
+    path; the draw is the md5 rank — no rand(), no FP anywhere, so
+    re-runs, retries and the SQL oracle pick identical rows.
+
+    Scale shape: one domain-keyed rollup (map-side combinable) feeds
+    the DOMAIN-sized apportionment table (its global rank window is
+    the honest bounded plan); quotas broadcast back onto the corpus;
+    one domain-partitioned rank window draws the sample — the
+    sample_exact_k spill caveat applies to the largest domain."""
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    weights = (
+        docs.filter(w.isNotNull())
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.sum(w).alias("weight"))
+    )
+    quotas = apportion_budget(
+        weights, k, domain_col="domain", weight_col="weight"
+    )
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    wd = Window.partitionBy(domain_col).orderBy(h, F.col(id_col))
+    # fresh name on the quota side ("domain") vs the doc side
+    # (domain_col): both derive from `docs`, and same-name refs across
+    # a self-derived join resolve to ONE attribute (the
+    # trivially-true-predicate trap)
+    return (
+        docs.withColumn("_rk", F.row_number().over(wd))
+        .join(
+            F.broadcast(quotas.select("domain", "quota")),
+            F.col(domain_col) == F.col("domain"),
+        )
+        .filter(F.col("_rk") <= F.col("quota"))
+        .drop("_rk", "domain", "quota")
+    )

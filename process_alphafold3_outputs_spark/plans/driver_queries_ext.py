@@ -10275,3 +10275,59 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", event_seconds(ev).alias("t"), "event_id"
     )
     return inter_event_profile(e, "user_id", "t")
+
+
+# --------------------------------------------------------------------------
+# stratified sampling capstone (NEW r14): Hamilton quotas by n_chars
+# mass + the deterministic md5 per-domain draw, composed as ONE DAG.
+# The oracle restates the apportionment (floor/mod split, remainder
+# rank, top-up) and the rank-filtered draw verbatim.
+# --------------------------------------------------------------------------
+@register(
+    "text_sample_stratified",
+    sql="""
+    WITH w AS (SELECT source AS domain,
+                      CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                          AS weight
+               FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+    t AS (SELECT domain, weight,
+                 (SELECT sum(weight) FROM w) AS tot
+          FROM w),
+    base AS (SELECT domain, weight,
+                    CASE WHEN tot > 0 THEN (weight * 1000) // tot
+                         ELSE 0 END AS fl,
+                    CASE WHEN tot > 0 THEN (weight * 1000) % tot
+                         ELSE 0 END AS rem
+             FROM t),
+    q AS (SELECT domain,
+                 fl + CASE WHEN rk <= short AND rem > 0 THEN 1
+                      ELSE 0 END AS quota
+          FROM (SELECT domain, fl, rem,
+                       row_number() OVER (ORDER BY rem DESC,
+                                          domain ASC) AS rk,
+                       1000 - (SELECT sum(fl) FROM base) AS short
+                FROM base)),
+    ranked AS (SELECT doc_id, source,
+                      row_number() OVER (
+                          PARTITION BY source
+                          ORDER BY md5('strat-v1:'
+                                       || CAST(doc_id AS VARCHAR)),
+                                   doc_id) AS rk
+               FROM documents)
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN q ON r.source = q.domain
+    WHERE r.rk <= q.quota
+    """,
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1000-document stratified sample proportional to each source's
+    n_chars mass (deferred — pytest-mirrored):
+    operators/text.sample_stratified — Hamilton quotas + the
+    deterministic md5 draw in one DAG."""
+    from ..operators.text import sample_stratified
+
+    return sample_stratified(
+        load_table(spark, sf_dir, "documents"),
+        k=1000,
+        weight_col="n_chars",
+    ).select("doc_id", "source")

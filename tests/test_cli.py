@@ -1264,3 +1264,21 @@ def test_cli_r14_commands(spark, tmp_path):
     }
     assert fr["purchase"].staleness_s == 0
     assert fr["view"].staleness_s == 50
+
+
+def test_cli_sample_stratified(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    docs = str(tmp_path / "sdocs")
+    spark.createDataFrame(
+        [(i, "s" + str(i % 2), "t", 1) for i in range(20)],
+        "doc_id long, source string, text string, w long",
+    ).write.parquet(docs)
+    args = corpus_cli.build_parser().parse_args(
+        ["sample-stratified", "--documents", docs, "--k", "10",
+         "--weight-col", "w", "--out", str(tmp_path / "strat")]
+    )
+    corpus_cli.run(args, spark)
+    got = spark.read.parquet(str(tmp_path / "strat")).collect()
+    assert len(got) == 10
+    assert {r.source for r in got} == {"s0", "s1"}

@@ -2095,3 +2095,55 @@ def test_apportion_budget_exact_sum_and_edges(spark):
     )
     with _pt.raises(Exception, match="negative weight"):
         apportion_budget(bad, 3).collect()
+
+
+def test_sample_stratified_quota_exact_and_deterministic(spark):
+    """sample_stratified (r14): the classic 4:3:3-over-7 Hamilton case
+    lands quotas 3/2/2 (sum EXACTLY k where naive rounding drifts);
+    the draw is md5-deterministic across repartitioning; a short
+    domain yields its whole population; count-mode weights."""
+    from process_alphafold3_outputs_spark.operators.text import (
+        sample_stratified,
+    )
+
+    rows = (
+        [(i, "a", 1) for i in range(4)]
+        + [(10 + i, "b", 1) for i in range(3)]
+        + [(20 + i, "c", 1) for i in range(3)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, w long"
+    )
+    got = sample_stratified(docs, 7, weight_col="w").collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.source, []).append(r.doc_id)
+    assert {d: len(v) for d, v in by_dom.items()} == {
+        "a": 3, "b": 2, "c": 2
+    }
+    assert len(got) == 7  # sum exactly k
+    # deterministic across partitioning
+    again = sample_stratified(
+        docs.repartition(7), 7, weight_col="w"
+    ).collect()
+    assert sorted(r.doc_id for r in again) == sorted(
+        r.doc_id for r in got
+    )
+    # short domain: quota 3 but only 2 docs -> takes both
+    short = spark.createDataFrame(
+        [(1, "a", 4), (2, "a", 4), (10, "b", 3), (11, "b", 3),
+         (12, "b", 3)],
+        "doc_id long, source string, w long",
+    )
+    # weights a=8, b=9 -> k=7: shares 3.29/3.71, floors 3/3, top-up b
+    s = sample_stratified(short, 7, weight_col="w").collect()
+    cnt = {}
+    for r in s:
+        cnt[r.source] = cnt.get(r.source, 0) + 1
+    assert cnt == {"a": 2, "b": 3}  # a short (quota 3, pop 2)
+    # count-mode: quotas proportional to row counts
+    cm = sample_stratified(docs, 5).collect()
+    cnt = {}
+    for r in cm:
+        cnt[r.source] = cnt.get(r.source, 0) + 1
+    assert sum(cnt.values()) == 5 and cnt["a"] == 2
