@@ -705,3 +705,57 @@ def test_candidate_keys_expand_factor_is_bounded(spark):
     assert len(re.findall(r", \d+\]", expand.group(1))) == 7
     # the sketch path carries NO Expand at any width
     assert "Expand" not in formatted_plan(candidate_keys(df, approx=True))
+
+
+def test_r14_kernel_plan_shapes(spark):
+    """The r14 kernels' scale claims, machine-pinned: cramers_v joins
+    its margins as BROADCAST hash joins (category-sized sides, never
+    SMJ); burstiness' guard-count and lag windows SHARE one user
+    Exchange; calibration is a pure two-stage agg (no join, no
+    window); stratified sampling broadcasts the domain-sized quota
+    table; none of them plans a SortMergeJoin, CartesianProduct, or
+    Python eval node."""
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        inter_event_profile,
+    )
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        cramers_v,
+    )
+    from process_alphafold3_outputs_spark.operators.ranking import (
+        calibration_summary,
+    )
+    from process_alphafold3_outputs_spark.operators.text import (
+        sample_stratified,
+    )
+
+    def nodes(df, name):
+        return formatted_plan(df).count(name) // 2  # tree + detail
+
+    ab = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "y")] * 2, "a string, b string"
+    )
+    cv = cramers_v(ab, "a", "b", checkpoint_joint=False)
+    p = formatted_plan(cv)
+    assert p.count("BroadcastHashJoin") // 2 == 2
+    for bad in ("SortMergeJoin", "CartesianProduct", "EvalPython"):
+        assert bad not in p, bad
+
+    ev = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "user_id long, t long, event_id long"
+    )
+    bp = formatted_plan(inter_event_profile(ev, "user_id", "t"))
+    # the hot-user count and the lag ride ONE user-keyed Exchange
+    assert bp.count("Exchange") // 2 == 1
+    assert "EvalPython" not in bp and "SortMergeJoin" not in bp
+
+    sc = spark.createDataFrame([(0.5, 1)], "score double, y long")
+    cp = formatted_plan(calibration_summary(sc, "score", "y"))
+    assert "Join" not in cp and "Window" not in cp
+    assert cp.count("Exchange") // 2 <= 2  # two-stage agg only
+
+    docs = spark.createDataFrame(
+        [(1, "a", 1)], "doc_id long, source string, w long"
+    )
+    sp = formatted_plan(sample_stratified(docs, 5, weight_col="w"))
+    assert sp.count("BroadcastHashJoin") // 2 == 1
+    assert "SortMergeJoin" not in sp and "CartesianProduct" not in sp
