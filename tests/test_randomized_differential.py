@@ -471,3 +471,147 @@ def test_overlap_prefix_equals_plain_on_random_corpora(spark):
         pref = collect(True)
         assert pref == plain, (seed, t)
         assert plain  # fixtures must actually produce qualifying pairs
+
+
+def test_fleiss_kappa_matches_pure_python_on_random_panels(spark):
+    """fleiss_kappa vs an independent pure-Python implementation on
+    seeded random constant-r panels (r in 2..5, up to 4 categories)."""
+    import math
+
+    from process_alphafold3_outputs_spark.operators.ranking import (
+        fleiss_kappa,
+    )
+
+    def ref(panel):
+        # panel: list of per-item rating lists, all length r
+        n, r = len(panel), len(panel[0])
+        cats = sorted({c for row in panel for c in row})
+        nij = [[row.count(c) for c in cats] for row in panel]
+        s = sum(v * v for row in nij for v in row)
+        pbar = (s - n * r) / ((n * r) * (r - 1))
+        cj = [sum(row[j] for row in nij) for j in range(len(cats))]
+        pe = sum(c * c for c in cj) / ((n * r) * (n * r))
+        kap = (pbar - pe) / (1 - pe) if pe < 1 else None
+        r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        return (n, r, len(cats), r6(pbar), r6(pe),
+                None if kap is None else r6(kap))
+
+    for seed in (5, 41, 260):
+        rng = random.Random(seed)
+        r = rng.randint(2, 5)
+        cats = "abcd"[: rng.randint(2, 4)]
+        panel = [
+            [rng.choice(cats) for _ in range(r)] for _ in range(30)
+        ]
+        rows = [
+            (i, c) for i, row in enumerate(panel) for c in row
+        ]
+        df = spark.createDataFrame(rows, "i long, j string")
+        got = fleiss_kappa(df, "i", "j").collect()[0]
+        want = ref(panel)
+        assert (
+            got.n_items, got.n_raters, got.n_categories,
+            got.pbar, got.pe, got.kappa,
+        ) == want, seed
+
+
+def test_pairwise_cluster_eval_matches_bruteforce_pairs(spark):
+    """pairwise_cluster_eval's group-size combinatorics vs literally
+    enumerating all O(n²) item pairs on seeded random clusterings."""
+    import math
+
+    from process_alphafold3_outputs_spark.operators.entity import (
+        pairwise_cluster_eval,
+    )
+
+    for seed in (9, 77, 310):
+        rng = random.Random(seed)
+        n = 40
+        pred = [rng.randint(0, 5) for _ in range(n)]
+        truth = [rng.randint(0, 3) for _ in range(n)]
+        tp = fp = fn = 0
+        for i, j in itertools.combinations(range(n), 2):
+            sp_, st = pred[i] == pred[j], truth[i] == truth[j]
+            tp += sp_ and st
+            fp += sp_ and not st
+            fn += st and not sp_
+        df = spark.createDataFrame(
+            [(i, str(pred[i]), str(truth[i])) for i in range(n)],
+            "id long, p string, t string",
+        )
+        got = pairwise_cluster_eval(df, "p", "t").collect()[0]
+        assert (got.tp, got.fp, got.fn) == (tp, fp, fn), seed
+        pp, pt = tp + fp, tp + fn
+        r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        assert got.precision == r6(tp / pp), seed
+        assert got.recall == r6(tp / pt), seed
+        npairs = n * (n - 1) // 2
+        exp = pp * pt / npairs
+        ari = (tp - exp) / ((pp + pt) / 2 - exp)
+        assert got.ari == r6(ari), seed
+
+
+def test_conversion_lag_quantiles_match_sorted_pick(spark):
+    """conversion_lag's grain-table quantile pick vs sorting the raw
+    per-conversion lags and indexing ceil(q·n) directly (type-1), on
+    seeded random single-channel histories."""
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        conversion_lag,
+    )
+
+    for seed in (13, 88, 451):
+        rng = random.Random(seed)
+        rows, lags = [], []
+        uid = 0
+        for _ in range(rng.randint(5, 40)):
+            uid += 1
+            lag = rng.randint(0, 120)
+            conv_t = 10_000 + uid * 1_000
+            rows += [
+                (uid, conv_t - lag, "click"), (uid, conv_t, "purchase")
+            ]
+            lags.append(lag)
+        df = spark.createDataFrame(
+            rows, "user_id long, t long, event_type string"
+        )
+        got = conversion_lag(
+            df, "user_id", "t", "event_type", ["click"], "purchase",
+            86400,
+        ).collect()
+        assert len(got) == 1
+        s = sorted(lags)
+        n = len(s)
+        want_p50 = s[-(-n // 2) - 1]       # ceil(n/2), 1-based
+        want_p90 = s[-(-9 * n // 10) - 1]  # ceil(9n/10)
+        assert (got[0].p50_lag_s, got[0].p90_lag_s) == (
+            want_p50, want_p90
+        ), seed
+
+
+def test_burstiness_matches_statistics_reference(spark):
+    """inter_event_profile's moment arithmetic vs python statistics
+    pvariance/mean over seeded random event histories."""
+    import math
+    import statistics
+
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        inter_event_profile,
+    )
+
+    for seed in (21, 140, 512):
+        rng = random.Random(seed)
+        ts = sorted(rng.sample(range(100_000), rng.randint(3, 50)))
+        rows = [(1, t, i) for i, t in enumerate(ts)]
+        df = spark.createDataFrame(
+            rows, "user_id long, t long, event_id long"
+        )
+        got = inter_event_profile(df, "user_id", "t").collect()[0]
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        mu = statistics.mean(gaps)
+        var = statistics.pvariance(gaps)
+        sigma = math.sqrt(var)
+        r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        assert got.n_gaps == len(gaps), seed
+        assert abs(got.mean_gap_s - mu) < 1e-6, seed
+        assert abs(got.var_gap_s - var) < 1e-6, seed
+        assert abs(got.burstiness - (sigma - mu) / (sigma + mu)) < 1e-6, seed
