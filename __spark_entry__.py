@@ -707,6 +707,11 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "event_survival",        # Kaplan-Meier churn curve (new r14);
+                             # user min/max rollup + bucket-grain
+                             # windows — mechanics evidenced by the
+                             # driver-green sessionize + event_gapfill
+                             # rows (deferred: headroom)
     "text_sample_stratified",  # Hamilton-quota stratified draw (new
                              # r14); composes the mirror-green
                              # text_mix_apportion planner with the

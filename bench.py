@@ -158,6 +158,9 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "event_survival": "dedup_exact (the benched corpus-collapse "
+                      "hash-agg; the KM passes run on the "
+                      "bucket-grain table only)",
     "text_sample_stratified": "text_sample_domains (the benched "
                               "deterministic md5 sampling family; the "
                               "quota plan runs on the domain-sized "

@@ -622,3 +622,122 @@ def inter_event_profile(
         F.when(live, r6(var)).alias("var_gap_s"),
         F.when(live & ((sigma + mean) > 0), r6(b)).alias("burstiness"),
     )
+
+
+def survival_curve(
+    events: DataFrame,
+    user_col: str,
+    ts_sec_col: str,
+    bucket_s: int,
+    censor_margin_s: int = 0,
+    max_buckets: int | None = 100_000,
+) -> DataFrame:
+    """Kaplan–Meier user-survival curve with watermark censoring: one
+    row per occupied lifetime bucket — (bucket, t_lo_s, n_risk,
+    n_deaths, n_censored, survival) — the churn table behind "what
+    fraction of users are still active after k weeks". A user's
+    lifetime is ``last_ts − first_ts``; users whose last event lies
+    within ``censor_margin_s`` of the stream's watermark (the global
+    max last_ts) are CENSORED — still alive for all we know — and
+    enter every risk set up to their observed lifetime without ever
+    counting as a death (treating them as churned is the classic
+    retention-table bias; with margin 0 only the watermark user(s)
+    are censored). ``survival`` is the KM product-limit estimate
+    S(t) = Π_{i ≤ t} (1 − d_i/n_i) over death buckets, with the
+    standard same-time convention (censored users at bucket t are at
+    risk for bucket t's deaths).
+
+    Exactness: lifetimes, buckets, death/censor counts and risk sets
+    are exact int64 (suffix cumulative sums); S is
+    exp(Σ ln(1 − d_i/n_i)) with each ratio ONE exact-int division —
+    the ln/exp pair rides the repo's ln-under-round-6 discipline
+    (term drift ~1e−16·buckets, five orders under the 5e−7 floor-
+    round threshold). A bucket where the whole risk set dies sets
+    S = 0.0 EXACTLY from that bucket on (never ln(0) — Spark NULLs
+    it, DuckDB −infs it; the zero is branched, not computed).
+
+    Scale shape: one user-keyed min/max rollup collapses the stream;
+    everything after runs on the BUCKET-grain table (two ordered
+    windows over it — honest global windows over a bounded table,
+    refused in-path past ``max_buckets`` riding the count the window
+    pass already computes: a milliseconds-wide ``bucket_s`` mistake
+    dies loud)."""
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1 (got {bucket_s})")
+    t = F.col(ts_sec_col).cast("long")
+    per = (
+        events.filter(t.isNotNull())
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(t).alias("_first"), F.max(t).alias("_last"))
+    )
+    wm = per.agg(F.max("_last").alias("_wm"))
+    lab = per.crossJoin(F.broadcast(wm)).select(
+        F.expr(f"(_last - _first) div {int(bucket_s)}").alias("_b"),
+        (
+            F.col("_last") + F.lit(int(censor_margin_s)) >= F.col("_wm")
+        ).alias("_cens"),
+    )
+    grain = lab.groupBy("_b").agg(
+        F.sum((~F.col("_cens")).cast("long")).alias("_d"),
+        F.sum(F.col("_cens").cast("long")).alias("_c"),
+    )
+    wall = Window.partitionBy()
+    w_suffix = (
+        Window.orderBy(F.desc("_b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_b = F.count(F.lit(1)).over(wall)
+    n_guarded = (
+        n_b
+        if max_buckets is None
+        else F.when(n_b <= F.lit(int(max_buckets)), n_b).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "survival_curve: %s occupied lifetime buckets (> "
+                    f"max_buckets={int(max_buckets)}) — the KM passes "
+                    "run ordered windows over the bucket grain; widen "
+                    "bucket_s or raise the cap deliberately.",
+                    n_b,
+                )
+            )
+        )
+    )
+    staged = grain.select(
+        "_b",
+        "_d",
+        "_c",
+        F.sum(F.col("_d") + F.col("_c")).over(w_suffix).alias("_n"),
+        n_guarded.alias("_nb"),
+    )
+    w_asc = (
+        Window.orderBy(F.asc("_b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dead_all = F.col("_d") == F.col("_n")
+    ln_term = F.when(
+        (F.col("_d") > 0) & ~dead_all,
+        F.log(
+            F.lit(1.0)
+            - F.col("_d").cast("double") / F.col("_n").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    zero_from = F.min(F.when(dead_all, F.col("_b"))).over(wall)
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    surv = F.when(
+        zero_from.isNotNull() & (F.col("_b") >= zero_from), F.lit(0.0)
+    ).otherwise(r6(F.exp(F.sum(ln_term).over(w_asc))))
+    return staged.select(
+        F.col("_b").cast("long").alias("bucket"),
+        (F.col("_b") * F.lit(int(bucket_s))).cast("long").alias(
+            "t_lo_s"
+        ),
+        F.col("_n").cast("long").alias("n_risk"),
+        F.col("_d").cast("long").alias("n_deaths"),
+        F.col("_c").cast("long").alias("n_censored"),
+        surv.alias("survival"),
+        # the guard column must stay in-path: reading it here keeps
+        # the refusal alive after column pruning
+        F.col("_nb").cast("long").alias("n_buckets"),
+    )

@@ -10331,3 +10331,62 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1000,
         weight_col="n_chars",
     ).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival (NEW r14): the churn curve with watermark
+# censoring — exact int64 lifetimes/risk suffix sums, the product
+# limit as exp(Σ ln(1 − d/n)) under the ln-round-6 discipline, the
+# all-die bucket branched to an exact 0.0 (never ln(0)).
+# --------------------------------------------------------------------------
+@register(
+    "event_survival",
+    sql="""
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+               FROM events),
+    per AS (SELECT user_id, min(t) AS f, max(t) AS l
+            FROM e WHERE t IS NOT NULL GROUP BY 1),
+    wm AS (SELECT max(l) AS w FROM per),
+    lab AS (SELECT (l - f) // 3600 AS b,
+                   (l + 0 >= (SELECT w FROM wm)) AS cens
+            FROM per),
+    grain AS (SELECT b,
+                     CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END)
+                          AS BIGINT) AS d,
+                     CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c
+              FROM lab GROUP BY 1),
+    staged AS (SELECT b, d, c,
+                      CAST(sum(d + c) OVER (ORDER BY b DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+                      CAST(count(*) OVER () AS BIGINT) AS nb
+               FROM grain),
+    fin AS (SELECT b, d, c, n, nb,
+                   sum(CASE WHEN d > 0 AND d <> n THEN
+                           ln(1.0 - CAST(d AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                       ELSE 0.0 END)
+                       OVER (ORDER BY b ASC ROWS UNBOUNDED PRECEDING)
+                       AS lncum,
+                   min(CASE WHEN d = n THEN b END) OVER () AS zf
+            FROM staged)
+    SELECT b AS bucket, CAST(b * 3600 AS BIGINT) AS t_lo_s,
+           n AS n_risk, d AS n_deaths, c AS n_censored,
+           CASE WHEN zf IS NOT NULL AND b >= zf THEN 0.0
+                ELSE floor(exp(lncum) * 1e6 + 0.5) / 1e6
+           END AS survival,
+           nb AS n_buckets
+    FROM fin
+    """,
+)
+def event_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user survival over events at hourly lifetime
+    buckets, watermark-censored (deferred — pytest-mirrored):
+    operators/funnel.survival_curve — what fraction of users are
+    still active after k hours, without the churned-at-the-edge
+    bias."""
+    from ..operators.funnel import survival_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", event_seconds(ev).alias("t"))
+    return survival_curve(e, "user_id", "t", 3600)

@@ -1383,3 +1383,70 @@ def test_inter_event_profile_hand_computed_and_guard(spark):
         ).count()
         == 4
     )
+
+
+def test_survival_curve_hand_computed_and_guards(spark):
+    """survival_curve (r14): hand-computed KM with one censored
+    watermark user (S = .8, .6, .2, .2 — censoring holds the curve
+    where a naive retention table would drop it to 0); all-die last
+    bucket -> exact 0.0 (branched, never ln(0)); censor margin widens
+    the censored set; bucket-count in-path refusal (lazy at plan
+    build); bucket_s validation."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.funnel import (
+        survival_curve,
+    )
+
+    rows = [
+        (1, 0), (1, 5),      # lifetime 5  -> b0, dies
+        (2, 0), (2, 15),     # b1, dies
+        (3, 0), (3, 25),     # b2, dies
+        (4, 0), (4, 29),     # b2, dies
+        (5, 0), (5, 35),     # b3, last == watermark -> censored
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long")
+    out = {r.bucket: r for r in survival_curve(df, "user_id", "t", 10).collect()}
+    assert [(out[b].n_risk, out[b].n_deaths, out[b].n_censored)
+            for b in (0, 1, 2, 3)] == [(5, 1, 0), (4, 1, 0), (3, 2, 0),
+                                       (1, 0, 1)]
+    assert [out[b].survival for b in (0, 1, 2, 3)] == [0.8, 0.6, 0.2, 0.2]
+    assert out[1].t_lo_s == 10
+    # everyone dies in the last bucket: exact 0.0, not ln(0) trouble
+    dies = spark.createDataFrame(
+        [(1, 0), (1, 5), (2, 0), (2, 6), (3, 0), (3, 25)],
+        "user_id long, t long",
+    )
+    # watermark user 3 censored... force margin negative-free: margin 0
+    # censors only user 3; users 1,2 die in b0; b2 has the censored one
+    o = {r.bucket: r for r in survival_curve(dies, "user_id", "t", 10).collect()}
+    assert o[0].survival == math_floor6(1 - 2 / 3)
+    # a NEGATIVE margin disables censoring entirely: the last bucket's
+    # whole risk set dies -> survival is branched to an exact 0.0
+    z = {
+        r.bucket: r
+        for r in survival_curve(
+            dies, "user_id", "t", 10, censor_margin_s=-1
+        ).collect()
+    }
+    assert (z[2].n_deaths, z[2].n_risk, z[2].survival) == (1, 1, 0.0)
+    assert z[0].survival == math_floor6(1 / 3)
+    # margin widens censoring: margin 30 censors everyone -> no deaths
+    allc = survival_curve(df, "user_id", "t", 10, censor_margin_s=100)
+    assert all(r.n_deaths == 0 and r.survival == 1.0 for r in allc.collect())
+    # counted in-path refusal, lazy at plan build
+    sc = spark.sparkContext
+    sc.setJobGroup("km-lazy", "plan build")
+    plan = survival_curve(df, "user_id", "t", 10, max_buckets=2)
+    assert sc.statusTracker().getJobIdsForGroup("km-lazy") == []
+    sc.setJobGroup("", "")
+    with _pt.raises(Exception, match="max_buckets=2"):
+        plan.collect()
+    with _pt.raises(ValueError, match="bucket_s"):
+        survival_curve(df, "user_id", "t", 0)
+
+
+def math_floor6(v):
+    import math
+
+    return math.floor(v * 1e6 + 0.5) / 1e6
