@@ -560,6 +560,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="epoch-seconds watermark (default: derived "
                     "from the data's own max)")
 
+    sp = sub.add_parser("survival")
+    sp.add_argument("--input", required=True, help="events parquet")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--user-col", default="user_id")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--bucket-s", type=int, required=True,
+                    help="lifetime bucket width, seconds")
+    sp.add_argument("--censor-margin-s", type=int, default=0,
+                    help="censor users whose last event is within "
+                    "this margin of the watermark (negative: no "
+                    "censoring)")
+
     sp = sub.add_parser("sample-stratified")
     common(sp)
     sp.add_argument("--k", type=int, required=True,
@@ -1349,6 +1361,24 @@ def _result(
         )
         e = tbl.select(*args.key, ts_expr.alias("_t"))
         return freshness_report(e, args.key, "_t", as_of=args.as_of)
+    if args.command == "survival":
+        from pyspark.sql import functions as _F
+
+        from .operators.funnel import survival_curve
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tbl = spark.read.parquet(args.input)
+        ts_dtype = dict(tbl.dtypes).get(args.ts_col, "")
+        ts_expr = (
+            _F.col(args.ts_col).cast("timestamp").cast("long")
+            if ts_dtype.startswith("timestamp")
+            else _F.col(args.ts_col).cast("long")
+        )
+        e = tbl.select(_F.col(args.user_col), ts_expr.alias("_t"))
+        return survival_curve(
+            e, args.user_col, "_t", args.bucket_s,
+            censor_margin_s=args.censor_margin_s,
+        )
     if args.command == "sample-stratified":
         from .operators.text import sample_stratified
 

@@ -1282,3 +1282,22 @@ def test_cli_sample_stratified(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "strat")).collect()
     assert len(got) == 10
     assert {r.source for r in got} == {"s0", "s1"}
+
+
+def test_cli_survival(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    ev = str(tmp_path / "sev")
+    spark.createDataFrame(
+        [(1, 0), (1, 5), (2, 0), (2, 15), (3, 0), (3, 35)],
+        "user_id long, ts long",
+    ).write.parquet(ev)
+    args = corpus_cli.build_parser().parse_args(
+        ["survival", "--input", ev, "--bucket-s", "10",
+         "--out", str(tmp_path / "km")]
+    )
+    corpus_cli.run(args, spark)
+    got = {r.bucket: r for r in
+           spark.read.parquet(str(tmp_path / "km")).collect()}
+    assert got[0].n_risk == 3 and got[0].n_deaths == 1
+    assert got[3].n_censored == 1
