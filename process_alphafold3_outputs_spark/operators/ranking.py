@@ -469,7 +469,17 @@ def calibration_summary(
 
     Empty input reports n = 0 with NULL stats. Same single-scan
     ≤ n_bins-group shape as the report."""
-    agg = _calibration_binned(df, score_col, label_col, n_bins)
+    return _calibration_finish(
+        _calibration_binned(df, score_col, label_col, n_bins), n_bins
+    )
+
+
+def _calibration_finish(agg: DataFrame, n_bins: int) -> DataFrame:
+    """Summary finish over a per-bin (_bin, _n, _pos, _sfp, _bnum)
+    aggregate — the batch kernel and the streaming watcher
+    (:func:`~..streaming.ingest.watch_calibration`) both end here, and
+    every bin quantity is a pure sum, so stream == batch is exact by
+    construction."""
     diff = F.abs(
         F.col("_pos") * F.lit(1000000) - F.col("_sfp")
     )

@@ -2256,3 +2256,89 @@ def _freshness_process_batch(
     _write_epoch_output(
         _freshness_finish(merged, keys, as_of), out_path, epoch_id
     )
+
+
+def watch_calibration(
+    spark: SparkSession,
+    inbox_dir: str,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming classifier-calibration monitor (the 27th watcher):
+    every micro-batch folds its per-bin (n, positives, fixed-point
+    score sum, Brier numerator) into the versioned state and emits
+    the cumulative reliability table + ECE/MCE/Brier — "is the
+    quality classifier still calibrated, as of this drop" (a model
+    rollout that skews scores shows up here before any gate sized on
+    them silently over/under-filters). Every state quantity is a pure
+    SUM over ≤ n_bins rows, so stream == batch-over-whole-history is
+    EXACT with no arrival-order caveat — pinned in pytest alongside
+    crash replay. The bin count is frozen into the state schema row
+    set; out-of-domain scores/labels kill the micro-batch loudly via
+    the batch kernel's own in-path guards."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1 (got {n_bins})")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _calibration_process_batch(
+            batch_df, epoch_id, state_path, out_path, score_col,
+            label_col, n_bins,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _calibration_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int,
+) -> None:
+    """One calibration micro-batch (module-level for unit tests).
+    State rows: (_bin long, _n long, _pos long, _sfp long,
+    _bnum decimal(38,0)) — the batch kernel's own bin aggregate."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.ranking import _calibration_binned, _calibration_finish
+
+    ss = batch_df.sparkSession
+    state_schema = (
+        "_bin long, _n long, _pos long, _sfp long, _bnum decimal(38,0)"
+    )
+    prev = read_state(ss, state_path, state_schema, before_epoch=epoch_id)
+    batch_bins = _calibration_binned(
+        batch_df, score_col, label_col, n_bins
+    )
+    merged = (
+        prev.unionByName(batch_bins)
+        .groupBy("_bin")
+        .agg(
+            SF.sum("_n").cast("long").alias("_n"),
+            SF.sum("_pos").cast("long").alias("_pos"),
+            SF.sum("_sfp").cast("long").alias("_sfp"),
+            SF.sum("_bnum").cast("decimal(38,0)").alias("_bnum"),
+        )
+    )
+    merged = merged.localCheckpoint()
+    roll_state(merged, state_path, epoch_id)
+    _write_epoch_output(
+        _calibration_finish(merged, n_bins), out_path, epoch_id
+    )

@@ -255,3 +255,53 @@ def test_calibration_hand_computed_and_edges(spark):
     empty = spark.createDataFrame([], "score double, y long")
     s = calibration_summary(empty, "score", "y").collect()[0]
     assert (s.n, s.n_occupied, s.ece, s.brier) == (0, 0, None, None)
+
+
+def test_watch_calibration_stream_equals_batch_and_replays(spark, tmp_path):
+    """Two epochs through the 27th watcher == the batch
+    calibration_summary over the union (EXACT — every bin quantity is
+    a pure sum over <= n_bins rows), and a crash-replayed epoch is
+    idempotent."""
+    import os
+
+    from process_alphafold3_outputs_spark.operators.ranking import (
+        calibration_summary,
+    )
+    from process_alphafold3_outputs_spark.streaming.ingest import (
+        _calibration_process_batch,
+        watch_calibration,
+    )
+
+    schema = "score double, y long"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "cal")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    e0 = [(0.95, 1), (0.95, 0), (0.05, 0), (0.5, 1)]
+    e1 = [(0.95, 1), (0.5, 0), (0.05, 0), (0.05, 1), (0.75, 1)]
+    spark.createDataFrame(e0, schema).coalesce(1).write.mode(
+        "append").parquet(inbox)
+    q = watch_calibration(
+        spark, inbox, out, state, ckpt, schema, "score", "y")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(e1, schema).coalesce(1).write.mode(
+            "append").parquet(inbox)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def row(path):
+        r = spark.read.parquet(path).collect()
+        assert len(r) == 1
+        return (r[0].n, r[0].n_occupied, r[0].ece, r[0].mce, r[0].brier)
+
+    union = spark.createDataFrame(e0 + e1, schema)
+    want = calibration_summary(union, "score", "y").collect()[0]
+    want_t = (want.n, want.n_occupied, want.ece, want.mce, want.brier)
+    assert row(os.path.join(out, "epoch_id=1")) == want_t
+    # crash replay of epoch 1: identical output (reads pre-epoch state)
+    _calibration_process_batch(
+        spark.createDataFrame(e1, schema), 1, state, out, "score",
+        "y", 10)
+    assert row(os.path.join(out, "epoch_id=1")) == want_t
