@@ -707,6 +707,11 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "profile_theils_u",      # directional uncertainty coefficient
+                             # (new r14); entropy machinery shared
+                             # with the mirror-green
+                             # profile_mutual_info row (deferred:
+                             # headroom)
     "event_survival",        # Kaplan-Meier churn curve (new r14);
                              # user min/max rollup + bucket-grain
                              # windows — mechanics evidenced by the

@@ -158,6 +158,10 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "profile_theils_u": "profile_top_values (the benched label-agg "
+                        "family, same rep as the MI kernel — "
+                        "identical entropy staging, two more "
+                        "divisions)",
     "event_survival": "dedup_exact (the benched corpus-collapse "
                       "hash-agg; the KM passes run on the "
                       "bucket-grain table only)",

@@ -723,6 +723,35 @@ def mutual_information(
     table instead of each re-running the corpus groupBy — the raw
     input is scanned exactly ONCE; False keeps the plan fully lazy at
     the price of three scans."""
+    staged = _entropy_sums(df, col_a, col_b, checkpoint_joint)
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    nd = F.col("_n").cast("double")
+    h_a = F.log(nd) - F.col("_sa") / nd
+    h_b = F.log(nd) - F.col("_sb") / nd
+    h_ab = F.log(nd) - F.col("_sab") / nd
+    mi = h_a + h_b - h_ab
+    nmi = mi / ((h_a + h_b) / F.lit(2.0))
+    return staged.select(
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n"),
+        F.when(F.col("_n") > 0, r6(h_a)).alias("h_a"),
+        F.when(F.col("_n") > 0, r6(h_b)).alias("h_b"),
+        F.when(F.col("_n") > 0, r6(h_ab)).alias("h_ab"),
+        F.when(F.col("_n") > 0, r6(mi)).alias("mi"),
+        F.when(
+            (F.col("_n") > 0) & ((h_a + h_b) > 0), r6(nmi)
+        ).alias("nmi"),
+    )
+
+
+def _entropy_sums(
+    df: DataFrame, col_a: str, col_b: str, checkpoint_joint: bool
+) -> DataFrame:
+    """Shared entropy-sum staging for :func:`mutual_information` and
+    :func:`theils_u`: ONE row (_n, _sab, _sa, _sb) where each _s* is
+    Σ c·ln(c) over the joint / a-margin / b-margin exact counts
+    (NULL keyed as the collision-proof (is_null, value) pair)."""
     ab = df.select(
         F.col(col_a).cast("string").isNull().alias("_an"),
         F.coalesce(F.col(col_a).cast("string"), F.lit("")).alias("_av"),
@@ -743,18 +772,52 @@ def mutual_information(
         joint.groupBy("_an", "_av")
         .agg(F.sum("_c").alias("_ca"))
         .agg(
-            F.sum(F.col("_ca").cast("double") * F.log(F.col("_ca").cast("double")))
-            .alias("_sa")
+            F.sum(
+                F.col("_ca").cast("double")
+                * F.log(F.col("_ca").cast("double"))
+            ).alias("_sa")
         )
     )
     s_b = (
         joint.groupBy("_bn", "_bv")
         .agg(F.sum("_c").alias("_cb"))
         .agg(
-            F.sum(F.col("_cb").cast("double") * F.log(F.col("_cb").cast("double")))
-            .alias("_sb")
+            F.sum(
+                F.col("_cb").cast("double")
+                * F.log(F.col("_cb").cast("double"))
+            ).alias("_sb")
         )
     )
+    return s_ab.crossJoin(s_a).crossJoin(s_b)
+
+
+def theils_u(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    checkpoint_joint: bool = True,
+) -> DataFrame:
+    """One row (n, h_a, h_b, mi, u_a_given_b, u_b_given_a) — Theil's
+    uncertainty coefficient, the DIRECTIONAL member of the dependency
+    trio (:func:`candidate_keys` exact FD → :func:`mutual_information`
+    symmetric strength → :func:`cramers_v` symmetric effect size):
+    ``U(a|b) = MI/H(a)`` is the fraction of a's entropy explained by
+    b, and it is NOT symmetric — "source determines lang almost
+    fully, lang barely narrows source" is exactly what the symmetric
+    scores hide. U is NULL for a constant target column (H = 0 —
+    nothing to predict); NULL is a category (the profiling
+    convention, identical keying to MI).
+
+    Exactness: the MI entropy discipline verbatim — exact int64
+    counts, ln-then-round-6 (term-order drift ~1e−16·categories, five
+    orders under the threshold), each U one extra fixed-order
+    division on the UNROUNDED values.
+
+    Scale shape: identical to :func:`mutual_information` — ONE
+    groupBy(a, b) shuffle, category-sized margins, the same
+    ``checkpoint_joint`` localCheckpoint trade (False = fully lazy,
+    three scans)."""
+    staged = _entropy_sums(df, col_a, col_b, checkpoint_joint)
     r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
         F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     )
@@ -763,20 +826,14 @@ def mutual_information(
     h_b = F.log(nd) - F.col("_sb") / nd
     h_ab = F.log(nd) - F.col("_sab") / nd
     mi = h_a + h_b - h_ab
-    nmi = mi / ((h_a + h_b) / F.lit(2.0))
-    return (
-        s_ab.crossJoin(s_a)
-        .crossJoin(s_b)
-        .select(
-            F.coalesce(F.col("_n"), F.lit(0)).alias("n"),
-            F.when(F.col("_n") > 0, r6(h_a)).alias("h_a"),
-            F.when(F.col("_n") > 0, r6(h_b)).alias("h_b"),
-            F.when(F.col("_n") > 0, r6(h_ab)).alias("h_ab"),
-            F.when(F.col("_n") > 0, r6(mi)).alias("mi"),
-            F.when(
-                (F.col("_n") > 0) & ((h_a + h_b) > 0), r6(nmi)
-            ).alias("nmi"),
-        )
+    live = F.col("_n") > 0
+    return staged.select(
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n"),
+        F.when(live, r6(h_a)).alias("h_a"),
+        F.when(live, r6(h_b)).alias("h_b"),
+        F.when(live, r6(mi)).alias("mi"),
+        F.when(live & (h_a > 0), r6(mi / h_a)).alias("u_a_given_b"),
+        F.when(live & (h_b > 0), r6(mi / h_b)).alias("u_b_given_a"),
     )
 
 

@@ -10390,3 +10390,58 @@ def event_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("user_id", event_seconds(ev).alias("t"))
     return survival_curve(e, "user_id", "t", 3600)
+
+
+# --------------------------------------------------------------------------
+# Theil's U (NEW r14): the DIRECTIONAL dependency — U(a|b) = MI/H(a),
+# asymmetric where MI/V are symmetric. Same entropy CTEs as the MI
+# oracle plus two fixed-order divisions on the unrounded values.
+# --------------------------------------------------------------------------
+@register(
+    "profile_theils_u",
+    sql="""
+    WITH ab AS (
+        SELECT lang IS NULL AS an, coalesce(lang, '') AS av,
+               source IS NULL AS bn, coalesce(source, '') AS bv
+        FROM documents),
+    joint AS (SELECT an, av, bn, bv, CAST(count(*) AS BIGINT) AS c
+              FROM ab GROUP BY 1, 2, 3, 4),
+    sab AS (SELECT sum(c) AS n,
+                   sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+            FROM joint),
+    sa AS (SELECT sum(CAST(ca AS DOUBLE) * ln(CAST(ca AS DOUBLE))) AS s
+           FROM (SELECT an, av, sum(c) AS ca FROM joint GROUP BY 1, 2)),
+    sb AS (SELECT sum(CAST(cb AS DOUBLE) * ln(CAST(cb AS DOUBLE))) AS s
+           FROM (SELECT bn, bv, sum(c) AS cb FROM joint GROUP BY 1, 2)),
+    calc AS (
+        SELECT CAST(coalesce(sab.n, 0) AS BIGINT) AS n,
+               ln(CAST(sab.n AS DOUBLE)) - sa.s / CAST(sab.n AS DOUBLE)
+                   AS h_a,
+               ln(CAST(sab.n AS DOUBLE)) - sb.s / CAST(sab.n AS DOUBLE)
+                   AS h_b,
+               ln(CAST(sab.n AS DOUBLE)) - sab.s / CAST(sab.n AS DOUBLE)
+                   AS h_ab
+        FROM sab, sa, sb)
+    SELECT n,
+           CASE WHEN n > 0 THEN floor(h_a * 1e6 + 0.5) / 1e6 END AS h_a,
+           CASE WHEN n > 0 THEN floor(h_b * 1e6 + 0.5) / 1e6 END AS h_b,
+           CASE WHEN n > 0 THEN
+               floor((h_a + h_b - h_ab) * 1e6 + 0.5) / 1e6 END AS mi,
+           CASE WHEN n > 0 AND h_a > 0 THEN
+               floor(((h_a + h_b - h_ab) / h_a) * 1e6 + 0.5) / 1e6
+           END AS u_a_given_b,
+           CASE WHEN n > 0 AND h_b > 0 THEN
+               floor(((h_a + h_b - h_ab) / h_b) * 1e6 + 0.5) / 1e6
+           END AS u_b_given_a
+    FROM calc
+    """,
+)
+def profile_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U of (lang | source) and (source | lang) over documents
+    (deferred — pytest-mirrored): operators/profiling.theils_u — the
+    asymmetry the symmetric MI/V scores hide."""
+    from ..operators.profiling import theils_u
+
+    return theils_u(
+        load_table(spark, sf_dir, "documents"), "lang", "source"
+    )

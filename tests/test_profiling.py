@@ -1053,3 +1053,43 @@ def test_cramers_v_reference_and_edges(spark):
     _ = cramers_v(df, "a", "b", checkpoint_joint=False)
     assert sc.statusTracker().getJobIdsForGroup("cv-lazy") == []
     sc.setJobGroup("", "")
+
+
+def test_theils_u_directionality_and_edges(spark):
+    """Theil's U (r14): b = f(a) with a finer than b -> U(b|a) = 1.0
+    while U(a|b) < 1 (the asymmetry MI/V hide); independence -> both
+    ~0; constant target -> NULL U for that direction; MI machinery
+    unchanged (mutual_information still agrees on shared columns)."""
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        mutual_information,
+        theils_u,
+    )
+
+    # a has 4 levels, b = a mod 2: a fully determines b (U(b|a)=1),
+    # b only halves a's uncertainty (U(a|b)<1)
+    rows = [(str(i % 4), str(i % 2)) for i in range(32)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = theils_u(df, "a", "b").collect()[0]
+    assert r.u_b_given_a == 1.0
+    assert r.u_a_given_b is not None and r.u_a_given_b < 1.0
+    assert r.u_a_given_b == 0.5  # H(a)=2ln2, MI=H(b)=ln2... in nats: MI/H(a)=1/2
+    # agrees with mutual_information's h_a/mi on the same input
+    m = mutual_information(df, "a", "b").collect()[0]
+    assert (r.h_a, r.h_b, r.mi) == (m.h_a, m.h_b, m.mi)
+    # independence: both U ~ 0
+    ind = spark.createDataFrame(
+        [(str(i % 2), str((i // 2) % 2)) for i in range(32)],
+        "a string, b string",
+    )
+    r = theils_u(ind, "a", "b").collect()[0]
+    assert r.u_a_given_b == 0.0 and r.u_b_given_a == 0.0
+    # constant target: H = 0 -> NULL in that direction only
+    con = spark.createDataFrame(
+        [("x", str(i % 2)) for i in range(8)], "a string, b string"
+    )
+    r = theils_u(con, "a", "b").collect()[0]
+    assert r.u_a_given_b is None and r.u_b_given_a == 0.0
+    # empty input
+    e = spark.createDataFrame([], "a string, b string")
+    r = theils_u(e, "a", "b").collect()[0]
+    assert (r.n, r.u_a_given_b, r.u_b_given_a) == (0, None, None)
