@@ -707,6 +707,11 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "quality_benford",       # Benford first-digit audit (new r14);
+                             # string-extracted digit + 9-group count
+                             # — projection/agg mechanics evidenced by
+                             # the driver-green quality_expectations
+                             # row (deferred: headroom)
     "profile_theils_u",      # directional uncertainty coefficient
                              # (new r14); entropy machinery shared
                              # with the mirror-green

@@ -158,6 +158,9 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "quality_benford": "quality_expectations (the benched one-scan "
+                       "fused-agg family; the audit is a 9-group "
+                       "map-side count with broadcast singletons)",
     "profile_theils_u": "profile_top_values (the benched label-agg "
                         "family, same rep as the MI kernel — "
                         "identical entropy staging, two more "

@@ -1073,3 +1073,66 @@ def concentration(
             ),
         ).alias("gini"),
     )
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit of an INTEGER column: one row
+    per digit 1..9 (dense — a missing digit is a finding, not a
+    missing row) with (digit, n, observed_p, expected_p), where
+    ``expected_p = log10(1 + 1/d)``. Naturally-grown size/count/
+    amount columns follow Benford; fabricated, truncated, or
+    unit-capped ones don't — the classic fraud/data-corruption screen
+    next to :func:`profile_histogram` ("did someone synthesize these
+    invoice amounts / token counts"). NULLs and zeros are excluded
+    (zero has no first significant digit, the standard convention);
+    negatives audit by magnitude.
+
+    The column is cast to int64 and the digit read from its DECIMAL
+    STRING — never via log10/pow extraction, whose floor at exact
+    powers of ten (log10(1000) → 2.9999...) flips the digit
+    cross-engine. Floats must be scaled/floored upstream (a double's
+    string form is NOT cross-engine-stable; the integer contract is
+    the deterministic one).
+
+    Exactness: digit counts exact int64; observed_p one fixed-order
+    division; expected_p one log10 + the 6-dp floor round (the
+    ln-under-round-6 discipline).
+
+    Scale shape: one projection + a 9-group map-side count; the
+    9-row spine and the total join as broadcast singletons."""
+    xl = F.col(col).cast("long")
+    d = (
+        df.filter(xl.isNotNull() & (xl != 0))
+        .select(
+            F.substring(F.abs(xl).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tot = d.agg(F.sum("_n").alias("_t"))
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit")
+    )
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    return (
+        spine.join(F.broadcast(d), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n.cast("long").alias("n"),
+            F.when(
+                F.col("_t") > 0,
+                r6(n.cast("double") / F.col("_t").cast("double")),
+            ).alias("observed_p"),
+            r6(
+                F.log10(
+                    F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+                )
+            ).alias("expected_p"),
+        )
+    )

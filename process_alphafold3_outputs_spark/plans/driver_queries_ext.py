@@ -10445,3 +10445,44 @@ def profile_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theils_u(
         load_table(spark, sf_dir, "documents"), "lang", "source"
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (NEW r14): digit read from the int64
+# DECIMAL STRING (never log10/pow extraction — its floor flips at
+# exact powers of ten cross-engine); dense 1..9 spine.
+# --------------------------------------------------------------------------
+@register(
+    "quality_benford",
+    sql="""
+    WITH v AS (SELECT abs(CAST(n_chars AS BIGINT)) AS x
+               FROM documents
+               WHERE n_chars IS NOT NULL
+                 AND CAST(n_chars AS BIGINT) <> 0),
+    d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit
+          FROM v),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+    spine AS (SELECT unnest(generate_series(1, 9)) AS digit)
+    SELECT CAST(s.digit AS BIGINT) AS digit,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           CASE WHEN t > 0 THEN
+               floor((CAST(coalesce(c.n, 0) AS DOUBLE)
+                      / CAST(t AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS observed_p,
+           floor(log10(1.0 + 1.0 / CAST(s.digit AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS expected_p
+    FROM spine s LEFT JOIN c ON s.digit = c.digit, tot
+    """,
+)
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of n_chars over documents (deferred
+    — pytest-mirrored): operators/profiling.benford_audit — does the
+    size distribution look grown or fabricated."""
+    from ..operators.profiling import benford_audit
+
+    return benford_audit(
+        load_table(spark, sf_dir, "documents"), "n_chars"
+    )

@@ -1093,3 +1093,32 @@ def test_theils_u_directionality_and_edges(spark):
     e = spark.createDataFrame([], "a string, b string")
     r = theils_u(e, "a", "b").collect()[0]
     assert (r.n, r.u_a_given_b, r.u_b_given_a) == (0, None, None)
+
+
+def test_benford_audit_hand_computed(spark):
+    """Benford audit (r14): hand-built digit multiset (incl. a
+    negative and values at exact powers of ten — the log10-extraction
+    trap the string path avoids), dense 1..9 spine with zero rows,
+    zeros/NULLs excluded, expected_p = r6(log10(1 + 1/d))."""
+    import math
+
+    from process_alphafold3_outputs_spark.operators.profiling import (
+        benford_audit,
+    )
+
+    # digits: 1 x4 (1, 1000, -150, 19), 2 x1 (25), 9 x1 (9000); 0s and
+    # NULLs dropped
+    vals = [1, 1000, -150, 19, 25, 9000, 0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert sorted(out) == list(range(1, 10))  # dense spine
+    assert (out[1].n, out[2].n, out[9].n) == (4, 1, 1)
+    assert out[3].n == 0 and out[3].observed_p == 0.0
+    r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert out[1].observed_p == r6(4 / 6)
+    for d in range(1, 10):
+        assert out[d].expected_p == r6(math.log10(1 + 1 / d)), d
+    # all-NULL/zero input: spine present, total 0, observed NULL
+    z = spark.createDataFrame([(0,), (None,)], "x long")
+    rz = {r.digit: r for r in benford_audit(z, "x").collect()}
+    assert len(rz) == 9 and rz[1].n == 0 and rz[1].observed_p is None
