@@ -560,6 +560,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="epoch-seconds watermark (default: derived "
                     "from the data's own max)")
 
+    sp = sub.add_parser("theils-u")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table with two categorical columns")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--col-a", required=True)
+    sp.add_argument("--col-b", required=True)
+
+    sp = sub.add_parser("benford")
+    sp.add_argument("--input", required=True,
+                    help="any parquet table with an integer column")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--col", required=True)
+
     sp = sub.add_parser("survival")
     sp.add_argument("--input", required=True, help="events parquet")
     sp.add_argument("--out", required=True)
@@ -1361,6 +1374,16 @@ def _result(
         )
         e = tbl.select(*args.key, ts_expr.alias("_t"))
         return freshness_report(e, args.key, "_t", as_of=args.as_of)
+    if args.command == "theils-u":
+        from .operators.profiling import theils_u
+
+        return theils_u(
+            spark.read.parquet(args.input), args.col_a, args.col_b
+        )
+    if args.command == "benford":
+        from .operators.profiling import benford_audit
+
+        return benford_audit(spark.read.parquet(args.input), args.col)
     if args.command == "survival":
         from pyspark.sql import functions as _F
 

@@ -1301,3 +1301,32 @@ def test_cli_survival(spark, tmp_path):
            spark.read.parquet(str(tmp_path / "km")).collect()}
     assert got[0].n_risk == 3 and got[0].n_deaths == 1
     assert got[3].n_censored == 1
+
+
+def test_cli_theils_u_and_benford(spark, tmp_path):
+    from process_alphafold3_outputs_spark import corpus_cli
+
+    def run_cmd(argv, out):
+        args = corpus_cli.build_parser().parse_args(
+            argv + ["--out", str(tmp_path / out)]
+        )
+        corpus_cli.run(args, spark)
+        return spark.read.parquet(str(tmp_path / out)).collect()
+
+    lab = str(tmp_path / "tu")
+    spark.createDataFrame(
+        [(str(i % 4), str(i % 2)) for i in range(16)],
+        "a string, b string",
+    ).write.parquet(lab)
+    tu = run_cmd(
+        ["theils-u", "--input", lab, "--col-a", "a", "--col-b", "b"],
+        "tuo")
+    assert (tu[0].u_b_given_a, tu[0].u_a_given_b) == (1.0, 0.5)
+
+    nums = str(tmp_path / "bf")
+    spark.createDataFrame(
+        [(v,) for v in (1, 12, 19, 25, 900, 0)], "x long"
+    ).write.parquet(nums)
+    bf = {r.digit: r.n for r in run_cmd(
+        ["benford", "--input", nums, "--col", "x"], "bfo")}
+    assert bf[1] == 3 and bf[2] == 1 and bf[9] == 1 and bf[3] == 0
