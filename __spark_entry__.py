@@ -707,6 +707,15 @@ _DEFERRED: set[str] = {
                              # agg+broadcast mechanics evidenced by
                              # green tumbling/semi_join rows (deferred:
                              # headroom)
+    "event_period_over_period",  # DoD/WoW bucket-arithmetic deltas
+                             # (new r14); grain self equi-join —
+                             # mechanics evidenced by the driver-green
+                             # event_gapfill bucket-grain row
+                             # (deferred: headroom)
+    "dedup_rate_by_source",  # per-source duplication health (new
+                             # r14); (group, hash) rollup — hash-agg
+                             # mechanics evidenced by the driver-green
+                             # dedup_exact row (deferred: headroom)
     "quality_benford",       # Benford first-digit audit (new r14);
                              # string-extracted digit + 9-group count
                              # — projection/agg mechanics evidenced by

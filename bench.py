@@ -158,6 +158,12 @@ BENCH_DEFERRED = {
                             "one-scan fused agg family; the panel "
                             "stats run on item-/category-keyed "
                             "rollups of one ratings groupBy)",
+    "event_period_over_period": "event_gapfill (the benched "
+                                "bucket-grain representative; PoP "
+                                "adds a grain-sized self equi-join)",
+    "dedup_rate_by_source": "dedup_exact (the benched corpus-collapse "
+                            "hash-agg; the health stats aggregate "
+                            "the (group, hash) rollup only)",
     "quality_benford": "quality_expectations (the benched one-scan "
                        "fused-agg family; the audit is a 9-group "
                        "map-side count with broadcast singletons)",

@@ -2574,3 +2574,75 @@ def cluster_split(
             .alias("split"),
         )
     )
+
+
+def dup_rate_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group duplication health: (group, n_docs, n_unique,
+    n_dups, dup_rate, cross_group_unique) — WHERE the duplication
+    lives before any dedup pass runs ("the forum mirror is 40%
+    self-copies; the wiki dump is clean but 90% of its texts also
+    exist elsewhere"). ``n_unique`` counts distinct canonical text
+    hashes inside the group; ``n_dups = n_docs − n_unique`` (exact
+    self-duplication mass); ``cross_group_unique`` counts the group's
+    hashes that appear in NO other group — the group's actually-novel
+    contribution (n_unique minus it = overlap with the rest of the
+    corpus). Uses the :func:`normalized` canonical form all dedup
+    families hash.
+
+    Exactness: pure int64 counts + one fixed-order dup_rate division
+    and the 6-dp floor round.
+
+    Scale shape: ONE (group, hash) aggregation collapses the corpus
+    (map-side combine); the cross-group pass aggregates the
+    hash-keyed rollup of THAT table (distinct-hash-sized) — never a
+    doc-grain join."""
+    gh = (
+        normalized(docs, text_col)
+        .groupBy(
+            F.col(group_col).alias("_g"), F.md5("_norm").alias("_h")
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
+    per_group = gh.groupBy("_g").agg(
+        F.sum("_c").alias("_n_docs"),
+        F.count(F.lit(1)).alias("_n_unique"),
+    )
+    # hashes owned by exactly one group, attributed to that group
+    solo = (
+        gh.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.min("_g").alias("_owner"),
+        )
+        .filter(F.col("_ng") == 1)
+        .groupBy(F.col("_owner").alias("_sg"))
+        .agg(F.count(F.lit(1)).alias("_solo"))
+    )
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    dups = F.col("_n_docs") - F.col("_n_unique")
+    return (
+        per_group.join(solo, F.col("_g") == F.col("_sg"), "left")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n_docs").cast("long").alias("n_docs"),
+            F.col("_n_unique").cast("long").alias("n_unique"),
+            dups.cast("long").alias("n_dups"),
+            F.when(
+                F.col("_n_docs") > 0,
+                r6(
+                    dups.cast("double")
+                    / F.col("_n_docs").cast("double")
+                ),
+            ).alias("dup_rate"),
+            F.coalesce(F.col("_solo"), F.lit(0)).cast("long").alias(
+                "cross_group_unique"
+            ),
+        )
+    )

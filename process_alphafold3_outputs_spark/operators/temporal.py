@@ -1190,3 +1190,79 @@ def freshness_report(
         )
     )
     return _freshness_finish(roll, key_cols, as_of)
+
+
+def period_over_period(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_sec_col: str,
+    width: int,
+    lag_periods: int = 1,
+) -> DataFrame:
+    """Per-key period-over-period volume deltas: one row per occupied
+    (key, bucket) — (keys..., x, t_lo_s, y, y_prev, delta,
+    pct_change) — the WoW/DoD table every BI layer reports ("is this
+    source's volume 30% down vs last week"). ``y_prev`` is the count
+    of bucket ``x − lag_periods`` EXACTLY (an equi-join on the bucket
+    arithmetic, NOT a window lag — a window's lag() reads the previous
+    OCCUPIED bucket, which silently compares Monday to last Friday
+    across a gap); an absent comparison bucket yields NULL
+    prev/delta/pct (no baseline, not a 0 — a zero baseline is a
+    different finding than a missing one).
+
+    Exactness: counts and deltas exact int64; ``pct_change`` is ONE
+    fixed-order division + the 6-dp floor round, NULL when the
+    baseline is 0 (a ratio against nothing).
+
+    Scale shape: one bucket-grained aggregation collapses the stream,
+    then a keyed self equi-join of the GRAIN table against itself
+    (fresh aliases on the shifted side — the self-derived-join rule);
+    both sides are grain-sized, the join key is (keys, bucket)."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1 (got {width})")
+    if lag_periods < 1:
+        raise ValueError(f"lag_periods must be >= 1 (got {lag_periods})")
+    t = F.col(ts_sec_col).cast("long")
+    keys = list(key_cols)
+    # floor bucket (negative-epoch safe, the corpus_cli trend rule)
+    grain = (
+        events.filter(t.isNotNull())
+        .select(*keys, t.alias("_t"))
+        .select(
+            *keys,
+            F.expr(
+                f"(_t - pmod(_t, {int(width)})) div {int(width)}"
+            ).alias("x"),
+        )
+        .groupBy(*keys, "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    prev = grain.select(
+        *[F.col(k).alias(f"_p_{k}") for k in keys],
+        (F.col("x") + F.lit(int(lag_periods))).alias("_px"),
+        F.col("y").alias("y_prev"),
+    )
+    cond = F.col("x") == F.col("_px")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_p_{k}"))
+    r6 = lambda c: (  # noqa: E731 — the cross-engine-exact floor round
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
+    delta = F.col("y") - F.col("y_prev")
+    return (
+        grain.join(prev, cond, "left")
+        .select(
+            *keys,
+            "x",
+            (F.col("x") * F.lit(int(width))).cast("long").alias(
+                "t_lo_s"
+            ),
+            "y",
+            F.col("y_prev").cast("long").alias("y_prev"),
+            delta.cast("long").alias("delta"),
+            F.when(
+                F.col("y_prev") > 0,
+                r6(delta.cast("double") / F.col("y_prev").cast("double")),
+            ).alias("pct_change"),
+        )
+    )

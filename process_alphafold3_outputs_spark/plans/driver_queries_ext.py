@@ -10486,3 +10486,81 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(
         load_table(spark, sf_dir, "documents"), "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# period-over-period deltas (NEW r14): bucket-arithmetic equi-join
+# (never a window lag across gaps), NULL baseline vs zero baseline
+# kept distinct, floor bucketing.
+# --------------------------------------------------------------------------
+@register(
+    "event_period_over_period",
+    sql="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t
+               FROM events),
+    grain AS (SELECT event_type, t // 3600 AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM e WHERE t IS NOT NULL GROUP BY 1, 2)
+    SELECT g.event_type, g.x, CAST(g.x * 3600 AS BIGINT) AS t_lo_s,
+           g.y, p.y AS y_prev,
+           g.y - p.y AS delta,
+           CASE WHEN p.y > 0 THEN
+               floor((CAST(g.y - p.y AS DOUBLE)
+                      / CAST(p.y AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS pct_change
+    FROM grain g LEFT JOIN grain p
+      ON p.event_type = g.event_type AND p.x = g.x - 24
+    """,
+)
+def event_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event volume vs the same hour one day earlier (lag 24
+    buckets), per event type (deferred — pytest-mirrored):
+    operators/temporal.period_over_period — the DoD delta table with
+    missing baselines NULL, not zero."""
+    from ..operators.temporal import period_over_period
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", event_seconds(ev).alias("t"))
+    return period_over_period(e, ["event_type"], "t", 3600, 24)
+
+
+# --------------------------------------------------------------------------
+# duplication health by source (NEW r14): where the duplication lives
+# — self-dup mass + the group's actually-novel hash count, all on
+# the (group, hash) rollup.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_rate_by_source",
+    sql="""
+    WITH gh AS (
+        SELECT source AS g,
+               md5(lower(regexp_replace(trim(coalesce(text, '')),
+                                        '\\s+', ' ', 'g'))) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+    per_group AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_docs,
+                         CAST(count(*) AS BIGINT) AS n_unique
+                  FROM gh GROUP BY 1),
+    solo AS (SELECT min(g) AS sg, CAST(count(*) AS BIGINT) AS ign
+             FROM gh GROUP BY h HAVING count(*) = 1),
+    solo_counts AS (SELECT sg, CAST(count(*) AS BIGINT) AS solo
+                    FROM solo GROUP BY 1)
+    SELECT p.g AS source, p.n_docs, p.n_unique,
+           p.n_docs - p.n_unique AS n_dups,
+           CASE WHEN p.n_docs > 0 THEN
+               floor((CAST(p.n_docs - p.n_unique AS DOUBLE)
+                      / CAST(p.n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS dup_rate,
+           CAST(coalesce(s.solo, 0) AS BIGINT) AS cross_group_unique
+    FROM per_group p LEFT JOIN solo_counts s ON p.g = s.sg
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication health over documents (deferred —
+    pytest-mirrored): operators/dedup.dup_rate_by_group — self-dup
+    mass and the source's actually-novel contribution before any
+    dedup pass runs."""
+    from ..operators.dedup import dup_rate_by_group
+
+    return dup_rate_by_group(load_table(spark, sf_dir, "documents"))

@@ -1970,3 +1970,27 @@ def test_cluster_split_no_leakage_and_matches_plain_split(spark):
     assert {s for _, s in out.values()} == {"train", "val"}
     with _pt.raises(ValueError, match="val_pct"):
         cluster_split(docs, pairs, val_pct=101)
+
+
+def test_dup_rate_by_group_hand_computed(spark):
+    """dup_rate_by_group (r14): self-dup mass vs cross-group novelty
+    — group A holds a dup pair and shares one text with B; the shared
+    text is unique WITHIN each group but novel to NEITHER."""
+    from process_alphafold3_outputs_spark.operators.dedup import (
+        dup_rate_by_group,
+    )
+
+    rows = [
+        (1, "A", "x x"), (2, "A", "x  x"),   # dup pair (normalized)
+        (3, "A", "shared"), (4, "B", "shared"),
+        (5, "A", "solo a"), (6, "B", "solo b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in dup_rate_by_group(df).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.n_docs, a.n_unique, a.n_dups) == (4, 3, 1)
+    assert a.dup_rate == 0.25
+    assert a.cross_group_unique == 2  # "x x" + "solo a"; "shared" is not novel
+    assert (b.n_docs, b.n_unique, b.n_dups, b.cross_group_unique) == (
+        2, 2, 0, 1
+    )

@@ -1450,3 +1450,40 @@ def math_floor6(v):
     import math
 
     return math.floor(v * 1e6 + 0.5) / 1e6
+
+
+def test_period_over_period_gap_correct(spark):
+    """period_over_period (r14): the baseline is bucket x−lag EXACTLY
+    — a gap yields NULL prev (a window lag would silently compare to
+    the previous OCCUPIED bucket); hand-computed deltas/pct; zero
+    baseline distinct from missing; negative-epoch floor bucketing."""
+    import pytest as _pt
+
+    from process_alphafold3_outputs_spark.operators.temporal import (
+        period_over_period,
+    )
+
+    # key a: buckets 0 (2 events), 1 (3), 3 (6) — bucket 2 is a gap
+    rows = ([("a", 5)] * 2 + [("a", 15)] * 3 + [("a", 35)] * 6
+            + [("b", 5)])
+    df = spark.createDataFrame(rows, "k string, t long")
+    out = {
+        (r.k, r.x): r
+        for r in period_over_period(df, ["k"], "t", 10).collect()
+    }
+    assert out[("a", 1)].y_prev == 2
+    assert out[("a", 1)].delta == 1
+    assert out[("a", 1)].pct_change == 0.5
+    # bucket 3's baseline is bucket 2 — a GAP -> NULL, not bucket 1
+    assert out[("a", 3)].y_prev is None
+    assert out[("a", 3)].pct_change is None
+    assert out[("a", 0)].y_prev is None  # no history
+    assert out[("b", 0)].y == 1
+    # negative epochs floor-bucket (pre-1970): -5 -> bucket -1
+    neg = spark.createDataFrame(
+        [("a", -5), ("a", 5)], "k string, t long"
+    )
+    o = {r.x: r for r in period_over_period(neg, ["k"], "t", 10).collect()}
+    assert set(o) == {-1, 0} and o[0].y_prev == 1
+    with _pt.raises(ValueError, match="lag_periods"):
+        period_over_period(df, ["k"], "t", 10, 0)
