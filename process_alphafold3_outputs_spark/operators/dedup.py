@@ -2147,31 +2147,35 @@ def candidate_quality(
     estimate; this measures pair COVERAGE).
 
     Both pair sets come from their inverted-index generators — no
-    all-pairs stage anywhere; the compare is two pair-keyed joins."""
+    all-pairs stage anywhere. All three counts fold out of ONE
+    full-outer join of the two (distinct-by-construction) pair sets,
+    so each corpus-heavy generator subtree appears exactly once in the
+    plan — the previous three-aggregate shape referenced each twice
+    (count + hit join), and Catalyst does not share non-identical
+    subplans, so the banding AND the PPJoin each ran twice."""
     cand = lsh_candidate_pairs(
         docs, n_bands, rows_per_band, shingle_k, text_col
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b", F.lit(1).alias("_c"))
     true = jaccard_pairs(
         docs, threshold=threshold, shingle_k=shingle_k, text_col=text_col
-    ).select("doc_a", "doc_b")
-    hit = cand.join(true, ["doc_a", "doc_b"], "left_semi")
-    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    nt = true.agg(F.count(F.lit(1)).alias("n_true"))
-    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
-        nc.crossJoin(nt)
-        .crossJoin(nh)
-        .select(
-            "n_candidates",
-            "n_true",
-            "n_hit",
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
-            ).alias("precision"),
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
-            ).alias("recall"),
-        )
+    ).select("doc_a", "doc_b", F.lit(1).alias("_t"))
+    j = cand.join(true, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(F.sum(F.col("_c") * F.col("_t")), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("recall"),
     )
 
 
@@ -2303,7 +2307,10 @@ def edit_distance_pairs(
     # branch), and the guard lives inside the _t projection every
     # downstream path reads — a standalone assert column would be
     # pruned as unused. No Spark job fires at plan-build time.
-    s = docs.filter(F.col(text_col).isNotNull()).select(
+    # spread first (local-mode only): segment/gram generation and the
+    # banded-DP verification are CPU-bound and must not inherit a
+    # one-task parquet scan.
+    s = spread(docs.filter(F.col(text_col).isNotNull()), id_col).select(
         F.col(id_col).alias("_id"),
         F.when(
             F.length(F.col(text_col)) >= F.lit(min_len), F.col(text_col)

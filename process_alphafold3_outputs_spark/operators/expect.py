@@ -80,7 +80,14 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
                 ).cast("long")
             )
         aggs.append(F.coalesce(v, F.lit(0)).cast("long").alias(f"_v{i}"))
-    row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    # spread (local-mode only): per-row regex/predicate evaluation —
+    # and the Expand a ``unique`` rule's distinct aggregate plans —
+    # run inside the scan stage, which on a single-row-group parquet
+    # file is one task. Keyless round-robin; the global aggregate is
+    # partitioning-invariant.
+    from .util import spread
+
+    row = spread(df).agg(F.count(F.lit(1)).alias("_n"), *aggs)
     reports = F.array(
         *[
             F.struct(

@@ -352,7 +352,13 @@ def candidate_keys(
             F.when(nonnull, F.struct(*[F.col(c) for c in combo]))
         )
 
-    agg = df.agg(
+    # spread (local-mode only): the Expand replicates every scanned row
+    # N-combos times INSIDE the scan stage — on a single-row-group
+    # parquet file that multiplication would run on one core. Keyless
+    # round-robin; the global aggregate is partitioning-invariant.
+    from .util import spread
+
+    agg = spread(df.select(*cols)).agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         *[
             distinct_expr(combo).cast("long").alias(f"_nd_{i}")

@@ -129,10 +129,20 @@ def cms_table(
     each partition to sketch size before the shuffle, so shuffle bytes
     are O(partitions · d·w), independent of data volume. Sketches from
     different shipments MERGE by cell-wise sum (:func:`merge_cms`) —
-    profile rollups never rescan history."""
-    rows = df.select(
+    profile rollups never rescan history.
+
+    The input is projected to the value column and ``spread`` (local-
+    mode only) BEFORE the ×d md5 explode: the hash work is the whole
+    cost of the build, and a single-row-group parquet scan would
+    otherwise run it on one core (keyless round-robin, not hash-by-
+    value — a heavy-hitter value must not pin its hashing to one
+    task). Counts are partitioning-invariant, so the result is
+    bit-identical."""
+    from .util import spread
+
+    rows = spread(df.select(F.col(value_col).cast("string").alias("_v"))).select(
         F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
-        F.col(value_col).cast("string").alias("_v"),
+        F.col("_v"),
     )
     return (
         rows.select(
@@ -353,7 +363,16 @@ def _hll_filled_registers(
         16,
         10,
     ).cast("long")
-    hashed = df.select(F.col(group_col).alias("g"), h.alias("_h"))
+    # spread (local-mode only): the per-row md5 is the whole build cost
+    # and a single-row-group parquet scan would run it on one core;
+    # keyless round-robin, not hash-by-value (a heavy-hitter value must
+    # not pin its hashing to one task). Register maxes are
+    # partitioning-invariant.
+    from .util import spread
+
+    hashed = spread(
+        df.select(F.col(group_col).alias("g"), F.col(value_col))
+    ).select("g", h.alias("_h"))
     rho = F.when(F.col("_w") == 0, F.lit(max_rho)).otherwise(
         F.lit(wbits) - F.length(F.bin("_w")) + 1
     )

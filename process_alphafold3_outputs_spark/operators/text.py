@@ -77,8 +77,11 @@ def language_id_col(norm: Column) -> Column:
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang) — see :func:`language_id_col`."""
-    d = normalized(docs, text_col)
+    """(doc_id, pred_lang) — see :func:`language_id_col`. ``spread``
+    first (local-mode only): the marker-scan over every token is CPU-
+    bound and a single-row-group parquet scan would run it on one
+    core."""
+    d = normalized(spread(docs, "doc_id"), text_col)
     return d.select("doc_id", language_id_col(F.col("_norm")).alias("pred_lang"))
 
 
@@ -135,8 +138,12 @@ def gopher_quality(
 
     Scale shape: one narrow projection over a split-once token array and
     a split-once line array — no shuffle, no UDF, embarrassingly
-    parallel; the filter itself is a downstream WHERE on ``keep``."""
-    d = normalized(docs, text_col).withColumn("_toks", F.split("_norm", " "))
+    parallel; the filter itself is a downstream WHERE on ``keep``.
+    ``spread`` first (local-mode only): the per-token rule evaluation
+    must not inherit a one-task parquet scan."""
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
     toks = F.col("_toks")
     n_words = F.size(toks).cast("long")
     mean_wl = (F.length("_norm") - n_words + 1) / n_words
@@ -204,8 +211,12 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     count is ``size − size(array_distinct)``, all JVM-side; no explode,
     no shuffle, embarrassingly parallel at any corpus size. Documents
     shorter than k words count as one gram (their full text), mirroring
-    the :func:`~..operators.dedup.word_shingles` convention."""
-    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    the :func:`~..operators.dedup.word_shingles` convention. ``spread``
+    first (local-mode only): the per-window gram arrays are CPU-heavy
+    and must not inherit a one-task parquet scan."""
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_w", F.split("_norm", " ")
+    )
     sel: list[Column] = [F.col("doc_id")]
 
     # NB: closure via factory, NOT a default arg — PySpark reads a
@@ -246,8 +257,12 @@ def tfidf_top_terms(
     broadcast-joined back (a vocabulary is ≪ corpus even at 100 TB:
     Heaps' law). The final top-k is a per-doc window over ≤ |doc| rows.
     N (corpus size) rides a scalar subquery-like broadcast via
-    cross-join of a 1-row count — not a driver collect."""
-    d = normalized(docs, text_col).withColumn("_toks", F.split("_norm", " "))
+    cross-join of a 1-row count — not a driver collect. ``spread``
+    first (local-mode only): the token explode + term aggregation must
+    not inherit a one-task parquet scan."""
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_toks", F.split("_norm", " ")
+    )
     terms = d.select("doc_id", F.explode("_toks").alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
@@ -315,7 +330,11 @@ def bigram_lm_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bg = _doc_bigrams(docs, text_col)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    vocab = bg.agg(F.count_distinct("w2").alias("vv"))
+    # vocabulary size DERIVED from the model table, not the corpus:
+    # the distinct w2 set of bg equals the w2 set of c2 (c2 is exactly
+    # bg's distinct pairs), so counting it on the vocabulary-sized c2
+    # removes a second full corpus explode + distinct shuffle
+    vocab = c2.select("w2").distinct().agg(F.count(F.lit(1)).alias("vv"))
     return c2.join(c1, "w1").crossJoin(F.broadcast(vocab)).select(
         "w1", "w2", "n12", "n1", "vv"
     )
@@ -599,7 +618,12 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     runs. All JVM-side regexp_count/regexp_replace — no Python in the
     row path. Replacements apply in a fixed order (email, ip, phone) on
     the progressively-redacted text so counts can't double-count text
-    consumed by an earlier rule."""
+    consumed by an earlier rule.
+
+    ``spread`` first (local-mode only): six full-text regex passes per
+    row are the whole cost — a one-task parquet scan would serialize
+    them."""
+    docs = spread(docs, "doc_id")
     t = F.col(text_col)
     n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
     after_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
@@ -667,9 +691,12 @@ def winnow_fingerprints(
     One narrow projection per document; the only shuffle is whatever
     the CONSUMER does with the (doc_id, fp) pairs. Documents shorter
     than k words contribute their whole text as the single gram
-    (matching :func:`~.dedup.word_shingles`).
+    (matching :func:`~.dedup.word_shingles`). ``spread`` first (local-
+    mode only): the per-gram md5 + windowed min selection is the cost.
     """
-    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_w", F.split("_norm", " ")
+    )
     grams = F.when(F.size("_w") < k, F.array(F.col("_norm"))).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size("_w") - k),
@@ -1492,7 +1519,11 @@ def trigram_lm_scores(
     c2_ = c23.groupBy("w2").agg(F.sum("n23").alias("n2"))
     c3u = c3.groupBy("w3").agg(F.sum("n123").alias("n3"))
     tot = c3.agg(F.sum("n123").alias("nt"))
-    vocab = tg.agg(F.count_distinct("w3").alias("_v"))
+    # vocabulary size DERIVED from the model tables, not the corpus:
+    # tg's distinct w3 set equals c3u's row set (c3u groups c3, c3
+    # groups tg — both preserve the w3 value set), so counting c3u's
+    # rows removes a second full corpus explode + distinct shuffle
+    vocab = c3u.agg(F.count(F.lit(1)).alias("_v"))
     a = F.lit(alpha)
     # nll depends ONLY on the trigram key, so the model joins compose
     # on the VOCABULARY-sized c3 table and the corpus-sized tg joins
@@ -1835,7 +1866,7 @@ def mix_by_temperature(
     if total_tokens <= 0 or temperature <= 0:
         raise ValueError("total_tokens and temperature must be positive")
     inv_t = 1.0 / temperature
-    d = normalized(docs, text_col).withColumn(
+    d = normalized(spread(docs, id_col), text_col).withColumn(
         "n_tokens", F.size(F.split("_norm", " ")).cast("long")
     )
     totals = d.groupBy(domain_col).agg(F.sum("n_tokens").alias("_n"))
@@ -2001,10 +2032,17 @@ def _dsir_grams(docs: DataFrame, text_col: str, seed: str, m_buckets: int):
     """(doc_id, bucket) — one row per unigram/bigram OCCURRENCE of the
     normalized text, hashed into ``m_buckets`` (hashing trick, same md5
     arithmetic as :func:`classifier_score`). Empty documents emit no
-    rows."""
+    rows.
+
+    ``spread`` first (local-mode only): the per-gram md5 explode is the
+    dominant cost of every DSIR trainer pass, and a single-row-group
+    parquet scan would run it on one core; bucket counts are
+    partitioning-invariant."""
     from ..operators.dedup import normalized
 
-    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_w", F.split("_norm", " ")
+    )
     unis = F.filter(F.col("_w"), lambda t: F.length(t) > 0)
     # sequence(1, 0) DESCENDS under ANSI — guard short docs explicitly
     bis = F.when(
@@ -2717,7 +2755,11 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     count filters the same array. No explode, no shuffle. ``other`` =
     total chars − tabulated chars (spaces, punctuation,
     supplementary-plane); ``main_script`` = argmax with alphabetical
-    tie-break, ``none`` when no tabulated script occurs."""
+    tie-break, ``none`` when no tabulated script occurs.
+
+    ``spread`` first (local-mode only): the per-character codepoint map
+    and range filters are CPU-bound."""
+    docs = spread(docs, "doc_id")
     names = sorted(SCRIPT_RANGES)
     txt = F.coalesce(F.col(text_col), F.lit(""))
     chars = F.filter(F.split(txt, ""), lambda c: c != F.lit(""))
@@ -3255,7 +3297,9 @@ def paragraph_language_profile(
     if para_words <= 0:
         raise ValueError("para_words must be positive")
     w = int(para_words)
-    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_w", F.split("_norm", " ")
+    )
     paras = d.select(
         "doc_id",
         "_w",
@@ -3314,7 +3358,9 @@ def split_by_language(
     if para_words <= 0:
         raise ValueError("para_words must be positive")
     w = int(para_words)
-    d = normalized(docs, text_col).withColumn("_w", F.split("_norm", " "))
+    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+        "_w", F.split("_norm", " ")
+    )
     paras = d.select(
         "doc_id",
         "_w",

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup, text
+from ..operators.util import spread
 
 #: near_dedup="auto" probe decisions, keyed by the input plan's
 #: semanticHash + a DATA fingerprint (the scan's input-file listing) +
@@ -161,6 +162,7 @@ def clean_corpus(
     n_bands: int = 4,
     rows_per_band: int = 3,
     containment_threshold: float = 0.9,
+    project: list[str] | None = None,
 ) -> DataFrame:
     """Surviving documents after the four gates, with the stats the
     gates used: (doc_id, pred_lang, n_words). ``full_rows=True`` keeps
@@ -223,6 +225,22 @@ def clean_corpus(
     receives each persisted DataFrame) and unpersist after the output
     materialises, or use :func:`staged_clean_corpus` /
     :func:`staged_corpus_to_training`, which do it on context exit.
+
+    ``project`` (internal narrow path — also what ``full_rows=False``
+    now routes through with ``project=["doc_id"]``): carry ONLY the
+    named payload columns plus (n_ws_tokens, pred_lang, _norm) through
+    the exact-dedup ``min_by`` struct, and run every near-dup kernel on
+    the already-computed ``_norm`` column instead of re-normalizing the
+    raw text. Both are pure physical savings: the min_by winner depends
+    only on doc_id, and ``normalized()`` is idempotent (lower/trim/
+    collapse of collapsed text is the identity — pytest-pinned), so the
+    shingle sets, band signatures and survivor set are bit-identical —
+    while the corpus-sized shuffle stops carrying the raw text plus
+    every metadata column it previously dragged along only to drop
+    (guide §2.3: project before the exchange), and downstream stages
+    (shingling, chunking) skip one full regexp re-normalization pass.
+    Returned columns on this path: ``project`` + (pred_lang, n_words,
+    _norm).
     """
     if near_dedup not in (
         "auto", "greedy", "clusters", "minhash_bands", "containment"
@@ -233,9 +251,12 @@ def clean_corpus(
         )
     # stats are pure projections — compute them as COLUMNS in one pass,
     # not per-stat joins (each join would shuffle the full corpus by
-    # doc_id for data the row already holds)
+    # doc_id for data the row already holds). spread first (local-mode
+    # only): normalize + tokenize + language-ID is the pipeline's
+    # heaviest per-row map work and a single-row-group parquet scan
+    # would run ALL of it on one core before the first exchange.
     base = (
-        dedup.normalized(docs, text_col)
+        dedup.normalized(spread(docs, "doc_id"), text_col)
         .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
         .withColumn("pred_lang", text.language_id_col(F.col("_norm")))
         .filter(
@@ -246,7 +267,19 @@ def clean_corpus(
     )
     # min_by hash agg, not a window: duplicates collapse map-side before
     # the hash-keyed shuffle (doc_id unique -> deterministic winner)
-    _kept_cols = [c for c in base.columns if c != "_norm"]
+    explicit_project = project is not None
+    if full_rows and not explicit_project:
+        kernel_text = text_col
+        _kept_cols = [c for c in base.columns if c != "_norm"]
+    else:
+        if project is None:
+            project = ["doc_id"]
+        elif "doc_id" not in project:
+            project = ["doc_id", *project]
+        kernel_text = "_norm"
+        _kept_cols = list(
+            dict.fromkeys([*project, "n_ws_tokens", "pred_lang", "_norm"])
+        )
     exact_kept = (
         base.groupBy(F.md5(F.col("_norm")).alias("_h"))
         .agg(F.min_by(F.struct(*_kept_cols), F.col("doc_id")).alias("_r"))
@@ -268,7 +301,7 @@ def clean_corpus(
         # fires two Spark jobs at plan-BUILD time; fully-lazy callers
         # pass an explicit mode.
         near_dedup = _resolve_near_dedup(
-            docs, n_bands, rows_per_band, text_col, probe_docs=exact_kept
+            docs, n_bands, rows_per_band, kernel_text, probe_docs=exact_kept
         )
     if near_dedup == "minhash_bands":
         # banded path needs no shingle side-table — minhash builds its
@@ -277,7 +310,7 @@ def clean_corpus(
             exact_kept,
             n_bands=n_bands,
             rows_per_band=rows_per_band,
-            text_col=text_col,
+            text_col=kernel_text,
         )
         mins = bands.groupBy("band", "band_sig").agg(
             F.min("doc_id").alias("_min")
@@ -298,7 +331,7 @@ def clean_corpus(
         # equal-sized sets drop the higher id. One shingle inverted
         # join + one pair agg + the size join — the jaccard_pairs
         # shuffle shape with a different threshold arithmetic.
-        shingles = dedup.hashed_shingles(exact_kept, text_col=text_col)
+        shingles = dedup.hashed_shingles(exact_kept, text_col=kernel_text)
         if stage:
             shingles = shingles.persist()
             if handles is not None:
@@ -312,7 +345,7 @@ def clean_corpus(
         qual = dedup.overlap_pairs(
             exact_kept,
             threshold=containment_threshold,
-            text_col=text_col,
+            text_col=kernel_text,
             prefix_filter=True,
             shingles=shingles,
         )
@@ -322,7 +355,7 @@ def clean_corpus(
             .alias("doc_id")
         ).distinct()
     else:  # greedy | clusters (mode validated on entry)
-        shingles = dedup.hashed_shingles(exact_kept, text_col=text_col)
+        shingles = dedup.hashed_shingles(exact_kept, text_col=kernel_text)
         if stage:
             shingles = shingles.persist()
             if handles is not None:
@@ -334,7 +367,7 @@ def clean_corpus(
         near_pairs = dedup.jaccard_pairs(
             exact_kept,
             threshold=jaccard_threshold,
-            text_col=text_col,
+            text_col=kernel_text,
             prefix_filter=True,
             shingles=shingles,
         )
@@ -346,8 +379,17 @@ def clean_corpus(
         else:
             drop = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = exact_kept.join(drop, "doc_id", "left_anti")
-    if full_rows:
+    if full_rows and not explicit_project:
         return survivors.withColumn("n_words", F.col("n_ws_tokens"))
+    if explicit_project:
+        # internal narrow path: payload columns + stats + the normalized
+        # text (callers chunk/count on _norm — normalize is idempotent)
+        return survivors.select(
+            *project,
+            "pred_lang",
+            F.col("n_ws_tokens").alias("n_words"),
+            "_norm",
+        )
     return survivors.select(
         "doc_id", "pred_lang", F.col("n_ws_tokens").alias("n_words")
     )
@@ -383,6 +425,11 @@ def corpus_to_training(
       a pure column expression on the chunk rows: no (doc_id, split)
       join, no extra shuffle. The chunker itself is a narrow projection.
     """
+    # narrow path: the chunker only needs (doc_id, _norm) — carrying the
+    # raw text and every metadata column through the exact-dedup shuffle
+    # just to re-normalize downstream was pure shuffle weight (§2.3);
+    # chunk_documents(_norm) is bit-identical because normalize is
+    # idempotent (chunk_text was always built from the normalized form)
     surv = clean_corpus(
         docs,
         lang=lang,
@@ -391,12 +438,12 @@ def corpus_to_training(
         jaccard_threshold=jaccard_threshold,
         text_col=text_col,
         stage=stage,
-        full_rows=True,
         handles=handles,
         near_dedup=near_dedup,
+        project=["doc_id"],
     )
     chunks = text.chunk_documents(
-        surv, chunk_tokens=chunk_tokens, overlap=overlap, text_col=text_col
+        surv, chunk_tokens=chunk_tokens, overlap=overlap, text_col="_norm"
     )
     return chunks.withColumn("split", text.split_col(val_pct))
 
@@ -493,7 +540,7 @@ def corpus_report(
     from ..operators import text as text_ops
 
     base = (
-        dedup.normalized(docs, text_col)
+        dedup.normalized(spread(docs, "doc_id"), text_col)
         .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
         .withColumn("pred_lang", text_ops.language_id_col(F.col("_norm")))
     )
@@ -556,7 +603,7 @@ def filter_audit(
     and one left join against the (already computed) survivor ids —
     both on the corpus's natural keys, no new pair expansion."""
     base = (
-        dedup.normalized(docs, text_col)
+        dedup.normalized(spread(docs, "doc_id"), text_col)
         .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
         .withColumn("pred_lang", text.language_id_col(F.col("_norm")))
         .withColumn(
@@ -661,7 +708,7 @@ def token_report(
     profile) collapsing to source-sized tables, joined source-to-source
     — the expansion itself is never materialized."""
     raw = (
-        dedup.normalized(docs, text_col)
+        dedup.normalized(spread(docs, "doc_id"), text_col)
         .select(
             "source",
             F.size(F.split("_norm", " ")).cast("long").alias("_n"),
@@ -672,6 +719,8 @@ def token_report(
             F.sum("_n").alias("raw_tokens"),
         )
     )
+    # narrow path: the ledger needs only (doc_id, source, n_words) per
+    # survivor — project them through the pipeline instead of full rows
     kept = clean_corpus(
         docs,
         lang=lang,
@@ -680,8 +729,8 @@ def token_report(
         jaccard_threshold=jaccard_threshold,
         text_col=text_col,
         stage=stage,
-        full_rows=True,
         handles=handles,
+        project=["source"],
     )
     kv = []
     for k, v in factors.items():

@@ -7506,12 +7506,15 @@ def _pipeline_incremental_refresh(
     the survivors MERGE into the snapshot (merge_upsert — union + one
     max_by agg, no join of two big sides)."""
     from ..operators.maintenance import merge_upsert
+    from ..operators.util import spread
 
     docs = load_table(spark, sf_dir, "documents")
 
     def gated(df: DataFrame) -> DataFrame:
+        # spread (local-mode only): each branch's normalize+language-ID
+        # pass would otherwise run on the one-task parquet scan
         base = (
-            dedup.normalized(df)
+            dedup.normalized(spread(df, "doc_id"))
             .withColumn(
                 "n_words", F.size(F.split("_norm", " ")).cast("long")
             )
