@@ -43,14 +43,26 @@ def normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+def word_shingles(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    spread_input: bool = True,
+) -> DataFrame:
     """(doc_id, shingle) — distinct word k-grams of the normalized text.
     Pure built-ins: split → sequence → transform → array_distinct →
     explode. Documents shorter than k words contribute their full text
-    as a single shingle (so they can still dedup exactly)."""
+    as a single shingle (so they can still dedup exactly).
+
+    ``spread_input=False`` skips the local-mode repartition — pass it
+    when the input is already well-partitioned (post-shuffle survivors
+    inside a composed pipeline), where the default spread would insert
+    a redundant full-corpus exchange."""
     # spread first: the k-gram explode + md5 work downstream is the CPU
     # hot path and must not inherit a single-partition local scan
-    words = normalized(spread(docs, "doc_id"), text_col).withColumn(
+    words = normalized(
+        spread(docs, "doc_id") if spread_input else docs, text_col
+    ).withColumn(
         "_w", F.split("_norm", " ")
     )
     grams = words.withColumn(
@@ -495,7 +507,11 @@ def _minhash_perm(seed: int, v) -> "F.Column":
 
 
 def minhash_sig_array(
-    docs: DataFrame, n_hashes: int = 12, shingle_k: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    n_hashes: int = 12,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    spread_input: bool = True,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<STRING>) — the MinHash signature as one array,
     computed with ``n_hashes`` parallel MIN aggregates over the shingle
@@ -505,7 +521,9 @@ def minhash_sig_array(
     Each hash is a linear permutation of ONE md5-derived base value
     (:func:`_minhash_base`); entries are the decimal string of the
     numeric min so band signatures stay plain string concat."""
-    sh = word_shingles(docs, k=shingle_k, text_col=text_col).withColumn(
+    sh = word_shingles(
+        docs, k=shingle_k, text_col=text_col, spread_input=spread_input
+    ).withColumn(
         "_v", _minhash_base(F.col("shingle"))
     )
     mins = [
@@ -630,10 +648,15 @@ def _shingle_hash(col) -> "F.Column":
 
 
 def hashed_shingles(
-    docs: DataFrame, k: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    spread_input: bool = True,
 ) -> DataFrame:
     """(doc_id, sh) — distinct word k-grams as int64 hashes."""
-    return word_shingles(docs, k=k, text_col=text_col).select(
+    return word_shingles(
+        docs, k=k, text_col=text_col, spread_input=spread_input
+    ).select(
         "doc_id", _shingle_hash("shingle").alias("sh")
     )
 
@@ -2058,10 +2081,14 @@ def minhash_bands(
     rows_per_band: int = 3,
     shingle_k: int = 3,
     text_col: str = "text",
+    spread_input: bool = True,
 ) -> DataFrame:
     """(doc_id, band, band_sig) — the LSH band table of a corpus (the
     persistable NEAR-dup state: n_bands small strings per doc)."""
-    sig = minhash_sig_array(docs, n_bands * rows_per_band, shingle_k, text_col)
+    sig = minhash_sig_array(
+        docs, n_bands * rows_per_band, shingle_k, text_col,
+        spread_input=spread_input,
+    )
     return sig.select(
         "doc_id",
         F.explode(

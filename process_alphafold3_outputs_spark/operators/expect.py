@@ -80,14 +80,10 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
                 ).cast("long")
             )
         aggs.append(F.coalesce(v, F.lit(0)).cast("long").alias(f"_v{i}"))
-    # spread (local-mode only): per-row regex/predicate evaluation —
-    # and the Expand a ``unique`` rule's distinct aggregate plans —
-    # run inside the scan stage, which on a single-row-group parquet
-    # file is one task. Keyless round-robin; the global aggregate is
-    # partitioning-invariant.
-    from .util import spread
-
-    row = spread(df).agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    # deliberately NOT spread: the rule aggregates partially combine
+    # map-side off the scan; the paired in-session A/B read a local-mode
+    # pre-repartition as a pure loss (1.86 s with vs 1.07 s without).
+    row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
     reports = F.array(
         *[
             F.struct(

@@ -352,13 +352,11 @@ def candidate_keys(
             F.when(nonnull, F.struct(*[F.col(c) for c in combo]))
         )
 
-    # spread (local-mode only): the Expand replicates every scanned row
-    # N-combos times INSIDE the scan stage — on a single-row-group
-    # parquet file that multiplication would run on one core. Keyless
-    # round-robin; the global aggregate is partitioning-invariant.
-    from .util import spread
-
-    agg = spread(df.select(*cols)).agg(
+    # deliberately NOT spread: the distinct aggregates' partial combine
+    # runs map-side off the scan, and the paired in-session A/B read the
+    # pre-repartition as a pure loss (1.40 s with vs 0.95 s without) —
+    # the Expand multiplication is cheaper than the extra exchange here.
+    agg = df.select(*cols).agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         *[
             distinct_expr(combo).cast("long").alias(f"_nd_{i}")

@@ -363,16 +363,14 @@ def _hll_filled_registers(
         16,
         10,
     ).cast("long")
-    # spread (local-mode only): the per-row md5 is the whole build cost
-    # and a single-row-group parquet scan would run it on one core;
-    # keyless round-robin, not hash-by-value (a heavy-hitter value must
-    # not pin its hashing to one task). Register maxes are
-    # partitioning-invariant.
-    from .util import spread
-
-    hashed = spread(
-        df.select(F.col(group_col).alias("g"), F.col(value_col))
-    ).select("g", h.alias("_h"))
+    # deliberately NOT spread: the (g, reg) register-max aggregate
+    # combines map-side off the scan and the paired in-session A/B read
+    # the pre-repartition as a loss on both HLL driver rows (distinct
+    # 2.05 s with vs 1.70 s without; overlap 2.27 vs 1.93) — unlike the
+    # CMS build, whose ×d explode does win from spreading.
+    hashed = df.select(F.col(group_col).alias("g"), F.col(value_col)).select(
+        "g", h.alias("_h")
+    )
     rho = F.when(F.col("_w") == 0, F.lit(max_rho)).otherwise(
         F.lit(wbits) - F.length(F.bin("_w")) + 1
     )

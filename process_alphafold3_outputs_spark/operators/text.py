@@ -139,9 +139,12 @@ def gopher_quality(
     Scale shape: one narrow projection over a split-once token array and
     a split-once line array — no shuffle, no UDF, embarrassingly
     parallel; the filter itself is a downstream WHERE on ``keep``.
-    ``spread`` first (local-mode only): the per-token rule evaluation
-    must not inherit a one-task parquet scan."""
-    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+    Deliberately NOT ``spread`` (plan-contract-pinned shuffle-free): the
+    rule bundle is cheap enough per row that a local-mode repartition
+    costs more than the single-task scan it would fix (quiet A/B: 0.47 s
+    anchor vs 0.42 s spread — noise-level), and the no-Exchange shape is
+    the 100 TB contract worth keeping."""
+    d = normalized(docs, text_col).withColumn(
         "_toks", F.split("_norm", " ")
     )
     toks = F.col("_toks")
@@ -1489,7 +1492,12 @@ def trigram_lm_scores(
     position order for the bit-exact oracle. Docs with < 3 tokens carry
     n_trigrams = 0 and NULL scores."""
     l1 = 1.0 - l3 - l2
-    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+    # deliberately NOT spread: the trigram explode feeds a (w1,w2,w3)-
+    # keyed aggregation whose partial combine parallelizes off the scan,
+    # and the corpus-sized tg subtree is evaluated twice (model build +
+    # scoring join) — a pre-repartition doubles that exchange (paired
+    # in-session A/B: 3.76 s with vs 2.32 s without)
+    d = normalized(docs, text_col).withColumn(
         "_toks", F.split("_norm", " ")
     )
     n = F.size("_toks")
@@ -1866,7 +1874,11 @@ def mix_by_temperature(
     if total_tokens <= 0 or temperature <= 0:
         raise ValueError("total_tokens and temperature must be positive")
     inv_t = 1.0 / temperature
-    d = normalized(spread(docs, id_col), text_col).withColumn(
+    # deliberately NOT spread: the kernel's own domain groupBy and the
+    # per-domain cumulative window re-exchange immediately after the map
+    # work — a local-mode pre-repartition only adds a full-text shuffle
+    # (paired in-session A/B: 2.13 s with vs 0.91 s without)
+    d = normalized(docs, text_col).withColumn(
         "n_tokens", F.size(F.split("_norm", " ")).cast("long")
     )
     totals = d.groupBy(domain_col).agg(F.sum("n_tokens").alias("_n"))
@@ -2034,13 +2046,14 @@ def _dsir_grams(docs: DataFrame, text_col: str, seed: str, m_buckets: int):
     arithmetic as :func:`classifier_score`). Empty documents emit no
     rows.
 
-    ``spread`` first (local-mode only): the per-gram md5 explode is the
-    dominant cost of every DSIR trainer pass, and a single-row-group
-    parquet scan would run it on one core; bucket counts are
-    partitioning-invariant."""
+    Deliberately NOT spread: every consumer immediately collapses the
+    gram rows into an m_buckets-sized aggregate whose partial (map-side)
+    combine parallelizes fine off the scan; a pre-repartition only adds
+    a full-text exchange (paired in-session A/B: 2.7/2.3 s with vs
+    2.3/2.1 s without on the two DSIR driver rows)."""
     from ..operators.dedup import normalized
 
-    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+    d = normalized(docs, text_col).withColumn(
         "_w", F.split("_norm", " ")
     )
     unis = F.filter(F.col("_w"), lambda t: F.length(t) > 0)

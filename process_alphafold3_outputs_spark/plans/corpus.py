@@ -311,6 +311,9 @@ def clean_corpus(
             n_bands=n_bands,
             rows_per_band=rows_per_band,
             text_col=kernel_text,
+            # exact_kept is post-shuffle (and staged) — the default
+            # local-mode spread would insert a redundant exchange
+            spread_input=False,
         )
         mins = bands.groupBy("band", "band_sig").agg(
             F.min("doc_id").alias("_min")
@@ -331,7 +334,9 @@ def clean_corpus(
         # equal-sized sets drop the higher id. One shingle inverted
         # join + one pair agg + the size join — the jaccard_pairs
         # shuffle shape with a different threshold arithmetic.
-        shingles = dedup.hashed_shingles(exact_kept, text_col=kernel_text)
+        shingles = dedup.hashed_shingles(
+            exact_kept, text_col=kernel_text, spread_input=False
+        )
         if stage:
             shingles = shingles.persist()
             if handles is not None:
@@ -355,7 +360,9 @@ def clean_corpus(
             .alias("doc_id")
         ).distinct()
     else:  # greedy | clusters (mode validated on entry)
-        shingles = dedup.hashed_shingles(exact_kept, text_col=kernel_text)
+        shingles = dedup.hashed_shingles(
+            exact_kept, text_col=kernel_text, spread_input=False
+        )
         if stage:
             shingles = shingles.persist()
             if handles is not None:
