@@ -76,12 +76,16 @@ def language_id_col(norm: Column) -> Column:
     return pred
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame, text_col: str = "text", spread_input: bool = True
+) -> DataFrame:
     """(doc_id, pred_lang) — see :func:`language_id_col`. ``spread``
     first (local-mode only): the marker-scan over every token is CPU-
     bound and a single-row-group parquet scan would run it on one
-    core."""
-    d = normalized(spread(docs, "doc_id"), text_col)
+    core. ``spread_input=False`` skips that repartition — pass it from
+    compositions that re-exchange the output anyway (ccnet's doc-keyed
+    join), where the extra full-text exchange is a measured loss."""
+    d = normalized(spread(docs, "doc_id") if spread_input else docs, text_col)
     return d.select("doc_id", language_id_col(F.col("_norm")).alias("pred_lang"))
 
 
@@ -298,10 +302,16 @@ def tfidf_top_terms(
     )
 
 
-def _doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def _doc_bigrams(
+    docs: DataFrame, text_col: str = "text", spread_input: bool = True
+) -> DataFrame:
     """(doc_id, i, w1, w2) — positional bigram occurrences of the
-    normalized text (docs with < 2 tokens contribute no rows)."""
-    d = normalized(spread(docs, "doc_id"), text_col).withColumn(
+    normalized text (docs with < 2 tokens contribute no rows).
+    ``spread_input=False`` skips the local-mode repartition for
+    compositions whose downstream re-exchanges anyway."""
+    d = normalized(
+        spread(docs, "doc_id") if spread_input else docs, text_col
+    ).withColumn(
         "_toks", F.split("_norm", " ")
     )
     n = F.size("_toks")
@@ -321,7 +331,9 @@ def _doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bigram_lm_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_lm_model(
+    docs: DataFrame, text_col: str = "text", spread_input: bool = True
+) -> DataFrame:
     """(w1, w2, n12, n1, vv) — the trained bigram model: bigram counts,
     context counts (DERIVED from the bigram counts — model-sized input,
     never a second corpus pass) and the continuation-vocabulary size on
@@ -330,7 +342,7 @@ def bigram_lm_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (:func:`score_with_bigram_model`, `streaming.watch_documents_scored`).
     At 100 TB prune to top-M bigrams with a backoff floor so it
     broadcasts."""
-    bg = _doc_bigrams(docs, text_col)
+    bg = _doc_bigrams(docs, text_col, spread_input=spread_input)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
     # vocabulary size DERIVED from the model table, not the corpus:
@@ -348,6 +360,7 @@ def score_with_bigram_model(
     model: DataFrame,
     alpha: float = 0.5,
     text_col: str = "text",
+    spread_input: bool = True,
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_nll, ppl) — score documents against a
     (possibly previously-trained) bigram model.
@@ -364,7 +377,7 @@ def score_with_bigram_model(
     (sort_array(struct(pos, nll))) so the DuckDB oracle
     (``sum(nll ORDER BY i)``) reproduces every double bit-for-bit.
     Documents with < 2 tokens carry n_bigrams = 0 and NULL scores."""
-    bg = _doc_bigrams(docs, text_col)
+    bg = _doc_bigrams(docs, text_col, spread_input=spread_input)
     vocab = model.agg(F.max("vv").alias("_v"))
     # context counts: one row per distinct w1 — model-sized (≤ V rows),
     # broadcastable by construction
@@ -408,7 +421,10 @@ def score_with_bigram_model(
 
 
 def bigram_lm_scores(
-    docs: DataFrame, alpha: float = 0.5, text_col: str = "text"
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    spread_input: bool = True,
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_nll, ppl) — per-document average
     negative log-likelihood (natural log) and perplexity under an
@@ -420,7 +436,11 @@ def bigram_lm_scores(
     corpus-sized explode feeds both the vocabulary-sized model tables
     and the scoring join."""
     return score_with_bigram_model(
-        docs, bigram_lm_model(docs, text_col), alpha, text_col
+        docs,
+        bigram_lm_model(docs, text_col, spread_input=spread_input),
+        alpha,
+        text_col,
+        spread_input=spread_input,
     )
 
 
@@ -2647,9 +2667,16 @@ def ccnet_buckets(
     LANGUAGES-sized cutpoint table broadcast back — the corpus is
     never re-shuffled for the tiering. Exact percentiles buffer each
     language's ppl values; at 100 TB swap `approx_percentile` with a
-    pinned accuracy (same one-line swap as corpus_stats)."""
-    lang = language_id(docs, text_col)
-    ppl = bigram_lm_scores(docs, alpha=alpha, text_col=text_col).select(
+    pinned accuracy (same one-line swap as corpus_stats).
+
+    Both corpus passes skip the local-mode ``spread`` repartition: their
+    outputs meet at a doc-keyed join that re-exchanges anyway, so the
+    two pre-exchanges were pure loss (paired bench-methodology A/B:
+    5.91 s with vs 3.89 s without)."""
+    lang = language_id(docs, text_col, spread_input=False)
+    ppl = bigram_lm_scores(
+        docs, alpha=alpha, text_col=text_col, spread_input=False
+    ).select(
         "doc_id", "ppl"
     )
     scored = ppl.join(lang, "doc_id")

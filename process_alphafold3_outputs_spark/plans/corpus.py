@@ -507,8 +507,11 @@ def curate_corpus(
 
     bp = drop_boilerplate(docs, seg_words=seg_words, min_df=min_df, text_col=text_col)
     cleaned = bp.select("doc_id", "clean_text")
+    # spread_input=False: ``cleaned`` is post-shuffle (boilerplate-stage
+    # output), already well-partitioned — the local-mode spread would
+    # insert a redundant full-text exchange
     scored = bigram_lm_scores(
-        cleaned.withColumnRenamed("clean_text", "text")
+        cleaned.withColumnRenamed("clean_text", "text"), spread_input=False
     ).filter((F.col("n_bigrams") >= 1) & (F.col("avg_nll") <= max_avg_nll))
     kept = cleaned.join(
         scored.select("doc_id", "n_bigrams", "avg_nll"), "doc_id"

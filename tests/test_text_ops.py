@@ -91,7 +91,11 @@ def test_repetition_scores_known_fractions(spark):
 def test_repetition_is_narrow_plan(spark):
     docs = _docs(spark, [(1, "a b c")])
     plan = text.repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # pure projection: no shuffle at any scale
+    # spread() repartitions once in local mode (REPARTITION_BY_NUM,
+    # quiet-window A/B-validated: 0.28 s vs 1.03 s without); the scoring
+    # itself must add NO further Exchange — pure projection at any scale
+    assert plan.count("Exchange") <= 1
+    assert "REPARTITION_BY_NUM" in plan or "Exchange" not in plan
 
 
 # --------------------------------------------------------------------------
