@@ -14,8 +14,30 @@ the textbook definition, not a leaky approximation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Truncate iterative lineage with a LAZY localCheckpoint.
+
+    ``eager=False`` still cuts the logical plan at call time (the RDD is
+    compiled immediately) but defers execution to the first downstream
+    action, so a fixed-count iteration loop with NO per-round driver
+    decision (pagerank / personalized_pagerank / hits) compiles into one
+    chained RDD lineage instead of one blocking Spark job per round —
+    the per-round job barrier was pure scheduling overhead (paired A/B
+    in OPTIMIZATION_r14.md). Each round's RDD is still persisted on
+    first materialization, so nothing is recomputed. The eager form
+    (env ``SPARK_GRAFT_EAGER_CKPT=1``) exists for paired A/B probes —
+    and is the form to prefer the moment a loop gains a per-round
+    driver action (see ``dedup.connected_components``, whose per-round
+    convergence count forces materialization anyway)."""
+    return df.localCheckpoint(
+        eager=bool(os.environ.get("SPARK_GRAFT_EAGER_CKPT"))
+    )
 
 
 def pagerank(
@@ -38,20 +60,20 @@ def pagerank(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     # out-edges with the share each link carries of its source's rank
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).transform(_ckpt)
     base = (1.0 - damping) / n
     for _ in range(iters):
         contrib = (
@@ -85,7 +107,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return ranks
 
@@ -117,19 +139,19 @@ def personalized_pagerank(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     seed_nodes = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
         .join(nodes, "node", "left_semi")
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     ns = seed_nodes.count()
     if ns == 0:
@@ -143,10 +165,10 @@ def personalized_pagerank(
             .otherwise(F.lit(0.0))
             .alias("s"),
         )
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = restart.select("node", F.col("s").alias("rank")).localCheckpoint()
+    ranks = restart.select("node", F.col("s").alias("rank")).transform(_ckpt)
     for _ in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "u"), "u")
@@ -176,7 +198,7 @@ def personalized_pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return ranks
 
@@ -229,20 +251,20 @@ def hits(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("hub", F.lit(0.0)).withColumn(
             "authority", F.lit(0.0)
         )
-    h = nodes.withColumn("h", F.lit(1.0 / n)).localCheckpoint()
+    h = nodes.withColumn("h", F.lit(1.0 / n)).transform(_ckpt)
     a = nodes.withColumn("a", F.lit(1.0 / n))
     for _ in range(iters):
         a_raw = (
@@ -260,7 +282,7 @@ def hits(
                 .otherwise(F.lit(0.0))
                 .alias("a"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         h_raw = (
             e.join(a.withColumnRenamed("node", "v"), "v")
@@ -277,7 +299,7 @@ def hits(
                 .otherwise(F.lit(0.0))
                 .alias("h"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return (
         nodes.join(h, "node")
