@@ -1470,6 +1470,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # 1-minute loadavg sampled at each query's START: the r14
+    # optimization round spent hours proving that in-suite outlier bands
+    # (7-21x on contiguous run positions) were external tenant windows,
+    # reconstructing the timeline from run order alone — this column
+    # makes that diagnosis a one-line read of the artifact. Observability
+    # only; the timed region is unchanged.
+    loadavgs: dict[str, float] = {}
 
     def record(
         name: str, build, warmup: bool = False, respread: float = 3.0
@@ -1478,6 +1485,7 @@ def main() -> None:
         # run-time) must not take down the suite — r3 lost its entire
         # bench artifact to a single AnalysisException. The error lands
         # in BENCH_DETAIL.json; the final JSON line prints regardless.
+        loadavgs[name] = round(os.getloadavg()[0], 2)
         try:
             med, lo, hi = timed(build, warmup=warmup, respread=respread)
         except Exception as exc:  # noqa: BLE001
@@ -1644,6 +1652,11 @@ def main() -> None:
                     "prev_anchor": anchor,
                     "skipped_headline": skipped,
                     "errors": errors,
+                    # per-query launch loadavg (see ``loadavgs`` above):
+                    # lets a reader separate "this row regressed" from
+                    # "an external tenant window crossed positions N-M"
+                    # without re-running anything
+                    "queries_loadavg_1m": loadavgs,
                     # host contention context: this VM shares CPU with
                     # other tenants and loadavg >> own usage has been
                     # observed to inflate medians up to 4x — interpret
