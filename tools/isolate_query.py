@@ -1,7 +1,8 @@
-"""Per-query isolation probe for the r14 optimization round.
+"""Per-query isolation probe (r14/r15 optimization rounds).
 
 Usage:
-    python tools/isolate_query.py [--suffix before] [--runs 3] name [name ...]
+    python tools/isolate_query.py [--suffix before] [--runs 3]
+        [--plans-dir plans/r15] name [name ...]
 
 For each registered query name this:
   * builds the DataFrame fresh (same builder the bench uses),
@@ -139,10 +140,11 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--plans-dir", default="plans/r15")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(repo, "plans", "r14")
+    plans_dir = os.path.join(repo, *args.plans_dir.split("/"))
     spark = get_spark("af3spark-isolate")
 
     # warm session once (parquet footers, codegen) off the clock
