@@ -717,6 +717,49 @@ def jaccard_candidates(
     )
 
 
+#: memoized skew-probe verdicts, keyed by (plan semanticHash, input-file
+#: fingerprint, probe params) — the SAME plan-choice memoization
+#: discipline as ``corpus._AUTO_MODE_CACHE`` (adjudicated in r13/r14 as
+#: legitimate: a physical-strategy decision, never a query result).
+#: In-memory only, bounded FIFO; a fresh process always re-probes.
+_HOT_PROBE_CACHE: dict = {}
+_HOT_PROBE_CACHE_MAX = 64
+
+
+def clear_hot_probe_cache() -> None:
+    """Invalidation hook for the skew-probe verdict cache — call after
+    rewriting a probed table in place within one session."""
+    _HOT_PROBE_CACHE.clear()
+
+
+def _probe_key(df: DataFrame, *params) -> tuple | None:
+    """Cache key for a probe over ``df``: logical-plan semantic hash +
+    the sorted input-file listing (parquet overwrites generate fresh
+    part names, so rewritten data changes the key even when the path —
+    and therefore the semanticHash — stays the same). None disables
+    caching (e.g. createDataFrame inputs)."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        return (
+            df.semanticHash(),
+            len(files),
+            hash(tuple(sorted(files))),
+            *params,
+        )
+    except Exception:  # noqa: BLE001 — the cache is an optimization only
+        return None
+
+
+def _probe_cache_put(key: tuple | None, verdict):
+    if key is not None:
+        while len(_HOT_PROBE_CACHE) >= _HOT_PROBE_CACHE_MAX:
+            _HOT_PROBE_CACHE.pop(next(iter(_HOT_PROBE_CACHE)))
+        _HOT_PROBE_CACHE[key] = verdict
+    return verdict
+
+
 def has_hot_shingle(
     sh: DataFrame, sample_mod: int = 20, hot_frac: float = 0.05
 ) -> bool:
@@ -730,18 +773,29 @@ def has_hot_shingle(
     This is an adaptive-planning action in the AQE spirit (runtime stats
     → physical strategy), NOT a per-call data dependency: callers who
     already know their corpus pass ``prefix_filter`` explicitly and no
-    job fires at plan-build time."""
+    job fires at plan-build time.
+
+    The VERDICT is memoized per distinct (probed plan, input files,
+    params) — ``_HOT_PROBE_CACHE`` above: the probe is deterministic on
+    the same data, so re-building the same plan in one session re-fired
+    two Spark jobs to recompute a boolean it already knew (the r15
+    fixed-floor audit measured the probe's collect as the TOP stage of
+    a dedup_jaccard build). Session-lifetime semantics identical to
+    ``clean_corpus(near_dedup="auto")``'s decision cache."""
+    key = _probe_key(sh, "hot_shingle", sample_mod, hot_frac)
+    if key is not None and key in _HOT_PROBE_CACHE:
+        return _HOT_PROBE_CACHE[key]
     s = sh.filter(F.abs(F.xxhash64("doc_id")) % sample_mod == 0)
     n_docs = s.select("doc_id").distinct().count()
     if n_docs == 0:
-        return False
+        return _probe_cache_put(key, False)
     max_df = (
         s.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .agg(F.max("df").alias("m"))
         .collect()[0]["m"]
     )
-    return max_df >= max(4.0, hot_frac * n_docs)
+    return _probe_cache_put(key, max_df >= max(4.0, hot_frac * n_docs))
 
 
 def duplicate_density(
@@ -1438,14 +1492,22 @@ def connected_components(
     """
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
+    from .graph import _ckpt
+
     # Materialize the (possibly expensive) upstream pair plan EXACTLY
     # ONCE: edges and labels below both derive from this checkpoint, so
     # the candidate-pair generator (LSH join, PPJoin, …) is never
     # recomputed — checkpointing edges and labels from the raw plan was
     # measured to re-run a Jaccard pair join three times.
-    fwd = pairs.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint()
+    #
+    # Checkpoints here are LAZY (graph._ckpt; SPARK_GRAFT_EAGER_CKPT=1
+    # restores eager for paired A/Bs): each RDD still persists at its
+    # FIRST materialization — the convergence count below provides the
+    # materialization cadence — so the pair generator still runs once,
+    # but setup + uncounted rounds no longer pay one blocking job
+    # barrier each (r15 fixed-floor audit: 35 jobs for one
+    # dedup_clusters build; guide §2.4, remove gratuitous barriers).
+    fwd = _ckpt(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     und = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nodes = und.select("u").distinct()
     # SELF-LOOPS folded into the edge set: each node then receives its
@@ -1454,15 +1516,12 @@ def connected_components(
     # operator, a union of a checkpointed LogicalRDD with a join derived
     # from the same LogicalRDD trips Catalyst's Union constraint
     # rewrite in Spark 4.1 — key-not-found during localCheckpoint.)
-    edges = (
-        und.union(nodes.withColumn("v", F.col("u")))
-        .distinct()
-        .localCheckpoint()
+    edges = _ckpt(
+        und.union(nodes.withColumn("v", F.col("u"))).distinct()
     )
-    labels = (
+    labels = _ckpt(
         nodes.select(F.col("u").alias("node"))
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
     )
     rounds = 0
     for _ in range(max_iters):
@@ -1500,7 +1559,7 @@ def connected_components(
                 ).alias("lbl"),
             )
         )
-        new_labels = jump.localCheckpoint()
+        new_labels = _ckpt(jump)
         if rounds % check_every == 0 or rounds == max_iters:
             changed = (
                 new_labels.join(labels, ["node", "lbl"], "left_anti").count()

@@ -83,7 +83,14 @@ def has_hot_block(
     md5-hash-deterministic over the name — a block covering a constant
     fraction of the vocabulary appears in any sample of it. The name
     table is already vocabulary-sized, so a generous sample_pct is
-    cheap."""
+    cheap. The verdict is memoized per (plan, input files, params) —
+    ``dedup._HOT_PROBE_CACHE``, the established plan-choice
+    memoization (a strategy decision, never a query result)."""
+    from .dedup import _HOT_PROBE_CACHE, _probe_cache_put, _probe_key
+
+    key = _probe_key(names, "hot_block", name_col, sample_pct, min_count)
+    if key is not None and key in _HOT_PROBE_CACHE:
+        return _HOT_PROBE_CACHE[key]
     s = (
         names.select(F.col(name_col).alias("_n"))
         .distinct()
@@ -99,8 +106,10 @@ def has_hot_block(
         .collect()[0]
     )
     if counts.tot is None or counts.tot == 0:
-        return False
-    return counts.mx >= max(min_count, 0.05 * counts.tot)
+        return _probe_cache_put(key, False)
+    return _probe_cache_put(
+        key, bool(counts.mx >= max(min_count, 0.05 * counts.tot))
+    )
 
 
 def name_match_pairs(

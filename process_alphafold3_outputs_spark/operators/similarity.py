@@ -302,7 +302,32 @@ def recall_vs_bruteforce(
     )
 
 
-def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+def _vec_proj(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, vec array<double>) — the ONE narrow projection every
+    IVF / k-means pass consumes. Factored out so iterative consumers
+    (:func:`kmeans`, :func:`topk_ivf`) can persist it once and feed all
+    their passes from the cached blocks instead of re-scanning the
+    corpus parquet per pass (guide §5: persist exactly the reused
+    intermediate; the projection is two columns, never the raw row)."""
+    return spread(embeddings, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+
+
+def _persist_proj(df: DataFrame) -> DataFrame:
+    """persist() unless ``SPARK_GRAFT_NO_VEC_PERSIST`` is set — the
+    paired-A/B escape hatch for the shared-projection persist
+    (tools/ab_env.py)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_VEC_PERSIST"):
+        return df
+    return df.persist()
+
+
+def ivf_centroids(
+    embeddings: DataFrame, n_cells: int = 16, _proj: DataFrame | None = None
+) -> DataFrame:
     """IVF coarse quantizer with deterministic 'training': the centroids
     are the first ``n_cells`` corpus vectors by id (a k-means iteration
     could refine them; determinism matters more here than cell quality,
@@ -312,12 +337,14 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     parallel partial top-k per partition, NO global single-partition
     sort of the corpus (the old global row_number window shuffled every
     vector to one task — VERDICT r1 #3). The row_number below runs
-    over the already-limited ≤ n_cells rows only."""
+    over the already-limited ≤ n_cells rows only.
+
+    ``_proj`` (internal): a pre-built — typically persisted —
+    :func:`_vec_proj` of the same embeddings; values identical, the
+    scan is shared instead of repeated."""
+    emb = _vec_proj(embeddings) if _proj is None else _proj
     top = (
-        spread(embeddings, "vec_id")
-        .select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("cvec")
-        )
+        emb.select("vec_id", F.col("vec").alias("cvec"))
         .orderBy("vec_id")
         .limit(n_cells)
     )
@@ -329,7 +356,10 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
 
 
 def ivf_refine(
-    embeddings: DataFrame, centroids: DataFrame, train_sample_mod: int = 1
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    train_sample_mod: int = 1,
+    _proj: DataFrame | None = None,
 ) -> DataFrame:
     """One Lloyd (k-means) iteration: assign every vector to its
     max-cosine centroid, then recentre each cell on the element-wise
@@ -345,12 +375,12 @@ def ivf_refine(
     trains on the deterministic ``vec_id % mod == 0`` sample — the 100 TB
     path (quantizer quality needs a representative sample, not the full
     corpus; assignment of ALL vectors still happens downstream in
-    :func:`topk_ivf`)."""
+    :func:`topk_ivf`). ``_proj`` (internal): pre-built
+    :func:`_vec_proj` — see :func:`ivf_centroids`."""
+    emb = _vec_proj(embeddings) if _proj is None else _proj
     if train_sample_mod > 1:
-        embeddings = embeddings.filter(
-            F.col("vec_id") % train_sample_mod == 0
-        )
-    assigned = ivf_assign(embeddings, centroids)
+        emb = emb.filter(F.col("vec_id") % train_sample_mod == 0)
+    assigned = _assign_proj(emb, centroids)
     comps = assigned.select(
         "cell", "vec_id", F.posexplode("vec").alias("pos", "val")
     )
@@ -386,9 +416,13 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     vector collapse to one row BEFORE the shuffle, where the old
     row_number window shuffled and sorted all k — k× less shuffle IO on
     the corpus-sized side."""
-    emb = spread(embeddings, "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
+    return _assign_proj(_vec_proj(embeddings), centroids)
+
+
+def _assign_proj(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """:func:`ivf_assign` body over an already-projected
+    (vec_id, vec) table — shared so iterative callers reuse one
+    persisted projection across passes."""
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "_s", cosine(F.col("vec"), F.col("cvec"))
     )
@@ -409,6 +443,7 @@ def kmeans(
     iters: int = 2,
     train_sample_mod: int = 1,
     keep_vec: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """(vec_id, cluster, sim[, v]) — deterministic Lloyd k-means over the
     embedding column: seed = the first ``k`` corpus vectors by id
@@ -433,13 +468,25 @@ def kmeans(
     the same vector, so riding the max_by struct is value-exact): a
     consumer that needs (assignment, vector) — semantic_dedup's pair
     stage — then skips a second corpus scan + vec_id re-join; the same
-    bytes cross the one assignment shuffle either way."""
-    cents = ivf_centroids(embeddings, k)
+    bytes cross the one assignment shuffle either way.
+
+    The (vec_id, vec) projection is PERSISTED once and feeds the seed
+    pick, every Lloyd pass and the final assignment (guide §5: Lloyd
+    re-scans the corpus iters+1 times otherwise — the DuckDB oracle
+    unrolls the same arithmetic either way, so sharing the scan is
+    plan-shape only, value-exact). Persist lifecycle is CALLER-OWNED
+    under the same ``handles`` contract as ``clean_corpus``: pass a
+    list to receive the persisted DataFrame and unpersist once the
+    output has materialised; the bench/mirror harnesses release all
+    pinned blocks between runs."""
+    emb = _persist_proj(_vec_proj(embeddings))
+    if handles is not None:
+        handles.append(emb)
+    cents = ivf_centroids(embeddings, k, _proj=emb)
     for _ in range(iters):
-        cents = ivf_refine(embeddings, cents, train_sample_mod=train_sample_mod)
-    emb = spread(embeddings, "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
+        cents = ivf_refine(
+            embeddings, cents, train_sample_mod=train_sample_mod, _proj=emb
+        )
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
         "_s", cosine(F.col("vec"), F.col("cvec"))
     )
@@ -472,6 +519,7 @@ def topk_ivf(
     n_probe: int = 2,
     refine_iters: int = 0,
     train_sample_mod: int = 1,
+    handles: list | None = None,
 ) -> DataFrame:
     """IVF top-k: queries probe their ``n_probe`` closest cells and rank
     only those cells' vectors. The inverted lists are the corpus
@@ -481,18 +529,29 @@ def topk_ivf(
     ``refine_iters`` Lloyd iterations improve the quantizer (see
     :func:`ivf_refine`); 0 keeps the deterministic pick-first seed.
     ``train_sample_mod`` trains the refinement on the deterministic
-    ``vec_id % mod == 0`` sample (full-corpus assignment is unchanged)."""
-    cents = ivf_centroids(embeddings, n_cells)
+    ``vec_id % mod == 0`` sample (full-corpus assignment is unchanged).
+
+    The (vec_id, vec) projection is PERSISTED once and feeds the seed
+    pick, every refine pass, the corpus assignment AND the query-side
+    slice (3 + refine_iters corpus scans shared into one — guide §5;
+    value-exact, the arithmetic is untouched). ``handles``: caller-owned
+    release, same contract as :func:`kmeans`."""
+    emb = _persist_proj(_vec_proj(embeddings))
+    if handles is not None:
+        handles.append(emb)
+    cents = ivf_centroids(embeddings, n_cells, _proj=emb)
     for _ in range(refine_iters):
-        cents = ivf_refine(embeddings, cents, train_sample_mod=train_sample_mod)
-    assigned = ivf_assign(embeddings, cents)
+        cents = ivf_refine(
+            embeddings, cents, train_sample_mod=train_sample_mod, _proj=emb
+        )
+    assigned = _assign_proj(emb, cents)
     if isinstance(query_ids, Column):
-        q = spread(embeddings, "vec_id").filter(query_ids)
+        q = emb.filter(query_ids)
     else:
-        q = embeddings.join(query_ids.select("vec_id"), "vec_id", "left_semi")
+        q = emb.join(query_ids.select("vec_id"), "vec_id", "left_semi")
     qv = q.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qvec"),
+        F.col("vec").alias("qvec"),
     )
     probes = (
         qv.crossJoin(F.broadcast(cents))

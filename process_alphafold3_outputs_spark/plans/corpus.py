@@ -163,6 +163,7 @@ def clean_corpus(
     rows_per_band: int = 3,
     containment_threshold: float = 0.9,
     project: list[str] | None = None,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Surviving documents after the four gates, with the stats the
     gates used: (doc_id, pred_lang, n_words). ``full_rows=True`` keeps
@@ -241,6 +242,15 @@ def clean_corpus(
     (shingling, chunking) skip one full regexp re-normalization pass.
     Returned columns on this path: ``project`` + (pred_lang, n_words,
     _norm).
+
+    ``_base`` (internal — :func:`filter_audit`): a pre-built — typically
+    persisted — UNFILTERED stats projection of the same ``docs``
+    carrying at least (doc_id, _norm, n_ws_tokens, pred_lang); the
+    gates are applied to it here, so the caller's normalize +
+    language-id pass is shared instead of recomputed (guide §2.4 —
+    the audit previously ran that corpus CPU pass twice). Values are
+    identical by construction: normalize/LID are deterministic pure
+    columns of the text.
     """
     if near_dedup not in (
         "auto", "greedy", "clusters", "minhash_bands", "containment"
@@ -255,15 +265,17 @@ def clean_corpus(
     # only): normalize + tokenize + language-ID is the pipeline's
     # heaviest per-row map work and a single-row-group parquet scan
     # would run ALL of it on one core before the first exchange.
-    base = (
-        dedup.normalized(spread(docs, "doc_id"), text_col)
+    stats = (
+        _base
+        if _base is not None
+        else dedup.normalized(spread(docs, "doc_id"), text_col)
         .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
         .withColumn("pred_lang", text.language_id_col(F.col("_norm")))
-        .filter(
-            (F.col("n_ws_tokens") >= min_words)
-            & (F.col("n_ws_tokens") <= max_words)
-            & (F.col("pred_lang") == lang)
-        )
+    )
+    base = stats.filter(
+        (F.col("n_ws_tokens") >= min_words)
+        & (F.col("n_ws_tokens") <= max_words)
+        & (F.col("pred_lang") == lang)
     )
     # min_by hash agg, not a window: duplicates collapse map-side before
     # the hash-keyed shuffle (doc_id unique -> deterministic winner)
@@ -608,10 +620,18 @@ def filter_audit(
     (quality is reported before language within the fused stage-1
     filter — a presentation order, both are evaluated).
 
-    Scale shape: the flags are pure columns on one corpus pass; the
-    extra cost over the pipeline itself is one hash-keyed keeper join
-    and one left join against the (already computed) survivor ids —
-    both on the corpus's natural keys, no new pair expansion."""
+    Scale shape: the flags are pure columns on ONE corpus pass — the
+    normalize + language-id stats projection is built here once,
+    persisted (``stage=True``; caller-owned release via ``handles``,
+    same contract as :func:`clean_corpus`), and SHARED with the
+    internal :func:`clean_corpus` call through its ``_base`` hook, so
+    the audit no longer runs the corpus CPU pass twice (guide §2.4;
+    the r14 A/B of the window-form alternative was a local wash — this
+    form instead removes the duplicate normalize pass outright, which
+    is the term that grows with text bytes at 100 TB). The extra cost
+    over the pipeline itself is one hash-keyed keeper join and one
+    left join against the survivor ids — both on the corpus's natural
+    keys, no new pair expansion."""
     base = (
         dedup.normalized(spread(docs, "doc_id"), text_col)
         .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
@@ -628,6 +648,13 @@ def filter_audit(
         )
         .withColumn("_h", F.md5("_norm"))
     )
+    # the stats projection is the audit's fan-out point (flag columns,
+    # keeper agg, and — via _base — the whole survivor pipeline); stage
+    # it so the corpus parquet is scanned and normalized exactly once
+    if stage:
+        base = base.persist()
+        if handles is not None:
+            handles.append(base)
     surv12 = base.filter(
         (F.col("pass_quality") == 1) & (F.col("pass_language") == 1)
     )
@@ -642,6 +669,7 @@ def filter_audit(
             text_col=text_col,
             stage=stage,
             handles=handles,
+            _base=base,
         )
         .select("doc_id")
         .withColumn("_kept", F.lit(1))

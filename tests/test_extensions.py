@@ -1994,3 +1994,74 @@ def test_dup_rate_by_group_hand_computed(spark):
     assert (b.n_docs, b.n_unique, b.n_dups, b.cross_group_unique) == (
         2, 2, 0, 1
     )
+
+
+def test_connected_components_lazy_ckpt_matches_eager(spark, monkeypatch):
+    """r15: CC's per-round/setup localCheckpoints are lazy by default
+    (graph._ckpt — the convergence count provides the materialization
+    cadence); SPARK_GRAFT_EAGER_CKPT=1 restores the eager barriers.
+    Labels must be bit-identical either way."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(50, 51), (51, 52), (60, 61)],
+        "doc_a long, doc_b long",
+    )
+    monkeypatch.delenv("SPARK_GRAFT_EAGER_CKPT", raising=False)
+    lazy = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, check_every=2).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_CKPT", "1")
+    eager = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, check_every=2).collect()
+    }
+    assert lazy == eager
+    assert lazy[52] == 50 and lazy[61] == 60 and lazy[20] == 0
+
+
+def test_hot_probe_cache_returns_cached_verdict_and_invalidates(spark):
+    """r15: has_hot_shingle memoizes its VERDICT per (plan, input files,
+    params) — a plan-choice decision, never a query result. The cached
+    verdict must equal a fresh recompute, and clear_hot_probe_cache()
+    must force the recompute path."""
+    sh = dedup.hashed_shingles(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    dedup.clear_hot_probe_cache()
+    v1 = dedup.has_hot_shingle(sh)
+    key = dedup._probe_key(sh, "hot_shingle", 20, 0.05)
+    assert key is not None and key in dedup._HOT_PROBE_CACHE
+    assert dedup._HOT_PROBE_CACHE[key] == v1
+    # cached call: same verdict without recomputation
+    assert dedup.has_hot_shingle(sh) == v1
+    dedup.clear_hot_probe_cache()
+    assert key not in dedup._HOT_PROBE_CACHE
+    assert dedup.has_hot_shingle(sh) == v1  # fresh recompute agrees
+    # createDataFrame inputs have no file fingerprint -> never cached
+    mem = spark.createDataFrame(
+        [(1, 11), (2, 11)], "doc_id long, sh long"
+    )
+    assert dedup._probe_key(mem, "hot_shingle", 20, 0.05) is None
+
+
+def test_kmeans_persisted_projection_matches_unpersisted(spark, monkeypatch):
+    """r15: kmeans persists the (vec_id, vec) projection once and feeds
+    every Lloyd pass from it; SPARK_GRAFT_NO_VEC_PERSIST=1 disables the
+    persist (A/B hatch). Assignments must be identical, and the handles
+    contract must hand back the persisted DataFrame for release."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    monkeypatch.delenv("SPARK_GRAFT_NO_VEC_PERSIST", raising=False)
+    handles: list = []
+    on = {
+        r.vec_id: (r.cluster, r.sim)
+        for r in similarity.kmeans(emb, k=4, iters=2, handles=handles).collect()
+    }
+    assert len(handles) == 1
+    for h in handles:
+        h.unpersist()
+    monkeypatch.setenv("SPARK_GRAFT_NO_VEC_PERSIST", "1")
+    off = {
+        r.vec_id: (r.cluster, r.sim)
+        for r in similarity.kmeans(emb, k=4, iters=2).collect()
+    }
+    assert on == off
