@@ -915,6 +915,7 @@ def topk_ivfpq(
     m: int = 8,
     kc: int = 16,
     dim: int | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rk, sim) — IVF-PQ with RESIDUAL
     encoding (IVFADC, Jégou et al. 2011 §IV): the production ANN
@@ -945,7 +946,9 @@ def topk_ivfpq(
     :func:`ivfpq_search` (serve over a prebuilt index) — the
     build-once/serve-many split, same contract as
     ``ivf_search``/``watch_embeddings_ann``."""
-    cents, cb, codes = ivfpq_index(embeddings, n_cells, m, kc, dim)
+    cents, cb, codes = ivfpq_index(
+        embeddings, n_cells, m, kc, dim, handles=handles
+    )
     if isinstance(query_ids, Column):
         q = spread(embeddings, "vec_id").filter(query_ids)
     else:
@@ -961,13 +964,22 @@ def ivfpq_index(
     m: int = 8,
     kc: int = 16,
     dim: int | None = None,
+    handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(centroids, codebooks, codes) — the persistable IVF-PQ index
     build: centroids (cell, ccvec over NORMALIZED vectors), residual
     codebooks (sub, code, cvec), and the compressed corpus
     (vec_id, cell, codes array<int>) — at 100 TB, write all three to
     parquet (codes bucketed by cell) and serve with
-    :func:`ivfpq_search`; the floats never travel again."""
+    :func:`ivfpq_search`; the floats never travel again.
+
+    ``handles`` is accepted for API symmetry with :func:`kmeans` but
+    currently receives nothing: persisting the ``nrm``/``assigned``
+    fan-out points was paired-A/B MEASURED A LOSS here (r15:
+    topk_ivfpq 3.72 s persisted vs 2.83 s not, recall_ivfpq 3.07 vs
+    2.80 — only 2-3 references each, the materialization barrier costs
+    more than the re-computed subtree, unlike kmeans' iters+1 passes),
+    so the index build stays barrier-free."""
     from ..sources.tables import EMBEDDING_DIM
 
     d = dim if dim is not None else EMBEDDING_DIM

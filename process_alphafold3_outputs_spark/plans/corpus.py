@@ -744,13 +744,24 @@ def token_report(
 
     Scale shape: two corpus-keyed aggregations (raw profile; survivor
     profile) collapsing to source-sized tables, joined source-to-source
-    — the expansion itself is never materialized."""
-    raw = (
+    — the expansion itself is never materialized. The normalize+LID
+    stats projection is built ONCE, persisted (``stage=True``;
+    caller-owned release via ``handles``) and shared between the raw
+    profile and the survivor pipeline (clean_corpus ``_base`` hook) —
+    the raw profile previously re-ran the full-corpus normalize pass
+    beside the pipeline's own (r15, guide §2.4; same fix as
+    :func:`filter_audit`)."""
+    stats = (
         dedup.normalized(spread(docs, "doc_id"), text_col)
-        .select(
-            "source",
-            F.size(F.split("_norm", " ")).cast("long").alias("_n"),
-        )
+        .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
+        .withColumn("pred_lang", text.language_id_col(F.col("_norm")))
+    )
+    if stage:
+        stats = stats.persist()
+        if handles is not None:
+            handles.append(stats)
+    raw = (
+        stats.select("source", F.col("n_ws_tokens").alias("_n"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("raw_docs"),
@@ -769,6 +780,7 @@ def token_report(
         stage=stage,
         handles=handles,
         project=["source"],
+        _base=stats,
     )
     kv = []
     for k, v in factors.items():
