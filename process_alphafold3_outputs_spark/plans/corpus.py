@@ -650,8 +650,13 @@ def filter_audit(
     )
     # the stats projection is the audit's fan-out point (flag columns,
     # keeper agg, and — via _base — the whole survivor pipeline); stage
-    # it so the corpus parquet is scanned and normalized exactly once
-    if stage:
+    # it so the corpus parquet is scanned and normalized exactly once.
+    # SPARK_GRAFT_NO_BASE_SHARE=1 restores the independent-pass form
+    # (paired-A/B hatch, tools/ab_env.py).
+    import os as _os
+
+    _share = not _os.environ.get("SPARK_GRAFT_NO_BASE_SHARE")
+    if stage and _share:
         base = base.persist()
         if handles is not None:
             handles.append(base)
@@ -669,7 +674,7 @@ def filter_audit(
             text_col=text_col,
             stage=stage,
             handles=handles,
-            _base=base,
+            _base=base if _share else None,
         )
         .select("doc_id")
         .withColumn("_kept", F.lit(1))
@@ -751,12 +756,15 @@ def token_report(
     the raw profile previously re-ran the full-corpus normalize pass
     beside the pipeline's own (r15, guide §2.4; same fix as
     :func:`filter_audit`)."""
+    import os as _os
+
+    _share = not _os.environ.get("SPARK_GRAFT_NO_BASE_SHARE")
     stats = (
         dedup.normalized(spread(docs, "doc_id"), text_col)
         .withColumn("n_ws_tokens", F.size(F.split("_norm", " ")).cast("long"))
         .withColumn("pred_lang", text.language_id_col(F.col("_norm")))
     )
-    if stage:
+    if stage and _share:
         stats = stats.persist()
         if handles is not None:
             handles.append(stats)
@@ -780,7 +788,7 @@ def token_report(
         stage=stage,
         handles=handles,
         project=["source"],
-        _base=stats,
+        _base=stats if _share else None,
     )
     kv = []
     for k, v in factors.items():
