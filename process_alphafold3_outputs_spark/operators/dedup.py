@@ -1798,6 +1798,7 @@ def semantic_dedup(
         k=k,
         iters=iters,
         keep_vec=True,
+        handles=handles,
     )
     # Persist the assignment: the pair stage references it twice (both
     # self-join sides) and the final keep-flag join a third time —

@@ -4,8 +4,8 @@ Replicates bench.py's exact flagship row: same cached corpus
 (_af3_bench_corpus at sf 0.1 -> 100 jobs, scale=6), same action
 (interaction_report -> noop sink), same release discipline; one untimed
 warmup then N timed runs. Captures .explain("formatted") to
-plans/r14/af3_flagship_<suffix>.txt with plan-shape counts, and writes
-the record to plans/r14/isolation_flagship_<suffix>.json.
+plans/<dir>/af3_flagship_<suffix>.txt with plan-shape counts, and writes
+the record to plans/<dir>/isolation_flagship_<suffix>.json.
 
 Usage: python tools/isolate_flagship.py [--runs 6] [--suffix r14opt]
 """
@@ -35,7 +35,8 @@ from process_alphafold3_outputs_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=6)
-    ap.add_argument("--suffix", default="r14opt")
+    ap.add_argument("--suffix", default="r15close")
+    ap.add_argument("--plans-dir", default="plans/r15")
     args = ap.parse_args()
 
     load0 = os.getloadavg()[0]
@@ -57,7 +58,7 @@ def main() -> None:
         build().explain("formatted")
     plan = buf.getvalue()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(repo, "plans", "r14")
+    plans_dir = os.path.join(repo, *args.plans_dir.split("/"))
     os.makedirs(plans_dir, exist_ok=True)
     with open(os.path.join(plans_dir, f"af3_flagship_{args.suffix}.txt"), "w") as fh:
         fh.write(plan)
